@@ -1,0 +1,152 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every entry in [[CoreQueries.queries]]. Column
+  * names/aliases match the Spark side exactly (the driver sorts columns by
+  * name before hashing). Integer sums are cast to BIGINT because DuckDB
+  * promotes sum(BIGINT) to HUGEINT, which would schema-mismatch.
+  */
+object CoreOracles {
+
+  private val s = CoreQueries.WStart
+  private val e = CoreQueries.WEnd
+  private val Seq(o1, o2) = CoreQueries.Outages
+
+  /** K1's state-run CTE chain, shared by k1/k2 (mirrors
+    * RuntimeSql.stateRuns — see that scaladoc for the equivalence argument
+    * against /root/reference/src/openstack_billing_db/model.py:90-156).
+    */
+  private val runsCte: String =
+    s"""WITH mapped AS (
+       |  SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id AS tie,
+       |         CASE WHEN event_type = 'error' THEN 'Error'
+       |              WHEN event_type = 'signup' THEN 'Running'
+       |              WHEN event_type = 'purchase' THEN 'Stopped'
+       |              WHEN event_type = 'view' THEN 'Shelved' END AS state
+       |  FROM events
+       |), f AS (
+       |  SELECT * FROM mapped WHERE state IS NOT NULL
+       |), sq AS (
+       |  SELECT key, state, ts_us,
+       |         row_number() OVER (PARTITION BY key ORDER BY ts_us, tie) AS seq
+       |  FROM f
+       |), m AS (
+       |  SELECT key, state, ts_us, seq FROM (
+       |    SELECT sq.*, lag(state) OVER (PARTITION BY key ORDER BY seq) AS prev
+       |    FROM sq) t
+       |  WHERE prev IS NULL OR state <> prev
+       |), runs AS (
+       |  SELECT key, state, ts_us,
+       |         lead(ts_us) OVER (PARTITION BY key ORDER BY seq) AS next_ts_us
+       |  FROM m
+       |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "r1_distinct" ->
+      "SELECT DISTINCT user_id FROM events",
+
+    "r2_left_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "r3_temporal_filter" ->
+      s"""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+         |FROM events
+         |WHERE epoch_us(ts) > ${graft.core.Types.utcMicros(2024, 1, 15)}
+         |   OR event_type = 'signup'""".stripMargin,
+
+    "r5_sorted_events" ->
+      """SELECT user_id, array_agg(event_id ORDER BY epoch_us(ts), event_id) AS event_ids
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "r6_events_per_entity" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "r8_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "r7_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |  FROM events GROUP BY user_id
+        |), long AS (
+        |  SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+        |  UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+        |  UNION ALL SELECT user_id, 'error', n_error FROM wide
+        |)
+        |SELECT user_id, event_type, n FROM long WHERE n > 0""".stripMargin,
+
+    "f1_service_units" ->
+      """SELECT p_partkey,
+        |  CAST(CASE WHEN p_partkey % 4 <> 0 THEN p_partkey % 4
+        |       ELSE floor(greatest(CAST(p_size AS DOUBLE), p_retailprice / 409.6)) END AS BIGINT)
+        |    AS service_units
+        |FROM part""".stripMargin,
+
+    "f4_time_clamp" ->
+      s"""SELECT event_id, greatest(least(epoch_us(ts), $e), $s) AS clamped_us
+         |FROM events""".stripMargin,
+
+    "f9_round_money" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(38,2)) AS revenue
+        |FROM lineitem""".stripMargin,
+
+    "f10_ceil_hours" ->
+      """SELECT event_id, CAST(ceil(value / 60.0) AS BIGINT) AS ceil_units
+        |FROM events""".stripMargin,
+
+    "a1_su_hour_agg" ->
+      """SELECT user_id, event_type,
+        |  CAST(sum(CAST(ceil(value / 60.0) AS BIGINT)) AS BIGINT) AS su_hours
+        |FROM events WHERE value > 0
+        |GROUP BY user_id, event_type""".stripMargin,
+
+    "k1_state_machine" ->
+      s"""$runsCte, c AS (
+         |  SELECT key, state,
+         |         greatest(least(ts_us, $e), $s) AS t0,
+         |         coalesce(greatest(least(next_ts_us, $e), $s), $e) AS t1
+         |  FROM runs
+         |)
+         |SELECT key,
+         |  CAST(sum(CASE WHEN state = 'Running' THEN t1 - t0 ELSE 0 END) AS BIGINT) AS running_us,
+         |  CAST(sum(CASE WHEN state = 'Stopped' THEN t1 - t0 ELSE 0 END) AS BIGINT) AS stopped_us
+         |FROM c GROUP BY key""".stripMargin,
+
+    "k2_interval_subtract" ->
+      s"""$runsCte, iv AS (
+         |  SELECT * FROM (VALUES ($s, $e, 1), (${o1._1}, ${o1._2}, -1), (${o2._1}, ${o2._2}, -1))
+         |    AS t(iv_start, iv_end, weight)
+         |), c AS (
+         |  SELECT key, state, weight,
+         |         greatest(least(ts_us, iv_end), iv_start) AS t0,
+         |         coalesce(greatest(least(next_ts_us, iv_end), iv_start), iv_end) AS t1
+         |  FROM runs CROSS JOIN iv
+         |)
+         |SELECT key,
+         |  CAST(sum(CASE WHEN state = 'Running' THEN (t1 - t0) * weight ELSE 0 END) AS BIGINT) AS running_us,
+         |  CAST(sum(CASE WHEN state = 'Stopped' THEN (t1 - t0) * weight ELSE 0 END) AS BIGINT) AS stopped_us
+         |FROM c GROUP BY key""".stripMargin
+  )
+}

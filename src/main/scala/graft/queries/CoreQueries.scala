@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Types
+import graft.sql.RuntimeSql
+
+/** The SURVEY.md §2 operator inventory expressed as driver-checkable
+  * queries over the shared testdata tables, each paired with DuckDB oracle
+  * SQL in [[CoreOracles]].
+  *
+  * Conventions that keep the DuckDB hash-compare stable:
+  *   - timestamps are surfaced as epoch MICROSECONDS (`unix_micros` /
+  *     DuckDB `epoch_us`) — never as raw timestamp columns, whose
+  *     tz-awareness differs between the engines' parquet writers;
+  *   - doubles that get summed are cast to DECIMAL first (exact,
+  *     associative, order-independent — float sums are neither);
+  *   - every aggregate/computed column is aliased identically here and in
+  *     the oracle (the driver sorts columns by name before hashing).
+  */
+object CoreQueries {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.etl.Ingest.table(spark, dir, name)
+
+  // Billing-window constants shared with the oracle SQL (CoreOracles
+  // interpolates the same values).
+  val WStart: Long = Types.utcMicros(2024, 1, 5)
+  val WEnd: Long = Types.utcMicros(2024, 1, 25)
+  val Outages: Seq[(Long, Long)] = Seq(
+    (Types.utcMicros(2024, 1, 10), Types.utcMicros(2024, 1, 11)),
+    (Types.utcMicros(2024, 1, 20, 6), Types.utcMicros(2024, 1, 20, 18)))
+
+  /** events.event_type → billing state (K1 over the events table): signup
+    * creates, purchase stops, view shelves, error is the `message=="Error"`
+    * path, click matches no trigger and is skipped (model.py:109-117).
+    */
+  def eventState: Column =
+    when(col("event_type") === "error", "Error")
+      .when(col("event_type") === "signup", "Running")
+      .when(col("event_type") === "purchase", "Stopped")
+      .when(col("event_type") === "view", "Shelved")
+
+  private def shapedEvents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").select(
+      col("user_id").as("key"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_id").as("tie"),
+      eventState.as("state"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship TPC-H-Q1-shaped scan→filter→agg (S1 + R4 + A1 shape).
+    "q1_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(38,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // R1 — distinct projection (model.py:295-301).
+    "r1_distinct" -> ((s, dir) =>
+      table(s, dir, "events").select(col("user_id")).distinct()),
+
+    // R2 — left equi-join, small dim broadcast (model.py:229-244).
+    "r2_left_join" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val customer = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // R3 — compound temporal liveness filter (model.py:240-243).
+    "r3_temporal_filter" -> ((s, dir) =>
+      table(s, dir, "events")
+        .filter(unix_micros(col("ts")) > Types.utcMicros(2024, 1, 15) ||
+          col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))),
+
+    // R5 — per-key sort: event ids ordered by (ts, id) as an array
+    // (model.py:215 order-by is load-bearing for K1).
+    "r5_sorted_events" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .groupBy("user_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("ts_us"), col("event_id")))),
+          x => x.getField("event_id")).as("event_ids"))),
+
+    // R6 — the reference's N+1 correlated loop dissolved into one shuffle
+    // (model.py:211-222, 295-301).
+    "r6_events_per_entity" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("first_ts_us"),
+          max(unix_micros(col("ts"))).as("last_ts_us"))),
+
+    // R8 — pivot long→wide: per-entity counters per type (billing.py:105-113).
+    "r8_pivot" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))),
+
+    // R7 — unpivot wide→long, dropping zero rows (billing.py:188-224).
+    "r7_unpivot" -> ((s, dir) => {
+      val wide = table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+      wide
+        .select(col("user_id"),
+          expr("stack(3, 'click', n_click, 'purchase', n_purchase, 'error', n_error) as (event_type, n)"))
+        .filter(col("n") > 0)
+    }),
+
+    // F1 — service-unit formula shape (model.py:38-46): gpu_count-or-
+    // truncated-max, over part as the flavor analog.
+    "f1_service_units" -> ((s, dir) =>
+      table(s, dir, "part")
+        .select(col("p_partkey"),
+          when(pmod(col("p_partkey"), lit(4)) =!= 0, pmod(col("p_partkey"), lit(4)))
+            .otherwise(floor(greatest(col("p_size").cast("double"), col("p_retailprice") / 409.6)))
+            .cast("long").as("service_units"))),
+
+    // F4 — time clamp into the billing window (model.py:78-88).
+    "f4_time_clamp" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          greatest(least(unix_micros(col("ts")), lit(WEnd)), lit(WStart)).as("clamped_us"))),
+
+    // F9 — money rounding HALF_UP to cents, only at the sink (billing.py:202).
+    "f9_round_money" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")), 2)
+            .cast("decimal(38,2)").as("revenue"))),
+
+    // F10 — ceil-hours: partial units round UP (billing.py:147).
+    "f10_ceil_hours" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), ceil(col("value") / 60.0).cast("long").as("ceil_units"))),
+
+    // A1 — filtered group-sum, the invoice accumulation shape (billing.py:138-154).
+    "a1_su_hour_agg" -> ((s, dir) =>
+      table(s, dir, "events")
+        .filter(col("value") > 0)
+        .select(col("user_id"), col("event_type"),
+          ceil(col("value") / 60.0).cast("long").as("units"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("units")).as("su_hours"))),
+
+    // K1 — the billing state machine, relational formulation, one shuffle.
+    "k1_state_machine" -> ((s, dir) => {
+      val runs = RuntimeSql.stateRuns(shapedEvents(s, dir))
+      RuntimeSql.runtimeInWindow(runs, WStart, WEnd)
+    }),
+
+    // K2 — K1 minus outage intervals, single weighted-interval pass.
+    "k2_interval_subtract" -> ((s, dir) => {
+      val runs = RuntimeSql.stateRuns(shapedEvents(s, dir))
+      RuntimeSql.runtimeExcluding(runs, WStart, WEnd, Outages)
+    })
+  )
+}
