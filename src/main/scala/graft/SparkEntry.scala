@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Types.Rates
 import graft.etl.{Billing, Enrich, InvoiceSink}
-import graft.queries.{CoreOracles, CoreQueries}
+import graft.queries.{CoreOracles, CoreQueries, PipelineOracles, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -65,12 +65,14 @@ object SparkEntry {
       java.time.Instant.now().toString)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-data-pipeline operators (dedup, similarity, text analysis,
+    * sessionization, multimodal plumbing). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreOracles.oracleSql
+    CoreOracles.oracleSql ++ PipelineOracles.oracleSql
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification — all shuffle-
+  * bounded (never an unbucketed O(n²) self-join; candidate generation goes
+  * through LSH buckets, so at 100 TB the quadratic blow-up is confined to
+  * same-bucket groups).
+  */
+object DedupOps {
+
+  /** Exact dedup: group by content hash. One shuffle on a 32-byte key —
+    * the canonical doc is the min id, `n_copies` drives the keep/drop
+    * decision downstream.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .groupBy("text_md5")
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Number of MinHash bands (one hash per band — band width 1 keeps the
+    * oracle SQL tractable; recall is tuned by the band count).
+    */
+  val Bands = 4
+
+  /** doc_id → exploded shingles (distinct per doc). */
+  def shingled(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle"))
+      .distinct()
+
+  /** MinHash signature: per band b, min over shingles of md5("b:"+shingle)
+    * — B independent permutation approximations in ONE aggregation pass.
+    */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    val aggs = (0 until Bands).map(b =>
+      min(md5(concat(lit(s"$b:"), col("shingle")))).as(s"h$b"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Signature → long (doc_id, band, h) table. */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val stackArgs = (0 until Bands)
+      .map(b => s"$b, h$b").mkString(s"stack($Bands, ", ", ", ") as (band, h)")
+    sig.select(col("doc_id"), expr(stackArgs))
+  }
+
+  /** LSH buckets with >1 member — the scalable dedup summary (bucket
+    * sizes stay small, so downstream pair generation is bounded).
+    */
+  def lshBuckets(bands: DataFrame): DataFrame =
+    bands
+      .groupBy("band", "h")
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
+  /** Candidate near-dup pairs: docs sharing any band bucket. The join key
+    * is (band, h) — skew-bounded by bucket size, never all-pairs.
+    */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("h"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("h"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** n-gram Jaccard verification of candidate pairs, fully relational:
+    * |A∩B| via a shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Long/long
+    * division → double is identical IEEE math in DuckDB.
+    */
+  def ngramJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** SimHash bit width: 16 hex digits of md5 × 4 bits. */
+  val SimhashBits = 64
+
+  /** 64-bit SimHash per doc as a bit string: explode tokens, md5 each,
+    * sum ±1 per bit position, sign of each sum is the fingerprint bit.
+    * One explode + one 64-column aggregation — no per-bit explode.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // d0..d15: hex digit values 0..15
+    val withDigits = (0 until 16).foldLeft(toks) { (df, p) =>
+      df.withColumn(s"d$p",
+        expr(s"instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1"))
+    }
+    // bit j (MSB-first within each digit) lives in digit j/4, position j%4
+    val sums = (0 until SimhashBits).map { j =>
+      val digit = j / 4
+      val pow = 1 << (3 - (j % 4))
+      sum(expr(s"2 * ((d$digit div $pow) % 2) - 1")).as(s"s$j")
+    }
+    val agg = withDigits.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val bits = (0 until SimhashBits).map(j =>
+      when(col(s"s$j") > 0, "1").otherwise("0"))
+    agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+}

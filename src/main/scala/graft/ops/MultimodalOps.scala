@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads plus typed metadata, with decode / feature-extract /
+  * frame-sample stages whose Spark-side shape (schema, partitioning,
+  * per-partition batching) is real and tested.
+  *
+  * STUB NOTICE: the actual media decode is a deterministic fake — this
+  * container has no image/audio codecs. `decodeStub` derives pseudo
+  * "features" from the payload's md5 so results are reproducible and
+  * oracle-checkable; swap `fakeFeature` for a real decoder (e.g. a JNI
+  * codec or `mapInArrow` to a Python worker) without touching the
+  * surrounding plumbing.
+  */
+object MultimodalOps {
+
+  /** Typed media row: what a 100 TB multimodal table's columns look like.
+    * Payload stays opaque binary end-to-end; metadata is columnar so
+    * filters on mime/size prune parquet row groups without touching bytes.
+    */
+  final case class MediaRow(
+      media_id: Long,
+      mime: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      duration_ms: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      byte_len: Long,
+      payload_md5: String,
+      n_frames: Long,
+      feature: Array[Float])
+
+  /** Adapt the documents table into a media table (payload = UTF-8 bytes)
+    * — the testdata has no real blobs; the plumbing doesn't care.
+    */
+  def packDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit(640).as("width"), lit(480).as("height"),
+      (col("n_chars") * 40).as("duration_ms"))
+
+  /** Frame-sample plan: byte offsets at a fixed stride — the real decoder
+    * would seek these; the plan (explode → per-frame rows, partition
+    * count preserved) is the part that must scale.
+    */
+  def frameOffsets(payloadLen: org.apache.spark.sql.Column, stride: Int) =
+    sequence(lit(0L), payloadLen - 1, lit(stride.toLong))
+
+  /** Columnar metadata + fake features, no data movement (a projection —
+    * stays in whole-stage codegen).
+    */
+  def decodeStub(media: DataFrame, frameStride: Int = 256): DataFrame =
+    media.select(
+      col("media_id"),
+      col("mime"),
+      length(col("payload")).cast("long").as("byte_len"),
+      md5(col("payload")).as("payload_md5"),
+      (floor((length(col("payload")) - 1) / frameStride) + 1).cast("long").as("n_frames"))
+
+  /** Per-partition batched feature extraction — the `mapInPandas` analog:
+    * one iterator per partition, features computed batch-at-a-time. The
+    * fake feature is 8 floats from the md5 (STUB — replace with codec).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch => // batch shape: real decoders amortize setup
+        batch.iterator.map { m =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(m.payload)
+          val md5Hex = digest.map("%02x".format(_)).mkString
+          val feature = digest.take(8).map(b => (b & 0xff) / 255.0f)
+          MediaFeatures(
+            m.media_id,
+            m.payload.length.toLong,
+            md5Hex,
+            (m.payload.length - 1) / 256 + 1,
+            feature)
+        }
+      }
+    }
+  }
+}

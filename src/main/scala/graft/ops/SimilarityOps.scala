@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and IVF-style
+  * bucket-restricted top-k as the scale path (search only the query's
+  * coarse cell instead of the whole corpus — at 100 TB the difference
+  * between a full cross join and a per-bucket join).
+  *
+  * All float math is widened to double and folded LEFT-TO-RIGHT
+  * (`aggregate` over `zip_with`), matching DuckDB's `list_dot_product`
+  * over `DOUBLE[]` — bit-identical accumulation keeps the oracle
+  * hash-compare exact.
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Corpus with a precomputed norm column — compute once, reuse across
+    * every query (the reference-free analog of storing normalized
+    * vectors).
+    */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", l2Norm(col("embedding")))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus — one pass over the corpus regardless of query count, no
+    * shuffle until the final per-query top-k.
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** IVF-style top-k: restrict each query to its coarse cell (here the
+    * precomputed `label` column as the quantizer assignment). The join key
+    * becomes (label), so the corpus is probed per-bucket.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("label"),
+      col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val scored = corpus
+      .join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs within a bucket: same-label pairs
+    * above a cosine threshold. Bucketed self-join — quadratic only within
+    * cells.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = corpus.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * quality scoring, language ID, and document fingerprinting — all pure
+  * `Column` expressions (whole-stage codegen, no UDFs), each with a DuckDB
+  * mirror in [[graft.queries.PipelineOracles]].
+  *
+  * Constants (stopword/marker lists, shingle size) live here so the Spark
+  * plans and the oracle SQL are generated from the same source of truth.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token estimate: letter runs, single digits, and isolated
+    * punctuation each count as one token.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "or", "of", "to", "in", "is")
+
+  def stopwordCount(toks: Column): Column = {
+    val isStop = (t: Column) =>
+      Stopwords.map(t === _).reduce(_ || _)
+    size(filter(toks, isStop)).cast("long")
+  }
+
+  /** Punctuation characters per document. */
+  val PunctClass = "[.,!?;:]"
+
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, PunctClass, ""))).cast("long")
+
+  /** Quality features: stopword ratio and mean token length, the classic
+    * cheap quality signals. Ratios are rounded to 6 places — the division
+    * is identical IEEE math in both engines, so rounding is hash-stable.
+    */
+  def stopwordRatio(toks: Column): Column =
+    round(stopwordCount(toks) / size(toks).cast("double"), 6)
+
+  def meanTokenLength(toks: Column): Column =
+    round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)) /
+        size(toks).cast("double"), 6)
+
+  /** Language-ID marker lists (n-gram heuristic degenerated to function
+    * words — enough to be a deterministic, SQL-expressible classifier).
+    * Order is the tie-break priority.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "is", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "une", "et", "est"))
+
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(t === _).reduce(_ || _))).cast("long")
+
+  /** Predicted language: argmax of marker counts, ties resolved in
+    * LangMarkers order, "und" (undetermined) when all scores are zero.
+    */
+  def langId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCount(toks, ms) }
+    val total = scores.map(_._2).reduce(_ + _)
+    // CASE ladder: lang i wins when its score >= every later lang's score
+    // (earlier langs already lost their WHEN) — argmax with list-order ties.
+    val pred = scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, score), i), els) =>
+        val beatsRest = scores.drop(i + 1).map { case (_, o) => score >= o }
+        when(beatsRest.reduce(_ && _), lit(lang)).otherwise(els)
+    }
+    when(total === 0, "und").otherwise(pred)
+  }
+
+  /** Word-shingle size for fingerprints / MinHash. */
+  val ShingleK = 3
+
+  /** k-word shingles joined by a space; empty array when the doc is
+    * shorter than k (Spark `sequence(1, n)` with n<1 would count DOWN —
+    * guard required).
+    */
+  def shingles(toks: Column, k: Int = ShingleK): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+
+  /** Document fingerprint: lexicographic min of md5(shingle) — a
+    * deterministic rolling-hash analog, null for too-short docs.
+    */
+  def fingerprint(toks: Column): Column =
+    array_min(transform(shingles(toks), s => md5(s)))
+}

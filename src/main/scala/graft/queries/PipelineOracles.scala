@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.ops.{DedupOps, TextOps}
+
+/** DuckDB oracle SQL for [[PipelineQueries]]. The repetitive parts
+  * (stopword lists, language markers, MinHash bands, SimHash digit/bit
+  * expressions) are generated from the SAME Scala constants the Spark
+  * plans use, so the two sides cannot drift.
+  */
+object PipelineOracles {
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  private val K = TextOps.ShingleK
+
+  /** doc_id → toks CTE, then k-shingles (distinct). Mirrors
+    * TextOps.tokens/shingles + DedupOps.shingled.
+    */
+  private val tokCte =
+    "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+
+  private val shingleExpr =
+    s"CASE WHEN len(toks) < $K THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE list_transform(range(1, len(toks) - ${K - 2}), i -> array_to_string(toks[i:i+${K - 1}], ' ')) END"
+
+  private val shCte =
+    s"""$tokCte,
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM
+       |  (SELECT doc_id, unnest($shingleExpr) AS shingle FROM t))""".stripMargin
+
+  /** MinHash signature + band CTEs (mirrors DedupOps.minhashSignature /
+    * lshBands).
+    */
+  private val bandsCte = {
+    val sigCols = (0 until DedupOps.Bands)
+      .map(b => s"min(md5('$b:' || shingle)) AS h$b").mkString(", ")
+    val bandRows = (0 until DedupOps.Bands)
+      .map(b => s"SELECT doc_id, $b AS band, h$b AS h FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$shCte,
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows)""".stripMargin
+  }
+
+  /** Sequential-fold double dot product (mirrors SimilarityOps.dot —
+    * left-assoc addition over per-element products keeps IEEE order
+    * identical to Spark's `aggregate` fold).
+    */
+  private def dotExpr(a: String, b: String): String =
+    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[])"
+
+  private val normCte =
+    s"""n AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+       |  sqrt(${dotExpr("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(length(text) - length(regexp_replace(text, '${TextOps.PunctClass}', '', 'g')) AS BIGINT) AS n_punct
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH $tokCte
+         |SELECT doc_id,
+         |  round(CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len
+         |FROM t""".stripMargin,
+
+    "text_langid" -> {
+      val scores = TextOps.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
+        s"len(list_filter(toks, x -> x IN ${inList(ms)})) AS s$i"
+      }.mkString(", ")
+      val n = TextOps.LangMarkers.size
+      val total = (0 until n).map(i => s"s$i").mkString(" + ")
+      val ladder = TextOps.LangMarkers.zipWithIndex.init.map { case ((lang, _), i) =>
+        val conds = ((i + 1) until n).map(j => s"s$i >= s$j").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH $tokCte,
+         |s AS (SELECT doc_id, $scores FROM t)
+         |SELECT doc_id, CASE WHEN $total = 0 THEN 'und' $ladder
+         |  ELSE '${TextOps.LangMarkers.last._1}' END AS lang_pred
+         |FROM s""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""WITH $tokCte
+         |SELECT doc_id, list_min(list_transform($shingleExpr, s -> md5(s))) AS fp
+         |FROM t""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_minhash_buckets" ->
+      s"""WITH $bandsCte
+         |SELECT band, h, min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+         |FROM bands GROUP BY band, h HAVING count(*) > 1""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH $bandsCte
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.doc_a, p.doc_b, count(*) AS n_common
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(n_common / CAST(ca.n + cb.n - n_common AS DOUBLE), 6) AS jaccard
+         |FROM common c
+         |JOIN cnt ca ON ca.doc_id = c.doc_a
+         |JOIN cnt cb ON cb.doc_id = c.doc_b""".stripMargin,
+
+    "dedup_simhash" -> {
+      val digits = (0 until 16)
+        .map(p => s"instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1 AS d$p")
+        .mkString(", ")
+      val sums = (0 until DedupOps.SimhashBits).map { j =>
+        val digit = j / 4
+        val pow = 1 << (3 - (j % 4))
+        s"sum(2 * ((d$digit // $pow) % 2) - 1) AS s$j"
+      }.mkString(", ")
+      val bits = (0 until DedupOps.SimhashBits)
+        .map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hh AS (SELECT doc_id, md5(tok) AS h FROM tok),
+         |d AS (SELECT doc_id, $digits FROM hh),
+         |s AS (SELECT doc_id, $sums FROM d GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM s""".stripMargin
+    },
+
+    "emb_norm" ->
+      s"""SELECT vec_id, round(sqrt(${dotExpr("embedding", "embedding")}), 6) AS l2_norm
+         |FROM embeddings""".stripMargin,
+
+    "sim_brute_topk" ->
+      s"""WITH $normCte,
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+         |      WHERE vec_id < ${PipelineQueries.BruteQueryCount}),
+         |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    list_dot_product(n.e, q.qe) / (n.nrm * q.qn) AS cos
+         |  FROM n JOIN q ON n.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= ${PipelineQueries.BruteK}""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH $normCte,
+         |q AS (SELECT vec_id AS query_id, label, e AS qe, nrm AS qn FROM n
+         |      WHERE vec_id < ${PipelineQueries.IvfQueryCount}),
+         |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    list_dot_product(n.e, q.qe) / (n.nrm * q.qn) AS cos
+         |  FROM n JOIN q ON n.label = q.label AND n.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= ${PipelineQueries.IvfK}""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH $normCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= ${PipelineQueries.NearDupThreshold}""".stripMargin,
+
+    "sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         |x AS (SELECT user_id, ts_us, event_id,
+         |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+         |  FROM e),
+         |y AS (SELECT user_id, ts_us, event_id,
+         |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${graft.ops.SessionOps.DefaultGapUs} THEN 1 ELSE 0 END AS is_new
+         |  FROM x),
+         |z AS (SELECT user_id, ts_us,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM y),
+         |g AS (SELECT user_id, session_id, count(*) AS n_events,
+         |    max(ts_us) - min(ts_us) AS len_us
+         |  FROM z GROUP BY user_id, session_id)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events,
+         |  CAST(max(len_us) AS BIGINT) AS max_session_us
+         |FROM g GROUP BY user_id""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS payload_md5,
+        |  CAST((octet_length(encode(text)) - 1) // 256 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin
+  )
+}

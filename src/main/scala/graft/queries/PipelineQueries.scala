@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** LLM-training-data pipeline operators as driver-checkable queries over
+  * the documents / embeddings / events testdata (see BASELINE.json
+  * north_star). Oracle SQL mirrors in [[PipelineOracles]].
+  */
+object PipelineQueries {
+
+  import CoreQueries.table
+
+  val BruteQueryCount = 10
+  val BruteK = 10
+  val IvfQueryCount = 20
+  val IvfK = 5
+  val NearDupThreshold = 0.3
+
+  private def docsTok(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("toks", TextOps.tokens(col("text")))
+
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.withNorm(table(s, dir, "embeddings"))
+
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- text analysis ----------------------------------------------------
+    "text_token_stats" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_tokens_bpe"),
+        TextOps.punctCount(col("text")).as("n_punct"))),
+
+    "text_quality" -> ((s, dir) =>
+      docsTok(s, dir).select(
+        col("doc_id"),
+        TextOps.stopwordRatio(col("toks")).as("stopword_ratio"),
+        TextOps.meanTokenLength(col("toks")).as("mean_token_len"))),
+
+    "text_langid" -> ((s, dir) =>
+      docsTok(s, dir).select(
+        col("doc_id"),
+        TextOps.langId(col("toks")).as("lang_pred"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docsTok(s, dir).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("toks")).as("fp"))),
+
+    // -- dedup ------------------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      DedupOps.exactGroups(table(s, dir, "documents"))),
+
+    "dedup_minhash_buckets" -> ((s, dir) =>
+      DedupOps.lshBuckets(DedupOps.lshBands(
+        DedupOps.minhashSignature(DedupOps.shingled(table(s, dir, "documents")))))),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      DedupOps.candidatePairs(DedupOps.lshBands(
+        DedupOps.minhashSignature(DedupOps.shingled(table(s, dir, "documents")))))),
+
+    "dedup_jaccard" -> ((s, dir) => {
+      val sh = DedupOps.shingled(table(s, dir, "documents"))
+      val pairs = DedupOps.candidatePairs(
+        DedupOps.lshBands(DedupOps.minhashSignature(sh)))
+      DedupOps.ngramJaccard(pairs, sh)
+    }),
+
+    "dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhash(table(s, dir, "documents"))),
+
+    // -- embeddings / similarity -----------------------------------------
+    "emb_norm" -> ((s, dir) =>
+      normed(s, dir).select(col("vec_id"), round(col("nrm"), 6).as("l2_norm"))),
+
+    "sim_brute_topk" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      SimilarityOps.bruteTopK(
+        corpus, corpus.filter(col("vec_id") < BruteQueryCount), BruteK)
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      SimilarityOps.ivfTopK(
+        corpus, corpus.filter(col("vec_id") < IvfQueryCount), IvfK)
+    }),
+
+    "dedup_embedding" -> ((s, dir) =>
+      SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
+
+    // -- sessionization ---------------------------------------------------
+    "sessionize" -> ((s, dir) =>
+      SessionOps.sessionStats(eventsUs(s, dir))),
+
+    // -- multimodal plumbing ---------------------------------------------
+    "mm_media_meta" -> ((s, dir) =>
+      MultimodalOps.decodeStub(
+        MultimodalOps.packDocuments(table(s, dir, "documents")))
+        .select("media_id", "mime", "byte_len", "payload_md5", "n_frames"))
+  )
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class SimilaritySessionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Orthogonal-ish basis: cosine structure is known exactly.
+  lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f, 0f), 0),  // closest to 0
+    (2L, Array(0f, 1f, 0f, 0f), 0),      // orthogonal to 0
+    (3L, Array(-1f, 0f, 0f, 0f), 1),     // opposite, other label
+    (4L, Array(0.8f, 0.2f, 0f, 0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force cosine top-k ranks by similarity with id tiebreak") {
+    val c = SimilarityOps.withNorm(vecs)
+    val top = SimilarityOps.bruteTopK(c, c.filter(col("vec_id") === 0), 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"), r.getAs[Double]("cos_sim")))
+    assert(top.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(top.head._3 > 0.99)
+    assert(top.last._3 == -1.0)
+  }
+
+  test("IVF top-k only searches the query's cell") {
+    val c = SimilarityOps.withNorm(vecs)
+    val top = SimilarityOps.ivfTopK(c, c.filter(col("vec_id") === 0), 4)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(top == Set(1L, 2L)) // label-0 cell only
+  }
+
+  test("near-dup pairs: bucketed, thresholded, a<b") {
+    val c = SimilarityOps.withNorm(vecs)
+    val pairs = SimilarityOps.nearDupPairs(c, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // 3-4 same label but cos<0.9
+  }
+
+  test("sessionization: gap splits, stats per user") {
+    val M = 60L * 1000000L
+    val ev = Seq(
+      (1L, 0 * M, 1L), (1L, 10 * M, 2L), (1L, 20 * M, 3L), // session 1: 20min
+      (1L, 60 * M, 4L),                                    // session 2 (40min gap)
+      (2L, 0 * M, 5L)                                      // single event
+    ).toDF("user_id", "ts_us", "event_id")
+    val st = SessionOps.sessionStats(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"), r.getAs[Long]("max_session_us"))))
+      .toMap
+    assert(st(1L) == ((2L, 4L, 20 * M)))
+    assert(st(2L) == ((1L, 1L, 0L)))
+  }
+
+  test("multimodal plumbing: decodeStub matches typed extractFeatures") {
+    val docs = Seq((0L, "hello world", 11L), (1L, "spark", 5L), (2L, "x" * 600, 600L))
+      .toDF("doc_id", "text", "n_chars")
+    val media = MultimodalOps.packDocuments(docs)
+    val meta = MultimodalOps.decodeStub(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("byte_len"), r.getAs[String]("payload_md5"), r.getAs[Long]("n_frames"))))
+      .toMap
+    assert(meta(0L)._1 == 11L)
+    assert(meta(2L)._3 == 3L) // ceil(600/256)
+
+    import spark.implicits._
+    val typed = media.as[MultimodalOps.MediaRow]
+    val feats = MultimodalOps.extractFeatures(typed).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(0L).payload_md5 == meta(0L)._2) // codegen path == JVM path
+    assert(feats(0L).feature.length == 8)
+    assert(feats(2L).n_frames == meta(2L)._3)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Text-analysis + dedup operators over handcrafted fixtures with known
+  * answers.
+  */
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over a sleepy dog"), // near dup
+    (3L, "completely different text about spark engines here"),
+    (4L, "ab cd") // shorter than shingle size
+  ).toDF("doc_id", "text")
+
+  test("token counting: whitespace and BPE-ish") {
+    val r = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.bpeTokenCount(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(r(0L) == ((9L, 9L)))
+    assert(r(4L) == ((2L, 2L)))
+    // digits count one-per-char, punctuation separately
+    val b = Seq((9L, "ab12, cd!")).toDF("doc_id", "text")
+      .select(TextOps.bpeTokenCount(col("text"))).head().getLong(0)
+    assert(b == 6L) // ab,1,2,",",cd,"!"
+  }
+
+  test("quality: stopword ratio and mean token length") {
+    val r = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.stopwordRatio(col("toks"))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r(0L) == 0.222222) // "the" twice out of 9, rounded to 6 places
+    assert(r(3L) == 0.0)
+  }
+
+  test("langid: marker argmax with und fallback") {
+    val fx = Seq(
+      (0L, "the cat and the dog is here"),
+      (1L, "der hund und die katze ist hier"),
+      (2L, "el perro y la casa es aqui"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text").withColumn("toks", TextOps.tokens(col("text")))
+    val r = fx.select(col("doc_id"), TextOps.langId(col("toks"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r == Map(0L -> "en", 1L -> "de", 2L -> "es", 3L -> "und"))
+  }
+
+  test("fingerprint: deterministic, null for short docs") {
+    val r = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.fingerprint(col("toks"))).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(r(0L) == r(1L) && r(0L).isDefined) // identical docs, same fp
+    assert(r(4L).isEmpty)                     // 2 tokens < k=3
+  }
+
+  test("exact dedup groups duplicates under one canonical id") {
+    val g = DedupOps.exactGroups(docs).collect()
+      .map(r => r.getAs[Long]("canonical_doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(g(0L) == 2L) // docs 0 and 1
+    assert(g(2L) == 1L)
+  }
+
+  test("minhash LSH: exact dups collide in every band, distinct docs don't") {
+    val sh = DedupOps.shingled(docs)
+    val pairs = DedupOps.candidatePairs(
+      DedupOps.lshBands(DedupOps.minhashSignature(sh)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("ngram jaccard: 1.0 for identical docs, high for near dups") {
+    val sh = DedupOps.shingled(docs)
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val j = DedupOps.ngramJaccard(pairs, sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.3 && j((0L, 2L)) < 1.0)
+  }
+
+  test("simhash: equal texts equal hashes; near dups within small hamming") {
+    val h = DedupOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(0L) == h(1L))
+    assert(h(0L).length == 64 && h(0L).forall(c => c == '0' || c == '1'))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(h(0L), h(2L)) < hamming(h(0L), h(3L)))
+  }
+}
