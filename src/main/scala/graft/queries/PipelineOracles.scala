@@ -33,10 +33,14 @@ object PipelineOracles {
     * lshBands).
     */
   private val bandsCte = {
-    val sigCols = (0 until DedupOps.Bands)
-      .map(b => s"min(md5('$b:' || shingle)) AS h$b").mkString(", ")
+    val sigCols = (0 until DedupOps.Bands).map { b =>
+      val parts = (0 until DedupOps.RowsPerBand)
+        .map(r => s"min(md5('${b * DedupOps.RowsPerBand + r}:' || shingle))")
+        .mkString(" || ")
+      s"md5($parts) AS b$b"
+    }.mkString(", ")
     val bandRows = (0 until DedupOps.Bands)
-      .map(b => s"SELECT doc_id, $b AS band, h$b AS h FROM sig")
+      .map(b => s"SELECT doc_id, $b AS band, b$b AS h FROM sig")
       .mkString(" UNION ALL ")
     s"""$shCte,
        |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),

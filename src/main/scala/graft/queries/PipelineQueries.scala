@@ -67,7 +67,9 @@ object PipelineQueries {
         DedupOps.minhashSignature(DedupOps.shingled(table(s, dir, "documents")))))),
 
     "dedup_jaccard" -> ((s, dir) => {
-      val sh = DedupOps.shingled(table(s, dir, "documents"))
+      // R9-style reuse: the shingle table feeds the signature AND both
+      // sides of the intersection join — cache it once.
+      val sh = DedupOps.shingled(table(s, dir, "documents")).cache()
       val pairs = DedupOps.candidatePairs(
         DedupOps.lshBands(DedupOps.minhashSignature(sh)))
       DedupOps.ngramJaccard(pairs, sh)
