@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.core.Types.Rates
+import graft.etl.{Billing, Enrich, Ingest, InvoiceSink}
+
+/** CLI batch entry point — EP1 of SURVEY.md §3, the analog of the
+  * reference's `python -m openstack_billing_db.main`
+  * (/root/reference/src/openstack_billing_db/main.py:33-155).
+  *
+  * Reads nova-shaped parquet tables (`instances`, `instance_extra`,
+  * `instance_actions`) from --data-dir, folds the billing window through
+  * the state machine, prices per-project service-unit hours, and writes
+  * the 16-column invoice CSV. Rates arrive as CLI decimals exactly like
+  * main.py:95-121; S3 upload becomes key computation only (zero-egress
+  * environment) — the key templates match billing.py:267-291.
+  *
+  * Usage:
+  *   runMain graft.Main --data-dir DIR --output-dir DIR
+  *     [--start 2024-01-01T00:00:00] [--end 2024-02-01T00:00:00]
+  *     [--invoice-month 2024-01]
+  *     [--rate-cpu-su 0.013] [--rate-gpu-a100-su 1.803] ...
+  *     [--include-stopped-runtime] [--exclude-interval START,END]...
+  */
+object Main {
+
+  final case class Config(
+      dataDir: String = "",
+      outputDir: String = "",
+      start: Option[java.time.LocalDateTime] = None,
+      end: Option[java.time.LocalDateTime] = None,
+      invoiceMonth: Option[String] = None,
+      rates: Rates = Rates(
+        cpu = BigDecimal(0), gpuA100 = BigDecimal(0), gpuA100sxm4 = BigDecimal(0),
+        gpuV100 = BigDecimal(0), gpuA2 = BigDecimal(0), gpuK80 = BigDecimal(0),
+        includeStoppedRuntime = false),
+      excludeIntervals: Seq[(java.time.LocalDateTime, java.time.LocalDateTime)] = Seq.empty)
+
+  def parseArgs(args: Seq[String]): Config = {
+    def ldt(s: String) = java.time.LocalDateTime.parse(s)
+    @annotation.tailrec
+    def go(rest: List[String], c: Config): Config = rest match {
+      case "--data-dir" :: v :: t   => go(t, c.copy(dataDir = v))
+      case "--output-dir" :: v :: t => go(t, c.copy(outputDir = v))
+      case "--start" :: v :: t => go(t, c.copy(start = Some(ldt(v))))
+      case "--end" :: v :: t   => go(t, c.copy(end = Some(ldt(v))))
+      case "--invoice-month" :: v :: t => go(t, c.copy(invoiceMonth = Some(v)))
+      case "--rate-cpu-su" :: v :: t =>
+        go(t, c.copy(rates = c.rates.copy(cpu = BigDecimal(v))))
+      case "--rate-gpu-a100-su" :: v :: t =>
+        go(t, c.copy(rates = c.rates.copy(gpuA100 = BigDecimal(v))))
+      case "--rate-gpu-a100sxm4-su" :: v :: t =>
+        go(t, c.copy(rates = c.rates.copy(gpuA100sxm4 = BigDecimal(v))))
+      case "--rate-gpu-v100-su" :: v :: t =>
+        go(t, c.copy(rates = c.rates.copy(gpuV100 = BigDecimal(v))))
+      case "--rate-gpu-a2-su" :: v :: t =>
+        go(t, c.copy(rates = c.rates.copy(gpuA2 = BigDecimal(v))))
+      case "--rate-gpu-k80-su" :: v :: t =>
+        go(t, c.copy(rates = c.rates.copy(gpuK80 = BigDecimal(v))))
+      case "--include-stopped-runtime" :: t =>
+        go(t, c.copy(rates = c.rates.copy(includeStoppedRuntime = true)))
+      case "--exclude-interval" :: v :: t =>
+        val Array(s, e) = v.split(",", 2)
+        go(t, c.copy(excludeIntervals = c.excludeIntervals :+ (ldt(s), ldt(e))))
+      case Nil => c
+      case other :: _ =>
+        throw new IllegalArgumentException(s"Unknown argument: $other")
+    }
+    val c = go(args.toList, Config())
+    require(c.dataDir.nonEmpty, "--data-dir is required")
+    require(c.outputDir.nonEmpty, "--output-dir is required")
+    c
+  }
+
+  private def toUs(t: java.time.LocalDateTime): Long =
+    t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args.toIndexedSeq)
+    // F6 — window defaulting (main.py:21-30)
+    val (defStart, defEnd) = InvoiceSink.defaultWindow(java.time.LocalDate.now())
+    val start = cfg.start.getOrElse(defStart)
+    val end = cfg.end.getOrElse(defEnd)
+    val invoiceMonth = cfg.invoiceMonth.getOrElse(
+      start.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")))
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val startUs = toUs(start)
+    val endUs = toUs(end)
+    val outages = cfg.excludeIntervals.map { case (s, e) => (toUs(s), toUs(e)) }
+
+    val instances = Ingest.table(spark, cfg.dataDir, "instances")
+    val extra = Ingest.table(spark, cfg.dataDir, "instance_extra")
+    val actions = Ingest.table(spark, cfg.dataDir, "instance_actions")
+      .withColumnRenamed("created_at", "created_at")
+
+    val enriched = Enrich.enrichInstances(instances, extra, startUs)
+    val su = Billing.instanceSuHours(actions, enriched, cfg.rates, startUs, endUs, outages)
+    val invoices = Billing.projectInvoices(su, cfg.rates)
+
+    val isoFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx")
+    val rows = InvoiceSink.csvRows(invoices, invoiceMonth,
+      start.atOffset(java.time.ZoneOffset.UTC).format(isoFmt),
+      end.atOffset(java.time.ZoneOffset.UTC).format(isoFmt),
+      java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME))
+    InvoiceSink.writeCsv(rows, cfg.outputDir)
+
+    // S7 — destination keys (computed, not uploaded: zero-egress)
+    val (primary, daily, archive) =
+      InvoiceSink.s3Keys(invoiceMonth, endUs, java.time.Instant.now())
+    println(s"[main] wrote invoice CSV to ${cfg.outputDir}")
+    println(s"[main] s3 primary key: $primary")
+    println(s"[main] s3 daily key:   $daily")
+    println(s"[main] s3 archive key: $archive")
+    spark.stop()
+  }
+}

@@ -25,6 +25,11 @@ object Ingest {
       // ns→us on epoch_us(), so `div 1000` keeps hash parity.
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Parquet writers disagree on isAdjustedToUTC; our convention is
+      // naive-UTC (SURVEY.md §1c), so NTZ columns become UTC instants
+      // (lossless under the UTC session timezone).
+      else if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        acc.withColumn(f.name, col(f.name).cast("timestamp"))
       else acc
     }
   }

@@ -1,0 +1,43 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration surface for graft's native expressions.
+  *
+  * Two paths:
+  *  - config: `spark.sql.extensions=graft.expressions.GraftExtensions`
+  *    (the standard plugin route for clusters);
+  *  - runtime: `GraftExtensions.register(spark)` for sessions created
+  *    before the library is on the classpath (tests, Verify/Bench mains).
+  *
+  * After either, `bit_hamming(a, b)` resolves in SQL and `expr(...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("bit_hamming",
+      new ExpressionInfo(classOf[BitStringHamming].getName, "bit_hamming"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bit_hamming takes exactly 2 arguments")
+        BitStringHamming(args.head, args(1))
+      }))
+
+  /** Idempotent runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+
+}

@@ -127,6 +127,15 @@ object DedupOps {
   /** SimHash bit width: 16 hex digits of md5 × 4 bits. */
   val SimhashBits = 64
 
+  /** SimHash near-dup blocking: `SimhashBlocks` equal substrings of the
+    * fingerprint. Pigeonhole: any pair within Hamming distance
+    * `SimhashBlocks - 1` shares at least one full block, so block-bucket
+    * candidate generation has perfect recall at that radius — and never
+    * does an all-pairs join.
+    */
+  val SimhashBlocks = 4
+  val SimhashMaxHamming: Int = SimhashBlocks - 1
+
   /** 64-bit SimHash per doc as a bit string: explode tokens, md5 each,
     * sum ±1 per bit position, sign of each sum is the fingerprint bit.
     * One explode + one 64-column aggregation — no per-bit explode.
@@ -150,5 +159,34 @@ object DedupOps {
     val bits = (0 until SimhashBits).map(j =>
       when(col(s"s$j") > 0, "1").otherwise("0"))
     agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block-bucket candidates, then exact Hamming
+    * via the native codegen'd [[graft.expressions.BitStringHamming]]
+    * expression (registered as `bit_hamming`). Same single-branch shape
+    * as [[candidatePairs]]: fingerprints ride along in the bucket lists,
+    * so the simhash pipeline is planned ONCE.
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    graft.expressions.GraftExtensions.register(sims.sparkSession)
+    val blockLen = SimhashBits / SimhashBlocks
+    val blockCols = (0 until SimhashBlocks).map(b =>
+      struct(lit(b).as("blk"),
+        substring(col("simhash"), b * blockLen + 1, blockLen).as("key")))
+    sims
+      .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("block"))
+      .select(col("doc_id"), col("simhash"),
+        col("block.blk").as("blk"), col("block.key").as("key"))
+      .groupBy("blk", "key")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (a, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), b =>
+          struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+            a.getField("simhash").as("sim_a"), b.getField("simhash").as("sim_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        expr("bit_hamming(p.sim_a, p.sim_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -147,6 +147,39 @@ object PipelineOracles {
          |SELECT doc_id, $bits AS simhash FROM s""".stripMargin
     },
 
+    "dedup_simhash_pairs" -> {
+      val digits = (0 until 16)
+        .map(p => s"instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1 AS d$p")
+        .mkString(", ")
+      val sums = (0 until DedupOps.SimhashBits).map { j =>
+        val digit = j / 4
+        val pow = 1 << (3 - (j % 4))
+        s"sum(2 * ((d$digit // $pow) % 2) - 1) AS s$j"
+      }.mkString(", ")
+      val bits = (0 until DedupOps.SimhashBits)
+        .map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      val blockLen = DedupOps.SimhashBits / DedupOps.SimhashBlocks
+      val blockRows = (0 until DedupOps.SimhashBlocks)
+        .map(b => s"SELECT doc_id, simhash, $b AS blk, substr(simhash, ${b * blockLen + 1}, $blockLen) AS key FROM sim")
+        .mkString(" UNION ALL ")
+      val hamming = (1 to DedupOps.SimhashBits)
+        .map(i => s"(CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hh AS (SELECT doc_id, md5(tok) AS h FROM tok),
+         |d AS (SELECT doc_id, $digits FROM hh),
+         |s AS (SELECT doc_id, $sums FROM d GROUP BY doc_id),
+         |sim AS (SELECT doc_id, $bits AS simhash FROM s),
+         |blocks AS ($blockRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST($hamming AS INT) AS hamming
+         |FROM cand WHERE $hamming <= ${DedupOps.SimhashMaxHamming}""".stripMargin
+    },
+
     "emb_norm" ->
       s"""SELECT vec_id, round(sqrt(${dotExpr("embedding", "embedding")}), 6) AS l2_norm
          |FROM embeddings""".stripMargin,

@@ -78,6 +78,9 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(table(s, dir, "documents"))),
 
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(DedupOps.simhash(table(s, dir, "documents")))),
+
     // -- embeddings / similarity -----------------------------------------
     "emb_norm" -> ((s, dir) =>
       normed(s, dir).select(col("vec_id"), round(col("nrm"), 6).as("l2_norm"))),
