@@ -41,6 +41,37 @@ object StateMachine {
     "delete"   -> "Deleted"
   )
 
+  /** Incremental fold buffer: the machine's full state between events.
+    * Exposed so the Structured Streaming variant
+    * (graft.streaming.StreamingBilling) folds the SAME transition logic
+    * event-at-a-time across micro-batches.
+    */
+  final case class StateBuf(
+      current: String, enteredAtUs: Long, runningUs: Long, stoppedUs: Long) {
+    def exitAt(t: Long): StateBuf = current match {
+      case "Running" => copy(runningUs = runningUs + (t - enteredAtUs))
+      case "Stopped" => copy(stoppedUs = stoppedUs + (t - enteredAtUs))
+      case _         => this // Shelved / Deleted / Error time is discarded
+    }
+  }
+  object StateBuf { val empty: StateBuf = StateBuf(null, 0L, 0L, 0L) }
+
+  /** One transition: event time must already be clamped into the billing
+    * window (model.py:98).
+    */
+  def step(buf: StateBuf, tClamped: Long, name: String, message: String): StateBuf =
+    if (message == "Error") {
+      // always transitions, even Error→Error (model.py:101-107)
+      (if (buf.current != null) buf.exitAt(tClamped) else buf)
+        .copy(current = "Error", enteredAtUs = tClamped)
+    } else TriggerToState.get(name) match {
+      case Some(state) if buf.current == null =>
+        buf.copy(current = state, enteredAtUs = tClamped)
+      case Some(state) if state != buf.current =>
+        buf.exitAt(tClamped).copy(current = state, enteredAtUs = tClamped)
+      case _ => buf // same-state re-entry (model.py:114) or unknown action
+    }
+
   /** Fold `events` (MUST already be sorted by time, stably — model.py:215
     * `order by created_at`) into in-window Running/Stopped microseconds.
     */
@@ -50,51 +81,22 @@ object StateMachine {
       startUs: Long,
       endUs: Long
   ): Runtime = {
-    var runningUs = 0L
-    var stoppedUs = 0L
-    var current: String = null
-    var enteredAtUs = 0L
-
     @inline def clamp(t: Long): Long = math.max(startUs, math.min(endUs, t))
-    @inline def exitCurrent(t: Long): Unit = current match {
-      case "Running" => runningUs += t - enteredAtUs
-      case "Stopped" => stoppedUs += t - enteredAtUs
-      case _         => () // Shelved / Deleted / Error time is discarded
-    }
 
+    var buf = StateBuf.empty
     val it = events.iterator
     while (it.hasNext) {
       val event = it.next()
-      val t = clamp(event.timeUs)
-      if (event.message == "Error") {
-        if (current != null) exitCurrent(t)
-        current = "Error"
-        enteredAtUs = t
-      } else {
-        TriggerToState.get(event.name) match {
-          case Some(state) =>
-            if (current == null) { current = state; enteredAtUs = t }
-            else if (state != current) {
-              exitCurrent(t)
-              current = state
-              enteredAtUs = t
-            }
-          case None => () // unknown action: no transition
-        }
-      }
+      buf = step(buf, clamp(event.timeUs), event.name, event.message)
     }
 
     deletedAtUs.foreach { d =>
-      if (current != null) {
-        val t = clamp(d)
-        exitCurrent(t)
-        current = "Deleted"
-        enteredAtUs = t
-      }
+      if (buf.current != null)
+        buf = buf.exitAt(clamp(d)).copy(current = "Deleted", enteredAtUs = clamp(d))
     }
 
-    if (current != null) exitCurrent(endUs)
-    Runtime(runningUs, stoppedUs)
+    if (buf.current != null) buf = buf.exitAt(endUs)
+    Runtime(buf.runningUs, buf.stoppedUs)
   }
 
   /** K2 — outage/interval subtraction (billing.py:88-102): total window
