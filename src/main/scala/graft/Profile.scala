@@ -12,18 +12,25 @@ object Profile {
     val dir = "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"[profile] $name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      println(f"[profile] $name%-26s ${(System.nanoTime()-t0)/1e9}%8.2f s rows=$n")
     }
     val docs = graft.etl.Ingest.table(spark, dir, "documents")
-    docs.count()
-    time("shingled codegen (w/dist)")(DedupOps.shingled(docs).count())
-    time("shingled again")(DedupOps.shingled(docs).count())
-    val sh = DedupOps.shingled(docs)
-    time("signature uncached sh")(DedupOps.minhashSignature(sh).count())
-    val bands = DedupOps.lshBands(DedupOps.minhashSignature(sh))
-    time("buckets uncached")(DedupOps.lshBuckets(bands).count())
-    time("pairs uncached")(DedupOps.candidatePairs(bands).count())
-    DedupOps.candidatePairs(bands).explain("formatted")
+    val sh = DedupOps.shingled(docs).cache()
+    sh.count()
+    time("sh cached count")(sh.count())
+    val pairs = DedupOps.candidatePairs(DedupOps.lshBands(DedupOps.minhashSignature(sh)))
+    time("pairs from cached sh")(pairs.count())
+    time("pairs again")(pairs.count())
+    val pc = pairs.cache(); pc.count()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    time("counts")(counts.count())
+    val common = pc
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    time("common (2 joins)")(common.count())
+    time("full jaccard")(DedupOps.ngramJaccard(pc, sh).count())
+    time("full jaccard again")(DedupOps.ngramJaccard(pc, sh).count())
     spark.stop()
   }
 }

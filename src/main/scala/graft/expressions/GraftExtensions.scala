@@ -30,6 +30,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "bit_hamming takes exactly 2 arguments")
         BitStringHamming(args.head, args(1))
+      }),
+    ("vec_dot",
+      new ExpressionInfo(classOf[VectorDotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot takes exactly 2 arguments")
+        VectorDotProduct(args.head, args(1))
       }))
 
   /** Idempotent runtime registration into an existing session. */

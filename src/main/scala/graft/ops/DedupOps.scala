@@ -53,15 +53,30 @@ object DedupOps {
       .distinct()
   }
 
-  /** MinHash signature: per hash i, min over shingles of md5("i:"+shingle)
-    * — `MinHashes` independent permutation approximations in ONE
-    * aggregation pass, then each band's `RowsPerBand` minhashes collapse
-    * to a single band key via md5(concat).
+  /** Digests computed per shingle row. Each yields four 8-hex-char (32
+    * bit) minhash lanes — 2 MD5 calls per row instead of 8 (MessageDigest
+    * instantiation dominated the aggregation; measured ~4× less hash
+    * work), at the cost of 32-bit instead of 128-bit minhashes, which is
+    * ample: minhash collisions matter per-bucket and 2^32 ≫ any bucket.
+    */
+  val DigestsPerRow: Int = MinHashes / 4
+
+  /** MinHash signature: per hash lane i, min over shingles of an
+    * 8-hex-char slice of md5("d:"+shingle) — `MinHashes` permutation
+    * approximations in ONE aggregation pass over a projection that
+    * materializes the per-row digests once. Each band's `RowsPerBand`
+    * lane-minima then collapse to a single band key via md5(concat).
     */
   def minhashSignature(sh: DataFrame): DataFrame = {
-    val aggs = (0 until MinHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val digests = (0 until DigestsPerRow).map(d =>
+      md5(concat(lit(s"$d:"), col("shingle"))).as(s"m$d"))
+    val projected = sh.select(col("doc_id") +: digests: _*)
+    val aggs = (0 until MinHashes).map { i =>
+      val digest = i / 4
+      val pos = (i % 4) * 8 + 1
+      min(substring(col(s"m$digest"), pos, 8)).as(s"h$i")
+    }
+    val sig = projected.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       md5(concat(parts: _*)).as(s"b$b")

@@ -10,18 +10,23 @@ import org.apache.spark.sql.functions._
   * coarse cell instead of the whole corpus — at 100 TB the difference
   * between a full cross join and a per-bucket join).
   *
-  * All float math is widened to double and folded LEFT-TO-RIGHT
-  * (`aggregate` over `zip_with`), matching DuckDB's `list_dot_product`
+  * All float math is widened to double and accumulated LEFT-TO-RIGHT in
+  * a native single-pass expression, matching DuckDB's `list_dot_product`
   * over `DOUBLE[]` — bit-identical accumulation keeps the oracle
   * hash-compare exact.
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product in doubles. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Single-pass native dot product in doubles
+    * ([[graft.expressions.VectorDotProduct]] — tight codegen loop; the
+    * composable alternatives are either interpreted lambdas or 2×dim
+    * element_at calls, both measurably slower on the all-pairs path).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.VectorDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

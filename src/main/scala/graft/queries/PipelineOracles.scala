@@ -33,9 +33,14 @@ object PipelineOracles {
     * lshBands).
     */
   private val bandsCte = {
+    def lane(i: Int): String = {
+      val digest = i / 4
+      val pos = (i % 4) * 8 + 1
+      s"min(substr(md5('$digest:' || shingle), $pos, 8))"
+    }
     val sigCols = (0 until DedupOps.Bands).map { b =>
       val parts = (0 until DedupOps.RowsPerBand)
-        .map(r => s"min(md5('${b * DedupOps.RowsPerBand + r}:' || shingle))")
+        .map(r => lane(b * DedupOps.RowsPerBand + r))
         .mkString(" || ")
       s"md5($parts) AS b$b"
     }.mkString(", ")
