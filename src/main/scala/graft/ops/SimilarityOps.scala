@@ -89,14 +89,24 @@ object SimilarityOps {
     * cells.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = corpus.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        cosine(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
+    // Same single-branch shape as DedupOps.candidatePairs: ONE corpus
+    // scan + one shuffle on the cell key, pairs expanded from collected
+    // in-cell member lists (a self-join plans the corpus scan twice —
+    // measured, and AQE did not reuse the exchanges). Cell size bounds
+    // both the collected list and the quadratic expansion.
+    val members = corpus
+      .groupBy("label")
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nrm")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    members
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
+          struct(a.getField("vec_id").as("vec_a"), b.getField("vec_id").as("vec_b"),
+            a.getField("embedding").as("ea"), b.getField("embedding").as("eb"),
+            a.getField("nrm").as("na"), b.getField("nrm").as("nb")))))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        cosine(col("p.ea"), col("p.eb"), col("p.na"), col("p.nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
