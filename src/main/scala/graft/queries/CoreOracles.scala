@@ -134,6 +134,45 @@ object CoreOracles {
          |  CAST(sum(CASE WHEN state = 'Stopped' THEN t1 - t0 ELSE 0 END) AS BIGINT) AS stopped_us
          |FROM c GROUP BY key""".stripMargin,
 
+    "j1_join3_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "w1_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_spend
+        |FROM orders""".stripMargin,
+
+    "g1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "sj1_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300)""".stripMargin,
+
+    "sj2_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
     "k2_interval_subtract" ->
       s"""$runsCte, iv AS (
          |  SELECT * FROM (VALUES ($s, $e, 1), (${o1._1}, ${o1._2}, -1), (${o2._1}, ${o2._2}, -1))

@@ -177,6 +177,68 @@ object CoreQueries {
     "k2_interval_subtract" -> ((s, dir) => {
       val runs = RuntimeSql.stateRuns(shapedEvents(s, dir))
       RuntimeSql.runtimeExcluding(runs, WStart, WEnd, Outages)
+    }),
+
+    // J1 — 3-way join with aggregation: fact ⋈ dim ⋈ dim, both dims
+    // broadcast; revenue per nation.
+    "j1_join3_revenue" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val customer = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val nation = table(s, dir, "nation").select("n_nationkey", "n_name")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // W1 — ranking analytics: top-3 orders per customer by price.
+    "w1_topn_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    }),
+
+    // W2 — cumulative analytics: per-customer running spend, exact
+    // decimal (float running sums would be partition-order dependent).
+    "w2_running_sum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      table(s, dir, "orders")
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(38,2)"))
+        .select("o_custkey", "o_orderkey", "running_spend")
+    }),
+
+    // G1 — rollup: subtotals + grand total in one pass.
+    "g1_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // SJ1 — semi join: customers having any big order (no row multiplication).
+    "sj1_semi_join" -> ((s, dir) => {
+      val big = table(s, dir, "orders").filter(col("o_totalprice") > 300)
+      table(s, dir, "customer")
+        .join(big, col("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // SJ2 — anti join: customers with no orders at all.
+    "sj2_anti_join" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      table(s, dir, "customer")
+        .join(orders, col("c_custkey") === orders("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
     })
   )
 }
