@@ -1,20 +1,24 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Plan/timing inspection tool: prints `.explain("formatted")` for the
+  * named queries (default: a representative set) at sf0.01.
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val df = SparkEntry.queries("dedup_embedding")(spark, dir)
-    df.count()
-    val plan = df.queryExecution.executedPlan.toString
-    println("[reuse] contains ReusedExchange/StageReuse: " +
-      (plan.contains("ReusedExchange") || plan.contains("reused")))
-    println(plan.split("\n").filter(l => l.contains("Exchange") || l.contains("Scan parquet") || l.contains("reused")).mkString("\n"))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q1_pricing_summary", "r2_left_join", "k1_state_machine", "sim_brute_topk")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -24,19 +24,15 @@ object CoreOracles {
        |              WHEN event_type = 'view' THEN 'Shelved' END AS state
        |  FROM events
        |), f AS (
-       |  SELECT * FROM mapped WHERE state IS NOT NULL
-       |), sq AS (
-       |  SELECT key, state, ts_us,
-       |         row_number() OVER (PARTITION BY key ORDER BY ts_us, tie) AS seq
-       |  FROM f
+       |  SELECT *, 0 AS synth FROM mapped WHERE state IS NOT NULL
        |), m AS (
-       |  SELECT key, state, ts_us, seq FROM (
-       |    SELECT sq.*, lag(state) OVER (PARTITION BY key ORDER BY seq) AS prev
-       |    FROM sq) t
+       |  SELECT key, state, ts_us, tie, synth FROM (
+       |    SELECT f.*, lag(state) OVER (PARTITION BY key ORDER BY synth, ts_us, tie) AS prev
+       |    FROM f) t
        |  WHERE prev IS NULL OR state <> prev
        |), runs AS (
        |  SELECT key, state, ts_us,
-       |         lead(ts_us) OVER (PARTITION BY key ORDER BY seq) AS next_ts_us
+       |         lead(ts_us) OVER (PARTITION BY key ORDER BY synth, ts_us, tie) AS next_ts_us
        |  FROM m
        |)""".stripMargin
 

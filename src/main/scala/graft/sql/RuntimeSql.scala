@@ -58,14 +58,13 @@ object RuntimeSql {
     * @return columns: key, state, ts_us, next_ts_us (null for last run)
     */
   def stateRuns(events: DataFrame, deletedAt: Option[DataFrame] = None): DataFrame = {
-    val ordered = Window.partitionBy("key").orderBy("ts_us", "tie")
     val base = events
       .filter(col("state").isNotNull)
-      .select(col("key"), col("state"), col("ts_us"),
-        row_number().over(ordered).cast("long").as("seq"))
+      .select(col("key"), col("state"), col("ts_us"), col("tie"),
+        lit(0).as("synth"))
 
-    // model.py:119-125 — deleted_at processed after ALL events, so it sorts
-    // last by construction, not by timestamp.
+    // model.py:119-125 — deleted_at is processed after ALL events, so it
+    // sorts last BY CONSTRUCTION (synth=1), not by timestamp.
     val withDelete = deletedAt match {
       case None => base
       case Some(d) =>
@@ -75,16 +74,21 @@ object RuntimeSql {
         val synthetic = d
           .join(base.select("key").distinct(), Seq("key"), "left_semi")
           .select(col("key"), lit("Deleted").as("state"),
-            col("deleted_at_us").as("ts_us"), lit(Long.MaxValue).as("seq"))
+            col("deleted_at_us").as("ts_us"), lit(0L).as("tie"),
+            lit(1).as("synth"))
         base.unionByName(synthetic)
     }
 
-    val bySeq = Window.partitionBy("key").orderBy("seq")
+    // ONE window ordering serves both the run-length merge (lag) and the
+    // run-close (lead): the filter preserves per-partition order, so the
+    // plan is Exchange + a single Sort + two Window passes — the
+    // row_number/seq formulation cost two extra sorts.
+    val w = Window.partitionBy("key").orderBy("synth", "ts_us", "tie")
     withDelete
-      .withColumn("prev_state", lag("state", 1).over(bySeq))
+      .withColumn("prev_state", lag("state", 1).over(w))
       .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
-      .withColumn("next_ts_us", lead("ts_us", 1).over(Window.partitionBy("key").orderBy("seq")))
-      .drop("seq", "prev_state")
+      .withColumn("next_ts_us", lead("ts_us", 1).over(w))
+      .drop("tie", "synth", "prev_state")
   }
 
   /** In-window microseconds per (key): `running_us`, `stopped_us` for a
