@@ -72,6 +72,57 @@ object Enrich {
     when(gpuCount =!= 0, gpuCount.cast("long"))
       .otherwise(floor(greatest(vcpus.cast("double"), memoryMb / 4096.0)))
 
+  /** F3 without the job-killing `raise_error`: classify instead. Rows
+    * whose pci_requests violate the contract (multiple entries, unknown
+    * alias) get `su_type = null` plus a reason — callers split them into
+    * a quarantine output. At 100 TB one malformed row must not kill the
+    * job; the reference's `raise` (model.py:197-209) is preserved in
+    * [[gpuSuType]] for strict mode.
+    */
+  def gpuSuTypeLenient(pci: Column): Column = {
+    val alias = lower(element_at(pci, 1).getField("alias_name"))
+    when(pci.isNull || size(pci) === 0, lit("cpu"))
+      .when(size(pci) > 1, lit(null).cast("string"))
+      .when(alias.isin("a100", "a100-sxm4", "v100", "k80"),
+        concat(lit("gpu_"), regexp_replace(alias, "-", "")))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  def quarantineReason(pci: Column): Column =
+    when(size(pci) > 1, "multiple pci_requests entries")
+      .when(pci.isNotNull && size(pci) === 1 &&
+        !lower(element_at(pci, 1).getField("alias_name"))
+          .isin("a100", "a100-sxm4", "v100", "k80"),
+        concat(lit("invalid pci alias "),
+          lower(element_at(pci, 1).getField("alias_name"))))
+
+  /** Lenient enrichment: returns (clean rows, quarantined rows with a
+    * `quarantine_reason` column). One pass; the split is two filters over
+    * the same cached-or-recomputed projection, both codegen'd.
+    */
+  def enrichInstancesLenient(
+      instances: DataFrame,
+      instanceExtra: DataFrame,
+      startUs: Long
+  ): (DataFrame, DataFrame) = {
+    val joined = joinInstanceExtra(
+      instances.filter(liveInstances(instances, startUs)), instanceExtra)
+    val classified = joined
+      .withColumn("pci", parsedPci(col("pci_requests")))
+      .withColumn("su_type", gpuSuTypeLenient(col("pci")))
+      .withColumn("quarantine_reason", quarantineReason(col("pci")))
+    val clean = classified
+      .filter(col("su_type").isNotNull)
+      .withColumn("gpu_count", gpuCount(col("pci")))
+      .withColumn("service_units",
+        serviceUnits(col("gpu_count"), col("vcpus"), col("memory_mb")))
+      .drop("pci", "pci_requests", "quarantine_reason")
+    val quarantined = classified
+      .filter(col("su_type").isNull)
+      .drop("pci", "su_type")
+    (clean, quarantined)
+  }
+
   /** Full enrichment: R2 + R3 + F2 + F3 + F1 in one projection. Input:
     * nova-shaped `instances` (uuid, hostname, instance_type_id, memory_mb,
     * vcpus, deleted_at, deleted, project_id) and `instance_extra`

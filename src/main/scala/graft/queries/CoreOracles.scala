@@ -165,6 +165,13 @@ object CoreOracles {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300)""".stripMargin,
 
+    "a4_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "sj2_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

@@ -233,6 +233,28 @@ object CoreQueries {
         .select("c_custkey", "c_name")
     }),
 
+    // A4 — exact quantiles per group (DuckDB quantile_cont ≡ Spark
+    // percentile: linear interpolation, verified identical).
+    "a4_quantiles" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))),
+
+    // A5 — sketch aggregates (HLL distinct, quantile sketch): algorithm-
+    // specific results, so no cross-engine oracle — the driver records a
+    // rows-only check (these are the "approximate aggregates absent from
+    // the reference" breadth row).
+    "a5_approx_sketches" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          round(element_at(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.95)), lit(1000)), 1), 6).as("value_p50_approx"))),
+
     // SJ2 — anti join: customers with no orders at all.
     "sj2_anti_join" -> ((s, dir) => {
       val orders = table(s, dir, "orders")

@@ -137,6 +137,28 @@ class BillingEtlSpec extends AnyFunSuite {
     assert(a == "Invoices/2024-01/Archive/NERC OpenStack 2024-01 20240201T070304Z.csv")
   }
 
+  test("lenient enrichment quarantines bad pci rows instead of failing") {
+    val badInstances = Seq(
+      ("b1", "h", 1L, 4096L, 1, None: Option[java.sql.Timestamp], 0, "projQ"),
+      ("b2", "h", 1L, 4096L, 1, None: Option[java.sql.Timestamp], 0, "projQ"),
+      ("b3", "h", 1L, 4096L, 1, None: Option[java.sql.Timestamp], 0, "projQ")
+    ).toDF("uuid", "hostname", "instance_type_id", "memory_mb", "vcpus",
+      "deleted_at", "deleted", "project_id")
+    val badExtra = Seq(
+      ("b1", """[{"count": "1", "alias_name": "H100"}]"""),      // unknown alias
+      ("b2", """[{"count": "1", "alias_name": "V100"}, {"count": "1", "alias_name": "K80"}]"""), // 2 entries
+      ("b3", """[{"count": "2", "alias_name": "K80"}]""")        // fine
+    ).toDF("instance_uuid", "pci_requests")
+    val (clean, quarantined) = Enrich.enrichInstancesLenient(badInstances, badExtra, start)
+    val cleanRows = clean.select("uuid", "su_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cleanRows == Map("b3" -> "gpu_k80"))
+    val qRows = quarantined.select("uuid", "quarantine_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(qRows("b1") == "invalid pci alias h100")
+    assert(qRows("b2") == "multiple pci_requests entries")
+  }
+
   test("F6 default window") {
     val (s1, e1) = InvoiceSink.defaultWindow(java.time.LocalDate.of(2024, 3, 15))
     assert(s1 == java.time.LocalDateTime.of(2024, 3, 1, 0, 0))
