@@ -110,8 +110,9 @@ object Main {
     val rows = InvoiceSink.csvRows(invoices, invoiceMonth,
       start.atOffset(java.time.ZoneOffset.UTC).format(isoFmt),
       end.atOffset(java.time.ZoneOffset.UTC).format(isoFmt),
+      // timespec="seconds" parity with billing.py:160
       java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME))
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS).format(isoFmt))
     InvoiceSink.writeCsv(rows, cfg.outputDir)
 
     // S7 — destination keys (computed, not uploaded: zero-egress)

@@ -62,7 +62,9 @@ object SparkEntry {
     val invoices = Billing.projectInvoices(su, rates)
     InvoiceSink.csvRows(invoices, "2024-01",
       "2024-01-05T00:00:00+00:00", "2024-01-25T00:00:00+00:00",
-      java.time.Instant.now().toString)
+      java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx")))
   }
 
   /** One entry per implemented operator from SURVEY.md §2, plus the

@@ -78,9 +78,12 @@ object Billing {
   def projectInvoices(suHours: DataFrame, rates: Rates): DataFrame = {
     val spark = suHours.sparkSession
     import spark.implicits._
+    // rate_display preserves the CLI-provided scale exactly like the
+    // reference's str(Decimal) (billing.py:213 writes the Decimal raw);
+    // the decimal `rate` column is for math only.
     val ratesDim = graft.core.Types.SuTypes
-      .map(t => (t, rates.rateFor(t), rates.suNameFor(t)))
-      .toDF("su_type", "rate", "su_name")
+      .map(t => (t, rates.rateFor(t), rates.rateFor(t).toString, rates.suNameFor(t)))
+      .toDF("su_type", "rate", "rate_display", "su_name")
       .withColumn("rate", col("rate").cast("decimal(38,6)"))
 
     suHours
@@ -88,6 +91,6 @@ object Billing {
       .agg(sum(col("su_hours")).as("su_hours"))
       .join(broadcast(ratesDim), Seq("su_type"))
       .withColumn("cost", (col("rate") * col("su_hours")).cast("decimal(38,6)"))
-      .select("project_id", "su_type", "su_name", "su_hours", "rate", "cost")
+      .select("project_id", "su_type", "su_name", "su_hours", "rate", "rate_display", "cost")
   }
 }

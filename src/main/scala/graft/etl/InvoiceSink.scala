@@ -35,8 +35,8 @@ object InvoiceSink {
     val spark = wide.sparkSession
     import spark.implicits._
     val ratesDim = SuTypes
-      .map(t => (t, rates.rateFor(t), rates.suNameFor(t)))
-      .toDF("su_type", "rate", "su_name")
+      .map(t => (t, rates.rateFor(t), rates.rateFor(t).toString, rates.suNameFor(t)))
+      .toDF("su_type", "rate", "rate_display", "su_name")
       .withColumn("rate", col("rate").cast("decimal(38,6)"))
 
     wide
@@ -44,7 +44,7 @@ object InvoiceSink {
       .filter(col("su_hours") > 0) // billing.py:204
       .join(broadcast(ratesDim), Seq("su_type"))
       .withColumn("cost", (col("rate") * col("su_hours")).cast("decimal(38,6)"))
-      .select("project_id", "su_type", "su_name", "su_hours", "rate", "cost")
+      .select("project_id", "su_type", "su_name", "su_hours", "rate", "rate_display", "cost")
   }
 
   /** The fixed 16-column header (billing.py:167-186). */
@@ -82,7 +82,7 @@ object InvoiceSink {
       lit("N/A").as("Institution - Specific Code"),
       col("su_hours").as("SU Hours (GBhr or SUhr)"),
       col("su_name").as("SU Type"),
-      col("rate").as("Rate"),
+      col("rate_display").as("Rate"), // str(Decimal) scale parity (billing.py:213)
       round(col("cost"), 2).cast("decimal(38,2)").as("Cost"),
       lit(generatedAtIso).as("Generated At"))
 

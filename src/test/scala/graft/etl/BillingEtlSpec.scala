@@ -126,7 +126,7 @@ class BillingEtlSpec extends AnyFunSuite {
     assert(lines.head.startsWith("Invoice Month,Report Start Time"))
     assert(lines.head.split(",").length == 16)
     val cpuLine = lines.find(_.contains("OpenStack CPU")).get
-    assert(cpuLine.contains(",20,OpenStack CPU,0.013000,0.26,"))
+    assert(cpuLine.contains(",20,OpenStack CPU,0.013,0.26,"))
   }
 
   test("S7 key templates incl. end-minus-one-second daily date") {
