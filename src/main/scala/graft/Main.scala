@@ -36,8 +36,15 @@ object Main {
         includeStoppedRuntime = false),
       excludeIntervals: Seq[(java.time.LocalDateTime, java.time.LocalDateTime)] = Seq.empty)
 
+  /** Accepts date-only (YYYY-MM-DD) or full ISO local datetimes, like the
+    * reference's fromisoformat-based parse_time_argument.
+    */
+  def parseTimeArg(s: String): java.time.LocalDateTime =
+    if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay()
+    else java.time.LocalDateTime.parse(s)
+
   def parseArgs(args: Seq[String]): Config = {
-    def ldt(s: String) = java.time.LocalDateTime.parse(s)
+    def ldt(s: String) = parseTimeArg(s)
     @annotation.tailrec
     def go(rest: List[String], c: Config): Config = rest match {
       case "--data-dir" :: v :: t   => go(t, c.copy(dataDir = v))
@@ -81,8 +88,11 @@ object Main {
     val (defStart, defEnd) = InvoiceSink.defaultWindow(java.time.LocalDate.now())
     val start = cfg.start.getOrElse(defStart)
     val end = cfg.end.getOrElse(defEnd)
+    // Reference quirk preserved (main.py:60): the default invoice month
+    // comes from the DEFAULT start's month, even when --start overrides
+    // the window.
     val invoiceMonth = cfg.invoiceMonth.getOrElse(
-      start.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")))
+      defStart.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")))
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
