@@ -110,7 +110,6 @@ object Main {
     val instances = Ingest.table(spark, cfg.dataDir, "instances")
     val extra = Ingest.table(spark, cfg.dataDir, "instance_extra")
     val actions = Ingest.table(spark, cfg.dataDir, "instance_actions")
-      .withColumnRenamed("created_at", "created_at")
 
     val enriched = Enrich.enrichInstances(instances, extra, startUs)
     val su = Billing.instanceSuHours(actions, enriched, cfg.rates, startUs, endUs, outages)

@@ -34,12 +34,20 @@ object Billing {
       endUs: Long,
       outages: Seq[(Long, Long)] = Seq.empty
   ): DataFrame = {
+    // model.py:215 orders by created_at only; sqlite's stable sort makes
+    // the SOURCE ROW ORDER the tiebreak for equal timestamps. A stable
+    // id column (nova instance_actions.id) is the only partition-layout-
+    // independent equivalent — monotonically_increasing_id would flip
+    // equal-timestamp event order (and the invoice) whenever file splits
+    // or AQE coalescing change.
+    val tie =
+      if (events.columns.contains("id")) col("id").cast("long")
+      else if (events.columns.contains("event_id")) col("event_id").cast("long")
+      else monotonically_increasing_id() // documented fallback: single-file inputs only
     val shaped = events.select(
       col("instance_uuid").as("key"),
       unix_micros(col("created_at")).as("ts_us"),
-      // model.py:215 orders by created_at only; sqlite sort is stable, so
-      // the original log order is the deterministic tiebreak.
-      monotonically_increasing_id().as("tie"),
+      tie.as("tie"),
       RuntimeSql.mapState(col("action"), col("message")).as("state"))
 
     val deleted = instances
@@ -72,19 +80,26 @@ object Billing {
         (col("runtime_hours") * col("service_units")).as("su_hours"))
   }
 
+  /** The 6-row rates dimension shared by the aggregate and the pivot
+    * sinks. rate_display preserves the CLI-provided scale exactly like
+    * the reference's str(Decimal) (billing.py:213 writes the Decimal
+    * raw); the decimal `rate` column is for math only.
+    */
+  def ratesDim(spark: org.apache.spark.sql.SparkSession, rates: Rates): DataFrame = {
+    import spark.implicits._
+    graft.core.Types.SuTypes
+      .map(t => (t, rates.rateFor(t), rates.rateFor(t).toString, rates.suNameFor(t)))
+      .toDF("su_type", "rate", "rate_display", "su_name")
+      .withColumn("rate", col("rate").cast("decimal(38,6)"))
+  }
+
   /** A1 — su-hours per (project, su_type); A2 — cost = rate × hours, kept
     * at full Decimal precision (rounding only at the sink, billing.py:202).
     */
   def projectInvoices(suHours: DataFrame, rates: Rates): DataFrame = {
     val spark = suHours.sparkSession
     import spark.implicits._
-    // rate_display preserves the CLI-provided scale exactly like the
-    // reference's str(Decimal) (billing.py:213 writes the Decimal raw);
-    // the decimal `rate` column is for math only.
-    val ratesDim = graft.core.Types.SuTypes
-      .map(t => (t, rates.rateFor(t), rates.rateFor(t).toString, rates.suNameFor(t)))
-      .toDF("su_type", "rate", "rate_display", "su_name")
-      .withColumn("rate", col("rate").cast("decimal(38,6)"))
+    val ratesDim = Billing.ratesDim(spark, rates)
 
     suHours
       .groupBy(col("project_id"), col("su_type"))

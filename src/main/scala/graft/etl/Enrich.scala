@@ -36,7 +36,7 @@ object Enrich {
   /** R3 — keep live instances plus those deleted after the window start
     * (model.py:240-243): `deleted_at > start OR deleted = 0`.
     */
-  def liveInstances(instances: DataFrame, startUs: Long): Column =
+  def liveInstances(startUs: Long): Column =
     unix_micros(col("deleted_at")) > startUs || col("deleted") === 0
 
   /** F2 — null-safe JSON parse of pci_requests: null/garbage yields null,
@@ -55,14 +55,26 @@ object Enrich {
     when(pci.isNull || size(pci) === 0, lit("cpu"))
       .when(size(pci) > 1,
         raise_error(lit("pci_requests with more than one entry")))
-      .when(alias.isin("a100", "a100-sxm4", "v100", "k80"),
+      .when(alias.isin(graft.core.Types.ValidGpuAliases.toSeq: _*),
         concat(lit("gpu_"), regexp_replace(alias, "-", "")))
       .otherwise(raise_error(concat(lit("Invalid pci_name "), alias, lit("."))))
   }
 
+  /** Strict mode: a non-numeric `count` fails the job like the
+    * reference's int() raise (model.py:206). Spark 4's ANSI-mode cast
+    * throws CAST_INVALID_INPUT on malformed input, which is exactly the
+    * strict contract — do NOT replace with try_cast here.
+    */
   def gpuCount(pci: Column): Column =
     when(pci.isNull || size(pci) === 0, lit(0))
       .otherwise(element_at(pci, 1).getField("count").cast("int"))
+
+  /** Lenient mode: try_cast yields null for unparsable counts (caller
+    * quarantines) instead of the ANSI cast's job-killing throw.
+    */
+  def gpuCountLenient(pci: Column): Column =
+    when(pci.isNull || size(pci) === 0, lit(0))
+      .otherwise(element_at(pci, 1).getField("count").try_cast("int"))
 
   /** F1 — the service-unit formula (model.py:38-46):
     * `gpu_count or int(max(vcpus, memory/4096))`. Python `or` means a zero
@@ -83,7 +95,7 @@ object Enrich {
     val alias = lower(element_at(pci, 1).getField("alias_name"))
     when(pci.isNull || size(pci) === 0, lit("cpu"))
       .when(size(pci) > 1, lit(null).cast("string"))
-      .when(alias.isin("a100", "a100-sxm4", "v100", "k80"),
+      .when(alias.isin(graft.core.Types.ValidGpuAliases.toSeq: _*),
         concat(lit("gpu_"), regexp_replace(alias, "-", "")))
       .otherwise(lit(null).cast("string"))
   }
@@ -92,9 +104,12 @@ object Enrich {
     when(size(pci) > 1, "multiple pci_requests entries")
       .when(pci.isNotNull && size(pci) === 1 &&
         !lower(element_at(pci, 1).getField("alias_name"))
-          .isin("a100", "a100-sxm4", "v100", "k80"),
+          .isin(graft.core.Types.ValidGpuAliases.toSeq: _*),
         concat(lit("invalid pci alias "),
           lower(element_at(pci, 1).getField("alias_name"))))
+      .when(pci.isNotNull && size(pci) === 1 &&
+        element_at(pci, 1).getField("count").try_cast("int").isNull,
+        concat(lit("invalid pci count "), element_at(pci, 1).getField("count")))
 
   /** Lenient enrichment: returns (clean rows, quarantined rows with a
     * `quarantine_reason` column). One pass; the split is two filters over
@@ -106,19 +121,19 @@ object Enrich {
       startUs: Long
   ): (DataFrame, DataFrame) = {
     val joined = joinInstanceExtra(
-      instances.filter(liveInstances(instances, startUs)), instanceExtra)
+      instances.filter(liveInstances(startUs)), instanceExtra)
     val classified = joined
       .withColumn("pci", parsedPci(col("pci_requests")))
       .withColumn("su_type", gpuSuTypeLenient(col("pci")))
       .withColumn("quarantine_reason", quarantineReason(col("pci")))
     val clean = classified
-      .filter(col("su_type").isNotNull)
-      .withColumn("gpu_count", gpuCount(col("pci")))
+      .filter(col("su_type").isNotNull && col("quarantine_reason").isNull)
+      .withColumn("gpu_count", gpuCountLenient(col("pci")))
       .withColumn("service_units",
         serviceUnits(col("gpu_count"), col("vcpus"), col("memory_mb")))
       .drop("pci", "pci_requests", "quarantine_reason")
     val quarantined = classified
-      .filter(col("su_type").isNull)
+      .filter(col("quarantine_reason").isNotNull)
       .drop("pci", "su_type")
     (clean, quarantined)
   }
@@ -134,7 +149,7 @@ object Enrich {
       startUs: Long
   ): DataFrame = {
     val joined = joinInstanceExtra(
-      instances.filter(liveInstances(instances, startUs)), instanceExtra)
+      instances.filter(liveInstances(startUs)), instanceExtra)
     val pci = parsedPci(col("pci_requests"))
     joined
       .withColumn("pci", pci)

@@ -32,12 +32,7 @@ object InvoiceSink {
     val stackArgs = SuTypes
       .map(t => s"'$t', ${t}_su_hours")
       .mkString(s"stack(${SuTypes.size}, ", ", ", ") as (su_type, su_hours)")
-    val spark = wide.sparkSession
-    import spark.implicits._
-    val ratesDim = SuTypes
-      .map(t => (t, rates.rateFor(t), rates.rateFor(t).toString, rates.suNameFor(t)))
-      .toDF("su_type", "rate", "rate_display", "su_name")
-      .withColumn("rate", col("rate").cast("decimal(38,6)"))
+    val ratesDim = Billing.ratesDim(wide.sparkSession, rates)
 
     wide
       .select(col("project_id"), expr(stackArgs))

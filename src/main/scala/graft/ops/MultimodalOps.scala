@@ -65,13 +65,13 @@ object MultimodalOps {
       col("mime"),
       length(col("payload")).cast("long").as("byte_len"),
       md5(col("payload")).as("payload_md5"),
-      (floor((length(col("payload")) - 1) / frameStride) + 1).cast("long").as("n_frames"))
+      ceil(length(col("payload")) / frameStride.toDouble).cast("long").as("n_frames"))
 
   /** Per-partition batched feature extraction — the `mapInPandas` analog:
     * one iterator per partition, features computed batch-at-a-time. The
     * fake feature is 8 floats from the md5 (STUB — replace with codec).
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], frameStride: Int = 256): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch => // batch shape: real decoders amortize setup
@@ -84,7 +84,9 @@ object MultimodalOps {
             m.media_id,
             m.payload.length.toLong,
             md5Hex,
-            (m.payload.length - 1) / 256 + 1,
+            // ceil(len/stride): agrees with decodeStub for all lengths
+            // including 0 (the floor((len-1)/stride)+1 form diverged at 0)
+            (m.payload.length.toLong + frameStride - 1) / frameStride,
             feature)
         }
       }

@@ -68,7 +68,9 @@ object PipelineQueries {
 
     "dedup_jaccard" -> ((s, dir) => {
       // R9-style reuse: the shingle table feeds the signature AND both
-      // sides of the intersection join — cache it once.
+      // sides of the intersection join — cache it once. Repeated
+      // invocations dedupe to ONE cache entry (CacheManager keys on the
+      // canonicalized plan); the entry lives for the session.
       val sh = DedupOps.shingled(table(s, dir, "documents")).cache()
       val pairs = DedupOps.candidatePairs(
         DedupOps.lshBands(DedupOps.minhashSignature(sh)))

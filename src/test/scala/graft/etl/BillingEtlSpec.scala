@@ -159,6 +159,29 @@ class BillingEtlSpec extends AnyFunSuite {
     assert(qRows("b2") == "multiple pci_requests entries")
   }
 
+  test("strict mode fails on a non-numeric pci count; lenient quarantines it") {
+    val inst = Seq(
+      ("c1", "h", 1L, 4096L, 1, None: Option[java.sql.Timestamp], 0, "projC")
+    ).toDF("uuid", "hostname", "instance_type_id", "memory_mb", "vcpus",
+      "deleted_at", "deleted", "project_id")
+    val extra = Seq(
+      ("c1", """[{"count": "two", "alias_name": "V100"}]""")
+    ).toDF("instance_uuid", "pci_requests")
+
+    val ex = intercept[Exception] {
+      Enrich.enrichInstances(inst, extra, start).collect()
+    }
+    // ANSI-mode cast raises CAST_INVALID_INPUT — the strict-mode contract
+    assert(ex.getMessage.contains("CAST_INVALID_INPUT") ||
+      Option(ex.getCause).exists(_.getMessage.contains("CAST_INVALID_INPUT")))
+
+    val (clean, quarantined) = Enrich.enrichInstancesLenient(inst, extra, start)
+    assert(clean.count() == 0)
+    val q = quarantined.select("uuid", "quarantine_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q("c1") == "invalid pci count two")
+  }
+
   test("F6 default window") {
     val (s1, e1) = InvoiceSink.defaultWindow(java.time.LocalDate.of(2024, 3, 15))
     assert(s1 == java.time.LocalDateTime.of(2024, 3, 1, 0, 0))
