@@ -130,6 +130,42 @@ object CoreOracles {
          |  CAST(sum(CASE WHEN state = 'Stopped' THEN t1 - t0 ELSE 0 END) AS BIGINT) AS stopped_us
          |FROM c GROUP BY key""".stripMargin,
 
+    "billing_invoice" ->
+      s"""$runsCte, iv AS (
+         |  SELECT * FROM (VALUES ($s, $e, 1), (${o1._1}, ${o1._2}, -1), (${o2._1}, ${o2._2}, -1))
+         |    AS t(iv_start, iv_end, weight)
+         |), c AS (
+         |  SELECT key, state, weight,
+         |         greatest(least(ts_us, iv_end), iv_start) AS t0,
+         |         coalesce(greatest(least(next_ts_us, iv_end), iv_start), iv_end) AS t1
+         |  FROM runs CROSS JOIN iv
+         |), rt AS (
+         |  SELECT key,
+         |    CAST(sum(CASE WHEN state = 'Running' THEN (t1 - t0) * weight ELSE 0 END) AS BIGINT) AS running_us
+         |  FROM c GROUP BY key
+         |), su AS (
+         |  SELECT key,
+         |    CAST(ceil(running_us / 3600000000.0) AS BIGINT) AS runtime_hours,
+         |    CASE WHEN key % 5 = 0 THEN 2 ELSE 0 END AS gpu_count
+         |  FROM rt
+         |  WHERE CAST(ceil(running_us / 3600000000.0) AS BIGINT) > 0
+         |), typed AS (
+         |  SELECT key, runtime_hours,
+         |    CASE WHEN gpu_count > 0 THEN 'gpu_v100' ELSE 'cpu' END AS su_type,
+         |    CAST(CASE WHEN gpu_count <> 0 THEN gpu_count
+         |         ELSE floor(greatest(CAST(key % 4 + 1 AS DOUBLE),
+         |                             (key % 8 * 2048 + 2048) / 4096.0)) END AS BIGINT)
+         |      AS service_units,
+         |    'proj-' || (key % 3) AS project_id
+         |  FROM su
+         |)
+         |SELECT project_id, su_type,
+         |  CAST(sum(runtime_hours * service_units) AS BIGINT) AS su_hours,
+         |  CAST(round(CASE WHEN su_type = 'gpu_v100' THEN CAST('1.214' AS DECIMAL(18,6))
+         |        ELSE CAST('0.013' AS DECIMAL(18,6)) END
+         |    * CAST(sum(runtime_hours * service_units) AS BIGINT), 2) AS DECIMAL(38,2)) AS cost
+         |FROM typed GROUP BY project_id, su_type""".stripMargin,
+
     "j1_join3_revenue" ->
       """SELECT n_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,

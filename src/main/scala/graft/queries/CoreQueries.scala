@@ -179,6 +179,37 @@ object CoreQueries {
       RuntimeSql.runtimeExcluding(runs, WStart, WEnd, Outages)
     }),
 
+    // BILLING — the whole reference pipeline (EP2+EP3) as ONE oracle-
+    // checked query: state machine over events → outage subtraction →
+    // ceil-hours (F10) → service units (F1) from a synthetic per-user
+    // flavor → per-(project, su_type) su-hour sum (A1) → decimal cost
+    // (A2). The deepest single parity statement the harness can check.
+    "billing_invoice" -> ((s, dir) => {
+      val runs = RuntimeSql.stateRuns(shapedEvents(s, dir))
+      val runtime = RuntimeSql.runtimeExcluding(runs, WStart, WEnd, Outages)
+      runtime
+        .withColumn("runtime_hours",
+          ceil(col("running_us") / lit(3600000000.0)).cast("long"))
+        .filter(col("runtime_hours") > 0)
+        .withColumn("gpu_count",
+          when(pmod(col("key"), lit(5)) === 0, 2).otherwise(0))
+        .withColumn("su_type",
+          when(col("gpu_count") > 0, "gpu_v100").otherwise("cpu"))
+        .withColumn("service_units",
+          when(col("gpu_count") =!= 0, col("gpu_count").cast("long"))
+            .otherwise(floor(greatest(
+              (pmod(col("key"), lit(4)) + 1).cast("double"),
+              (pmod(col("key"), lit(8)) * 2048 + 2048) / 4096.0))))
+        .withColumn("project_id", concat(lit("proj-"), pmod(col("key"), lit(3))))
+        .groupBy("project_id", "su_type")
+        .agg(sum(col("runtime_hours") * col("service_units")).as("su_hours"))
+        .withColumn("rate",
+          when(col("su_type") === "gpu_v100", lit("1.214").cast("decimal(18,6)"))
+            .otherwise(lit("0.013").cast("decimal(18,6)")))
+        .select(col("project_id"), col("su_type"), col("su_hours"),
+          round(col("rate") * col("su_hours"), 2).cast("decimal(38,2)").as("cost"))
+    }),
+
     // J1 — 3-way join with aggregation: fact ⋈ dim ⋈ dim, both dims
     // broadcast; revenue per nation.
     "j1_join3_revenue" -> ((s, dir) => {
