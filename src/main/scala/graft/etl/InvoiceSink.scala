@@ -93,6 +93,21 @@ object InvoiceSink {
       .option("emptyValue", "")
       .csv(path)
 
+  /** Month-partitioned parquet sink for the long invoice table: the
+    * cumulative-regeneration workflow (billing.py:275-284 re-uploads
+    * daily) becomes partition overwrite — rewriting one month never
+    * touches the others, and month-filtered reads prune partitions at
+    * the file listing.
+    */
+  def writePartitioned(longInvoices: DataFrame, invoiceMonth: String, path: String): Unit =
+    longInvoices
+      .withColumn("invoice_month", lit(invoiceMonth))
+      .write
+      .partitionBy("invoice_month")
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+
   /** S7 — the three S3 destination keys (billing.py:267-291). The daily key
     * subtracts one second from the exclusive end to get the inclusive date
     * (billing.py:276-278).

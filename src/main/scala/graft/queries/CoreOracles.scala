@@ -208,6 +208,16 @@ object CoreOracles {
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    "so1_except" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400""".stripMargin,
+
+    "so2_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
     "sj2_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

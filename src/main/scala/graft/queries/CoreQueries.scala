@@ -286,6 +286,23 @@ object CoreQueries {
           round(element_at(percentile_approx(col("value"),
             array(lit(0.5), lit(0.95)), lit(1000)), 1), 6).as("value_p50_approx"))),
 
+    // SO1 — EXCEPT: customers with only-small orders (active minus big).
+    "so1_except" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      orders.select(col("o_custkey")).distinct()
+        .except(orders.filter(col("o_totalprice") > 400)
+          .select(col("o_custkey")).distinct())
+    }),
+
+    // SO2 — INTERSECT: customers active in both halves of the date range.
+    "so2_intersect" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val cut = lit("1998-01-01").cast("timestamp")
+      orders.filter(col("o_orderdate") < cut).select(col("o_custkey")).distinct()
+        .intersect(
+          orders.filter(col("o_orderdate") >= cut).select(col("o_custkey")).distinct())
+    }),
+
     // SJ2 — anti join: customers with no orders at all.
     "sj2_anti_join" -> ((s, dir) => {
       val orders = table(s, dir, "orders")

@@ -182,6 +182,21 @@ class BillingEtlSpec extends AnyFunSuite {
     assert(q("c1") == "invalid pci count two")
   }
 
+  test("partitioned invoice sink: dynamic month overwrite, partition pruning layout") {
+    val long = Billing.projectInvoices(
+      Billing.instanceSuHours(actions, enriched, rates, start, end), rates)
+    val dir = java.nio.file.Files.createTempDirectory("inv_part").toString
+    InvoiceSink.writePartitioned(long, "2024-01", dir)
+    InvoiceSink.writePartitioned(long, "2024-02", dir)
+    // overwriting one month leaves the other intact (dynamic mode)
+    InvoiceSink.writePartitioned(long.limit(1), "2024-02", dir)
+    val months = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("invoice_month=")).sorted
+    assert(months.toSeq == Seq("invoice_month=2024-01", "invoice_month=2024-02"))
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"invoice_month" === "2024-01").count() == long.count())
+    assert(back.filter($"invoice_month" === "2024-02").count() == 1)
+  }
+
   test("F6 default window") {
     val (s1, e1) = InvoiceSink.defaultWindow(java.time.LocalDate.of(2024, 3, 15))
     assert(s1 == java.time.LocalDateTime.of(2024, 3, 1, 0, 0))
