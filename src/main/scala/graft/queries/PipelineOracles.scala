@@ -241,6 +241,26 @@ object PipelineOracles {
          |  CAST(max(len_us) AS BIGINT) AS max_session_us
          |FROM g GROUP BY user_id""".stripMargin,
 
+    "mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(range(0, octet_length(encode(text)), 256)) AS frame_offset
+        |  FROM documents
+        |)
+        |SELECT media_id, CAST(frame_offset AS BIGINT) AS frame_offset,
+        |  md5(substr(text, CAST(frame_offset + 1 AS INT), 256)) AS frame_md5
+        |FROM f""".stripMargin,
+
+    "emb_quantize" ->
+      """SELECT vec_id,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS q_min,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS q_max,
+        |  CAST(list_sum(list_transform(embedding, x ->
+        |    CAST(round((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) /
+        |      (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255) AS BIGINT)))
+        |    AS BIGINT) AS q_checksum
+        |FROM embeddings""".stripMargin,
+
     "mm_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -110,6 +110,34 @@ object PipelineQueries {
     "mm_media_meta" -> ((s, dir) =>
       MultimodalOps.decodeStub(
         MultimodalOps.packDocuments(table(s, dir, "documents")))
-        .select("media_id", "mime", "byte_len", "payload_md5", "n_frames"))
+        .select("media_id", "mime", "byte_len", "payload_md5", "n_frames")),
+
+    // frame sampling: one row per stride offset with a frame checksum —
+    // the explode shape a real decoder's seek plan uses.
+    "mm_frames" -> ((s, dir) => {
+      val media = MultimodalOps.packDocuments(table(s, dir, "documents"))
+      media
+        .select(col("media_id"),
+          explode(MultimodalOps.frameOffsets(
+            length(col("payload")).cast("long"), 256)).as("frame_offset"),
+          col("payload"))
+        .select(col("media_id"), col("frame_offset"),
+          md5(expr("substring(payload, cast(frame_offset + 1 as int), 256)")).as("frame_md5"))
+    }),
+
+    // int8 quantization of embeddings (min/max affine) — the compression
+    // step before a quantized ANN index; checksum column keeps the oracle
+    // compact.
+    "emb_quantize" -> ((s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(array_min(col("embedding")).cast("double"), 6).as("q_min"),
+          round(array_max(col("embedding")).cast("double"), 6).as("q_max"),
+          aggregate(
+            transform(col("embedding"), x =>
+              round((x.cast("double") - array_min(col("embedding")).cast("double")) /
+                (array_max(col("embedding")).cast("double") -
+                  array_min(col("embedding")).cast("double")) * 255).cast("long")),
+            lit(0L), (acc, q) => acc + q).as("q_checksum")))
   )
 }
