@@ -100,6 +100,24 @@ object PipelineOracles {
          |SELECT doc_id, list_min(list_transform($shingleExpr, s -> md5(s))) AS fp
          |FROM t""".stripMargin,
 
+    "text_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    round(tf.tf * ln((SELECT count(*) FROM documents) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.tok = df.tok
+        |), ranked AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS BIGINT) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, tok, rk, tfidf FROM ranked WHERE rk <= 3""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id,
         |  count(*) AS n_copies

@@ -54,6 +54,27 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.fingerprint(col("toks")).as("fp"))),
 
+    // TF-IDF top terms per document — term frequency × inverse document
+    // frequency, two aggregations and a broadcast-joined document-
+    // frequency dim; top-3 by score with term tiebreak.
+    "text_tfidf_topterms" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("tok"))
+      tf.join(broadcast(df), Seq("tok"))
+        .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("tok"), col("rk"), col("tfidf"))
+    }),
+
     // -- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactGroups(table(s, dir, "documents"))),
