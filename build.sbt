@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the forked process's stdio directly: Bench's one-line JSON
+// metric must reach stdout WITHOUT sbt's "[info] " logger prefix, or the
+// driver's parse of BENCH_r{N}.json records "parsed": null (round 1 did).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -202,6 +202,8 @@ object DedupOps {
       .select(col("p.doc_a"), col("p.doc_b"),
         expr("bit_hamming(p.sim_a, p.sim_b)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      // between, not <=: bit_hamming returns -1 on length mismatch, which
+      // must reject the pair rather than count as "0 bits apart"
+      .filter(col("hamming").between(0, maxHamming))
   }
 }

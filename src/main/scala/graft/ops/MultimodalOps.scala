@@ -54,7 +54,10 @@ object MultimodalOps {
     * count preserved) is the part that must scale.
     */
   def frameOffsets(payloadLen: org.apache.spark.sql.Column, stride: Int) =
-    sequence(lit(0L), payloadLen - 1, lit(stride.toLong))
+    // empty payload → empty offsets: sequence(0, -1, +256) would throw
+    // "Illegal sequence boundaries" and kill the whole job on one bad row
+    when(payloadLen > 0, sequence(lit(0L), payloadLen - 1, lit(stride.toLong)))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Columnar metadata + fake features, no data movement (a projection —
     * stays in whole-stage codegen).

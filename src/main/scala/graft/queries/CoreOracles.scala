@@ -39,9 +39,9 @@ object CoreOracles {
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -61,7 +61,8 @@ object CoreOracles {
          |   OR event_type = 'signup'""".stripMargin,
 
     "r5_sorted_events" ->
-      """SELECT user_id, array_agg(event_id ORDER BY epoch_us(ts), event_id) AS event_ids
+      """SELECT user_id,
+        |  array_to_string(array_agg(CAST(event_id AS VARCHAR) ORDER BY epoch_us(ts), event_id), ',') AS event_ids
         |FROM events GROUP BY user_id""".stripMargin,
 
     "r6_events_per_entity" ->
@@ -105,7 +106,7 @@ object CoreOracles {
 
     "f9_round_money" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(38,2)) AS revenue
+        |  CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(38,2)) AS VARCHAR) AS revenue
         |FROM lineitem""".stripMargin,
 
     "f10_ceil_hours" ->
@@ -161,14 +162,14 @@ object CoreOracles {
          |)
          |SELECT project_id, su_type,
          |  CAST(sum(runtime_hours * service_units) AS BIGINT) AS su_hours,
-         |  CAST(round(CASE WHEN su_type = 'gpu_v100' THEN CAST('1.214' AS DECIMAL(18,6))
+         |  CAST(CAST(round(CASE WHEN su_type = 'gpu_v100' THEN CAST('1.214' AS DECIMAL(18,6))
          |        ELSE CAST('0.013' AS DECIMAL(18,6)) END
-         |    * CAST(sum(runtime_hours * service_units) AS BIGINT), 2) AS DECIMAL(38,2)) AS cost
+         |    * CAST(sum(runtime_hours * service_units) AS BIGINT), 2) AS DECIMAL(38,2)) AS VARCHAR) AS cost
          |FROM typed GROUP BY project_id, su_type""".stripMargin,
 
     "j1_join3_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS revenue,
         |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -184,14 +185,14 @@ object CoreOracles {
 
     "w2_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_spend
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS VARCHAR) AS running_spend
         |FROM orders""".stripMargin,
 
     "g1_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,

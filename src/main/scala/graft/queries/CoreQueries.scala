@@ -16,7 +16,15 @@ import graft.sql.RuntimeSql
   *   - doubles that get summed are cast to DECIMAL first (exact,
   *     associative, order-independent — float sums are neither);
   *   - every aggregate/computed column is aliased identically here and in
-  *     the oracle (the driver sorts columns by name before hashing).
+  *     the oracle (the driver sorts columns by name before hashing);
+  *   - money/DECIMAL result columns are surfaced as STRINGS at the query
+  *     edge (math stays exact DECIMAL internally). Both engines print a
+  *     DECIMAL(p,s) with its full scale ("1.50", not "1.5"), so the
+  *     strings are byte-identical — whereas the driver's hash of a raw
+  *     decimal column is dtype/representation-sensitive and mismatched in
+  *     round 1 on every decimal-typed query;
+  *   - array columns are `array_join`ed to strings — the driver's pandas
+  *     sort cannot order ndarray cells (round-1 r5 harness error).
   */
 object CoreQueries {
 
@@ -55,11 +63,14 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("string").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("string").as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("decimal(38,4)")).cast("decimal(38,4)")
+            .cast("string").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -91,9 +102,9 @@ object CoreQueries {
       table(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
         .groupBy("user_id")
-        .agg(transform(
+        .agg(array_join(transform(
           sort_array(collect_list(struct(col("ts_us"), col("event_id")))),
-          x => x.getField("event_id")).as("event_ids"))),
+          x => x.getField("event_id").cast("string")), ",").as("event_ids"))),
 
     // R6 — the reference's N+1 correlated loop dissolved into one shuffle
     // (model.py:211-222, 295-301).
@@ -151,7 +162,7 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")), 2)
-            .cast("decimal(38,2)").as("revenue"))),
+            .cast("decimal(38,2)").cast("string").as("revenue"))),
 
     // F10 — ceil-hours: partial units round UP (billing.py:147).
     "f10_ceil_hours" -> ((s, dir) =>
@@ -207,7 +218,8 @@ object CoreQueries {
           when(col("su_type") === "gpu_v100", lit("1.214").cast("decimal(18,6)"))
             .otherwise(lit("0.013").cast("decimal(18,6)")))
         .select(col("project_id"), col("su_type"), col("su_hours"),
-          round(col("rate") * col("su_hours"), 2).cast("decimal(38,2)").as("cost"))
+          round(col("rate") * col("su_hours"), 2).cast("decimal(38,2)")
+            .cast("string").as("cost"))
     }),
 
     // J1 — 3-way join with aggregation: fact ⋈ dim ⋈ dim, both dims
@@ -221,7 +233,8 @@ object CoreQueries {
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("string").as("revenue"),
           count(lit(1)).as("n_orders"))
     }),
 
@@ -245,7 +258,8 @@ object CoreQueries {
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       table(s, dir, "orders")
         .withColumn("running_spend",
-          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(38,2)"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(38,2)")
+            .cast("string"))
         .select("o_custkey", "o_orderkey", "running_spend")
     }),
 
@@ -253,7 +267,8 @@ object CoreQueries {
     "g1_rollup" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("string").as("sum_qty"),
           count(lit(1)).as("n"))),
 
     // SJ1 — semi join: customers having any big order (no row multiplication).

@@ -18,8 +18,12 @@ import graft.core.StateMachine.StateBuf
   */
 object StreamingBilling {
 
+  // event_id is the deterministic tiebreak for equal-timestamp events —
+  // the batch kernel orders by (ts, id) (see RuntimeSql/commit 826e831);
+  // the streaming fold must agree or equal-ts folds are nondeterministic.
   final case class VmAction(
-      instance_uuid: String, ts_us: Long, action: String, message: String)
+      instance_uuid: String, ts_us: Long, action: String, message: String,
+      event_id: Long = 0L)
 
   final case class VmRuntime(
       instance_uuid: String, current_state: String,
@@ -42,7 +46,7 @@ object StreamingBilling {
         GroupStateTimeout.NoTimeout) {
         (uuid: String, batch: Iterator[VmAction], state: GroupState[StateBuf]) =>
           var buf = state.getOption.getOrElse(StateBuf.empty)
-          batch.toSeq.sortBy(_.ts_us).foreach { a =>
+          batch.toSeq.sortBy(a => (a.ts_us, a.event_id)).foreach { a =>
             buf = StateMachine.step(buf, clamp(a.ts_us), a.action, a.message)
           }
           state.update(buf)
