@@ -151,28 +151,53 @@ object DedupOps {
   val SimhashBlocks = 4
   val SimhashMaxHamming: Int = SimhashBlocks - 1
 
+  /** Counts per packed aggregation buffer and their bit width. 15-bit
+    * slots keep the top slot's shifted max (32767 << 45) inside a signed
+    * long; docs are assumed < 32768 tokens (LLM-corpus docs are chunked
+    * far below that — guard upstream if not).
+    */
+  private val SlotBits = 15
+  private val SlotsPerSum = 4
+  private val SlotMask = (1L << SlotBits) - 1
+
   /** 64-bit SimHash per doc as a bit string: explode tokens, md5 each,
-    * sum ±1 per bit position, sign of each sum is the fingerprint bit.
-    * One explode + one 64-column aggregation — no per-bit explode.
+    * majority-vote each bit position, emit the sign bit. One explode +
+    * ONE 16-buffer aggregation: the per-bit one-counts are packed four to
+    * a long (15-bit slots), so the aggregate carries 16 long sums + a
+    * token count instead of 64 separate sums — 4× fewer buffers and a
+    * far smaller generated class (the 64-sum form dominated this
+    * pipeline's bench time via codegen size, and at 1000 executors the
+    * narrow buffer also shrinks the partial-agg shuffle rows).
+    * bit(j) = 1  ⇔  2·ones(j) > n  ⇔  sum over tokens of ±1 > 0 —
+    * identical fingerprints to the unpacked formulation.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    // d0..d15: hex digit values 0..15
-    val withDigits = (0 until 16).foldLeft(toks) { (df, p) =>
-      df.withColumn(s"d$p",
-        expr(s"instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1"))
+    // first 64 bits of md5 as two unsigned-32-bit words (conv can't
+    // round-trip a full 64-bit word through a signed long)
+    val toks = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("lo"))
+    // global bit j (MSB-first): j<32 → bit 31-j of hi, else bit 63-j of lo
+    def bitOf(j: Int) = {
+      val (w, sh) = if (j < 32) (col("hi"), 31 - j) else (col("lo"), 63 - j)
+      shiftright(w, sh).bitwiseAND(lit(1L))
     }
-    // bit j (MSB-first within each digit) lives in digit j/4, position j%4
-    val sums = (0 until SimhashBits).map { j =>
-      val digit = j / 4
-      val pow = 1 << (3 - (j % 4))
-      sum(expr(s"2 * ((d$digit div $pow) % 2) - 1")).as(s"s$j")
+    val packed = (0 until SimhashBits / SlotsPerSum).map { g =>
+      val slots = (0 until SlotsPerSum).map(k =>
+        bitOf(g * SlotsPerSum + k) * lit(1L << ((SlotsPerSum - 1 - k) * SlotBits)))
+      sum(slots.reduce(_ + _)).as(s"s$g")
     }
-    val agg = withDigits.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val bits = (0 until SimhashBits).map(j =>
-      when(col(s"s$j") > 0, "1").otherwise("0"))
+    val agg = toks.groupBy("doc_id")
+      .agg(packed.head, packed.tail :+ count(lit(1)).as("n"): _*)
+    val bits = (0 until SimhashBits).map { j =>
+      val g = j / SlotsPerSum
+      val sh = (SlotsPerSum - 1 - j % SlotsPerSum) * SlotBits
+      val ones = shiftright(col(s"s$g"), sh).bitwiseAND(lit(SlotMask))
+      when(ones * 2 > col("n"), "1").otherwise("0")
+    }
     agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
