@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Spark's built-in equi/semi/anti set: as-of
+  * (temporal most-recent-prior) and range (interval containment) joins.
+  * The reference has nothing like these (its only join is a left equi-
+  * join, model.py:229-244); they're table stakes for event-log analytics
+  * at scale, so the engine carries them as first-class, oracle-checked
+  * operators.
+  */
+object JoinOps {
+
+  /** As-of join: for each left row, the right row with the greatest
+    * `rightTs <= leftTs` for the same key (inclusive — a right row AT the
+    * left timestamp matches, same as DuckDB/kdb ASOF semantics).
+    *
+    * NOT implemented as a join: a naive theta-join is O(n·m) per key, and
+    * Spark would plan a broadcast-nested-loop. Instead the two sides are
+    * union-tagged and swept with ONE window pass — `last(value,
+    * ignoreNulls)` over (key, ts, side) carries the most recent right
+    * values forward into left rows. One shuffle on the key, linear work,
+    * scales to any fact size; right-side ties on (key, ts) must be
+    * pre-aggregated by the caller (enforce uniqueness upstream or the
+    * carried value is the last in (ts, side) order, which is ambiguous).
+    *
+    * Requirements: `key` and `leftTs` name columns on BOTH sides' output
+    * positions — `right` supplies them as (key, rightTs); `leftTs` and
+    * `rightTs` must be the same (orderable) type. Right match timestamp
+    * surfaces as `asof_ts` (null when no prior row exists).
+    */
+  def asofJoinPrior(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      values: Seq[String]
+  ): DataFrame = {
+    val lPayload = left.columns.toSeq.filterNot(Set(key, leftTs))
+    val lSide = left.select(
+      Seq(col(key), col(leftTs)) ++ lPayload.map(col) ++
+        Seq(lit(null).cast(right.schema(rightTs).dataType).as("asof_ts")) ++
+        values.map(v => lit(null).cast(right.schema(v).dataType).as(v)) :+
+        lit(1).as("__side"): _*)
+    val rSide = right.select(
+      Seq(col(key), col(rightTs).as(leftTs)) ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        (col(rightTs).as("asof_ts") +: values.map(col)) :+
+        lit(0).as("__side"): _*)
+    // right rows (side 0) sort BEFORE left rows at equal ts → inclusive
+    val w = Window.partitionBy(key)
+      .orderBy(col(leftTs), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = ("asof_ts" +: values).foldLeft(lSide.unionByName(rSide)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Range join: rows of `facts` whose `tsCol` falls in [iv_start,
+    * iv_end). `intervals` must be small (broadcast — the plan is a
+    * BroadcastNestedLoopJoin, which is exactly right for a dimension of
+    * outage windows / calendar buckets). For big-big range joins, bin
+    * both sides to a common grid first and equi-join on the bin — not
+    * needed for any current workload.
+    */
+  def rangeJoin(facts: DataFrame, intervals: DataFrame, tsCol: String): DataFrame =
+    facts.join(
+      broadcast(intervals),
+      col(tsCol) >= col("iv_start") && col(tsCol) < col("iv_end"),
+      "inner")
+}

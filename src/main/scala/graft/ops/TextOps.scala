@@ -100,4 +100,9 @@ object TextOps {
     */
   def fingerprint(toks: Column): Column =
     array_min(transform(shingles(toks), s => md5(s)))
+
+  /** Adjacent token pairs ("corpus bigrams"), empty for 1-token docs —
+    * shingles with k=2.
+    */
+  def bigrams(toks: Column): Column = shingles(toks, 2)
 }

@@ -223,6 +223,87 @@ object CoreOracles {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
+    "aj1_asof_join" ->
+      """WITH day AS (
+        |  SELECT o_custkey AS key, epoch_us(o_orderdate) AS ots,
+        |         CAST(count(*) AS BIGINT) AS day_orders
+        |  FROM orders GROUP BY 1, 2
+        |), ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  coalesce(ots, -1) AS last_order_us,
+        |  coalesce(day_orders, 0) AS last_day_orders
+        |FROM ev ASOF LEFT JOIN day ON ev.user_id = day.key AND ev.ts_us >= day.ots""".stripMargin,
+
+    "rj1_range_join" ->
+      s"""WITH iv AS (
+         |  SELECT * FROM (VALUES (0, ${o1._1}, ${o1._2}), (1, ${o2._1}, ${o2._2}))
+         |    AS t(iv_id, iv_start, iv_end)
+         |)
+         |SELECT CAST(iv_id AS BIGINT) AS iv_id,
+         |  CAST(count(event_id) AS BIGINT) AS n_events
+         |FROM iv LEFT JOIN events
+         |  ON epoch_us(ts) >= iv_start AND epoch_us(ts) < iv_end
+         |GROUP BY 1""".stripMargin,
+
+    "g2_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "g3_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "w3_lag_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |  coalesce(ots - lag(ots) OVER (PARTITION BY o_custkey ORDER BY ots, o_orderkey), -1) AS gap_us
+        |FROM (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS ots FROM orders)""".stripMargin,
+
+    "w4_ntile_quartile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT o_custkey, CAST(spend AS VARCHAR) AS spend,
+        |  CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER (ORDER BY spend DESC, o_custkey), 6) AS pr
+        |FROM spend""".stripMargin,
+
+    "so3_union_all" ->
+      """SELECT event_id, 'signup' AS src FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, 'error' AS src FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "sj3_full_outer" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), big AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big
+        |  FROM orders WHERE o_totalprice > 450 GROUP BY o_custkey
+        |)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(c_name, '') AS c_name,
+        |  coalesce(n_big, 0) AS n_big
+        |FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey""".stripMargin,
+
+    "f2_json_parse" ->
+      """SELECT event_id,
+        |  coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k
+        |FROM events""".stripMargin,
+
+    "skew_salted_sum" ->
+      """SELECT event_type,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "k2_interval_subtract" ->
       s"""$runsCte, iv AS (
          |  SELECT * FROM (VALUES ($s, $e, 1), (${o1._1}, ${o1._2}, -1), (${o2._1}, ${o2._2}, -1))

@@ -324,6 +324,129 @@ object CoreQueries {
       table(s, dir, "customer")
         .join(orders, col("c_custkey") === orders("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
+    }),
+
+    // AJ1 — as-of join: each event annotated with the user's most recent
+    // order day at or before the event. Union+window sweep (one shuffle),
+    // never a theta-join; right side pre-aggregated to unique (key, ts).
+    "aj1_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(
+        col("event_id"), col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts_us"))
+      val day = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate")).as("ots"))
+        .agg(count(lit(1)).as("day_orders"))
+      graft.ops.JoinOps
+        .asofJoinPrior(ev, day, "key", "ts_us", "ots", Seq("day_orders"))
+        .select(col("event_id"), col("key").as("user_id"), col("ts_us"),
+          coalesce(col("asof_ts"), lit(-1L)).as("last_order_us"),
+          coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))
+    }),
+
+    // RJ1 — range join: events per outage interval (interval dim
+    // broadcast; empty intervals kept via left join + count(col)).
+    "rj1_range_join" -> ((s, dir) => {
+      val iv = s.createDataFrame(
+        Seq((0L, Outages(0)._1, Outages(0)._2), (1L, Outages(1)._1, Outages(1)._2)))
+        .toDF("iv_id", "iv_start", "iv_end")
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      iv.join(ev,
+          col("ts_us") >= col("iv_start") && col("ts_us") < col("iv_end"), "left")
+        .groupBy("iv_id")
+        .agg(count(col("event_id")).as("n_events"))
+    }),
+
+    // G2 — cube: all four grouping combinations in one pass.
+    "g2_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("string").as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // G3 — explicit grouping sets with GROUPING indicators.
+    "g3_grouping_sets" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))),
+
+    // W3 — lag analytics: per-customer inter-order gaps (micros; -1 for
+    // the first order — nulls kept out of numeric output columns).
+    "w3_lag_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("ots"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate")).as("ots"))
+        .withColumn("gap_us",
+          coalesce(col("ots") - lag(col("ots"), 1).over(w), lit(-1L)))
+        .select("o_custkey", "o_orderkey", "gap_us")
+    }),
+
+    // W4 — distribution analytics: spend quartile + percent_rank per
+    // customer. The quartile window is global by construction (a total
+    // order over ~customers after aggregation — cardinality already
+    // reduced by the groupBy; at 100 TB swap ntile for approx-quantile
+    // cutoffs to avoid the single-partition sort).
+    "w4_ntile_quartile" -> ((s, dir) => {
+      val spend = table(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("spend"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("spend").desc, col("o_custkey"))
+      spend.select(col("o_custkey"), col("spend").cast("string").as("spend"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+    }),
+
+    // SO3 — UNION ALL with provenance tag.
+    "so3_union_all" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), lit("signup").as("src"))
+        .unionAll(ev.filter(col("event_type") === "error")
+          .select(col("event_id"), lit("error").as("src")))
+    }),
+
+    // SJ3 — full outer join: segment customers vs big-order counts;
+    // keys coalesced so neither side's miss produces a null key.
+    "sj3_full_outer" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val big = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 450)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+      cust.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_name"), lit("")).as("c_name"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+    }),
+
+    // F2 — JSON parse (the pci_requests path, model.py:247-255): extract
+    // a typed field from a JSON props column, null-safe.
+    "f2_json_parse" -> ((s, dir) =>
+      table(s, dir, "events").select(col("event_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L))
+          .as("k"))),
+
+    // SKEW — salted two-phase sum == direct sum (exact DECIMAL, so the
+    // equality is bitwise): the hot-key mitigation operator, oracle-
+    // checked against the unsalted aggregation.
+    "skew_salted_sum" -> ((s, dir) => {
+      val df = table(s, dir, "events")
+        .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+      graft.ops.SkewOps.saltedSum(df, Seq("event_type"), "v")
+        .select(col("event_type"),
+          col("sum_v").cast("decimal(38,6)").cast("string").as("sum_value"))
     })
   )
 }

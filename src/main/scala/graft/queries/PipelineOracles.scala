@@ -100,6 +100,17 @@ object PipelineOracles {
          |SELECT doc_id, list_min(list_transform($shingleExpr, s -> md5(s))) AS fp
          |FROM t""".stripMargin,
 
+    "text_bigrams" ->
+      s"""WITH $tokCte,
+         |b AS (SELECT
+         |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bs
+         |  FROM t),
+         |c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(bs) AS bigram FROM b) GROUP BY 1)
+         |SELECT bigram, n FROM c
+         |QUALIFY row_number() OVER (ORDER BY n DESC, bigram) <= 20""".stripMargin,
+
     "text_tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -75,6 +75,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("tok"), col("rk"), col("tfidf"))
     }),
 
+    // Corpus-level top-20 bigrams: explode adjacent pairs, count, rank
+    // with a deterministic (count desc, bigram) tiebreak.
+    "text_bigrams" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("bigram"))
+      docsTok(s, dir)
+        .select(explode(TextOps.bigrams(col("toks"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select("bigram", "n")
+    }),
+
     // -- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactGroups(table(s, dir, "documents"))),

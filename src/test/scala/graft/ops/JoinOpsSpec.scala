@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class JoinOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asofJoinPrior picks the greatest right ts <= left ts, per key") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 50L, "c"))
+      .toDF("key", "ts_us", "tag")
+    val right = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 60L, 30L))
+      .toDF("key", "rts", "v")
+    val out = JoinOps.asofJoinPrior(left, right, "key", "ts_us", "rts", Seq("v"))
+      .select("key", "ts_us", "tag", "asof_ts", "v")
+      .as[(Long, Long, String, Option[Long], Option[Long])]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(
+      (1L, 100L, "a", Some(100L), Some(10L)), // tie is inclusive
+      (1L, 250L, "b", Some(200L), Some(20L)), // most recent prior wins
+      (2L, 50L, "c", None, None)))            // nothing at-or-before → null
+  }
+
+  test("asofJoinPrior does not leak values across keys") {
+    val left = Seq((1L, 500L), (2L, 500L)).toDF("key", "ts_us")
+    val right = Seq((1L, 400L, 7L)).toDF("key", "rts", "v")
+    val out = JoinOps.asofJoinPrior(left, right, "key", "ts_us", "rts", Seq("v"))
+      .select("key", "v").as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(out === Array((1L, Some(7L)), (2L, None)))
+  }
+
+  test("rangeJoin keeps rows inside [start, end) only") {
+    val facts = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L))
+      .toDF("id", "ts_us")
+    val iv = Seq((0L, 10L, 20L)).toDF("iv_id", "iv_start", "iv_end")
+    val ids = JoinOps.rangeJoin(facts, iv, "ts_us")
+      .select("id").as[Long].collect().sorted
+    assert(ids === Array(2L, 3L)) // 10 in, 19 in, 20 out (exclusive end)
+  }
+}
