@@ -294,6 +294,14 @@ object CoreOracles {
         |  coalesce(n_big, 0) AS n_big
         |FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey""".stripMargin,
 
+    "src1_csv_roundtrip" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events""".stripMargin,
+
+    "src2_json_roundtrip" ->
+      """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM events""".stripMargin,
+
     "f2_json_parse" ->
       """SELECT event_id,
         |  coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k

@@ -431,6 +431,35 @@ object CoreQueries {
           coalesce(col("n_big"), lit(0L)).as("n_big"))
     }),
 
+    // SRC1 — CSV sink + source round trip (S6's reader half): write the
+    // typed projection as headered CSV, read it back with an explicit
+    // schema, and oracle-check against the original rows — proves the
+    // text codec loses nothing. Epoch-micros column keeps the timestamp
+    // out of locale/format territory.
+    "src1_csv_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_rt_csv"
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").option("header", true).csv(out)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT")
+        .option("header", true).csv(out)
+    }),
+
+    // SRC2 — JSON-lines sink + source round trip, same contract
+    // (doubles survive: writer emits shortest round-trip repr).
+    "src2_json_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_rt_json"
+      table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT")
+        .json(out)
+    }),
+
     // F2 — JSON parse (the pci_requests path, model.py:247-255): extract
     // a typed field from a JSON props column, null-safe.
     "f2_json_parse" -> ((s, dir) =>

@@ -59,7 +59,10 @@ object PipelineQueries {
     // frequency dim; top-3 by score with term tiebreak.
     "text_tfidf_topterms" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val n = docs.count()
+      // corpus size as a broadcast 1-row dim, not a driver-side count():
+      // keeps the whole computation ONE plan/action (a separate count()
+      // is a second full scan job at 100 TB)
+      val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val toks = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -69,7 +72,8 @@ object PipelineQueries {
         .partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("tok"))
       tf.join(broadcast(df), Seq("tok"))
-        .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        .crossJoin(broadcast(nDf))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("tok"), col("rk"), col("tfidf"))
