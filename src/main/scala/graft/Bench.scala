@@ -22,10 +22,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
-      // min of two timed runs: JVM/GC noise shows up as one-sided spikes.
-      // A query that throws records -1 — a failure must look like one,
-      // not like a fast run.
-      val times = (1 to 2).map { _ =>
+      // min of three timed runs: this host shows multi-second one-sided
+      // stalls (microVM scheduling + GC); the min is the only robust
+      // steady-state estimator here. A query that throws records -1 —
+      // a failure must look like one, not like a fast run.
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>

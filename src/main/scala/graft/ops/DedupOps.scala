@@ -30,15 +30,15 @@ object DedupOps {
   val RowsPerBand = 2
   val MinHashes: Int = Bands * RowsPerBand
 
-  /** doc_id → exploded shingles (distinct per doc).
+  /** doc_id → exploded shingles, duplicates kept (no shuffle — explode
+    * stays in the scan stage).
     *
     * Built from explode(index range) + element_at/concat_ws instead of
     * TextOps.shingles' transform/slice/array_join: higher-order-function
     * lambdas are interpreted per-row in Spark, while this form stays in
     * whole-stage codegen — measured ~2.5× faster shingle generation.
-    * Yields exactly the same (doc_id, shingle) set.
     */
-  def shingled(docs: DataFrame): DataFrame = {
+  def shingledAll(docs: DataFrame): DataFrame = {
     val k = TextOps.ShingleK
     val toks = TextOps.tokens(col("text"))
     docs
@@ -50,8 +50,16 @@ object DedupOps {
       .select(col("doc_id"),
         concat_ws(" ", (0 until k).map(j => element_at(col("toks"), col("i") + j)): _*)
           .as("shingle"))
-      .distinct()
   }
+
+  /** Distinct (doc_id, shingle) set — required where shingles are
+    * COUNTED (the Jaccard |A∩B| join). The MinHash signature's per-lane
+    * `min` is duplicate-insensitive, so feed it [[shingledAll]] instead:
+    * that drops a full corpus-sized distinct shuffle from the LSH path
+    * (the explode then flows straight into the partial min aggregate).
+    */
+  def shingled(docs: DataFrame): DataFrame =
+    shingledAll(docs).distinct()
 
   /** Digests computed per shingle row. Each yields four 8-hex-char (32
     * bit) minhash lanes — 2 MD5 calls per row instead of 8 (MessageDigest

@@ -96,23 +96,27 @@ object PipelineQueries {
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactGroups(table(s, dir, "documents"))),
 
+    // shingledAll, not shingled: the signature's min-agg is duplicate-
+    // insensitive, so the LSH-only path skips the distinct shuffle.
     "dedup_minhash_buckets" -> ((s, dir) =>
       DedupOps.lshBuckets(DedupOps.lshBands(
-        DedupOps.minhashSignature(DedupOps.shingled(table(s, dir, "documents")))))),
+        DedupOps.minhashSignature(DedupOps.shingledAll(table(s, dir, "documents")))))),
 
     "dedup_minhash_pairs" -> ((s, dir) =>
       DedupOps.candidatePairs(DedupOps.lshBands(
-        DedupOps.minhashSignature(DedupOps.shingled(table(s, dir, "documents")))))),
+        DedupOps.minhashSignature(DedupOps.shingledAll(table(s, dir, "documents")))))),
 
     "dedup_jaccard" -> ((s, dir) => {
-      // R9-style reuse: the shingle table feeds the signature AND both
-      // sides of the intersection join — cache it once. Repeated
-      // invocations dedupe to ONE cache entry (CacheManager keys on the
-      // canonicalized plan); the entry lives for the session.
-      val sh = DedupOps.shingled(table(s, dir, "documents")).cache()
+      // R9-style reuse: the RAW shingle table feeds the signature AND
+      // (distinct'd) both sides of the intersection join — cache it
+      // once. Caching the pre-distinct form means the same canonical
+      // plan prefix underlies dedup_minhash_buckets/_pairs too, so the
+      // whole dedup family shares ONE cache entry for the session
+      // (CacheManager keys on the canonicalized plan).
+      val raw = DedupOps.shingledAll(table(s, dir, "documents")).cache()
       val pairs = DedupOps.candidatePairs(
-        DedupOps.lshBands(DedupOps.minhashSignature(sh)))
-      DedupOps.ngramJaccard(pairs, sh)
+        DedupOps.lshBands(DedupOps.minhashSignature(raw)))
+      DedupOps.ngramJaccard(pairs, raw.distinct())
     }),
 
     "dedup_simhash" -> ((s, dir) =>
