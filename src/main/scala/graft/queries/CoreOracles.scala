@@ -209,6 +209,20 @@ object CoreOracles {
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    "a6_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        |  round(var_samp(l_quantity), 6) AS qty_var,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(avg(l_quantity), 6) AS qty_mean
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "f6_month_bucket" ->
+      """SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS month_revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+
     "so1_except" ->
       """SELECT DISTINCT o_custkey FROM orders
         |EXCEPT

@@ -301,6 +301,27 @@ object CoreQueries {
           round(element_at(percentile_approx(col("value"),
             array(lit(0.5), lit(0.95)), lit(1000)), 1), 6).as("value_p50_approx"))),
 
+    // A6 — statistical aggregates: sample stddev/variance, correlation,
+    // mean. Rounded to 6 places; both engines use numerically stable
+    // single-pass moment updates, verified digit-identical at sf0.01.
+    "a6_stats" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+          round(var_samp(col("l_quantity")), 6).as("qty_var"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(avg(col("l_quantity")), 6).as("qty_mean"))),
+
+    // F6/F7 — calendar bucketing: the invoice-month aggregation shape
+    // (date_trunc to month, surfaced as epoch micros).
+    "f6_month_bucket" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("month", col("o_orderdate"))).as("month_us"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("string").as("month_revenue"))),
+
     // SO1 — EXCEPT: customers with only-small orders (active minus big).
     "so1_except" -> ((s, dir) => {
       val orders = table(s, dir, "orders")
