@@ -31,6 +31,31 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(out === Array((1L, Some(7L)), (2L, None)))
   }
 
+  test("asofJoinPrior matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(42)
+    val leftRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(120).toLong, i.toLong))
+    val rightRows = Seq.fill(80)((rnd.nextInt(6).toLong, rnd.nextInt(120).toLong))
+      .distinct // unique (key, ts): the operator's documented contract
+      .map { case (k, t) => (k, t, k * 1000 + t) }
+    val left = leftRows.toDF("key", "ts_us", "lid")
+    val right = rightRows.toDF("key", "rts", "v")
+
+    val got = JoinOps.asofJoinPrior(left, right, "key", "ts_us", "rts", Seq("v"))
+      .select("lid", "asof_ts", "v")
+      .as[(Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+
+    val byKey = rightRows.groupBy(_._1)
+    val exp = leftRows.sortBy(_._3).map { case (k, ts, lid) =>
+      byKey.getOrElse(k, Nil).filter(_._2 <= ts) match {
+        case Nil => (lid, None, None)
+        case xs => val m = xs.maxBy(_._2); (lid, Some(m._2), Some(m._3))
+      }
+    }
+    assert(got === exp)
+  }
+
   test("rangeJoin keeps rows inside [start, end) only") {
     val facts = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L))
       .toDF("id", "ts_us")
