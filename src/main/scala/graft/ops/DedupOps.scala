@@ -161,12 +161,16 @@ object DedupOps {
 
   /** Counts per packed aggregation buffer and their bit width. 15-bit
     * slots keep the top slot's shifted max (32767 << 45) inside a signed
-    * long; docs are assumed < 32768 tokens (LLM-corpus docs are chunked
-    * far below that — guard upstream if not).
+    * long; a doc with ≥ 2^15 tokens would overflow a slot into its
+    * neighbor's count, so [[simhash]] FAILS LOUDLY on such docs
+    * (raise_error on the already-computed token count) rather than
+    * emitting a silently-corrupt fingerprint. LLM-corpus docs are
+    * chunked far below that; pre-split any that aren't.
     */
   private val SlotBits = 15
   private val SlotsPerSum = 4
   private val SlotMask = (1L << SlotBits) - 1
+  private val MaxSimhashTokens = 1L << SlotBits
 
   /** 64-bit SimHash per doc as a bit string: explode tokens, md5 each,
     * majority-vote each bit position, emit the sign bit. One explode +
@@ -200,6 +204,14 @@ object DedupOps {
     }
     val agg = toks.groupBy("doc_id")
       .agg(packed.head, packed.tail :+ count(lit(1)).as("n"): _*)
+      // slot-overflow guard: per-group, post-agg — costs one comparison
+      // per DOC, and makes an oversized doc a job failure, not a wrong
+      // fingerprint
+      .withColumn("n",
+        when(col("n") < MaxSimhashTokens, col("n")).otherwise(raise_error(
+          concat(lit(s"simhash: doc exceeds $MaxSimhashTokens tokens (packed " +
+            "bit-count slot would overflow); pre-chunk doc_id="),
+          col("doc_id").cast("string")))))
     val bits = (0 until SimhashBits).map { j =>
       val g = j / SlotsPerSum
       val sh = (SlotsPerSum - 1 - j % SlotsPerSum) * SlotBits

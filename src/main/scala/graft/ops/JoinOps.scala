@@ -28,8 +28,12 @@ object JoinOps {
     *
     * Requirements: `key` and `leftTs` name columns on BOTH sides' output
     * positions — `right` supplies them as (key, rightTs); `leftTs` and
-    * `rightTs` must be the same (orderable) type. Right match timestamp
-    * surfaces as `asof_ts` (null when no prior row exists).
+    * `rightTs` must be the same (orderable) type; left columns must not
+    * collide with `values`, `asof_ts`, or the internal `__side`/`__rv`
+    * markers (enforced). Right match timestamp surfaces as `asof_ts`
+    * (null when no prior row exists). Null keys follow join semantics:
+    * null never equals null, so null-key left rows get no match and
+    * null-key right rows are dropped.
     */
   def asofJoinPrior(
       left: DataFrame,
@@ -39,25 +43,39 @@ object JoinOps {
       rightTs: String,
       values: Seq[String]
   ): DataFrame = {
+    val reserved = values.toSet ++ Set("asof_ts", "__side", "__rv")
+    val clashes = left.columns.filter(reserved)
+    require(clashes.isEmpty,
+      s"left columns collide with as-of output/marker names: ${clashes.mkString(", ")}")
     val lPayload = left.columns.toSeq.filterNot(Set(key, leftTs))
+    // the matched right row travels as ONE struct, so a null VALUE inside
+    // the matched row stays null instead of being patched by a per-column
+    // ignoreNulls window reaching back to an older right row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rvType = StructType(
+      StructField("asof_ts", right.schema(rightTs).dataType) +:
+        values.map(v => StructField(v, right.schema(v).dataType)))
     val lSide = left.select(
-      Seq(col(key), col(leftTs)) ++ lPayload.map(col) ++
-        Seq(lit(null).cast(right.schema(rightTs).dataType).as("asof_ts")) ++
-        values.map(v => lit(null).cast(right.schema(v).dataType).as(v)) :+
-        lit(1).as("__side"): _*)
-    val rSide = right.select(
-      Seq(col(key), col(rightTs).as(leftTs)) ++
-        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (col(rightTs).as("asof_ts") +: values.map(col)) :+
-        lit(0).as("__side"): _*)
+      Seq(col(key), col(leftTs)) ++ lPayload.map(col) :+
+        lit(null).cast(rvType).as("__rv") :+ lit(1).as("__side"): _*)
+    val rSide = right
+      .filter(col(key).isNotNull) // null ≠ null: no null-key matches
+      .select(
+        Seq(col(key), col(rightTs).as(leftTs)) ++
+          lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct((col(rightTs).as("asof_ts") +: values.map(col)): _*).as("__rv") :+
+          lit(0).as("__side"): _*)
     // right rows (side 0) sort BEFORE left rows at equal ts → inclusive
     val w = Window.partitionBy(key)
       .orderBy(col(leftTs), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = ("asof_ts" +: values).foldLeft(lSide.unionByName(rSide)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    lSide.unionByName(rSide)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        (Seq(col(key), col(leftTs)) ++ lPayload.map(col) :+
+          col("__rv").getField("asof_ts").as("asof_ts")) ++
+          values.map(v => col("__rv").getField(v).as(v)): _*)
   }
 
   /** Range join: rows of `facts` whose `tsCol` falls in [iv_start,
@@ -70,6 +88,6 @@ object JoinOps {
   def rangeJoin(facts: DataFrame, intervals: DataFrame, tsCol: String): DataFrame =
     facts.join(
       broadcast(intervals),
-      col(tsCol) >= col("iv_start") && col(tsCol) < col("iv_end"),
+      facts(tsCol) >= intervals("iv_start") && facts(tsCol) < intervals("iv_end"),
       "inner")
 }

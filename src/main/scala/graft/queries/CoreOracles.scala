@@ -210,12 +210,26 @@ object CoreOracles {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "a6_stats" ->
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 6) AS qty_stddev,
-        |  round(var_samp(l_quantity), 6) AS qty_var,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-        |  round(avg(l_quantity), 6) AS qty_mean
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sy,
+        |    -- DECIMAL(19,6), not (18,6): widths <= 18 keep int64 physical
+        |    -- storage in DuckDB and the product overflows at runtime; 19
+        |    -- promotes to hugeint. Values are exact either way.
+        |    CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS qty_stddev,
+        |  round((sxx - sx * sx / n) / (n - 1), 6) AS qty_var,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr,
+        |  round(sx / n, 6) AS qty_mean
+        |FROM m""".stripMargin,
 
     "f6_month_bucket" ->
       """SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
@@ -318,7 +332,7 @@ object CoreOracles {
 
     "f2_json_parse" ->
       """SELECT event_id,
-        |  coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k
+        |  coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k
         |FROM events""".stripMargin,
 
     "skew_salted_sum" ->

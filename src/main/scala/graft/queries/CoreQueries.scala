@@ -302,16 +302,36 @@ object CoreQueries {
             array(lit(0.5), lit(0.95)), lit(1000)), 1), 6).as("value_p50_approx"))),
 
     // A6 — statistical aggregates: sample stddev/variance, correlation,
-    // mean. Rounded to 6 places; both engines use numerically stable
-    // single-pass moment updates, verified digit-identical at sf0.01.
-    "a6_stats" -> ((s, dir) =>
+    // mean. NOT the builtin stddev/corr: those merge float moments in
+    // partition order (this file's header rule forbids order-dependent
+    // double math at the hash edge). Instead the power sums accumulate
+    // as EXACT decimals — associative, partitioning-independent — and
+    // the statistics derive from them in one fixed double expression,
+    // mirrored verbatim in the oracle.
+    "a6_stats" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(18,6)")
+      val y = col("l_extendedprice").cast("decimal(18,6)")
+      def d(c: String) = col(c).cast("double")
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
-          round(var_samp(col("l_quantity")), 6).as("qty_var"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
-          round(avg(col("l_quantity")), 6).as("qty_mean"))),
+          count(lit(1)).as("n"),
+          sum(x).cast("decimal(38,6)").as("sx"),
+          sum(y).cast("decimal(38,6)").as("sy"),
+          sum((x * x).cast("decimal(38,12)")).cast("decimal(38,12)").as("sxx"),
+          sum((y * y).cast("decimal(38,12)")).cast("decimal(38,12)").as("syy"),
+          sum((x * y).cast("decimal(38,12)")).cast("decimal(38,12)").as("sxy"))
+        .select(col("l_returnflag"),
+          round(sqrt((d("sxx") - d("sx") * d("sx") / d("n")) / (d("n") - 1)), 6)
+            .as("qty_stddev"),
+          round((d("sxx") - d("sx") * d("sx") / d("n")) / (d("n") - 1), 6)
+            .as("qty_var"),
+          round((d("n") * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+              sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 6)
+            .as("qty_price_corr"),
+          round(d("sx") / d("n"), 6).as("qty_mean"))
+    }),
 
     // F6/F7 — calendar bucketing: the invoice-month aggregation shape
     // (date_trunc to month, surfaced as epoch micros).
@@ -365,18 +385,23 @@ object CoreQueries {
           coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))
     }),
 
-    // RJ1 — range join: events per outage interval (interval dim
-    // broadcast; empty intervals kept via left join + count(col)).
+    // RJ1 — range join: events per outage interval. The FACT side streams
+    // through an inner BNLJ against the broadcast interval dim (an outer
+    // join preserving the dim would force Spark to build the fact side);
+    // empty intervals are re-attached by left-joining the tiny per-
+    // interval counts back onto the dim.
     "rj1_range_join" -> ((s, dir) => {
       val iv = s.createDataFrame(
         Seq((0L, Outages(0)._1, Outages(0)._2), (1L, Outages(1)._1, Outages(1)._2)))
         .toDF("iv_id", "iv_start", "iv_end")
       val ev = table(s, dir, "events")
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
-      iv.join(ev,
-          col("ts_us") >= col("iv_start") && col("ts_us") < col("iv_end"), "left")
+      val counts = graft.ops.JoinOps.rangeJoin(ev, iv, "ts_us")
         .groupBy("iv_id")
-        .agg(count(col("event_id")).as("n_events"))
+        .agg(count(lit(1)).as("n"))
+      iv.select("iv_id")
+        .join(counts, Seq("iv_id"), "left")
+        .select(col("iv_id"), coalesce(col("n"), lit(0L)).as("n_events"))
     }),
 
     // G2 — cube: all four grouping combinations in one pass.
@@ -456,9 +481,13 @@ object CoreQueries {
     // typed projection as headered CSV, read it back with an explicit
     // schema, and oracle-check against the original rows — proves the
     // text codec loses nothing. Epoch-micros column keeps the timestamp
-    // out of locale/format territory.
+    // out of locale/format territory. The write is a deliberate eager
+    // side effect at construction time (a round trip needs the file to
+    // exist before the read plan resolves); the path is keyed by the
+    // input dir so concurrent harness runs on different SFs don't
+    // clobber each other.
     "src1_csv_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_rt_csv"
+      val out = s"/tmp/graft_rt_csv_${dir.hashCode.toHexString}"
       table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
@@ -469,9 +498,9 @@ object CoreQueries {
     }),
 
     // SRC2 — JSON-lines sink + source round trip, same contract
-    // (doubles survive: writer emits shortest round-trip repr).
+    // (doubles survive: writer emits a parse-exact decimal repr).
     "src2_json_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_rt_json"
+      val out = s"/tmp/graft_rt_json_${dir.hashCode.toHexString}"
       table(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"),
           unix_micros(col("ts")).as("ts_us"))

@@ -31,6 +31,31 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(out === Array((1L, Some(7L)), (2L, None)))
   }
 
+  test("asofJoinPrior keeps the matched row's null value (no stale patch-through)") {
+    val left = Seq((1L, 150L)).toDF("key", "ts_us")
+    val right = Seq((1L, 50L, Some(7L)), (1L, 100L, None))
+      .toDF("key", "rts", "v")
+    val out = JoinOps.asofJoinPrior(left, right, "key", "ts_us", "rts", Seq("v"))
+      .select("asof_ts", "v").as[(Option[Long], Option[Long])].collect()
+    // the match is the rts=100 row, whose v IS null — not rts=50's v=7
+    assert(out === Array((Some(100L), None)))
+  }
+
+  test("asofJoinPrior treats null keys as join keys do: never equal") {
+    val left = Seq((Option.empty[Long], 100L), (Some(1L), 100L)).toDF("key", "ts_us")
+    val right = Seq((Option.empty[Long], 50L, 9L), (Some(1L), 50L, 5L)).toDF("key", "rts", "v")
+    val out = JoinOps.asofJoinPrior(left, right, "key", "ts_us", "rts", Seq("v"))
+      .select("key", "v").as[(Option[Long], Option[Long])].collect().toSet
+    assert(out === Set((None, None), (Some(1L), Some(5L))))
+  }
+
+  test("asofJoinPrior rejects left columns that collide with output names") {
+    val left = Seq((1L, 100L, 0L)).toDF("key", "ts_us", "asof_ts")
+    val right = Seq((1L, 50L, 9L)).toDF("key", "rts", "v")
+    assertThrows[IllegalArgumentException](
+      JoinOps.asofJoinPrior(left, right, "key", "ts_us", "rts", Seq("v")))
+  }
+
   test("asofJoinPrior matches a brute-force reference on random data") {
     val rnd = new scala.util.Random(42)
     val leftRows = Seq.tabulate(300)(i =>

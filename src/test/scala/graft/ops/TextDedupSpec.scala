@@ -93,4 +93,14 @@ class TextDedupSpec extends AnyFunSuite {
     def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(hamming(h(0L), h(2L)) < hamming(h(0L), h(3L)))
   }
+
+  test("simhash fails loudly past the packed-slot token limit") {
+    import spark.implicits._
+    val big = Seq((7L, Seq.fill(33000)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception](DedupOps.simhash(big).collect())
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(e).contains("pre-chunk doc_id=7"))
+  }
 }
