@@ -84,6 +84,55 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Hyperplane-LSH parameters. `LshPlanes` Rademacher (±1-component)
+    * hyperplanes give each vector a `LshPlanes`-bit sign signature;
+    * cosine-similar vectors agree on most signs, so same-signature
+    * bucketing is the data-independent analog of IVF cells (no trained
+    * quantizer needed). ±1 components keep every product EXACT in double
+    * arithmetic — the signature bit is sign(Σ ±x_d) with no rounding
+    * ambiguity, which the DuckDB oracle reproduces from the same inlined
+    * plane constants.
+    */
+  val LshPlanes = 8
+  val LshDim = 64
+  val LshSeed = 20260812L
+
+  /** The plane constants, deterministic from [[LshSeed]]. Both the Spark
+    * plan (as array literals) and the oracle SQL (inlined `DOUBLE[]`
+    * literals) are generated from THIS value, so they cannot drift.
+    */
+  lazy val hyperplanes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(LshSeed)
+    Seq.fill(LshPlanes)(Array.fill(LshDim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign signature of an embedding as a `LshPlanes`-char bit string. */
+  def lshSignature(emb: Column): Column =
+    concat(hyperplanes.map(p =>
+      when(dot(emb, typedlit(p.toSeq)) > 0, "1").otherwise("0")): _*)
+
+  /** LSH-bucketed top-k: like [[ivfTopK]] but the cell is the hyperplane
+    * signature instead of a precomputed label — each query probes only
+    * its own sign bucket. Recall is approximate by construction (a true
+    * neighbor in a different bucket is missed); multi-probe (flipping
+    * low-margin bits) is the standard extension and would add probe
+    * signatures to the broadcast side only.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      lshSignature(col("embedding")).as("sig"),
+      col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val scored = corpus
+      .withColumn("sig", lshSignature(col("embedding")))
+      .join(broadcast(q), Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-dup pairs within a bucket: same-label pairs
     * above a cosine threshold. Bucketed self-join — quadratic only within
     * cells.

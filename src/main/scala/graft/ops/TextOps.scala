@@ -35,6 +35,29 @@ object TextOps {
     size(filter(toks, isStop)).cast("long")
   }
 
+  /** PII scrubbing patterns — deliberately restricted to syntax valid in
+    * BOTH Java regex (Spark) and RE2 (the DuckDB oracle): character
+    * classes, bounded repetition, `\b`, plain groups; no backreferences
+    * or lookaround. Order of application matters: emails and IPs are
+    * masked before bare digit runs so an IP does not degrade into
+    * `<NUM>.<NUM>...`.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val DigitRunPattern = "[0-9]{2,}"
+
+  /** Redact emails, IPv4 addresses, and ≥2-digit runs (ids, phone
+    * fragments, account numbers) with typed placeholders. Pure codegen
+    * `regexp_replace` chain — at 100 TB this runs scan-side with zero
+    * shuffle.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      DigitRunPattern, "<NUM>")
+
   /** Punctuation characters per document. */
   val PunctClass = "[.,!?;:]"
 

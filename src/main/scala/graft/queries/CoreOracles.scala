@@ -330,6 +330,10 @@ object CoreOracles {
       """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,
 
+    "src3_orc_roundtrip" ->
+      """SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+        |FROM events""".stripMargin,
+
     "f2_json_parse" ->
       """SELECT event_id,
         |  coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k

@@ -497,6 +497,19 @@ object CoreQueries {
         .option("header", true).csv(out)
     }),
 
+    // SRC3 — ORC sink + source round trip, same contract as SRC1/2 (the
+    // third major columnar/text codec Spark ships natively). Exercises
+    // the binary columnar path: doubles and timestamps survive exactly
+    // by construction, no string formatting involved.
+    "src3_orc_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_rt_orc_${dir.hashCode.toHexString}"
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
+
     // SRC2 — JSON-lines sink + source round trip, same contract
     // (doubles survive: writer emits a parse-exact decimal repr).
     "src2_json_roundtrip" -> ((s, dir) => {

@@ -231,6 +231,43 @@ object PipelineOracles {
          |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
          |FROM ranked WHERE rank <= ${PipelineQueries.BruteK}""".stripMargin,
 
+    "text_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY doc_id, tok)
+         |SELECT doc_id,
+         |  round(CAST(count(*) AS DOUBLE) / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE), 6) AS distinct_ratio,
+         |  round(CAST(max(cnt) AS DOUBLE) / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE), 6) AS top_tok_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      s"""SELECT event_id,
+         |  regexp_replace(regexp_replace(regexp_replace(props,
+         |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextOps.DigitRunPattern}', '<NUM>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(props, '${TextOps.DigitRunPattern}')) AS BIGINT) AS n_digit_runs
+         |FROM events""".stripMargin,
+
+    "sim_lsh_topk" -> {
+      def planeLit(p: Array[Double]): String =
+        p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")
+      val sigExpr = graft.ops.SimilarityOps.hyperplanes
+        .map(p => s"CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH $normCte,
+         |sg AS (SELECT vec_id, e, nrm, $sigExpr AS sig FROM n),
+         |q AS (SELECT vec_id AS query_id, sig, e AS qe, nrm AS qn FROM sg
+         |      WHERE vec_id < ${PipelineQueries.LshQueryCount}),
+         |scored AS (SELECT q.query_id, sg.vec_id AS neighbor_id,
+         |    list_dot_product(sg.e, q.qe) / (sg.nrm * q.qn) AS cos
+         |  FROM sg JOIN q ON sg.sig = q.sig AND sg.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= ${PipelineQueries.LshK}""".stripMargin
+    },
+
     "sim_ivf_topk" ->
       s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, label, e AS qe, nrm AS qn FROM n

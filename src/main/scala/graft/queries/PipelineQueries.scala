@@ -16,6 +16,8 @@ object PipelineQueries {
   val BruteK = 10
   val IvfQueryCount = 20
   val IvfK = 5
+  val LshQueryCount = 20
+  val LshK = 5
   val NearDupThreshold = 0.3
 
   private def docsTok(s: SparkSession, dir: String): DataFrame =
@@ -105,6 +107,34 @@ object PipelineQueries {
         .select("bigram", "n")
     }),
 
+    // Repetition quality signals (the Gopher-style filters): fraction of
+    // distinct tokens and the single most-frequent token's share. One
+    // explode + per-(doc,tok) count, then a per-doc rollup — both
+    // aggregations partial-agg before their shuffle.
+    "text_repetition" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum("cnt").as("n"),
+          count(lit(1)).as("n_distinct"),
+          max("cnt").as("top"))
+        .select(col("doc_id"),
+          round(col("n_distinct").cast("double") / col("n").cast("double"), 6)
+            .as("distinct_ratio"),
+          round(col("top").cast("double") / col("n").cast("double"), 6)
+            .as("top_tok_frac"))),
+
+    // PII scrubbing over the events payload (the one testdata column with
+    // digit runs): typed placeholders for emails / IPv4 / digit runs,
+    // plus the redaction count. Pure scan-side regexp chain — no shuffle.
+    "text_pii_scrub" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        TextOps.piiScrub(col("props")).as("scrubbed"),
+        regexp_count(col("props"), lit(TextOps.DigitRunPattern)).cast("long")
+          .as("n_digit_runs"))),
+
     // -- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactGroups(table(s, dir, "documents"))),
@@ -157,6 +187,14 @@ object PipelineQueries {
       val corpus = normed(s, dir)
       SimilarityOps.ivfTopK(
         corpus, corpus.filter(col("vec_id") < IvfQueryCount), IvfK)
+    }),
+
+    // LSH-bucketed ANN: data-independent sign-signature cells instead of
+    // the IVF labels — the scale path when no trained quantizer exists.
+    "sim_lsh_topk" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      SimilarityOps.lshTopK(
+        corpus, corpus.filter(col("vec_id") < LshQueryCount), LshK)
     }),
 
     "dedup_embedding" -> ((s, dir) =>

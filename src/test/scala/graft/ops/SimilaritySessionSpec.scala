@@ -34,6 +34,21 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(top == Set(1L, 2L)) // label-0 cell only
   }
 
+  test("hyperplane LSH: deterministic planes, bucket-restricted top-k") {
+    // same seed → same planes (the oracle SQL inlines these constants)
+    val r = new scala.util.Random(SimilarityOps.LshSeed)
+    val expected = Seq.fill(SimilarityOps.LshPlanes)(
+      Seq.fill(SimilarityOps.LshDim)(if (r.nextBoolean()) 1.0 else -1.0))
+    assert(SimilarityOps.hyperplanes.map(_.toSeq) == expected)
+    val c = SimilarityOps.withNorm(vecs)
+    val top = SimilarityOps.lshTopK(c, c.filter(col("vec_id") === 0), 4)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    // vecs 1 and 4 are sign-identical to vec 0 on every plane (their
+    // first component dominates every ±1 dot); vec 3 is sign-OPPOSITE on
+    // every plane; vec 2's signature depends on independent plane bits
+    assert(top.contains(1L) && top.contains(4L) && !top.contains(3L))
+  }
+
   test("near-dup pairs: bucketed, thresholded, a<b") {
     val c = SimilarityOps.withNorm(vecs)
     val pairs = SimilarityOps.nearDupPairs(c, 0.9).collect()

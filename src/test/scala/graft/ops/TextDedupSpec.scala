@@ -94,6 +94,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hamming(h(0L), h(2L)) < hamming(h(0L), h(3L)))
   }
 
+  test("piiScrub masks emails and IPs before digit runs") {
+    import spark.implicits._
+    val m = Seq(
+      (1L, "contact john.doe+x@example.com now"),
+      (2L, "server at 192.168.0.1 port 8080"),
+      (3L, "id 1234567 and 9 single"),
+      (4L, "clean text"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.piiScrub(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "contact <EMAIL> now")
+    // the IP is one <IP>, not four <NUM>s — order of application
+    assert(m(2L) == "server at <IP> port <NUM>")
+    assert(m(3L) == "id <NUM> and 9 single")
+    assert(m(4L) == "clean text")
+  }
+
   test("simhash fails loudly past the packed-slot token limit") {
     import spark.implicits._
     val big = Seq((7L, Seq.fill(33000)("tok").mkString(" ")))
