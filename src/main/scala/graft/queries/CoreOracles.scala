@@ -310,6 +310,22 @@ object CoreOracles {
         |UNION ALL
         |SELECT event_id, 'error' AS src FROM events WHERE event_type = 'error'""".stripMargin,
 
+    "w5_range_frame" ->
+      """SELECT event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_hour
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)""".stripMargin,
+
+    "so4_except_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'view'""".stripMargin,
+
+    "a7_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY bucket""".stripMargin,
+
     "sj3_full_outer" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'

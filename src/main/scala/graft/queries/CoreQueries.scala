@@ -461,6 +461,38 @@ object CoreQueries {
           .select(col("event_id"), lit("error").as("src")))
     }),
 
+    // W5 — RANGE-framed window: events per user in the trailing hour,
+    // value-based frame (not row-based), so ties at the same timestamp
+    // all see the same count — deterministic without an id tiebreak.
+    "w5_range_frame" -> ((s, dir) => {
+      val HourUs = 3600L * 1000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-HourUs, 0)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_trailing_hour"))
+    }),
+
+    // SO4 — EXCEPT ALL: multiset difference (a user with 3 clicks and 1
+    // view keeps 2 click rows — DISTINCT-based EXCEPT would keep 0 or 1).
+    "so4_except_all" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .exceptAll(ev.filter(col("event_type") === "view").select("user_id"))
+    }),
+
+    // A7 — uniform histogram over a value column (feature bucketing).
+    // Explicit floor(value/width) instead of width_bucket: DuckDB lacks
+    // the function, and the floor form is identical IEEE math in both
+    // engines. Values are known ∈ [0, 500) so no edge clamp is needed.
+    "a7_histogram" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(floor(col("value") / 25.0).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"))),
+
     // SJ3 — full outer join: segment customers vs big-order counts;
     // keys coalesced so neither side's miss produces a null key.
     "sj3_full_outer" -> ((s, dir) => {
