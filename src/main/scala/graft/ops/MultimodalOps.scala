@@ -70,6 +70,24 @@ object MultimodalOps {
       md5(col("payload")).as("payload_md5"),
       ceil(length(col("payload")) / frameStride.toDouble).cast("long").as("n_frames"))
 
+  /** Resize plan (thumbnail crop): STUB for a real scaler — keeps the
+    * first ceil(len/scale²) payload bytes and divides the dimension
+    * metadata by `scale`. A real implementation would decode + resample
+    * inside [[extractFeatures]]'s batched mapPartitions; what must scale
+    * is exactly this shape: the payload slice is a codegen binary
+    * expression on the scan side (no shuffle, no driver involvement),
+    * and the metadata stays columnar so downstream filters on the new
+    * dimensions still prune without touching bytes.
+    */
+  def resizeStub(media: DataFrame, scale: Int = 2): DataFrame = {
+    val thumbLen = ceil(length(col("payload")) / (scale * scale).toDouble)
+    media.select(
+      col("media_id"),
+      (col("width") / scale).cast("int").as("width"),
+      (col("height") / scale).cast("int").as("height"),
+      col("payload").substr(lit(1), thumbLen.cast("int")).as("thumb"))
+  }
+
   /** Per-partition batched feature extraction — the `mapInPandas` analog:
     * one iterator per partition, features computed batch-at-a-time. The
     * fake feature is 8 floats from the md5 (STUB — replace with codec).

@@ -327,6 +327,12 @@ object PipelineOracles {
         |    AS BIGINT) AS q_checksum
         |FROM embeddings""".stripMargin,
 
+    "mm_resize" ->
+      """SELECT doc_id AS media_id, 320 AS width, 240 AS height,
+        |  CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS thumb_len,
+        |  md5(substr(text, 1, CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT))) AS thumb_md5
+        |FROM documents""".stripMargin,
+
     "mm_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -223,6 +223,16 @@ object PipelineQueries {
           md5(expr("substring(payload, cast(frame_offset + 1 as int), 256)")).as("frame_md5"))
     }),
 
+    // resize (thumbnail-crop stub): payload slice + halved dimension
+    // metadata; surfaced as length+md5 so the oracle checks the slice
+    // bytes exactly.
+    "mm_resize" -> ((s, dir) =>
+      MultimodalOps.resizeStub(
+        MultimodalOps.packDocuments(table(s, dir, "documents")))
+        .select(col("media_id"), col("width"), col("height"),
+          length(col("thumb")).cast("long").as("thumb_len"),
+          md5(col("thumb")).as("thumb_md5"))),
+
     // int8 quantization of embeddings (min/max affine) — the compression
     // step before a quantized ANN index; checksum column keeps the oracle
     // compact.

@@ -90,4 +90,16 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(feats(0L).feature.length == 8)
     assert(feats(2L).n_frames == meta(2L)._3)
   }
+
+  test("multimodal resize stub: quarter payload, halved dimensions") {
+    val docs = Seq((0L, "hello world!", 12L), (1L, "", 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = MultimodalOps.resizeStub(MultimodalOps.packDocuments(docs))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          new String(r.getAs[Array[Byte]]("thumb"), "UTF-8"))))
+      .toMap
+    assert(out(0L) == ((320, 240, "hel"))) // ceil(12/4) = 3 bytes kept
+    assert(out(1L) == ((320, 240, "")))    // empty payload survives
+  }
 }
