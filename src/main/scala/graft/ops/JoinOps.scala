@@ -42,6 +42,33 @@ object JoinOps {
       leftTs: String,
       rightTs: String,
       values: Seq[String]
+  ): DataFrame =
+    asofJoin(left, right, key, leftTs, rightTs, values, prior = true)
+
+  /** Forward as-of join: for each left row, the right row with the
+    * SMALLEST `rightTs >= leftTs` for the same key (inclusive) — the
+    * "next event after" direction (DuckDB `ASOF ... ON l.ts <= r.ts`).
+    * Same union+window sweep as [[asofJoinPrior]], with the frame
+    * reversed.
+    */
+  def asofJoinNext(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      values: Seq[String]
+  ): DataFrame =
+    asofJoin(left, right, key, leftTs, rightTs, values, prior = false)
+
+  private def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      values: Seq[String],
+      prior: Boolean
   ): DataFrame = {
     val reserved = values.toSet ++ Set("asof_ts", "__side", "__rv")
     val clashes = left.columns.filter(reserved)
@@ -50,28 +77,36 @@ object JoinOps {
     val lPayload = left.columns.toSeq.filterNot(Set(key, leftTs))
     // the matched right row travels as ONE struct, so a null VALUE inside
     // the matched row stays null instead of being patched by a per-column
-    // ignoreNulls window reaching back to an older right row
+    // ignoreNulls window reaching to another right row
     import org.apache.spark.sql.types.{StructField, StructType}
     val rvType = StructType(
       StructField("asof_ts", right.schema(rightTs).dataType) +:
         values.map(v => StructField(v, right.schema(v).dataType)))
+    // at equal ts the right row must fall INSIDE the left row's frame:
+    // prior → right sorts before left, frame reaches back; next → right
+    // sorts after left, frame reaches forward
+    val (lTag, rTag) = if (prior) (1, 0) else (0, 1)
     val lSide = left.select(
       Seq(col(key), col(leftTs)) ++ lPayload.map(col) :+
-        lit(null).cast(rvType).as("__rv") :+ lit(1).as("__side"): _*)
+        lit(null).cast(rvType).as("__rv") :+ lit(lTag).as("__side"): _*)
     val rSide = right
       .filter(col(key).isNotNull) // null ≠ null: no null-key matches
       .select(
         Seq(col(key), col(rightTs).as(leftTs)) ++
           lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
           struct((col(rightTs).as("asof_ts") +: values.map(col)): _*).as("__rv") :+
-          lit(0).as("__side"): _*)
-    // right rows (side 0) sort BEFORE left rows at equal ts → inclusive
-    val w = Window.partitionBy(key)
-      .orderBy(col(leftTs), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+          lit(rTag).as("__side"): _*)
+    val wBase = Window.partitionBy(key).orderBy(col(leftTs), col("__side"))
+    val filled =
+      if (prior)
+        last(col("__rv"), ignoreNulls = true)
+          .over(wBase.rowsBetween(Window.unboundedPreceding, 0))
+      else
+        first(col("__rv"), ignoreNulls = true)
+          .over(wBase.rowsBetween(0, Window.unboundedFollowing))
     lSide.unionByName(rSide)
-      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__rv", filled)
+      .filter(col("__side") === lTag)
       .select(
         (Seq(col(key), col(leftTs)) ++ lPayload.map(col) :+
           col("__rv").getField("asof_ts").as("asof_ts")) ++

@@ -35,6 +35,18 @@ object TextOps {
     size(filter(toks, isStop)).cast("long")
   }
 
+  /** Canonical text form for "fuzzy-exact" dedup: lowercase, non-
+    * alphanumerics to spaces, runs of spaces collapsed, trimmed. Two
+    * documents differing only in case/punctuation/whitespace canonicalize
+    * identically, so exact-dedup machinery over md5(canonical) catches
+    * them — the standard first pass before MinHash. Pure codegen regexp
+    * chain, scan-side.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** PII scrubbing patterns — deliberately restricted to syntax valid in
     * BOTH Java regex (Spark) and RE2 (the DuckDB oracle): character
     * classes, bounded repetition, `\b`, plain groups; no backreferences

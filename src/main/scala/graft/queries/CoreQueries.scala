@@ -385,6 +385,23 @@ object CoreQueries {
           coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))
     }),
 
+    // AJ2 — forward as-of join: each event's NEXT order day at-or-after
+    // its timestamp (the mirror of AJ1's most-recent-prior direction).
+    "aj2_asof_next" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(
+        col("event_id"), col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts_us"))
+      val day = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate")).as("ots"))
+        .agg(count(lit(1)).as("day_orders"))
+      graft.ops.JoinOps
+        .asofJoinNext(ev, day, "key", "ts_us", "ots", Seq("day_orders"))
+        .select(col("event_id"), col("key").as("user_id"), col("ts_us"),
+          coalesce(col("asof_ts"), lit(-1L)).as("next_order_us"),
+          coalesce(col("day_orders"), lit(0L)).as("next_day_orders"))
+    }),
+
     // RJ1 — range join: events per outage interval. The FACT side streams
     // through an inner BNLJ against the broadcast interval dim (an outer
     // join preserving the dim would force Spark to build the fact side);

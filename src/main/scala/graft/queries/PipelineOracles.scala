@@ -134,6 +134,12 @@ object PipelineOracles {
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
+    "dedup_canonical" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_md5,
+        |  min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY canon_md5""".stripMargin,
+
     "dedup_minhash_buckets" ->
       s"""WITH $bandsCte
          |SELECT band, h, min(doc_id) AS canonical_doc_id, count(*) AS n_docs

@@ -81,8 +81,10 @@ object PipelineQueries {
       val toks = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+      // df derives FROM tf: tf already has one row per (doc, tok), so
+      // the doc-frequency is a count over it — no second explode+distinct
+      // scan of the corpus, and AQE reuses tf's exchange for both uses.
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("tok"))
@@ -138,6 +140,16 @@ object PipelineQueries {
     // -- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactGroups(table(s, dir, "documents"))),
+
+    // "fuzzy-exact" dedup: group by md5 of the canonical form — catches
+    // case/punctuation/whitespace-only variants before the MinHash pass.
+    "dedup_canonical" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextOps.canonicalize(col("text"))).as("canon_md5"))
+        .groupBy("canon_md5")
+        .agg(min("doc_id").as("canonical_doc_id"),
+          count(lit(1)).as("n_copies"))),
 
     // shingledAll, not shingled: the signature's min-agg is duplicate-
     // insensitive, so the LSH-only path skips the distinct shuffle.

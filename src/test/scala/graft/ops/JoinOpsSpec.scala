@@ -56,6 +56,38 @@ class JoinOpsSpec extends AnyFunSuite {
       JoinOps.asofJoinPrior(left, right, "key", "ts_us", "rts", Seq("v")))
   }
 
+  test("asofJoinNext picks the earliest right row at-or-after, inclusive") {
+    val left = Seq((1L, 100L), (1L, 151L), (2L, 100L)).toDF("key", "ts_us")
+    val right = Seq((1L, 100L, 5L), (1L, 150L, 7L)).toDF("key", "rts", "v")
+    val out = JoinOps.asofJoinNext(left, right, "key", "ts_us", "rts", Seq("v"))
+      .select("key", "ts_us", "asof_ts", "v")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(out === Set(
+      (1L, 100L, Some(100L), Some(5L)), // equal ts matches (inclusive)
+      (1L, 151L, None, None),           // nothing at-or-after 151
+      (2L, 100L, None, None)))          // no right rows for key 2
+  }
+
+  test("asofJoinNext matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(43)
+    val leftRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rightRows = Seq.tabulate(80)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 7 % 997, i.toLong * 10))
+      .distinctBy(r => (r._1, r._2)) // unique (key, ts) per contract
+    val left = leftRows.toDF("key", "ts_us", "lid")
+    val right = rightRows.toDF("key", "rts", "v")
+    val got = JoinOps.asofJoinNext(left, right, "key", "ts_us", "rts", Seq("v"))
+      .select("lid", "asof_ts", "v")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    leftRows.foreach { case (k, ts, lid) =>
+      val next = rightRows.filter(r => r._1 == k && r._2 >= ts)
+        .sortBy(_._2).headOption
+      assert(got(lid) === ((next.map(_._2), next.map(_._3))), s"lid=$lid")
+    }
+  }
+
   test("asofJoinPrior matches a brute-force reference on random data") {
     val rnd = new scala.util.Random(42)
     val leftRows = Seq.tabulate(300)(i =>

@@ -94,6 +94,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hamming(h(0L), h(2L)) < hamming(h(0L), h(3L)))
   }
 
+  test("canonicalize folds case, punctuation, and whitespace variants together") {
+    import spark.implicits._
+    val c = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "  HELLO --- world  "),
+      (4L, "hello worlds"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.canonicalize(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(c(1L) == "hello world" && c(2L) == "hello world" && c(3L) == "hello world")
+    assert(c(4L) == "hello worlds") // real differences survive
+  }
+
   test("piiScrub masks emails and IPs before digit runs") {
     import spark.implicits._
     val m = Seq(
