@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression tests: the physical-plan properties PLANS.md documents
+  * as the 100 TB scale story, asserted so they cannot silently regress.
+  * These inspect the STATIC plan (explain string) — the broadcast /
+  * pushdown / shuffle-count decisions below are all made at plan time
+  * (explicit `broadcast()` hints, scan-level pushdown), not by AQE.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).length
+
+  test("r2_left_join broadcasts the dimension — no sort-merge join") {
+    val p = plan("r2_left_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1_pricing_summary pushes the shipdate filter into the scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"))
+  }
+
+  test("k1_state_machine is a single-shuffle plan") {
+    val p = plan("k1_state_machine")
+    // one Exchange for the whole state machine (no BroadcastExchange here)
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1, p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("sim_lsh_topk: corpus scanned once, queries broadcast, top-k pushed down") {
+    val p = plan("sim_lsh_topk")
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 2) // corpus + query subset, not 3+
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("dedup_minhash_pairs scans the corpus once") {
+    val p = plan("dedup_minhash_pairs")
+    // the documents table appears in exactly one scan — whether read
+    // directly or inside the cached bands table's build plan — never as
+    // two planned copies of the shingle pipeline (the self-join shape)
+    assert(countOf(p, "documents\\.parquet\\]") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("text_pii_scrub is scan-side only — zero exchanges") {
+    val p = plan("text_pii_scrub")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 0)
+    assert(countOf(p, "BroadcastExchange") == 0)
+  }
+
+  test("rj1_range_join broadcasts the interval dim against the fact stream") {
+    val p = plan("rj1_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the events fact side must not be the broadcast side
+    assert(p.contains("BuildRight") || p.contains("BuildLeft"))
+  }
+
+  test("billing flagship keeps money in DecimalType to the sink edge") {
+    val df = SparkEntry.queries("billing_invoice")(spark, dir)
+    val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))
+    assert(costField.isEmpty ||
+      costField.get.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] ||
+      costField.get.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+  }
+}
