@@ -294,6 +294,21 @@ object PipelineOracles {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= ${PipelineQueries.NearDupThreshold}""".stripMargin,
 
+    "sample_hash" -> {
+      val thr = (PipelineQueries.SampleFraction * graft.ops.SampleOps.HashSpace).toLong
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < $thr""".stripMargin
+    },
+
+    "sample_stratified" -> {
+      val cases = PipelineQueries.StratifiedFractions.map { case (s, f) =>
+        s"WHEN lang = '$s' THEN ${(f * graft.ops.SampleOps.HashSpace).toLong}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+         |  < (CASE $cases ELSE 0 END)""".stripMargin
+    },
+
     "sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
          |x AS (SELECT user_id, ts_us, event_id,

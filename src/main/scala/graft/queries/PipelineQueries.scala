@@ -19,6 +19,9 @@ object PipelineQueries {
   val LshQueryCount = 20
   val LshK = 5
   val NearDupThreshold = 0.3
+  val SampleFraction = 0.1
+  val StratifiedFractions: Map[String, Double] =
+    Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
 
   private def docsTok(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
@@ -211,6 +214,21 @@ object PipelineQueries {
 
     "dedup_embedding" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
+
+    // -- deterministic sampling -------------------------------------------
+    // key-hash draw, not sample(seed): same rows on any partitioning /
+    // engine / rerun — the reproducibility contract corpus subsetting
+    // needs at 100 TB.
+    "sample_hash" -> ((s, dir) =>
+      SampleOps.hashSample(table(s, dir, "documents"), "doc_id", SampleFraction)
+        .select("doc_id", "lang")),
+
+    // stratified: rebalance the language mix (downsample dominant en,
+    // keep more of the rare strata).
+    "sample_stratified" -> ((s, dir) =>
+      SampleOps.stratifiedHashSample(
+        table(s, dir, "documents"), "doc_id", "lang", StratifiedFractions)
+        .select("doc_id", "lang")),
 
     // -- sessionization ---------------------------------------------------
     "sessionize" -> ((s, dir) =>
