@@ -83,7 +83,22 @@ object Main {
     t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
 
   def main(args: Array[String]): Unit = {
-    val cfg = parseArgs(args.toIndexedSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(parseArgs(args.toIndexedSeq), spark)
+    finally spark.stop()
+  }
+
+  /** The whole batch job against a caller-owned session (testable without
+    * tearing the session down — `main` owns the lifecycle, not the work).
+    */
+  def run(cfg: Config, spark: SparkSession): Unit = {
     // F6 — window defaulting (main.py:21-30)
     val (defStart, defEnd) = InvoiceSink.defaultWindow(java.time.LocalDate.now())
     val start = cfg.start.getOrElse(defStart)
@@ -93,15 +108,6 @@ object Main {
     // the window.
     val invoiceMonth = cfg.invoiceMonth.getOrElse(
       defStart.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")))
-
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     val startUs = toUs(start)
     val endUs = toUs(end)
@@ -131,6 +137,5 @@ object Main {
     println(s"[main] s3 primary key: $primary")
     println(s"[main] s3 daily key:   $daily")
     println(s"[main] s3 archive key: $archive")
-    spark.stop()
   }
 }

@@ -31,4 +31,45 @@ class MainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Main.parseArgs(Seq("--bogus", "x")))
     intercept[IllegalArgumentException](Main.parseArgs(Seq("--data-dir", "/d")))
   }
+
+  test("end-to-end CLI run: nova-shaped parquet in, 16-column invoice CSV out") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val HOUR = 3600L * 1000000L
+    val start = graft.core.Types.utcMicros(2024, 1, 1)
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-cli-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cli-out").toString
+    Seq(("i1", "host1", 1L, 8192L, 2, None: Option[java.sql.Timestamp], 0, "projA"))
+      .toDF("uuid", "hostname", "instance_type_id", "memory_mb", "vcpus",
+        "deleted_at", "deleted", "project_id")
+      .write.mode("overwrite").parquet(s"$dataDir/instances.parquet")
+    Seq(("i1", null: String))
+      .toDF("instance_uuid", "pci_requests")
+      .write.mode("overwrite").parquet(s"$dataDir/instance_extra.parquet")
+    Seq(
+      ("i1", ts(start), "create", ""),
+      ("i1", ts(start + 10 * HOUR), "delete", ""))
+      .toDF("instance_uuid", "created_at", "action", "message")
+      .write.mode("overwrite").parquet(s"$dataDir/instance_actions.parquet")
+
+    // run(cfg, session), not main(): main owns (and stops) its own session
+    Main.run(Main.parseArgs(Seq(
+      "--data-dir", dataDir, "--output-dir", outDir,
+      "--start", "2024-01-01", "--end", "2024-02-01",
+      "--invoice-month", "2024-01",
+      "--rate-cpu-su", "0.013")), spark)
+
+    val csv = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .toArray.map(_.toString).filter(_.endsWith(".csv"))
+    assert(csv.length == 1)
+    val lines = scala.io.Source.fromFile(csv(0)).getLines().toSeq
+    assert(lines.head.split(",", -1).length == 16) // S6 header contract
+    assert(lines.size == 2)                        // header + projA row
+    val row = lines(1)
+    assert(row.contains("projA") && row.contains("2024-01"))
+    assert(row.contains("20"))       // 10h × 2 SU hours
+    assert(row.contains("0.26"))     // 20 × 0.013, cents-rounded
+  }
 }
