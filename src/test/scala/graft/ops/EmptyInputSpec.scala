@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Degenerate-input robustness: zero-row tables, empty strings, and
+  * single-token documents must produce empty/benign results — never a
+  * thrown job. This is the failure class behind Spark's descending
+  * `sequence(0, -1)` ("Illegal sequence boundaries") and friends: at
+  * 100 TB some partition WILL be empty and some document WILL be
+  * zero-length, and one bad row kills the whole job.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val noDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  lazy val degenerateDocs: DataFrame =
+    Seq((1L, ""), (2L, "one"), (3L, "two toks")).toDF("doc_id", "text")
+
+  test("dedup family survives zero-row and degenerate documents") {
+    assert(DedupOps.exactGroups(noDocs).count() == 0)
+    assert(DedupOps.simhash(noDocs).count() == 0)
+    assert(DedupOps.shingledAll(noDocs).count() == 0)
+    // shorter-than-k docs shingle to nothing, not to an error
+    assert(DedupOps.shingledAll(degenerateDocs).count() == 0)
+    assert(DedupOps.simhash(degenerateDocs).count() == 3)
+    assert(DedupOps.simhashPairs(DedupOps.simhash(noDocs)).count() == 0)
+    assert(DedupOps.lshBuckets(DedupOps.lshBands(
+      DedupOps.minhashSignature(DedupOps.shingledAll(noDocs)))).count() == 0)
+  }
+
+  test("text ops survive empty strings and empty tables") {
+    val out = degenerateDocs.select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"),
+      TextOps.piiScrub(col("text")).as("scrub"),
+      TextOps.canonicalize(col("text")).as("canon"))
+    assert(out.count() == 3)
+    assert(noDocs.select(TextOps.langId(TextOps.tokens(col("text")))).count() == 0)
+  }
+
+  test("multimodal plumbing survives empty payloads and empty tables") {
+    val media = MultimodalOps.packDocuments(
+      degenerateDocs.withColumn("n_chars", length(col("text")).cast("long")))
+    // doc 1 has a zero-byte payload: frameOffsets must yield [] not throw
+    val frames = media.select(col("media_id"),
+      explode(MultimodalOps.frameOffsets(length(col("payload")).cast("long"), 256)))
+    assert(frames.count() == 2) // docs 2 and 3 only
+    assert(MultimodalOps.resizeStub(media).count() == 3)
+    val emptyMedia = MultimodalOps.packDocuments(
+      noDocs.withColumn("n_chars", lit(0L)))
+    assert(MultimodalOps.decodeStub(emptyMedia).count() == 0)
+  }
+
+  test("joins and sessions survive empty sides") {
+    val noEvents = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts_us", "event_id")
+    assert(SessionOps.sessionStats(noEvents).count() == 0)
+    val left = Seq((1L, 100L)).toDF("key", "ts_us")
+    val noRight = Seq.empty[(Long, Long, Long)].toDF("key", "rts", "v")
+    val out = JoinOps.asofJoinPrior(left, noRight, "key", "ts_us", "rts", Seq("v"))
+      .select("asof_ts").as[Option[Long]].collect()
+    assert(out.toSeq == Seq(None)) // left preserved, no match
+    val next = JoinOps.asofJoinNext(left, noRight, "key", "ts_us", "rts", Seq("v"))
+      .select("asof_ts").as[Option[Long]].collect()
+    assert(next.toSeq == Seq(None))
+  }
+
+  test("sampling survives empty tables") {
+    assert(SampleOps.hashSample(noDocs, "doc_id", 0.5).count() == 0)
+  }
+}
