@@ -294,6 +294,11 @@ object PipelineOracles {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= ${PipelineQueries.NearDupThreshold}""".stripMargin,
 
+    "sql1_ext_fns" ->
+      s"""SELECT vec_id,
+         |  round(${dotExpr("embedding", "embedding")}, 6) AS self_dot
+         |FROM embeddings""".stripMargin,
+
     "sample_hash" -> {
       val thr = (PipelineQueries.SampleFraction * graft.ops.SampleOps.HashSpace).toLong
       s"""SELECT doc_id, lang FROM documents

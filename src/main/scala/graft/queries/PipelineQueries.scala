@@ -215,6 +215,17 @@ object PipelineQueries {
     "dedup_embedding" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
 
+    // -- SQL surface ------------------------------------------------------
+    // the same engine through pure SQL: temp view + the natively-
+    // registered codegen expression resolving by name (the
+    // SparkSessionExtensions path a SQL-only user would take).
+    "sql1_ext_fns" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      table(s, dir, "embeddings").createOrReplaceTempView("embeddings_sqlv")
+      s.sql("""SELECT vec_id, round(vec_dot(embedding, embedding), 6) AS self_dot
+              |FROM embeddings_sqlv""".stripMargin)
+    }),
+
     // -- deterministic sampling -------------------------------------------
     // key-hash draw, not sample(seed): same rows on any partitioning /
     // engine / rerun — the reproducibility contract corpus subsetting
