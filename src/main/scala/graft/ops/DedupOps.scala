@@ -127,6 +127,60 @@ object DedupOps {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
+  /** Duplicate-cluster resolution: connected components over the
+    * near-dup pair graph, so transitive duplicates (A~B, B~C) collapse
+    * into ONE cluster with `cluster_id = min(doc_id)` — the id downstream
+    * keep-one-per-cluster filters group on. Singletons map to themselves.
+    *
+    * Iterative min-label propagation: each round joins labels to edges
+    * and takes the neighborhood minimum, converging in O(component
+    * diameter) rounds — near-dup clusters are small and dense, so a
+    * handful. Each round is one shuffle join + aggregate on the EDGE
+    * table (not all docs × all docs); rounds cache their labels and drop
+    * the previous round's so lineage and memory stay bounded. Fails
+    * loudly past `maxRounds` rather than returning a half-converged
+    * labeling.
+    */
+  def duplicateClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxRounds: Int = 50
+  ): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")),
+          Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nbr").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"duplicateClusters did not converge in $maxRounds rounds — component " +
+        "diameter exceeds the bound; raise maxRounds")
+    labels
+  }
+
   /** n-gram Jaccard verification of candidate pairs, fully relational:
     * |A∩B| via a shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Long/long
     * division → double is identical IEEE math in DuckDB.

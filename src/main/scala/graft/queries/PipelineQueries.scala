@@ -182,6 +182,13 @@ object PipelineQueries {
     // cached: one short row per doc, and dedup_simhash_pairs' prefix
     // canonically matches it — the pairs query then starts from the
     // fingerprints instead of replanning tokenize+explode+md5.
+    // transitive duplicate clusters over the LSH candidate graph —
+    // the keep-one-per-cluster id assignment (connected components).
+    "dedup_clusters" -> ((s, dir) =>
+      DedupOps.duplicateClusters(
+        table(s, dir, "documents").select("doc_id"),
+        DedupOps.candidatePairs(dedupBands(s, dir)))),
+
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(table(s, dir, "documents")).cache()),
 

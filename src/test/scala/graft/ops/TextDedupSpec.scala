@@ -94,6 +94,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hamming(h(0L), h(2L)) < hamming(h(0L), h(3L)))
   }
 
+  test("duplicateClusters: transitive chains collapse, components stay disjoint") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 1-2-3 (1~3 only transitively), pair 4-5, singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.duplicateClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("duplicateClusters fails loudly when the round bound is too low") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](
+      DedupOps.duplicateClusters(docs, chain, maxRounds = 1))
+  }
+
   test("canonicalize folds case, punctuation, and whitespace variants together") {
     import spark.implicits._
     val c = Seq(
