@@ -125,4 +125,40 @@ object JoinOps {
       broadcast(intervals),
       facts(tsCol) >= intervals("iv_start") && facts(tsCol) < intervals("iv_end"),
       "inner")
+
+  /** Big-big range join: when `intervals` is too large to broadcast, a
+    * BroadcastNestedLoopJoin is off the table and a raw theta-join is
+    * O(n·m). Standard scale path: bin time into a fixed grid, explode
+    * each interval into the bins it covers, equi-join facts on their bin
+    * (a plain shuffled hash join), and post-filter exact containment.
+    * Work is O(facts + intervals·span/binWidth + true matches); pick
+    * `binWidth` near the typical interval length so each interval
+    * explodes into a handful of bins.
+    *
+    * Same output contract as [[rangeJoin]]: facts × matching interval
+    * rows, `[iv_start, iv_end)` semantics.
+    */
+  def rangeJoinBinned(
+      facts: DataFrame,
+      intervals: DataFrame,
+      tsCol: String,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = intervals
+      // degenerate intervals first: sequence() below would count DOWN
+      // and throw on iv_end <= iv_start
+      .filter(col("iv_end") > col("iv_start"))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col("iv_start") / binWidth),
+          // iv_end is exclusive: an interval ending exactly on a bin edge
+          // does not reach into that bin
+          floor((col("iv_end") - 1) / binWidth))))
+    facts
+      .withColumn("__bin", floor(col(tsCol) / binWidth))
+      .join(binned, Seq("__bin"))
+      .filter(col(tsCol) >= col("iv_start") && col(tsCol) < col("iv_end"))
+      .drop("__bin")
+  }
 }

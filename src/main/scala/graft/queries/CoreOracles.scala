@@ -288,6 +288,17 @@ object CoreOracles {
          |  ON epoch_us(ts) >= iv_start AND epoch_us(ts) < iv_end
          |GROUP BY 1""".stripMargin,
 
+    "rj2_range_binned" ->
+      s"""WITH iv AS (
+         |  SELECT * FROM (VALUES (0, ${o1._1}, ${o1._2}), (1, ${o2._1}, ${o2._2}))
+         |    AS t(iv_id, iv_start, iv_end)
+         |)
+         |SELECT CAST(iv_id AS BIGINT) AS iv_id,
+         |  CAST(count(event_id) AS BIGINT) AS n_events
+         |FROM iv LEFT JOIN events
+         |  ON epoch_us(ts) >= iv_start AND epoch_us(ts) < iv_end
+         |GROUP BY 1""".stripMargin,
+
     "g2_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,

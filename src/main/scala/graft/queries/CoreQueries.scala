@@ -421,6 +421,26 @@ object CoreQueries {
         .select(col("iv_id"), coalesce(col("n"), lit(0L)).as("n_events"))
     }),
 
+    // RJ2 — the same range-join semantics through the BINNED equi-join
+    // path (the big-big formulation for when the interval side can't
+    // broadcast): intervals explode onto an hour grid, facts equi-join
+    // their bin, exact containment post-filtered. Oracle identical to
+    // RJ1 by construction.
+    "rj2_range_binned" -> ((s, dir) => {
+      val iv = s.createDataFrame(
+        Seq((0L, Outages(0)._1, Outages(0)._2), (1L, Outages(1)._1, Outages(1)._2)))
+        .toDF("iv_id", "iv_start", "iv_end")
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val counts = graft.ops.JoinOps
+        .rangeJoinBinned(ev, iv, "ts_us", 3600L * 1000000L)
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n"))
+      iv.select("iv_id")
+        .join(counts, Seq("iv_id"), "left")
+        .select(col("iv_id"), coalesce(col("n"), lit(0L)).as("n_events"))
+    }),
+
     // G2 — cube: all four grouping combinations in one pass.
     "g2_cube" -> ((s, dir) =>
       table(s, dir, "lineitem")

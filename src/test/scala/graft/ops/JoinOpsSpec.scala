@@ -56,6 +56,34 @@ class JoinOpsSpec extends AnyFunSuite {
       JoinOps.asofJoinPrior(left, right, "key", "ts_us", "rts", Seq("v")))
   }
 
+  test("rangeJoinBinned equals the broadcast range join on random data") {
+    val rnd = new scala.util.Random(7)
+    val facts = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("fact_id", "ts")
+    val ivs = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(9500).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(800).toLong)
+    }.toDF("iv_id", "iv_start", "iv_end")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("fact_id", "iv_id").as[(Long, Long)].collect().toSet
+    val broadcastJoin = pairs(JoinOps.rangeJoin(facts, ivs, "ts"))
+    // binWidth much smaller AND larger than typical interval spans
+    assert(pairs(JoinOps.rangeJoinBinned(facts, ivs, "ts", 64L)) == broadcastJoin)
+    assert(pairs(JoinOps.rangeJoinBinned(facts, ivs, "ts", 4096L)) == broadcastJoin)
+  }
+
+  test("rangeJoinBinned bin edges: exclusive end, empty intervals dropped") {
+    val facts = Seq((1L, 100L), (2L, 128L), (3L, 199L), (4L, 200L)).toDF("fact_id", "ts")
+    val ivs = Seq(
+      (10L, 100L, 200L), // [100,200): facts 1,2,3 — not 4
+      (11L, 64L, 128L),  // ends ON a bin edge (width 64): fact 1 only
+      (12L, 300L, 300L)  // empty: must not throw or match
+    ).toDF("iv_id", "iv_start", "iv_end")
+    val got = JoinOps.rangeJoinBinned(facts, ivs, "ts", 64L)
+      .select("fact_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L)))
+  }
+
   test("asofJoinNext picks the earliest right row at-or-after, inclusive") {
     val left = Seq((1L, 100L), (1L, 151L), (2L, 100L)).toDF("key", "ts_us")
     val right = Seq((1L, 100L, 5L), (1L, 150L, 7L)).toDF("key", "rts", "v")
