@@ -345,6 +345,18 @@ object CoreOracles {
         |EXCEPT ALL
         |SELECT user_id FROM events WHERE event_type = 'view'""".stripMargin,
 
+    "a8_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        |), r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |  FROM h
+        |)
+        |SELECT event_type,
+        |  round(63 / (('0x' || substr(h, 1, 8))::BIGINT / 4294967296.0), 6) AS kmv_estimate
+        |FROM r WHERE rk = 64""".stripMargin,
+
     "a7_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_events

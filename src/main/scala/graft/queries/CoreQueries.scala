@@ -520,6 +520,29 @@ object CoreQueries {
         .exceptAll(ev.filter(col("event_type") === "view").select("user_id"))
     }),
 
+    // A8 — KMV (k-minimum-values) approximate distinct count. Unlike
+    // HLL (engine-specific, not oracle-able — see a5), KMV over md5 is
+    // fully DETERMINISTIC: the k-th smallest hash is a pure function of
+    // the value set, so the estimate (k−1)/u_k reproduces bit-identically
+    // in DuckDB. The shape is the scalable one — distinct (group, hash)
+    // partial-aggregates before the shuffle, and per-group work is a
+    // rank-k selection, not a full sort collect. Groups with fewer than
+    // k distinct values are omitted (they'd be exact-countable anyway).
+    "a8_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h")
+      table(s, dir, "events")
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+        .distinct()
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === k)
+        .select(col("event_type"),
+          round(lit(k - 1) /
+            (conv(substring(col("h"), 1, 8), 16, 10).cast("double") / 4294967296.0), 6)
+            .as("kmv_estimate"))
+    }),
+
     // A7 — uniform histogram over a value column (feature bucketing).
     // Explicit floor(value/width) instead of width_bucket: DuckDB lacks
     // the function, and the floor form is identical IEEE math in both

@@ -28,6 +28,22 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(small.subsetOf(large)) // incremental-reprocessing stability
   }
 
+  test("KMV distinct estimate lands within ~25% of truth at k=64") {
+    // same construction as the a8_kmv_distinct query, exercised against
+    // a known cardinality: 5000 distinct keys (k/sqrt(k) ≈ 12.5% stderr)
+    val k = 64
+    val w = org.apache.spark.sql.expressions.Window.orderBy("h")
+    val est = Seq.tabulate(5000)(i => i.toLong).toDF("id")
+      .select(md5(col("id").cast("string")).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === k)
+      .select(lit(k - 1) /
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("double") / 4294967296.0))
+      .as[Double].collect().head
+    assert(est > 3750 && est < 6250, s"estimate $est")
+  }
+
   test("stratified fractions apply per stratum; unlisted strata drop") {
     val out = SampleOps.stratifiedHashSample(
       rows, "id", "lang", Map("en" -> 1.0)).select("lang").as[String].collect()
