@@ -185,10 +185,16 @@ object DedupOps {
       converged = changed == 0
       round += 1
     }
-    require(converged,
-      s"duplicateClusters did not converge in $maxRounds rounds — component " +
-        "diameter exceeds the bound; raise maxRounds")
     edges.unpersist()
+    if (!converged) {
+      // unpin the last round's cache BEFORE throwing: Verify/Bench catch
+      // per-query failures and keep the session alive, so a leaked cache
+      // would silently tax every later query's memory budget
+      labels.unpersist()
+      throw new IllegalArgumentException(
+        s"duplicateClusters did not converge in $maxRounds rounds — component " +
+          "diameter exceeds the bound; raise maxRounds")
+    }
     labels
   }
 

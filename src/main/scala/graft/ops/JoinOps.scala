@@ -90,7 +90,12 @@ object JoinOps {
       Seq(col(key), col(leftTs)) ++ lPayload.map(col) :+
         lit(null).cast(rvType).as("__rv") :+ lit(lTag).as("__side"): _*)
     val rSide = right
-      .filter(col(key).isNotNull) // null ≠ null: no null-key matches
+      // null ≠ null: null-key rows can never match, and a null TIMESTAMP
+      // has no position on the sweep axis — without this filter it sorts
+      // nulls-first and its __rv would be "carried forward" into every
+      // no-real-match left row, fabricating matches the SQL comparison
+      // semantics (and the DuckDB ASOF oracle) say don't exist
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .select(
         Seq(col(key), col(rightTs).as(leftTs)) ++
           lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
@@ -105,7 +110,10 @@ object JoinOps {
         first(col("__rv"), ignoreNulls = true)
           .over(wBase.rowsBetween(0, Window.unboundedFollowing))
     lSide.unionByName(rSide)
-      .withColumn("__rv", filled)
+      // a null LEFT timestamp also has no sweep position (it sorts
+      // nulls-first, where the forward frame would see the whole
+      // partition): such rows are preserved but never match
+      .withColumn("__rv", when(col(leftTs).isNotNull, filled))
       .filter(col("__side") === lTag)
       .select(
         (Seq(col(key), col(leftTs)) ++ lPayload.map(col) :+
@@ -145,6 +153,12 @@ object JoinOps {
       binWidth: Long
   ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // same contract-guard style as the as-of join: fact columns named
+    // like the interval bounds would make the containment filter
+    // ambiguous, and a pre-existing __bin would be silently clobbered
+    val clashes = facts.columns.filter(Set("iv_start", "iv_end", "__bin"))
+    require(clashes.isEmpty,
+      s"facts columns collide with range-join interval/marker names: ${clashes.mkString(", ")}")
     val binned = intervals
       // degenerate intervals first: sequence() below would count DOWN
       // and throw on iv_end <= iv_start

@@ -579,7 +579,7 @@ object CoreQueries {
     // input dir so concurrent harness runs on different SFs don't
     // clobber each other.
     "src1_csv_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_rt_csv_${dir.hashCode.toHexString}"
+      val out = s"/tmp/graft_rt_csv_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}"
       table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
@@ -594,7 +594,7 @@ object CoreQueries {
     // the binary columnar path: doubles and timestamps survive exactly
     // by construction, no string formatting involved.
     "src3_orc_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_rt_orc_${dir.hashCode.toHexString}"
+      val out = s"/tmp/graft_rt_orc_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}"
       table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
           unix_micros(col("ts")).as("ts_us"))
@@ -605,7 +605,7 @@ object CoreQueries {
     // SRC2 — JSON-lines sink + source round trip, same contract
     // (doubles survive: writer emits a parse-exact decimal repr).
     "src2_json_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_rt_json_${dir.hashCode.toHexString}"
+      val out = s"/tmp/graft_rt_json_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}"
       table(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"),
           unix_micros(col("ts")).as("ts_us"))
@@ -617,9 +617,13 @@ object CoreQueries {
 
     // F2 — JSON parse (the pci_requests path, model.py:247-255): extract
     // a typed field from a JSON props column, null-safe.
+    // try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    // THROWS on a non-numeric value — one malformed props row would kill
+    // the job, while the oracle's TRY_CAST yields -1. try_cast mirrors
+    // the oracle: missing key AND malformed value both fall to -1.
     "f2_json_parse" -> ((s, dir) =>
       table(s, dir, "events").select(col("event_id"),
-        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L))
+        coalesce(get_json_object(col("props"), "$.k").try_cast("long"), lit(-1L))
           .as("k"))),
 
     // SKEW — salted two-phase sum == direct sum (exact DECIMAL, so the

@@ -65,11 +65,17 @@ class MainSpec extends AnyFunSuite {
       .toArray.map(_.toString).filter(_.endsWith(".csv"))
     assert(csv.length == 1)
     val lines = scala.io.Source.fromFile(csv(0)).getLines().toSeq
-    assert(lines.head.split(",", -1).length == 16) // S6 header contract
-    assert(lines.size == 2)                        // header + projA row
-    val row = lines(1)
-    assert(row.contains("projA") && row.contains("2024-01"))
-    assert(row.contains("20"))       // 10h × 2 SU hours
-    assert(row.contains("0.26"))     // 20 × 0.013, cents-rounded
+    val header = lines.head.split(",", -1)
+    assert(header.length == 16) // S6 header contract
+    assert(lines.size == 2)     // header + projA row
+    // compare by COLUMN, not substring (the month string "2024-01"
+    // contains "20", which made a contains-based hours check vacuous)
+    val byCol = header.zip(lines(1).split(",", -1)).toMap
+    assert(byCol("Invoice Month") == "2024-01")
+    assert(byCol("Project - Allocation") == "projA")
+    assert(byCol("SU Hours (GBhr or SUhr)") == "20") // 10h × 2 SU
+    assert(byCol("SU Type") == "OpenStack CPU")
+    assert(byCol("Rate") == "0.013")
+    assert(byCol("Cost") == "0.26") // 20 × 0.013, cents-rounded
   }
 }

@@ -49,6 +49,23 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(out === Set((None, None), (Some(1L), Some(5L))))
   }
 
+  test("null timestamps never match, in either direction") {
+    // right row with null rts must not be carried into no-match lefts
+    val left = Seq((1L, Some(100L)), (1L, Option.empty[Long])).toDF("key", "ts_us")
+    val right = Seq((1L, Option.empty[Long], 9L)).toDF("key", "rts", "v")
+    val prior = JoinOps.asofJoinPrior(left, right, "key", "ts_us", "rts", Seq("v"))
+      .select("v").as[Option[Long]].collect().toSeq
+    assert(prior == Seq(None, None)) // both lefts preserved, no fabricated match
+    val next = JoinOps.asofJoinNext(left, right, "key", "ts_us", "rts", Seq("v"))
+      .select("v").as[Option[Long]].collect().toSeq
+    assert(next == Seq(None, None))
+    // null LEFT ts with a real right row: left row kept, still no match
+    val right2 = Seq((1L, Some(50L), 7L)).toDF("key", "rts", "v")
+    val next2 = JoinOps.asofJoinNext(left, right2, "key", "ts_us", "rts", Seq("v"))
+      .select("ts_us", "v").as[(Option[Long], Option[Long])].collect().toSet
+    assert(next2 == Set((Some(100L), None), (None, None)))
+  }
+
   test("asofJoinPrior rejects left columns that collide with output names") {
     val left = Seq((1L, 100L, 0L)).toDF("key", "ts_us", "asof_ts")
     val right = Seq((1L, 50L, 9L)).toDF("key", "rts", "v")
