@@ -308,6 +308,21 @@ object PipelineOracles {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= ${PipelineQueries.NearDupThreshold}""".stripMargin,
 
+    "text_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+         |cw AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cw FROM tf GROUP BY tok),
+         |tot AS (SELECT CAST(CAST(sum(cw) AS BIGINT) AS DOUBLE) AS total FROM cw),
+         |term AS (SELECT doc_id, tf,
+         |    CAST(round(tf * ln(CAST(cw AS DOUBLE)), 6) AS DECIMAL(28,6)) AS term
+         |  FROM tf JOIN cw USING (tok)),
+         |agg AS (SELECT doc_id, CAST(sum(term) AS DECIMAL(38,6)) AS sum_term,
+         |    CAST(sum(tf) AS BIGINT) AS n
+         |  FROM term GROUP BY doc_id)
+         |SELECT doc_id,
+         |  round((CAST(sum_term AS DOUBLE) - n * ln(total)) / n, 6) AS lm_score
+         |FROM agg, tot""".stripMargin,
+
     "sql1_ext_fns" ->
       s"""SELECT vec_id,
          |  round(${dotExpr("embedding", "embedding")}, 6) AS self_dot

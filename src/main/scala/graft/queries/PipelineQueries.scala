@@ -130,6 +130,32 @@ object PipelineQueries {
           round(col("top").cast("double") / col("n").cast("double"), 6)
             .as("top_tok_frac"))),
 
+    // Corpus-trained unigram LM quality score: avg token log-probability
+    // (Σ tf·ln c_w − n·ln total)/n — the model-based quality filter
+    // (docs of rare tokens score low). The corpus counts derive from the
+    // tf aggregate (no second corpus scan, same trick as TF-IDF), and
+    // the per-(doc,tok) log terms are ROUNDED THEN SUMMED AS DECIMALS:
+    // a raw double sum would be partition-order-dependent and break the
+    // oracle; round(·,6)→DECIMAL makes the sum exact and associative at
+    // a precision far beyond the score's meaning.
+    "text_lm_score" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val cw = tf.groupBy("tok").agg(sum("tf").as("cw"))
+      val tot = cw.agg(sum("cw").cast("double").as("total"))
+      tf.join(broadcast(cw), Seq("tok"))
+        .withColumn("term",
+          round(col("tf") * log(col("cw").cast("double")), 6).cast("decimal(28,6)"))
+        .groupBy("doc_id")
+        .agg(sum(col("term")).cast("decimal(38,6)").as("sum_term"),
+          sum(col("tf")).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round((col("sum_term").cast("double") - col("n") * log(col("total"))) /
+            col("n"), 6).as("lm_score"))
+    }),
+
     // PII scrubbing over the events payload (the one testdata column with
     // digit runs): typed placeholders for emails / IPv4 / digit runs,
     // plus the redaction count. Pure scan-side regexp chain — no shuffle.
