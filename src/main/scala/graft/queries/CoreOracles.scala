@@ -345,6 +345,11 @@ object CoreOracles {
         |EXCEPT ALL
         |SELECT user_id FROM events WHERE event_type = 'view'""".stripMargin,
 
+    "so5_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'view'""".stripMargin,
+
     "a8_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events

@@ -520,6 +520,14 @@ object CoreQueries {
         .exceptAll(ev.filter(col("event_type") === "view").select("user_id"))
     }),
 
+    // SO5 — INTERSECT ALL: multiset intersection (min of the two
+    // multiplicities per value), completing the set-operator family.
+    "so5_intersect_all" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersectAll(ev.filter(col("event_type") === "view").select("user_id"))
+    }),
+
     // A8 — KMV (k-minimum-values) approximate distinct count. Unlike
     // HLL (engine-specific, not oracle-able — see a5), KMV over md5 is
     // fully DETERMINISTIC: the k-th smallest hash is a pure function of

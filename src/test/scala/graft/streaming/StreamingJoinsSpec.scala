@@ -46,6 +46,26 @@ class StreamingJoinsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim joins each micro-batch, no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Long)]
+    val enriched = in.toDS().toDF("event_id", "user_id")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream
+      .format("memory").queryName("ss_enrich")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((100L, 1L), (101L, 3L))
+      q.processAllAvailable()
+      val got = spark.table("ss_enrich").collect()
+        .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(got == Map(100L -> Some("gold"), 101L -> None)) // unmatched kept
+    } finally q.stop()
+  }
+
   test("late right-side rows past the watermark are dropped from state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
