@@ -35,6 +35,27 @@ object TextOps {
     size(filter(toks, isStop)).cast("long")
   }
 
+  /** Overlapping token-window chunks: windows of `width` tokens starting
+    * every `stride` tokens (stride < width ⇒ overlap, the usual LLM
+    * pretraining shape). A doc shorter than `width` yields exactly one
+    * chunk (itself); the last window clamps at the doc end. Emitted as
+    * an array of (start, chunk-text) structs to explode scan-side — at
+    * 100 TB chunking is a Generate in the scan stage, never a shuffle.
+    */
+  def chunkStarts(toks: Column, width: Int, stride: Int): Column =
+    // bound = (n−width+1) + (stride−1): guarantees one start lands in
+    // (n−width, n−width+stride], so the tail tokens past the last full
+    // window are still covered by a clamped final chunk
+    sequence(lit(1),
+      greatest(size(toks) - (width - 1), lit(1)) + (stride - 1), lit(stride))
+
+  def chunks(toks: Column, width: Int, stride: Int): Column = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    transform(chunkStarts(toks, width, stride), start =>
+      struct(start.as("chunk_start"),
+        array_join(slice(toks, start, lit(width)), " ").as("chunk")))
+  }
+
   /** Canonical text form for "fuzzy-exact" dedup: lowercase, non-
     * alphanumerics to spaces, runs of spaces collapsed, trimmed. Two
     * documents differing only in case/punctuation/whitespace canonicalize

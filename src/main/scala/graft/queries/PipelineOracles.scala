@@ -308,6 +308,31 @@ object PipelineOracles {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= ${PipelineQueries.NearDupThreshold}""".stripMargin,
 
+    "text_chunks" ->
+      s"""WITH $tokCte,
+         |st AS (SELECT doc_id, toks,
+         |    unnest(range(1, greatest(len(toks) - 31, 1) + 24, 24)) AS chunk_start
+         |  FROM t)
+         |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+         |  array_to_string(toks[chunk_start:chunk_start + 31], ' ') AS chunk
+         |FROM st""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+        |  FROM d
+        |)
+        |SELECT CAST(floor(start_off / 256) AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc_id
+        |FROM o GROUP BY 1""".stripMargin,
+
     "text_lm_score" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),

@@ -130,6 +130,41 @@ object PipelineQueries {
           round(col("top").cast("double") / col("n").cast("double"), 6)
             .as("top_tok_frac"))),
 
+    // Document chunking: overlapping 32-token windows every 24 tokens —
+    // the pretraining chunk shape. Explode happens scan-side (Generate
+    // in the scan stage, no shuffle); tail coverage is guaranteed by the
+    // clamped final window.
+    "text_chunks" -> ((s, dir) =>
+      docsTok(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.chunks(col("toks"), 32, 24)).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_start").cast("long").as("chunk_start"),
+          col("c.chunk").as("chunk"))),
+
+    // Sequence packing: greedy fill of docs (in doc_id order) into
+    // fixed 256-token training sequences — seq id = the bin where the
+    // doc's cumulative start offset falls. Pure integer math over one
+    // total order, so the packing is deterministic on any partitioning.
+    // The global cumsum window is a single-partition sort HERE; at
+    // 100 TB the same result comes from the two-pass prefix-sum (range-
+    // partition by doc_id, per-partition sums, broadcast partition
+    // offsets) — the downstream seq_id assignment is unchanged.
+    "pack_sequences" -> ((s, dir) => {
+      val cap = 256L
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("seq_id", floor(col("start_off") / cap).cast("long"))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("seq_tokens"),
+          min("doc_id").as("first_doc_id"))
+    }),
+
     // Corpus-trained unigram LM quality score: avg token log-probability
     // (Σ tf·ln c_w − n·ln total)/n — the model-based quality filter
     // (docs of rare tokens score low). The corpus counts derive from the

@@ -94,6 +94,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hamming(h(0L), h(2L)) < hamming(h(0L), h(3L)))
   }
 
+  test("chunks: full coverage, overlap, clamped tail, short-doc identity") {
+    import spark.implicits._
+    def chunksOf(n: Int, w: Int, s: Int): Seq[(Int, Int)] = {
+      val toks = (1 to n).map(i => s"t$i").mkString(" ")
+      Seq(toks).toDF("text")
+        .select(explode(TextOps.chunks(TextOps.tokens(col("text")), w, s)).as("c"))
+        .select(col("c.chunk_start"), size(split(col("c.chunk"), " ")))
+        .as[(Int, Int)].collect().toSeq
+    }
+    assert(chunksOf(10, 32, 24) == Seq((1, 10)))           // short doc: itself
+    assert(chunksOf(32, 32, 24) == Seq((1, 32)))           // exact fit: one chunk
+    assert(chunksOf(33, 32, 24) == Seq((1, 32), (25, 9)))  // tail token covered
+    assert(chunksOf(56, 32, 24) == Seq((1, 32), (25, 32))) // flush final window
+    // every token index is inside some chunk
+    val covered = chunksOf(100, 32, 24)
+      .flatMap { case (st, len) => st until (st + len) }.toSet
+    assert(covered == (1 to 100).toSet)
+  }
+
   test("duplicateClusters: transitive chains collapse, components stay disjoint") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
