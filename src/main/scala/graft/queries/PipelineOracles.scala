@@ -333,6 +333,20 @@ object PipelineOracles {
         |  min(doc_id) AS first_doc_id
         |FROM o GROUP BY 1""".stripMargin,
 
+    "dedup_chunk_boilerplate" ->
+      s"""WITH $tokCte,
+         |st AS (SELECT doc_id, toks,
+         |    unnest(range(1, greatest(len(toks) - 31, 1) + 24, 24)) AS chunk_start
+         |  FROM t),
+         |ch AS (SELECT doc_id,
+         |    md5(array_to_string(toks[chunk_start:chunk_start + 31], ' ')) AS chunk_md5
+         |  FROM st)
+         |SELECT chunk_md5,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  min(doc_id) AS first_doc_id
+         |FROM ch GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
     "text_lm_score" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),

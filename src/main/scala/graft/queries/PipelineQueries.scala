@@ -165,6 +165,21 @@ object PipelineQueries {
           min("doc_id").as("first_doc_id"))
     }),
 
+    // Chunk-level exact dedup — the boilerplate detector: identical
+    // 32-token windows recurring ACROSS documents (headers, disclaimers,
+    // license text) surface as multi-copy chunk groups; composition of
+    // the chunker with the exact-dedup aggregate.
+    "dedup_chunk_boilerplate" -> ((s, dir) =>
+      docsTok(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.chunks(col("toks"), 32, 24)).as("c"))
+        .select(col("doc_id"), md5(col("c.chunk")).as("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min("doc_id").as("first_doc_id"))
+        .filter(col("n_docs") > 1)),
+
     // Corpus-trained unigram LM quality score: avg token log-probability
     // (Σ tf·ln c_w − n·ln total)/n — the model-based quality filter
     // (docs of rare tokens score low). The corpus counts derive from the

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
 class TestdataContractSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("every query has an oracle, except the explicit rows-only whitelist") {
+    // the driver's correctness gate hash-compares queries against
+    // oracleSql; a query added without an oracle silently downgrades to
+    // a rows-only check — this pins the whitelist so that never happens
+    // unnoticed
+    val rowsOnly = Set("a5_approx_sketches") // HLL/KLL internals are engine-specific
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty,
+      "oracle entries without a matching query")
+  }
+
   test("documents are pure ASCII: mm oracles slice chars, Spark slices bytes") {
     // mm_frames / mm_resize DuckDB oracles use substr on TEXT (character
     // positions — DuckDB cannot slice BLOBs) while the Spark side slices
