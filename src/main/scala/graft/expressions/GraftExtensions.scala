@@ -36,6 +36,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot takes exactly 2 arguments")
         VectorDotProduct(args.head, args(1))
+      }),
+    ("kmv_distinct",
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_distinct takes (expr, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_distinct k must be an integer literal, got $other")
+        }
+        // the analyzer wraps a bare AggregateFunction in an
+        // AggregateExpression during resolution (same as builtin sum/min)
+        KmvDistinct(args.head, k)
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -536,19 +536,23 @@ object CoreQueries {
     // partial-aggregates before the shuffle, and per-group work is a
     // rank-k selection, not a full sort collect. Groups with fewer than
     // k distinct values are omitted (they'd be exact-countable anyway).
+    // Served by the native [[graft.expressions.KmvDistinct]]
+    // TypedImperativeAggregate: each partial buffer carries at most k
+    // digests per group, so the shuffle ships O(k) strings per
+    // (group, partition) — the composable distinct→window-rank form
+    // shuffles EVERY distinct hash. Estimate is bit-identical (same
+    // k-th smallest digest), so the oracle is unchanged.
     "a8_kmv_distinct" -> ((s, dir) => {
       val k = 64
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("h")
+      import org.apache.spark.sql.graft.ColumnBridge
+      val est = ColumnBridge.column(
+        graft.expressions.KmvDistinct(
+          ColumnBridge.expression(col("user_id").cast("string")), k)
+          .toAggregateExpression())
       table(s, dir, "events")
-        .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
-        .distinct()
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === k)
-        .select(col("event_type"),
-          round(lit(k - 1) /
-            (conv(substring(col("h"), 1, 8), 16, 10).cast("double") / 4294967296.0), 6)
-            .as("kmv_estimate"))
+        .groupBy("event_type")
+        .agg(round(est, 6).as("kmv_estimate"))
+        .filter(col("kmv_estimate").isNotNull)
     }),
 
     // A7 — uniform histogram over a value column (feature bucketing).

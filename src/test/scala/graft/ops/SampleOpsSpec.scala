@@ -44,6 +44,38 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(est > 3750 && est < 6250, s"estimate $est")
   }
 
+  test("native kmv_distinct aggregate equals the window-rank formulation") {
+    graft.expressions.GraftExtensions.register(spark)
+    val k = 16
+    val data = Seq.tabulate(3000)(i => (s"g${i % 3}", (i % 700).toLong))
+      .toDF("grp", "v")
+    // reference: distinct hashes, rank, take the k-th
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("h")
+    val ref = data.select(col("grp"), md5(col("v").cast("string")).as("h")).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === k)
+      .select(col("grp"), (lit(k - 1) /
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("double") / 4294967296.0)).as("e"))
+      .as[(String, Double)].collect().toMap
+    // native aggregate, via SQL resolution (extension registration path)
+    data.createOrReplaceTempView("kmv_in")
+    val got = spark.sql(
+      s"SELECT grp, kmv_distinct(CAST(v AS STRING), $k) AS e FROM kmv_in GROUP BY grp")
+      .as[(String, Double)].collect().toMap
+    assert(got == ref)
+    // partitioning-independent: merge path exercised across 13 partitions
+    val repart = data.repartition(13).createOrReplaceTempView("kmv_in13")
+    val got13 = spark.sql(
+      s"SELECT grp, kmv_distinct(CAST(v AS STRING), $k) AS e FROM kmv_in13 GROUP BY grp")
+      .as[(String, Double)].collect().toMap
+    assert(got13 == ref)
+    // under-k groups yield null
+    val tiny = Seq(("a", 1L), ("a", 2L)).toDF("grp", "v")
+    tiny.createOrReplaceTempView("kmv_tiny")
+    val nulls = spark.sql(s"SELECT kmv_distinct(CAST(v AS STRING), $k) FROM kmv_tiny GROUP BY grp")
+      .collect()
+    assert(nulls.length == 1 && nulls.head.isNullAt(0))
+  }
+
   test("stratified fractions apply per stratum; unlisted strata drop") {
     val out = SampleOps.stratifiedHashSample(
       rows, "id", "lang", Map("en" -> 1.0)).select("lang").as[String].collect()
