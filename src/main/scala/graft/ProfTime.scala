@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ProfTime {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      fn(spark, dir).count() // warm
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        println(f"$n run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

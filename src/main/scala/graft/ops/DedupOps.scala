@@ -198,6 +198,23 @@ object DedupOps {
     labels
   }
 
+  /** Benchmark decontamination: per training doc, how many of its
+    * distinct k-shingles appear anywhere in the benchmark/holdout corpus.
+    * The shape that scales: the benchmark side collapses to a DISTINCT
+    * shingle set (tiny next to the training corpus — benchmarks are),
+    * which then equi-joins the training shingles — one shuffle on the
+    * shingle key, no doc×doc pairing anywhere. Downstream filters on
+    * `n_contaminated` (≥1 ⇒ drop, or threshold by fraction).
+    *
+    * Both inputs are (doc_id, shingle) tables from [[shingled]]
+    * (distinct), so `count(*)` counts distinct shared shingles.
+    */
+  def contaminationCounts(trainSh: DataFrame, benchSh: DataFrame): DataFrame =
+    trainSh
+      .join(benchSh.select(col("shingle")).distinct(), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+
   /** n-gram Jaccard verification of candidate pairs, fully relational:
     * |A∩B| via a shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Long/long
     * division → double is identical IEEE math in DuckDB.

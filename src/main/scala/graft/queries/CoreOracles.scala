@@ -401,6 +401,57 @@ object CoreOracles {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "w6_global_cumsum" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    ORDER BY o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS VARCHAR) AS running_total
+        |FROM orders""".stripMargin,
+
+    "iv1_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS iv_start,
+        |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS iv_end,
+        |    event_id
+        |  FROM events
+        |), x AS (
+        |  SELECT user_id, iv_start, iv_end, event_id,
+        |    max(iv_end) OVER (PARTITION BY user_id ORDER BY iv_start, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM iv
+        |), y AS (
+        |  SELECT user_id, iv_start, iv_end, event_id,
+        |    CASE WHEN prior_max IS NULL OR iv_start > prior_max THEN 1 ELSE 0 END AS is_new
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, iv_start, iv_end,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY iv_start, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM y
+        |)
+        |SELECT user_id, min(iv_start) AS island_start, max(iv_end) AS island_end,
+        |  count(*) AS n_merged
+        |FROM z GROUP BY user_id, island""".stripMargin,
+
+    "j2_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "a9_winsorized" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  round(CAST(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / count(*), 6) AS wins_mean,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        |FROM lineitem JOIN b USING (l_returnflag)
+        |GROUP BY l_returnflag""".stripMargin,
+
     "k2_interval_subtract" ->
       s"""$runsCte, iv AS (
          |  SELECT * FROM (VALUES ($s, $e, 1), (${o1._1}, ${o1._2}, -1), (${o2._1}, ${o2._2}, -1))

@@ -647,6 +647,74 @@ object CoreQueries {
       graft.ops.SkewOps.saltedSum(df, Seq("event_type"), "v")
         .select(col("event_type"),
           col("sum_v").cast("decimal(38,6)").cast("string").as("sum_value"))
+    }),
+
+    // W6 — GLOBAL running sum with no single-partition sort: the two-phase
+    // prefix aggregation (PrefixOps). w2 partitions by customer; this is
+    // the total-order variant that would cliff at 100 TB if written as a
+    // bare Window.orderBy. Result is boundary-placement-independent.
+    "w6_global_cumsum" -> ((s, dir) =>
+      graft.ops.PrefixOps.globalCumsum(
+        table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("v")),
+        binCol = "o_orderkey", tieCols = Seq.empty,
+        valueCol = "v", outCol = "cum")
+        .select(col("o_orderkey"),
+          col("cum").cast("decimal(38,2)").cast("string").as("running_total"))),
+
+    // IV1 — interval union per key: merge overlapping [ts, ts+duration)
+    // event intervals into maximal islands (IntervalOps; honors interval
+    // ENDS, unlike gap sessionization). Duration derives from `value`
+    // via exact DECIMAL micros (a double*1e6 cast truncates in Spark but
+    // rounds in DuckDB — decimal sidesteps the divergence).
+    "iv1_interval_merge" -> ((s, dir) =>
+      graft.ops.IntervalOps.mergeIntervals(
+        table(s, dir, "events").select(
+          col("user_id"),
+          unix_micros(col("ts")).as("iv_start"),
+          (unix_micros(col("ts")) +
+            (col("value").cast("decimal(18,2)") * 1000000).cast("long"))
+            .as("iv_end"),
+          col("event_id")),
+        keyCol = "user_id", startCol = "iv_start", endCol = "iv_end",
+        tieCol = "event_id")),
+
+    // J2 — salted equi-join (SkewOps): known-skew fallback when AQE's
+    // thresholds don't trigger; result identical to the plain join.
+    "j2_salted_join" -> ((s, dir) => {
+      val big = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("v"))
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      graft.ops.SkewOps.saltedEquiJoin(big, dim, "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("v")).cast("decimal(38,2)").cast("string").as("sum_spend"))
+    }),
+
+    // A9 — winsorized mean: clamp to [p05, p95] (exact percentiles,
+    // rounded to 6dp on BOTH sides so the clamp compares identical
+    // bounds), then a decimal-exact mean. The robust-statistics
+    // aggregate outlier-heavy billing data needs.
+    "a9_winsorized" -> ((s, dir) => {
+      val bounds = table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi"))
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(bounds), Seq("l_returnflag"))
+        .withColumn("wv",
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+            .cast("decimal(18,6)"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(col("wv")).cast("decimal(38,6)").cast("double") /
+            count(lit(1)), 6).as("wins_mean"),
+          sum(when(col("l_extendedprice") < col("lo") ||
+            col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_clamped"))
     })
   )
 }

@@ -367,6 +367,24 @@ object PipelineOracles {
          |  round(${dotExpr("embedding", "embedding")}, 6) AS self_dot
          |FROM embeddings""".stripMargin,
 
+    "dedup_contamination" ->
+      s"""WITH $shCte,
+         |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+         |SELECT doc_id, count(*) AS n_contaminated
+         |FROM train JOIN bench USING (shingle)
+         |GROUP BY doc_id""".stripMargin,
+
+    "shuffle_seeded" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+
     "sample_hash" -> {
       val thr = (PipelineQueries.SampleFraction * graft.ops.SampleOps.HashSpace).toLong
       s"""SELECT doc_id, lang FROM documents

@@ -309,6 +309,32 @@ object PipelineQueries {
               |FROM embeddings_sqlv""".stripMargin)
     }),
 
+    // benchmark decontamination: distinct k-shingle overlap between the
+    // training split and a (tiny) benchmark split — the bench side
+    // collapses to a distinct shingle set before the equi-join, so the
+    // train corpus never pairs doc×doc. Split rule doc_id%10==0 stands in
+    // for a real holdout table.
+    "dedup_contamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      DedupOps.contaminationCounts(
+        DedupOps.shingled(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)),
+        DedupOps.shingled(docs.filter(pmod(col("doc_id"), lit(10)) === 0)))
+    }),
+
+    // seeded deterministic corpus shuffle: position = rank of a stable
+    // per-doc hash — same permutation on any partitioning/engine/rerun
+    // (the data-ordering contract for reproducible training runs). The
+    // global rank comes from the two-phase prefix sum, not a
+    // single-partition row_number.
+    "shuffle_seeded" -> ((s, dir) =>
+      graft.ops.PrefixOps.globalRowNumber(
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          conv(substring(md5(concat(lit("42:"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long").as("h")),
+        binCol = "h", tieCols = Seq("doc_id"), outCol = "pos")
+        .select("doc_id", "pos")),
+
     // -- deterministic sampling -------------------------------------------
     // key-hash draw, not sample(seed): same rows on any partitioning /
     // engine / rerun — the reproducibility contract corpus subsetting
