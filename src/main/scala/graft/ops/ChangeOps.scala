@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture shapes: compacting an append-only changelog into
+  * point-in-time state. The reference's event-sourced entity model
+  * (SURVEY.md §2e K3, model.py:68-164) reconstructs state by folding the
+  * whole log; these operators are the two standard materializations a
+  * warehouse keeps alongside the log — the latest-wins snapshot (type-1
+  * upsert) and the validity-interval history (type-2 SCD).
+  */
+object ChangeOps {
+
+  /** Latest-wins snapshot: one row per key — the change with the highest
+    * `(ordCols…)` version vector. The whole changelog compacts in ONE
+    * shuffle with map-side partial aggregation: `max(struct(ord…, payload))`
+    * orders lexicographically on the leading struct fields, so each
+    * partition forwards a single candidate row per key. The window
+    * formulation (`row_number desc = 1`) is equivalent but shuffles and
+    * SORTS every version of every key; at 100 TB of changelog the
+    * aggregate shape is the only one that survives.
+    *
+    * `ordCols` must be a total order per key (e.g. ts + change id) or the
+    * winner is nondeterministic by exactly the ambiguity in the data.
+    */
+  def latestSnapshot(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      ordCols: Seq[String],
+      payloadCols: Seq[String]
+  ): DataFrame = {
+    val versioned = struct((ordCols ++ payloadCols).map(col): _*)
+    changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(versioned).as("__last"))
+      .select(keyCols.map(col) ++
+        (ordCols ++ payloadCols).map(c => col(s"__last.$c").as(c)): _*)
+  }
+
+  /** Type-2 slowly-changing-dimension history: each change row becomes a
+    * validity interval `[ordCol, next change's ordCol)`; the key's last
+    * change stays open (null `valid_to`). One shuffle + one in-partition
+    * sort (the lead window); `tieCol` breaks equal-timestamp changes
+    * deterministically.
+    */
+  def scd2(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      tieCol: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol), col(tieCol))
+    changes
+      .withColumn(validFrom, col(ordCol))
+      .withColumn(validTo, lead(col(ordCol), 1).over(w))
+  }
+}

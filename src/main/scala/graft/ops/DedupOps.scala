@@ -156,7 +156,11 @@ object DedupOps {
     // end-to-end here. At a scale where the dup graph is vanishingly
     // small vs the corpus, iterate endpoint-only labels and anti-join
     // the singletons back at the end.
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    // `cached` is the handle unpersist must be called on (unpersist on a
+    // derived projection would no-op against the cache manager and leak
+    // a round's cache); `labels` is the (doc_id, cluster_id) view of it.
+    var cached = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var labels = cached
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -165,23 +169,26 @@ object DedupOps {
           Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("nbr").as("nbr_min"))
+      // the changed flag rides along in `next` — the old label is already
+      // on the row, so convergence needs no second join of next against
+      // the previous labels (one shuffle fewer per round)
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .as("__changed"))
         .cache()
       // full count, deliberately NOT limit(1): a short-circuit scan
       // leaves `next`'s cache partially materialized, and the next
       // round then re-executes the whole lineage chain of every prior
       // round for the missing partitions (measured 3× slower). The full
       // count materializes the cache AND answers convergence in one job.
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev"))
-        .count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("__changed")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       round += 1
     }
@@ -190,7 +197,7 @@ object DedupOps {
       // unpin the last round's cache BEFORE throwing: Verify/Bench catch
       // per-query failures and keep the session alive, so a leaked cache
       // would silently tax every later query's memory budget
-      labels.unpersist()
+      cached.unpersist()
       throw new IllegalArgumentException(
         s"duplicateClusters did not converge in $maxRounds rounds — component " +
           "diameter exceeds the bound; raise maxRounds")

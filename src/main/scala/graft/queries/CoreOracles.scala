@@ -452,6 +452,57 @@ object CoreOracles {
         |FROM lineitem JOIN b USING (l_returnflag)
         |GROUP BY l_returnflag""".stripMargin,
 
+    "cdc_latest" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "cdc_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us
+        |FROM events""".stripMargin,
+
+    "profile_columns" -> {
+      def row(c: String, numericAsDec: Boolean) = {
+        val mn = if (numericAsDec) s"CAST(CAST(min($c) AS DECIMAL(18,6)) AS VARCHAR)"
+                 else s"CAST(min($c) AS VARCHAR)"
+        val mx = if (numericAsDec) s"CAST(CAST(max($c) AS DECIMAL(18,6)) AS VARCHAR)"
+                 else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mn AS min_val, $mx AS max_val
+           |FROM o""".stripMargin
+      }
+      val rows = Seq(
+        row("o_orderkey", false), row("o_custkey", false),
+        row("o_orderstatus", false), row("o_totalprice", true),
+        row("o_orderpriority", false), row("o_orderdate_us", false))
+      s"""WITH o AS (SELECT *, epoch_us(o_orderdate) AS o_orderdate_us FROM orders)
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "a10_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, count(value) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_d,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sumsq_d
+        |  FROM events GROUP BY event_type
+        |), st AS (
+        |  SELECT event_type, sum_d / n AS mean,
+        |    sqrt((sumsq_d - sum_d * sum_d / n) / (n - 1)) AS sd
+        |  FROM s
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN abs(value - mean) > 3.0 * sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events JOIN st USING (event_type)
+        |GROUP BY event_type""".stripMargin,
+
     "k2_interval_subtract" ->
       s"""$runsCte, iv AS (
          |  SELECT * FROM (VALUES ($s, $e, 1), (${o1._1}, ${o1._2}, -1), (${o2._1}, ${o2._2}, -1))

@@ -715,6 +715,64 @@ object CoreQueries {
           sum(when(col("l_extendedprice") < col("lo") ||
             col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
             .as("n_clamped"))
+    }),
+
+    // CDC1 — latest-wins snapshot (type-1 upsert compaction): the events
+    // changelog collapses to one row per user via max(struct(version,
+    // payload)) — ONE shuffle with map-side partial agg, no per-key sort
+    // (the row_number formulation sorts every version of every key).
+    "cdc_latest" -> ((s, dir) =>
+      graft.ops.ChangeOps.latestSnapshot(
+        table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"), col("value")),
+        keyCols = Seq("user_id"), ordCols = Seq("ts_us", "event_id"),
+        payloadCols = Seq("event_type", "value"))),
+
+    // CDC2 — type-2 SCD history: every change becomes a validity interval
+    // [ts, next change's ts); the key's last change stays open (null).
+    // One shuffle + one in-partition sort; (ts, event_id) tiebreak.
+    "cdc_scd2" -> ((s, dir) =>
+      graft.ops.ChangeOps.scd2(
+        table(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")),
+        keyCols = Seq("user_id"), ordCol = "ts_us", tieCol = "event_id",
+        validFrom = "valid_from_us", validTo = "valid_to_us")
+        .select("user_id", "event_id", "event_type",
+          "valid_from_us", "valid_to_us")),
+
+    // P1 — dataset profiling: per-column nulls / distincts / min / max in
+    // ONE aggregation pass (ProfileOps; exact distincts so the oracle can
+    // check — the 100 TB path flips to approx_count_distinct).
+    "profile_columns" -> ((s, dir) =>
+      graft.ops.ProfileOps.profile(
+        table(s, dir, "orders")
+          .withColumn("o_orderdate_us", unix_micros(col("o_orderdate")))
+          .drop("o_orderdate"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority", "o_orderdate_us"))),
+
+    // A10 — z-score outlier flagging: per-type mean/σ derived from EXACT
+    // decimal sums (order-independent), cast to double once, so the
+    // per-row |v−μ|>3σ comparison is bit-identical on any partitioning
+    // and in the oracle. Stats broadcast back; two scans, one tiny agg.
+    "a10_zscore" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_type"), col("value"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(col("value")).as("n"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_d"),
+          sum((col("value") * col("value")).cast("decimal(28,10)"))
+            .cast("double").as("sumsq_d"))
+        .withColumn("mean", col("sum_d") / col("n"))
+        .withColumn("sd",
+          sqrt((col("sumsq_d") - col("sum_d") * col("sum_d") / col("n")) /
+            (col("n") - 1)))
+      ev.join(broadcast(stats.select("event_type", "mean", "sd")),
+          Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("sd"), 1L)
+            .otherwise(0L)).as("n_outliers"))
     })
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketing: the zero-shuffle co-located join. When both sides of a
+  * big-big equi-join are written bucketed (and sorted) on the join key
+  * with the same bucket count, Spark's scan exposes the hash
+  * partitioning and the SortMergeJoin needs NO Exchange on either side —
+  * the 100 TB answer when neither side can broadcast and the join
+  * recurs (fact-to-fact reconciliation, daily changelog merges).
+  */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucketed+sorted tables join with zero Exchange and zero extra Sort") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.etl.Ingest.table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = graft.etl.Ingest.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+
+    // test data is tiny, so force the big-big (non-broadcast) planning
+    // this spec exists to exercise
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Spark ≥3.0 ignores bucket-file sort order unless told the buckets
+    // are one file each (the write below guarantees it via repartition)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // repartition on the bucket key first: bucketBy and repartition share
+    // the Murmur3 hash, so each task then owns exactly one bucket and
+    // writes ONE file per bucket — the condition under which the scan's
+    // sortBy metadata lets the planner drop the SMJ Sorts entirely (a
+    // multi-file bucket only guarantees per-file order, forcing a Sort)
+    orders.repartition(8, col("o_orderkey"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable("b_orders")
+    lineitem.repartition(8, col("l_orderkey"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("l_quantity").as("q"))
+
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the join itself: no shuffle on either side, no planner-added sort
+    // (the on-disk sortBy order satisfies the SMJ requirement); the only
+    // Exchange in the whole plan is the final groupBy's
+    assert(p.contains("SortMergeJoin"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllMatchIn(p).length == 1, p)
+    assert("\\(\\d+\\) Sort\\b".r.findAllMatchIn(p).length == 0, p)
+
+    // and it computes the same thing as the unbucketed join
+    val expected = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+      .orderBy("o_custkey").collect()
+    assert(joined.orderBy("o_custkey").collect().toSeq == expected.toSeq)
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChangeProfileSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("latestSnapshot picks the (ord, tie)-max row per key, equal to the window form") {
+    val log = Seq(
+      // (key, ts, id, state, v)
+      (1L, 10L, 1L, "a", 1.0), (1L, 20L, 2L, "b", 2.0), (1L, 20L, 3L, "c", 3.0),
+      (2L, 5L, 4L, "x", 9.0),
+      (3L, 7L, 5L, "m", 0.5), (3L, 6L, 6L, "n", 0.7)
+    ).toDF("k", "ts", "id", "state", "v")
+    val snap = ChangeOps.latestSnapshot(log, Seq("k"), Seq("ts", "id"), Seq("state", "v"))
+      .orderBy("k").collect()
+    assert(snap.toSeq == Seq(
+      Row(1L, 20L, 3L, "c", 3.0),   // equal ts=20 → higher id wins
+      Row(2L, 5L, 4L, "x", 9.0),
+      Row(3L, 7L, 5L, "m", 0.5)))   // later ts wins despite higher id on the other row
+    // agreement with the row_number formulation on the same data
+    val w = Window.partitionBy("k").orderBy(col("ts").desc, col("id").desc)
+    val viaWindow = log.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("k", "ts", "id", "state", "v").orderBy("k").collect()
+    assert(snap.toSeq == viaWindow.toSeq)
+  }
+
+  test("latestSnapshot plans a partial+final aggregate, not a per-key sort") {
+    val log = Seq((1L, 10L, 1L, "a", 1.0)).toDF("k", "ts", "id", "state", "v")
+    val p = ChangeOps.latestSnapshot(log, Seq("k"), Seq("ts", "id"), Seq("state", "v"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("Window"))
+  }
+
+  test("scd2 produces gapless validity intervals, open tail, deterministic ties") {
+    val log = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 3L, "c"), (1L, 20L, 2L, "b"),
+      (2L, 5L, 4L, "x")
+    ).toDF("k", "ts", "id", "state")
+    val hist = ChangeOps.scd2(log, Seq("k"), "ts", "id")
+      .select("k", "id", "valid_from", "valid_to").orderBy("k", "valid_from", "id")
+      .collect()
+    assert(hist.toSeq == Seq(
+      Row(1L, 1L, 10L, 20L),
+      Row(1L, 2L, 20L, 20L),  // tie on ts=20: id 2 precedes id 3, zero-width interval
+      Row(1L, 3L, 20L, null),
+      Row(2L, 4L, 5L, null)))
+  }
+
+  test("profile counts nulls, distincts, min/max per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("b"), Some(2.5)),
+      (Some(1L), None, Some(1.25)),
+      (None, Some("a"), Some(2.5))
+    ).toDF("k", "s", "v")
+    val prof = ProfileOps.profile(df, Seq("k", "s", "v"))
+      .orderBy("col_name").collect()
+    assert(prof.toSeq == Seq(
+      Row("k", 1L, 1L, "1", "1"),
+      Row("s", 1L, 2L, "a", "b"),
+      Row("v", 0L, 2L, "1.250000", "2.500000")))  // doubles through DECIMAL(18,6)
+    // one aggregation pass: a single pair of partial/final aggregates
+    val p = ProfileOps.profile(df, Seq("k", "s", "v")).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"))
+  }
+}
