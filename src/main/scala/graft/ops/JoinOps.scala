@@ -121,6 +121,89 @@ object JoinOps {
           values.map(v => col("__rv").getField(v).as(v)): _*)
   }
 
+  /** Skew-proof as-of join (prior direction): identical semantics to
+    * [[asofJoinPrior]], but the sweep partitions on (key, time-bucket)
+    * instead of key alone, so one pathologically hot key spreads over
+    * its time range instead of serializing into a single task's sort —
+    * the fix for the as-of family's tracked hot-key caveat (PLANS.md).
+    *
+    * Two-phase, PrefixOps-style:
+    *   1. per-(key, bucket) summary of the LAST right row — a
+    *      partial-agg `max(struct(ts, rv))`, no sort;
+    *   2. exclusive prefix-carry over each key's bucket SPINE (one short
+    *      row per nonempty bucket) brings the most recent right row
+    *      forward across buckets — the only per-key-serial step, sized
+    *      by bucket count, never by row count;
+    *   3. the in-bucket window sweep (partitioned by key AND bucket)
+    *      seeds from the carry where a bucket has no earlier in-bucket
+    *      right row.
+    *
+    * The fact stream shuffles ONCE on (key, bucket); the spine/summary
+    * relations are bucket-cardinality-sized. Timestamps must be numeric,
+    * non-negative (epoch micros are; `div` truncation = floor there);
+    * `bucketWidth` is in the same unit. Result is bucket-placement-
+    * independent — width only trades carry-table size against per-task
+    * sort size.
+    */
+  def asofJoinPriorBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      values: Seq[String],
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val reserved = values.toSet ++
+      Set("asof_ts", "__side", "__rv", "__bkt", "__carry", "__m", "__last_rv")
+    val clashes = left.columns.filter(reserved)
+    require(clashes.isEmpty,
+      s"left columns collide with as-of output/marker names: ${clashes.mkString(", ")}")
+    val lPayload = left.columns.toSeq.filterNot(Set(key, leftTs))
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rvType = StructType(
+      StructField("asof_ts", right.schema(rightTs).dataType) +:
+        values.map(v => StructField(v, right.schema(v).dataType)))
+    val lSide = left.select(
+      Seq(col(key), col(leftTs)) ++ lPayload.map(col) :+
+        lit(null).cast(rvType).as("__rv") :+ lit(1).as("__side"): _*)
+    val rSide = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        Seq(col(key), col(rightTs).as(leftTs)) ++
+          lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct((col(rightTs).as("asof_ts") +: values.map(col)): _*).as("__rv") :+
+          lit(0).as("__side"): _*)
+    val unioned = lSide.unionByName(rSide)
+      .withColumn("__bkt", expr(s"$leftTs div ${bucketWidth}L"))
+    val summaries = unioned
+      .filter(col("__side") === 0)
+      .groupBy(col(key), col("__bkt"))
+      .agg(max(struct(col(leftTs), col("__rv"))).as("__m"))
+      .select(col(key), col("__bkt"), col("__m.__rv").as("__last_rv"))
+    val wSpine = Window.partitionBy(key).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = unioned
+      .filter(col(leftTs).isNotNull)
+      .select(col(key), col("__bkt")).distinct()
+      .join(summaries, Seq(key, "__bkt"), "left")
+      .withColumn("__carry", last(col("__last_rv"), ignoreNulls = true).over(wSpine))
+      .select(col(key), col("__bkt"), col("__carry"))
+    val wB = Window.partitionBy(col(key), col("__bkt"))
+      .orderBy(col(leftTs), col("__side"))
+    val filled = last(col("__rv"), ignoreNulls = true)
+      .over(wB.rowsBetween(Window.unboundedPreceding, 0))
+    unioned
+      .join(carries, Seq(key, "__bkt"), "left")
+      .withColumn("__rv", when(col(leftTs).isNotNull, coalesce(filled, col("__carry"))))
+      .filter(col("__side") === 1)
+      .select(
+        (Seq(col(key), col(leftTs)) ++ lPayload.map(col) :+
+          col("__rv").getField("asof_ts").as("asof_ts")) ++
+          values.map(v => col("__rv").getField(v).as(v)): _*)
+  }
+
   /** Range join: rows of `facts` whose `tsCol` falls in [iv_start,
     * iv_end). `intervals` must be small (broadcast — the plan is a
     * BroadcastNestedLoopJoin, which is exactly right for a dimension of

@@ -452,6 +452,19 @@ object CoreOracles {
         |FROM lineitem JOIN b USING (l_returnflag)
         |GROUP BY l_returnflag""".stripMargin,
 
+    "aj3_asof_bucketed" ->
+      """WITH day AS (
+        |  SELECT o_custkey AS key, epoch_us(o_orderdate) AS ots,
+        |         CAST(count(*) AS BIGINT) AS day_orders
+        |  FROM orders GROUP BY 1, 2
+        |), ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  coalesce(ots, -1) AS last_order_us,
+        |  coalesce(day_orders, 0) AS last_day_orders
+        |FROM ev ASOF LEFT JOIN day ON ev.user_id = day.key AND ev.ts_us >= day.ots""".stripMargin,
+
     "cdc_latest" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
         |FROM (SELECT *, row_number() OVER (

@@ -717,6 +717,26 @@ object CoreQueries {
             .as("n_clamped"))
     }),
 
+    // AJ3 — the skew-proof as-of join: same result as aj1, but the sweep
+    // partitions on (key, day-bucket) with a bucket-spine prefix carry, so
+    // a hot key spreads over its time range instead of one task's sort —
+    // the fix for the as-of family's tracked hot-key caveat.
+    "aj3_asof_bucketed" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(
+        col("event_id"), col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts_us"))
+      val day = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate")).as("ots"))
+        .agg(count(lit(1)).as("day_orders"))
+      graft.ops.JoinOps
+        .asofJoinPriorBucketed(ev, day, "key", "ts_us", "ots",
+          Seq("day_orders"), bucketWidth = 86400000000L)
+        .select(col("event_id"), col("key").as("user_id"), col("ts_us"),
+          coalesce(col("asof_ts"), lit(-1L)).as("last_order_us"),
+          coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))
+    }),
+
     // CDC1 — latest-wins snapshot (type-1 upsert compaction): the events
     // changelog collapses to one row per user via max(struct(version,
     // payload)) — ONE shuffle with map-side partial agg, no per-key sort

@@ -65,6 +65,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BuildRight") || p.contains("BuildLeft"))
   }
 
+  test("aj3_asof_bucketed: the fact sweep partitions on (key, bucket), never key alone") {
+    val p = plan("aj3_asof_bucketed")
+    // the main window's exchange hashes BOTH the key and the time bucket —
+    // the property that spreads a hot key across tasks
+    assert(p.contains("hashpartitioning(key#") && p.contains("__bkt#"), p.linesIterator.take(30).mkString("\n"))
+    // and it stays a window sweep — no nested-loop/theta join anywhere
+    assert(!p.contains("NestedLoop"))
+  }
+
+  test("cdc_latest compacts via partial+final aggregate, not a window sort") {
+    val p = plan("cdc_latest")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1)
+    assert(!p.contains("(\\d+\\) Window"))
+    assert(p.contains("partial_max") || p.contains("HashAggregate"))
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))

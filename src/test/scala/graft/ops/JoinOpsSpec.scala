@@ -158,6 +158,50 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("asofJoinPriorBucketed: carry crosses empty buckets; boundary ties stay inclusive") {
+    // bucketWidth=100: right at ts=95 (bucket 0) must reach left rows in
+    // buckets 2 and 3 across the empty bucket 1; right at ts=300 sits ON
+    // a bucket boundary and matches a left row at the same ts
+    val left = Seq(
+      (1L, 250L, "a"), (1L, 300L, "b"), (1L, 399L, "c"), (1L, 50L, "d"),
+      (2L, 500L, "e") // key with no right rows at all
+    ).toDF("key", "ts_us", "tag")
+    val right = Seq((1L, 95L, 10L), (1L, 300L, 30L))
+      .toDF("key", "rts", "v")
+    val out = JoinOps
+      .asofJoinPriorBucketed(left, right, "key", "ts_us", "rts", Seq("v"), 100L)
+      .select("key", "ts_us", "tag", "asof_ts", "v")
+      .as[(Long, Long, String, Option[Long], Option[Long])]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(
+      (1L, 50L, "d", None, None),            // before any right row
+      (1L, 250L, "a", Some(95L), Some(10L)), // carried across empty bucket 1
+      (1L, 300L, "b", Some(300L), Some(30L)),// boundary tie is inclusive
+      (1L, 399L, "c", Some(300L), Some(30L)),// in-bucket prior beats carry
+      (2L, 500L, "e", None, None)))
+  }
+
+  test("asofJoinPriorBucketed equals asofJoinPrior on real tables, any width") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.etl.Ingest.table(spark, dir, "events").select(
+      col("event_id"), col("user_id").as("key"),
+      unix_micros(col("ts")).as("ts_us"))
+    val day = graft.etl.Ingest.table(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"),
+        unix_micros(col("o_orderdate")).as("ots"))
+      .agg(count(lit(1)).as("day_orders"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "key", "ts_us", "asof_ts", "day_orders")
+      .as[(Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val base = rows(JoinOps.asofJoinPrior(ev, day, "key", "ts_us", "ots", Seq("day_orders")))
+    for (width <- Seq(86400000000L, 604800000000L)) { // 1 day, 7 days
+      val bucketed = rows(JoinOps.asofJoinPriorBucketed(
+        ev, day, "key", "ts_us", "ots", Seq("day_orders"), width))
+      assert(bucketed === base, s"width=$width diverged")
+    }
+  }
+
   test("rangeJoin keeps rows inside [start, end) only") {
     val facts = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L))
       .toDF("id", "ts_us")
