@@ -465,6 +465,21 @@ object CoreOracles {
         |  coalesce(day_orders, 0) AS last_day_orders
         |FROM ev ASOF LEFT JOIN day ON ev.user_id = day.key AND ev.ts_us >= day.ots""".stripMargin,
 
+    "ts_gapfill" ->
+      """WITH pb AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS bkt,
+        |         count(*) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(bkt) AS lo, max(bkt) AS hi FROM pb GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS bkt FROM span
+        |)
+        |SELECT grid.user_id, grid.bkt * 86400000000 AS bucket_start,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events
+        |FROM grid LEFT JOIN pb USING (user_id, bkt)""".stripMargin,
+
     "cdc_latest" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
         |FROM (SELECT *, row_number() OVER (

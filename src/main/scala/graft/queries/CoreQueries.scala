@@ -737,6 +737,17 @@ object CoreQueries {
           coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))
     }),
 
+    // TS1 — time-series gap fill: dense per-user daily grid with empty
+    // days surfaced as zero. Aggregate-first (events collapse before any
+    // generation), per-key explode(sequence) grid — no driver loop, no
+    // global calendar cross-join.
+    "ts_gapfill" -> ((s, dir) =>
+      graft.ops.TimeSeriesOps.gapFillCounts(
+        table(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
+        keyCol = "user_id", tsCol = "ts_us",
+        bucketWidth = 86400000000L)),
+
     // CDC1 — latest-wins snapshot (type-1 upsert compaction): the events
     // changelog collapses to one row per user via max(struct(version,
     // payload)) — ONE shuffle with map-side partial agg, no per-key sort

@@ -71,4 +71,27 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     }
   }
+
+  test("date-partitioned layout prunes partitions at the scan, not post-filter") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = graft.etl.Ingest.table(spark, dir, "events")
+      .withColumn("month", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("month").parquet(out)
+
+    val months = ev.select("month").distinct().as[String].collect().sorted
+    assert(months.length > 1, s"need >1 partition to prove pruning, got ${months.toSeq}")
+    val one = spark.read.parquet(out).filter(col("month") === months.head)
+    val p = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the month predicate is a PartitionFilter on the scan (directory
+    // pruning — the other months' files are never opened), and it does
+    // NOT degrade into a data Filter above the scan
+    assert(p.contains("PartitionFilters: [isnotnull(month#") ||
+      p.contains("PartitionFilters: [(month#"), p)
+    assert(!"\\(\\d+\\) Filter".r.findFirstIn(p).isDefined, p)
+    // and the pruned read returns exactly that month's rows
+    val expected = ev.filter(col("month") === months.head).count()
+    assert(one.count() == expected)
+  }
 }

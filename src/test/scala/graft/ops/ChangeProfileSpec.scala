@@ -52,7 +52,7 @@ class ChangeProfileSpec extends AnyFunSuite {
       Row(2L, 4L, 5L, null)))
   }
 
-  test("profile counts nulls, distincts, min/max per column in one pass") {
+  test("profile counts nulls, distincts, min/max per column") {
     val df = Seq(
       (Some(1L), Some("b"), Some(2.5)),
       (Some(1L), None, Some(1.25)),
@@ -64,8 +64,8 @@ class ChangeProfileSpec extends AnyFunSuite {
       Row("k", 1L, 1L, "1", "1"),
       Row("s", 1L, 2L, "a", "b"),
       Row("v", 0L, 2L, "1.250000", "2.500000")))  // doubles through DECIMAL(18,6)
-    // one aggregation pass: a single pair of partial/final aggregates
+    // per-column branches union — no join, and no Expand row duplication
     val p = ProfileOps.profile(df, Seq("k", "s", "v")).queryExecution.executedPlan.toString
-    assert(!p.contains("Join"))
+    assert(!p.contains("Join") && !p.contains("Expand"))
   }
 }
