@@ -465,6 +465,15 @@ object CoreOracles {
         |  coalesce(day_orders, 0) AS last_day_orders
         |FROM ev ASOF LEFT JOIN day ON ev.user_id = day.key AND ev.ts_us >= day.ots""".stripMargin,
 
+    "src4_schema_evolution" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+        |  CAST(NULL AS DOUBLE) AS value, 1 AS src_v
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts) AS ts_us,
+        |  CAST(NULL AS VARCHAR) AS event_type, value, 2 AS src_v
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
+
     "ts_gapfill" ->
       """WITH pb AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS bkt,

@@ -737,6 +737,28 @@ object CoreQueries {
           coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))
     }),
 
+    // SRC4 — schema evolution: two parquet snapshots written with
+    // DIFFERENT schemas (v1 carries event_type, v2 replaces it with
+    // value) union by NAME with missing columns null-filled — the
+    // schema-drift read every long-lived ingest pipeline needs. Column
+    // resolution is positional-independent; the `src_v` tag proves which
+    // snapshot each row came from.
+    "src4_schema_evolution" -> ((s, dir) => {
+      val out = s"/tmp/graft_rt_se_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}"
+      val ev = table(s, dir, "events")
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      val v1 = s.read.parquet(s"$out/v1").withColumn("src_v", lit(1))
+      val v2 = s.read.parquet(s"$out/v2").withColumn("src_v", lit(2))
+      v1.unionByName(v2, allowMissingColumns = true)
+    }),
+
     // TS1 — time-series gap fill: dense per-user daily grid with empty
     // days surfaced as zero. Aggregate-first (events collapse before any
     // generation), per-key explode(sequence) grid — no driver loop, no
