@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing: rebalancing a multi-domain corpus toward a target
+  * token distribution by deterministic downsampling — the "data mixture"
+  * step of a pretraining pipeline (dominant domains shrink, rare ones
+  * pass through whole).
+  *
+  * Unlike [[SampleOps.stratifiedHashSample]], the per-stratum fractions
+  * are DERIVED FROM THE DATA: each stratum's keep-fraction targets an
+  * equal share of the total token budget, `min(1, (total/n_strata) /
+  * stratum_tokens)`. All inputs to the fraction are exact long sums, the
+  * double math is one fixed expression shape, and membership is a hash
+  * draw on the row key — so the sampled corpus is identical on any
+  * partitioning, engine, or rerun.
+  *
+  * Plan shape: one aggregate over (stratum) — map-side combine, rows =
+  * strata — a scalar total folded in by cross-joining the one-row
+  * summary, and the fraction table broadcast back onto the corpus scan.
+  * The corpus itself is scanned twice but never shuffled.
+  */
+object MixOps {
+
+  def equalTokenDownsample(
+      docs: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      tokensCol: String
+  ): DataFrame = {
+    val perStratum = docs
+      .groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).as("__stok"))
+    val totals = perStratum
+      .agg(sum("__stok").as("__total"), count(lit(1)).as("__n"))
+    val fractions = perStratum
+      .crossJoin(broadcast(totals))
+      // fixed shape: (total→double / n) / stok — both engines evaluate
+      // the identical IEEE expression tree, so thresholds match bitwise
+      .withColumn("__f",
+        least(lit(1.0),
+          (col("__total").cast("double") / col("__n")) / col("__stok")))
+      // floor-then-cast: Spark's double→long cast truncates while
+      // DuckDB's rounds — floor() first makes them agree
+      .withColumn("__thr", floor(col("__f") * SampleOps.HashSpace).cast("long"))
+      .select(col(stratumCol), col("__thr"))
+    docs
+      .join(broadcast(fractions), Seq(stratumCol))
+      .filter(SampleOps.hashDraw(col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
+}

@@ -385,6 +385,23 @@ object PipelineOracles {
         |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM h""".stripMargin,
 
+    "mix_downsample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents
+        |), st AS (
+        |  SELECT lang, sum(tok) AS stok FROM t GROUP BY lang
+        |), tot AS (
+        |  SELECT sum(stok) AS total, count(*) AS n FROM st
+        |), fr AS (
+        |  SELECT lang,
+        |    CAST(floor(least(1.0, (CAST(total AS DOUBLE) / n) / stok) * 65536) AS BIGINT) AS thr
+        |  FROM st, tot
+        |)
+        |SELECT doc_id, lang, tok FROM t JOIN fr USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < thr""".stripMargin,
+
     "sample_hash" -> {
       val thr = (PipelineQueries.SampleFraction * graft.ops.SampleOps.HashSpace).toLong
       s"""SELECT doc_id, lang FROM documents

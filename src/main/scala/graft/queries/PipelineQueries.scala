@@ -350,6 +350,19 @@ object PipelineQueries {
         table(s, dir, "documents"), "doc_id", "lang", StratifiedFractions)
         .select("doc_id", "lang")),
 
+    // data mixing: rebalance toward equal tokens per language with
+    // fractions DERIVED from the corpus (MixOps) — dominant strata
+    // shrink to the per-stratum token budget, rare ones pass whole.
+    // Deterministic hash-draw membership, fraction math in one fixed
+    // IEEE expression shape both engines share.
+    "mix_downsample" -> ((s, dir) =>
+      graft.ops.MixOps.equalTokenDownsample(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("tok")),
+        keyCol = "doc_id", stratumCol = "lang", tokensCol = "tok")
+        .select("doc_id", "lang", "tok")),
+
     // -- sessionization ---------------------------------------------------
     "sessionize" -> ((s, dir) =>
       SessionOps.sessionStats(eventsUs(s, dir))),

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MixOpsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("equalTokenDownsample keeps rare strata whole and thins dominant ones to budget") {
+    // en: 900 tokens across 90 docs; fr: 100 tokens across 10 docs.
+    // total=1000, n=2 → budget 500/stratum → f(en)=500/900, f(fr)=1 (capped)
+    val docs = ((1 to 90).map(i => (i.toLong, "en", 10L)) ++
+      (91 to 100).map(i => (i.toLong, "fr", 10L)))
+      .toDF("doc_id", "lang", "tok")
+    val out = MixOps.equalTokenDownsample(docs, "doc_id", "lang", "tok")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+
+    // fr passes entirely (fraction capped at 1)
+    assert((91 to 100).forall(i => out.contains((i.toLong, "fr"))))
+    // en membership matches the explicit hash-threshold draw
+    val thr = math.floor((500.0 / 900.0) * SampleOps.HashSpace).toLong
+    val expectEn = (1 to 90).filter { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).take(2)
+      val draw = ((h(0) & 0xffL) << 8) | (h(1) & 0xffL)
+      draw < thr
+    }.map(i => (i.toLong, "en")).toSet
+    assert(out.filter(_._2 == "en") == expectEn)
+    // and it actually thinned (the binomial draw straying to 0 or 90
+    // would make the assertion above vacuous)
+    assert(expectEn.nonEmpty && expectEn.size < 90)
+  }
+
+  test("equalTokenDownsample is partitioning-independent") {
+    val docs = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", (i % 7 + 1).toLong))
+      .toDF("doc_id", "lang", "tok")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      MixOps.equalTokenDownsample(df, "doc_id", "lang", "tok")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(docs) == ids(docs.repartition(13, col("doc_id"))))
+  }
+}
