@@ -222,9 +222,27 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated"))
 
+  /** The distinct shingle sets of exactly the docs appearing in `pairs`:
+    * the candidate endpoints (LSH survivors — few) broadcast-filter the
+    * raw shingle stream BEFORE the distinct, so the distinct shuffle
+    * carries candidate docs only, never the corpus. Cache the (tiny)
+    * result when feeding [[ngramJaccard]], which reads it three times.
+    */
+  def candidateShingles(pairs: DataFrame, shAll: DataFrame): DataFrame = {
+    val cand = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    shAll.join(broadcast(cand), Seq("doc_id")).distinct()
+  }
+
   /** n-gram Jaccard verification of candidate pairs, fully relational:
     * |A∩B| via a shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Long/long
     * division → double is identical IEEE math in DuckDB.
+    *
+    * `sh` is a DISTINCT (doc_id, shingle) table, read three times (both
+    * intersection sides + per-doc counts) — pre-filter it to the pair
+    * endpoints with [[candidateShingles]] so nothing corpus-sized is
+    * read thrice.
     */
   def ngramJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -247,12 +247,14 @@ object PipelineQueries {
     "dedup_jaccard" -> ((s, dir) => {
       // R9-style reuse, two cache points sized to their reuse: the tiny
       // bands table (shared with the two LSH queries above), and the
-      // DISTINCT shingle set, which this query alone reads three times
-      // (both sides of the intersection join + the per-doc counts). The
-      // signature still consumes RAW shingles — recomputing that explode
-      // is cheaper than materializing it.
-      val sh = DedupOps.shingled(table(s, dir, "documents")).cache()
-      DedupOps.ngramJaccard(DedupOps.candidatePairs(dedupBands(s, dir)), sh)
+      // candidate-only distinct shingle set — ngramJaccard reads it three
+      // times, and filtering to pair endpoints BEFORE the distinct keeps
+      // both the shuffle and the cache candidate-sized, never the corpus
+      // (the earlier corpus-wide distinct cache measured 2× slower).
+      val pairs = DedupOps.candidatePairs(dedupBands(s, dir))
+      val sh = DedupOps.candidateShingles(pairs,
+        DedupOps.shingledAll(table(s, dir, "documents"))).cache()
+      DedupOps.ngramJaccard(pairs, sh)
     }),
 
     // cached: one short row per doc, and dedup_simhash_pairs' prefix
