@@ -34,7 +34,8 @@ object ProfileOps {
     }
     cols.map { c =>
       df.select(col(c)).agg(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        // coalesce: sum over ZERO rows is null, but "no nulls seen" is 0
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as("n_nulls"),
         (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
           .as("n_distinct"),
         asStr(min(col(c)), c).as("min_val"),

@@ -72,4 +72,28 @@ class EmptyInputSpec extends AnyFunSuite {
   test("sampling survives empty tables") {
     assert(SampleOps.hashSample(noDocs, "doc_id", 0.5).count() == 0)
   }
+
+  test("round-2 ops survive empty tables") {
+    val noKv = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "v")
+    // quantile sketch over zero rows yields zero boundaries → one bin
+    assert(PrefixOps.globalCumsum(noKv, "ts", Seq("k"), "v", "cum").count() == 0)
+    assert(IntervalOps.mergeIntervals(
+      noKv.toDF("user_id", "iv_start", "iv_end").withColumn("event_id", lit(1L)),
+      "user_id", "iv_start", "iv_end", "event_id").count() == 0)
+    assert(ChangeOps.latestSnapshot(noKv, Seq("k"), Seq("ts"), Seq("v")).count() == 0)
+    assert(ChangeOps.scd2(noKv, Seq("k"), "ts", "v").count() == 0)
+    assert(TimeSeriesOps.gapFillCounts(noKv, "k", "ts", 10L).count() == 0)
+    // empty bucketed as-of: left preserved unmatched, empty-left → empty
+    val left = Seq((1L, 100L)).toDF("key", "ts_us")
+    val noRight = Seq.empty[(Long, Long, Long)].toDF("key", "rts", "v")
+    val b = JoinOps.asofJoinPriorBucketed(left, noRight, "key", "ts_us", "rts", Seq("v"), 100L)
+      .select("asof_ts").as[Option[Long]].collect()
+    assert(b.toSeq == Seq(None))
+    // mixing: the one-row total over zero strata is null/0 — filters to empty
+    assert(MixOps.equalTokenDownsample(
+      noKv.toDF("doc_id", "lang", "tok"), "doc_id", "lang", "tok").count() == 0)
+    // profiling emits a row per column even over zero rows (all-null stats)
+    val prof = ProfileOps.profile(noDocs, Seq("doc_id", "text")).collect()
+    assert(prof.length == 2 && prof.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0))
+  }
 }
