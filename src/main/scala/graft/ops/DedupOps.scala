@@ -161,24 +161,29 @@ object DedupOps {
     // a round's cache); `labels` is the (doc_id, cluster_id) view of it.
     var cached = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
     var labels = cached
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
+    // one min-label propagation step; the running `__changed` flag rides
+    // along, so convergence needs no join of next against prior labels
+    def step(l: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")),
+        .join(l.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")),
           Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("nbr").as("nbr_min"))
-      // the changed flag rides along in `next` — the old label is already
-      // on the row, so convergence needs no second join of next against
-      // the previous labels (one shuffle fewer per round)
-      val next = labels
-        .join(nbrMin, Seq("doc_id"), "left")
+      l.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+          (col("__changed") ||
+            coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
             .as("__changed"))
+    }
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // TWO propagation hops per materialized round: the count job and
+      // cache turnover dominate at small label sizes, so halving the
+      // round count buys more than the extra in-plan join costs
+      val next = step(step(labels.withColumn("__changed", lit(false))))
         .cache()
       // full count, deliberately NOT limit(1): a short-circuit scan
       // leaves `next`'s cache partially materialized, and the next
