@@ -367,6 +367,23 @@ object PipelineOracles {
          |  round(${dotExpr("embedding", "embedding")}, 6) AS self_dot
          |FROM embeddings""".stripMargin,
 
+    "sql2_views_join" ->
+      """WITH spend AS (
+        |  SELECT n.n_name, c.c_custkey,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS cust_spend
+        |  FROM nation n
+        |  JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY n.n_name, c.c_custkey
+        |)
+        |SELECT n_name, c_custkey, CAST(cust_spend AS VARCHAR) AS cust_spend, spend_rank
+        |FROM (
+        |  SELECT n_name, c_custkey, cust_spend,
+        |    CAST(rank() OVER (PARTITION BY n_name
+        |      ORDER BY cust_spend DESC, c_custkey) AS BIGINT) AS spend_rank
+        |  FROM spend)
+        |WHERE spend_rank <= 5""".stripMargin,
+
     "dedup_contamination" ->
       s"""WITH $shCte,
          |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),

@@ -311,6 +311,34 @@ object PipelineQueries {
               |FROM embeddings_sqlv""".stripMargin)
     }),
 
+    // the whole relational engine through SQL TEXT: multi-table join +
+    // aggregate + window over temp views, exactly as a SQL-only user
+    // would drive it (spark.sql parses/plans through the same Catalyst
+    // pipeline as the DataFrame queries — this proves the surface, the
+    // SQL itself exercises nation⋈customer⋈orders with a ranking window)
+    "sql2_views_join" -> ((s, dir) => {
+      table(s, dir, "nation").createOrReplaceTempView("nation_sqlv")
+      table(s, dir, "customer").createOrReplaceTempView("customer_sqlv")
+      table(s, dir, "orders").createOrReplaceTempView("orders_sqlv")
+      s.sql("""
+        |WITH spend AS (
+        |  SELECT n.n_name, c.c_custkey,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS cust_spend
+        |  FROM nation_sqlv n
+        |  JOIN customer_sqlv c ON c.c_nationkey = n.n_nationkey
+        |  JOIN orders_sqlv o ON o.o_custkey = c.c_custkey
+        |  GROUP BY n.n_name, c.c_custkey
+        |)
+        |SELECT n_name, c_custkey, CAST(cust_spend AS STRING) AS cust_spend, spend_rank
+        |FROM (
+        |  SELECT n_name, c_custkey, cust_spend,
+        |    CAST(rank() OVER (PARTITION BY n_name
+        |      ORDER BY cust_spend DESC, c_custkey) AS BIGINT) AS spend_rank
+        |  FROM spend)
+        |WHERE spend_rank <= 5
+        |""".stripMargin)
+    }),
+
     // benchmark decontamination: distinct k-shingle overlap between the
     // training split and a (tiny) benchmark split — the bench side
     // collapses to a distinct shingle set before the equi-join, so the
