@@ -81,6 +81,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_max") || p.contains("HashAggregate"))
   }
 
+  test("iv1/cdc_scd2: one shuffle + one in-partition sort, the per-key sweep ideal") {
+    for (n <- Seq("iv1_interval_merge", "cdc_scd2")) {
+      val p = plan(n)
+      assert(countOf(p, "\\(\\d+\\) Exchange") == 1, n)
+      assert(countOf(p, "\\(\\d+\\) Sort\\b") == 1, n)
+    }
+  }
+
+  test("src4_schema_evolution reads both snapshots with zero exchanges") {
+    assert(countOf(plan("src4_schema_evolution"), "\\(\\d+\\) Exchange") == 0)
+  }
+
+  test("profile_columns never plans an Expand (per-column branches, no row duplication)") {
+    val p = plan("profile_columns")
+    assert(!p.contains("Expand"), p.linesIterator.take(20).mkString("\n"))
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))
