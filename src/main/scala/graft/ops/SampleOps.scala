@@ -30,6 +30,18 @@ object SampleOps {
   def hashSample(df: DataFrame, key: String, fraction: Double): DataFrame =
     df.filter(hashDraw(col(key)) < (fraction * HashSpace).toLong)
 
+  /** Importance sampling: keep each row with ITS OWN probability
+    * `weightCol` (a [0,1] column — e.g. a quality score), still
+    * deterministic by key. The pretraining-mixture move of keeping
+    * high-quality documents preferentially without a global sort or any
+    * RNG state; same scan-side zero-shuffle shape as [[hashSample]].
+    * floor-before-cast keeps Spark (truncating) and DuckDB (rounding)
+    * double→long casts in agreement.
+    */
+  def weightedHashSample(df: DataFrame, key: String, weightCol: Column): DataFrame =
+    df.filter(hashDraw(col(key)) <
+      floor(least(lit(1.0), greatest(lit(0.0), weightCol)) * HashSpace).cast("long"))
+
   /** Per-stratum fractions (e.g. downsample dominant languages, keep all
     * of rare ones); strata missing from the map are dropped entirely.
     */

@@ -419,6 +419,17 @@ object PipelineOracles {
         |SELECT doc_id, lang, tok FROM t JOIN fr USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < thr""".stripMargin,
 
+    "sample_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, tok FROM t
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT <
+        |  CAST(floor(least(CAST(1.0 AS DOUBLE),
+        |    greatest(CAST(0.0 AS DOUBLE), CAST(tok AS DOUBLE) / 100)) * 65536) AS BIGINT)""".stripMargin,
+
     "sample_hash" -> {
       val thr = (PipelineQueries.SampleFraction * graft.ops.SampleOps.HashSpace).toLong
       s"""SELECT doc_id, lang FROM documents

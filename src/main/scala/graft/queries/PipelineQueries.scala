@@ -373,6 +373,16 @@ object PipelineQueries {
       SampleOps.hashSample(table(s, dir, "documents"), "doc_id", SampleFraction)
         .select("doc_id", "lang")),
 
+    // importance sampling: per-row keep probability = a quality proxy
+    // (token count / 100, clamped) — longer docs kept preferentially,
+    // still a deterministic scan-side filter.
+    "sample_weighted" -> ((s, dir) =>
+      SampleOps.weightedHashSample(
+        table(s, dir, "documents")
+          .withColumn("tok", TextOps.tokenCount(col("text"))),
+        "doc_id", col("tok") / 100.0)
+        .select("doc_id", "lang", "tok")),
+
     // stratified: rebalance the language mix (downsample dominant en,
     // keep more of the rare strata).
     "sample_stratified" -> ((s, dir) =>

@@ -86,4 +86,17 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(byLang("en") == 500L)                  // fraction 1.0 keeps all
     assert(byLang("de") > 75L && byLang("de") < 225L) // ~150 of 1500
   }
+
+  test("weightedHashSample: weight 1 keeps everything, weight 0 nothing, clamped") {
+    import org.apache.spark.sql.functions._
+    val all = SampleOps.weightedHashSample(rows, "id", lit(5.0)) // clamps to 1
+    assert(all.count() == rows.count())
+    assert(SampleOps.weightedHashSample(rows, "id", lit(-1.0)).count() == 0)
+    // a 0.5-weight subset nests inside the full set and matches hashSample
+    val half = SampleOps.weightedHashSample(rows, "id", lit(0.5))
+      .select("id").as[Long].collect().toSet
+    val uniform = SampleOps.hashSample(rows, "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(half == uniform)
+  }
 }
