@@ -419,6 +419,16 @@ object PipelineOracles {
         |SELECT doc_id, lang, tok FROM t JOIN fr USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < thr""".stripMargin,
 
+    "split_assign" -> {
+      val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong
+      val t2 = (0.9 * graft.ops.SampleOps.HashSpace).toLong
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < $t1 THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < $t2 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+
     "sample_weighted" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

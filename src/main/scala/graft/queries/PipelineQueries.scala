@@ -373,6 +373,18 @@ object PipelineQueries {
       SampleOps.hashSample(table(s, dir, "documents"), "doc_id", SampleFraction)
         .select("doc_id", "lang")),
 
+    // dataset split assignment: every doc lands in exactly one of
+    // train/val/test by hash range (80/10/10) — deterministic, disjoint,
+    // exhaustive, partitioning-independent; the split survives corpus
+    // growth (a doc's assignment never changes as others arrive).
+    "split_assign" -> ((s, dir) => {
+      val draw = SampleOps.hashDraw(col("doc_id"))
+      table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        when(draw < (0.8 * SampleOps.HashSpace).toLong, "train")
+          .when(draw < (0.9 * SampleOps.HashSpace).toLong, "val")
+          .otherwise("test").as("split"))
+    }),
+
     // importance sampling: per-row keep probability = a quality proxy
     // (token count / 100, clamped) — longer docs kept preferentially,
     // still a deterministic scan-side filter.
