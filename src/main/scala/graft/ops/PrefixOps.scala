@@ -42,10 +42,14 @@ object PrefixOps {
     val valueType = df.schema(valueCol).dataType
     val zero = lit(0).cast(valueType)
     // distinct: repeated quantiles (skewed binCol) would make duplicate
-    // when-branches — harmless but wasteful codegen
-    val bounds = df.stat
-      .approxQuantile(binCol, (1 until nBins).map(_.toDouble / nBins).toArray, 0.01)
-      .distinct
+    // when-branches — harmless but wasteful codegen. nBins=1 degenerates
+    // to zero boundaries (one bin — approxQuantile NPEs on an empty
+    // probability array, so don't ask it).
+    val bounds =
+      if (nBins <= 1) Array.empty[Double]
+      else df.stat
+        .approxQuantile(binCol, (1 until nBins).map(_.toDouble / nBins).toArray, 0.01)
+        .distinct
     val binExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(binCol) > lit(b), 1).otherwise(0)
     }
