@@ -72,6 +72,31 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("range-partitioned sorted write yields disjoint per-file time ranges (skippable layout)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-range").toString
+    graft.etl.Ingest.table(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .repartitionByRange(4, col("ts_us"))
+      .sortWithinPartitions("ts_us")
+      .write.mode("overwrite").parquet(out)
+    // every parquet footer now carries a tight, non-overlapping ts_us
+    // min/max — the property that lets a time-filtered scan skip whole
+    // files/row-groups at 100 TB (a hash layout interleaves everything
+    // and nothing can be skipped)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("ts_us"), max("ts_us")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $hi > $lo2")
+      case _ =>
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan, not post-filter") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
