@@ -100,12 +100,23 @@ class Round2PropertiesSpec extends AnyFunSuite {
           case xs => val m = xs.maxBy(_._2); (lid, Some(m._2), Some(m._3))
         }
       }.toSet
+      val expectedNext = left.map { case (k, ts, lid) =>
+        byKey.getOrElse(k, Nil).filter(_._2 >= ts) match {
+          case Nil => (lid, None, None)
+          case xs => val m = xs.minBy(_._2); (lid, Some(m._2), Some(m._3))
+        }
+      }.toSet
       for (width <- Seq(1L, 3L, 1000L)) {
         val got = JoinOps
           .asofJoinPriorBucketed(lDf, rDf, "key", "ts_us", "rts", Seq("v"), width)
           .select(col("lid"), col("asof_ts"), col("v"))
           .as[(Long, Option[Long], Option[Long])].collect().toSet
         assert(got == expected, s"seed=$seed width=$width")
+        val gotNext = JoinOps
+          .asofJoinNextBucketed(lDf, rDf, "key", "ts_us", "rts", Seq("v"), width)
+          .select(col("lid"), col("asof_ts"), col("v"))
+          .as[(Long, Option[Long], Option[Long])].collect().toSet
+        assert(gotNext == expectedNext, s"next seed=$seed width=$width")
       }
     }
   }
