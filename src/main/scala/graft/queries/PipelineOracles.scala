@@ -484,6 +484,29 @@ object PipelineOracles {
         |  md5(substr(text, CAST(frame_offset + 1 AS INT), 256)) AS frame_md5
         |FROM f""".stripMargin,
 
+    "mm_frame_embed" -> {
+      val dims = (0 until 8).map(j =>
+        s"sum(('0x' || substr(fm, ${j * 4 + 1}, 4))::BIGINT)").mkString(", ")
+      val parts = (0 until 8).zipWithIndex.map { case (j, i) =>
+        s"CAST(CAST(round(s$i / n_frames / CAST(65535 AS DOUBLE), 6) AS DECIMAL(10,6)) AS VARCHAR)"
+      }.mkString(", ")
+      val sAliases = (0 until 8).map(j =>
+        s"sum(('0x' || substr(fm, ${j * 4 + 1}, 4))::BIGINT) AS s$j").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(substr(text, CAST(frame_offset + 1 AS INT), 256)) AS fm
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      unnest(range(0, octet_length(encode(text)), 256)) AS frame_offset
+         |    FROM documents)
+         |), p AS (
+         |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames, $sAliases
+         |  FROM f GROUP BY media_id
+         |)
+         |SELECT media_id, n_frames, concat_ws(',', $parts) AS doc_embedding
+         |FROM p""".stripMargin
+    },
+
     "emb_quantize" ->
       """SELECT vec_id,
         |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS q_min,

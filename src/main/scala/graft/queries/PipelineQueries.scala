@@ -438,6 +438,35 @@ object PipelineQueries {
           md5(expr("substring(payload, cast(frame_offset + 1 as int), 256)")).as("frame_md5"))
     }),
 
+    // frame embedding + mean pool: each sampled frame gets a stub 8-dim
+    // embedding (md5-derived — swap for a real vision encoder; the
+    // aggregation shape is the real part), pooled to one doc vector.
+    // Pooling sums INTEGER dims exactly and divides once at the end, so
+    // the result is partition-order-independent — a double mean over
+    // shuffled frame rows would not be.
+    "mm_frame_embed" -> ((s, dir) => {
+      val media = MultimodalOps.packDocuments(table(s, dir, "documents"))
+      val frames = media
+        .select(col("media_id"),
+          explode(MultimodalOps.frameOffsets(
+            length(col("payload")).cast("long"), 256)).as("frame_offset"),
+          col("payload"))
+        .select(col("media_id"),
+          md5(expr("substring(payload, cast(frame_offset + 1 as int), 256)")).as("fm"))
+      val dims = (0 until 8).map(j =>
+        conv(substring(col("fm"), j * 4 + 1, 4), 16, 10).cast("long").as(s"d$j"))
+      val sums = (0 until 8).map(j => sum(col(s"d$j")).as(s"s$j"))
+      frames
+        .select(col("media_id") +: dims: _*)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), sums: _*)
+        .select(col("media_id"), col("n_frames"),
+          concat_ws(",", (0 until 8).map(j =>
+            round(col(s"s$j") / col("n_frames") / lit(65535.0), 6)
+              .cast("decimal(10,6)").cast("string")): _*)
+            .as("doc_embedding"))
+    }),
+
     // resize (thumbnail-crop stub): payload slice + halved dimension
     // metadata; surfaced as length+md5 so the oracle checks the slice
     // bytes exactly.
