@@ -146,18 +146,16 @@ object PipelineQueries {
     // fixed 256-token training sequences — seq id = the bin where the
     // doc's cumulative start offset falls. Pure integer math over one
     // total order, so the packing is deterministic on any partitioning.
-    // The global cumsum window is a single-partition sort HERE; at
-    // 100 TB the same result comes from the two-pass prefix-sum (range-
-    // partition by doc_id, per-partition sums, broadcast partition
-    // offsets) — the downstream seq_id assignment is unchanged.
+    // The global cumsum runs on the two-phase prefix sum (PrefixOps) —
+    // no single-partition sort; start offset = inclusive cumsum − own.
     "pack_sequences" -> ((s, dir) => {
       val cap = 256L
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      table(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      PrefixOps.globalCumsum(
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
+        binCol = "doc_id", tieCols = Seq.empty,
+        valueCol = "n_tokens", outCol = "cum")
+        .withColumn("start_off", col("cum") - col("n_tokens"))
         .withColumn("seq_id", floor(col("start_off") / cap).cast("long"))
         .groupBy("seq_id")
         .agg(count(lit(1)).as("n_docs"),
