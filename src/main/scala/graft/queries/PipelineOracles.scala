@@ -419,6 +419,25 @@ object PipelineOracles {
         |SELECT doc_id, lang, tok FROM t JOIN fr USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < thr""".stripMargin,
 
+    "pipeline_curate" -> {
+      val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong
+      val t2 = (0.9 * graft.ops.SampleOps.HashSpace).toLong
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok, text
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 5
+         |), canon AS (
+         |  SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)
+         |), k AS (
+         |  SELECT d.doc_id, d.lang, d.tok FROM d JOIN canon USING (doc_id)
+         |)
+         |SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < $t1 THEN 'train'
+         |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < $t2 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM k GROUP BY 1, 2""".stripMargin
+    },
+
     "split_assign" -> {
       val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong
       val t2 = (0.9 * graft.ops.SampleOps.HashSpace).toLong

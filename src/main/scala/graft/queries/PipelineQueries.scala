@@ -371,6 +371,30 @@ object PipelineQueries {
       SampleOps.hashSample(table(s, dir, "documents"), "doc_id", SampleFraction)
         .select("doc_id", "lang")),
 
+    // the curation flagship: the data-pipeline analog of billing_invoice
+    // — quality gate → exact-dedup (keep canonical) → split assignment →
+    // per-(split, lang) corpus accounting, composed as ONE plan. Every
+    // stage is deterministic, so the whole chain oracle-checks.
+    "pipeline_curate" -> ((s, dir) => {
+      val t1 = (0.8 * SampleOps.HashSpace).toLong
+      val t2 = (0.9 * SampleOps.HashSpace).toLong
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.tokenCount(col("text")).as("tok"))
+        .filter(col("tok") >= 5)
+      val canonical = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val draw = SampleOps.hashDraw(col("doc_id"))
+      docs
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .withColumn("split",
+          when(draw < t1, "train").when(draw < t2, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+    }),
+
     // dataset split assignment: every doc lands in exactly one of
     // train/val/test by hash range (80/10/10) — deterministic, disjoint,
     // exhaustive, partitioning-independent; the split survives corpus
