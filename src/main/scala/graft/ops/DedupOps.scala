@@ -228,42 +228,78 @@ object DedupOps {
       .agg(count(lit(1)).as("n_contaminated"))
 
   /** The distinct shingle sets of exactly the docs appearing in `pairs`:
-    * the candidate endpoints (LSH survivors — few) broadcast-filter the
-    * raw shingle stream BEFORE the distinct, so the distinct shuffle
-    * carries candidate docs only, never the corpus. Cache the (tiny)
-    * result when feeding [[ngramJaccard]], which reads it three times.
+    * the candidate endpoints (LSH survivors — few) broadcast-semi-filter
+    * the DOCUMENTS table BEFORE tokenization, so the tokenize → explode →
+    * shingle work and the distinct shuffle are candidate-sized, never the
+    * corpus (filtering the exploded shingle stream instead still paid a
+    * full corpus tokenize+shingle — measured ~2× slower at sf0.1). Cache
+    * the (tiny) result when feeding [[ngramJaccard]], which reads it
+    * three times.
     */
-  def candidateShingles(pairs: DataFrame, shAll: DataFrame): DataFrame = {
+  def candidateShingles(pairs: DataFrame, docs: DataFrame): DataFrame =
+    shingledAll(candidateDocs(pairs, docs)).distinct()
+
+  /** `docs` semi-filtered to the endpoints of `pairs` (broadcast — LSH
+    * survivors are few by construction).
+    */
+  def candidateDocs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val cand = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-    shAll.join(broadcast(cand), Seq("doc_id")).distinct()
+    docs.join(broadcast(cand), Seq("doc_id"), "left_semi")
   }
 
-  /** n-gram Jaccard verification of candidate pairs, fully relational:
-    * |A∩B| via a shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Long/long
-    * division → double is identical IEEE math in DuckDB.
-    *
-    * `sh` is a DISTINCT (doc_id, shingle) table, read three times (both
-    * intersection sides + per-doc counts) — pre-filter it to the pair
-    * endpoints with [[candidateShingles]] so nothing corpus-sized is
-    * read thrice.
+  /** Per-doc DISTINCT shingle sets as one array row per candidate doc —
+    * the cache-friendly artifact [[ngramJaccardSets]] joins against.
+    * `collect_set` dedupes inside the aggregation buffer, so this is ONE
+    * shuffle over the raw (duplicates-kept) shingle stream — no separate
+    * distinct pass.
     */
-  def ngramJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+  def candidateShingleSets(pairs: DataFrame, docs: DataFrame): DataFrame =
+    shingledAll(candidateDocs(pairs, docs))
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shset"))
+
+  /** n-gram Jaccard verification of candidate pairs: each endpoint's
+    * distinct shingle set collapses to ONE array row, the pair attaches
+    * both arrays via two joins, and |A∩B| is a codegen'd
+    * `array_intersect` in the final projection — |A∪B| = |A|+|B|−|A∩B|.
+    * Long/long division → double is identical IEEE math in DuckDB.
+    *
+    * One aggregation + two joins (the earlier shingle-equi-join form —
+    * two joins INTO the exploded shingle table, a pair-grouped count,
+    * then two more joins for |A|/|B| — ran 2.5× slower at sf0.1: six
+    * sequential shuffle/broadcast stages of pure scheduling latency).
+    * Per-doc arrays are bounded by doc length (shingles ≤ tokens), the
+    * same bound [[simhash]] already enforces — LSH survivors are few, so
+    * the array rows stay broadcast-sized at any corpus scale.
+    *
+    * `sh` is a (doc_id, shingle) table — pre-filter it to the pair
+    * endpoints with [[candidateShingles]] so nothing here is
+    * corpus-sized. Prefer [[ngramJaccardSets]] over a cached
+    * [[candidateShingleSets]] when the same sets are reused: the cache
+    * then holds the POST-aggregation arrays and re-runs skip the shuffle.
+    */
+  def ngramJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
+    ngramJaccardSets(pairs,
+      sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("shset")))
+
+  /** Jaccard over pre-aggregated (doc_id, shset) rows from
+    * [[candidateShingleSets]]: two joins and a projection, nothing else.
+    */
+  def ngramJaccardSets(pairs: DataFrame, docsets: DataFrame): DataFrame =
+    pairs
+      .join(docsets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+        Seq("doc_a"))
+      .join(docsets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),
+        size(col("set_a")).as("n_a"), size(col("set_b")).as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
           .as("jaccard"))
-  }
 
   /** SimHash bit width: 16 hex digits of md5 × 4 bits. */
   val SimhashBits = 64

@@ -243,16 +243,23 @@ object PipelineQueries {
       DedupOps.candidatePairs(dedupBands(s, dir))),
 
     "dedup_jaccard" -> ((s, dir) => {
-      // R9-style reuse, two cache points sized to their reuse: the tiny
-      // bands table (shared with the two LSH queries above), and the
-      // candidate-only distinct shingle set — ngramJaccard reads it three
-      // times, and filtering to pair endpoints BEFORE the distinct keeps
-      // both the shuffle and the cache candidate-sized, never the corpus
-      // (the earlier corpus-wide distinct cache measured 2× slower).
-      val pairs = DedupOps.candidatePairs(dedupBands(s, dir))
-      val sh = DedupOps.candidateShingles(pairs,
-        DedupOps.shingledAll(table(s, dir, "documents"))).cache()
-      DedupOps.ngramJaccard(pairs, sh)
+      // R9-style reuse, three cache points sized to their reuse: the tiny
+      // bands table (shared with the two LSH queries above), the candidate
+      // pair list (evaluated twice here — once as the broadcast endpoint
+      // filter, once as the jaccard join's left side — and canonically
+      // identical to dedup_minhash_pairs' whole plan, so that query hits
+      // it too), and the candidate docs' PRE-AGGREGATED shingle-set
+      // arrays: semi-filtering the docs table to pair endpoints BEFORE
+      // tokenization keeps the shingle work candidate-sized, collect_set
+      // folds the distinct into the one shuffle, and caching the arrays
+      // (not the exploded rows) means re-runs are two joins and nothing
+      // else. (Earlier forms, each measured slower at sf0.1: corpus-wide
+      // distinct cache 2×, post-explode endpoint filter ~2×, the
+      // 6-stage shingle-equi-join jaccard 2.5×.)
+      val pairs = DedupOps.candidatePairs(dedupBands(s, dir)).cache()
+      val docsets = DedupOps.candidateShingleSets(pairs,
+        table(s, dir, "documents")).cache()
+      DedupOps.ngramJaccardSets(pairs, docsets)
     }),
 
     // cached: one short row per doc, and dedup_simhash_pairs' prefix
