@@ -37,6 +37,35 @@ object GraftExtensions {
         require(args.length == 2, "vec_dot takes exactly 2 arguments")
         VectorDotProduct(args.head, args(1))
       }),
+    // Spark's own runtime-filter pair, surfaced by name: the optimizer
+    // injects BloomFilterAggregate/BloomFilterMightContain privately
+    // (runtime bloom-filter joins) but registers neither publicly — these
+    // registrations let SQL text build the same prune explicitly:
+    //   might_contain((SELECT bloom_filter_agg(xxhash64(k)) FROM dim),
+    //                 xxhash64(fact.k))
+    ("bloom_filter_agg",
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "bloom_filter_agg"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        args match {
+          case Seq(child) => new BloomFilterAggregate(child)
+          case Seq(child, items) => new BloomFilterAggregate(child, items)
+          case Seq(child, items, bits) => new BloomFilterAggregate(child, items, bits)
+          case _ => throw new IllegalArgumentException(
+            "bloom_filter_agg takes (xxhash64(value)[, estimatedItems[, numBits]])")
+        }
+      }),
+    ("might_contain",
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "might_contain takes (bloom, xxhash64(value))")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head, args(1))
+      }),
     ("kmv_distinct",
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (args: Seq[Expression]) => {

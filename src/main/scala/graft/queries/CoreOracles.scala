@@ -524,6 +524,72 @@ object CoreOracles {
          |${rows.mkString("\nUNION ALL\n")}""".stripMargin
     },
 
+    "f12_window_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |  count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "f13_window_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t FROM events),
+        |x AS (
+        |  SELECT (t // 1800000000) * 1800000000 - k * 1800000000 AS win_start_us
+        |  FROM e CROSS JOIN (VALUES (0), (1)) AS o(k)
+        |)
+        |SELECT win_start_us, count(*) AS n_events
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "bf1_bloom_prune" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450)""".stripMargin,
+
+    "j3_nullsafe" ->
+      """WITH e AS (
+        |  SELECT nullif(user_id % 50, 25) AS k, count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |), c AS (
+        |  SELECT nullif(c_custkey % 50, 25) AS k, count(*) AS n_cust
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT coalesce(e.k, -1) AS k,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_cust AS BIGINT) AS n_cust
+        |FROM e JOIN c ON e.k IS NOT DISTINCT FROM c.k""".stripMargin,
+
+    "a11_mad" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  first(med) AS median_price,
+        |  round(quantile_cont(abs(l_extendedprice - med), 0.5), 6) AS mad_price
+        |FROM lineitem JOIN m USING (l_returnflag)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "w7_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  coalesce(nth_value(o_orderkey, 2) OVER w, -1) AS second_ok
+        |FROM (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS ots FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ots, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "sql3_subqueries" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_nationkey IN
+        |    (SELECT n_nationkey FROM nation WHERE n_name LIKE '%A%')
+        |  AND EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c_custkey
+        |      AND o.o_totalprice > (
+        |        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                    AS DOUBLE) / count(*)
+        |        FROM orders))""".stripMargin,
+
     "a10_zscore" ->
       """WITH s AS (
         |  SELECT event_type, count(value) AS n,

@@ -805,6 +805,127 @@ object CoreQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority", "o_orderdate_us"))),
 
+    // F12 — event-time TUMBLING window aggregation: Spark's window()
+    // function in batch (the same operator Structured Streaming uses),
+    // surfaced as the window start in epoch micros. Epoch-aligned hourly
+    // buckets, so the oracle is integer bucket math.
+    "f12_window_tumbling" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+            .cast("string").as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("n_events"), col("sum_value"))),
+
+    // F13 — SLIDING window aggregation (1h window / 30m slide): every
+    // event lands in exactly window/slide = 2 buckets; Spark emits only
+    // non-empty windows, which the oracle reproduces by exploding each
+    // event onto its two bucket starts.
+    "f13_window_sliding" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("n_events"))),
+
+    // BF1 — bloom-filter join pruning, the runtime-filter pattern made
+    // explicit: the dim side aggregates into a bloom filter (a scalar
+    // subquery — one tiny broadcast value, never a shuffle), the fact
+    // side probes it scan-adjacent, and the exact semi join afterwards
+    // removes the bloom's false positives. At 100 TB the probe drops
+    // non-qualifying fact rows BEFORE the join shuffle — the same plan
+    // spark.sql.optimizer.runtime.bloomFilter.enabled injects, built
+    // here from the publicly-surfaced expressions (GraftExtensions
+    // registers Spark's internal bloom_filter_agg / might_contain).
+    "bf1_bloom_prune" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      table(s, dir, "orders").createOrReplaceTempView("orders_bfv")
+      table(s, dir, "customer").createOrReplaceTempView("customer_bfv")
+      val pruned = s.sql(
+        """SELECT c_custkey, c_name FROM customer_bfv
+          |WHERE might_contain(
+          |  (SELECT bloom_filter_agg(xxhash64(o_custkey), 100000L)
+          |   FROM orders_bfv WHERE o_totalprice > 450),
+          |  xxhash64(c_custkey))""".stripMargin)
+      val big = table(s, dir, "orders").filter(col("o_totalprice") > 450)
+      pruned.join(big, pruned("c_custkey") === big("o_custkey"), "left_semi")
+    }),
+
+    // J3 — null-safe equi-join (<=>): NULL keys match each other instead
+    // of dropping — the join SQL's IS NOT DISTINCT FROM. Both sides
+    // pre-aggregate so the null group is one row, not a cross blow-up.
+    "j3_nullsafe" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .groupBy(nullif(pmod(col("user_id"), lit(50)), lit(25)).as("k"))
+        .agg(count(lit(1)).as("n_events"))
+      val cust = table(s, dir, "customer")
+        .groupBy(nullif(pmod(col("c_custkey"), lit(50)), lit(25)).as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      ev.join(cust, ev("k") <=> cust("k"))
+        .select(coalesce(ev("k"), lit(-1L)).as("k"),
+          col("n_events"), col("n_cust"))
+    }),
+
+    // A11 — median absolute deviation: the robust dispersion statistic
+    // (insensitive to the outliers that wreck stddev). Two exact
+    // percentile passes; the median is rounded to 6dp on BOTH sides
+    // before the deviation so the second percentile's inputs are
+    // bit-identical across engines.
+    "a11_mad" -> ((s, dir) => {
+      val med = table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med"))
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(med), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(first(col("med")).as("median_price"),
+          round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 6)
+            .as("mad_price"))
+    }),
+
+    // W7 — positional window analytics: first/last/nth order per
+    // customer over the full-partition frame (unbounded both ways — the
+    // default running frame would make last_value ≡ current row).
+    "w7_first_last" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("ots"), col("o_orderkey"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate")).as("ots"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L))
+            .as("second_ok"))
+    }),
+
+    // SQL3 — subquery surface through SQL text: scalar subquery (decimal-
+    // exact mean), uncorrelated IN, and correlated EXISTS, all in one
+    // statement — Catalyst decorrelates; the reference's N+1 loop (R6)
+    // expressed the way a SQL user would write it.
+    "sql3_subqueries" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_sqv")
+      table(s, dir, "customer").createOrReplaceTempView("customer_sqv")
+      table(s, dir, "nation").createOrReplaceTempView("nation_sqv")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_sqv
+          |WHERE c_nationkey IN
+          |    (SELECT n_nationkey FROM nation_sqv WHERE n_name LIKE '%A%')
+          |  AND EXISTS (
+          |    SELECT 1 FROM orders_sqv o
+          |    WHERE o.o_custkey = c_custkey
+          |      AND o.o_totalprice > (
+          |        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |                    AS DOUBLE) / count(*)
+          |        FROM orders_sqv))""".stripMargin)
+    }),
+
     // A10 — z-score outlier flagging: per-type mean/σ derived from EXACT
     // decimal sums (order-independent), cast to double once, so the
     // per-row |v−μ|>3σ comparison is bit-identical on any partitioning
