@@ -98,6 +98,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("bf1_bloom_prune probes the bloom scan-adjacent, before the semi join") {
+    val p = plan("bf1_bloom_prune")
+    // the probe is a Filter containing might_contain over the fact scan —
+    // rows drop BEFORE the join, which is the whole point at 100 TB
+    assert(p.contains("might_contain"), p.linesIterator.take(30).mkString("\n"))
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("Join LeftSemi")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "probe filter must sit under (after, in explain order) the semi join")
+  }
+
+  test("f12_window_tumbling is a single-shuffle hash aggregate — no Expand, no sort") {
+    val p = plan("f12_window_tumbling")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1)
+    // tumbling windows assign exactly one bucket per row: Spark plans a
+    // projection, not the Expand it needs for overlapping windows
+    assert(!p.contains("Expand"), p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("f13_window_sliding expands each row onto exactly its overlapping windows") {
+    val p = plan("f13_window_sliding")
+    // sliding (1h, 30m) → Expand (2 projections per row) + one shuffle
+    assert(p.contains("Expand"))
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1)
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))
