@@ -132,8 +132,10 @@ object DedupOps {
     * into ONE cluster with `cluster_id = min(doc_id)` — the id downstream
     * keep-one-per-cluster filters group on. Singletons map to themselves.
     *
-    * Iterative min-label propagation: each round joins labels to edges
-    * and takes the neighborhood minimum, converging in O(component
+    * Small graphs (≤ `driverMaxEdges`, checked at runtime) resolve with
+    * a driver-side union-find broadcast back as a mapping join; larger
+    * ones use iterative min-label propagation: each round joins labels to
+    * edges and takes the neighborhood minimum, converging in O(component
     * diameter) rounds — near-dup clusters are small and dense, so a
     * handful. Each round is one shuffle join + aggregate on the EDGE
     * table (not all docs × all docs); rounds cache their labels and drop
@@ -144,8 +146,45 @@ object DedupOps {
   def duplicateClusters(
       docs: DataFrame,
       pairs: DataFrame,
-      maxRounds: Int = 50
+      maxRounds: Int = 50,
+      driverMaxEdges: Long = 1L << 20
   ): DataFrame = {
+    // Runtime size switch, the same pattern as broadcast-join thresholds:
+    // the near-dup pair graph is LSH-survivor-sized by construction —
+    // usually thousands of edges out of a corpus of billions — so when it
+    // fits comfortably on the driver, a union-find there replaces the
+    // whole iterative join loop (and its convergence-detection round)
+    // with ONE count + one collect + one broadcast join. Oversized graphs
+    // fall through to the distributed propagation below; both paths
+    // produce cluster_id = min(doc_id in component).
+    val nEdges = pairs.count()
+    if (nEdges <= driverMaxEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val roots = {
+        import scala.jdk.CollectionConverters._
+        parent.keySet().asScala.toSeq.map(k => (k, find(k)))
+      }
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val mapping = roots.toDF("doc_id", "root")
+      return docs.select(col("doc_id"))
+        .join(broadcast(mapping), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    }
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

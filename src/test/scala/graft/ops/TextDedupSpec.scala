@@ -118,9 +118,15 @@ class TextDedupSpec extends AnyFunSuite {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
     // chain 1-2-3 (1~3 only transitively), pair 4-5, singleton 9
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
-    val got = DedupOps.duplicateClusters(docs, pairs)
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L)
+    // both paths — the driver union-find fast path and the distributed
+    // min-label propagation — must agree exactly
+    val fast = DedupOps.duplicateClusters(docs, pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+    val dist = DedupOps.duplicateClusters(docs, pairs, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == expect)
+    assert(dist == expect)
   }
 
   test("duplicateClusters fails loudly when the round bound is too low") {
@@ -128,7 +134,7 @@ class TextDedupSpec extends AnyFunSuite {
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException](
-      DedupOps.duplicateClusters(docs, chain, maxRounds = 1))
+      DedupOps.duplicateClusters(docs, chain, maxRounds = 1, driverMaxEdges = 0))
   }
 
   test("canonicalize folds case, punctuation, and whitespace variants together") {
