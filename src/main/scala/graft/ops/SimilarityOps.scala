@@ -133,6 +133,67 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  /** Lloyd's k-means coarse-quantizer training — the step that turns
+    * [[ivfTopK]]'s "given" cells into TRAINED cells (what a real IVF
+    * index builds). Driver-iterated exactly like Spark MLlib's KMeans:
+    * each iteration is one distributed assign+update pass whose k×dim
+    * result collects to the driver and becomes the next iteration's
+    * broadcast constants — the only driver data ever held is the
+    * centroid matrix itself.
+    *
+    * Every arithmetic step is cross-engine deterministic, so the final
+    * assignment oracle-checks in DuckDB:
+    *   - init: the first k vectors by id (data-deterministic, no RNG);
+    *   - assignment: argmin over cells of round(|c|² − 2·x·c, dp) with
+    *     cell-id tiebreak — |x|² is cell-independent and dropped; dots
+    *     are the same left-to-right double accumulation on both engines
+    *     ([[dot]] ≡ `list_dot_product`);
+    *   - update: per-(cell, dim) mean from EXACT decimal sums of
+    *     round(component, dp) — partitioning-independent — divided once
+    *     and re-rounded.
+    * Empty cells drop out on both sides (their id simply vanishes).
+    */
+  def kmeansCells(emb: DataFrame, k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
+    def sqNorm(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    def assignCol(cs: Seq[(Long, Array[Double])]): Column = {
+      val cands = cs.map { case (id, c) =>
+        struct(
+          round(lit(sqNorm(c)) - lit(2.0) * dot(col("embedding"), typedlit(c.toSeq)),
+            roundDp).as("d"),
+          lit(id).as("cell"))
+      }
+      array_min(array(cands: _*)).getField("cell")
+    }
+    var cur: Seq[(Long, Array[Double])] = emb
+      .filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq.sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val upd = emb
+        .withColumn("cell", assignCol(cur))
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(
+          sum(round(col("col").cast("double"), roundDp).cast("decimal(28,12)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          round(col("s").cast("double") / col("n"), roundDp).as("m"))
+        .collect()
+      cur = upd.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        (cell, arr)
+      }.toSeq.sortBy(_._1)
+    }
+    emb.withColumn("cell", assignCol(cur)).select(col("vec_id"), col("cell"))
+  }
+
   /** Embedding-cosine near-dup pairs within a bucket: same-label pairs
     * above a cosine threshold. Bucketed self-join — quadratic only within
     * cells.

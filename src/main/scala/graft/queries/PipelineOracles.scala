@@ -238,6 +238,45 @@ object PipelineOracles {
       s"""SELECT vec_id, round(sqrt(${dotExpr("embedding", "embedding")}), 6) AS l2_norm
          |FROM embeddings""".stripMargin,
 
+    // Lloyd's k-means replayed as a CTE chain: one (assign, update) block
+    // per iteration, generated to match PipelineQueries.KmeansIters. The
+    // arithmetic mirrors SimilarityOps.kmeansCells step for step (argmin
+    // of round(|c|²−2·x·c, 6) with cell tiebreak; decimal-exact component
+    // means re-rounded to 6dp).
+    "sim_kmeans_cells" -> {
+      val k = PipelineQueries.KmeansK
+      def assignCte(name: String, cs: String) =
+        s"""$name AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT emb.vec_id, $cs.cell,
+           |      row_number() OVER (PARTITION BY emb.vec_id
+           |        ORDER BY round(list_dot_product($cs.c, $cs.c)
+           |                       - 2.0 * list_dot_product(emb.e, $cs.c), 6),
+           |                 $cs.cell) AS rk
+           |    FROM emb CROSS JOIN $cs) WHERE rk = 1)""".stripMargin
+      def updateCte(prev: String, uName: String, cName: String) =
+        s"""$uName AS (
+           |  SELECT cell, pos,
+           |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,12))) AS DOUBLE)
+           |          / count(*), 6) AS m
+           |  FROM (
+           |    SELECT $prev.cell, generate_subscripts(emb.e, 1) AS pos,
+           |           unnest(emb.e) AS v
+           |    FROM emb JOIN $prev USING (vec_id))
+           |  GROUP BY cell, pos),
+           |$cName AS (SELECT cell, list(m ORDER BY pos) AS c FROM $uName GROUP BY cell)""".stripMargin
+      val blocks = (1 to PipelineQueries.KmeansIters).map { i =>
+        assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+          updateCte(s"a$i", s"u$i", s"c$i")
+      }
+      val finalAssign = assignCte("af", s"c${PipelineQueries.KmeansIters}")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < $k),
+         |${blocks.mkString(",\n")},
+         |$finalAssign
+         |SELECT vec_id, cell FROM af""".stripMargin
+    },
+
     "sim_brute_topk" ->
       s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n

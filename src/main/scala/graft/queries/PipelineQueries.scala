@@ -19,6 +19,8 @@ object PipelineQueries {
   val LshQueryCount = 20
   val LshK = 5
   val NearDupThreshold = 0.3
+  val KmeansK = 8
+  val KmeansIters = 2
   val SampleFraction = 0.1
   val StratifiedFractions: Map[String, Double] =
     Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
@@ -267,10 +269,13 @@ object PipelineQueries {
     // fingerprints instead of replanning tokenize+explode+md5.
     // transitive duplicate clusters over the LSH candidate graph —
     // the keep-one-per-cluster id assignment (connected components).
+    // pairs cached: duplicateClusters evaluates them twice (the size
+    // check + the collect/loop), and the plan is canonically identical
+    // to dedup_jaccard's cached pairs — one shared cache entry.
     "dedup_clusters" -> ((s, dir) =>
       DedupOps.duplicateClusters(
         table(s, dir, "documents").select("doc_id"),
-        DedupOps.candidatePairs(dedupBands(s, dir)))),
+        DedupOps.candidatePairs(dedupBands(s, dir)).cache())),
 
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(table(s, dir, "documents")).cache()),
@@ -304,6 +309,14 @@ object PipelineQueries {
 
     "dedup_embedding" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
+
+    // trained IVF cells: Lloyd's k-means (driver-iterated, MLlib-style)
+    // over the embedding corpus — deterministic init + decimal-exact
+    // centroid means, so the final assignment oracle-checks; the output
+    // cell column is what ivfTopK would consume in place of `label`.
+    "sim_kmeans_cells" -> ((s, dir) =>
+      SimilarityOps.kmeansCells(
+        table(s, dir, "embeddings"), KmeansK, KmeansIters)),
 
     // -- SQL surface ------------------------------------------------------
     // the same engine through pure SQL: temp view + the natively-

@@ -102,4 +102,18 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(out(0L) == ((320, 240, "hel"))) // ceil(12/4) = 3 bytes kept
     assert(out(1L) == ((320, 240, "")))    // empty payload survives
   }
+
+  test("kmeansCells separates well-clustered data and keeps cell ids stable") {
+    // two tight blobs; seeds are vec_id 0 (blob A) and 1 (blob B), so
+    // after any number of Lloyd steps cell 0 = A, cell 1 = B
+    val blob = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)), (2L, Array(11f, 0f, 0f, 0f)),
+      (4L, Array(9.5f, 0.5f, 0f, 0f)),
+      (1L, Array(0f, 10f, 0f, 0f)), (3L, Array(0f, 11f, 0f, 0f)),
+      (5L, Array(0.5f, 9.5f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cells = SimilarityOps.kmeansCells(blob, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
 }
