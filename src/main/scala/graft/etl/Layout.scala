@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-column data layout for file-level skipping.
+  *
+  * A single-column range sort (BucketingSpec's sorted-write proof) gives
+  * perfect min/max skipping on ONE column and none on any other. Z-order
+  * interleaves the bits of several columns into one sort key, so a range
+  * partition over the key gives every file a tight min/max envelope on
+  * EVERY participating column — the layout Delta's OPTIMIZE ZORDER and
+  * Iceberg's sort orders use for multi-predicate scans. At 100 TB the
+  * effect is file/row-group pruning for filters on any z-ordered column,
+  * not just the lead sort key.
+  *
+  * The key is a pure codegen expression (shift/mask/or chain) — no UDF,
+  * no shuffle beyond the one repartitionByRange the write needs anyway.
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of two non-negative long columns,
+    * `a`'s bits in the odd positions (major), `b`'s in the even. Callers
+    * scale each column into [0, 2^bits) first — rank, modulo, or
+    * min/max scaling, whatever preserves the locality they care about.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Range-partition by the z-key and sort files internally by it: every
+    * output file covers one contiguous z-range = a small union of quad
+    * cells, i.e. a tight rectangle-ish envelope in (a, b) space.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      a: String,
+      b: String,
+      bits: Int,
+      numFiles: Int,
+      path: String): Unit =
+    df.withColumn("__zkey", zorderKey(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+}

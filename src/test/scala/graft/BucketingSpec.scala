@@ -97,6 +97,60 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered layout bounds EVERY z-column's per-file range; lead-sort does not") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.etl.Ingest.table(spark, dir, "events")
+      .select(col("user_id").as("ra"), col("value").as("rb"))
+    val rg = raw.agg(min("ra"), max("ra"), min("rb"), max("rb")).collect()(0)
+    // min/max-scale BOTH dimensions onto the full [0, 1024) bit domain —
+    // z-order locality needs comparable effective bit widths (a column
+    // that only populates low bits contributes nothing to the high
+    // interleaved bits and loses its bound); this is the caller-side
+    // scaling Layout.zorderKey's contract asks for
+    def scaled(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      least(floor((c - lit(lo)) / lit(hi - lo + 1e-9) * 1024), lit(1023L)).cast("long")
+    val ev = raw.select(
+      scaled(col("ra"), rg.getLong(0).toDouble, rg.getLong(1).toDouble).as("a"),
+      scaled(col("rb"), rg.getDouble(2), rg.getDouble(3)).as("b"))
+
+    val g = ev.agg(min("a"), max("a"), min("b"), max("b")).collect()(0)
+    val (gaSpan, gbSpan) =
+      ((g.getLong(1) - g.getLong(0)).toDouble, (g.getLong(3) - g.getLong(2)).toDouble)
+
+    // mean per-file min/max envelope width as a fraction of the column's
+    // observed global span — the expected file-skip rate for a point or
+    // narrow-range filter is roughly 1 − this number
+    def perFileCoverage(out: String): (Double, Double) = {
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length > 4, s"need several files, got ${files.length}")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("a"), max("a"), min("b"), max("b")).collect()(0)
+        ((r.getLong(1) - r.getLong(0)) / gaSpan,
+          (r.getLong(3) - r.getLong(2)) / gbSpan)
+      }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+
+    val zout = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    graft.etl.Layout.writeZOrdered(ev, "a", "b", bits = 10, numFiles = 16, zout)
+    val (za, zb) = perFileCoverage(zout)
+
+    val lout = java.nio.file.Files.createTempDirectory("graft-lead").toString
+    ev.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(lout)
+    val (la, lb) = perFileCoverage(lout)
+
+    // lead-sort: near-perfect on a, no bound at all on the other column
+    assert(la < 0.2, s"lead-sort a coverage $la")
+    // z-order: BOTH dimensions bounded — and the non-lead column is
+    // bounded much tighter than the lead-sort layout leaves it
+    assert(za < 0.6, s"zorder a coverage $za")
+    assert(zb < 0.6, s"zorder b coverage $zb")
+    assert(zb < lb * 0.75, s"zorder b=$zb should beat lead-sort b=$lb")
+  }
+
   test("date-partitioned layout prunes partitions at the scan, not post-filter") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
