@@ -590,6 +590,24 @@ object CoreOracles {
         |                    AS DOUBLE) / count(*)
         |        FROM orders))""".stripMargin,
 
+    "f14_variant_json" ->
+      """SELECT event_id,
+        |  coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k
+        |FROM events""".stripMargin,
+
+    "sql4_recursive_cte" ->
+      """WITH RECURSIVE months(m, mx) AS (
+        |  SELECT date_trunc('month', mn), date_trunc('month', mx)
+        |  FROM (SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx
+        |        FROM orders)
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, mx FROM months WHERE m < mx
+        |)
+        |SELECT epoch_us(m) AS month_us, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN (
+        |  SELECT date_trunc('month', o_orderdate) AS m2, count(*) AS n
+        |  FROM orders GROUP BY 1) ON m = m2""".stripMargin,
+
     "a10_zscore" ->
       """WITH s AS (
         |  SELECT event_type, count(value) AS n,

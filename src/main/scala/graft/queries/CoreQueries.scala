@@ -926,6 +926,41 @@ object CoreQueries {
           |        FROM orders_sqv))""".stripMargin)
     }),
 
+    // F14 — semi-structured VARIANT (Spark 4): parse once into the
+    // binary variant encoding, then typed path extraction. try_* forms
+    // mirror the oracle's TRY_CAST null-on-malformed behavior (ANSI-mode
+    // parse_json would kill the job on one bad row). Values intentionally
+    // match f2_json_parse — same semantics through the VARIANT engine
+    // path instead of string get_json_object.
+    "f14_variant_json" -> ((s, dir) => {
+      table(s, dir, "events").createOrReplaceTempView("events_varv")
+      s.sql(
+        """SELECT event_id,
+          |  coalesce(try_variant_get(try_parse_json(props), '$.k', 'long'), -1L)
+          |    AS k
+          |FROM events_varv""".stripMargin)
+    }),
+
+    // SQL4 — recursive CTE (Spark 4): generate the month spine between
+    // the first and last order month by recursion, left-join per-month
+    // order counts — the calendar-dimension generation pattern, in pure
+    // SQL text on both engines.
+    "sql4_recursive_cte" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_rcv")
+      s.sql(
+        """WITH RECURSIVE months(m, mx) AS (
+          |  SELECT date_trunc('MONTH', mn), date_trunc('MONTH', mx)
+          |  FROM (SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx
+          |        FROM orders_rcv)
+          |  UNION ALL
+          |  SELECT m + INTERVAL '1' MONTH, mx FROM months WHERE m < mx
+          |)
+          |SELECT unix_micros(m) AS month_us, coalesce(n, 0L) AS n_orders
+          |FROM months LEFT JOIN (
+          |  SELECT date_trunc('MONTH', o_orderdate) AS m2, count(*) AS n
+          |  FROM orders_rcv GROUP BY 1) ON m = m2""".stripMargin)
+    }),
+
     // A10 — z-score outlier flagging: per-type mean/σ derived from EXACT
     // decimal sums (order-independent), cast to double once, so the
     // per-row |v−μ|>3σ comparison is bit-identical on any partitioning
