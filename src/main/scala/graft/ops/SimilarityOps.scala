@@ -174,6 +174,11 @@ object SimilarityOps {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .toSeq.sortBy(_._1)
+    // no seed vectors (empty corpus, or nothing under id k): an empty
+    // candidate array would fail analysis — an empty assignment is the
+    // benign answer (one bad partition must never kill a 100 TB job)
+    if (cur.isEmpty)
+      return emb.select(col("vec_id"), lit(-1L).as("cell")).filter(lit(false))
     for (_ <- 1 to iters) {
       val upd = emb
         .withColumn("cell", assignCol(cur))

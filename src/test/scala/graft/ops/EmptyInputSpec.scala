@@ -95,5 +95,15 @@ class EmptyInputSpec extends AnyFunSuite {
     // profiling emits a row per column even over zero rows (all-null stats)
     val prof = ProfileOps.profile(noDocs, Seq("doc_id", "text")).collect()
     assert(prof.length == 2 && prof.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0))
+
+    // k-means over an empty corpus: empty assignment, not an analysis
+    // error from a zero-candidate argmin array
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(SimilarityOps.kmeansCells(noVecs, k = 4, iters = 2).count() == 0)
+    // jaccard set path over empty pairs: everything collapses to empty
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val sets = DedupOps.candidateShingleSets(noPairs, noDocs)
+    assert(sets.count() == 0)
+    assert(DedupOps.ngramJaccardSets(noPairs, sets).count() == 0)
   }
 }
