@@ -63,6 +63,79 @@ object PipelineOracles {
     s"""n AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
        |  sqrt(${dotExpr("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
 
+  /** Top-k CTE body over the `n` norm CTE: brute (joinCond = id-only) or
+    * cell-restricted. `name` prefixes the internal CTE names so two
+    * instances compose in one statement.
+    */
+  private def topkCtes(name: String, nQueries: Int, k: Int, cellJoin: Boolean,
+      src: String = "n"): String = {
+    val cond = if (cellJoin) s"$src.label = ${name}q.label AND $src.vec_id <> ${name}q.query_id"
+               else s"$src.vec_id <> ${name}q.query_id"
+    s"""${name}q AS (SELECT vec_id AS query_id, label, e AS qe, nrm AS qn FROM $src
+       |      WHERE vec_id < $nQueries),
+       |${name}s AS (SELECT ${name}q.query_id, $src.vec_id AS neighbor_id,
+       |    list_dot_product($src.e, ${name}q.qe) / ($src.nrm * ${name}q.qn) AS cos
+       |  FROM $src JOIN ${name}q ON $cond),
+       |$name AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM ${name}s) WHERE rank <= $k)""".stripMargin
+  }
+
+  /** Lloyd's k-means replayed as a CTE chain: one (assign, update) block
+    * per iteration, generated to match PipelineQueries.KmeansIters. The
+    * arithmetic mirrors SimilarityOps.kmeansCells step for step (argmin
+    * of round(|c|²−2·x·c, 6) with cell tiebreak; decimal-exact component
+    * means re-rounded to 6dp). Used standalone by `sim_kmeans_cells` and
+    * as a nested-WITH CTE body by `sim_recall_kmeans`.
+    */
+  private lazy val oracleKmeans: String = {
+    val k = PipelineQueries.KmeansK
+    def assignCte(name: String, cs: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT emb.vec_id, $cs.cell,
+         |      row_number() OVER (PARTITION BY emb.vec_id
+         |        ORDER BY round(list_dot_product($cs.c, $cs.c)
+         |                       - 2.0 * list_dot_product(emb.e, $cs.c), 6),
+         |                 $cs.cell) AS rk
+         |    FROM emb CROSS JOIN $cs) WHERE rk = 1)""".stripMargin
+    def updateCte(prev: String, uName: String, cName: String) =
+      s"""$uName AS (
+         |  SELECT cell, pos,
+         |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,12))) AS DOUBLE)
+         |          / count(*), 6) AS m
+         |  FROM (
+         |    SELECT $prev.cell, generate_subscripts(emb.e, 1) AS pos,
+         |           unnest(emb.e) AS v
+         |    FROM emb JOIN $prev USING (vec_id))
+         |  GROUP BY cell, pos),
+         |$cName AS (SELECT cell, list(m ORDER BY pos) AS c FROM $uName GROUP BY cell)""".stripMargin
+    val blocks = (1 to PipelineQueries.KmeansIters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        updateCte(s"a$i", s"u$i", s"c$i")
+    }
+    val finalAssign = assignCte("af", s"c${PipelineQueries.KmeansIters}")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < $k),
+       |${blocks.mkString(",\n")},
+       |$finalAssign
+       |SELECT vec_id, cell FROM af""".stripMargin
+  }
+
+  /** The recall@k comparison of an approximate result CTE against the
+    * brute-force CTE — shared by the given-label and trained-cell recall
+    * oracles.
+    */
+  private def recallSelect(exact: String, approx: String): String =
+    s"""SELECT $exact.query_id,
+       |  CAST(sum(CASE WHEN $approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(count(*) AS BIGINT) AS k,
+       |  round(CAST(sum(CASE WHEN $approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 6) AS recall
+       |FROM $exact LEFT JOIN $approx USING (query_id, neighbor_id)
+       |GROUP BY $exact.query_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_token_stats" ->
       s"""SELECT doc_id,
@@ -238,45 +311,6 @@ object PipelineOracles {
       s"""SELECT vec_id, round(sqrt(${dotExpr("embedding", "embedding")}), 6) AS l2_norm
          |FROM embeddings""".stripMargin,
 
-    // Lloyd's k-means replayed as a CTE chain: one (assign, update) block
-    // per iteration, generated to match PipelineQueries.KmeansIters. The
-    // arithmetic mirrors SimilarityOps.kmeansCells step for step (argmin
-    // of round(|c|²−2·x·c, 6) with cell tiebreak; decimal-exact component
-    // means re-rounded to 6dp).
-    "sim_kmeans_cells" -> {
-      val k = PipelineQueries.KmeansK
-      def assignCte(name: String, cs: String) =
-        s"""$name AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT emb.vec_id, $cs.cell,
-           |      row_number() OVER (PARTITION BY emb.vec_id
-           |        ORDER BY round(list_dot_product($cs.c, $cs.c)
-           |                       - 2.0 * list_dot_product(emb.e, $cs.c), 6),
-           |                 $cs.cell) AS rk
-           |    FROM emb CROSS JOIN $cs) WHERE rk = 1)""".stripMargin
-      def updateCte(prev: String, uName: String, cName: String) =
-        s"""$uName AS (
-           |  SELECT cell, pos,
-           |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,12))) AS DOUBLE)
-           |          / count(*), 6) AS m
-           |  FROM (
-           |    SELECT $prev.cell, generate_subscripts(emb.e, 1) AS pos,
-           |           unnest(emb.e) AS v
-           |    FROM emb JOIN $prev USING (vec_id))
-           |  GROUP BY cell, pos),
-           |$cName AS (SELECT cell, list(m ORDER BY pos) AS c FROM $uName GROUP BY cell)""".stripMargin
-      val blocks = (1 to PipelineQueries.KmeansIters).map { i =>
-        assignCte(s"a$i", s"c${i - 1}") + ",\n" +
-          updateCte(s"a$i", s"u$i", s"c$i")
-      }
-      val finalAssign = assignCte("af", s"c${PipelineQueries.KmeansIters}")
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |c0 AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < $k),
-         |${blocks.mkString(",\n")},
-         |$finalAssign
-         |SELECT vec_id, cell FROM af""".stripMargin
-    },
-
     "sim_brute_topk" ->
       s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
@@ -289,6 +323,29 @@ object PipelineOracles {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
          |FROM ranked WHERE rank <= ${PipelineQueries.BruteK}""".stripMargin,
+
+    "sim_recall_ivf" ->
+      s"""WITH $normCte,
+         |${topkCtes("bt", PipelineQueries.IvfQueryCount, PipelineQueries.IvfK, cellJoin = false)},
+         |${topkCtes("iv", PipelineQueries.IvfQueryCount, PipelineQueries.IvfK, cellJoin = true)}
+         |${recallSelect("bt", "iv")}""".stripMargin,
+
+    "sim_kmeans_cells" -> oracleKmeans,
+
+    // trained-cell recall: the kmeans assignment CTE (nested WITH — a CTE
+    // body is a full subquery) replaces the given labels, everything else
+    // identical to sim_recall_ivf. The pair (given-label recall 0.13,
+    // trained-cell recall 0.49 at sf0.01) is the quantitative case for
+    // training the quantizer.
+    "sim_recall_kmeans" -> {
+      s"""WITH $normCte,
+         |km AS ($oracleKmeans),
+         |nk AS (SELECT n.vec_id, km.cell AS label, n.e, n.nrm
+         |       FROM n JOIN km ON n.vec_id = km.vec_id),
+         |${topkCtes("bt", PipelineQueries.IvfQueryCount, PipelineQueries.IvfK, cellJoin = false, src = "nk")},
+         |${topkCtes("iv", PipelineQueries.IvfQueryCount, PipelineQueries.IvfK, cellJoin = true, src = "nk")}
+         |${recallSelect("bt", "iv")}""".stripMargin
+    },
 
     "text_repetition" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -299,6 +299,52 @@ object PipelineQueries {
         corpus, corpus.filter(col("vec_id") < IvfQueryCount), IvfK)
     }),
 
+    // ANN quality evaluation: recall@k of the IVF cell-restricted search
+    // against the brute-force ground truth at the same (queries, k).
+    // Both inputs are deterministic, so the recall itself oracle-checks —
+    // the evaluation harness any approximate index needs before it
+    // replaces the exact path at scale.
+    "sim_recall_ivf" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < IvfQueryCount)
+      val exact = SimilarityOps.bruteTopK(corpus, qs, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps.ivfTopK(corpus, qs, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(approx.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits"), col("k"),
+          round(col("n_hits") / col("k").cast("double"), 6).as("recall"))
+    }),
+
+    // the payoff measurement for the trained quantizer: identical
+    // evaluation to sim_recall_ivf but over kmeansCells assignments
+    // instead of the given labels — trained cells group by actual
+    // similarity, so recall@k rises accordingly.
+    "sim_recall_kmeans" -> ((s, dir) => {
+      val cells = SimilarityOps.kmeansCells(
+        table(s, dir, "embeddings"), KmeansK, KmeansIters)
+        .withColumnRenamed("cell", "label")
+      val corpus = normed(s, dir).drop("label").join(cells, Seq("vec_id"))
+      val qs = corpus.filter(col("vec_id") < IvfQueryCount)
+      val exact = SimilarityOps.bruteTopK(corpus, qs, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps.ivfTopK(corpus, qs, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(approx.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits"), col("k"),
+          round(col("n_hits") / col("k").cast("double"), 6).as("recall"))
+    }),
+
     // LSH-bucketed ANN: data-independent sign-signature cells instead of
     // the IVF labels — the scale path when no trained quantizer exists.
     "sim_lsh_topk" -> ((s, dir) => {
