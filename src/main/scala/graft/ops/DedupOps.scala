@@ -340,6 +340,64 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
           .as("jaccard"))
 
+  /** EXACT set-similarity self-join via prefix filtering (PPJoin-style):
+    * every pair with Jaccard ≥ `threshold`, no false negatives — the
+    * exact counterpart to the MinHash/LSH candidate path (which misses
+    * pairs by construction).
+    *
+    * Prefix principle: order each doc's distinct shingles by a global
+    * canonical order (document frequency asc, then shingle — rarest
+    * first); if jaccard(A,B) ≥ t then |A∩B| ≥ t/(1+t)·(|A|+|B|), and two
+    * sets that share NO shingle in their first |A|−⌈t·|A|⌉+1 rarest
+    * shingles cannot reach that overlap. So candidates = pairs sharing
+    * at least one PREFIX shingle — and because prefixes hold each doc's
+    * rarest shingles, the candidate join is skew-resistant by
+    * construction (the frequent shingles that would fan out quadratically
+    * are exactly the ones excluded from prefixes).
+    *
+    * Shape at scale: one df aggregate (shuffle on shingle), one window
+    * rank per doc (shuffle on doc), a prefix×prefix equi-join on the
+    * shingle key, then exact verification on collected shingle-set
+    * arrays — candidates only, never the corpus.
+    */
+  def similarityJoinExact(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled(docs) // distinct (doc_id, shingle)
+    // global canonical order: rarest shingles first
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("df"), col("shingle"))
+    val ranked = sh
+      .join(df, Seq("shingle"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    // prefix length |A| − ⌈t·|A|⌉ + 1
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    // candidate pairs: same single-branch shape as candidatePairs — one
+    // aggregation per prefix-shingle bucket, pairs from in-bucket lists
+    val cand = prefix
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    // exact verify on candidate-only shingle-set arrays
+    val docsets = sh
+      .join(broadcast(cand.select(col("doc_a").as("doc_id"))
+        .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shset"))
+    ngramJaccardSets(cand, docsets)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash bit width: 16 hex digits of md5 × 4 bits. */
   val SimhashBits = 64
 

@@ -311,6 +311,24 @@ object PipelineOracles {
       s"""SELECT vec_id, round(sqrt(${dotExpr("embedding", "embedding")}), 6) AS l2_norm
          |FROM embeddings""".stripMargin,
 
+    // naive exact all-pairs form — the Spark side's prefix filter must
+    // lose nothing, so the two must hash-match exactly
+    "dedup_setjoin_exact" ->
+      s"""WITH $shCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(c / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard
+         |FROM common
+         |JOIN cnt na ON doc_a = na.doc_id
+         |JOIN cnt nb ON doc_b = nb.doc_id
+         |WHERE round(c / CAST(na.n + nb.n - c AS DOUBLE), 6)
+         |      >= ${PipelineQueries.SetJoinThreshold}""".stripMargin,
+
     "sim_brute_topk" ->
       s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n

@@ -21,6 +21,7 @@ object PipelineQueries {
   val NearDupThreshold = 0.3
   val KmeansK = 8
   val KmeansIters = 2
+  val SetJoinThreshold = 0.5
   val SampleFraction = 0.1
   val StratifiedFractions: Map[String, Double] =
     Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
@@ -263,6 +264,15 @@ object PipelineQueries {
         table(s, dir, "documents")).cache()
       DedupOps.ngramJaccardSets(pairs, docsets)
     }),
+
+    // EXACT similarity self-join (prefix filtering, PPJoin-style): every
+    // pair with jaccard >= 0.5, NO false negatives — the exact
+    // counterpart to the LSH candidate path above; the oracle is the
+    // naive all-pairs shingle join, so the hash match proves perfect
+    // recall on this corpus.
+    "dedup_setjoin_exact" -> ((s, dir) =>
+      DedupOps.similarityJoinExact(
+        table(s, dir, "documents"), SetJoinThreshold)),
 
     // cached: one short row per doc, and dedup_simhash_pairs' prefix
     // canonically matches it — the pairs query then starts from the

@@ -129,6 +129,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(dist == expect)
   }
 
+  test("similarityJoinExact equals the naive all-pairs join (no false negatives)") {
+    import spark.implicits._
+    // near-dup family (0,1 identical; 2 overlapping), plus distinct docs
+    // sharing COMMON shingles — the skew case prefix filtering excludes
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),
+      (3L, "a completely different document about spark engines here"),
+      (4L, "a completely different document about flink engines here"),
+      (5L, "the quick unrelated text with common words the the the")
+    ).toDF("doc_id", "text")
+    val t = 0.4
+    val got = DedupOps.similarityJoinExact(corpus, t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // naive ground truth from the same distinct shingle sets
+    val sets = DedupOps.shingled(corpus).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      if j >= t
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(expect.contains((0L, 1L)) && expect.contains((0L, 2L)))
+  }
+
   test("duplicateClusters fails loudly when the round bound is too low") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
