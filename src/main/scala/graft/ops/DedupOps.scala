@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines: exact,
@@ -355,46 +356,73 @@ object DedupOps {
     * construction (the frequent shingles that would fan out quadratically
     * are exactly the ones excluded from prefixes).
     *
-    * Shape at scale: one df aggregate (shuffle on shingle), one window
-    * rank per doc (shuffle on doc), a prefix×prefix equi-join on the
-    * shingle key, then exact verification on collected shingle-set
-    * arrays — candidates only, never the corpus.
+    * Shape at scale: one df aggregate (shuffle on shingle), ONE cached
+    * per-doc table of canonically-sorted shingle arrays that serves both
+    * prefix generation and exact verification (no separate docsets pass),
+    * a prefix×prefix equi-join on the shingle key, then array-intersect
+    * verification — candidates only, never the corpus.
     */
   def similarityJoinExact(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled(docs) // distinct (doc_id, shingle)
+    val sh = shingled(docs).cache() // distinct (doc_id, shingle)
     // global canonical order: rarest shingles first
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-      .orderBy(col("df"), col("shingle"))
-    val ranked = sh
+    val perdoc = sh
       .join(df, Seq("shingle"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-    // prefix length |A| − ⌈t·|A|⌉ + 1
-    val prefix = ranked
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("shingle"))
-    // candidate pairs: same single-branch shape as candidatePairs — one
-    // aggregation per prefix-shingle bucket, pairs from in-bucket lists
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("ss"))
+      .select(col("doc_id"),
+        transform(col("ss"), e => e.getField("shingle")).as("sorted_sh"),
+        size(col("ss")).as("n"))
+      .cache()
+    // prefix length |A| − ⌈t·|A|⌉ + 1; rk is the 1-based canonical rank
+    val prefix = perdoc
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("sorted_sh"), lit(1),
+          (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))))
+      .select(col("doc_id"), col("col").as("shingle"),
+        (col("pos") + 1).as("rk"), col("n"))
+    // Candidate pairs from in-bucket lists, gated by the POSITIONAL
+    // filter: a shared shingle at ranks (rk_a, rk_b) bounds the overlap
+    // by 1 + min(n_a−rk_a, n_b−rk_b), which must reach the required
+    // overlap ⌈t/(1+t)·(n_a+n_b)⌉. Safe under the post-hoc distinct
+    // because for a truly-similar pair the globally-FIRST common shingle
+    // is inside both prefixes (any earlier common shingle would rank
+    // earlier in both docs), and at that occurrence the bound is valid
+    // and passes — so the pair survives the union over occurrences.
+    // Subsumes the length filter (the bound is ≤ min(n_a, n_b)).
+    // Measured: 409k → far fewer verify candidates at sf0.1, t=0.5.
     val cand = prefix
       .groupBy("shingle")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("rk"), col("n"))))
+        .as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(flatten(transform(col("es"), (a, i) =>
+        filter(
+          transform(slice(col("es"), i + 2, size(col("es"))), b =>
+            struct(a.getField("doc_id").as("doc_a"),
+              b.getField("doc_id").as("doc_b"),
+              (least(a.getField("n") - a.getField("rk"),
+                b.getField("n") - b.getField("rk")) + 1 >=
+                ceil(lit(threshold / (1 + threshold)) *
+                  (a.getField("n") + b.getField("n")))).as("ok"))),
+          p => p.getField("ok"))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    // exact verify on candidate-only shingle-set arrays
-    val docsets = sh
-      .join(broadcast(cand.select(col("doc_a").as("doc_id"))
-        .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()),
-        Seq("doc_id"), "left_semi")
-      .groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("shset"))
-    ngramJaccardSets(cand, docsets)
+      .cache()
+    // exact verify straight off the cached per-doc sorted arrays
+    cand
+      .join(perdoc.select(col("doc_id").as("doc_a"),
+        col("sorted_sh").as("set_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(perdoc.select(col("doc_id").as("doc_b"),
+        col("sorted_sh").as("set_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),
+        col("n_a"), col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
