@@ -16,10 +16,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * After either, `bit_hamming(a, b)` resolves in SQL and `expr(...)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the whole-operator extension path: logical node → strategy →
+    // physical exec, plus the optimizer rule Catalyst can't supply for
+    // a node it doesn't know
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+  }
 }
 
 object GraftExtensions {
@@ -86,6 +92,12 @@ object GraftExtensions {
     functions.foreach { case (name, info, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
   }
 
 }

@@ -264,6 +264,20 @@ object CoreOracles {
         |  coalesce(day_orders, 0) AS last_day_orders
         |FROM ev ASOF LEFT JOIN day ON ev.user_id = day.key AND ev.ts_us >= day.ots""".stripMargin,
 
+    // the native-operator form must satisfy the SAME oracle as aj1
+    "aj4_asof_native" ->
+      """WITH day AS (
+        |  SELECT o_custkey AS key, epoch_us(o_orderdate) AS ots,
+        |         CAST(count(*) AS BIGINT) AS day_orders
+        |  FROM orders GROUP BY 1, 2
+        |), ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  coalesce(ots, -1) AS last_order_us,
+        |  coalesce(day_orders, 0) AS last_day_orders
+        |FROM ev ASOF LEFT JOIN day ON ev.user_id = day.key AND ev.ts_us >= day.ots""".stripMargin,
+
     "aj2_asof_next" ->
       """WITH day AS (
         |  SELECT o_custkey AS key, epoch_us(o_orderdate) AS ots,

@@ -385,6 +385,27 @@ object CoreQueries {
           coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))
     }),
 
+    // AJ4 — the SAME as-of semantics through the native Catalyst
+    // operator (custom LogicalPlan → AsOfJoinStrategy → AsOfJoinExec:
+    // one Exchange+Sort per side, linear per-partition merge). Shares
+    // AJ1's oracle SQL — the two implementations must agree with DuckDB
+    // ASOF independently.
+    "aj4_asof_native" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      val ev = table(s, dir, "events").select(
+        col("event_id"), col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts_us"))
+      val day = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate")).as("ots"))
+        .agg(count(lit(1)).as("day_orders"))
+      graft.plans.AsOfJoin
+        .prior(ev, day, "key", "ts_us", "ots", Seq("day_orders"))
+        .select(col("event_id"), col("key").as("user_id"), col("ts_us"),
+          coalesce(col("asof_ts"), lit(-1L)).as("last_order_us"),
+          coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))
+    }),
+
     // AJ2 — forward as-of join: each event's NEXT order day at-or-after
     // its timestamp (the mirror of AJ1's most-recent-prior direction).
     "aj2_asof_next" -> ((s, dir) => {
