@@ -40,6 +40,34 @@ object SimilarityOps {
   def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", l2Norm(col("embedding")))
 
+  /** HashingTF vectorization: each row's token array becomes a dense
+    * `dim`-wide double vector of bucket counts
+    * ([[graft.ops.TextOps.hashBucket]] — md5-derived, engine-portable).
+    *
+    * The shape is the scalable one: explode → per-(keys, bucket) count
+    * with map-side combine → per-keys map assembly — the token hash runs
+    * ONCE per token (a per-row nested loop would either re-hash per
+    * vector slot or fight CollapseProject's lambda inlining), and only
+    * (keys, bucket, count) rows cross the shuffle, bounded by `dim` per
+    * row regardless of document length. Rows with empty token arrays
+    * drop (explode of an empty array), matching the SQL-aggregation
+    * replay in the oracle.
+    */
+  def hashingTf(df: DataFrame, keys: Seq[String], toksCol: String,
+      dim: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select(keyCols :+ explode(col(toksCol)).as("__tok"): _*)
+      .select(keyCols :+ TextOps.hashBucket(col("__tok"), dim).as("__b"): _*)
+      .groupBy(keyCols :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(keyCols: _*)
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__cnt"))))
+        .as("__m"))
+      .select(keyCols :+ transform(sequence(lit(0), lit(dim - 1)), i =>
+        coalesce(element_at(col("__m"), i.cast("long")), lit(0L))
+          .cast("double")).as("embedding"): _*)
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus — one pass over the corpus regardless of query count, no
     * shuffle until the final per-query top-k.

@@ -16,6 +16,13 @@ object TextOps {
   /** Whitespace tokenizer (documents are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Feature-hashing bucket for a token: first 4 hex digits of md5, mod
+    * `dim` — exact integer math any engine can replay (the DuckDB oracle
+    * uses the same digits), unlike Spark's Murmur3 `hash()`.
+    */
+  def hashBucket(tok: Column, dim: Int): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % dim
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-ish token estimate: letter runs, single digits, and isolated

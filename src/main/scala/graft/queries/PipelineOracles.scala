@@ -431,6 +431,41 @@ object PipelineOracles {
          |  array_to_string(toks[chunk_start:chunk_start + 31], ' ') AS chunk
          |FROM st""".stripMargin,
 
+    // mirrors pipeline_index: same chunking as text_chunks, HashingTF
+    // buckets from the same md5 digits, dense vectors via per-bucket
+    // conditional counts, cosine top-k with the same tiebreak
+    "pipeline_index" -> {
+      val dim = PipelineQueries.IndexDim
+      val vCols = (0 until dim)
+        .map(i => s"CAST(count(*) FILTER (WHERE b = $i) AS DOUBLE) AS v$i")
+        .mkString(", ")
+      val vArr = (0 until dim).map(i => s"v$i").mkString("[", ", ", "]")
+      s"""WITH $tokCte,
+         |st AS (SELECT doc_id, toks,
+         |    unnest(range(1, greatest(len(toks) - 31, 1) + 24, 24)) AS chunk_start
+         |  FROM t),
+         |ch AS (SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+         |    string_split(array_to_string(toks[chunk_start:chunk_start + 31], ' '), ' ') AS ctoks
+         |  FROM st),
+         |ex AS (SELECT doc_id, chunk_start, unnest(ctoks) AS tok FROM ch),
+         |bb AS (SELECT doc_id, chunk_start,
+         |    ('0x' || substr(md5(tok), 1, 4))::BIGINT % $dim AS b FROM ex),
+         |cnt AS (SELECT doc_id, chunk_start, $vCols FROM bb GROUP BY 1, 2),
+         |vec AS (SELECT doc_id, chunk_start, $vArr AS v,
+         |    sqrt(list_dot_product($vArr, $vArr)) AS nrm FROM cnt),
+         |q AS (SELECT doc_id AS query_doc, v AS qv, nrm AS qn FROM vec
+         |  WHERE doc_id < ${PipelineQueries.IndexQueryDocs} AND chunk_start = 1),
+         |scored AS (SELECT query_doc, vec.doc_id AS neighbor_doc,
+         |    chunk_start AS neighbor_start,
+         |    round(list_dot_product(v, qv) / (nrm * qn), 6) AS cos
+         |  FROM vec JOIN q ON vec.doc_id <> query_doc),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_doc
+         |    ORDER BY cos DESC, neighbor_doc, neighbor_start) AS rk FROM scored)
+         |SELECT query_doc, CAST(rk AS BIGINT) AS rk, neighbor_doc,
+         |  neighbor_start, cos
+         |FROM ranked WHERE rk <= ${PipelineQueries.IndexTopK}""".stripMargin
+    },
+
     "pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -22,6 +22,9 @@ object PipelineQueries {
   val KmeansK = 8
   val KmeansIters = 2
   val SetJoinThreshold = 0.5
+  val IndexDim = 16
+  val IndexTopK = 5
+  val IndexQueryDocs = 3
   val SampleFraction = 0.1
   val StratifiedFractions: Map[String, Double] =
     Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
@@ -144,6 +147,39 @@ object PipelineQueries {
         .select(col("doc_id"),
           col("c.chunk_start").cast("long").as("chunk_start"),
           col("c.chunk").as("chunk"))),
+
+    // Retrieval-index flagship: chunk → HashingTF embed → cosine top-k,
+    // the whole build-a-RAG-index path as ONE oracle-checked plan. The
+    // chunk-vector table is computed once and cached (corpus AND query
+    // sides read it); the query side broadcasts; integer bucket counts
+    // make every cosine bit-reproducible cross-engine.
+    "pipeline_index" -> ((s, dir) => {
+      val ch = docsTok(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.chunks(col("toks"), 32, 24)).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_start").cast("long").as("chunk_start"),
+          TextOps.tokens(col("c.chunk")).as("ctoks"))
+      val vecs = SimilarityOps.withNorm(
+        SimilarityOps.hashingTf(ch, Seq("doc_id", "chunk_start"), "ctoks",
+          IndexDim)).cache()
+      val q = vecs.filter(col("doc_id") < IndexQueryDocs &&
+          col("chunk_start") === 1)
+        .select(col("doc_id").as("query_doc"),
+          col("embedding").as("qv"), col("nrm").as("qn"))
+      val scored = vecs.join(broadcast(q), col("doc_id") =!= col("query_doc"))
+        .select(col("query_doc"), col("doc_id").as("neighbor_doc"),
+          col("chunk_start").as("neighbor_start"),
+          round(SimilarityOps.cosine(col("embedding"), col("qv"),
+            col("nrm"), col("qn")), 6).as("cos"))
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_doc")
+            .orderBy(col("cos").desc, col("neighbor_doc"),
+              col("neighbor_start"))).cast("long"))
+        .filter(col("rk") <= IndexTopK)
+        .select("query_doc", "rk", "neighbor_doc", "neighbor_start", "cos")
+    }),
 
     // Sequence packing: greedy fill of docs (in doc_id order) into
     // fixed 256-token training sequences — seq id = the bin where the

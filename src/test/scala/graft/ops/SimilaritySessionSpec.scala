@@ -116,4 +116,27 @@ class SimilaritySessionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cells == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
+
+  test("hashingTf: counts sum to token count, hash matches JVM md5, empties drop") {
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "alpha", "gamma")),
+      (2L, Seq("alpha")),
+      (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val dim = 16
+    val out = SimilarityOps.hashingTf(df, Seq("id"), "toks", dim)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[scala.collection.Seq[Double]]("embedding")).toMap
+    assert(out.keySet == Set(1L, 2L)) // empty token array drops
+    assert(out(1L).length == dim && out(1L).sum == 4.0)
+    assert(out(2L).sum == 1.0)
+    // the bucket is the first 4 md5 hex digits mod dim, verified off-Spark
+    def bucket(tok: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (Integer.parseInt(d.substring(0, 4), 16) % dim)
+    }
+    assert(out(2L)(bucket("alpha")) == 1.0)
+    assert(out(1L)(bucket("alpha")) >= 2.0)
+  }
 }
