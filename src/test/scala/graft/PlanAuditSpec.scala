@@ -124,6 +124,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "\\(\\d+\\) Exchange") == 1)
   }
 
+  test("pipeline_index: one corpus scan, cached vectors reused, broadcast queries, pushed top-k") {
+    val p = plan("pipeline_index")
+    assert(countOf(p, "Scan parquet") >= 1)
+    // the chunk-vector table is cached and consumed by both the corpus
+    // and query sides (other suites may have warmed further caches, so
+    // bound below, and the corpus parquet appears in at most one scan)
+    assert(countOf(p, "\\(\\d+\\) InMemoryTableScan") >= 2, p.linesIterator.take(30).mkString("\n"))
+    assert(countOf(p, "InMemoryFileIndex \\[file:[^\\]]*documents") <= 1)
+    assert(p.contains("BroadcastExchange"))
+    // per-partition top-k runs BEFORE the final per-query shuffle
+    // (partial + final node, counted in the details section)
+    assert(countOf(p, "\\(\\d+\\) WindowGroupLimit") == 2)
+  }
+
+  test("dedup_setjoin_exact: single corpus scan, candidate pairs broadcast into verify") {
+    val p = plan("dedup_setjoin_exact")
+    assert(countOf(p, "InMemoryFileIndex \\[file:[^\\]]*documents") <= 1, "corpus must be scanned once")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "exact similarity join must never plan an all-pairs join")
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))
