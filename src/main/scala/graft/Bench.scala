@@ -21,7 +21,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
+      // Warm-up absorbs JVM/codegen/footer-cache cost; a warm-up failure is
+      // logged (not swallowed) because it can skew the min-of-3 below.
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
+      }
       // min of three timed runs: this host shows multi-second one-sided
       // stalls (microVM scheduling + GC); the min is the only robust
       // steady-state estimator here. A query that throws records -1 —
@@ -35,10 +39,21 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Per-query detail goes to stderr (and a sidecar file): the driver's
+    // stdout tail capture is ~2 KB, so the ONE stdout line below must stay
+    // short enough to always sit whole inside that window.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    System.err.println(s"[bench] per-query: $qs")
+    try {
+      val p = java.nio.file.Paths.get("bench_queries.json")
+      java.nio.file.Files.write(p, qs.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,7 +16,7 @@ import graft.etl.{Billing, Enrich, Ingest, InvoiceSink}
   * environment) — the key templates match billing.py:267-291.
   *
   * Usage:
-  *   runMain graft.Main --data-dir DIR --output-dir DIR
+  *   runMain graft.Main (--data-dir DIR | --dump-file nova.sql[.gz]) --output-dir DIR
   *     [--start 2024-01-01T00:00:00] [--end 2024-02-01T00:00:00]
   *     [--invoice-month 2024-01]
   *     [--rate-cpu-su 0.013] [--rate-gpu-a100-su 1.803] ...
@@ -26,6 +26,7 @@ object Main {
 
   final case class Config(
       dataDir: String = "",
+      dumpFile: String = "",
       outputDir: String = "",
       start: Option[java.time.LocalDateTime] = None,
       end: Option[java.time.LocalDateTime] = None,
@@ -48,6 +49,7 @@ object Main {
     @annotation.tailrec
     def go(rest: List[String], c: Config): Config = rest match {
       case "--data-dir" :: v :: t   => go(t, c.copy(dataDir = v))
+      case "--dump-file" :: v :: t  => go(t, c.copy(dumpFile = v))
       case "--output-dir" :: v :: t => go(t, c.copy(outputDir = v))
       case "--start" :: v :: t => go(t, c.copy(start = Some(ldt(v))))
       case "--end" :: v :: t   => go(t, c.copy(end = Some(ldt(v))))
@@ -74,7 +76,8 @@ object Main {
         throw new IllegalArgumentException(s"Unknown argument: $other")
     }
     val c = go(args.toList, Config())
-    require(c.dataDir.nonEmpty, "--data-dir is required")
+    require(c.dataDir.nonEmpty || c.dumpFile.nonEmpty,
+      "--data-dir or --dump-file is required")
     require(c.outputDir.nonEmpty, "--output-dir is required")
     c
   }
@@ -113,9 +116,20 @@ object Main {
     val endUs = toUs(end)
     val outages = cfg.excludeIntervals.map { case (s, e) => (toUs(s), toUs(e)) }
 
-    val instances = Ingest.table(spark, cfg.dataDir, "instances")
-    val extra = Ingest.table(spark, cfg.dataDir, "instance_extra")
-    val actions = Ingest.table(spark, cfg.dataDir, "instance_actions")
+    // --dump-file: the reference's whole fetch.py entry path collapsed
+    // into one hop — a mysqldump (plain or .sql.gz, local or s3a://;
+    // Spark's text reader decompresses .gz transparently) converts to
+    // parquet once and the run proceeds off the converted layout. A
+    // reference user can point the CLI straight at today's dump key.
+    val dataDir =
+      if (cfg.dumpFile.nonEmpty) {
+        val conv = java.nio.file.Files.createTempDirectory("graft-dump-pq").toString
+        etl.DumpConvert.convert(spark, cfg.dumpFile, conv)
+        conv
+      } else cfg.dataDir
+    val instances = Ingest.table(spark, dataDir, "instances")
+    val extra = Ingest.table(spark, dataDir, "instance_extra")
+    val actions = Ingest.table(spark, dataDir, "instance_actions")
 
     val enriched = Enrich.enrichInstances(instances, extra, startUs)
     val su = Billing.instanceSuHours(actions, enriched, cfg.rates, startUs, endUs, outages)

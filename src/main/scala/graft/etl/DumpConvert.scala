@@ -1,0 +1,195 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S3 — the migration path off the reference's dump pipeline: mysqldump
+  * text → the nova-shaped parquet layout `Main`/`Ingest.table` read.
+  *
+  * The reference converts mysqldump → SQLite with an external binary and
+  * re-reads it per run (fetch.py:98-124, model.py:180-186); a Spark user
+  * converts ONCE to parquet and gets pruned columnar scans forever after.
+  * The conversion itself is distributed: `spark.read.text` splits the dump
+  * file across executors, each `INSERT INTO` line parses where it lands
+  * (mysqldump writes one extended-INSERT statement per line), and only the
+  * CREATE TABLE column lists — a few KB of DDL lines — ever reach the
+  * driver. A multi-GB dump converts with no single-process bottleneck.
+  *
+  * Value grammar handled (mysqldump defaults): single-quoted strings with
+  * backslash escapes, bare numerics, NULL, parenthesized tuples separated
+  * by commas.
+  */
+object DumpConvert {
+
+  /** The three tables the billing pipeline reads (model.py:228-244,
+    * 205-209) and the column types `Ingest.table` expects downstream.
+    */
+  val tableSchemas: Map[String, Seq[(String, String)]] = Map(
+    "instances" -> Seq(
+      "uuid" -> "string", "hostname" -> "string",
+      "instance_type_id" -> "long", "memory_mb" -> "long",
+      "vcpus" -> "int", "deleted_at" -> "timestamp",
+      "deleted" -> "int", "project_id" -> "string"),
+    "instance_extra" -> Seq(
+      "instance_uuid" -> "string", "pci_requests" -> "string"),
+    "instance_actions" -> Seq(
+      "instance_uuid" -> "string", "created_at" -> "timestamp",
+      "action" -> "string", "message" -> "string"))
+
+  /** Decode a mysqldump single-quoted literal body (escapes per the MySQL
+    * string grammar; `''` doubling also accepted).
+    */
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        b.append(s.charAt(i + 1) match {
+          case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'
+          case '0' => '\u0000'; case 'b' => '\b'; case 'Z' => '\u001a'
+          case other => other // covers \' \" \\ and pass-through
+        })
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Parse every `(...)` tuple after the VALUES keyword of one INSERT
+    * statement. None = SQL NULL. Pure function — safe inside executors.
+    */
+  def parseTuples(stmt: String): Seq[Seq[Option[String]]] = {
+    val vi = stmt.toUpperCase.indexOf("VALUES")
+    if (vi < 0) return Seq.empty
+    val s = stmt
+    var i = vi + "VALUES".length
+    val tuples = Seq.newBuilder[Seq[Option[String]]]
+    var tuple: scala.collection.mutable.Builder[Option[String], Seq[Option[String]]] = null
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' =>
+          tuple = Seq.newBuilder[Option[String]]; i += 1
+        case ')' =>
+          if (tuple != null) { tuples += tuple.result(); tuple = null }
+          i += 1
+        case '\'' =>
+          // string literal: scan to the closing quote honoring \-escapes
+          // and '' doubling
+          val b = new StringBuilder
+          i += 1
+          var done = false
+          while (!done && i < s.length) {
+            val c = s.charAt(i)
+            if (c == '\\' && i + 1 < s.length) { b.append(c).append(s.charAt(i + 1)); i += 2 }
+            else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') { b.append("\\'"); i += 2 }
+            else if (c == '\'') { done = true; i += 1 }
+            else { b.append(c); i += 1 }
+          }
+          if (tuple != null) tuple += Some(unescape(b.toString))
+        case c if c == ',' || c.isWhitespace || c == ';' =>
+          i += 1
+        case _ =>
+          // bare token: number or NULL, up to the next delimiter
+          val j = s.indexWhere(ch => ch == ',' || ch == ')' || ch.isWhitespace, i)
+          val end = if (j < 0) s.length else j
+          val tok = s.substring(i, end)
+          if (tuple != null)
+            tuple += (if (tok.equalsIgnoreCase("NULL")) None else Some(tok))
+          i = end
+      }
+    }
+    tuples.result()
+  }
+
+  /** Associate backticked column-definition lines with their most recent
+    * `CREATE TABLE` header — the driver-side step, fed only DDL lines.
+    * Input pairs are (file-order index, line text).
+    */
+  def createColumns(ddlLines: Seq[(Long, String)]): Map[String, Seq[String]] = {
+    val header = """(?i)\s*CREATE TABLE\s+`?(\w+)`?.*""".r
+    val colDef = """\s*`(\w+)`\s.*""".r
+    var current: String = null
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    ddlLines.sortBy(_._1).foreach {
+      case (_, header(t)) => current = t; acc.getOrElseUpdate(current, Vector.empty)
+      case (_, colDef(c)) if current != null => acc(current) = acc(current) :+ c
+      case _ => ()
+    }
+    acc.toMap.view.mapValues(_.toSeq).toMap
+  }
+
+  /** Column order of each CREATE TABLE in the dump. Only lines that look
+    * like DDL are collected (KBs); the scan itself is distributed.
+    * `monotonically_increasing_id` is partition-major and `spark.read
+    * .text` assigns partitions in file-offset order for a single file, so
+    * sorting by it restores file order for the collected subset.
+    */
+  def tableColumns(spark: SparkSession, dumpPath: String): Map[String, Seq[String]] = {
+    val lines = spark.read.text(dumpPath)
+      .select(monotonically_increasing_id().as("id"), col("value"))
+      .filter(col("value").rlike("^\\s*CREATE TABLE ") ||
+        col("value").rlike("^\\s*`\\w+` "))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    createColumns(lines)
+  }
+
+  /** One table of the dump as a typed DataFrame: distributed parse of its
+    * INSERT lines, columns named from CREATE order, cast to the target
+    * schema. Unknown target columns (absent from this dump's DDL) fail
+    * loudly rather than silently producing nulls.
+    */
+  def loadTable(spark: SparkSession, dumpPath: String, table: String): DataFrame = {
+    import spark.implicits._
+    val createOrder = tableColumns(spark, dumpPath).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"dump has no CREATE TABLE `$table` — tables found: " +
+          tableColumns(spark, dumpPath).keys.mkString(", ")))
+    val target = tableSchemas.getOrElse(table,
+      throw new IllegalArgumentException(s"no target schema for $table"))
+    val missing = target.map(_._1).filterNot(createOrder.contains)
+    require(missing.isEmpty,
+      s"dump's `$table` lacks columns the pipeline needs: ${missing.mkString(", ")}")
+
+    val prefix = s"INSERT INTO `$table` "
+    val prefixNoTick = s"INSERT INTO $table "
+    val raw: Dataset[Seq[Option[String]]] = spark.read.textFile(dumpPath)
+      .filter((l: String) => l.startsWith(prefix) || l.startsWith(prefixNoTick))
+      .flatMap(parseTuples _)
+    val n = createOrder.length
+    val rows = raw.map(t => t.padTo(n, None).take(n).map(_.orNull))
+      .map(vals => vals.toArray) // Array[String] row in CREATE order
+    val asCols = createOrder.zipWithIndex.map { case (c, i) =>
+      element_at(col("value"), i + 1).as(c)
+    }
+    rows.toDF("value").select(asCols: _*)
+      .select(target.map { case (c, t) => col(c).cast(t).as(c) }: _*)
+  }
+
+  /** Convert the whole dump to the parquet layout `Main --data-dir`
+    * expects: one `<out>/<table>.parquet` per pipeline table.
+    */
+  def convert(spark: SparkSession, dumpPath: String, outDir: String): Unit =
+    tableSchemas.keys.toSeq.sorted.foreach { t =>
+      loadTable(spark, dumpPath, t)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+  /** CLI: runMain graft.etl.DumpConvert <dump.sql> <outDir> */
+  def main(args: Array[String]): Unit = {
+    val Array(dumpPath, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try convert(spark, dumpPath, outDir)
+    finally spark.stop()
+    println(s"[dump-convert] wrote ${tableSchemas.size} tables to $outDir")
+  }
+}

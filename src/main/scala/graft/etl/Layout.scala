@@ -26,9 +26,13 @@ object Layout {
     */
   def zorderKey(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    // cast to long up front: Spark's shiftleft on an int column wraps
+    // shift distances mod 32, which would silently corrupt bits >= 16
+    // for IntegerType inputs
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_.bitwiseOR(_))
   }
 

@@ -155,11 +155,17 @@ object DedupOps {
     // usually thousands of edges out of a corpus of billions — so when it
     // fits comfortably on the driver, a union-find there replaces the
     // whole iterative join loop (and its convergence-detection round)
-    // with ONE count + one collect + one broadcast join. Oversized graphs
-    // fall through to the distributed propagation below; both paths
-    // produce cluster_id = min(doc_id in component).
-    val nEdges = pairs.count()
-    if (nEdges <= driverMaxEdges) {
+    // with ONE bounded collect + one broadcast join. The size check and
+    // the edge fetch are a SINGLE action (limit N+1): two separate
+    // actions (count then collect) on an uncached nondeterministic input
+    // could see different edge sets, and would double-evaluate the plan.
+    // Oversized graphs (the limit is hit) fall through to the distributed
+    // propagation below; both paths produce
+    // cluster_id = min(doc_id in component).
+    val limitN = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
+    val edgeRows =
+      pairs.select(col("doc_a"), col("doc_b")).limit(limitN).collect()
+    if (edgeRows.length <= driverMaxEdges) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -170,7 +176,7 @@ object DedupOps {
         }
         r
       }
-      pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+      edgeRows.foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
@@ -375,11 +381,19 @@ object DedupOps {
         transform(col("ss"), e => e.getField("shingle")).as("sorted_sh"),
         size(col("ss")).as("n"))
       .cache()
-    // prefix length |A| − ⌈t·|A|⌉ + 1; rk is the 1-based canonical rank
+    // prefix length |A| − ⌈t·|A|⌉ + 1; rk is the 1-based canonical rank.
+    // The tiny epsilon inside each ceil guards double rounding: when the
+    // exact product is an integer but the double lands a hair above it,
+    // a bare ceil would overshoot by 1 — shortening the prefix (here) or
+    // raising the overlap bound (below) and silently dropping truly-
+    // similar pairs. Subtracting ε lets rounding only err in the safe
+    // direction (longer prefix / lower bound); false positives that slip
+    // through are removed by the exact verify step.
+    val eps = 1e-9
     val prefix = perdoc
       .select(col("doc_id"), col("n"),
         posexplode(slice(col("sorted_sh"), lit(1),
-          (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))))
+          (col("n") - ceil(lit(threshold) * col("n") - lit(eps)) + 1).cast("int"))))
       .select(col("doc_id"), col("col").as("shingle"),
         (col("pos") + 1).as("rk"), col("n"))
     // Candidate pairs from in-bucket lists, gated by the POSITIONAL
@@ -405,7 +419,7 @@ object DedupOps {
               (least(a.getField("n") - a.getField("rk"),
                 b.getField("n") - b.getField("rk")) + 1 >=
                 ceil(lit(threshold / (1 + threshold)) *
-                  (a.getField("n") + b.getField("n")))).as("ok"))),
+                  (a.getField("n") + b.getField("n")) - lit(eps))).as("ok"))),
           p => p.getField("ok"))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()

@@ -200,7 +200,9 @@ object SimilarityOps {
       .filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      // element-type-agnostic read: seeds may be array<float> (the
+      // embeddings table) or array<double> (hashingTf output)
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue).toArray))
       .toSeq.sortBy(_._1)
     // no seed vectors (empty corpus, or nothing under id k): an empty
     // candidate array would fail analysis — an empty assignment is the

@@ -39,7 +39,10 @@ object AsOfJoin {
       leftTs: String, rightTs: String, values: Seq[String],
       forward: Boolean): DataFrame = {
     val spark = left.sparkSession
-    assert(
+    // require, not assert: assert is elided under -Xdisable-assertions,
+    // which would leave users with Spark's opaque "couldn't plan" error
+    // instead of this actionable registration hint
+    require(
       spark.experimental.extraStrategies.contains(AsOfJoinStrategy) ||
         spark.sessionState.planner.strategies.contains(AsOfJoinStrategy),
       "AsOfJoinStrategy is not registered — call GraftExtensions.register(spark) " +

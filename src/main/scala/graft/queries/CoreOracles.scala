@@ -209,6 +209,25 @@ object CoreOracles {
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // w4b: bounds contract like a5 — the quartile ids and exact N from
+    // the oracle, the rated-error verdict asserted TRUE.
+    "w4b_quartile_approx" ->
+      """SELECT CAST(t.q AS BIGINT) AS quartile,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_total,
+        |  TRUE AS ok
+        |FROM (VALUES (1), (2), (3), (4)) AS t(q)""".stripMargin,
+
+    // a5: the oracle's side of the bounds contract — exact distinct from
+    // DuckDB, and the rated-error verdicts asserted TRUE. If Spark's
+    // sketch drifts past its rated error, its boolean goes FALSE and the
+    // hash comparison fails.
+    "a5_approx_sketches" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok,
+        |  TRUE AS kll_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "a6_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag,

@@ -289,17 +289,31 @@ object CoreQueries {
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
           round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))),
 
-    // A5 — sketch aggregates (HLL distinct, quantile sketch): algorithm-
-    // specific results, so no cross-engine oracle — the driver records a
-    // rows-only check (these are the "approximate aggregates absent from
-    // the reference" breadth row).
+    // A5 — sketch aggregates (HLL distinct, quantile sketch) as a BOUNDS
+    // check: sketch estimates are engine-specific, so the cross-engine
+    // contract is the rated error, not the estimate. The Spark side
+    // computes estimate AND exact in one pass and emits boolean verdicts
+    // (estimate within rated error of exact); the oracle computes the
+    // exact count independently and asserts the verdicts TRUE. A sketch
+    // drifting past its rated error flips a boolean → hash mismatch →
+    // red gate. HLL rsd 0.02 is checked at 3σ (6% + 1 absolute); the
+    // quantile sketch (rank error 1/1000) is checked against the exact
+    // value band at ranks 0.49–0.51 (10× rated slack).
     "a5_approx_sketches" -> ((s, dir) =>
       table(s, dir, "events")
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          round(element_at(percentile_approx(col("value"),
-            array(lit(0.5), lit(0.95)), lit(1000)), 1), 6).as("value_p50_approx"))),
+          approx_count_distinct(col("user_id"), 0.02).as("au"),
+          countDistinct(col("user_id")).as("exact_users"),
+          element_at(percentile_approx(col("value"),
+            array(lit(0.5)), lit(1000)), 1).as("p50a"),
+          expr("percentile(value, 0.49)").as("lo"),
+          expr("percentile(value, 0.51)").as("hi"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) <=
+            col("exact_users") * 0.06 + 1).as("hll_ok"),
+          (col("p50a") >= col("lo") && col("p50a") <= col("hi"))
+            .as("kll_ok"))),
 
     // A6 — statistical aggregates: sample stddev/variance, correlation,
     // mean. NOT the builtin stddev/corr: those merge float moments in
@@ -508,6 +522,36 @@ object CoreQueries {
       spend.select(col("o_custkey"), col("spend").cast("string").as("spend"),
         ntile(4).over(w).cast("long").as("quartile"),
         round(percent_rank().over(w), 6).as("pr"))
+    }),
+
+    // W4b — the 100 TB quartile path W4's doc block names: instead of a
+    // global ntile window (one partition sees every row), cutoffs come
+    // from ONE approx-quantile aggregate (a 3-number broadcast dim) and
+    // assignment is a scan-side comparison — no global sort anywhere.
+    // Sketch cutoffs are engine-specific, so like a5 the cross-engine
+    // contract is the rated error: each quartile's size must sit within
+    // the sketch's rank-error band of N/4, emitted as a boolean the
+    // oracle asserts TRUE (a drifting sketch flips it → hash mismatch).
+    "w4b_quartile_approx" -> ((s, dir) => {
+      val spend = table(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("spend"))
+      val cuts = spend.agg(
+        percentile_approx(col("spend").cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("cs"),
+        count(lit(1)).as("n_total"))
+      def gt(i: Int) =
+        (col("spend").cast("double") > element_at(col("cs"), i)).cast("int")
+      spend.crossJoin(broadcast(cuts))
+        .select(col("n_total"), (lit(1) + gt(1) + gt(2) + gt(3)).as("q"))
+        .groupBy("q")
+        .agg(first("n_total").as("n_total"), count(lit(1)).as("cnt"))
+        .select(col("q").cast("long").as("quartile"), col("n_total"),
+          // rank error ≤ 1e-4·N per cutoff at accuracy 10000; ±(1%·N+2)
+          // is 100× rated slack plus tie room
+          (abs(col("cnt") - col("n_total") / lit(4.0)) <=
+            col("n_total") * lit(0.01) + lit(2)).as("ok"))
     }),
 
     // SO3 — UNION ALL with provenance tag.

@@ -107,16 +107,16 @@ object PipelineQueries {
 
     // Corpus-level top-20 bigrams: explode adjacent pairs, count, rank
     // with a deterministic (count desc, bigram) tiebreak.
-    "text_bigrams" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("bigram"))
+    "text_bigrams" -> ((s, dir) =>
+      // global top-20 via orderBy+limit, which plans as
+      // TakeOrderedAndProject: each partition keeps only its own top 20
+      // in a bounded heap and the driver merges K·20 rows — strictly
+      // better than the single-partition global-window form at any scale
       docsTok(s, dir)
         .select(explode(TextOps.bigrams(col("toks"))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 20)
-        .select("bigram", "n")
-    }),
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
 
     // Repetition quality signals (the Gopher-style filters): fraction of
     // distinct tokens and the single most-frequent token's share. One

@@ -16,7 +16,10 @@ class TestdataContractSpec extends AnyFunSuite {
     // oracleSql; a query added without an oracle silently downgrades to
     // a rows-only check — this pins the whitelist so that never happens
     // unnoticed
-    val rowsOnly = Set("a5_approx_sketches") // HLL/KLL internals are engine-specific
+    // empty since r3: a5_approx_sketches gained a bounds oracle (exact
+    // distinct + rated-error verdict booleans), so every query is now
+    // hash-checked
+    val rowsOnly = Set.empty[String]
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty,
       "oracle entries without a matching query")

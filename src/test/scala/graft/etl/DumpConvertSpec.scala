@@ -1,0 +1,170 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** mysqldump→parquet migration tool: value-grammar unit tests plus the
+  * round-trip that matters — a nova-shaped dump through `convert` and the
+  * full billing CLI produces the same invoice the parquet path produces
+  * (MainSpec's e2e scenario).
+  */
+class DumpConvertSpec extends AnyFunSuite {
+
+  test("VALUES tuples: strings, escapes, NULL, numbers, multiple tuples") {
+    val ts = DumpConvert.parseTuples(
+      """INSERT INTO `t` VALUES (1,'a b',NULL,-2.5),('it\'s','x''y','a\\b',3);""")
+    assert(ts == Seq(
+      Seq(Some("1"), Some("a b"), None, Some("-2.5")),
+      Seq(Some("it's"), Some("x'y"), Some("a\\b"), Some("3"))))
+  }
+
+  test("string values containing parens/commas/semicolons parse intact") {
+    val ts = DumpConvert.parseTuples(
+      """INSERT INTO `t` VALUES ('(a,b);c',2),('d',NULL);""")
+    assert(ts == Seq(Seq(Some("(a,b);c"), Some("2")), Seq(Some("d"), None)))
+  }
+
+  test("CREATE TABLE column order: per-table, constraint lines ignored") {
+    val ddl = Seq(
+      (0L, "CREATE TABLE `instances` ("),
+      (1L, "  `uuid` varchar(36) NOT NULL,"),
+      (2L, "  `vcpus` int DEFAULT NULL,"),
+      (3L, "  PRIMARY KEY (`uuid`),"),
+      (4L, "  KEY `ix` (`vcpus`)"),
+      (5L, "CREATE TABLE `instance_extra` ("),
+      (6L, "  `instance_uuid` varchar(36) NOT NULL,"),
+      (7L, "  `pci_requests` text"))
+    assert(DumpConvert.createColumns(ddl) == Map(
+      "instances" -> Seq("uuid", "vcpus"),
+      "instance_extra" -> Seq("instance_uuid", "pci_requests")))
+  }
+
+  test("round-trip: mysqldump → parquet → billing CLI → same invoice") {
+    val spark = graft.SparkTestSession.spark
+    // same scenario as MainSpec's e2e: one CPU instance, create + delete
+    // 10h apart, extra columns (id, launched_at) the pipeline ignores —
+    // exercising name-based selection out of CREATE order
+    val dump =
+      """-- MySQL dump 10.13
+        |CREATE TABLE `instances` (
+        |  `id` int NOT NULL AUTO_INCREMENT,
+        |  `uuid` varchar(36) NOT NULL,
+        |  `hostname` varchar(255) DEFAULT NULL,
+        |  `launched_at` datetime DEFAULT NULL,
+        |  `instance_type_id` int DEFAULT NULL,
+        |  `memory_mb` int DEFAULT NULL,
+        |  `vcpus` int DEFAULT NULL,
+        |  `deleted_at` datetime DEFAULT NULL,
+        |  `deleted` int DEFAULT NULL,
+        |  `project_id` varchar(255) DEFAULT NULL,
+        |  PRIMARY KEY (`id`)
+        |);
+        |INSERT INTO `instances` VALUES (7,'i1','host1','2024-01-01 00:00:00',1,8192,2,NULL,0,'projA');
+        |CREATE TABLE `instance_extra` (
+        |  `instance_uuid` varchar(36) NOT NULL,
+        |  `pci_requests` text
+        |);
+        |INSERT INTO `instance_extra` VALUES ('i1',NULL);
+        |CREATE TABLE `instance_actions` (
+        |  `instance_uuid` varchar(36) NOT NULL,
+        |  `created_at` datetime DEFAULT NULL,
+        |  `action` varchar(255) DEFAULT NULL,
+        |  `message` varchar(255) DEFAULT NULL
+        |);
+        |INSERT INTO `instance_actions` VALUES ('i1','2024-01-01 00:00:00','create',''),('i1','2024-01-01 10:00:00','delete','');
+        |""".stripMargin
+    val dumpFile = java.nio.file.Files.createTempFile("graft-dump", ".sql")
+    java.nio.file.Files.writeString(dumpFile, dump)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-dump-pq").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dump-csv").toString
+
+    DumpConvert.convert(spark, dumpFile.toString, dataDir)
+
+    // typed exactly as Ingest downstream expects
+    val inst = spark.read.parquet(s"$dataDir/instances.parquet")
+    assert(inst.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "uuid" -> "string", "hostname" -> "string",
+      "instance_type_id" -> "bigint", "memory_mb" -> "bigint",
+      "vcpus" -> "int", "deleted_at" -> "timestamp",
+      "deleted" -> "int", "project_id" -> "string"))
+
+    graft.Main.run(graft.Main.parseArgs(Seq(
+      "--data-dir", dataDir, "--output-dir", outDir,
+      "--start", "2024-01-01", "--end", "2024-02-01",
+      "--invoice-month", "2024-01",
+      "--rate-cpu-su", "0.013")), spark)
+
+    val csv = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .toArray.map(_.toString).filter(_.endsWith(".csv"))
+    assert(csv.length == 1)
+    val lines = scala.io.Source.fromFile(csv(0)).getLines().toSeq
+    val byCol = lines.head.split(",", -1).zip(lines(1).split(",", -1)).toMap
+    assert(byCol("Project - Allocation") == "projA")
+    assert(byCol("SU Hours (GBhr or SUhr)") == "20") // 10h × 2 SU
+    assert(byCol("Cost") == "0.26")
+  }
+
+  test("gzipped dump straight through the CLI: --dump-file nova.sql.gz") {
+    val spark = graft.SparkTestSession.spark
+    // minimal single-instance dump, gzipped the way the S3 objects are
+    // (nova-YYYYMMDD.sql.gz); Spark's text reader decompresses inline,
+    // so the reference's explicit gunzip step disappears
+    val dump =
+      """CREATE TABLE `instances` (
+        |  `uuid` varchar(36) NOT NULL,
+        |  `hostname` varchar(255) DEFAULT NULL,
+        |  `instance_type_id` int DEFAULT NULL,
+        |  `memory_mb` int DEFAULT NULL,
+        |  `vcpus` int DEFAULT NULL,
+        |  `deleted_at` datetime DEFAULT NULL,
+        |  `deleted` int DEFAULT NULL,
+        |  `project_id` varchar(255) DEFAULT NULL
+        |);
+        |INSERT INTO `instances` VALUES ('i1','host1',1,8192,2,NULL,0,'projA');
+        |CREATE TABLE `instance_extra` (
+        |  `instance_uuid` varchar(36) NOT NULL,
+        |  `pci_requests` text
+        |);
+        |INSERT INTO `instance_extra` VALUES ('i1',NULL);
+        |CREATE TABLE `instance_actions` (
+        |  `instance_uuid` varchar(36) NOT NULL,
+        |  `created_at` datetime DEFAULT NULL,
+        |  `action` varchar(255) DEFAULT NULL,
+        |  `message` varchar(255) DEFAULT NULL
+        |);
+        |INSERT INTO `instance_actions` VALUES ('i1','2024-01-01 00:00:00','create',''),('i1','2024-01-01 10:00:00','delete','');
+        |""".stripMargin
+    val gz = java.nio.file.Files.createTempFile("nova-20240101", ".sql.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(dump.getBytes("UTF-8")); out.close()
+    val outDir = java.nio.file.Files.createTempDirectory("graft-gz-csv").toString
+
+    graft.Main.run(graft.Main.parseArgs(Seq(
+      "--dump-file", gz.toString, "--output-dir", outDir,
+      "--start", "2024-01-01", "--end", "2024-02-01",
+      "--invoice-month", "2024-01",
+      "--rate-cpu-su", "0.013")), spark)
+
+    val csv = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .toArray.map(_.toString).filter(_.endsWith(".csv"))
+    val lines = scala.io.Source.fromFile(csv(0)).getLines().toSeq
+    val byCol = lines.head.split(",", -1).zip(lines(1).split(",", -1)).toMap
+    assert(byCol("Project - Allocation") == "projA")
+    assert(byCol("Cost") == "0.26")
+  }
+
+  test("missing pipeline column in the dump fails loudly") {
+    val spark = graft.SparkTestSession.spark
+    val dump =
+      """CREATE TABLE `instances` (
+        |  `uuid` varchar(36) NOT NULL
+        |);
+        |INSERT INTO `instances` VALUES ('i1');
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-dump-bad", ".sql")
+    java.nio.file.Files.writeString(f, dump)
+    val e = intercept[IllegalArgumentException](
+      DumpConvert.loadTable(spark, f.toString, "instances"))
+    assert(e.getMessage.contains("lacks columns"))
+  }
+}
