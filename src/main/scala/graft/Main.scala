@@ -17,6 +17,7 @@ import graft.etl.{Billing, Enrich, Ingest, InvoiceSink}
   *
   * Usage:
   *   runMain graft.Main (--data-dir DIR | --dump-file nova.sql[.gz]) --output-dir DIR
+  *     [--rates-file rates.yaml]
   *     [--start 2024-01-01T00:00:00] [--end 2024-02-01T00:00:00]
   *     [--invoice-month 2024-01]
   *     [--rate-cpu-su 0.013] [--rate-gpu-a100-su 1.803] ...
@@ -27,6 +28,7 @@ object Main {
   final case class Config(
       dataDir: String = "",
       dumpFile: String = "",
+      ratesFile: String = "",
       outputDir: String = "",
       start: Option[java.time.LocalDateTime] = None,
       end: Option[java.time.LocalDateTime] = None,
@@ -50,6 +52,7 @@ object Main {
     def go(rest: List[String], c: Config): Config = rest match {
       case "--data-dir" :: v :: t   => go(t, c.copy(dataDir = v))
       case "--dump-file" :: v :: t  => go(t, c.copy(dumpFile = v))
+      case "--rates-file" :: v :: t => go(t, c.copy(ratesFile = v))
       case "--output-dir" :: v :: t => go(t, c.copy(outputDir = v))
       case "--start" :: v :: t => go(t, c.copy(start = Some(ldt(v))))
       case "--end" :: v :: t   => go(t, c.copy(end = Some(ldt(v))))
@@ -112,6 +115,18 @@ object Main {
     val invoiceMonth = cfg.invoiceMonth.getOrElse(
       defStart.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")))
 
+    // --rates-file: the config-repo rates path (reference --use-nerc-rates,
+    // main.py:174-192) with the HTTP hop left to the caller — the file is
+    // the same YAML the reference fetches, resolved at the invoice month.
+    // Overrides any CLI rate flags, as the reference's flag does.
+    val rates =
+      if (cfg.ratesFile.nonEmpty)
+        etl.RatesConfig.ratesAt(
+          etl.RatesConfig.parse(
+            java.nio.file.Files.readString(java.nio.file.Paths.get(cfg.ratesFile))),
+          invoiceMonth)
+      else cfg.rates
+
     val startUs = toUs(start)
     val endUs = toUs(end)
     val outages = cfg.excludeIntervals.map { case (s, e) => (toUs(s), toUs(e)) }
@@ -132,8 +147,8 @@ object Main {
     val actions = Ingest.table(spark, dataDir, "instance_actions")
 
     val enriched = Enrich.enrichInstances(instances, extra, startUs)
-    val su = Billing.instanceSuHours(actions, enriched, cfg.rates, startUs, endUs, outages)
-    val invoices = Billing.projectInvoices(su, cfg.rates)
+    val su = Billing.instanceSuHours(actions, enriched, rates, startUs, endUs, outages)
+    val invoices = Billing.projectInvoices(su, rates)
 
     val isoFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx")
     val rows = InvoiceSink.csvRows(invoices, invoiceMonth,

@@ -131,6 +131,38 @@ object InvoiceSink {
     (primary, daily, archive)
   }
 
+  /** S7 — the triple upload itself (billing.py:267-293): the SAME file
+    * body goes to the primary key (skippable, billing.py:235
+    * `upload_to_primary_location`), the daily key, and the archive key,
+    * in that order. The transport is caller-supplied — an s3a
+    * `FileSystem.create` loop, an S3 client, or a test capture — because
+    * only the wire is environment-blocked here, not the sequencing.
+    * Returns the keys written, in upload order.
+    */
+  def uploadInvoice(
+      csvBytes: Array[Byte],
+      invoiceMonth: String,
+      endUs: Long,
+      nowUtc: java.time.Instant,
+      put: (String, Array[Byte]) => Unit,
+      uploadToPrimary: Boolean = true
+  ): Seq[String] = {
+    val (primary, daily, archive) = s3Keys(invoiceMonth, endUs, nowUtc)
+    val keys = (if (uploadToPrimary) Seq(primary) else Seq.empty) :+ daily :+ archive
+    keys.foreach(put(_, csvBytes))
+    keys
+  }
+
+  /** The single CSV file `writeCsv` produced (it coalesces to one part
+    * file) as bytes — what `uploadInvoice` sends.
+    */
+  def readCsvBytes(dir: String): Array[Byte] = {
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".csv"))
+    require(part.length == 1, s"expected exactly one CSV part in $dir, found ${part.length}")
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(part(0)))
+  }
+
   /** F6 — default billing window (main.py:21-30): start = first of (today −
     * 1 day)'s month at midnight; end = today at midnight.
     */

@@ -145,6 +145,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "exact similarity join must never plan an all-pairs join")
   }
 
+  test("text_bigrams plans the global top-20 as TakeOrderedAndProject") {
+    // orderBy+limit → per-partition bounded heaps + driver merge of K·20
+    // rows; a global row_number window would sort everything in ONE task
+    val p = plan("text_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("Window"), "top-20 must not plan a global window")
+  }
+
+  test("w4b_quartile_approx: no global sort/window — cutoffs broadcast onto the scan") {
+    val p = plan("w4b_quartile_approx")
+    assert(!p.contains("Window"), "approx quartiles must not rank over a global window")
+    assert(p.contains("BroadcastExchange"), "the 3-cutoff dim must broadcast")
+    // rangepartitioning would betray a hidden total sort
+    assert(!p.contains("rangepartitioning"), p.linesIterator.take(25).mkString("\n"))
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))

@@ -137,6 +137,23 @@ class BillingEtlSpec extends AnyFunSuite {
     assert(a == "Invoices/2024-01/Archive/NERC OpenStack 2024-01 20240201T070304Z.csv")
   }
 
+  test("S7 triple upload: same bytes, three keys in order, primary skippable") {
+    val now = java.time.Instant.parse("2024-02-01T07:03:04Z")
+    val body = "Invoice Month,...\n".getBytes("UTF-8")
+    val puts = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    val keys = InvoiceSink.uploadInvoice(body, "2024-01", end, now,
+      (k, b) => puts += ((k, b)))
+    assert(keys == Seq(
+      "Invoices/2024-01/Service Invoices/NERC OpenStack 2024-01.csv",
+      "Invoices/2024-01/Service Invoices/NERC OpenStack 2024-01-31.csv",
+      "Invoices/2024-01/Archive/NERC OpenStack 2024-01 20240201T070304Z.csv"))
+    assert(puts.map(_._1) == keys && puts.forall(_._2.sameElements(body)))
+    // upload_to_primary_location=false drops only the primary copy
+    val noPrimary = InvoiceSink.uploadInvoice(body, "2024-01", end, now,
+      (_, _) => (), uploadToPrimary = false)
+    assert(noPrimary == keys.tail)
+  }
+
   test("lenient enrichment quarantines bad pci rows instead of failing") {
     val badInstances = Seq(
       ("b1", "h", 1L, 4096L, 1, None: Option[java.sql.Timestamp], 0, "projQ"),
