@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up measurement tool: writes an N× synthetic copy of an sf dir
+  * (ids offset per copy so joins/dedup keys stay consistent and no
+  * cross-copy duplicates appear), then benches the named queries on both
+  * the original and the scaled dir — the evidence PLANS.md's "measured
+  * scaling" table reports. Usage:
+  *
+  *   runMain graft.ScaleUp [factor] [query ...]
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_SCALE_OUT
+  * (default /tmp/graft_scaleup).
+  */
+object ScaleUp {
+
+  /** Tables and the id-ish long columns to offset per copy. String keys
+    * (doc md5s, uuids) get a copy suffix via the listed string columns so
+    * exact-dedup keys stay distinct across copies.
+    */
+  val idCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq.empty, // dims: copied once, not scaled
+    "nation" -> Seq.empty,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Text columns that must vary per copy so content-hash dedup does not
+    * collapse the copies into one cluster. The per-copy transform
+    * TRANSLATES the vocabulary (suffix on every token) instead of
+    * appending a tag: an appended token leaves copies ~0.94-Jaccard
+    * near-dups of their originals, which inflates similarity-join output
+    * QUADRATICALLY in the copy count — a data artifact, not engine cost.
+    * Vocabulary translation keeps every within-copy dup relationship and
+    * makes cross-copy similarity zero: N× data, same dup-rate.
+    */
+  val textCols: Map[String, Seq[String]] = Map("documents" -> Seq("text"))
+
+  def scaleTable(df: DataFrame, name: String, factor: Int): DataFrame = {
+    val ids = idCols.getOrElse(name, Seq.empty)
+    if (ids.isEmpty) df
+    else {
+      // offset = copy × (max_id + 1): one tiny agg per table, computed
+      // once at write time (this is a data-gen tool, not a query path)
+      val maxAll =
+        if (ids.length == 1) col(ids.head) else greatest(ids.map(col): _*)
+      val base = df.agg(max(maxAll)).head().getLong(0) + 1L
+      val copies = (0 until factor).map { c =>
+        val off = base * c
+        val offsetted = ids.foldLeft(df)((d, i) => d.withColumn(i, col(i) + off))
+        textCols.getOrElse(name, Seq.empty).foldLeft(offsetted)((d, t) =>
+          if (c == 0) d
+          else d.withColumn(t, array_join(
+            transform(split(col(t), "\\s+"), w => concat(w, lit(s"v$c"))), " ")))
+      }
+      copies.reduce(_.unionAll(_))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 1) args.tail.toSeq
+      else Seq("q1_pricing_summary", "billing_invoice", "k1_state_machine",
+        "dedup_minhash_pairs", "dedup_exact", "w6_global_cumsum",
+        "aj3_asof_bucketed", "text_tfidf_topterms", "mix_downsample",
+        "cdc_latest", "w4b_quartile_approx", "text_bigrams",
+        "dedup_setjoin_exact", "sim_lsh_topk", "pack_sequences")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_scaleup")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    idCols.keys.toSeq.sorted.foreach { t =>
+      val df = etl.Ingest.table(spark, src, t)
+      scaleTable(df, t, factor)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      System.err.println(s"[scaleup] wrote $t ×$factor")
+    }
+
+    def bench(dir: String, name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      try { fn(spark, dir).count() } catch { case _: Throwable => return -1.0 }
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    println(f"| Query | 1x | ${factor}x | ratio |")
+    println("|---|---|---|---|")
+    queries.foreach { q =>
+      val a = bench(src, q)
+      val b = bench(out, q)
+      println(f"| $q | $a%.2fs | $b%.2fs | ${b / a}%.1f× |")
+    }
+    spark.stop()
+  }
+}

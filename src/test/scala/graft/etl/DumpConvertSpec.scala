@@ -153,6 +153,49 @@ class DumpConvertSpec extends AnyFunSuite {
     assert(byCol("Cost") == "0.26")
   }
 
+  test("randomized round-trip: mysqldump-escaped strings parse back exactly") {
+    // independent encoder implementing mysqldump's escaping (the MySQL
+    // string grammar); any value it emits must parse back verbatim
+    def esc(s: String): String = "'" + s.flatMap {
+      case '\\' => "\\\\"
+      case '\'' => "\\'"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case '\u0000' => "\\0"
+      case '\u001a' => "\\Z"
+      case c => c.toString
+    } + "'"
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab'\\\n\r\t,()# ; NULL09-."
+    for (_ <- 1 to 300) {
+      val vals = (1 to 1 + rnd.nextInt(4)).map { _ =>
+        if (rnd.nextInt(8) == 0) None
+        else Some((1 to rnd.nextInt(12)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      val sql = "INSERT INTO `t` VALUES (" +
+        vals.map { case None => "NULL"; case Some(s) => esc(s) }.mkString(",") + ");"
+      val parsed = DumpConvert.parseTuples(sql)
+      assert(parsed == Seq(vals), s"round-trip failed for: $sql")
+    }
+  }
+
+  test("CREATE TABLE with zero INSERTs yields an empty, correctly-typed table") {
+    val spark = graft.SparkTestSession.spark
+    val dump =
+      """CREATE TABLE `instance_extra` (
+        |  `instance_uuid` varchar(36) NOT NULL,
+        |  `pci_requests` text
+        |);
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-dump-empty", ".sql")
+    java.nio.file.Files.writeString(f, dump)
+    val df = DumpConvert.loadTable(spark, f.toString, "instance_extra")
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("instance_uuid", "pci_requests"))
+  }
+
   test("missing pipeline column in the dump fails loudly") {
     val spark = graft.SparkTestSession.spark
     val dump =

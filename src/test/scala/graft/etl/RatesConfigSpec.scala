@@ -72,6 +72,17 @@ class RatesConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RatesConfig.valueAt(p, "R", "2021-06"))
   }
 
+  test("empty and malformed files fail loudly, not silently zero-rate") {
+    assert(RatesConfig.parse("").isEmpty)
+    intercept[IllegalArgumentException](
+      RatesConfig.ratesAt(RatesConfig.parse(""), "2024-01"))
+    intercept[IllegalArgumentException](
+      RatesConfig.parse("just some prose\n"))
+    // history entry with value but no from
+    intercept[IllegalArgumentException](
+      RatesConfig.parse("- name: R\n  history:\n    - value: \"1\"\n"))
+  }
+
   test("ratesAt builds the full Rates with exact decimals and the bool flag") {
     val r = RatesConfig.ratesAt(RatesConfig.parse(yaml), "2024-02")
     assert(r.cpu == BigDecimal("0.026"))

@@ -117,6 +117,18 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(cells == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
 
+  test("kmeansCells accepts array<double> embeddings (e.g. hashingTf output)") {
+    // same blobs as above but double-typed — seeding must read the
+    // element type it finds, not assume float
+    val blob = Seq(
+      (0L, Array(10.0, 0.0)), (2L, Array(11.0, 0.0)),
+      (1L, Array(0.0, 10.0)), (3L, Array(0.0, 11.0))
+    ).toDF("vec_id", "embedding")
+    val cells = SimilarityOps.kmeansCells(blob, k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == Map(0L -> 0L, 2L -> 0L, 1L -> 1L, 3L -> 1L))
+  }
+
   test("hashingTf: counts sum to token count, hash matches JVM md5, empties drop") {
     val df = Seq(
       (1L, Seq("alpha", "beta", "alpha", "gamma")),

@@ -157,6 +157,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(expect.contains((0L, 1L)) && expect.contains((0L, 2L)))
   }
 
+  test("similarityJoinExact: no false negatives across thresholds incl. inexact-double products") {
+    import spark.implicits._
+    // t=0.7 is the trap case the ceil-epsilon guards: 0.7*10 floats to
+    // 7.000000000000001, so a bare ceil would demand overlap 8 of 10 and
+    // silently drop genuinely-0.7-similar pairs. Docs below have 10-token
+    // (= 9-shingle at k=2 / varies with ShingleK) texts with controlled
+    // overlap; equality against the naive all-pairs join at each t is the
+    // no-false-negatives proof.
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "alpha beta gamma delta epsilon zeta eta nu xi omicron"),
+      (4L, "pi rho sigma tau upsilon phi chi psi omega aleph"),
+      (5L, "pi rho sigma tau upsilon phi chi psi omega bet"),
+      (6L, "alpha beta unrelated words entirely shared shared shared here now")
+    ).toDF("doc_id", "text")
+    val sets = DedupOps.shingled(corpus).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    for (t <- Seq(0.3, 0.5, 0.7, 0.75, 0.9)) {
+      val got = DedupOps.similarityJoinExact(corpus, t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble /
+          sets(a).union(sets(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got == expect, s"threshold $t: got $got expected $expect")
+    }
+  }
+
   test("duplicateClusters fails loudly when the round bound is too low") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
