@@ -544,4 +544,56 @@ object DedupOps {
       // must reject the pair rather than count as "0 bits apart"
       .filter(col("hamming").between(0, maxHamming))
   }
+
+  /** Exact substring-span dedup (the repeated-span removal of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, in its k-token-gram form): find every k-token gram
+    * occurring ≥ `minCount` times across the corpus, mark each occurrence
+    * as a token span, and merge overlapping/adjacent spans per document.
+    * Output: (doc_id, span_start, span_end) — 1-based token index, end
+    * exclusive — the spans a cleaning pass would cut.
+    *
+    * Plan shape: the (doc, position, gram) explode is the same codegen
+    * element_at chain as [[shingledAll]] and is RECOMPUTED on both
+    * branches (two parquet scans) — materializing the exploded gram table
+    * costs ~k× the corpus, the same measured tradeoff behind the LSH
+    * bands-not-shingles cache note. The global gram count
+    * partial-aggregates before its shuffle; the repeated-gram set joins
+    * back (broadcast when small, shuffle-on-gram at scale — Catalyst/AQE
+    * decide); the per-doc interval merge is one (doc_id) partition window
+    * over HIT spans only (repeated-gram positions, far smaller than the
+    * corpus). No driver state, no quadratic step — the suffix-array
+    * construction the paper uses single-node becomes three shuffles.
+    */
+  def substringSpans(docs: DataFrame, k: Int = 8, minCount: Long = 2): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= k,
+          sequence(lit(1), size(col("toks")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        concat_ws(" ", (0 until k).map(j => element_at(col("toks"), col("p") + j)): _*)
+          .as("gram"))
+    val repeated = grams
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select("gram")
+    val hits = grams
+      .join(repeated, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("p").cast("long").as("s"),
+        (col("p") + k).cast("long").as("e"))
+    // classic island merge: a span starts a new island iff it begins
+    // after every prior span's end (running max over the sorted prefix)
+    val w = Window.partitionBy("doc_id").orderBy("s", "e")
+    hits
+      .withColumn("prev_max_e",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1)
+          .otherwise(0)).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
 }

@@ -257,6 +257,12 @@ object PipelineQueries {
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactGroups(table(s, dir, "documents"))),
 
+    // Exact substring-span dedup (Lee et al. 2022): repeated k-gram
+    // occurrences merged into per-doc removal spans. One corpus scan,
+    // gram-count + semi-join shuffles, per-doc window only over hits.
+    "dedup_substring_spans" -> ((s, dir) =>
+      DedupOps.substringSpans(table(s, dir, "documents"), k = 8, minCount = 2)),
+
     // "fuzzy-exact" dedup: group by md5 of the canonical form — catches
     // case/punctuation/whitespace-only variants before the MinHash pass.
     "dedup_canonical" -> ((s, dir) =>

@@ -189,6 +189,24 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substringSpans marks repeated k-gram spans and merges overlaps") {
+    import spark.implicits._
+    // docs 1 and 2 share the 10-token run "t1 ... t10" → with k=4 every
+    // window inside it repeats, and the per-doc hits [1,5),[2,6)...[7,11)
+    // must merge to ONE span [1,11). doc 3 is all-unique (no spans);
+    // doc 4 is shorter than k (no grams at all).
+    val shared = (1 to 10).map("t" + _).mkString(" ")
+    val docs = Seq(
+      (1L, shared + " ax bx cx"),
+      (2L, "qx rx " + shared),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (4L, "v1 v2 v3")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substringSpans(docs, k = 4, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 11L), (2L, 3L, 13L)))
+  }
+
   test("duplicateClusters fails loudly when the round bound is too low") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
