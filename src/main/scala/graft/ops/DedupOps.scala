@@ -596,4 +596,31 @@ object DedupOps {
       .agg(min("s").as("span_start"), max("e").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
+
+  /** Apply [[substringSpans]]: the cleaned corpus, every marked token
+    * span cut. Tokens anti-join the span table on (doc, position-in-span)
+    * — spans are repeated-gram-sized, far smaller than the corpus — and
+    * each doc's survivors reassemble in position order. Docs that lose
+    * every token (or had none marked) still appear: the doc spine is the
+    * documents table itself, left-joined to the reassembled text.
+    */
+  def substringClean(docs: DataFrame, k: Int = 8, minCount: Long = 2): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("tok"))
+    val spans = substringSpans(docs, k, minCount)
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        toks("p") >= spans("span_start") && toks("p") < spans("span_end"),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    docs.select("doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

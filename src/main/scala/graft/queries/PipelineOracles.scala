@@ -239,6 +239,52 @@ object PipelineOracles {
         |SELECT doc_id, min(s) AS span_start, max(e) AS span_end
         |FROM i GROUP BY doc_id, island""".stripMargin,
 
+    "dedup_substring_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, p.p AS p,
+        |    array_to_string(toks[p.p : p.p + 7], ' ') AS gram
+        |  FROM t, LATERAL (
+        |    SELECT unnest(generate_series(1, len(toks) - 7)) AS p
+        |  ) p
+        |  WHERE len(toks) >= 8
+        |), rep AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        |), h AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS s, CAST(p + 8 AS BIGINT) AS e
+        |  FROM g WHERE gram IN (SELECT gram FROM rep)
+        |), m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+        |  FROM h
+        |), i AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+        |      THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY s, e) AS island
+        |  FROM m
+        |), sp AS (
+        |  SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+        |  FROM i GROUP BY doc_id, island
+        |), tokpos AS (
+        |  SELECT doc_id, p.p AS p, toks[p.p] AS tok
+        |  FROM t, LATERAL (
+        |    SELECT unnest(generate_series(1, len(toks))) AS p
+        |  ) p
+        |), kept AS (
+        |  SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = tp.doc_id
+        |      AND tp.p >= sp.span_start AND tp.p < sp.span_end)
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+
     "dedup_canonical" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_md5,

@@ -263,6 +263,12 @@ object PipelineQueries {
     "dedup_substring_spans" -> ((s, dir) =>
       DedupOps.substringSpans(table(s, dir, "documents"), k = 8, minCount = 2)),
 
+    // ...and the spans applied: the cleaned corpus, span tokens cut,
+    // survivors reassembled in position order (doc spine left-joined so
+    // fully-cleaned docs surface as empty text, not missing rows).
+    "dedup_substring_clean" -> ((s, dir) =>
+      DedupOps.substringClean(table(s, dir, "documents"), k = 8, minCount = 2)),
+
     // "fuzzy-exact" dedup: group by md5 of the canonical form — catches
     // case/punctuation/whitespace-only variants before the MinHash pass.
     "dedup_canonical" -> ((s, dir) =>

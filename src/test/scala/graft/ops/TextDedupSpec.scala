@@ -205,6 +205,13 @@ class TextDedupSpec extends AnyFunSuite {
     val got = DedupOps.substringSpans(docs, k = 4, minCount = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 11L), (2L, 3L, 13L)))
+
+    // applying the spans: shared runs cut, untouched docs intact, order kept
+    val clean = DedupOps.substringClean(docs, k = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean == Map(
+      1L -> "ax bx cx", 2L -> "qx rx",
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8", 4L -> "v1 v2 v3"))
   }
 
   test("duplicateClusters fails loudly when the round bound is too low") {
