@@ -214,6 +214,38 @@ class TextDedupSpec extends AnyFunSuite {
       3L -> "u1 u2 u3 u4 u5 u6 u7 u8", 4L -> "v1 v2 v3"))
   }
 
+  test("substringSpans equals a sequential reference on random small-vocab corpora") {
+    import spark.implicits._
+    // small vocabulary forces repeated k-grams; the reference recomputes
+    // spans the obvious way (count all grams, mark, merge sequentially)
+    for (seed <- Seq(7, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c")
+      val k = 3
+      val docs = (1L to 12L).map(id =>
+        (id, (1 to 6 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(3))).mkString(" ")))
+      val grams = docs.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        (0 to t.length - k).map(i => (id, i + 1, t.slice(i, i + k).mkString(" ")))
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expect = docs.flatMap { case (id, _) =>
+        val hits = grams.filter(g => g._1 == id && counts(g._3) >= 2)
+          .map(g => (g._2.toLong, g._2.toLong + k)).sorted
+        // sequential island merge
+        hits.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (s, e)) =>
+          acc.lastOption match {
+            case Some((ps, pe)) if s <= pe => acc.init :+ (ps, math.max(pe, e))
+            case _ => acc :+ (s, e)
+          }
+        }.map { case (s, e) => (id, s, e) }
+      }.toSet
+      val got = DedupOps.substringSpans(docs.toDF("doc_id", "text"), k = k, minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("duplicateClusters fails loudly when the round bound is too low") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
