@@ -161,6 +161,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p.linesIterator.take(25).mkString("\n"))
   }
 
+  test("dedup_substring_spans: no all-pairs join, island merge partitioned by doc") {
+    val p = plan("dedup_substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "substring dedup must never plan an all-pairs join")
+    // the gram explode is recomputed per branch (cheaper than
+    // materializing ~k× the corpus) — but never more than two scans
+    assert(countOf(p, "InMemoryFileIndex \\[file:[^\\]]*documents") <= 2,
+      "at most two corpus scans")
+    assert(p.contains("Window"), "island merge is a per-doc window")
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))

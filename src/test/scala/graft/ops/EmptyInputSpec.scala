@@ -31,6 +31,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(DedupOps.simhashPairs(DedupOps.simhash(noDocs)).count() == 0)
     assert(DedupOps.lshBuckets(DedupOps.lshBands(
       DedupOps.minhashSignature(DedupOps.shingledAll(noDocs)))).count() == 0)
+    assert(DedupOps.substringSpans(noDocs).count() == 0)
+    assert(DedupOps.substringSpans(degenerateDocs).count() == 0)
+    // clean keeps the doc spine even when nothing was marked
+    assert(DedupOps.substringClean(noDocs).count() == 0)
+    assert(DedupOps.substringClean(degenerateDocs).count() == 3)
   }
 
   test("text ops survive empty strings and empty tables") {
