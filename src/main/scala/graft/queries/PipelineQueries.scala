@@ -387,9 +387,15 @@ object PipelineQueries {
       val cells = SimilarityOps.kmeansCells(
         table(s, dir, "embeddings"), KmeansK, KmeansIters)
         .withColumnRenamed("cell", "label")
-      val corpus = normed(s, dir).drop("label").join(cells, Seq("vec_id"))
+      val base = normed(s, dir)
+      val corpus = base.drop("label").join(cells, Seq("vec_id"))
       val qs = corpus.filter(col("vec_id") < IvfQueryCount)
-      val exact = SimilarityOps.bruteTopK(corpus, qs, IvfK)
+      // ground truth is label-independent (brute force scores cosine
+      // only), so the exact branch skips the cells join entirely — one
+      // less shuffle join; kmeansCells assigns every vec, so the joined
+      // and unjoined corpora hold identical vectors
+      val exact = SimilarityOps.bruteTopK(
+        base, base.filter(col("vec_id") < IvfQueryCount), IvfK)
         .select(col("query_id"), col("neighbor_id"))
       val approx = SimilarityOps.ivfTopK(corpus, qs, IvfK)
         .select(col("query_id"), col("neighbor_id"))
