@@ -20,7 +20,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run — an iteration aid;
+    // the driver's full run leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Warm-up absorbs JVM/codegen/footer-cache cost; a warm-up failure is
       // logged (not swallowed) because it can skew the min-of-3 below.
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
