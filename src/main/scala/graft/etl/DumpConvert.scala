@@ -141,12 +141,19 @@ object DumpConvert {
     * schema. Unknown target columns (absent from this dump's DDL) fail
     * loudly rather than silently producing nulls.
     */
-  def loadTable(spark: SparkSession, dumpPath: String, table: String): DataFrame = {
+  def loadTable(spark: SparkSession, dumpPath: String, table: String): DataFrame =
+    loadTableWith(spark, dumpPath, table, tableColumns(spark, dumpPath))
+
+  /** Same, with the dump's DDL map precomputed — `convert` scans the DDL
+    * once for all three tables instead of once per table.
+    */
+  private def loadTableWith(spark: SparkSession, dumpPath: String,
+      table: String, allCols: Map[String, Seq[String]]): DataFrame = {
     import spark.implicits._
-    val createOrder = tableColumns(spark, dumpPath).getOrElse(table,
+    val createOrder = allCols.getOrElse(table,
       throw new IllegalArgumentException(
         s"dump has no CREATE TABLE `$table` — tables found: " +
-          tableColumns(spark, dumpPath).keys.mkString(", ")))
+          allCols.keys.mkString(", ")))
     val target = tableSchemas.getOrElse(table,
       throw new IllegalArgumentException(s"no target schema for $table"))
     val missing = target.map(_._1).filterNot(createOrder.contains)
@@ -171,11 +178,13 @@ object DumpConvert {
   /** Convert the whole dump to the parquet layout `Main --data-dir`
     * expects: one `<out>/<table>.parquet` per pipeline table.
     */
-  def convert(spark: SparkSession, dumpPath: String, outDir: String): Unit =
+  def convert(spark: SparkSession, dumpPath: String, outDir: String): Unit = {
+    val allCols = tableColumns(spark, dumpPath)
     tableSchemas.keys.toSeq.sorted.foreach { t =>
-      loadTable(spark, dumpPath, t)
+      loadTableWith(spark, dumpPath, t, allCols)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+  }
 
   /** CLI: runMain graft.etl.DumpConvert <dump.sql> <outDir> */
   def main(args: Array[String]): Unit = {
