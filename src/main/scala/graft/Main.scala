@@ -17,7 +17,7 @@ import graft.etl.{Billing, Enrich, Ingest, InvoiceSink}
   *
   * Usage:
   *   runMain graft.Main (--data-dir DIR | --dump-file nova.sql[.gz]) --output-dir DIR
-  *     [--rates-file rates.yaml]
+  *     [--rates-file rates.yaml] [--outages-file outages.csv [--cluster-name stack]]
   *     [--start 2024-01-01T00:00:00] [--end 2024-02-01T00:00:00]
   *     [--invoice-month 2024-01]
   *     [--rate-cpu-su 0.013] [--rate-gpu-a100-su 1.803] ...
@@ -29,6 +29,8 @@ object Main {
       dataDir: String = "",
       dumpFile: String = "",
       ratesFile: String = "",
+      outagesFile: String = "",
+      clusterName: String = etl.OutagesConfig.DefaultCluster,
       outputDir: String = "",
       start: Option[java.time.LocalDateTime] = None,
       end: Option[java.time.LocalDateTime] = None,
@@ -53,6 +55,8 @@ object Main {
       case "--data-dir" :: v :: t   => go(t, c.copy(dataDir = v))
       case "--dump-file" :: v :: t  => go(t, c.copy(dumpFile = v))
       case "--rates-file" :: v :: t => go(t, c.copy(ratesFile = v))
+      case "--outages-file" :: v :: t => go(t, c.copy(outagesFile = v))
+      case "--cluster-name" :: v :: t => go(t, c.copy(clusterName = v))
       case "--output-dir" :: v :: t => go(t, c.copy(outputDir = v))
       case "--start" :: v :: t => go(t, c.copy(start = Some(ldt(v))))
       case "--end" :: v :: t   => go(t, c.copy(end = Some(ldt(v))))
@@ -129,7 +133,19 @@ object Main {
 
     val startUs = toUs(start)
     val endUs = toUs(end)
-    val outages = cfg.excludeIntervals.map { case (s, e) => (toUs(s), toUs(e)) }
+    // --outages-file: the outages-config path (billing.py:121-124) —
+    // this cluster's outages overlapping the window, clipped to it, then
+    // subtracted through the same single-pass interval join as
+    // --exclude-interval
+    val fileOutages =
+      if (cfg.outagesFile.nonEmpty)
+        etl.OutagesConfig.outagesDuring(
+          etl.OutagesConfig.parse(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(cfg.outagesFile))),
+          start, end, cfg.clusterName)
+      else Seq.empty
+    val outages =
+      (cfg.excludeIntervals ++ fileOutages).map { case (s, e) => (toUs(s), toUs(e)) }
 
     // --dump-file: the reference's whole fetch.py entry path collapsed
     // into one hop — a mysqldump (plain or .sql.gz, local or s3a://;
