@@ -50,4 +50,46 @@ object MixOps {
       .filter(SampleOps.hashDraw(col(keyCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Temperature sampling (the multilingual-pretraining mixture rule):
+    * stratum s's target token share is stok_s^α / Σ_t stok_t^α, so its
+    * keep-fraction is `min(1, share_s · total / stok_s)`. α = 1 keeps the
+    * natural distribution (every fraction 1), α = 0 targets equal token
+    * counts (≡ [[equalTokenDownsample]]), and 0 < α < 1 interpolates —
+    * dominant strata shrink, rare ones pass through whole.
+    *
+    * Same plan shape as [[equalTokenDownsample]]: stratum-sized
+    * aggregates, a broadcast fraction table, a scan-side hash draw; the
+    * corpus never shuffles. The fraction rounds to 6 dp before the
+    * threshold because `pow` may differ between engines in the last ulp
+    * (unlike the division-only equal-token rule) — at HashSpace 65536 the
+    * rounding granularity is far below one hash unit.
+    */
+  def temperatureDownsample(
+      docs: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      tokensCol: String,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    val perStratum = docs
+      .groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).as("__stok"))
+      .withColumn("__pw", pow(col("__stok").cast("double"), lit(alpha)))
+    val totals = perStratum
+      .agg(sum("__stok").as("__total"), sum("__pw").as("__z"))
+    val fractions = perStratum
+      .crossJoin(broadcast(totals))
+      .withColumn("__f",
+        round(least(lit(1.0),
+          (col("__pw") / col("__z")) *
+            (col("__total").cast("double") / col("__stok"))), 6))
+      .withColumn("__thr", floor(col("__f") * SampleOps.HashSpace).cast("long"))
+      .select(col(stratumCol), col("__thr"))
+    docs
+      .join(broadcast(fractions), Seq(stratumCol))
+      .filter(SampleOps.hashDraw(col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
 }

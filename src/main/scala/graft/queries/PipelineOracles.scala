@@ -646,6 +646,27 @@ object PipelineOracles {
         |SELECT doc_id, lang, tok FROM t JOIN fr USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < thr""".stripMargin,
 
+    "mix_temperature" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents
+        |), st AS (
+        |  SELECT lang, sum(tok) AS stok FROM t GROUP BY lang
+        |), tot AS (
+        |  SELECT sum(stok) AS total,
+        |    sum(pow(CAST(stok AS DOUBLE), 0.5)) AS z
+        |  FROM st
+        |), fr AS (
+        |  SELECT lang,
+        |    CAST(floor(round(least(1.0,
+        |      (pow(CAST(stok AS DOUBLE), 0.5) / z) *
+        |        (CAST(total AS DOUBLE) / stok)), 6) * 65536) AS BIGINT) AS thr
+        |  FROM st, tot
+        |)
+        |SELECT doc_id, lang, tok FROM t JOIN fr USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < thr""".stripMargin,
+
     "pipeline_curate" -> {
       val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong
       val t2 = (0.9 * graft.ops.SampleOps.HashSpace).toLong

@@ -567,6 +567,19 @@ object PipelineQueries {
         keyCol = "doc_id", stratumCol = "lang", tokensCol = "tok")
         .select("doc_id", "lang", "tok")),
 
+    // temperature mixing at α=0.5: the multilingual-pretraining rule —
+    // target shares ∝ stok^α, interpolating natural (α=1) toward equal
+    // tokens (α=0); fraction rounded to 6 dp so cross-engine pow ulp
+    // drift cannot move a threshold.
+    "mix_temperature" -> ((s, dir) =>
+      graft.ops.MixOps.temperatureDownsample(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("tok")),
+        keyCol = "doc_id", stratumCol = "lang", tokensCol = "tok",
+        alpha = 0.5)
+        .select("doc_id", "lang", "tok")),
+
     // -- sessionization ---------------------------------------------------
     "sessionize" -> ((s, dir) =>
       SessionOps.sessionStats(eventsUs(s, dir))),

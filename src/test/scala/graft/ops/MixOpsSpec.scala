@@ -32,6 +32,25 @@ class MixOpsSpec extends AnyFunSuite {
     assert(expectEn.nonEmpty && expectEn.size < 90)
   }
 
+  test("temperature endpoints: alpha=1 keeps everything, alpha=0 = equal-token") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, if (i % 4 == 0) "a" else "b", (i % 7 + 1).toLong))
+      .toDF("doc_id", "lang", "tok")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    // alpha=1: every stratum's target share IS its natural share → all kept
+    assert(ids(MixOps.temperatureDownsample(docs, "doc_id", "lang", "tok", 1.0))
+      == (1L to 200L))
+    // alpha=0: pw=1 for every stratum, z=n → identical to the equal-token rule
+    assert(ids(MixOps.temperatureDownsample(docs, "doc_id", "lang", "tok", 0.0))
+      == ids(MixOps.equalTokenDownsample(docs, "doc_id", "lang", "tok")))
+    // and an interior alpha keeps at least as much of the dominant
+    // stratum as alpha=0 (monotone in alpha)
+    val n0 = ids(MixOps.temperatureDownsample(docs, "doc_id", "lang", "tok", 0.0)).size
+    val nHalf = ids(MixOps.temperatureDownsample(docs, "doc_id", "lang", "tok", 0.5)).size
+    assert(nHalf >= n0)
+  }
+
   test("equalTokenDownsample is partitioning-independent") {
     val docs = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", (i % 7 + 1).toLong))
       .toDF("doc_id", "lang", "tok")
