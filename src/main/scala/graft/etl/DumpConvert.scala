@@ -102,6 +102,20 @@ object DumpConvert {
     tuples.result()
   }
 
+  /** The explicit column list of a `--complete-insert` statement
+    * (`INSERT INTO t (a, b) VALUES ...`), if present before VALUES.
+    */
+  def insertColumns(stmt: String): Option[Seq[String]] = {
+    val vi = stmt.toUpperCase.indexOf("VALUES")
+    if (vi < 0) return None
+    val head = stmt.substring(0, vi)
+    val open = head.indexOf('(')
+    val close = head.lastIndexOf(')')
+    if (open < 0 || close <= open) None
+    else Some(head.substring(open + 1, close)
+      .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+  }
+
   /** Associate backticked column-definition lines with their most recent
     * `CREATE TABLE` header — the driver-side step, fed only DDL lines.
     * Input pairs are (file-order index, line text).
@@ -162,9 +176,21 @@ object DumpConvert {
 
     val prefix = s"INSERT INTO `$table` "
     val prefixNoTick = s"INSERT INTO $table "
+    // `--complete-insert` dumps write an explicit column list; those
+    // statements realign to CREATE order per line (absent columns → NULL)
+    // instead of being silently mis-mapped
+    val order = createOrder
     val raw: Dataset[Seq[Option[String]]] = spark.read.textFile(dumpPath)
       .filter((l: String) => l.startsWith(prefix) || l.startsWith(prefixNoTick))
-      .flatMap(parseTuples _)
+      .flatMap { (l: String) =>
+        val tuples = parseTuples(l)
+        insertColumns(l) match {
+          case None => tuples
+          case Some(cs) =>
+            val idx = order.map(cs.indexOf)
+            tuples.map(t => idx.map(i => if (i >= 0 && i < t.length) t(i) else None))
+        }
+      }
     val n = createOrder.length
     val rows = raw.map(t => t.padTo(n, None).take(n).map(_.orNull))
       .map(vals => vals.toArray) // Array[String] row in CREATE order

@@ -181,6 +181,25 @@ class DumpConvertSpec extends AnyFunSuite {
     }
   }
 
+  test("--complete-insert form: explicit column lists realign to CREATE order") {
+    val spark = graft.SparkTestSession.spark
+    // columns listed in a DIFFERENT order than CREATE, and one CREATE
+    // column (pci_requests) omitted from the list entirely → NULL
+    val dump =
+      """CREATE TABLE `instance_extra` (
+        |  `instance_uuid` varchar(36) NOT NULL,
+        |  `pci_requests` text
+        |);
+        |INSERT INTO `instance_extra` (`pci_requests`, `instance_uuid`) VALUES ('[]','i1');
+        |INSERT INTO `instance_extra` (`instance_uuid`) VALUES ('i2');
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-dump-ci", ".sql")
+    java.nio.file.Files.writeString(f, dump)
+    val rows = DumpConvert.loadTable(spark, f.toString, "instance_extra")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set(("i1", Some("[]")), ("i2", None)))
+  }
+
   test("CREATE TABLE with zero INSERTs yields an empty, correctly-typed table") {
     val spark = graft.SparkTestSession.spark
     val dump =
