@@ -10,6 +10,16 @@ import org.apache.spark.sql.SparkSession
   * comparability.
   */
 object Bench {
+
+  /** Sidecar line: per-query `{"min":…,"max":…}` of the timed runs.
+    * max >> min fingerprints a one-sided host stall; max ~= min means the
+    * cost is real. Pure so the schema is spec-checked.
+    */
+  def sidecarJson(results: Seq[(String, (Double, Double))]): String =
+    results.map { case (k, (mn, mx)) =>
+      "\"" + k + "\":" + f"""{"min":$mn%.4f,"max":$mx%.4f}"""
+    }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,13 +55,17 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      if (times.exists(_ < 0)) name -> (-1.0, -1.0)
+      else name -> (times.min, times.max)
     }
     // Per-query detail goes to stderr (and a sidecar file): the driver's
     // stdout tail capture is ~2 KB, so the ONE stdout line below must stay
-    // short enough to always sit whole inside that window.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
+    // short enough to always sit whole inside that window. Each entry
+    // carries min AND max of the 3 timed runs: max >> min fingerprints a
+    // host stall (this microVM shows one-sided multi-second freezes);
+    // max ~= min means the cost is real — so a future outlier in the
+    // driver's BENCH artifact is attributable from the sidecar alone.
+    val qs = sidecarJson(results)
     System.err.println(s"[bench] per-query: $qs")
     try {
       val p = java.nio.file.Paths.get("bench_queries.json")
@@ -59,8 +73,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val failed = results.count(_._2._1 < 0)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

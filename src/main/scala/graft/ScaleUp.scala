@@ -51,7 +51,10 @@ object ScaleUp {
       // once at write time (this is a data-gen tool, not a query path)
       val maxAll =
         if (ids.length == 1) col(ids.head) else greatest(ids.map(col): _*)
-      val base = df.agg(max(maxAll)).head().getLong(0) + 1L
+      // cast-to-long inside the agg (an Int id column would CCE on
+      // getLong) and default an empty table to 0 instead of an NPE
+      val base = Option(df.agg(max(maxAll.cast("long"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) + 1L
       val copies = (0 until factor).map { c =>
         val off = base * c
         val offsetted = ids.foldLeft(df)((d, i) => d.withColumn(i, col(i) + off))

@@ -157,8 +157,10 @@ object InvoiceSink {
     * file) as bytes — what `uploadInvoice` sends.
     */
   def readCsvBytes(dir: String): Array[Byte] = {
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .toArray.map(_.toString).filter(_.endsWith(".csv"))
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val part =
+      try listing.toArray.map(_.toString).filter(_.endsWith(".csv"))
+      finally listing.close() // Files.list holds a directory handle
     require(part.length == 1, s"expected exactly one CSV part in $dir, found ${part.length}")
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(part(0)))
   }

@@ -57,15 +57,32 @@ object RatesConfig {
         val isNewItem = t.startsWith("- ")
         afterDash.split(":", 2) match {
           case Array(k, v) =>
+            // A '- '-led line starts a new item REGARDLESS of which key
+            // leads it (YAML mappings are order-independent, so
+            // `- from:` is as valid an item leader as `- value:`) —
+            // flush the pending entry at every item boundary, and treat
+            // re-assignment within one entry as the malformed-file error
+            // it is rather than silently overwriting.
+            if (isNewItem) flushEntry()
+            def assignOnce(cur: String, key: String, nv: String): String = {
+              require(cur == null,
+                s"rates yaml: duplicate '$key' within one history entry" +
+                  (if (name != null) s" of '$name'" else ""))
+              nv
+            }
             (k.trim, unquote(v)) match {
               case ("name", n) =>
+                // flush again even when not '- '-led: a pending entry
+                // must never be attributed to the next rate's name
                 flushEntry(); name = n; acc.getOrElseUpdate(name, Vector.empty)
               case ("history", _) => ()
-              case ("value", vv) =>
-                if (isNewItem) flushEntry()
-                value = vv
-              case ("from", f) => from = f
-              case ("until", u) => until = Some(u)
+              case ("value", vv) => value = assignOnce(value, "value", vv)
+              case ("from", f) => from = assignOnce(from, "from", f)
+              case ("until", u) =>
+                require(until.isEmpty,
+                  s"rates yaml: duplicate 'until' within one history entry" +
+                    (if (name != null) s" of '$name'" else ""))
+                until = Some(u)
               case _ => () // unknown keys tolerated
             }
           case _ =>

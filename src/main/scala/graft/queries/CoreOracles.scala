@@ -36,6 +36,52 @@ object CoreOracles {
        |  FROM m
        |)""".stripMargin
 
+  /** F3's synth→parse→classify head, shared by the two F3 oracles.
+    * Mirrors CoreQueries.f3SynthPci + Enrich.gpuSuTypeLenient /
+    * gpuCountLenient / quarantineReason via DuckDB JSON functions; both
+    * engines synthesize their own payload and only the derived values
+    * must agree.
+    */
+  private val f3ClassifiedSql: String =
+    """WITH synth AS (
+      |  SELECT event_id,
+      |    CASE event_id % 10
+      |      WHEN 3 THEN '[]'
+      |      WHEN 4 THEN '[{"count": "1", "alias_name": "A100"}]'
+      |      WHEN 5 THEN '[{"count": "2", "alias_name": "v100"}]'
+      |      WHEN 6 THEN '[{"count": "4", "alias_name": "a100-sxm4"}]'
+      |      WHEN 7 THEN '[{"count": "1", "alias_name": "h100"}]'
+      |      WHEN 8 THEN '[{"count": "1", "alias_name": "v100"}, {"count": "1", "alias_name": "v100"}]'
+      |      WHEN 9 THEN '[{"count": "x1", "alias_name": "k80"}]'
+      |      ELSE NULL END AS pci
+      |  FROM events
+      |), parsed AS (
+      |  SELECT event_id, pci,
+      |    json_array_length(pci) AS len,
+      |    lower(json_extract_string(pci, '$[0].alias_name')) AS alias,
+      |    json_extract_string(pci, '$[0].count') AS cnt
+      |  FROM synth
+      |), cls AS (
+      |  SELECT event_id,
+      |    CASE WHEN pci IS NULL OR len = 0 THEN 'cpu'
+      |         WHEN len > 1 THEN NULL
+      |         WHEN alias IN ('a100', 'a100-sxm4', 'v100', 'k80')
+      |           THEN 'gpu_' || replace(alias, '-', '')
+      |         ELSE NULL END AS su_type,
+      |    CASE WHEN pci IS NULL OR len = 0 THEN 0
+      |         ELSE TRY_CAST(cnt AS INTEGER) END AS gpu_count,
+      |    CASE WHEN len > 1 THEN 'multiple pci_requests entries'
+      |         WHEN pci IS NOT NULL AND len = 1
+      |              AND alias NOT IN ('a100', 'a100-sxm4', 'v100', 'k80')
+      |           THEN 'invalid pci alias ' || alias
+      |         WHEN pci IS NOT NULL AND len = 1
+      |              AND TRY_CAST(cnt AS INTEGER) IS NULL
+      |           THEN 'invalid pci count ' || cnt
+      |         END AS reason
+      |  FROM parsed
+      |)
+      |""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -428,6 +474,19 @@ object CoreOracles {
       """SELECT event_id,
         |  coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k
         |FROM events""".stripMargin,
+
+    "f3_gpu_flavor" -> (f3ClassifiedSql +
+      """SELECT event_id,
+        |  coalesce(su_type, '(quarantined)') AS su_type,
+        |  CAST(coalesce(gpu_count, -1) AS BIGINT) AS gpu_count,
+        |  coalesce(reason, 'ok') AS quarantine_reason
+        |FROM cls""".stripMargin),
+
+    "f3_gpu_quarantine" -> (f3ClassifiedSql +
+      """SELECT (su_type IS NOT NULL AND reason IS NULL) AS is_clean,
+        |  coalesce(reason, 'ok') AS quarantine_reason,
+        |  count(*) AS n
+        |FROM cls GROUP BY 1, 2""".stripMargin),
 
     "skew_salted_sum" ->
       """SELECT event_type,

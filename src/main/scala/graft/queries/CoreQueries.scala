@@ -49,6 +49,35 @@ object CoreQueries {
       .when(col("event_type") === "purchase", "Stopped")
       .when(col("event_type") === "view", "Shelved")
 
+  /** Deterministic pci_requests payload for the F3 oracle: event_id%10
+    * selects the branch (0-2 null, 3 empty, 4-6 valid aliases incl. case
+    * and dash variants, 7 unknown alias, 8 multi-entry, 9 bad count).
+    * The same rule is written in SQL in CoreOracles so each engine
+    * synthesizes its own copy.
+    */
+  private def f3SynthPci(id: Column): Column = {
+    val m = pmod(id, lit(10))
+    when(m === 3, lit("[]"))
+      .when(m === 4, lit("""[{"count": "1", "alias_name": "A100"}]"""))
+      .when(m === 5, lit("""[{"count": "2", "alias_name": "v100"}]"""))
+      .when(m === 6, lit("""[{"count": "4", "alias_name": "a100-sxm4"}]"""))
+      .when(m === 7, lit("""[{"count": "1", "alias_name": "h100"}]"""))
+      .when(m === 8,
+        lit("""[{"count": "1", "alias_name": "v100"}, {"count": "1", "alias_name": "v100"}]"""))
+      .when(m === 9, lit("""[{"count": "x1", "alias_name": "k80"}]"""))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Synth → parse → classify, the shared head of the two F3 queries. */
+  private def f3Classified(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), f3SynthPci(col("event_id")).as("pci_requests"))
+      .withColumn("pci", graft.etl.Enrich.parsedPci(col("pci_requests")))
+      .select(col("event_id"),
+        graft.etl.Enrich.gpuSuTypeLenient(col("pci")).as("su_type"),
+        graft.etl.Enrich.gpuCountLenient(col("pci")).as("gpu_count"),
+        graft.etl.Enrich.quarantineReason(col("pci")).as("reason"))
+
   private def shapedEvents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").select(
       col("user_id").as("key"),
@@ -702,6 +731,31 @@ object CoreQueries {
       table(s, dir, "events").select(col("event_id"),
         coalesce(get_json_object(col("props"), "$.k").try_cast("long"), lit(-1L))
           .as("k"))),
+
+    // F3 — GPU flavor extraction, lenient path (model.py:197-209): a
+    // deterministic pci_requests payload synthesized per event exercises
+    // every branch — null/empty → cpu, valid alias (case fold + dash
+    // strip → `gpu_*`), invalid alias / multiple entries / malformed
+    // count → quarantine with reason. Both engines synthesize, parse
+    // (from_json here, DuckDB JSON functions there), and classify
+    // independently; only the derived values must agree.
+    "f3_gpu_flavor" -> ((s, dir) =>
+      f3Classified(table(s, dir, "events")).select(
+        col("event_id"),
+        coalesce(col("su_type"), lit("(quarantined)")).as("su_type"),
+        coalesce(col("gpu_count").cast("long"), lit(-1L)).as("gpu_count"),
+        coalesce(col("reason"), lit("ok")).as("quarantine_reason"))),
+
+    // F3 quarantine split: the lenient-mode contract is that violations
+    // are COUNTED OUT, not job-killing — this checks the clean/quarantined
+    // partition sizes per reason (enrichInstancesLenient's split rule:
+    // clean ⇔ su_type resolved AND no reason).
+    "f3_gpu_quarantine" -> ((s, dir) =>
+      f3Classified(table(s, dir, "events")).select(
+        (col("su_type").isNotNull && col("reason").isNull).as("is_clean"),
+        coalesce(col("reason"), lit("ok")).as("quarantine_reason"))
+        .groupBy("is_clean", "quarantine_reason")
+        .agg(count(lit(1)).as("n"))),
 
     // SKEW — salted two-phase sum == direct sum (exact DECIMAL, so the
     // equality is bitwise): the hot-key mitigation operator, oracle-

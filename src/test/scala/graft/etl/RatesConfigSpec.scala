@@ -45,6 +45,39 @@ class RatesConfigSpec extends AnyFunSuite {
       |      from: 2024-01
       |""".stripMargin
 
+  test("key order within a history item does not matter ('- from:' leader)") {
+    // YAML mappings are order-independent: an item led by `- from:` is
+    // the same document as one led by `- value:` — both entries must
+    // survive, with no field bleed between them.
+    val reordered =
+      """- name: CPU SU Rate
+        |  history:
+        |    - from: 2020-01
+        |      until: 2023-05
+        |      value: "0.013"
+        |    - from: 2023-06
+        |      value: "0.026"
+        |""".stripMargin
+    val p = RatesConfig.parse(reordered)
+    assert(p("CPU SU Rate") == Seq(
+      RatesConfig.RateEntry("0.013", "2020-01", Some("2023-05")),
+      RatesConfig.RateEntry("0.026", "2023-06", None)))
+    assert(RatesConfig.valueAt(p, "CPU SU Rate", "2023-05") == "0.013")
+    assert(RatesConfig.valueAt(p, "CPU SU Rate", "2023-06") == "0.026")
+  }
+
+  test("re-assigned field within one history entry is rejected, not overwritten") {
+    val dup =
+      """- name: CPU SU Rate
+        |  history:
+        |    - value: "0.013"
+        |      from: 2020-01
+        |      from: 2021-01
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](RatesConfig.parse(dup))
+    assert(e.getMessage.contains("duplicate 'from'"))
+  }
+
   test("month-range resolution picks the covering history entry") {
     val p = RatesConfig.parse(yaml)
     assert(RatesConfig.valueAt(p, "CPU SU Rate", "2023-05") == "0.013")
