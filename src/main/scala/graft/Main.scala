@@ -16,7 +16,8 @@ import graft.etl.{Billing, Enrich, Ingest, InvoiceSink}
   * environment) — the key templates match billing.py:267-291.
   *
   * Usage:
-  *   runMain graft.Main (--data-dir DIR | --dump-file nova.sql[.gz]) --output-dir DIR
+  *   runMain graft.Main (--data-dir DIR | --dump-file nova.sql[.gz]
+  *                       | --fetch-dump BUCKET_DIR [--fetch-date YYYY-MM-DD]) --output-dir DIR
   *     [--rates-file rates.yaml] [--outages-file outages.csv [--cluster-name stack]]
   *     [--start 2024-01-01T00:00:00] [--end 2024-02-01T00:00:00]
   *     [--invoice-month 2024-01]
@@ -28,6 +29,8 @@ object Main {
   final case class Config(
       dataDir: String = "",
       dumpFile: String = "",
+      fetchDump: String = "",
+      fetchDate: Option[java.time.LocalDate] = None,
       ratesFile: String = "",
       outagesFile: String = "",
       clusterName: String = etl.OutagesConfig.DefaultCluster,
@@ -54,6 +57,9 @@ object Main {
     def go(rest: List[String], c: Config): Config = rest match {
       case "--data-dir" :: v :: t   => go(t, c.copy(dataDir = v))
       case "--dump-file" :: v :: t  => go(t, c.copy(dumpFile = v))
+      case "--fetch-dump" :: v :: t => go(t, c.copy(fetchDump = v))
+      case "--fetch-date" :: v :: t =>
+        go(t, c.copy(fetchDate = Some(java.time.LocalDate.parse(v))))
       case "--rates-file" :: v :: t => go(t, c.copy(ratesFile = v))
       case "--outages-file" :: v :: t => go(t, c.copy(outagesFile = v))
       case "--cluster-name" :: v :: t => go(t, c.copy(clusterName = v))
@@ -83,8 +89,8 @@ object Main {
         throw new IllegalArgumentException(s"Unknown argument: $other")
     }
     val c = go(args.toList, Config())
-    require(c.dataDir.nonEmpty || c.dumpFile.nonEmpty,
-      "--data-dir or --dump-file is required")
+    require(c.dataDir.nonEmpty || c.dumpFile.nonEmpty || c.fetchDump.nonEmpty,
+      "--data-dir, --dump-file, or --fetch-dump is required")
     require(c.outputDir.nonEmpty, "--output-dir is required")
     c
   }
@@ -149,13 +155,35 @@ object Main {
 
     // --dump-file: the reference's whole fetch.py entry path collapsed
     // into one hop — a mysqldump (plain or .sql.gz, local or s3a://;
-    // Spark's text reader decompresses .gz transparently) converts to
-    // parquet once and the run proceeds off the converted layout. A
-    // reference user can point the CLI straight at today's dump key.
+    // gzip is non-splittable, so DumpConvert stages .gz through one
+    // streaming gunzip and parses the splittable copy in parallel)
+    // converts to parquet once and the run proceeds off the converted
+    // layout. A reference user can point the CLI straight at today's
+    // dump key.
+    // --fetch-dump: the reference's WHOLE fetch.py path (fetch.py:11-95)
+    // — list today's (or --fetch-date's) per-controller prefixes in
+    // fallback order, take the first object of the first non-empty
+    // listing, and feed the selected key into the dump conversion. The
+    // listing runs through Hadoop FileSystem, so a file:// fixture dir
+    // and the real s3a:// bucket exercise the identical code path.
+    val dumpFile =
+      if (cfg.fetchDump.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(cfg.fetchDump)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val date = cfg.fetchDate.getOrElse(java.time.LocalDate.now())
+        val key = etl.DumpFetch
+          .selectDumpKey(date, etl.DumpFetch.fsListing(fs, root))
+          .getOrElse(throw new IllegalStateException(
+            // fetch.py:74's raise, same message shape
+            s"No database dumps found for ${date.format(
+              java.time.format.DateTimeFormatter.BASIC_ISO_DATE)}"))
+        println(s"[main] selected dump key: $key")
+        new org.apache.hadoop.fs.Path(root, key).toString
+      } else cfg.dumpFile
     val dataDir =
-      if (cfg.dumpFile.nonEmpty) {
+      if (dumpFile.nonEmpty) {
         val conv = java.nio.file.Files.createTempDirectory("graft-dump-pq").toString
-        etl.DumpConvert.convert(spark, cfg.dumpFile, conv)
+        etl.DumpConvert.convert(spark, dumpFile, conv)
         conv
       } else cfg.dataDir
     val instances = Ingest.table(spark, dataDir, "instances")

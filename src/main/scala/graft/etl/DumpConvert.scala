@@ -13,7 +13,17 @@ import org.apache.spark.sql.functions._
   * file across executors, each `INSERT INTO` line parses where it lands
   * (mysqldump writes one extended-INSERT statement per line), and only the
   * CREATE TABLE column lists — a few KB of DDL lines — ever reach the
-  * driver. A multi-GB dump converts with no single-process bottleneck.
+  * driver.
+  *
+  * Gzip is NOT a splittable codec — the real dumps are `.sql.gz`
+  * (fetch.py:28-39), and reading one through `spark.read.text` directly
+  * parses the whole file in ONE task. [[stageSplittable]] closes that
+  * hole: `.gz` inputs stream-gunzip once (the inherently serial step —
+  * same cost the reference pays in its explicit `gzip -d`) into a
+  * decompressed staging copy, and the expensive part — the INSERT parse —
+  * runs distributed over that splittable copy. With that staging, a
+  * multi-GB dump converts with no single-process bottleneck in the parse;
+  * only the gunzip itself is serial, and it is IO-bound, not CPU-bound.
   *
   * Value grammar handled (mysqldump defaults): single-quoted strings with
   * backslash escapes, bare numerics, NULL, parenthesized tuples separated
@@ -133,13 +143,57 @@ object DumpConvert {
     acc.toMap.view.mapValues(_.toSeq).toMap
   }
 
+  /** Stage a non-splittable dump into a form the distributed parse can
+    * split. `.gz` inputs stream-gunzip ONCE through Hadoop IO (works for
+    * `file://` and `s3a://` alike) into `stagingDir`; anything else
+    * passes through untouched. The staged copy is registered for
+    * delete-on-exit.
+    *
+    * `stagingDir` defaults to the local tmpdir (right for local mode and
+    * for a driver-side staging step); a multi-executor cluster should
+    * point `SPARK_GRAFT_STAGING_DIR` at a shared filesystem (HDFS, S3)
+    * so the staged copy is visible to every executor.
+    */
+  def stageSplittable(spark: SparkSession, dumpPath: String,
+      stagingDir: String = sys.env.getOrElse("SPARK_GRAFT_STAGING_DIR",
+        sys.props("java.io.tmpdir"))): String =
+    if (!dumpPath.endsWith(".gz")) dumpPath
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      val src = new org.apache.hadoop.fs.Path(dumpPath)
+      val srcFs = src.getFileSystem(conf)
+      val dst = new org.apache.hadoop.fs.Path(stagingDir,
+        s"graft-stage-${java.util.UUID.randomUUID()}-" +
+          src.getName.stripSuffix(".gz"))
+      val dstFs = dst.getFileSystem(conf)
+      val in = new java.util.zip.GZIPInputStream(srcFs.open(src))
+      val out = dstFs.create(dst, true)
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, true)
+      dstFs.deleteOnExit(dst)
+      dst.toString
+    }
+
+  /** The single dump file, verified: the parse relies on
+    * `monotonically_increasing_id` reflecting file-offset order, which
+    * Spark's text source guarantees for ONE file but not for a directory
+    * or glob (multi-file listing order is a filesystem detail).
+    */
+  private def requireSingleFile(spark: SparkSession, dumpPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dumpPath)
+    val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+    require(st.isFile,
+      s"dump path must be a single file, not a directory/glob: $dumpPath")
+  }
+
   /** Column order of each CREATE TABLE in the dump. Only lines that look
     * like DDL are collected (KBs); the scan itself is distributed.
     * `monotonically_increasing_id` is partition-major and `spark.read
-    * .text` assigns partitions in file-offset order for a single file, so
-    * sorting by it restores file order for the collected subset.
+    * .text` assigns partitions in file-offset order for a single file
+    * (enforced by [[requireSingleFile]]), so sorting by it restores file
+    * order for the collected subset.
     */
   def tableColumns(spark: SparkSession, dumpPath: String): Map[String, Seq[String]] = {
+    requireSingleFile(spark, dumpPath)
     val lines = spark.read.text(dumpPath)
       .select(monotonically_increasing_id().as("id"), col("value"))
       .filter(col("value").rlike("^\\s*CREATE TABLE ") ||
@@ -155,8 +209,10 @@ object DumpConvert {
     * schema. Unknown target columns (absent from this dump's DDL) fail
     * loudly rather than silently producing nulls.
     */
-  def loadTable(spark: SparkSession, dumpPath: String, table: String): DataFrame =
-    loadTableWith(spark, dumpPath, table, tableColumns(spark, dumpPath))
+  def loadTable(spark: SparkSession, dumpPath: String, table: String): DataFrame = {
+    val staged = stageSplittable(spark, dumpPath)
+    loadTableWith(spark, staged, table, tableColumns(spark, staged))
+  }
 
   /** Same, with the dump's DDL map precomputed — `convert` scans the DDL
     * once for all three tables instead of once per table.
@@ -205,9 +261,12 @@ object DumpConvert {
     * expects: one `<out>/<table>.parquet` per pipeline table.
     */
   def convert(spark: SparkSession, dumpPath: String, outDir: String): Unit = {
-    val allCols = tableColumns(spark, dumpPath)
+    // stage ONCE for all three tables: the gunzip cost is paid one time,
+    // every per-table parse below splits across executors
+    val staged = stageSplittable(spark, dumpPath)
+    val allCols = tableColumns(spark, staged)
     tableSchemas.keys.toSeq.sorted.foreach { t =>
-      loadTableWith(spark, dumpPath, t, allCols)
+      loadTableWith(spark, staged, t, allCols)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
   }

@@ -67,4 +67,24 @@ object DumpFetch {
     * consume when the cluster has S3 credentials configured.
     */
   def s3aUri(bucket: String, key: String): String = s"s3a://$bucket/$key"
+
+  /** A prefix-listing function backed by Hadoop `FileSystem` — the same
+    * API over `file://` fixtures and `s3a://` buckets, which is what lets
+    * [[selectDumpKey]] run end-to-end with zero network (and against the
+    * real bucket unchanged when credentials exist). Keys come back
+    * bucket-root-relative, exactly like S3 ListObjectsV2 `Contents[].Key`;
+    * a missing controller directory lists as empty, matching an S3 prefix
+    * with no objects.
+    */
+  def fsListing(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): String => Seq[String] = { prefix =>
+    val slash = prefix.lastIndexOf('/')
+    val (dir, base) =
+      if (slash < 0) ("", prefix) else (prefix.take(slash), prefix.drop(slash + 1))
+    val d = if (dir.isEmpty) root else new org.apache.hadoop.fs.Path(root, dir)
+    try fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(_.startsWith(base))
+      .map(n => if (dir.isEmpty) n else s"$dir/$n")
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
 }

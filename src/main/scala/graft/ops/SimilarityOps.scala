@@ -142,9 +142,9 @@ object SimilarityOps {
   /** LSH-bucketed top-k: like [[ivfTopK]] but the cell is the hyperplane
     * signature instead of a precomputed label — each query probes only
     * its own sign bucket. Recall is approximate by construction (a true
-    * neighbor in a different bucket is missed); multi-probe (flipping
-    * low-margin bits) is the standard extension and would add probe
-    * signatures to the broadcast side only.
+    * neighbor in a different bucket is missed); [[lshTopKMultiProbe]] is
+    * the standard recall extension (flip low-margin bits, probe those
+    * buckets too — query-side only).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(
@@ -152,6 +152,62 @@ object SimilarityOps {
       lshSignature(col("embedding")).as("sig"),
       col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"))
+    val scored = corpus
+      .withColumn("sig", lshSignature(col("embedding")))
+      .join(broadcast(q), Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** Per-plane margin magnitudes as `struct(am, idx)` candidates: `am` is
+    * |Σ ±x_d| — how close the vector sits to plane `idx`. The
+    * lowest-margin bits are the least reliable signature bits, so they
+    * are the ones multi-probe flips. Every product is exact in double
+    * arithmetic (±1 components), so the (am, idx) sort order is
+    * cross-engine deterministic.
+    */
+  private def lshMargins(emb: Column): Column =
+    array(hyperplanes.zipWithIndex.map { case (p, i) =>
+      struct(abs(dot(emb, typedlit(p.toSeq))).as("am"), lit(i).as("idx"))
+    }: _*)
+
+  /** `sig` with 0-based bit `idx` flipped (signatures are "01…" strings). */
+  private def flipBit(sig: Column, idx: Column): Column =
+    concat(
+      sig.substr(lit(1), idx),
+      when(sig.substr(idx + 1, lit(1)) === "1", "0").otherwise("1"),
+      sig.substr(idx + 2, lit(LshPlanes)))
+
+  /** Multi-probe LSH top-k (Lv et al., VLDB 2007 form, 1-bit flips): each
+    * query probes its own bucket PLUS the `probes − 1` buckets reached by
+    * flipping its lowest-|margin| signature bits — the buckets a true
+    * neighbor most likely fell into when it landed on the other side of a
+    * near-tangent plane.
+    *
+    * The scale story is the whole point: the probe expansion happens on
+    * the BROADCAST (query) side only — `probes×` more tiny rows in the
+    * hash relation, while the 100 TB corpus is still scanned once and
+    * signed once. A corpus vector has exactly one signature and a query's
+    * probe signatures are distinct, so no (query, neighbor) pair
+    * duplicates. `probes = 1` degenerates to [[lshTopK]] exactly.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= LshPlanes + 1,
+      s"probes must be in [1, ${LshPlanes + 1}], got $probes")
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      lshSignature(col("embedding")).as("sig0"),
+      col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(concat(
+          array(col("sig0")),
+          transform(
+            slice(array_sort(lshMargins(col("q_emb"))), 1, probes - 1),
+            f => flipBit(col("sig0"), f.getField("idx"))))).as("sig"))
     val scored = corpus
       .withColumn("sig", lshSignature(col("embedding")))
       .join(broadcast(q), Seq("sig"))

@@ -480,6 +480,66 @@ object PipelineOracles {
          |FROM ranked WHERE rank <= ${PipelineQueries.LshK}""".stripMargin
     },
 
+    // multi-probe LSH recall replay: per-plane |margins| over the query
+    // side only (8 UNION ALL branches of exact ±1-dot products), lowest
+    // LshProbes−1 by (am, idx) are the flipped bits, probe set = own
+    // signature + flips; 1-probe and multi-probe results each
+    // left-join the brute-force ground truth.
+    "sim_recall_lsh" -> {
+      def planeLit(p: Array[Double]): String =
+        p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")
+      val sigExpr = graft.ops.SimilarityOps.hyperplanes
+        .map(p => s"CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      val mgBranches = graft.ops.SimilarityOps.hyperplanes.zipWithIndex
+        .map { case (p, i) =>
+          s"SELECT query_id, $i AS idx, abs(list_dot_product(qe, ${planeLit(p)})) AS am FROM lq"
+        }.mkString("\n  UNION ALL ")
+      def rankTopk(src: String, out: String) =
+        s"""$out AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM $src) WHERE rank <= ${PipelineQueries.LshK})""".stripMargin
+      s"""WITH $normCte,
+         |sg AS (SELECT vec_id, e, nrm, $sigExpr AS sig FROM n),
+         |lq AS (SELECT vec_id AS query_id, sig, e AS qe, nrm AS qn FROM sg
+         |       WHERE vec_id < ${PipelineQueries.LshQueryCount}),
+         |mg AS ($mgBranches),
+         |fl AS (SELECT query_id, idx FROM (
+         |  SELECT query_id, idx,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY am, idx) AS rn
+         |  FROM mg) WHERE rn <= ${PipelineQueries.LshProbes - 1}),
+         |probe AS (
+         |  SELECT query_id, sig, qe, qn FROM lq
+         |  UNION ALL
+         |  SELECT lq.query_id,
+         |    substr(lq.sig, 1, fl.idx)
+         |      || (CASE substr(lq.sig, fl.idx + 1, 1) WHEN '1' THEN '0' ELSE '1' END)
+         |      || substr(lq.sig, fl.idx + 2) AS sig,
+         |    lq.qe, lq.qn
+         |  FROM lq JOIN fl USING (query_id)),
+         |s1 AS (SELECT lq.query_id, sg.vec_id AS neighbor_id,
+         |    list_dot_product(sg.e, lq.qe) / (sg.nrm * lq.qn) AS cos
+         |  FROM sg JOIN lq ON sg.sig = lq.sig AND sg.vec_id <> lq.query_id),
+         |${rankTopk("s1", "one")},
+         |sm AS (SELECT probe.query_id, sg.vec_id AS neighbor_id,
+         |    list_dot_product(sg.e, probe.qe) / (sg.nrm * probe.qn) AS cos
+         |  FROM sg JOIN probe ON sg.sig = probe.sig AND sg.vec_id <> probe.query_id),
+         |${rankTopk("sm", "multi")},
+         |${topkCtes("bt", PipelineQueries.LshQueryCount, PipelineQueries.LshK, cellJoin = false)}
+         |SELECT bt.query_id,
+         |  CAST(sum(CASE WHEN one.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_1probe,
+         |  CAST(sum(CASE WHEN multi.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_multiprobe,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  round(CAST(sum(CASE WHEN one.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_1probe,
+         |  round(CAST(sum(CASE WHEN multi.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_multiprobe
+         |FROM bt LEFT JOIN one USING (query_id, neighbor_id)
+         |        LEFT JOIN multi USING (query_id, neighbor_id)
+         |GROUP BY bt.query_id""".stripMargin
+    },
+
     "sim_ivf_topk" ->
       s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, label, e AS qe, nrm AS qn FROM n

@@ -18,6 +18,7 @@ object PipelineQueries {
   val IvfK = 5
   val LshQueryCount = 20
   val LshK = 5
+  val LshProbes = 4
   val NearDupThreshold = 0.3
   val KmeansK = 8
   val KmeansIters = 2
@@ -415,6 +416,40 @@ object PipelineQueries {
       val corpus = normed(s, dir)
       SimilarityOps.lshTopK(
         corpus, corpus.filter(col("vec_id") < LshQueryCount), LshK)
+    }),
+
+    // the LSH quality evaluation: recall@k of 1-probe vs multi-probe
+    // (LshProbes buckets per query — own bucket + lowest-|margin| bit
+    // flips) against the brute-force ground truth. One result row per
+    // query demonstrates the tradeoff multi-probe buys: more buckets
+    // probed (query-side only — the corpus is still scanned and signed
+    // once) for strictly-no-worse recall, since the 1-probe bucket is a
+    // subset of the probe set.
+    "sim_recall_lsh" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < LshQueryCount)
+      val exact = SimilarityOps.bruteTopK(corpus, qs, LshK)
+        .select(col("query_id"), col("neighbor_id"))
+      val one = SimilarityOps.lshTopK(corpus, qs, LshK)
+        .select(col("query_id"), col("neighbor_id"))
+      val multi = SimilarityOps.lshTopKMultiProbe(corpus, qs, LshK, LshProbes)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(one.withColumn("hit1", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(multi.withColumn("hitm", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(coalesce(col("hit1"), lit(0L))).as("n_hits_1probe"),
+          sum(coalesce(col("hitm"), lit(0L))).as("n_hits_multiprobe"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits_1probe"),
+          col("n_hits_multiprobe"), col("k"),
+          round(col("n_hits_1probe") / col("k").cast("double"), 6)
+            .as("recall_1probe"),
+          round(col("n_hits_multiprobe") / col("k").cast("double"), 6)
+            .as("recall_multiprobe"))
     }),
 
     "dedup_embedding" -> ((s, dir) =>

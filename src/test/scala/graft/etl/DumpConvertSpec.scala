@@ -153,6 +153,53 @@ class DumpConvertSpec extends AnyFunSuite {
     assert(byCol("Cost") == "0.26")
   }
 
+  test("gz staging: the INSERT parse runs over >1 partition, not one gzip task") {
+    val spark = graft.SparkTestSession.spark
+    // a dump big enough to split at a small maxPartitionBytes: 2000
+    // single-row INSERT lines (~160 KB decompressed)
+    val header =
+      """CREATE TABLE `instance_extra` (
+        |  `instance_uuid` varchar(36) NOT NULL,
+        |  `pci_requests` text
+        |);
+        |""".stripMargin
+    val inserts = (1 to 2000).map(i =>
+      s"INSERT INTO `instance_extra` VALUES ('instance-$i','[]');").mkString("\n")
+    val gz = java.nio.file.Files.createTempFile("nova-split", ".sql.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write((header + inserts + "\n").getBytes("UTF-8")); out.close()
+
+    val staged = DumpConvert.stageSplittable(spark, gz.toString)
+    assert(!staged.endsWith(".gz"))
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      // the gzipped original is structurally one partition; the staged
+      // copy splits
+      val gzParts = spark.read.textFile(gz.toString).rdd.getNumPartitions
+      val stagedParts = spark.read.textFile(staged).rdd.getNumPartitions
+      assert(gzParts == 1, s"gz input expected 1 partition, got $gzParts")
+      assert(stagedParts > 1,
+        s"staged copy should split, got $stagedParts partition(s)")
+      // and the INSERT lines parse identically through the staged path
+      val rows = DumpConvert.loadTable(spark, gz.toString, "instance_extra")
+      assert(rows.rdd.getNumPartitions > 1)
+      assert(rows.count() == 2000)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("directory dump path is rejected: single-file contract") {
+    val spark = graft.SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-dump-dir")
+    java.nio.file.Files.writeString(dir.resolve("part1.sql"),
+      "CREATE TABLE `instances` (\n  `uuid` varchar(36) NOT NULL\n);\n")
+    val e = intercept[IllegalArgumentException](
+      DumpConvert.tableColumns(spark, dir.toString))
+    assert(e.getMessage.contains("single file"))
+  }
+
   test("randomized round-trip: mysqldump-escaped strings parse back exactly") {
     // independent encoder implementing mysqldump's escaping (the MySQL
     // string grammar); any value it emits must parse back verbatim

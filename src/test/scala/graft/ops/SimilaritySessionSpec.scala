@@ -49,6 +49,33 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(top.contains(1L) && top.contains(4L) && !top.contains(3L))
   }
 
+  test("multi-probe LSH: probes=1 ≡ lshTopK; more probes never lose neighbors") {
+    val c = SimilarityOps.withNorm(vecs)
+    val qs = c.filter(col("vec_id") === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val base = pairs(SimilarityOps.lshTopK(c, qs, 4))
+    assert(pairs(SimilarityOps.lshTopKMultiProbe(c, qs, 4, 1)) == base)
+    // each extra probe opens a superset of buckets, and k=4 ≥ corpus
+    // size here, so the neighbor set can only grow
+    var prev = base
+    for (p <- 2 to SimilarityOps.LshPlanes + 1) {
+      val cur = pairs(SimilarityOps.lshTopKMultiProbe(c, qs, 4, p))
+      assert(prev.subsetOf(cur), s"probes=$p lost neighbors")
+      prev = cur
+    }
+    // probing every 1-bit flip of an 8-bit signature must reach vec 2
+    // (orthogonal — roughly half its plane signs differ) only if it is
+    // 1 flip away; sign-opposite vec 3 (8 flips away) stays unreachable
+    assert(!prev.contains((0L, 3L)))
+    // ... and no pair ever duplicates (distinct probe sigs, one sig per
+    // corpus vector)
+    val all = SimilarityOps.lshTopKMultiProbe(c, qs, 4, 4)
+      .select("query_id", "neighbor_id").collect()
+    assert(all.length == all.distinct.length)
+  }
+
   test("near-dup pairs: bucketed, thresholded, a<b") {
     val c = SimilarityOps.withNorm(vecs)
     val pairs = SimilarityOps.nearDupPairs(c, 0.9).collect()
