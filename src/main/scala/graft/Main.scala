@@ -18,7 +18,8 @@ import graft.etl.{Billing, Enrich, Ingest, InvoiceSink}
   * Usage:
   *   runMain graft.Main (--data-dir DIR | --dump-file nova.sql[.gz]
   *                       | --fetch-dump BUCKET_DIR [--fetch-date YYYY-MM-DD]) --output-dir DIR
-  *     [--rates-file rates.yaml] [--outages-file outages.csv [--cluster-name stack]]
+  *     [--rates-file rates.yaml|URL] [--outages-file outages.csv|URL [--cluster-name stack]]
+  *     [--upload-dest s3a://bucket|file:///dir] [--no-upload-to-primary]
   *     [--start 2024-01-01T00:00:00] [--end 2024-02-01T00:00:00]
   *     [--invoice-month 2024-01]
   *     [--rate-cpu-su 0.013] [--rate-gpu-a100-su 1.803] ...
@@ -35,6 +36,8 @@ object Main {
       outagesFile: String = "",
       clusterName: String = etl.OutagesConfig.DefaultCluster,
       outputDir: String = "",
+      uploadDest: String = "",
+      uploadToPrimary: Boolean = true, // main.py:136 default True
       start: Option[java.time.LocalDateTime] = None,
       end: Option[java.time.LocalDateTime] = None,
       invoiceMonth: Option[String] = None,
@@ -64,6 +67,9 @@ object Main {
       case "--outages-file" :: v :: t => go(t, c.copy(outagesFile = v))
       case "--cluster-name" :: v :: t => go(t, c.copy(clusterName = v))
       case "--output-dir" :: v :: t => go(t, c.copy(outputDir = v))
+      case "--upload-dest" :: v :: t => go(t, c.copy(uploadDest = v))
+      case "--no-upload-to-primary" :: t =>
+        go(t, c.copy(uploadToPrimary = false))
       case "--start" :: v :: t => go(t, c.copy(start = Some(ldt(v))))
       case "--end" :: v :: t   => go(t, c.copy(end = Some(ldt(v))))
       case "--invoice-month" :: v :: t => go(t, c.copy(invoiceMonth = Some(v)))
@@ -97,6 +103,20 @@ object Main {
 
   private def toUs(t: java.time.LocalDateTime): Long =
     t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+  /** Config sources (`--rates-file`, `--outages-file`) accept a plain
+    * path OR any URL — the reference fetches its rates YAML over HTTPS
+    * (main.py:179 `load_from_url`); here `https://…` does the same when
+    * egress exists and `file://…` exercises the identical code path with
+    * zero network.
+    */
+  def readConfigSource(pathOrUrl: String): String =
+    if (pathOrUrl.contains("://")) {
+      val in = java.net.URI.create(pathOrUrl).toURL.openStream()
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } else
+      java.nio.file.Files.readString(java.nio.file.Paths.get(pathOrUrl))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -132,9 +152,7 @@ object Main {
     val rates =
       if (cfg.ratesFile.nonEmpty)
         etl.RatesConfig.ratesAt(
-          etl.RatesConfig.parse(
-            java.nio.file.Files.readString(java.nio.file.Paths.get(cfg.ratesFile))),
-          invoiceMonth)
+          etl.RatesConfig.parse(readConfigSource(cfg.ratesFile)), invoiceMonth)
       else cfg.rates
 
     val startUs = toUs(start)
@@ -146,8 +164,7 @@ object Main {
     val fileOutages =
       if (cfg.outagesFile.nonEmpty)
         etl.OutagesConfig.outagesDuring(
-          etl.OutagesConfig.parse(java.nio.file.Files.readString(
-            java.nio.file.Paths.get(cfg.outagesFile))),
+          etl.OutagesConfig.parse(readConfigSource(cfg.outagesFile)),
           start, end, cfg.clusterName)
       else Seq.empty
     val outages =
@@ -203,9 +220,22 @@ object Main {
         .truncatedTo(java.time.temporal.ChronoUnit.SECONDS).format(isoFmt))
     InvoiceSink.writeCsv(rows, cfg.outputDir)
 
-    // S7 — destination keys (computed, not uploaded: zero-egress)
+    // S7 — the triple upload (billing.py:244-293): same body to primary
+    // (skippable, --no-upload-to-primary), daily, and archive keys, in
+    // that order, through Hadoop FileSystem — file:// fixtures and
+    // s3a:// buckets take the identical path. Without --upload-dest the
+    // keys are computed and reported only.
+    val now = java.time.Instant.now()
+    if (cfg.uploadDest.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(cfg.uploadDest)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val written = InvoiceSink.uploadInvoice(
+        InvoiceSink.readCsvBytes(cfg.outputDir), invoiceMonth, endUs, now,
+        InvoiceSink.fsPut(fs, root), cfg.uploadToPrimary)
+      written.foreach(k => println(s"[main] uploaded: $k"))
+    }
     val (primary, daily, archive) =
-      InvoiceSink.s3Keys(invoiceMonth, endUs, java.time.Instant.now())
+      InvoiceSink.s3Keys(invoiceMonth, endUs, now)
     println(s"[main] wrote invoice CSV to ${cfg.outputDir}")
     println(s"[main] s3 primary key: $primary")
     println(s"[main] s3 daily key:   $daily")

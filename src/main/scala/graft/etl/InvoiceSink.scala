@@ -153,6 +153,19 @@ object InvoiceSink {
     keys
   }
 
+  /** A Hadoop-FileSystem `put` for [[uploadInvoice]] — the same API over
+    * `file://` fixtures and `s3a://` buckets (the `DumpFetch.fsListing`
+    * pattern on the write side), which is what lets the triple upload run
+    * end-to-end with zero network and unchanged against the real bucket
+    * when credentials exist.
+    */
+  def fsPut(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (String, Array[Byte]) => Unit = {
+    (key, bytes) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, key), true)
+      try out.write(bytes) finally out.close()
+  }
+
   /** The single CSV file `writeCsv` produced (it coalesces to one part
     * file) as bytes — what `uploadInvoice` sends.
     */

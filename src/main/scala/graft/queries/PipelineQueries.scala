@@ -331,10 +331,17 @@ object PipelineQueries {
     // pairs cached: duplicateClusters evaluates them twice (the size
     // check + the collect/loop), and the plan is canonically identical
     // to dedup_jaccard's cached pairs — one shared cache entry.
+    // SPARK_GRAFT_DEDUP_DRIVER_MAX_EDGES overrides the union-find size
+    // gate (0 forces the distributed min-label propagation path) — the
+    // ScaleUp stress harness uses it to measure the propagation path,
+    // which a real 100 TB dup graph would take; the driver's runs leave
+    // it unset.
     "dedup_clusters" -> ((s, dir) =>
       DedupOps.duplicateClusters(
         table(s, dir, "documents").select("doc_id"),
-        DedupOps.candidatePairs(dedupBands(s, dir)).cache())),
+        DedupOps.candidatePairs(dedupBands(s, dir)).cache(),
+        driverMaxEdges = sys.env.get("SPARK_GRAFT_DEDUP_DRIVER_MAX_EDGES")
+          .map(_.toLong).getOrElse(1L << 20))),
 
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(table(s, dir, "documents")).cache()),
@@ -371,7 +378,7 @@ object PipelineQueries {
       val approx = SimilarityOps.ivfTopK(corpus, qs, IvfK)
         .select(col("query_id"), col("neighbor_id"))
       exact
-        .join(approx.withColumn("hit", lit(1L)),
+        .join(broadcast(approx.withColumn("hit", lit(1L))),
           Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
@@ -401,7 +408,7 @@ object PipelineQueries {
       val approx = SimilarityOps.ivfTopK(corpus, qs, IvfK)
         .select(col("query_id"), col("neighbor_id"))
       exact
-        .join(approx.withColumn("hit", lit(1L)),
+        .join(broadcast(approx.withColumn("hit", lit(1L))),
           Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
@@ -435,9 +442,9 @@ object PipelineQueries {
       val multi = SimilarityOps.lshTopKMultiProbe(corpus, qs, LshK, LshProbes)
         .select(col("query_id"), col("neighbor_id"))
       exact
-        .join(one.withColumn("hit1", lit(1L)),
+        .join(broadcast(one.withColumn("hit1", lit(1L))),
           Seq("query_id", "neighbor_id"), "left")
-        .join(multi.withColumn("hitm", lit(1L)),
+        .join(broadcast(multi.withColumn("hitm", lit(1L))),
           Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(

@@ -172,6 +172,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), "island merge is a per-doc window")
   }
 
+  test("f3_gpu_flavor is scan-side only — classify without a shuffle") {
+    val p = plan("f3_gpu_flavor")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 0, p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "BroadcastExchange") == 0)
+  }
+
+  test("sim_recall_lsh: multi-probe expansion stays on the broadcast side") {
+    val p = plan("sim_recall_lsh")
+    // the probe-signature explode (Generate) must sit under a
+    // BroadcastExchange — the corpus is never exploded
+    assert(p.contains("BroadcastHashJoin"))
+    val gen = "\\(\\d+\\) Generate".r.findAllMatchIn(p).size
+    assert(gen >= 1)
+    // no sort-merge join anywhere: every join side that matters is tiny
+    // (queries, probe sigs) and hinted broadcast
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))

@@ -154,6 +154,61 @@ class BillingEtlSpec extends AnyFunSuite {
     assert(noPrimary == keys.tail)
   }
 
+  test("S7 upload e2e: --upload-dest writes the CSV bytes to all three keys over file://") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val HOUR = 3600L * 1000000L
+    val start = graft.core.Types.utcMicros(2024, 1, 1)
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-up-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-up-out").toString
+    val bucket = java.nio.file.Files.createTempDirectory("graft-up-bucket")
+    Seq(("i1", "host1", 1L, 8192L, 2, None: Option[java.sql.Timestamp], 0, "projA"))
+      .toDF("uuid", "hostname", "instance_type_id", "memory_mb", "vcpus",
+        "deleted_at", "deleted", "project_id")
+      .write.mode("overwrite").parquet(s"$dataDir/instances.parquet")
+    Seq(("i1", null: String)).toDF("instance_uuid", "pci_requests")
+      .write.mode("overwrite").parquet(s"$dataDir/instance_extra.parquet")
+    Seq(("i1", ts(start), "create", ""), ("i1", ts(start + 10 * HOUR), "delete", ""))
+      .toDF("instance_uuid", "created_at", "action", "message")
+      .write.mode("overwrite").parquet(s"$dataDir/instance_actions.parquet")
+
+    graft.Main.run(graft.Main.parseArgs(Seq(
+      "--data-dir", dataDir, "--output-dir", outDir,
+      "--upload-dest", bucket.toString,
+      "--start", "2024-01-01", "--end", "2024-02-01",
+      "--invoice-month", "2024-01", "--rate-cpu-su", "0.013")), spark)
+
+    val body = InvoiceSink.readCsvBytes(outDir)
+    val primary = bucket.resolve(
+      "Invoices/2024-01/Service Invoices/NERC OpenStack 2024-01.csv")
+    val daily = bucket.resolve(
+      "Invoices/2024-01/Service Invoices/NERC OpenStack 2024-01-31.csv")
+    assert(java.nio.file.Files.exists(primary))
+    assert(java.nio.file.Files.exists(daily))
+    assert(java.nio.file.Files.readAllBytes(primary).sameElements(body))
+    assert(java.nio.file.Files.readAllBytes(daily).sameElements(body))
+    // Hadoop's checksummed local FS writes a .crc sidecar per file —
+    // ignore those; the CSV itself is what the upload contract covers
+    val archives = java.nio.file.Files.list(
+      bucket.resolve("Invoices/2024-01/Archive")).toArray.map(_.toString)
+      .filterNot(_.split('/').last.startsWith("."))
+    assert(archives.length == 1 && archives(0).contains("NERC OpenStack 2024-01 2"))
+
+    // --no-upload-to-primary drops only the primary copy
+    val bucket2 = java.nio.file.Files.createTempDirectory("graft-up-bucket2")
+    graft.Main.run(graft.Main.parseArgs(Seq(
+      "--data-dir", dataDir, "--output-dir", outDir,
+      "--upload-dest", bucket2.toString, "--no-upload-to-primary",
+      "--start", "2024-01-01", "--end", "2024-02-01",
+      "--invoice-month", "2024-01", "--rate-cpu-su", "0.013")), spark)
+    assert(!java.nio.file.Files.exists(bucket2.resolve(
+      "Invoices/2024-01/Service Invoices/NERC OpenStack 2024-01.csv")))
+    assert(java.nio.file.Files.exists(bucket2.resolve(
+      "Invoices/2024-01/Service Invoices/NERC OpenStack 2024-01-31.csv")))
+  }
+
   test("lenient enrichment quarantines bad pci rows instead of failing") {
     val badInstances = Seq(
       ("b1", "h", 1L, 4096L, 1, None: Option[java.sql.Timestamp], 0, "projQ"),

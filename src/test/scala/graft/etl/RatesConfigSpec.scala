@@ -161,4 +161,17 @@ class RatesConfigSpec extends AnyFunSuite {
     assert(byCol("Rate") == "0.026")       // resolved from the 2024-01 range
     assert(byCol("Cost") == "0.52")        // 20 SU-hours × 0.026
   }
+
+  test("config sources accept URLs: file:// rates parse identically to the plain path") {
+    // the reference fetches its rates YAML over HTTPS (main.py:179
+    // load_from_url); the URL branch is the same code path with a
+    // file:// scheme, so it runs with zero network
+    val f = java.nio.file.Files.createTempFile("rates-url", ".yaml")
+    java.nio.file.Files.writeString(f, yaml)
+    val viaPath = graft.Main.readConfigSource(f.toString)
+    val viaUrl = graft.Main.readConfigSource(f.toUri.toString)
+    assert(f.toUri.toString.startsWith("file://"))
+    assert(viaPath == viaUrl)
+    assert(RatesConfig.parse(viaUrl) == RatesConfig.parse(yaml))
+  }
 }

@@ -1,0 +1,304 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTestSession
+import graft.queries.CoreQueries
+
+/** Streaming ≡ batch over the REAL sf0.001 tables: each streaming
+  * operator's final state must equal the corresponding batch query's
+  * result — and the batch results are the ones the DuckDB oracle gate
+  * hash-checks, so these specs chain the streaming path to the oracle.
+  *
+  * Inputs are fed through MemoryStream in several event-time-ordered
+  * micro-batches (the per-key in-order contract the operators document);
+  * where an operator only emits on watermark advance, a far-future
+  * sentinel row flushes it and is excluded from the comparison.
+  */
+class StreamingBatchEquivalenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val SfDir = "/root/testdata/sf0.001"
+  val Batches = 4
+
+  private def chunks[T](xs: Seq[T]): Seq[Seq[T]] = {
+    val n = math.max(1, (xs.length + Batches - 1) / Batches)
+    xs.grouped(n).toSeq
+  }
+
+  private def events: DataFrame =
+    graft.etl.Ingest.table(spark, SfDir, "events")
+
+  test("StreamingBilling over sf0.001 events ≡ k1_state_machine (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("k1_state_machine")(spark, SfDir)
+      .collect()
+      .map(r => r.getAs[Long]("key").toString ->
+        (r.getAs[Long]("running_us"), r.getAs[Long]("stopped_us")))
+      .toMap
+
+    // events → VmActions exactly as CoreQueries.eventState maps them:
+    // signup/click/purchase/view are create/<skip>/stop/shelve, error
+    // rides the message=="Error" path. click maps to no trigger — the
+    // state machine must skip it on both sides.
+    val acts = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map { r =>
+        val action = r.getAs[String]("event_type") match {
+          case "signup" => "create"
+          case "purchase" => "stop"
+          case "view" => "shelve"
+          case other => other // click / error: no trigger
+        }
+        val message = if (r.getAs[String]("event_type") == "error") "Error" else ""
+        StreamingBilling.VmAction(r.getAs[Long]("user_id").toString,
+          r.getAs[Long]("ts_us"), action, message, r.getAs[Long]("event_id"))
+      }
+      .sortBy(a => (a.ts_us, a.event_id)).toSeq
+
+    val input = MemoryStream[StreamingBilling.VmAction]
+    val totals = StreamingBilling.runtimeTotals(
+      input.toDS(), CoreQueries.WStart, CoreQueries.WEnd)
+    val q = totals.writeStream
+      .format("memory").queryName("equiv_billing")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      chunks(acts).foreach { c => input.addData(c); q.processAllAvailable() }
+      // close every open state at the window end the way the batch plan
+      // does (final run closes at iv_end): a flush delete per key at a
+      // time that clamps to WEnd
+      val keys = acts.map(_.instance_uuid).distinct
+      input.addData(keys.map(k =>
+        StreamingBilling.VmAction(k, CoreQueries.WEnd + 1L, "delete", "",
+          Long.MaxValue)))
+      q.processAllAvailable()
+
+      // data events never map to Deleted, so the one Deleted row per key
+      // is the flushed final state
+      val fin = spark.table("equiv_billing")
+        .filter(col("current_state") === "Deleted")
+        .collect()
+        .map(r => r.getAs[String]("instance_uuid") ->
+          (r.getAs[Long]("running_us"), r.getAs[Long]("stopped_us")))
+        .toMap
+      assert(fin.size == keys.size)
+      batch.foreach { case (k, totals) =>
+        assert(fin(k) == totals, s"key $k: streaming ${fin(k)} != batch $totals")
+      }
+      // keys the batch plan drops (no state-mapped events) must have
+      // folded to zero
+      (fin.keySet -- batch.keySet).foreach { k =>
+        assert(fin(k) == ((0L, 0L)), s"batch-absent key $k has nonzero totals")
+      }
+    } finally q.stop()
+  }
+
+  test("StreamingDedup first-arrivals ≡ exactGroups canonical ids (dedup_exact operator)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // sf0.001 documents are all-distinct; double the corpus (clone ids
+    // offset, arriving LATER) so the stream actually drops duplicates
+    val docs = graft.etl.Ingest.table(spark, SfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1).toSeq
+    val doubled = docs ++ docs.map { case (id, t) => (id + 1000000L, t) }
+
+    val batch = graft.ops.DedupOps.exactGroups(
+      doubled.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[String]("text_md5") ->
+        (r.getAs[Long]("canonical_doc_id"), r.getAs[Long]("n_copies")))
+      .toMap
+
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingDedup.firstArrivals(
+      input.toDS().toDF("doc_id", "text")
+        // arrival order = doc_id order, so first-arrival == min(doc_id),
+        // the batch canonical rule
+        .withColumn("ets", timestamp_micros(lit(CoreQueries.WStart) + col("doc_id"))),
+      "ets", "1 hour")
+    val q = deduped.writeStream
+      .format("memory").queryName("equiv_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      chunks(doubled).foreach { c => input.addData(c); q.processAllAvailable() }
+      val fin = spark.table("equiv_dedup")
+        .collect()
+        .map(r => r.getAs[String]("text_md5") -> r.getAs[Long]("doc_id"))
+      // exactly one emission per distinct hash, and it is the batch
+      // canonical (min doc_id)
+      assert(fin.length == batch.size)
+      fin.foreach { case (h, id) =>
+        assert(batch(h)._1 == id, s"hash $h: streaming kept $id, batch canonical ${batch(h)._1}")
+        assert(batch(h)._2 == 2L)
+      }
+    } finally q.stop()
+  }
+
+  test("StreamingSessions closed sessions ≡ batch sessionize stats (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("sessionize")(spark, SfDir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("max_session_us")))
+      .toMap
+
+    val evs = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .collect()
+      .map(r => StreamingSessions.SessionEvent(
+        r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+      .sortBy(e => (e.ts_us, e.event_id)).toSeq
+    val maxTs = evs.map(_.ts_us).max
+    val Sentinel = -1L
+
+    val input = MemoryStream[StreamingSessions.SessionEvent]
+    val withTime = input.toDS()
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", "0 seconds")
+      .as[StreamingSessions.SessionEvent]
+    val sessions = StreamingSessions.sessionize(withTime)
+    val q = sessions.writeStream
+      .format("memory").queryName("equiv_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      chunks(evs).foreach { c => input.addData(c); q.processAllAvailable() }
+      // two sentinel batches: the first advances the watermark past every
+      // session's timeout, the second gives the timed-out state a batch
+      // to fire in
+      input.addData(StreamingSessions.SessionEvent(Sentinel, maxTs + 10L * 3600L * 1000000L, 1L))
+      q.processAllAvailable()
+      input.addData(StreamingSessions.SessionEvent(Sentinel, maxTs + 20L * 3600L * 1000000L, 2L))
+      q.processAllAvailable()
+
+      val fin = spark.table("equiv_sessions")
+        .filter(col("user_id") =!= Sentinel)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"),
+          max(col("session_end_us") - col("session_start_us")).as("max_session_us"))
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"),
+            r.getAs[Long]("max_session_us")))
+        .toMap
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
+  test("StreamingAggregates windowed stats ≡ batch tumbling aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = events
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[Long]("ts_us")))
+      .sortBy(_._3).toSeq
+    val maxTs = evs.map(_._3).max
+
+    // batch analog of the same tumbling aggregation over the same rows
+    val batch = events
+      .groupBy(window(col("ts"), "3600 seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getAs[Long]("window_start_us"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("sum_value")))
+      .toMap
+
+    val input = MemoryStream[(String, Double, Long)]
+    val stats = StreamingAggregates.windowedEventStats(
+      input.toDS().toDF("event_type", "value", "ts_us")
+        .withColumn("ets", timestamp_micros(col("ts_us"))),
+      windowSeconds = 3600, latenessSeconds = 0)
+    val q = stats.writeStream
+      .format("memory").queryName("equiv_winagg")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      chunks(evs).foreach { c => input.addData(c); q.processAllAvailable() }
+      // sentinel far past every real window so they all complete and
+      // emit; its own window never completes, so it never surfaces
+      input.addData(("sentinel", 0.0, maxTs + 30L * 24L * 3600L * 1000000L))
+      q.processAllAvailable()
+
+      val fin = spark.table("equiv_winagg")
+        .collect()
+        .map(r => (r.getAs[Long]("window_start_us"), r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("sum_value")))
+        .toMap
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
+  test("StreamingJoins within-window join ≡ batch join with the same condition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // correlate each signup with the same user's purchases within 6h —
+    // both sides cut from the REAL event log
+    val all = events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    val leftRows = all.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val rightRows = all.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+
+    val windowSec = 6L * 3600L
+    val batch = leftRows.join(rightRows,
+        leftRows("user_id") === rightRows("user_id") &&
+          rightRows("r_ts") >= leftRows("l_ts") &&
+          rightRows("r_ts") <= leftRows("l_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        "inner")
+      .select(col("l_id"), col("r_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long)]
+    def shape(ms: MemoryStream[(Long, Long, Long)], idCol: String, tsCol: String) =
+      ms.toDS().toDF("user_id", idCol, "ts_us")
+        .withColumn(tsCol, timestamp_micros(col("ts_us"))).drop("ts_us")
+    val joined = StreamingJoins.joinWithin(
+      shape(lIn, "l_id", "l_ts"), shape(rIn, "r_id", "r_ts"),
+      "user_id", "l_ts", "r_ts", windowSec)
+    val q = joined.select("l_id", "r_id").writeStream
+      .format("memory").queryName("equiv_join")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // both sides as (user_id, id, epoch_us), fed in event-time order
+      val l = leftRows.select(col("user_id"), col("l_id"), unix_micros(col("l_ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+      val rrows = rightRows.select(col("user_id"), col("r_id"), unix_micros(col("r_ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+      val (lc, rc) = (chunks(l), chunks(rrows))
+      (0 until math.max(lc.length, rc.length)).foreach { i =>
+        lIn.addData(lc.lift(i).getOrElse(Seq.empty))
+        rIn.addData(rc.lift(i).getOrElse(Seq.empty))
+        q.processAllAvailable()
+      }
+
+      val fin = spark.table("equiv_join")
+        .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+      assert(fin == batch)
+    } finally q.stop()
+  }
+}
