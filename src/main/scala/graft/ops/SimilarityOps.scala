@@ -236,22 +236,44 @@ object SimilarityOps {
     *     round(component, dp) — partitioning-independent — divided once
     *     and re-rounded.
     * Empty cells drop out on both sides (their id simply vanishes).
+    *
+    * Split as [[kmeansCentroids]] (training → the k×dim matrix) +
+    * [[kmeansCells]] (assignment) so [[ivfTopKMultiProbe]] can rank
+    * probe cells against the same trained centroids.
     */
-  def kmeansCells(emb: DataFrame, k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
-    def sqNorm(c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      s
+  private def sqNorm(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Per-cell `struct(d, cell)` distance candidates for `vecCol` against
+    * the centroid matrix: d = round(|c|² − 2·x·c, dp) — |x|² is
+    * cell-independent and dropped; the (d, cell) struct order is the
+    * deterministic argmin/rank rule both engines share.
+    */
+  private def cellCandidates(cs: Seq[(Long, Array[Double])], vecCol: Column,
+      roundDp: Int): Seq[Column] =
+    cs.map { case (id, c) =>
+      struct(
+        round(lit(sqNorm(c)) - lit(2.0) * dot(vecCol, typedlit(c.toSeq)),
+          roundDp).as("d"),
+        lit(id).as("cell"))
     }
-    def assignCol(cs: Seq[(Long, Array[Double])]): Column = {
-      val cands = cs.map { case (id, c) =>
-        struct(
-          round(lit(sqNorm(c)) - lit(2.0) * dot(col("embedding"), typedlit(c.toSeq)),
-            roundDp).as("d"),
-          lit(id).as("cell"))
-      }
-      array_min(array(cands: _*)).getField("cell")
-    }
+
+  /** Nearest-cell assignment of the `embedding` column. */
+  def assignCell(cs: Seq[(Long, Array[Double])], roundDp: Int = 6): Column =
+    array_min(array(cellCandidates(cs, col("embedding"), roundDp): _*))
+      .getField("cell")
+
+  /** The trained centroid matrix alone (see [[kmeansCells]] for the
+    * arithmetic contract) — what [[ivfTopKMultiProbe]] ranks probe cells
+    * against. Empty when no seed vectors exist.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int,
+      roundDp: Int = 6): Seq[(Long, Array[Double])] = {
+    def assignCol(cs: Seq[(Long, Array[Double])]): Column =
+      assignCell(cs, roundDp)
     var cur: Seq[(Long, Array[Double])] = emb
       .filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
@@ -261,10 +283,9 @@ object SimilarityOps {
       .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue).toArray))
       .toSeq.sortBy(_._1)
     // no seed vectors (empty corpus, or nothing under id k): an empty
-    // candidate array would fail analysis — an empty assignment is the
-    // benign answer (one bad partition must never kill a 100 TB job)
-    if (cur.isEmpty)
-      return emb.select(col("vec_id"), lit(-1L).as("cell")).filter(lit(false))
+    // centroid matrix is the benign answer (one bad partition must never
+    // kill a 100 TB job) — kmeansCells turns it into an empty assignment
+    if (cur.isEmpty) return Seq.empty
     for (_ <- 1 to iters) {
       val upd = emb
         .withColumn("cell", assignCol(cur))
@@ -282,7 +303,51 @@ object SimilarityOps {
         (cell, arr)
       }.toSeq.sortBy(_._1)
     }
-    emb.withColumn("cell", assignCol(cur)).select(col("vec_id"), col("cell"))
+    cur
+  }
+
+  /** Trained-cell assignment per vector (the IVF index build step). */
+  def kmeansCells(emb: DataFrame, k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
+    val cur = kmeansCentroids(emb, k, iters, roundDp)
+    if (cur.isEmpty)
+      return emb.select(col("vec_id"), lit(-1L).as("cell")).filter(lit(false))
+    emb.withColumn("cell", assignCell(cur, roundDp)).select(col("vec_id"), col("cell"))
+  }
+
+  /** IVF multi-probe top-k: each query searches its `nprobe` NEAREST
+    * trained cells instead of only the one its vector falls in — the
+    * standard IVF recall knob (FAISS's `nprobe`). The true neighbor of a
+    * query near a cell boundary usually sits in an adjacent cell; probing
+    * the next-nearest centroids recovers it without touching the rest of
+    * the corpus.
+    *
+    * Scale shape mirrors [[lshTopKMultiProbe]]: the probe expansion is
+    * `nprobe×` rows on the BROADCAST (query) side only; the corpus is
+    * scanned once and joined per-cell. `nprobe = 1` degenerates to
+    * [[ivfTopK]] over the trained cells exactly (the rank-1 probe is the
+    * same (d, cell) argmin the assignment uses).
+    */
+  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Long, Array[Double])], k: Int, nprobe: Int,
+      roundDp: Int = 6): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(slice(
+          array_sort(array(cellCandidates(centroids, col("q_emb"), roundDp): _*)),
+          1, nprobe)).as("pc"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("pc").getField("cell").as("cell"))
+    val scored = corpus
+      .withColumn("cell", assignCell(centroids, roundDp))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    topK(scored, k)
   }
 
   /** Embedding-cosine near-dup pairs within a bucket: same-label pairs

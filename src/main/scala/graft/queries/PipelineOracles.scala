@@ -89,7 +89,14 @@ object PipelineOracles {
     * means re-rounded to 6dp). Used standalone by `sim_kmeans_cells` and
     * as a nested-WITH CTE body by `sim_recall_kmeans`.
     */
-  private lazy val oracleKmeans: String = {
+  private lazy val oracleKmeans: String =
+    s"WITH $kmeansCtes\nSELECT vec_id, cell FROM af"
+
+  /** The k-means CTE chain without the WITH prefix / final select, so the
+    * nprobe oracle can compose it with further CTEs that need BOTH the
+    * final centroids (`c{iters}`) and the assignment (`af`).
+    */
+  private lazy val kmeansCtes: String = {
     val k = PipelineQueries.KmeansK
     def assignCte(name: String, cs: String) =
       s"""$name AS (
@@ -116,11 +123,10 @@ object PipelineOracles {
         updateCte(s"a$i", s"u$i", s"c$i")
     }
     val finalAssign = assignCte("af", s"c${PipelineQueries.KmeansIters}")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |c0 AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < $k),
        |${blocks.mkString(",\n")},
-       |$finalAssign
-       |SELECT vec_id, cell FROM af""".stripMargin
+       |$finalAssign""".stripMargin
   }
 
   /** The recall@k comparison of an approximate result CTE against the
@@ -478,6 +484,54 @@ object PipelineOracles {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
          |FROM ranked WHERE rank <= ${PipelineQueries.LshK}""".stripMargin
+    },
+
+    // IVF nprobe recall replay: the k-means CTE chain yields both the
+    // final centroids (cN) and the corpus assignment (af); each query
+    // ranks ALL cells by the same rounded (d, cell) rule the assignment
+    // argmin uses, probes rank ≤ 1 / ≤ nprobe, and both results
+    // left-join the brute-force ground truth.
+    "sim_recall_ivf_probe" -> {
+      val cN = s"c${PipelineQueries.KmeansIters}"
+      def rankTopkIvf(src: String, out: String) =
+        s"""$out AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM $src) WHERE rank <= ${PipelineQueries.IvfK})""".stripMargin
+      def probeScore(out: String, maxRk: Int) =
+        s"""$out AS (SELECT pq.query_id, corp.vec_id AS neighbor_id,
+           |    list_dot_product(corp.e, pq.qe) / (corp.nrm * pq.qn) AS cos
+           |  FROM pr JOIN corp ON corp.cell = pr.cell AND pr.rk <= $maxRk
+           |  JOIN pq ON pq.query_id = pr.query_id
+           |  WHERE corp.vec_id <> pr.query_id)""".stripMargin
+      s"""WITH $kmeansCtes,
+         |$normCte,
+         |pq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+         |       WHERE vec_id < ${PipelineQueries.IvfQueryCount}),
+         |pr AS (SELECT query_id, cell, rk FROM (
+         |  SELECT pq.query_id, $cN.cell,
+         |    row_number() OVER (PARTITION BY pq.query_id
+         |      ORDER BY round(list_dot_product($cN.c, $cN.c)
+         |                     - 2.0 * list_dot_product(pq.qe, $cN.c), 6),
+         |               $cN.cell) AS rk
+         |  FROM pq CROSS JOIN $cN)),
+         |corp AS (SELECT n.vec_id, n.e, n.nrm, af.cell FROM n JOIN af USING (vec_id)),
+         |${probeScore("s1", 1)},
+         |${rankTopkIvf("s1", "one")},
+         |${probeScore("sm", PipelineQueries.IvfNprobe)},
+         |${rankTopkIvf("sm", "multi")},
+         |${topkCtes("bt", PipelineQueries.IvfQueryCount, PipelineQueries.IvfK, cellJoin = false)}
+         |SELECT bt.query_id,
+         |  CAST(sum(CASE WHEN one.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_1probe,
+         |  CAST(sum(CASE WHEN multi.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_nprobe,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  round(CAST(sum(CASE WHEN one.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_1probe,
+         |  round(CAST(sum(CASE WHEN multi.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_nprobe
+         |FROM bt LEFT JOIN one USING (query_id, neighbor_id)
+         |        LEFT JOIN multi USING (query_id, neighbor_id)
+         |GROUP BY bt.query_id""".stripMargin
     },
 
     // multi-probe LSH recall replay: per-plane |margins| over the query

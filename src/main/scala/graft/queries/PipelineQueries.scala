@@ -19,6 +19,7 @@ object PipelineQueries {
   val LshQueryCount = 20
   val LshK = 5
   val LshProbes = 4
+  val IvfNprobe = 3
   val NearDupThreshold = 0.3
   val KmeansK = 8
   val KmeansIters = 2
@@ -415,6 +416,40 @@ object PipelineQueries {
           count(lit(1)).as("k"))
         .select(col("query_id"), col("n_hits"), col("k"),
           round(col("n_hits") / col("k").cast("double"), 6).as("recall"))
+    }),
+
+    // IVF nprobe — the other half of the multi-probe story (FAISS's
+    // recall knob): each query searches its IvfNprobe nearest TRAINED
+    // cells instead of only its own. Probe expansion rides the broadcast
+    // side; nprobe=1 is bitwise the trained-cell ivfTopK (same (d, cell)
+    // argmin), so the 1-vs-nprobe pair quantifies what probing buys.
+    "sim_recall_ivf_probe" -> ((s, dir) => {
+      val cents = SimilarityOps.kmeansCentroids(
+        table(s, dir, "embeddings"), KmeansK, KmeansIters)
+      val base = normed(s, dir)
+      val qs = base.filter(col("vec_id") < IvfQueryCount)
+      val exact = SimilarityOps.bruteTopK(base, qs, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val one = SimilarityOps.ivfTopKMultiProbe(base, qs, cents, IvfK, 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val multi = SimilarityOps.ivfTopKMultiProbe(base, qs, cents, IvfK, IvfNprobe)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(broadcast(one.withColumn("hit1", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(broadcast(multi.withColumn("hitm", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(coalesce(col("hit1"), lit(0L))).as("n_hits_1probe"),
+          sum(coalesce(col("hitm"), lit(0L))).as("n_hits_nprobe"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits_1probe"), col("n_hits_nprobe"),
+          col("k"),
+          round(col("n_hits_1probe") / col("k").cast("double"), 6)
+            .as("recall_1probe"),
+          round(col("n_hits_nprobe") / col("k").cast("double"), 6)
+            .as("recall_nprobe"))
     }),
 
     // LSH-bucketed ANN: data-independent sign-signature cells instead of

@@ -76,6 +76,31 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(all.length == all.distinct.length)
   }
 
+  test("IVF nprobe: probe-1 ≡ trained-cell assignment; more probes never lose neighbors") {
+    val c = SimilarityOps.withNorm(vecs)
+    val cents = SimilarityOps.kmeansCentroids(vecs, k = 2, iters = 2)
+    assert(cents.nonEmpty)
+    val qs = c.filter(col("vec_id") === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // probe-1 must equal ivfTopK over the trained assignment — the rank-1
+    // probe IS the assignment argmin
+    val assigned = c.withColumn("label", SimilarityOps.assignCell(cents))
+    val viaIvf = pairs(SimilarityOps.ivfTopK(
+      assigned, assigned.filter(col("vec_id") === 0), 4))
+    assert(pairs(SimilarityOps.ivfTopKMultiProbe(c, qs, cents, 4, 1)) == viaIvf)
+    // growing nprobe only opens more cells; at nprobe = k (all cells) the
+    // probe search IS the brute-force search
+    var prev = viaIvf
+    for (p <- 2 to cents.length) {
+      val cur = pairs(SimilarityOps.ivfTopKMultiProbe(c, qs, cents, 4, p))
+      assert(prev.subsetOf(cur), s"nprobe=$p lost neighbors")
+      prev = cur
+    }
+    assert(prev == pairs(SimilarityOps.bruteTopK(c, qs, 4)))
+  }
+
   test("near-dup pairs: bucketed, thresholded, a<b") {
     val c = SimilarityOps.withNorm(vecs)
     val pairs = SimilarityOps.nearDupPairs(c, 0.9).collect()
