@@ -52,6 +52,34 @@ object PipelineOracles {
        |bands AS ($bandRows)""".stripMargin
   }
 
+  /** Prefixed shingle + band CTEs over an arbitrary source CTE — the
+    * two-corpus (existing vs batch) form [[shCte]]/[[bandsCte]] can't
+    * express, used by the incremental-dedup oracle.
+    */
+  private def shinglesFor(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+       |${p}sh AS (SELECT DISTINCT doc_id, shingle FROM
+       |  (SELECT doc_id, unnest($shingleExpr) AS shingle FROM ${p}t))""".stripMargin
+
+  private def bandsFor(p: String): String = {
+    def lane(i: Int): String = {
+      val digest = i / 4
+      val pos = (i % 4) * 8 + 1
+      s"min(substr(md5('$digest:' || shingle), $pos, 8))"
+    }
+    val sigCols = (0 until DedupOps.Bands).map { b =>
+      val parts = (0 until DedupOps.RowsPerBand)
+        .map(r => lane(b * DedupOps.RowsPerBand + r))
+        .mkString(" || ")
+      s"md5($parts) AS b$b"
+    }.mkString(", ")
+    val bandRows = (0 until DedupOps.Bands)
+      .map(b => s"SELECT doc_id, $b AS band, b$b AS h FROM ${p}sig")
+      .mkString(" UNION ALL ")
+    s"""${p}sig AS (SELECT doc_id, $sigCols FROM ${p}sh GROUP BY doc_id),
+       |${p}bands AS ($bandRows)""".stripMargin
+  }
+
   /** Sequential-fold double dot product (mirrors SimilarityOps.dot —
     * left-assoc addition over per-element products keeps IEEE order
     * identical to Spark's `aggregate` fold).
@@ -324,6 +352,41 @@ object PipelineOracles {
          |FROM common c
          |JOIN cnt ca ON ca.doc_id = c.doc_a
          |JOIN cnt cb ON cb.doc_id = c.doc_b""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |ba AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 1),
+         |bhh AS (SELECT doc_id, md5(text) AS h FROM ba),
+         |bcan AS (SELECT h, min(doc_id) AS canon FROM bhh GROUP BY h),
+         |ehh AS (SELECT DISTINCT md5(text) AS h FROM ex),
+         |${shinglesFor("ba", "ib")},
+         |${bandsFor("ib")},
+         |${shinglesFor("ex", "ie")},
+         |${bandsFor("ie")},
+         |cand AS (SELECT DISTINCT b.doc_id, e.doc_id AS e_doc
+         |  FROM ibbands b JOIN iebands e ON b.band = e.band AND b.h = e.h),
+         |bcnt AS (SELECT doc_id, count(*) AS n FROM ibsh GROUP BY doc_id),
+         |ecnt AS (SELECT doc_id, count(*) AS n FROM iesh GROUP BY doc_id),
+         |common AS (SELECT c.doc_id, c.e_doc, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ibsh sb ON sb.doc_id = c.doc_id
+         |  JOIN iesh se ON se.doc_id = c.e_doc AND se.shingle = sb.shingle
+         |  GROUP BY c.doc_id, c.e_doc),
+         |nd AS (SELECT DISTINCT m.doc_id FROM common m
+         |  JOIN bcnt cb ON cb.doc_id = m.doc_id
+         |  JOIN ecnt ce ON ce.doc_id = m.e_doc
+         |  WHERE round(n_common / CAST(cb.n + ce.n - n_common AS DOUBLE), 6)
+         |        >= ${PipelineQueries.SetJoinThreshold})
+         |SELECT bhh.doc_id,
+         |  CASE WHEN bhh.doc_id <> bcan.canon THEN 'exact_dup_in_batch'
+         |       WHEN ehh.h IS NOT NULL THEN 'exact_dup_existing'
+         |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup_existing'
+         |       ELSE 'new' END AS status
+         |FROM bhh JOIN bcan USING (h)
+         |LEFT JOIN ehh ON ehh.h = bhh.h
+         |LEFT JOIN nd ON nd.doc_id = bhh.doc_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $bandsCte,

@@ -344,6 +344,23 @@ object PipelineQueries {
         driverMaxEdges = sys.env.get("SPARK_GRAFT_DEDUP_DRIVER_MAX_EDGES")
           .map(_.toLong).getOrElse(1L << 20))),
 
+    // incremental dedup — the production daily-increment workflow: even
+    // doc_ids play the already-ingested corpus, odd ones the new batch,
+    // plus synthesized exact copies (re-keyed) so every status branch is
+    // exercised: +100000 copies of existing docs (exact_dup_existing),
+    // +200000 copies of in-batch docs (exact_dup_in_batch); cross-half
+    // near-dups surface via band collision + Jaccard ≥ 0.5 confirm.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      DedupOps.incrementalStatus(existing, batch, SetJoinThreshold)
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(table(s, dir, "documents")).cache()),
 

@@ -78,6 +78,22 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(SampleOps.hashSample(noDocs, "doc_id", 0.5).count() == 0)
   }
 
+  test("multi-probe ANN survives empty corpora, queries, and centroid sets") {
+    val noVecs = SimilarityOps.withNorm(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+    val someVecs = SimilarityOps.withNorm(
+      Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding"))
+    // LSH multi-probe: empty either side → empty result, no error
+    assert(SimilarityOps.lshTopKMultiProbe(noVecs, someVecs, 3, 4).count() == 0)
+    assert(SimilarityOps.lshTopKMultiProbe(someVecs, noVecs, 3, 4).count() == 0)
+    // k-means over an empty corpus trains nothing; assignment is empty
+    assert(SimilarityOps.kmeansCentroids(noVecs, 4, 2).isEmpty)
+    assert(SimilarityOps.kmeansCells(noVecs, 4, 2).count() == 0)
+    // IVF probe with a trained matrix over empty queries → empty
+    val cents = SimilarityOps.kmeansCentroids(someVecs, 2, 1)
+    assert(SimilarityOps.ivfTopKMultiProbe(someVecs, noVecs, cents, 3, 2).count() == 0)
+  }
+
   test("round-2 ops survive empty tables") {
     val noKv = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "v")
     // quantile sketch over zero rows yields zero boundaries → one bin

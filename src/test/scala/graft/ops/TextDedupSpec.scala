@@ -285,6 +285,36 @@ class TextDedupSpec extends AnyFunSuite {
     assert(m(4L) == "clean text")
   }
 
+  test("incremental dedup classifies a new batch against the ingested corpus") {
+    import spark.implicits._
+    val existing = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark engines here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact vs existing
+      (11L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 0 (jaccard 7/8)
+      (12L, "some entirely unrelated sentence with many fresh words"),
+      (13L, "some entirely unrelated sentence with many fresh words"), // dup of 12
+      (14L, "ab cd") // shorter than the shingle size → always new
+    ).toDF("doc_id", "text")
+    val st = DedupOps.incrementalStatus(existing, batch, 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(st == Map(
+      10L -> "exact_dup_existing",
+      11L -> "near_dup_existing",
+      12L -> "new",
+      13L -> "exact_dup_in_batch",
+      14L -> "new"))
+    // empty sides degrade, not error: everything in the batch is new
+    // against an empty corpus; an empty batch classifies to nothing
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val vsEmpty = DedupOps.incrementalStatus(noDocs, batch, 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(vsEmpty.values.toSet == Set("new", "exact_dup_in_batch"))
+    assert(DedupOps.incrementalStatus(existing, noDocs, 0.5).count() == 0)
+  }
+
   test("simhash fails loudly past the packed-slot token limit") {
     import spark.implicits._
     val big = Seq((7L, Seq.fill(33000)("tok").mkString(" ")))
