@@ -39,6 +39,44 @@ object ChangeOps {
         (ordCols ++ payloadCols).map(c => col(s"__last.$c").as(c)): _*)
   }
 
+  /** MERGE-style change application: fold a changelog of upserts and
+    * deletes into an existing snapshot, producing the next snapshot —
+    * what a lakehouse `MERGE INTO` does, expressed as two shuffles that
+    * both scale: (1) the changelog reduces to ONE winning change per key
+    * (the [[latestSnapshot]] `max(struct)` shape — map-side combine, no
+    * sort), (2) touched keys leave the snapshot via a left-anti join and
+    * the winners that are upserts union back in. The snapshot is never
+    * sorted or widened; deletes of absent keys and upserts of new keys
+    * are both just rows of the winners table.
+    *
+    * Contract: the changelog is strictly newer than the snapshot (the
+    * standard incremental-batch handoff); `ordCols` totally order each
+    * key's changes (e.g. ts + change id); `opCol` holds
+    * 'upsert'/'delete'. Snapshot columns: keyCols ++ payloadCols.
+    */
+  def applyChanges(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      ordCols: Seq[String],
+      payloadCols: Seq[String],
+      opCol: String = "op"
+  ): DataFrame = {
+    val versioned = struct(((ordCols :+ opCol) ++ payloadCols).map(col): _*)
+    val winners = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(versioned).as("__last"))
+      .select(keyCols.map(col) ++
+        ((opCol +: payloadCols).map(c => col(s"__last.$c").as(c))): _*)
+    val untouched = snapshot
+      .join(winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select((keyCols ++ payloadCols).map(col): _*)
+    val upserted = winners
+      .filter(col(opCol) === "upsert")
+      .select((keyCols ++ payloadCols).map(col): _*)
+    untouched.unionByName(upserted)
+  }
+
   /** Type-2 slowly-changing-dimension history: each change row becomes a
     * validity interval `[ordCol, next change's ordCol)`; the key's last
     * change stays open (null `valid_to`). One shuffle + one in-partition

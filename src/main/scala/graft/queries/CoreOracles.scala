@@ -596,6 +596,26 @@ object CoreOracles {
         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us
         |FROM events""".stripMargin,
 
+    "cdc_apply" -> {
+      val cut = graft.core.Types.utcMicros(2024, 1, 15)
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    event_type, value FROM events),
+         |snap AS (SELECT user_id, event_type, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn
+         |  FROM ev WHERE ts_us < $cut) WHERE rn = 1),
+         |win AS (SELECT user_id,
+         |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         |    event_type, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn
+         |  FROM ev WHERE ts_us >= $cut) WHERE rn = 1)
+         |SELECT s.user_id, s.event_type, s.value
+         |FROM snap s LEFT JOIN win w USING (user_id) WHERE w.user_id IS NULL
+         |UNION ALL
+         |SELECT user_id, event_type, value FROM win WHERE op = 'upsert'""".stripMargin
+    },
+
     "profile_columns" -> {
       def row(c: String, numericAsDec: Boolean) = {
         val mn = if (numericAsDec) s"CAST(CAST(min($c) AS DECIMAL(18,6)) AS VARCHAR)"

@@ -913,6 +913,30 @@ object CoreQueries {
         .select("user_id", "event_id", "event_type",
           "valid_from_us", "valid_to_us")),
 
+    // CDC3 — MERGE-style change application (the lakehouse MERGE INTO as
+    // two scalable shuffles): the first half of the event log compacts to
+    // a snapshot, the second half plays the changelog — errors are
+    // deletes, everything else upserts — and applyChanges folds them into
+    // the next snapshot. Covers update, insert-of-new-key, delete, and
+    // delete-of-absent-key in one oracle row.
+    "cdc_apply" -> ((s, dir) => {
+      val cut = Types.utcMicros(2024, 1, 15)
+      val ev = table(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      val snapshot = graft.ops.ChangeOps.latestSnapshot(
+        ev.filter(col("ts_us") < cut),
+        keyCols = Seq("user_id"), ordCols = Seq("ts_us", "event_id"),
+        payloadCols = Seq("event_type", "value"))
+        .select("user_id", "event_type", "value")
+      val changes = ev.filter(col("ts_us") >= cut)
+        .withColumn("op",
+          when(col("event_type") === "error", "delete").otherwise("upsert"))
+      graft.ops.ChangeOps.applyChanges(snapshot, changes,
+        keyCols = Seq("user_id"), ordCols = Seq("ts_us", "event_id"),
+        payloadCols = Seq("event_type", "value"))
+    }),
+
     // P1 — dataset profiling: per-column nulls / distincts / min / max in
     // ONE aggregation pass (ProfileOps; exact distincts so the oracle can
     // check — the 100 TB path flips to approx_count_distinct).

@@ -52,6 +52,38 @@ class ChangeProfileSpec extends AnyFunSuite {
       Row(2L, 4L, 5L, null)))
   }
 
+  test("applyChanges covers all four MERGE cases and keeps only the winning change") {
+    val snapshot = Seq(
+      (1L, "old-a"), (2L, "old-b"), (3L, "old-c")
+    ).toDF("k", "state")
+    val changes = Seq(
+      // (key, ts, id, op, state)
+      (1L, 10L, 1L, "upsert", "new-a1"),
+      (1L, 20L, 2L, "upsert", "new-a2"),   // later change wins
+      (2L, 10L, 3L, "delete", "ignored"),  // delete existing
+      (4L, 10L, 4L, "upsert", "new-d"),    // insert new key
+      (5L, 10L, 5L, "delete", "ignored"),  // delete absent key: no-op
+      (6L, 10L, 6L, "upsert", "short"),
+      (6L, 20L, 7L, "delete", "ignored")   // upsert then delete → gone
+    ).toDF("k", "ts", "id", "op", "state")
+    val next = ChangeOps.applyChanges(snapshot, changes,
+      keyCols = Seq("k"), ordCols = Seq("ts", "id"), payloadCols = Seq("state"))
+      .as[(Long, String)].collect().toMap
+    assert(next == Map(
+      1L -> "new-a2", // updated, latest change
+      3L -> "old-c",  // untouched passthrough
+      4L -> "new-d")) // inserted
+    // empty changelog → snapshot unchanged; empty snapshot → upserts only
+    val noCh = Seq.empty[(Long, Long, Long, String, String)]
+      .toDF("k", "ts", "id", "op", "state")
+    assert(ChangeOps.applyChanges(snapshot, noCh, Seq("k"), Seq("ts", "id"),
+      Seq("state")).count() == 3)
+    val noSnap = Seq.empty[(Long, String)].toDF("k", "state")
+    assert(ChangeOps.applyChanges(noSnap, changes, Seq("k"), Seq("ts", "id"),
+      Seq("state")).as[(Long, String)].collect().toMap ==
+      Map(1L -> "new-a2", 4L -> "new-d"))
+  }
+
   test("profile counts nulls, distincts, min/max per column") {
     val df = Seq(
       (Some(1L), Some("b"), Some(2.5)),
