@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch: fixed-size frequency estimation over unbounded key
+  * cardinality — the 100 TB answer to "how often does each of these
+  * tokens/domains/hosts occur" when the key space is too large to count
+  * exactly. The sketch is a d×w counter matrix; every update touches one
+  * bucket per row, estimates take the min across rows, and two sketches
+  * MERGE by cell-wise addition — so per-partition sketches combine
+  * map-side and the full build is ONE shuffle of at most d×w rows per
+  * partition, independent of data volume.
+  *
+  * Hash rows are md5-derived with fixed per-row salts (the
+  * [[TextOps.hashBucket]] / [[SampleOps.hashDraw]] convention), which
+  * makes the whole sketch DETERMINISTIC: the same input yields the same
+  * matrix on any engine, any partitioning, any run — estimates
+  * hash-compare exactly against an oracle replay (most sketch libraries
+  * seed per-run and can only be bounds-checked; see `a5`'s rated-error
+  * pattern for that case). The one-sided guarantee `estimate ≥ true`
+  * holds by construction; overestimates are bounded by colliding mass.
+  */
+object SketchOps {
+
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Row `r`'s bucket for `key`: the first 8 md5 hex chars of the salted
+    * key as a uniform 32-bit draw, reduced mod the width.
+    */
+  def cmsBucket(key: Column, r: Int, width: Int = CmsWidth): Column =
+    conv(substring(md5(concat(lit(s"$r:"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** Build the sketch: one scan-side explode onto the d rows, one
+    * aggregation shuffle. Output (r, b, c) — at most d×w rows total.
+    */
+  def cmsTable(df: DataFrame, key: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsBucket(col(key), r, width).as("b"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates for `keys` (one column named `key`): min over the
+    * d row counters each key hashes into. The sketch side is d×w rows —
+    * broadcast it; the key side can be any size.
+    */
+  def cmsEstimate(keys: DataFrame, cms: DataFrame, key: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    keys
+      .select(col(key), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsBucket(col(key), r, width).as("b"))): _*))
+        .as("rb"))
+      .select(col(key), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col(key))
+      .agg(min(col("c")).as("cms_estimate"))
+}

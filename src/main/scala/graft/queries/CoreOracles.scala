@@ -681,6 +681,28 @@ object CoreOracles {
         |FROM lineitem JOIN m USING (l_returnflag)
         |GROUP BY l_returnflag""".stripMargin,
 
+    "a12_countmin" -> {
+      val d = graft.ops.SketchOps.CmsDepth
+      val w = graft.ops.SketchOps.CmsWidth
+      def bucket(k: String, r: String) =
+        s"(('0x' || substr(md5($r || ':' || CAST($k AS VARCHAR)), 1, 8))::BIGINT % $w)"
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |rows_ AS (SELECT unnest(range($d)) AS r),
+         |rb AS (SELECT user_id, r, ${bucket("user_id", "r")} AS b
+         |  FROM ev CROSS JOIN rows_),
+         |cms AS (SELECT r, b, count(*) AS c FROM rb GROUP BY r, b),
+         |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+         |  FROM ev GROUP BY user_id),
+         |kb AS (SELECT e.user_id, rows_.r, ${bucket("e.user_id", "rows_.r")} AS b
+         |  FROM exact e CROSS JOIN rows_),
+         |est AS (SELECT kb.user_id, min(c) AS cms_estimate
+         |  FROM kb JOIN cms USING (r, b) GROUP BY kb.user_id)
+         |SELECT e.user_id, e.true_count,
+         |  CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+         |  est.cms_estimate >= e.true_count AS never_undercounts
+         |FROM exact e JOIN est USING (user_id)""".stripMargin
+    },
+
     "w7_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_ok,

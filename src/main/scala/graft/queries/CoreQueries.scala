@@ -1028,6 +1028,23 @@ object CoreQueries {
             .as("mad_price"))
     }),
 
+    // A12 — count-min sketch frequency estimation (SketchOps): fixed
+    // d×w counter matrix, mergeable cell-wise, ONE shuffle to build at
+    // any data volume — the unbounded-key-cardinality counting answer at
+    // 100 TB. md5-salted rows make the sketch deterministic, so the
+    // ESTIMATES hash-check exactly (not just bounds like a5's HLL); the
+    // one-sided estimate ≥ true guarantee surfaces as a checked boolean.
+    "a12_countmin" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"))
+      val cms = graft.ops.SketchOps.cmsTable(ev, "user_id")
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("true_count"))
+      val est = graft.ops.SketchOps.cmsEstimate(
+        exact.select("user_id"), cms, "user_id")
+      exact.join(est, Seq("user_id"))
+        .select(col("user_id"), col("true_count"), col("cms_estimate"),
+          (col("cms_estimate") >= col("true_count")).as("never_undercounts"))
+    }),
+
     // W7 — positional window analytics: first/last/nth order per
     // customer over the full-partition frame (unbounded both ways — the
     // default running frame would make last_value ≡ current row).

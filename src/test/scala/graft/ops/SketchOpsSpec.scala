@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchOpsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  val keys: Seq[String] =
+    Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+
+  test("count-min never undercounts and is exact without collisions") {
+    val df = keys.toDF("k")
+    val cms = SketchOps.cmsTable(df, "k")
+    val est = SketchOps.cmsEstimate(
+      df.distinct(), cms, "k")
+      .as[(String, Long)].collect().toMap
+    // 3 distinct keys in a 4×1024 sketch: no collisions, estimates exact
+    assert(est == Map("alpha" -> 5L, "beta" -> 3L, "gamma" -> 1L))
+  }
+
+  test("sketches merge cell-wise: cms(a ++ b) == cms(a) + cms(b)") {
+    val (a, b) = (keys.take(4), keys.drop(4))
+    val whole = SketchOps.cmsTable(keys.toDF("k"), "k")
+    val merged = SketchOps.cmsTable(a.toDF("k"), "k")
+      .unionByName(SketchOps.cmsTable(b.toDF("k"), "k"))
+      .groupBy("r", "b").agg(sum("c").as("c"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
+  test("collisions overestimate, never undercount: one-sided at tiny width") {
+    // width 2 forces heavy collisions; the min-over-rows estimate must
+    // still be >= the true count for every key
+    val df = (1 to 50).map(i => s"key-${i % 7}").toDF("k")
+    val cms = SketchOps.cmsTable(df, "k", width = 2)
+    val truth = df.groupBy("k").agg(count(lit(1)).as("t"))
+    val est = SketchOps.cmsEstimate(truth.select("k"), cms, "k", width = 2)
+    val bad = truth.join(est, Seq("k"))
+      .filter(col("cms_estimate") < col("t")).count()
+    assert(bad == 0)
+  }
+}
