@@ -44,6 +44,38 @@ object SketchOps {
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** Heavy hitters WITHOUT a full-cardinality shuffle: build the sketch
+    * (one bounded shuffle), collect the d×w matrix to the driver (bounded
+    * by construction — the kmeans-centroid pattern), probe it SCAN-SIDE
+    * through a broadcast map literal, and exact-count only the rows whose
+    * estimate clears the threshold. `estimate ≥ true` means NO false
+    * negatives, so after the exact re-count filters the sketch's false
+    * positives the result PROVABLY equals the naive
+    * `GROUP BY key HAVING count ≥ t` — which is what the oracle runs. At
+    * 100 TB the naive form shuffles every distinct key; this form
+    * shuffles d×w counters plus only the candidate rows.
+    */
+  def cmsHeavyHitters(df: DataFrame, key: String, threshold: Long,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val cells: Map[Long, Long] = cmsTable(df, key, depth, width)
+      .collect()
+      .map(r => (r.getInt(0).toLong * width + r.getLong(1), r.getLong(2)))
+      .toMap
+    if (cells.isEmpty) {
+      import df.sparkSession.implicits._
+      return Seq.empty[(String, Long)].toDF(key, "true_count")
+        .select(col(key).cast(df.schema(key).dataType), col("true_count"))
+    }
+    val m = typedlit(cells)
+    val estimate = (0 until depth).map(r =>
+      element_at(m, lit(r.toLong * width) + cmsBucket(col(key), r, width)))
+      .reduce(least(_, _))
+    df.filter(estimate >= threshold)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("true_count"))
+      .filter(col("true_count") >= threshold)
+  }
+
   /** Point estimates for `keys` (one column named `key`): min over the
     * d row counters each key hashes into. The sketch side is d×w rows —
     * broadcast it; the key side can be any size.

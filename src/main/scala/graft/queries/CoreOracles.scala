@@ -703,6 +703,10 @@ object CoreOracles {
          |FROM exact e JOIN est USING (user_id)""".stripMargin
     },
 
+    "a13_heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+        |FROM events GROUP BY user_id HAVING count(*) >= 80""".stripMargin,
+
     "w7_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_ok,

@@ -1045,6 +1045,17 @@ object CoreQueries {
           (col("cms_estimate") >= col("true_count")).as("never_undercounts"))
     }),
 
+    // A13 — heavy hitters via scan-side sketch probe: the CMS (bounded,
+    // collected like a centroid matrix) filters candidate rows BEFORE
+    // any key shuffle; exact re-count of survivors + threshold filter
+    // drops the sketch's false positives, and estimate ≥ true means no
+    // false negatives — so this provably equals the naive
+    // GROUP BY + HAVING the oracle runs, while only candidate rows and
+    // d×w counters ever shuffle.
+    "a13_heavy_hitters" -> ((s, dir) =>
+      graft.ops.SketchOps.cmsHeavyHitters(
+        table(s, dir, "events").select(col("user_id")), "user_id", 80L)),
+
     // W7 — positional window analytics: first/last/nth order per
     // customer over the full-partition frame (unbounded both ways — the
     // default running frame would make last_value ≡ current row).

@@ -29,6 +29,26 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
   }
 
+  test("heavy hitters equal the naive GROUP BY + HAVING, even under forced collisions") {
+    // skewed keys: two heavies, a mid, and a tail of singletons
+    val data = Seq.fill(40)("hot-1") ++ Seq.fill(25)("hot-2") ++
+      Seq.fill(10)("warm") ++ (1 to 30).map(i => s"cold-$i")
+    val df = data.toDF("k")
+    def naive(t: Long) = df.groupBy("k").agg(count(lit(1)).as("true_count"))
+      .filter(col("true_count") >= t)
+      .as[(String, Long)].collect().toMap
+    // comfortable width: no collisions
+    assert(SketchOps.cmsHeavyHitters(df, "k", 20)
+      .as[(String, Long)].collect().toMap == naive(20))
+    // width 2: heavy collisions inflate estimates (false positives), but
+    // the exact re-count drops them and no true heavy is ever missed
+    assert(SketchOps.cmsHeavyHitters(df, "k", 20, width = 2)
+      .as[(String, Long)].collect().toMap == naive(20))
+    // empty input degrades to an empty result
+    assert(SketchOps.cmsHeavyHitters(
+      Seq.empty[String].toDF("k"), "k", 5).count() == 0)
+  }
+
   test("collisions overestimate, never undercount: one-sided at tiny width") {
     // width 2 forces heavy collisions; the min-over-rows estimate must
     // still be >= the true count for every key
