@@ -92,4 +92,37 @@ object MixOps {
       .filter(SampleOps.hashDraw(col(keyCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Budget-prefix curation: per stratum, rank documents best-first
+    * (`scoreCol` desc, `keyCol` tiebreak) and keep rows while the
+    * cumulative token count BEFORE each row is under `budget` — i.e. the
+    * shortest best-first prefix that reaches the budget, including the
+    * row that crosses it. The "keep the best docs until the per-language
+    * token budget is met" rule of curriculum/budgeted corpus builds —
+    * deterministic, unlike the hash-draw mixers above, because the cut is
+    * by rank, not by membership probability.
+    *
+    * One shuffle on the stratum plus an in-partition sort (the same
+    * window class as top-N-per-group). A pathologically huge stratum
+    * serializes into one task's sort — pre-cut such strata with a
+    * [[temperatureDownsample]] pass or an approx-score cutoff (the
+    * `w4b_quartile_approx` pattern) before the exact prefix.
+    */
+  def budgetPrefix(
+      docs: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") - col(tokensCol) < budget)
+      .drop("__cum")
+  }
 }

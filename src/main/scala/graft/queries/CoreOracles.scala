@@ -616,6 +616,24 @@ object CoreOracles {
          |SELECT user_id, event_type, value FROM win WHERE op = 'upsert'""".stripMargin
     },
 
+    "f15_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |x AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev_ts FROM e),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR ts_us - prev_ts >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM y)
+        |SELECT user_id,
+        |  min(ts_us) AS session_start_us,
+        |  max(ts_us) + 1800000000 AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value
+        |FROM z GROUP BY user_id, sid""".stripMargin,
+
     "profile_columns" -> {
       def row(c: String, numericAsDec: Boolean) = {
         val mn = if (numericAsDec) s"CAST(CAST(min($c) AS DECIMAL(18,6)) AS VARCHAR)"

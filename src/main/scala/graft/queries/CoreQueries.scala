@@ -937,6 +937,23 @@ object CoreQueries {
         payloadCols = Seq("event_type", "value"))
     }),
 
+    // F15 — event-time SESSION window aggregation via Spark's native
+    // session_window() (the third window shape next to f12 tumbling /
+    // f13 sliding; the same operator Structured Streaming merges state
+    // with). Semantics: an event at exactly last+gap starts a NEW
+    // session; the emitted end is last_event + gap (exclusive). The
+    // oracle replays that as gap islands.
+    "f15_session_window" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+            .cast("string").as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))),
+
     // P1 — dataset profiling: per-column nulls / distincts / min / max in
     // ONE aggregation pass (ProfileOps; exact distincts so the oracle can
     // check — the 100 TB path flips to approx_count_distinct).

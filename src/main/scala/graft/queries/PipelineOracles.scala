@@ -823,6 +823,15 @@ object PipelineOracles {
         |SELECT doc_id, lang, tok FROM t JOIN fr USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < thr""".stripMargin,
 
+    "mix_budget_prefix" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT *, sum(tok) OVER (PARTITION BY lang
+        |    ORDER BY tok DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, lang, tok FROM c WHERE cum - tok < 2500""".stripMargin,
+
     "mix_temperature" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

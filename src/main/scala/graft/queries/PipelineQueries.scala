@@ -661,6 +661,20 @@ object PipelineQueries {
         keyCol = "doc_id", stratumCol = "lang", tokensCol = "tok")
         .select("doc_id", "lang", "tok")),
 
+    // budget-prefix curation: per language keep the best-first (longest
+    // docs here) prefix that reaches a 2500-token budget — the
+    // deterministic rank-cut companion to the probabilistic hash-draw
+    // mixers; the row crossing the budget is kept, everything after
+    // drops.
+    "mix_budget_prefix" -> ((s, dir) =>
+      graft.ops.MixOps.budgetPrefix(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("tok")),
+        keyCol = "doc_id", stratumCol = "lang", scoreCol = "tok",
+        tokensCol = "tok", budget = 2500L)
+        .select("doc_id", "lang", "tok")),
+
     // temperature mixing at α=0.5: the multilingual-pretraining rule —
     // target shares ∝ stok^α, interpolating natural (α=1) toward equal
     // tokens (α=0); fraction rounded to 6 dp so cross-engine pow ulp

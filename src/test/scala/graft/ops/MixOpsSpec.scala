@@ -51,6 +51,28 @@ class MixOpsSpec extends AnyFunSuite {
     assert(nHalf >= n0)
   }
 
+  test("budgetPrefix keeps the best-first prefix, including the budget-crossing row") {
+    import spark.implicits._
+    val docs = Seq(
+      // (doc_id, lang, tok): en sorted by tok desc → 50, 40, 30, 20
+      (1L, "en", 40L), (2L, "en", 50L), (3L, "en", 30L), (4L, "en", 20L),
+      // de: a single doc bigger than the budget is still kept (crossing row)
+      (5L, "de", 500L),
+      // fr: total below budget → everything kept
+      (6L, "fr", 10L), (7L, "fr", 15L)
+    ).toDF("doc_id", "lang", "tok")
+    val kept = MixOps.budgetPrefix(docs, "doc_id", "lang", "tok", "tok", 100L)
+      .select("doc_id").as[Long].collect().toSet
+    // en prefix: 50 (cum-before 0) + 40 (50) + 30 (90) kept, 20 (120) dropped
+    assert(kept == Set(2L, 1L, 3L, 5L, 6L, 7L))
+    // equal scores tiebreak by doc_id: deterministic on any partitioning
+    val ties = Seq((1L, "x", 60L), (2L, "x", 60L), (3L, "x", 60L))
+      .toDF("doc_id", "lang", "tok")
+    val k2 = MixOps.budgetPrefix(ties.repartition(7), "doc_id", "lang", "tok", "tok", 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k2 == Set(1L, 2L)) // 60 (0) + 60 (60) kept, third (120) dropped
+  }
+
   test("equalTokenDownsample is partitioning-independent") {
     val docs = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", (i % 7 + 1).toLong))
       .toDF("doc_id", "lang", "tok")
