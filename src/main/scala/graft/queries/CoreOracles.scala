@@ -596,6 +596,32 @@ object CoreOracles {
         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us
         |FROM events""".stripMargin,
 
+    "sql5_lateral" ->
+      """SELECT n.n_name, t.c_name, CAST(t.bal AS VARCHAR) AS top_balance
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_name
+        |  LIMIT 1
+        |) t""".stripMargin,
+
+    "f16_null_semantics" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN event_id % 3 = 0 THEN value END AS v,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+        |  FROM events)
+        |SELECT coalesce(k, '(null key)') AS k,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(v) AS BIGINT) AS n_nonnull,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_nonnull,
+        |  coalesce(CAST(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR),
+        |    '(all null)') AS sum_v,
+        |  round(CAST(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |    / count(v), 6) AS avg_v
+        |FROM e GROUP BY k""".stripMargin,
+
     "cdc_apply" -> {
       val cut = graft.core.Types.utcMicros(2024, 1, 15)
       s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

@@ -1149,6 +1149,57 @@ object CoreQueries {
           |  FROM orders_rcv GROUP BY 1) ON m = m2""".stripMargin)
     }),
 
+    // SQL5 — LATERAL correlated subquery (Spark 3.2+/DuckDB parity): for
+    // each nation, its top customer by balance — the correlated-top-1
+    // shape LATERAL expresses without a window over the whole table;
+    // Catalyst decorrelates it into a join. Pure SQL text on both
+    // engines.
+    "sql5_lateral" -> ((s, dir) => {
+      table(s, dir, "nation").createOrReplaceTempView("nation_lv")
+      table(s, dir, "customer").createOrReplaceTempView("customer_lv")
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.bal
+          |FROM nation_lv n,
+          |LATERAL (
+          |  SELECT c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          |  FROM customer_lv c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_name
+          |  LIMIT 1
+          |) t""".stripMargin)
+        .selectExpr("n_name", "c_name", "CAST(bal AS STRING) AS top_balance")
+    }),
+
+    // F16 — null-semantics parity row: count(*) vs count(col), null-
+    // skipping sums/avgs over all-null groups, null group keys grouping
+    // together, and distinct-with-null — the cross-engine agreements
+    // every migration silently depends on, pinned as one hash row.
+    "f16_null_semantics" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(
+        col("event_type"),
+        // ~1/3 of values null, deterministically
+        when(pmod(col("event_id"), lit(3)) === 0, col("value"))
+          .otherwise(lit(null)).as("v"),
+        // null group key for one event type
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("k"))
+      ev.groupBy("k")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_nonnull"),
+          countDistinct(col("v")).as("n_distinct_nonnull"),
+          coalesce(sum(col("v").cast("decimal(18,6)")).cast("decimal(38,6)")
+            .cast("string"), lit("(all null)")).as("sum_v"),
+          // mean from the EXACT decimal sum cast to double ONCE, so the
+          // division is the same IEEE step on both engines; all-null
+          // groups yield null (NaN at the compare — identical both sides)
+          round(sum(col("v").cast("decimal(18,6)")).cast("double") /
+            count(col("v")), 6).as("avg_v"))
+        .select(coalesce(col("k"), lit("(null key)")).as("k"),
+          col("n_rows"), col("n_nonnull"), col("n_distinct_nonnull"),
+          col("sum_v"), col("avg_v"))
+    }),
+
     // A10 — z-score outlier flagging: per-type mean/σ derived from EXACT
     // decimal sums (order-independent), cast to double once, so the
     // per-row |v−μ|>3σ comparison is bit-identical on any partitioning
