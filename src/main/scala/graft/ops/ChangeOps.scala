@@ -18,9 +18,13 @@ object ChangeOps {
     * shuffle with map-side partial aggregation: `max(struct(ord…, payload))`
     * orders lexicographically on the leading struct fields, so each
     * partition forwards a single candidate row per key. The window
-    * formulation (`row_number desc = 1`) is equivalent but shuffles and
-    * SORTS every version of every key; at 100 TB of changelog the
-    * aggregate shape is the only one that survives.
+    * formulation (`row_number desc = 1`) is equivalent but SHUFFLES every
+    * version of every key; at 100 TB of changelog the aggregate shape is
+    * the only one that survives. Physical note: a struct max has no
+    * mutable hash buffer, so Spark plans a SortAggregate — the partial
+    * sort is by GROUP KEY within each input partition (cheap, pre-combine)
+    * and the exchange still carries one candidate per key per partition;
+    * the window form's sort is over the exchanged FULL version history.
     *
     * `ordCols` must be a total order per key (e.g. ts + change id) or the
     * winner is nondeterministic by exactly the ambiguity in the data.

@@ -190,6 +190,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("cdc_apply: winner-per-key via partial aggregate, no Window, anti join broadcast") {
+    val p = plan("cdc_apply")
+    // aggregate form: partial before each exchange bounds the shuffle to
+    // one candidate per key per partition — never a window over the full
+    // version history
+    assert(!p.contains("Window"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("partial_max") || p.contains("partial_count"))
+    // touched keys leave via a broadcast anti join — the snapshot never
+    // sort-merge joins the (small) winners table
+    assert(p.contains("BroadcastHashJoin LeftAnti"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("mix_budget_prefix: one exchange for the stratum window") {
+    val p = plan("mix_budget_prefix")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("a12_countmin: the sketch build aggregates partial+final (map-side combine)") {
+    val p = plan("a12_countmin")
+    assert(p.contains("partial_count") || p.contains("Functions [1]: [partial_count"))
+    // the probe side joins the d×w sketch broadcast — never a sort-merge
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))
