@@ -86,11 +86,16 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    idCols.keys.toSeq.sorted.foreach { t =>
-      val df = etl.Ingest.table(spark, src, t)
-      scaleTable(df, t, factor)
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      System.err.println(s"[scaleup] wrote $t ×$factor")
+    // SPARK_GRAFT_SCALE_SKIP_GEN=1 reuses an already-written scaled dir
+    // (same factor!) so iterating on one query's plan doesn't pay the
+    // full ×N rewrite every run.
+    if (!sys.env.get("SPARK_GRAFT_SCALE_SKIP_GEN").contains("1")) {
+      idCols.keys.toSeq.sorted.foreach { t =>
+        val df = etl.Ingest.table(spark, src, t)
+        scaleTable(df, t, factor)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        System.err.println(s"[scaleup] wrote $t ×$factor")
+      }
     }
 
     def bench(dir: String, name: String): Double = {

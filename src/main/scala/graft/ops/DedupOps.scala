@@ -192,21 +192,42 @@ object DedupOps {
         .select(col("doc_id"),
           coalesce(col("root"), col("doc_id")).as("cluster_id"))
     }
-    val edges = pairs
+    val spark = docs.sparkSession
+    // Iterative plans grow 4× per round (two propagation hops each
+    // embed the prior round's tree twice); cache() materializes the
+    // EXECUTION but Catalyst still analyzes/canonicalizes the full
+    // logical lineage every round, and with the pair-generation pipeline
+    // (shingle explode → minhash agg → bucket expand) at the leaves that
+    // driver-side cost dominated end-to-end time (measured: a 6.8k-edge
+    // graph spending 20+ s planning while executing milliseconds of
+    // work). localCheckpoint (eager) truncates lineage to a leaf RDD, so
+    // every round plans the SAME constant-size tree — the standard
+    // iterative-algorithm pattern (GraphX/MLlib checkpointing). The
+    // checkpoint RDDs are collected via getPersistentRDDs diff and
+    // dropped as rounds retire, so peak extra storage is two
+    // dup-graph-sized label tables.
+    def checkpointed(df: DataFrame): (DataFrame, Seq[Int]) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val ids = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq
+      (out, ids)
+    }
+    def dropCheckpoint(ids: Seq[Int]): Unit = ids.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val (edges, edgeIds) = checkpointed(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    // labels deliberately seed from ALL docs, not from the edge
-    // endpoints: seeding off the edges cache chains every round's
-    // lineage through a second cached relation and measured 2.7× slower
-    // end-to-end here. At a scale where the dup graph is vanishingly
-    // small vs the corpus, iterate endpoint-only labels and anti-join
-    // the singletons back at the end.
-    // `cached` is the handle unpersist must be called on (unpersist on a
-    // derived projection would no-op against the cache manager and leak
-    // a round's cache); `labels` is the (doc_id, cluster_id) view of it.
-    var cached = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
-    var labels = cached
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // Labels iterate over edge ENDPOINTS only, never the corpus: the
+    // near-dup pair graph is vanishingly small next to the documents
+    // table (LSH survivors), so every per-round join/aggregate/count is
+    // dup-graph-sized. The corpus appears exactly once, in the final
+    // left join that maps singletons to themselves — the same shape the
+    // driver union-find path above broadcasts. (Both src and dst appear
+    // as src in the symmetrized edge table, so src alone covers every
+    // endpoint.)
+    var (labels, labelIds) = checkpointed(
+      edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
     // one min-label propagation step; the running `__changed` flag rides
     // along, so convergence needs no join of next against prior labels
     def step(l: DataFrame): DataFrame = {
@@ -226,34 +247,36 @@ object DedupOps {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // TWO propagation hops per materialized round: the count job and
-      // cache turnover dominate at small label sizes, so halving the
-      // round count buys more than the extra in-plan join costs
-      val next = step(step(labels.withColumn("__changed", lit(false))))
-        .cache()
-      // full count, deliberately NOT limit(1): a short-circuit scan
-      // leaves `next`'s cache partially materialized, and the next
-      // round then re-executes the whole lineage chain of every prior
-      // round for the missing partitions (measured 3× slower). The full
-      // count materializes the cache AND answers convergence in one job.
+      // TWO propagation hops per materialized round: the checkpoint job
+      // dominates at small label sizes, so halving the round count buys
+      // more than the extra in-plan join costs
+      val (next, nextIds) = checkpointed(
+        step(step(labels.withColumn("__changed", lit(false)))))
+      // cheap: counts over the already-materialized checkpoint RDD
       val changed = next.filter(col("__changed")).count()
-      cached.unpersist()
-      cached = next
+      dropCheckpoint(labelIds)
       labels = next.select("doc_id", "cluster_id")
+      labelIds = nextIds
       converged = changed == 0
       round += 1
     }
-    edges.unpersist()
+    dropCheckpoint(edgeIds)
     if (!converged) {
-      // unpin the last round's cache BEFORE throwing: Verify/Bench catch
-      // per-query failures and keep the session alive, so a leaked cache
-      // would silently tax every later query's memory budget
-      cached.unpersist()
+      // unpin the last round's checkpoint BEFORE throwing: Verify/Bench
+      // catch per-query failures and keep the session alive, so a leaked
+      // RDD would silently tax every later query's memory budget
+      dropCheckpoint(labelIds)
       throw new IllegalArgumentException(
         s"duplicateClusters did not converge in $maxRounds rounds — component " +
           "diameter exceeds the bound; raise maxRounds")
     }
-    labels
+    // Singletons re-enter here, once: endpoint labels are converged and
+    // checkpointed, so this is a single corpus scan against a
+    // dup-graph-sized build side.
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Benchmark decontamination: per training doc, how many of its
