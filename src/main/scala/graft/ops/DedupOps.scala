@@ -460,7 +460,72 @@ object DedupOps {
           .otherwise("new").as("status"))
   }
 
+  /** Phase handles for [[similarityJoinExact]], factored so the scale
+    * probe can count candidates per phase without duplicating the plan.
+    */
+  private case class SetJoinParts(sh: DataFrame, perdoc: DataFrame,
+      prefix: DataFrame, expanded: DataFrame, cand: DataFrame)
+
   def similarityJoinExact(docs: DataFrame, threshold: Double): DataFrame = {
+    val eps = 1e-9
+    val p = setJoinParts(docs, threshold)
+    // Two-stage verify. Stage 1 intersects xxhash64 LONG arrays — the
+    // candidate set is ~500× the output (measured 125k candidates → 256
+    // pairs at sf0.1, t=0.5), so the per-pair intersect is the dominant
+    // e2e cost and primitive-long hashing beats string hashing several-
+    // fold. Recall argument: equal shingles hash equal, so the hashed
+    // overlap undercounts the true overlap ONLY when two distinct common
+    // shingles collide within one pair's ~n-element sets — P ≈ n²/2⁶⁴
+    // per pair (~1e-16 at n≈52); stage 1 keeps every pair whose hashed
+    // overlap reaches the exact-join overlap bound ⌈t/(1+t)·(n_a+n_b)⌉.
+    // Stage 2 re-intersects the STRING arrays for survivors only
+    // (output-sized), so reported jaccard values are exact and any
+    // cross-set collision survivor (hashed overlap inflated past the
+    // bound) is removed — false positives cost nothing, false negatives
+    // carry the 2⁻⁶⁴ bound stage 1 documents.
+    val prever = p.cand
+      .join(p.perdoc.select(col("doc_id").as("doc_a"),
+        col("hashed_sh").as("h_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(p.perdoc.select(col("doc_id").as("doc_b"),
+        col("hashed_sh").as("h_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(size(array_intersect(col("h_a"), col("h_b"))) >=
+        ceil(lit(threshold / (1 + threshold)) *
+          (col("n_a") + col("n_b")) - lit(eps)))
+      .select("doc_a", "doc_b")
+    prever
+      .join(p.perdoc.select(col("doc_id").as("doc_a"),
+        col("sorted_sh").as("set_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(p.perdoc.select(col("doc_id").as("doc_b"),
+        col("sorted_sh").as("set_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),
+        col("n_a"), col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Diagnostic phase counts for the scale probe (shingle rows, per-doc
+    * sets, prefix rows, verify candidates) — counts force each cached
+    * phase exactly once.
+    */
+  def probeSetJoinCounts(docs: DataFrame, threshold: Double): Seq[(String, Long, Double)] = {
+    val p = setJoinParts(docs, threshold)
+    def timed(name: String, df: DataFrame): (String, Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (name, n, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("shingle_rows", p.sh),
+      timed("perdoc_sets", p.perdoc),
+      timed("prefix_rows", p.prefix),
+      timed("verify_candidates", p.cand))
+  }
+
+  private def setJoinParts(docs: DataFrame, threshold: Double): SetJoinParts = {
     val sh = shingled(docs).cache() // distinct (doc_id, shingle)
     // global canonical order: rarest shingles first
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -472,6 +537,9 @@ object DedupOps {
       .select(col("doc_id"),
         transform(col("ss"), e => e.getField("shingle")).as("sorted_sh"),
         size(col("ss")).as("n"))
+      // hashed twin of sorted_sh for the stage-1 long-array intersect;
+      // computed once here so the cache serves both verify stages
+      .withColumn("hashed_sh", transform(col("sorted_sh"), s => xxhash64(s)))
       .cache()
     // prefix length |A| − ⌈t·|A|⌉ + 1; rk is the 1-based canonical rank.
     // The tiny epsilon inside each ceil guards double rounding: when the
@@ -498,7 +566,7 @@ object DedupOps {
     // and passes — so the pair survives the union over occurrences.
     // Subsumes the length filter (the bound is ≤ min(n_a, n_b)).
     // Measured: 409k → far fewer verify candidates at sf0.1, t=0.5.
-    val cand = prefix
+    val expanded = prefix
       .groupBy("shingle")
       .agg(sort_array(collect_set(struct(col("doc_id"), col("rk"), col("n"))))
         .as("es"))
@@ -514,23 +582,19 @@ object DedupOps {
                   (a.getField("n") + b.getField("n")) - lit(eps))).as("ok"))),
           p => p.getField("ok"))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
+    val cand = expanded
       .distinct()
       .cache()
-    // exact verify straight off the cached per-doc sorted arrays
-    cand
-      .join(perdoc.select(col("doc_id").as("doc_a"),
-        col("sorted_sh").as("set_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(perdoc.select(col("doc_id").as("doc_b"),
-        col("sorted_sh").as("set_b"), col("n").as("n_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),
-        col("n_a"), col("n_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("n_common") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    SetJoinParts(sh, perdoc, prefix, expanded, cand)
   }
+
+  /** Pre-distinct expansion volume — how many (pair, shared-prefix-
+    * shingle) occurrences the in-bucket expansion emits before the
+    * distinct dedupes them; the dup factor vs verify_candidates is part
+    * of the scale accounting in PLANS.md.
+    */
+  def probeSetJoinPreDistinct(docs: DataFrame, threshold: Double): Long =
+    setJoinParts(docs, threshold).expanded.count()
 
   /** SimHash bit width: 16 hex digits of md5 × 4 bits. */
   val SimhashBits = 64
