@@ -159,6 +159,19 @@ object DumpConvert {
         sys.props("java.io.tmpdir"))): String =
     if (!dumpPath.endsWith(".gz")) dumpPath
     else {
+      // The default staging dir is the DRIVER's local tmpdir — executors
+      // on other hosts cannot read it, so the subsequent distributed
+      // spark.read.text would fail with FileNotFound on every non-driver
+      // task. Refuse up front with the fix in the message rather than
+      // letting the cluster discover it one task failure at a time. (An
+      // explicitly-passed stagingDir or SPARK_GRAFT_STAGING_DIR is
+      // trusted to be executor-visible.)
+      require(spark.sparkContext.isLocal ||
+          stagingDir != sys.props("java.io.tmpdir"),
+        "stageSplittable: staging a .gz dump on a non-local master needs " +
+          "a staging dir every executor can read (HDFS/S3) — set " +
+          "SPARK_GRAFT_STAGING_DIR or pass stagingDir; the default " +
+          s"${sys.props("java.io.tmpdir")} is driver-local")
       val conf = spark.sessionState.newHadoopConf()
       val src = new org.apache.hadoop.fs.Path(dumpPath)
       val srcFs = src.getFileSystem(conf)

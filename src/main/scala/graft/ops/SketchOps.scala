@@ -35,10 +35,15 @@ object SketchOps {
 
   /** Build the sketch: one scan-side explode onto the d rows, one
     * aggregation shuffle. Output (r, b, c) — at most d×w rows total.
+    * NULL keys are NOT sketched (a null never hashes to a bucket);
+    * [[cmsHeavyHitters]] carries them through its exact re-count
+    * explicitly, and [[cmsEstimate]] reports 0 for them like any
+    * never-sketched key.
     */
   def cmsTable(df: DataFrame, key: String,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
-    df.select(explode(array((0 until depth).map(r =>
+    df.filter(col(key).isNotNull)
+      .select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"), cmsBucket(col(key), r, width).as("b"))): _*))
         .as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
@@ -73,7 +78,12 @@ object SketchOps {
       element_at(m,
         (lit(r * width + 1) + cmsBucket(col(key), r, width)).cast("int")))
       .reduce(least(_, _))
-    df.filter(estimate >= threshold)
+    // NULL keys never hash (concat-with-null nulls the bucket, so their
+    // estimate is null and `>=` would silently drop them) — keep them
+    // through the candidate filter unconditionally; the exact re-count
+    // below decides their fate, preserving equality with the naive
+    // GROUP BY ... HAVING form, whose NULL group is a real group.
+    df.filter(estimate >= threshold || col(key).isNull)
       .groupBy(col(key))
       .agg(count(lit(1)).as("true_count"))
       .filter(col("true_count") >= threshold)
@@ -81,7 +91,11 @@ object SketchOps {
 
   /** Point estimates for `keys` (one column named `key`): min over the
     * d row counters each key hashes into. The sketch side is d×w rows —
-    * broadcast it; the key side can be any size.
+    * broadcast it; the key side can be any size. The sketch table only
+    * materializes touched (r, b) cells, so an unpopulated cell means a
+    * true counter of 0 — LEFT join + coalesce, or a never-seen key
+    * would lose that cell from its min (overestimating vs the true CMS
+    * min of 0) or vanish entirely when all d cells are empty.
     */
   def cmsEstimate(keys: DataFrame, cms: DataFrame, key: String,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
@@ -90,7 +104,7 @@ object SketchOps {
         struct(lit(r).as("r"), cmsBucket(col(key), r, width).as("b"))): _*))
         .as("rb"))
       .select(col(key), col("rb.r").as("r"), col("rb.b").as("b"))
-      .join(broadcast(cms), Seq("r", "b"))
+      .join(broadcast(cms), Seq("r", "b"), "left")
       .groupBy(col(key))
-      .agg(min(col("c")).as("cms_estimate"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
 }

@@ -49,6 +49,32 @@ class SketchOpsSpec extends AnyFunSuite {
       Seq.empty[String].toDF("k"), "k", 5).count() == 0)
   }
 
+  test("heavy hitters retain a NULL-key group exactly like the naive form") {
+    // NULL never hashes (its estimate is null), so without the explicit
+    // null-retention branch the candidate filter silently drops it while
+    // the naive GROUP BY keeps it as a real group
+    val data = Seq.fill(30)(Some("hot")) ++ Seq.fill(25)(None) ++
+      Seq.fill(5)(Some("cold"))
+    val df = data.toDF("k")
+    val naive = df.groupBy("k").agg(count(lit(1)).as("true_count"))
+      .filter(col("true_count") >= 20)
+      .as[(Option[String], Long)].collect().toMap
+    assert(naive.contains(None)) // the oracle side genuinely has the group
+    assert(SketchOps.cmsHeavyHitters(df, "k", 20)
+      .as[(Option[String], Long)].collect().toMap == naive)
+  }
+
+  test("estimates for never-sketched keys are 0, not missing or inflated") {
+    val cms = SketchOps.cmsTable(keys.toDF("k"), "k")
+    val est = SketchOps.cmsEstimate(
+      Seq("alpha", "never-seen-1", "never-seen-2").toDF("k"), cms, "k")
+      .as[(String, Long)].collect().toMap
+    // unpopulated cells are counters of 0: a probed key missing from the
+    // sketch must come back with estimate 0 (left join + coalesce), not
+    // vanish (inner join) or overestimate off only its populated cells
+    assert(est == Map("alpha" -> 5L, "never-seen-1" -> 0L, "never-seen-2" -> 0L))
+  }
+
   test("collisions overestimate, never undercount: one-sided at tiny width") {
     // width 2 forces heavy collisions; the min-over-rows estimate must
     // still be >= the true count for every key
