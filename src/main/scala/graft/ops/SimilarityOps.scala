@@ -217,6 +217,81 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  /** AND-OR amplification parameters: [[LshTables]] INDEPENDENT hash
+    * tables of [[LshTableBits]] sign bits each. Fewer bits per table
+    * (6 vs the single-table 8) raises each table's match probability
+    * p^b, and OR-ing over L tables amplifies recall to 1−(1−p^b)^L —
+    * the classic bands×rows tradeoff, traded against candidate volume
+    * (each query inspects the union of its L buckets). Plane constants
+    * are a fresh deterministic draw (seed+1) so table 0 is NOT the
+    * 8-bit single-probe table — the two families are independent
+    * measurements of the same frontier.
+    */
+  val LshTables = 8
+  val LshTableBits = 6
+
+  lazy val tableHyperplanes: Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(LshSeed + 1)
+    Seq.fill(LshTables)(Seq.fill(LshTableBits)(
+      Array.fill(LshDim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** Sign signature of an embedding under table `t`'s planes. */
+  def lshTableSignature(emb: Column, t: Int): Column =
+    concat(tableHyperplanes(t).map(p =>
+      when(dot(emb, typedlit(p.toSeq)) > 0, "1").otherwise("0")): _*)
+
+  /** All L `(t, sig)` table signatures of an embedding, for one
+    * scan-side explode: L×b exact ±1-dot products per vector, computed
+    * once in whole-stage codegen.
+    */
+  private def lshTableSigs(emb: Column): Column =
+    array((0 until LshTables).map(t =>
+      struct(lit(t).as("t"), lshTableSignature(emb, t).as("sig"))): _*)
+
+  /** OR-amplified candidate pairs: a (query, neighbor) pair is a
+    * candidate iff the two vectors share a bucket in AT LEAST ONE of the
+    * L tables. Output one row per distinct pair with its cosine and
+    * `min_t`, the lowest matching table id — `min_t = 0` selects exactly
+    * the pairs table 0 alone would have found, so a single frame carries
+    * both the 1-table baseline and the L-table result for the recall
+    * frontier.
+    *
+    * Scale shape: both sides explode to L rows per vector, but the
+    * query side is the broadcast side (L× a tiny relation) and the
+    * corpus side is a scan-side explode feeding the broadcast hash join
+    * — the 100 TB corpus is still read once, with no shuffle until the
+    * candidate-sized per-pair dedup aggregate.
+    */
+  def lshTableCandidates(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"),
+      explode(lshTableSigs(col("embedding"))).as("ts"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
+    corpus
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(lshTableSigs(col("embedding"))).as("ts"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
+      .join(broadcast(q), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("t"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      // the cosine is the same double in every matching table's row
+      // (identical expression over identical inputs), so max() is just
+      // per-pair dedup that both engines reproduce bit-identically
+      .agg(max(col("cos")).as("cos"), min(col("t")).as("min_t"))
+  }
+
+  /** Multi-table LSH top-k over the OR-amplified candidates. */
+  def lshTopKTables(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topK(lshTableCandidates(corpus, queries)
+      .select(col("query_id"), col("neighbor_id"), col("cos")), k)
+
   /** Lloyd's k-means coarse-quantizer training — the step that turns
     * [[ivfTopK]]'s "given" cells into TRAINED cells (what a real IVF
     * index builds). Driver-iterated exactly like Spark MLlib's KMeans:

@@ -657,6 +657,59 @@ object PipelineOracles {
          |GROUP BY bt.query_id""".stripMargin
     },
 
+    // multi-table OR-amplification replay: 8 UNION ALL branches sign the
+    // corpus under each 6-bit table's planes; candidates group per
+    // (query, neighbor) over any-table bucket matches with min matching
+    // table id, so the 1-table baseline is the min_t = 0 slice of the
+    // same frame — exactly the Spark plan's shape.
+    "sim_recall_lsh_tables" -> {
+      def planeLit(p: Array[Double]): String =
+        p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")
+      def sigExpr(t: Int): String =
+        graft.ops.SimilarityOps.tableHyperplanes(t)
+          .map(p => s"CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+      val sgtBranches = (0 until graft.ops.SimilarityOps.LshTables)
+        .map(t => s"SELECT vec_id, e, nrm, $t AS t, ${sigExpr(t)} AS sig FROM n")
+        .mkString("\n  UNION ALL ")
+      def rankTopk(pred: String, out: String) =
+        s"""$out AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM cand $pred) WHERE rank <= ${PipelineQueries.LshK})""".stripMargin
+      s"""WITH $normCte,
+         |sgt AS ($sgtBranches),
+         |qt AS (SELECT vec_id AS query_id, t, sig, e AS qe, nrm AS qn FROM sgt
+         |       WHERE vec_id < ${PipelineQueries.LshQueryCount}),
+         |cand AS (SELECT qt.query_id, sgt.vec_id AS neighbor_id,
+         |    max(list_dot_product(sgt.e, qt.qe) / (sgt.nrm * qt.qn)) AS cos,
+         |    min(sgt.t) AS min_t
+         |  FROM sgt JOIN qt ON sgt.t = qt.t AND sgt.sig = qt.sig
+         |    AND sgt.vec_id <> qt.query_id
+         |  GROUP BY qt.query_id, sgt.vec_id),
+         |counts AS (SELECT query_id,
+         |    CAST(sum(CASE WHEN min_t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_1table,
+         |    CAST(count(*) AS BIGINT) AS n_cand_tables
+         |  FROM cand GROUP BY query_id),
+         |${rankTopk("WHERE min_t = 0", "one")},
+         |${rankTopk("", "tbl")},
+         |${topkCtes("bt", PipelineQueries.LshQueryCount, PipelineQueries.LshK, cellJoin = false)},
+         |hits AS (SELECT bt.query_id,
+         |    CAST(sum(CASE WHEN one.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_1table,
+         |    CAST(sum(CASE WHEN tbl.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_tables,
+         |    CAST(count(*) AS BIGINT) AS k
+         |  FROM bt LEFT JOIN one USING (query_id, neighbor_id)
+         |          LEFT JOIN tbl USING (query_id, neighbor_id)
+         |  GROUP BY bt.query_id)
+         |SELECT hits.query_id,
+         |  CAST(coalesce(counts.n_cand_1table, 0) AS BIGINT) AS n_cand_1table,
+         |  CAST(coalesce(counts.n_cand_tables, 0) AS BIGINT) AS n_cand_tables,
+         |  hits.n_hits_1table, hits.n_hits_tables, hits.k,
+         |  round(CAST(hits.n_hits_1table AS DOUBLE) / hits.k, 6) AS recall_1table,
+         |  round(CAST(hits.n_hits_tables AS DOUBLE) / hits.k, 6) AS recall_tables
+         |FROM hits LEFT JOIN counts USING (query_id)""".stripMargin
+    },
+
     "sim_ivf_topk" ->
       s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, label, e AS qe, nrm AS qn FROM n

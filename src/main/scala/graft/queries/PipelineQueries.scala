@@ -511,6 +511,54 @@ object PipelineQueries {
             .as("recall_multiprobe"))
     }),
 
+    // the OTHER amplification axis: instead of probing more buckets of
+    // ONE 8-bit table (multi-probe above), OR over 8 INDEPENDENT 6-bit
+    // tables — fewer bits raise each table's match probability p^b, and
+    // any-table-matches amplifies recall to 1−(1−p^b)^L. One row per
+    // query reports recall AND candidate volume for 1-table vs L-table,
+    // so the frontier (recall bought per candidate inspected) is
+    // oracle-checked, not asserted.
+    "sim_recall_lsh_tables" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < LshQueryCount)
+      val exact = SimilarityOps.bruteTopK(corpus, qs, LshK)
+        .select(col("query_id"), col("neighbor_id"))
+      // min_t = 0 marks the pairs table 0 alone finds: the 1-table
+      // baseline is a FILTER over the same candidate frame, not a
+      // second corpus pass
+      val cand = SimilarityOps.lshTableCandidates(corpus, qs)
+      val counts = cand.groupBy("query_id").agg(
+        sum(when(col("min_t") === 0, 1L).otherwise(0L)).as("n_cand_1table"),
+        count(lit(1)).as("n_cand_tables"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      def top(src: DataFrame) = src
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= LshK)
+        .select(col("query_id"), col("neighbor_id"))
+      val one = top(cand.filter(col("min_t") === 0))
+      val tbl = top(cand)
+      exact
+        .join(broadcast(one.withColumn("hit1", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(broadcast(tbl.withColumn("hitt", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(coalesce(col("hit1"), lit(0L))).as("n_hits_1table"),
+          sum(coalesce(col("hitt"), lit(0L))).as("n_hits_tables"),
+          count(lit(1)).as("k"))
+        .join(broadcast(counts), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_cand_1table"), lit(0L)).as("n_cand_1table"),
+          coalesce(col("n_cand_tables"), lit(0L)).as("n_cand_tables"),
+          col("n_hits_1table"), col("n_hits_tables"), col("k"),
+          round(col("n_hits_1table") / col("k").cast("double"), 6)
+            .as("recall_1table"),
+          round(col("n_hits_tables") / col("k").cast("double"), 6)
+            .as("recall_tables"))
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
 

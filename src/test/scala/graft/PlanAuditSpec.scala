@@ -190,6 +190,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("sim_recall_lsh_tables: table OR-amplification joins broadcast, no sort-merge") {
+    val p = plan("sim_recall_lsh_tables")
+    // the L-table signature explode feeds a BroadcastHashJoin on
+    // (t, sig) — the corpus side is scan-side Generate, never shuffled
+    // for candidate generation; per-pair dedup is a hash aggregate
+    assert(p.contains("BroadcastHashJoin"))
+    assert("\\(\\d+\\) Generate".r.findAllMatchIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("cdc_apply: winner-per-key via partial aggregate, no Window, anti join broadcast") {
     val p = plan("cdc_apply")
     // aggregate form: partial before each exchange bounds the shuffle to

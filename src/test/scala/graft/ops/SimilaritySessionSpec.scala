@@ -76,6 +76,26 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(all.length == all.distinct.length)
   }
 
+  test("multi-table LSH: OR over tables, deduped pairs, 1-table slice consistent") {
+    val c = SimilarityOps.withNorm(vecs)
+    val qs = c.filter(col("vec_id") === 0)
+    val cand = SimilarityOps.lshTableCandidates(c, qs).collect()
+    val byN = cand.map(r => r.getAs[Long]("neighbor_id") -> r).toMap
+    // one row per (query, neighbor) even when several tables match
+    assert(cand.length == byN.size)
+    // vecs 1 and 4 are sign-identical to vec 0 under EVERY ±1 plane
+    // (first component dominates), so they match in all L tables →
+    // min_t = 0; sign-opposite vec 3 matches in none
+    assert(byN.contains(1L) && byN(1L).getAs[Int]("min_t") == 0)
+    assert(byN.contains(4L) && byN(4L).getAs[Int]("min_t") == 0)
+    assert(!byN.contains(3L))
+    // the OR-amplified top-k dedupes too, and covers the 1-table slice
+    val top = SimilarityOps.lshTopKTables(c, qs, 4)
+      .select("query_id", "neighbor_id").collect()
+    assert(top.length == top.distinct.length)
+    assert(Set(1L, 4L).subsetOf(top.map(_.getAs[Long]("neighbor_id")).toSet))
+  }
+
   test("IVF nprobe: probe-1 ≡ trained-cell assignment; more probes never lose neighbors") {
     val c = SimilarityOps.withNorm(vecs)
     val cents = SimilarityOps.kmeansCentroids(vecs, k = 2, iters = 2)
