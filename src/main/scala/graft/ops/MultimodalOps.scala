@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * frame-sample stages whose Spark-side shape (schema, partitioning,
   * per-partition batching) is real and tested.
   *
-  * STUB NOTICE: the actual media decode is a deterministic fake — this
-  * container has no image/audio codecs. `decodeStub` derives pseudo
-  * "features" from the payload's md5 so results are reproducible and
-  * oracle-checkable; swap `fakeFeature` for a real decoder (e.g. a JNI
-  * codec or `mapInArrow` to a Python worker) without touching the
+  * The decode seam is PROVEN with real pure-JVM codecs for BMP and WAV
+  * ([[MediaCodec]] — genuine header parsing, row padding, RIFF chunk
+  * walking) via [[packMediaCodec]] → [[decodeMedia]]. STUB NOTICE: for
+  * every OTHER mime (jpeg/png/mp4 need native codecs this container
+  * lacks) the decode is a declared deterministic fake — `decodeStub`
+  * derives pseudo "features" from the payload's md5 so results stay
+  * reproducible and oracle-checkable; a JNI codec or `mapInArrow`
+  * Python worker drops into the same batched seam without touching the
   * surrounding plumbing.
   */
 object MultimodalOps {
@@ -86,6 +89,85 @@ object MultimodalOps {
       (col("width") / scale).cast("int").as("width"),
       (col("height") / scale).cast("int").as("height"),
       col("payload").substr(lit(1), thumbLen.cast("int")).as("thumb"))
+  }
+
+  /** One decoded row per media item; format-specific fields are null for
+    * the formats they don't apply to, `n_units` is pixels (bmp), samples
+    * (wav), or stub frame count (fallback mimes).
+    */
+  final case class MediaDecoded(
+      media_id: Long,
+      mime: String,
+      width: Option[Long],
+      height: Option[Long],
+      sample_rate: Option[Long],
+      n_units: Long,
+      unit_sum: Option[Long],
+      first_unit: Option[Long])
+
+  /** BMP logical height / grey pattern and WAV sample pattern: simple
+    * integer functions of (doc_id, index) so a DuckDB oracle reproduces
+    * the DECODED stats in closed form without parsing any binary — the
+    * equality then proves the whole encode→decode byte path.
+    */
+  def bmpHeight(docId: Long): Int = 1 + (docId % 4).toInt
+  def bmpPixel(docId: Long, idx: Int): Int = ((docId + idx) % 256).toInt
+  def wavSampleCount(docId: Long): Int = 1 + (docId % 6).toInt * 2
+  def wavSample(docId: Long, i: Int): Int =
+    ((docId * 31 + i.toLong * 7) % 65536).toInt - 32768
+
+  /** Documents → REAL media payloads: every third doc becomes an actual
+    * BMP / WAV bitstream ([[MediaCodec]]); the rest keep UTF-8 bytes as
+    * the opaque-fallback mime. Deterministic per doc_id, so the payload
+    * bytes themselves are reproducible.
+    */
+  def packMediaCodec(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id % 3) match {
+          case 0 => (id, "image/bmp",
+            MediaCodec.encodeBmp(MediaCodec.BmpWidth, bmpHeight(id), bmpPixel(id, _)))
+          case 1 => (id, "audio/wav",
+            MediaCodec.encodeWav(MediaCodec.WavRate,
+              Array.tabulate(wavSampleCount(id))(wavSample(id, _))))
+          case _ => (id, "video/mp4", text.getBytes("UTF-8"))
+        }
+      }
+      .toDF("media_id", "mime", "payload")
+  }
+
+  /** REAL decode through the batched mapPartitions seam: BMP and WAV
+    * payloads go through [[MediaCodec]]'s actual binary parsers (header
+    * fields, row padding, bottom-up pixel order, RIFF chunk walk); other
+    * mimes fall back to the declared stub metadata. This is the seam a
+    * JNI image/audio codec drops into — the batching, dispatch-on-mime,
+    * and typed output schema are exactly what it would use.
+    */
+  def decodeMedia(media: DataFrame, frameStride: Int = 256): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch => // real decoders amortize setup per batch
+          batch.iterator.map { case (id, mime, payload) =>
+            mime match {
+              case "image/bmp" =>
+                val s = MediaCodec.decodeBmp(payload)
+                MediaDecoded(id, mime, Some(s.width.toLong), Some(s.height.toLong),
+                  None, s.nPixels, Some(s.channelSum), Some(s.firstPixel.toLong))
+              case "audio/wav" =>
+                val s = MediaCodec.decodeWav(payload)
+                MediaDecoded(id, mime, None, None, Some(s.sampleRate.toLong),
+                  s.nSamples, Some(s.sampleSum), Some(s.firstSample.toLong))
+              case _ => // declared stub fallback (no codec for this mime)
+                MediaDecoded(id, mime, None, None, None,
+                  (payload.length.toLong + frameStride - 1) / frameStride, None, None)
+            }
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Per-partition batched feature extraction — the `mapInPandas` analog:

@@ -980,6 +980,39 @@ object PipelineOracles {
          |  CAST(max(len_us) AS BIGINT) AS max_session_us
          |FROM g GROUP BY user_id""".stripMargin,
 
+    // decoded-stat closed forms: the BMP branch sums the grey pattern
+    // (doc_id + i) % 256 over all w×h pixels ×3 channels; the WAV branch
+    // sums the sample pattern (doc_id·31 + i·7) % 65536 − 32768; first_unit
+    // probes the top-left pixel / sample 0. None of this parses binary —
+    // matching the Spark side's REAL parsers is the proof.
+    "mm_codec_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS m, text FROM documents),
+        |bmp AS (SELECT doc_id, 5 AS w, 1 + (doc_id % 4) AS h FROM d WHERE m = 0),
+        |bpx AS (SELECT doc_id, unnest(range(0, w * h)) AS i FROM bmp),
+        |bs AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(((doc_id + i) % 256) * 3) AS BIGINT) AS unit_sum
+        |  FROM bpx GROUP BY doc_id),
+        |wav AS (SELECT doc_id, 1 + (doc_id % 6) * 2 AS n FROM d WHERE m = 1),
+        |wpx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM wav),
+        |ws AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum((doc_id * 31 + i * 7) % 65536 - 32768) AS BIGINT) AS unit_sum
+        |  FROM wpx GROUP BY doc_id)
+        |SELECT bmp.doc_id AS media_id, 'image/bmp' AS mime,
+        |  CAST(5 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(NULL AS BIGINT) AS sample_rate, bs.n_units, bs.unit_sum,
+        |  CAST(bmp.doc_id % 256 AS BIGINT) AS first_unit
+        |FROM bmp JOIN bs USING (doc_id)
+        |UNION ALL
+        |SELECT wav.doc_id, 'audio/wav', NULL, NULL, 8000, ws.n_units, ws.unit_sum,
+        |  CAST((wav.doc_id * 31) % 65536 - 32768 AS BIGINT)
+        |FROM wav JOIN ws USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, 'video/mp4', NULL, NULL, NULL,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), NULL, NULL
+        |FROM d WHERE m = 2""".stripMargin,
+
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id, text,

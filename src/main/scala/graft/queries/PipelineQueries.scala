@@ -746,6 +746,17 @@ object PipelineQueries {
         MultimodalOps.packDocuments(table(s, dir, "documents")))
         .select("media_id", "mime", "byte_len", "payload_md5", "n_frames")),
 
+    // REAL codec round-trip: docs → actual BMP/WAV bitstreams → the
+    // batched mapPartitions decode seam running genuine binary parsers
+    // (header fields, 4-byte row padding, bottom-up pixel order, RIFF
+    // chunk walk + odd-size pad). The oracle recomputes the decoded
+    // stats in CLOSED FORM from (doc_id, index) — equality proves every
+    // byte of the encode→decode path, with the md5 stub kept as the
+    // declared fallback for mp4.
+    "mm_codec_decode" -> ((s, dir) =>
+      MultimodalOps.decodeMedia(
+        MultimodalOps.packMediaCodec(table(s, dir, "documents")))),
+
     // frame sampling: one row per stride offset with a frame checksum —
     // the explode shape a real decoder's seek plan uses.
     "mm_frames" -> ((s, dir) => {

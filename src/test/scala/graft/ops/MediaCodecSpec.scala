@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("BMP round-trip: header fields, padded stride, bottom-up order") {
+    // width 5 → 15-byte rows padded to 16: stride math is exercised
+    val w = 5; val h = 3
+    val bytes = MediaCodec.encodeBmp(w, h, i => i % 256)
+    assert(bytes.length == 54 + 16 * 3) // padded stride, not 15
+    val s = MediaCodec.decodeBmp(bytes)
+    assert(s.width == w && s.height == h && s.bpp == 24)
+    assert(s.nPixels == 15L)
+    assert(s.channelSum == 3L * (0 until 15).sum)
+    // logical top-left pixel is idx 0 → value 0; stored at the START OF
+    // THE LAST row (bottom-up). An offset-0 read would see idx 10 = 10.
+    assert(s.firstPixel == 0)
+    val bottomLeftStored = bytes(54) & 0xff
+    assert(bottomLeftStored == (h - 1) * w) // proves rows really are flipped
+  }
+
+  test("BMP decode is strict: bad magic, wrong bpp, truncation all raise") {
+    val good = MediaCodec.encodeBmp(5, 2, _ => 7)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(badMagic))
+    val badBpp = good.clone(); badBpp(28) = 8
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(badBpp))
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(good.take(60)))
+  }
+
+  test("WAV round-trip: fmt parse, junk-chunk skip with odd-size pad, signed samples") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = MediaCodec.encodeWav(8000, samples)
+    val s = MediaCodec.decodeWav(bytes)
+    assert(s.sampleRate == 8000 && s.nChannels == 1 && s.bitsPerSample == 16)
+    assert(s.nSamples == samples.length.toLong)
+    assert(s.sampleSum == samples.map(_.toLong).sum)
+    assert(s.firstSample == 0)
+    // the encoder plants an odd-size LIST chunk before data: reaching the
+    // data chunk at all proves the walker honors the RIFF pad-byte rule
+    assert(new String(bytes, 36, 4, "US-ASCII") == "LIST")
+  }
+
+  test("WAV decode is strict: bad container and non-PCM raise") {
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeWav("RIFFxxxxJUNK".getBytes("US-ASCII")))
+    val good = MediaCodec.encodeWav(8000, Array(1, 2, 3))
+    // audioFormat lives at fmt body offset 0 = byte 20
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(nonPcm))
+  }
+
+  test("packMediaCodec → decodeMedia: real parsers match the closed forms") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val docs = (0L until 12L).map(id => (id, "x" * (id.toInt * 37 + 1)))
+      .toDF("doc_id", "text")
+    val out = MultimodalOps.decodeMedia(MultimodalOps.packMediaCodec(docs))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out.size == 12)
+    for (id <- 0L until 12L) {
+      val r = out(id)
+      (id % 3) match {
+        case 0 =>
+          val h = MultimodalOps.bmpHeight(id)
+          val n = MediaCodec.BmpWidth * h
+          assert(r.getAs[String]("mime") == "image/bmp")
+          assert(r.getAs[Long]("width") == MediaCodec.BmpWidth.toLong)
+          assert(r.getAs[Long]("height") == h.toLong)
+          assert(r.getAs[Long]("n_units") == n.toLong)
+          assert(r.getAs[Long]("unit_sum") ==
+            3L * (0 until n).map(MultimodalOps.bmpPixel(id, _).toLong).sum)
+          assert(r.getAs[Long]("first_unit") == (id % 256))
+        case 1 =>
+          val n = MultimodalOps.wavSampleCount(id)
+          assert(r.getAs[String]("mime") == "audio/wav")
+          assert(r.getAs[Long]("sample_rate") == MediaCodec.WavRate.toLong)
+          assert(r.getAs[Long]("n_units") == n.toLong)
+          assert(r.getAs[Long]("unit_sum") ==
+            (0 until n).map(MultimodalOps.wavSample(id, _).toLong).sum)
+          assert(r.getAs[Long]("first_unit") == MultimodalOps.wavSample(id, 0).toLong)
+        case _ =>
+          assert(r.getAs[String]("mime") == "video/mp4")
+          assert(r.isNullAt(r.fieldIndex("unit_sum"))) // declared stub: no decode
+          val len = id * 37 + 1 // ASCII text: 1 byte per char
+          assert(r.getAs[Long]("n_units") == (len + 255) / 256)
+      }
+    }
+  }
+}
