@@ -16,7 +16,7 @@ import graft.etl.{Billing, Enrich, Ingest, InvoiceSink}
   * environment) — the key templates match billing.py:267-291.
   *
   * Usage:
-  *   runMain graft.Main (--data-dir DIR | --dump-file nova.sql[.gz]
+  *   runMain graft.Main (--data-dir DIR | --dump-file nova.sql[.gz]|DUMP_DIR [--dump-merge first|union]
   *                       | --fetch-dump BUCKET_DIR [--fetch-date YYYY-MM-DD]) --output-dir DIR
   *     [--rates-file rates.yaml|URL] [--outages-file outages.csv|URL [--cluster-name stack]]
   *     [--upload-dest s3a://bucket|file:///dir] [--no-upload-to-primary]
@@ -32,6 +32,7 @@ object Main {
       dumpFile: String = "",
       fetchDump: String = "",
       fetchDate: Option[java.time.LocalDate] = None,
+      dumpMerge: String = "first",
       ratesFile: String = "",
       outagesFile: String = "",
       clusterName: String = etl.OutagesConfig.DefaultCluster,
@@ -63,6 +64,7 @@ object Main {
       case "--fetch-dump" :: v :: t => go(t, c.copy(fetchDump = v))
       case "--fetch-date" :: v :: t =>
         go(t, c.copy(fetchDate = Some(java.time.LocalDate.parse(v))))
+      case "--dump-merge" :: v :: t => go(t, c.copy(dumpMerge = v))
       case "--rates-file" :: v :: t => go(t, c.copy(ratesFile = v))
       case "--outages-file" :: v :: t => go(t, c.copy(outagesFile = v))
       case "--cluster-name" :: v :: t => go(t, c.copy(clusterName = v))
@@ -200,7 +202,7 @@ object Main {
     val dataDir =
       if (dumpFile.nonEmpty) {
         val conv = java.nio.file.Files.createTempDirectory("graft-dump-pq").toString
-        etl.DumpConvert.convert(spark, dumpFile, conv)
+        etl.DumpConvert.convert(spark, dumpFile, conv, cfg.dumpMerge)
         conv
       } else cfg.dataDir
     val instances = Ingest.table(spark, dataDir, "instances")

@@ -271,22 +271,92 @@ object DumpConvert {
   }
 
   /** Convert the whole dump to the parquet layout `Main --data-dir`
-    * expects: one `<out>/<table>.parquet` per pipeline table.
+    * expects: one `<out>/<table>.parquet` per pipeline table. A
+    * DIRECTORY input routes to [[convertDir]] — the multi-controller
+    * operational layout.
     */
-  def convert(spark: SparkSession, dumpPath: String, outDir: String): Unit = {
-    // stage ONCE for all three tables: the gunzip cost is paid one time,
-    // every per-table parse below splits across executors
-    val staged = stageSplittable(spark, dumpPath)
-    val allCols = tableColumns(spark, staged)
-    tableSchemas.keys.toSeq.sorted.foreach { t =>
-      loadTableWith(spark, staged, t, allCols)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+  def convert(spark: SparkSession, dumpPath: String, outDir: String,
+      merge: String = "first"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dumpPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.getFileStatus(p).isDirectory) convertDir(spark, dumpPath, outDir, merge)
+    else {
+      // stage ONCE for all three tables: the gunzip cost is paid one time,
+      // every per-table parse below splits across executors
+      val staged = stageSplittable(spark, dumpPath)
+      val allCols = tableColumns(spark, staged)
+      tableSchemas.keys.toSeq.sorted.foreach { t =>
+        loadTableWith(spark, staged, t, allCols)
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
     }
   }
 
-  /** CLI: runMain graft.etl.DumpConvert <dump.sql> <outDir> */
+  /** The `.sql`/`.sql.gz` dumps under `dumpDir`, including one directory
+    * level down (the fetch layout is `dbs/<controller>/nova-<date>.sql.gz`
+    * — fetch.py:42-56), in path-sorted order so controller 0 outranks
+    * controller 1 exactly like the reference's fallback loop.
+    */
+  private def listDumps(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    def isDump(n: String) = n.endsWith(".sql") || n.endsWith(".sql.gz")
+    val top = fs.listStatus(dir)
+    (top.filter(s => s.isFile && isDump(s.getPath.getName)) ++
+      top.filter(_.isDirectory).flatMap(d =>
+        fs.listStatus(d.getPath).filter(s => s.isFile && isDump(s.getPath.getName))))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Multi-controller conversion: each controller uploads its own dump of
+    * the same database, and any one of them may be stale, partial, or
+    * empty. Per pipeline table:
+    *
+    *   - `merge = "first"`: the first (controller-ordered) dump whose
+    *     parse yields rows for that table wins — the reference's
+    *     first-non-empty-listing fallback (fetch.py:42-74), applied
+    *     per-table instead of wholesale so one controller's truncated
+    *     dump can't blank a table another controller has;
+    *   - `merge = "union"`: all dumps' rows concatenate (sharded
+    *     sources, where each dump holds a disjoint slice).
+    *
+    * Nothing serializes through the driver: every candidate parse is the
+    * same distributed INSERT scan [[loadTable]] runs, the `first` probe
+    * is a limit-1 existence check per candidate (no materialization),
+    * and `union` is a plan-level concatenation of distributed scans.
+    */
+  def convertDir(spark: SparkSession, dumpDir: String, outDir: String,
+      merge: String = "first"): Unit = {
+    require(merge == "first" || merge == "union",
+      s"merge must be 'first' or 'union', got '$merge'")
+    val p = new org.apache.hadoop.fs.Path(dumpDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val dumps = listDumps(fs, p)
+    require(dumps.nonEmpty, s"no .sql/.sql.gz dumps found under $dumpDir")
+    // stage + DDL-scan each dump once, not once per table
+    val staged = dumps.map(d => stageSplittable(spark, d))
+    val colMaps = staged.map(d => d -> tableColumns(spark, d))
+    tableSchemas.keys.toSeq.sorted.foreach { t =>
+      val candidates = colMaps.collect {
+        case (d, cols) if cols.contains(t) => loadTableWith(spark, d, t, cols)
+      }
+      require(candidates.nonEmpty,
+        s"no dump under $dumpDir has CREATE TABLE `$t`")
+      val chosen = merge match {
+        // all-empty falls back to the first candidate: an empty but
+        // correctly-typed table, same as single-dump zero-INSERT behavior
+        case "first" => candidates.find(!_.isEmpty).getOrElse(candidates.head)
+        case "union" => candidates.reduce(_.unionByName(_))
+      }
+      chosen.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  /** CLI: runMain graft.etl.DumpConvert <dump.sql|dumpDir> <outDir> [first|union] */
   def main(args: Array[String]): Unit = {
-    val Array(dumpPath, outDir) = args
+    val (dumpPath, outDir, merge) = args match {
+      case Array(d, o)    => (d, o, "first")
+      case Array(d, o, m) => (d, o, m)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -295,7 +365,7 @@ object DumpConvert {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try convert(spark, dumpPath, outDir)
+    try convert(spark, dumpPath, outDir, merge)
     finally spark.stop()
     println(s"[dump-convert] wrote ${tableSchemas.size} tables to $outDir")
   }

@@ -200,6 +200,113 @@ class DumpConvertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("single file"))
   }
 
+  // full DDL for all three pipeline tables; per-table INSERT lines are
+  // appended per controller below
+  private val fullDdl =
+    """CREATE TABLE `instances` (
+      |  `uuid` varchar(36) NOT NULL,
+      |  `hostname` varchar(255) DEFAULT NULL,
+      |  `instance_type_id` int DEFAULT NULL,
+      |  `memory_mb` int DEFAULT NULL,
+      |  `vcpus` int DEFAULT NULL,
+      |  `deleted_at` datetime DEFAULT NULL,
+      |  `deleted` int DEFAULT NULL,
+      |  `project_id` varchar(255) DEFAULT NULL
+      |);
+      |CREATE TABLE `instance_extra` (
+      |  `instance_uuid` varchar(36) NOT NULL,
+      |  `pci_requests` text
+      |);
+      |CREATE TABLE `instance_actions` (
+      |  `instance_uuid` varchar(36) NOT NULL,
+      |  `created_at` datetime DEFAULT NULL,
+      |  `action` varchar(255) DEFAULT NULL,
+      |  `message` varchar(255) DEFAULT NULL
+      |);
+      |""".stripMargin
+
+  private def instInsert(uuid: String) =
+    s"INSERT INTO `instances` VALUES ('$uuid','host1',1,8192,2,NULL,0,'projA');\n"
+  private def extraInsert(uuid: String) =
+    s"INSERT INTO `instance_extra` VALUES ('$uuid',NULL);\n"
+  private def actionInserts(uuid: String) =
+    s"INSERT INTO `instance_actions` VALUES ('$uuid','2024-01-01 00:00:00','create','')," +
+      s"('$uuid','2024-01-01 10:00:00','delete','');\n"
+
+  /** fetch.py's operational layout: dbs/<controller>/nova.sql[.gz] —
+    * ctl-0's dump is TRUNCATED (instances has DDL but zero rows), ctl-1
+    * is complete, ctl-2 (gzipped: staging inside dir mode is exercised)
+    * has an alternate instance.
+    */
+  private def writeControllerFixture(): java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ctl-dumps")
+    def put(ctl: String, body: String, gz: Boolean): Unit = {
+      val d = root.resolve(ctl)
+      java.nio.file.Files.createDirectories(d)
+      if (gz) {
+        val o = new java.util.zip.GZIPOutputStream(
+          java.nio.file.Files.newOutputStream(d.resolve("nova.sql.gz")))
+        o.write(body.getBytes("UTF-8")); o.close()
+      } else java.nio.file.Files.writeString(d.resolve("nova.sql"), body)
+    }
+    put("nerc-ctl-0",
+      fullDdl + extraInsert("i1") + actionInserts("i1"), gz = false)
+    put("nerc-ctl-1",
+      fullDdl + instInsert("i1") + extraInsert("i1") + actionInserts("i1"), gz = false)
+    put("nerc-ctl-2",
+      fullDdl + instInsert("i2") + extraInsert("i2") + actionInserts("i2"), gz = true)
+    root
+  }
+
+  test("multi-controller directory: per-table first-non-empty beats a truncated dump") {
+    val spark = graft.SparkTestSession.spark
+    val root = writeControllerFixture()
+    val out = java.nio.file.Files.createTempDirectory("graft-ctl-first").toString
+    DumpConvert.convertDir(spark, root.toString, out, "first")
+    def uuids(t: String, c: String) = spark.read.parquet(s"$out/$t.parquet")
+      .select(c).collect().map(_.getString(0)).toSeq.sorted
+    // instances: ctl-0 parsed first but has zero rows → ctl-1 wins;
+    // a wholesale first-controller rule would have blanked the table
+    assert(uuids("instances", "uuid") == Seq("i1"))
+    // extra/actions: ctl-0 has rows → ctl-0 wins, ctl-2's i2 never leaks
+    assert(uuids("instance_extra", "instance_uuid") == Seq("i1"))
+    assert(uuids("instance_actions", "instance_uuid") == Seq("i1", "i1"))
+  }
+
+  test("multi-controller directory: union concatenates every controller's rows") {
+    val spark = graft.SparkTestSession.spark
+    val root = writeControllerFixture()
+    val out = java.nio.file.Files.createTempDirectory("graft-ctl-union").toString
+    DumpConvert.convertDir(spark, root.toString, out, "union")
+    def uuids(t: String, c: String) = spark.read.parquet(s"$out/$t.parquet")
+      .select(c).collect().map(_.getString(0)).toSeq.sorted
+    assert(uuids("instances", "uuid") == Seq("i1", "i2"))
+    assert(uuids("instance_extra", "instance_uuid") == Seq("i1", "i1", "i2"))
+    assert(uuids("instance_actions", "instance_uuid") ==
+      Seq("i1", "i1", "i1", "i1", "i2", "i2"))
+  }
+
+  test("--dump-file over a 3-controller directory: CLI e2e, same invoice") {
+    val spark = graft.SparkTestSession.spark
+    val root = writeControllerFixture()
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ctl-csv").toString
+    graft.Main.run(graft.Main.parseArgs(Seq(
+      "--dump-file", root.toString, "--output-dir", outDir,
+      "--start", "2024-01-01", "--end", "2024-02-01",
+      "--invoice-month", "2024-01",
+      "--rate-cpu-su", "0.013")), spark)
+    val csv = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .toArray.map(_.toString).filter(_.endsWith(".csv"))
+    assert(csv.length == 1)
+    val lines = scala.io.Source.fromFile(csv(0)).getLines().toSeq
+    val byCol = lines.head.split(",", -1).zip(lines(1).split(",", -1)).toMap
+    // the truncated ctl-0 instances table fell through to ctl-1: the
+    // invoice matches the single-dump round-trip exactly
+    assert(byCol("Project - Allocation") == "projA")
+    assert(byCol("SU Hours (GBhr or SUhr)") == "20")
+    assert(byCol("Cost") == "0.26")
+  }
+
   test("randomized round-trip: mysqldump-escaped strings parse back exactly") {
     // independent encoder implementing mysqldump's escaping (the MySQL
     // string grammar); any value it emits must parse back verbatim
