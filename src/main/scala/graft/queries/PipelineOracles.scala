@@ -120,19 +120,19 @@ object PipelineOracles {
   private lazy val oracleKmeans: String =
     s"WITH $kmeansCtes\nSELECT vec_id, cell FROM af"
 
-  /** The k-means CTE chain without the WITH prefix / final select, so the
-    * nprobe oracle can compose it with further CTEs that need BOTH the
-    * final centroids (`c{iters}`) and the assignment (`af`).
+  /** One Lloyd's CTE chain over `emb.e$sl` ($sl is a DuckDB list-slice
+    * suffix, "" = the whole vector), every CTE name prefixed with `p` so
+    * several chains (one per PQ subspace) coexist in one WITH. Produces
+    * `${p}c0 … ${p}c$iters` (centroids) and `${p}af` (final assignment).
     */
-  private lazy val kmeansCtes: String = {
-    val k = PipelineQueries.KmeansK
+  private def kmeansChain(p: String, sl: String, k: Int, iters: Int): String = {
     def assignCte(name: String, cs: String) =
       s"""$name AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT emb.vec_id, $cs.cell,
          |      row_number() OVER (PARTITION BY emb.vec_id
          |        ORDER BY round(list_dot_product($cs.c, $cs.c)
-         |                       - 2.0 * list_dot_product(emb.e, $cs.c), 6),
+         |                       - 2.0 * list_dot_product(emb.e$sl, $cs.c), 6),
          |                 $cs.cell) AS rk
          |    FROM emb CROSS JOIN $cs) WHERE rk = 1)""".stripMargin
     def updateCte(prev: String, uName: String, cName: String) =
@@ -141,20 +141,54 @@ object PipelineOracles {
          |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,12))) AS DOUBLE)
          |          / count(*), 6) AS m
          |  FROM (
-         |    SELECT $prev.cell, generate_subscripts(emb.e, 1) AS pos,
-         |           unnest(emb.e) AS v
+         |    SELECT $prev.cell, generate_subscripts(emb.e$sl, 1) AS pos,
+         |           unnest(emb.e$sl) AS v
          |    FROM emb JOIN $prev USING (vec_id))
          |  GROUP BY cell, pos),
          |$cName AS (SELECT cell, list(m ORDER BY pos) AS c FROM $uName GROUP BY cell)""".stripMargin
-    val blocks = (1 to PipelineQueries.KmeansIters).map { i =>
-      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
-        updateCte(s"a$i", s"u$i", s"c$i")
+    val blocks = (1 to iters).map { i =>
+      assignCte(s"${p}a$i", s"${p}c${i - 1}") + ",\n" +
+        updateCte(s"${p}a$i", s"${p}u$i", s"${p}c$i")
     }
-    val finalAssign = assignCte("af", s"c${PipelineQueries.KmeansIters}")
-    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < $k),
+    s"""${p}c0 AS (SELECT vec_id AS cell, e$sl AS c FROM emb WHERE vec_id < $k),
        |${blocks.mkString(",\n")},
-       |$finalAssign""".stripMargin
+       |${assignCte(s"${p}af", s"${p}c$iters")}""".stripMargin
+  }
+
+  private val embCte =
+    "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+  /** The k-means CTE chain without the WITH prefix / final select, so the
+    * nprobe oracle can compose it with further CTEs that need BOTH the
+    * final centroids (`c{iters}`) and the assignment (`af`).
+    */
+  private lazy val kmeansCtes: String =
+    s"""$embCte,
+       |${kmeansChain("", "", PipelineQueries.KmeansK, PipelineQueries.KmeansIters)}""".stripMargin
+
+  /** DuckDB 1-based inclusive slice suffix for PQ subspace `s`. */
+  private def pqSlice(s: Int): String = {
+    val lo = s * PipelineQueries.PqSubDim + 1
+    val hi = (s + 1) * PipelineQueries.PqSubDim
+    s"[$lo:$hi]"
+  }
+
+  /** All m per-subspace chains (prefixes p0…p{m-1}) plus the code table
+    * `pqcodes(vec_id, code_0…code_{m-1})` — shared by both PQ oracles.
+    */
+  private lazy val pqCtes: String = {
+    val m = PipelineQueries.PqM
+    val chains = (0 until m)
+      .map(s => kmeansChain(s"p$s", pqSlice(s), PipelineQueries.PqK,
+        PipelineQueries.PqIters))
+      .mkString(",\n")
+    val codeCols = (0 until m)
+      .map(s => s"p${s}af.cell AS code_$s").mkString(", ")
+    val joins = (1 until m)
+      .map(s => s"JOIN p${s}af USING (vec_id)").mkString(" ")
+    s"""$embCte,
+       |$chains,
+       |pqcodes AS (SELECT p0af.vec_id, $codeCols FROM p0af $joins)""".stripMargin
   }
 
   /** The recall@k comparison of an approximate result CTE against the
@@ -496,6 +530,72 @@ object PipelineOracles {
          |${recallSelect("bt", "iv")}""".stripMargin,
 
     "sim_kmeans_cells" -> oracleKmeans,
+
+    "sim_pq_codes" -> {
+      val cols = (0 until PipelineQueries.PqM)
+        .map(s => s"code_$s").mkString(", ")
+      s"""WITH $pqCtes
+         |SELECT vec_id, $cols FROM pqcodes""".stripMargin
+    },
+
+    "sim_recall_pq" -> {
+      val m = PipelineQueries.PqM
+      val iters = PipelineQueries.PqIters
+      val nq = PipelineQueries.IvfQueryCount
+      val k = PipelineQueries.IvfK
+      // per-subspace ADC tables against the FINAL trained codebooks
+      // (p{s}c{iters}), mirroring pqTopK's broadcast maps
+      val qtabs = (0 until m).map { s =>
+        s"""qt$s AS (SELECT q.query_id, c.cell,
+           |  round(list_dot_product(c.c, c.c)
+           |        - 2.0 * list_dot_product(q.e${pqSlice(s)}, c.c), 6) AS d
+           |  FROM q CROSS JOIN p${s}c$iters c)""".stripMargin
+      }.mkString(",\n")
+      val adSum = (0 until m).map(s => s"qt$s.d").mkString(" + ")
+      val adJoins = (0 until m)
+        .map(s => s"JOIN qt$s ON qt$s.query_id = q.query_id AND qt$s.cell = pqcodes.code_$s")
+        .mkString("\n  ")
+      val r = PipelineQueries.PqShortlist
+      s"""WITH $pqCtes,
+         |q AS (SELECT vec_id AS query_id, e FROM emb WHERE vec_id < $nq),
+         |xs AS (SELECT q.query_id, emb.vec_id AS neighbor_id,
+         |  round(list_dot_product(emb.e, emb.e)
+         |        - 2.0 * list_dot_product(emb.e, q.e), 6) AS d
+         |  FROM emb JOIN q ON emb.vec_id <> q.query_id),
+         |x AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+         |  FROM xs) WHERE rk <= $k),
+         |$qtabs,
+         |ads AS (SELECT q.query_id, pqcodes.vec_id AS neighbor_id, $adSum AS ad
+         |  FROM pqcodes CROSS JOIN q
+         |  $adJoins
+         |  WHERE pqcodes.vec_id <> q.query_id),
+         |adr AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ad, neighbor_id) AS rk
+         |  FROM ads),
+         |ap AS (SELECT query_id, neighbor_id FROM adr WHERE rk <= $k),
+         |rf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    row_number() OVER (PARTITION BY sl.query_id
+         |      ORDER BY xs.d, sl.neighbor_id) AS rrk
+         |  FROM (SELECT query_id, neighbor_id FROM adr WHERE rk <= $r) sl
+         |  JOIN xs ON xs.query_id = sl.query_id
+         |         AND xs.neighbor_id = sl.neighbor_id)
+         |  WHERE rrk <= $k)
+         |SELECT x.query_id,
+         |  CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_adc,
+         |  CAST(sum(CASE WHEN rf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_refined,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  round(CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_adc,
+         |  round(CAST(sum(CASE WHEN rf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_refined
+         |FROM x
+         |LEFT JOIN ap USING (query_id, neighbor_id)
+         |LEFT JOIN rf USING (query_id, neighbor_id)
+         |GROUP BY x.query_id""".stripMargin
+    },
 
     // trained-cell recall: the kmeans assignment CTE (nested WITH — a CTE
     // body is a full subquery) replaces the given labels, everything else

@@ -24,6 +24,11 @@ object PipelineQueries {
   val KmeansK = 8
   val KmeansIters = 2
   val SetJoinThreshold = 0.5
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 12
+  val PqIters = 2
+  val PqShortlist = 50
   val IndexDim = 16
   val IndexTopK = 5
   val IndexQueryDocs = 3
@@ -509,6 +514,55 @@ object PipelineQueries {
             .as("recall_1probe"),
           round(col("n_hits_multiprobe") / col("k").cast("double"), 6)
             .as("recall_multiprobe"))
+    }),
+
+    // product quantization, index-build half: train the m per-subspace
+    // codebooks in one corpus scan per iteration (pqCodebooks) and
+    // encode every vector as m sub-centroid ids — 64 float32s become 4
+    // small codes. The DuckDB oracle replays all four per-subspace
+    // k-means chains (same init/argmin/decimal-mean arithmetic as the
+    // sim_kmeans_cells oracle, over list slices) and re-derives every
+    // code, so the compressed index itself is hash-checked.
+    "sim_pq_codes" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val books = SimilarityOps.pqCodebooks(emb, PqM, PqSubDim, PqK, PqIters)
+      SimilarityOps.pqCodes(emb, books, PqSubDim)
+    }),
+
+    // product quantization, serving half: raw ADC top-k vs
+    // shortlist+exact-refine top-k (the FAISS production shape) against
+    // the exact L2 ground truth under the same ranking functional. One
+    // row per query reports BOTH recalls, so the frontier — what the
+    // bounded exact re-rank of an ADC shortlist buys over trusting the
+    // 4-byte codes' distance resolution — is oracle-checked, like
+    // sim_recall_ivf_probe / sim_recall_lsh_tables.
+    "sim_recall_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val books = SimilarityOps.pqCodebooks(emb, PqM, PqSubDim, PqK, PqIters)
+      val qs = emb.filter(col("vec_id") < IvfQueryCount)
+      val exact = SimilarityOps.bruteTopKL2(emb, qs, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val adc = SimilarityOps.pqTopK(emb, qs, books, PqSubDim, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val refined = SimilarityOps.pqTopKRefined(
+        emb, qs, books, PqSubDim, IvfK, PqShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(broadcast(adc.withColumn("hita", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(broadcast(refined.withColumn("hitr", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(coalesce(col("hita"), lit(0L))).as("n_hits_adc"),
+          sum(coalesce(col("hitr"), lit(0L))).as("n_hits_refined"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits_adc"), col("n_hits_refined"),
+          col("k"),
+          round(col("n_hits_adc") / col("k").cast("double"), 6)
+            .as("recall_adc"),
+          round(col("n_hits_refined") / col("k").cast("double"), 6)
+            .as("recall_refined"))
     }),
 
     // the OTHER amplification axis: instead of probing more buckets of

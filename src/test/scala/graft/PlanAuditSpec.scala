@@ -226,6 +226,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("sim_pq_codes: encoding is scan-side only — zero exchanges") {
+    // the codes are argmins over broadcast centroid literals: one corpus
+    // scan, whole-stage codegen, nothing shuffles (the index build's
+    // training collects are driver-bounded at m×k×subDim and happen
+    // before this plan exists)
+    val p = plan("sim_pq_codes")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 0, p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 1)
+  }
+
+  test("sim_recall_pq: ADC tables and shortlist ride the broadcast side, no sort-merge") {
+    val p = plan("sim_recall_pq")
+    // every join in the recall evaluation (ADC candidates, refine
+    // shortlist, exact-vs-approx hit joins) is a broadcast hash join —
+    // the corpus is never shuffled for a join
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))

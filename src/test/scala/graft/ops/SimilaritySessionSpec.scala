@@ -121,6 +121,81 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(prev == pairs(SimilarityOps.bruteTopK(c, qs, 4)))
   }
 
+  // Exactly-representable components (multiples of 0.25): every product,
+  // sum, and 6dp round below is EXACT in double arithmetic, so rank
+  // comparisons are deterministic, not tolerance-based.
+  lazy val pvecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.75f, 0.25f, 0f, 0f)),
+    (2L, Array(0f, 1f, 0.5f, 0f)),
+    (3L, Array(-1f, 0f, 0f, 0.5f)),
+    (4L, Array(0.5f, 0.25f, 0f, 0f)),
+    (5L, Array(0f, 0.5f, 1f, 0.25f))
+  ).toDF("vec_id", "embedding")
+
+  test("PQ: one-scan codebook training ≡ independent per-subspace k-means") {
+    val books = SimilarityOps.pqCodebooks(pvecs, m = 2, subDim = 2, k = 3, iters = 2)
+    val indep = (0 until 2).map { s =>
+      SimilarityOps.kmeansCentroids(
+        pvecs.select(col("vec_id"),
+          slice(col("embedding"), s * 2 + 1, 2).as("embedding")),
+        k = 3, iters = 2)
+    }
+    assert(books.map(_.map { case (id, c) => (id, c.toSeq) }) ==
+      indep.map(_.map { case (id, c) => (id, c.toSeq) }))
+  }
+
+  test("PQ: codes come from the codebooks, one column per subspace") {
+    val books = SimilarityOps.pqCodebooks(pvecs, m = 2, subDim = 2, k = 3, iters = 2)
+    val codes = SimilarityOps.pqCodes(pvecs, books, subDim = 2)
+    assert(codes.columns.toSeq == Seq("vec_id", "code_0", "code_1"))
+    val rows = codes.collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(books(0).exists(_._1 == r.getAs[Long]("code_0")))
+      assert(books(1).exists(_._1 == r.getAs[Long]("code_1")))
+    }
+  }
+
+  test("PQ: with a codebook big enough to be lossless, ADC ≡ exact L2 top-k") {
+    // k = corpus size → after one iteration each sub-codebook holds
+    // exactly the distinct subvectors (duplicate seeds collapse to the
+    // lowest cell id), so quantization loses nothing and the ADC ranking
+    // must equal the exact one, with identical distances
+    val books = SimilarityOps.pqCodebooks(pvecs, m = 2, subDim = 2, k = 6, iters = 1)
+    val qs = pvecs.filter(col("vec_id") === 0)
+    val adc = SimilarityOps.pqTopK(pvecs, qs, books, subDim = 2, k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist")))
+    val exact = SimilarityOps.bruteTopKL2(pvecs, qs, k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("d")))
+    assert(adc.toSeq == exact.toSeq)
+  }
+
+  test("PQ: refine with a full-corpus shortlist ≡ exact L2 top-k, even on a lossy codebook") {
+    // deliberately coarse codebook (k=2) so raw ADC CAN misrank, but a
+    // shortlist covering the whole corpus makes the exact re-rank total
+    val books = SimilarityOps.pqCodebooks(pvecs, m = 2, subDim = 2, k = 2, iters = 2)
+    val qs = pvecs.filter(col("vec_id") === 0)
+    val refined = SimilarityOps.pqTopKRefined(pvecs, qs, books, subDim = 2,
+      k = 5, shortlist = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("d")))
+    val exact = SimilarityOps.bruteTopKL2(pvecs, qs, k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("d")))
+    assert(refined.toSeq == exact.toSeq)
+  }
+
+  test("PQ: empty corpus degrades to empty codebooks and empty frames") {
+    val empty = pvecs.filter(lit(false))
+    val books = SimilarityOps.pqCodebooks(empty, m = 2, subDim = 2, k = 3, iters = 2)
+    assert(books == Seq(Seq.empty, Seq.empty))
+    assert(SimilarityOps.pqCodes(empty, books, subDim = 2).count() == 0)
+    assert(SimilarityOps.pqTopK(pvecs, pvecs, books, subDim = 2, k = 3).count() == 0)
+  }
+
   test("near-dup pairs: bucketed, thresholded, a<b") {
     val c = SimilarityOps.withNorm(vecs)
     val pairs = SimilarityOps.nearDupPairs(c, 0.9).collect()
