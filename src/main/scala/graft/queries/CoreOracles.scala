@@ -248,6 +248,18 @@ object CoreOracles {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300)""".stripMargin,
 
+    // the oracle is the PLAIN semi join — row equality proves the bloom
+    // prefilter introduced no false drops and the confirm killed every
+    // false positive
+    "sj4_bloom_semijoin" ->
+      """SELECT l_orderkey,
+        |  count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_totalprice > 200)
+        |GROUP BY l_orderkey""".stripMargin,
+
     "a4_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,

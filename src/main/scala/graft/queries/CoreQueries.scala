@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Types
+import graft.ops.BloomOps
 import graft.sql.RuntimeSql
 
 /** The SURVEY.md §2 operator inventory expressed as driver-checkable
@@ -306,6 +307,26 @@ object CoreQueries {
       table(s, dir, "customer")
         .join(big, col("c_custkey") === big("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
+    }),
+
+    // SJ4 — bloom-pruned semi join, the Column-API sibling of
+    // bf1_bloom_prune: bf1 drives Spark's internal bloom_filter_agg /
+    // might_contain through SQL text; this one is the composable
+    // DataFrame-operator form (ops/BloomOps) with a deterministic,
+    // inspectable bit set — and pruneStats exposes the measured
+    // candidate/match counts the internal form hides. The oracle is the
+    // plain EXISTS semi join: row equality proves the bloom introduces
+    // nothing and loses nothing. The lineitem probe scan drops
+    // non-candidates BEFORE any exchange.
+    "sj4_bloom_semijoin" -> ((s, dir) => {
+      val big = table(s, dir, "orders").filter(col("o_totalprice") > 200)
+      BloomOps.bloomSemiJoin(
+        table(s, dir, "lineitem"), big, "l_orderkey", "o_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("string").as("sum_qty"))
     }),
 
     // A4 — exact quantiles per group (DuckDB quantile_cont ≡ Spark

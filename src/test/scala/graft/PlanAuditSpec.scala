@@ -245,6 +245,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("sj4_bloom_semijoin: bloom predicate prunes in the scan stage, confirm join broadcast") {
+    val p = plan("sj4_bloom_semijoin")
+    // the probe side carries the xxhash64 bit-test predicate as a plain
+    // Filter in the scan stage — rows die BEFORE any exchange — and the
+    // exact confirm is a broadcast semi join, never a sort-merge
+    assert(p.contains("xxhash64"), p.linesIterator.take(20).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))
