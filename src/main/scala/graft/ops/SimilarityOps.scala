@@ -432,6 +432,47 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  /** SPANN-style boundary replication (Chen et al., NeurIPS 2021): the
+    * third recall axis after query-side probing ([[ivfTopKMultiProbe]]'s
+    * nprobe) and table OR-ing ([[lshTopKTables]]). Instead of each query
+    * opening more cells at SEARCH time, each corpus vector is indexed
+    * into its `replicas` nearest cells at BUILD time — the boundary
+    * vectors that nprobe chases across cells are already present in the
+    * neighboring posting lists, so the query touches exactly ONE cell.
+    *
+    * The trade is explicit: index size ×replicas (a build-time, storage
+    * cost — amortized over every query) buys single-probe latency at
+    * query time. At 100 TB serving scale that is usually the right side
+    * of the trade: storage is cheap, per-query fan-out is not. The
+    * replica expansion is a scan-side explode of the corpus (the big
+    * side grows ×replicas but never shuffles for the join — the query
+    * side is still the broadcast relation), and `replicas = 1`
+    * degenerates to the trained-cell [[ivfTopK]] exactly.
+    */
+  def ivfTopKReplicated(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Long, Array[Double])], k: Int, replicas: Int,
+      roundDp: Int = 6): DataFrame = {
+    require(replicas >= 1, s"replicas must be >= 1, got $replicas")
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      assignCell(centroids, roundDp).as("cell"),
+      col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val replicated = corpus
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(slice(
+          array_sort(array(cellCandidates(centroids, col("embedding"), roundDp): _*)),
+          1, replicas)).as("pc"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("pc").getField("cell").as("cell"))
+    val scored = replicated
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-dup pairs within a bucket: same-label pairs
     * above a cosine threshold. Bucketed self-join — quadratic only within
     * cells.

@@ -697,6 +697,60 @@ object PipelineOracles {
          |GROUP BY bt.query_id""".stripMargin
     },
 
+    // SPANN boundary-replication recall replay: the ivf_probe oracle's
+    // dual — the row_number cell ranking moves from the query side (pr)
+    // to the corpus side (crep), queries keep only their rank-1 cell,
+    // and the replica bound is a predicate on the corpus rank.
+    "sim_recall_spann" -> {
+      val cN = s"c${PipelineQueries.KmeansIters}"
+      val r = PipelineQueries.SpannReplicas
+      def rankTopk(src: String, out: String) =
+        s"""$out AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM $src) WHERE rank <= ${PipelineQueries.IvfK})""".stripMargin
+      def repScore(out: String, maxRk: Int) =
+        s"""$out AS (SELECT pq.query_id, crep.vec_id AS neighbor_id,
+           |    list_dot_product(crep.e, pq.qe) / (crep.nrm * pq.qn) AS cos
+           |  FROM qc JOIN crep ON crep.cell = qc.cell AND crep.rk <= $maxRk
+           |  JOIN pq ON pq.query_id = qc.query_id
+           |  WHERE crep.vec_id <> qc.query_id)""".stripMargin
+      s"""WITH $kmeansCtes,
+         |$normCte,
+         |pq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+         |       WHERE vec_id < ${PipelineQueries.IvfQueryCount}),
+         |qc AS (SELECT query_id, cell FROM (
+         |  SELECT pq.query_id, $cN.cell,
+         |    row_number() OVER (PARTITION BY pq.query_id
+         |      ORDER BY round(list_dot_product($cN.c, $cN.c)
+         |                     - 2.0 * list_dot_product(pq.qe, $cN.c), 6),
+         |               $cN.cell) AS rk
+         |  FROM pq CROSS JOIN $cN) WHERE rk = 1),
+         |crep AS (SELECT vec_id, e, nrm, cell, rk FROM (
+         |  SELECT n.vec_id, n.e, n.nrm, $cN.cell,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(list_dot_product($cN.c, $cN.c)
+         |                     - 2.0 * list_dot_product(n.e, $cN.c), 6),
+         |               $cN.cell) AS rk
+         |  FROM n CROSS JOIN $cN)),
+         |${repScore("s1", 1)},
+         |${rankTopk("s1", "one")},
+         |${repScore("sr", r)},
+         |${rankTopk("sr", "rep")},
+         |${topkCtes("bt", PipelineQueries.IvfQueryCount, PipelineQueries.IvfK, cellJoin = false)}
+         |SELECT bt.query_id,
+         |  CAST(sum(CASE WHEN one.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_1replica,
+         |  CAST(sum(CASE WHEN rep.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_replicated,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  round(CAST(sum(CASE WHEN one.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_1replica,
+         |  round(CAST(sum(CASE WHEN rep.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_replicated
+         |FROM bt LEFT JOIN one USING (query_id, neighbor_id)
+         |        LEFT JOIN rep USING (query_id, neighbor_id)
+         |GROUP BY bt.query_id""".stripMargin
+    },
+
     // multi-probe LSH recall replay: per-plane |margins| over the query
     // side only (8 UNION ALL branches of exact ±1-dot products), lowest
     // LshProbes−1 by (am, idx) are the flipped bits, probe set = own

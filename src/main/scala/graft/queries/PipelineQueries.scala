@@ -29,6 +29,7 @@ object PipelineQueries {
   val PqK = 12
   val PqIters = 2
   val PqShortlist = 50
+  val SpannReplicas = 3
   val IndexDim = 16
   val IndexTopK = 5
   val IndexQueryDocs = 3
@@ -514,6 +515,43 @@ object PipelineQueries {
             .as("recall_1probe"),
           round(col("n_hits_multiprobe") / col("k").cast("double"), 6)
             .as("recall_multiprobe"))
+    }),
+
+    // index-side replication (SPANN, Chen et al. 2021): the dual of
+    // nprobe — boundary vectors are indexed into their SpannReplicas
+    // nearest trained cells at BUILD time, and each query probes exactly
+    // ONE cell. Same evaluation frame as sim_recall_ivf_probe so the
+    // two sides of the trade (index ×r storage vs query ×n fan-out) are
+    // directly comparable; replicas=1 is bitwise the trained-cell
+    // 1-probe baseline.
+    "sim_recall_spann" -> ((s, dir) => {
+      val cents = SimilarityOps.kmeansCentroids(
+        table(s, dir, "embeddings"), KmeansK, KmeansIters)
+      val base = normed(s, dir)
+      val qs = base.filter(col("vec_id") < IvfQueryCount)
+      val exact = SimilarityOps.bruteTopK(base, qs, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val one = SimilarityOps.ivfTopKReplicated(base, qs, cents, IvfK, 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val rep = SimilarityOps.ivfTopKReplicated(
+        base, qs, cents, IvfK, SpannReplicas)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(broadcast(one.withColumn("hit1", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(broadcast(rep.withColumn("hitr", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(coalesce(col("hit1"), lit(0L))).as("n_hits_1replica"),
+          sum(coalesce(col("hitr"), lit(0L))).as("n_hits_replicated"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits_1replica"),
+          col("n_hits_replicated"), col("k"),
+          round(col("n_hits_1replica") / col("k").cast("double"), 6)
+            .as("recall_1replica"),
+          round(col("n_hits_replicated") / col("k").cast("double"), 6)
+            .as("recall_replicated"))
     }),
 
     // product quantization, index-build half: train the m per-subspace

@@ -121,6 +121,36 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(prev == pairs(SimilarityOps.bruteTopK(c, qs, 4)))
   }
 
+  test("SPANN replication: replicas=1 ≡ trained-cell IVF; more replicas never lose; all cells ≡ brute") {
+    val c = SimilarityOps.withNorm(vecs)
+    val cents = SimilarityOps.kmeansCentroids(vecs, k = 2, iters = 2)
+    assert(cents.nonEmpty)
+    val qs = c.filter(col("vec_id") === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // 1-replica index = plain trained-cell assignment
+    val assigned = c.withColumn("label", SimilarityOps.assignCell(cents))
+    val viaIvf = pairs(SimilarityOps.ivfTopK(
+      assigned, assigned.filter(col("vec_id") === 0), 4))
+    assert(pairs(SimilarityOps.ivfTopKReplicated(c, qs, cents, 4, 1)) == viaIvf)
+    // each extra replica only ADDS vectors to the query's posting list
+    var prev = viaIvf
+    for (r <- 2 to cents.length) {
+      val cur = pairs(SimilarityOps.ivfTopKReplicated(c, qs, cents, 4, r))
+      assert(prev.subsetOf(cur), s"replicas=$r lost neighbors")
+      prev = cur
+    }
+    // replicated into EVERY cell, the one probed cell holds the whole
+    // corpus — the search IS brute force
+    assert(prev == pairs(SimilarityOps.bruteTopK(c, qs, 4)))
+    // and no (query, neighbor) pair ever duplicates (distinct replica
+    // cells per vector, one probed cell per query)
+    val all = SimilarityOps.ivfTopKReplicated(c, qs, cents, 4, cents.length)
+      .select("query_id", "neighbor_id").collect()
+    assert(all.length == all.distinct.length)
+  }
+
   // Exactly-representable components (multiples of 0.25): every product,
   // sum, and 6dp round below is EXACT in double arithmetic, so rank
   // comparisons are deterministic, not tolerance-based.
