@@ -116,6 +116,26 @@ object TextOps {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)) /
         size(toks).cast("double"), 6)
 
+  /** Scan-side distinct-token ratio: the repetition signal
+    * `text_repetition` derives by aggregation, computed INSIDE the row
+    * instead (array_distinct over a bounded token array) — zero
+    * shuffles, so a 100 TB filter pass stays a pure scan.
+    */
+  def distinctRatio(toks: Column): Column =
+    round(size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double"), 6)
+
+  /** Scan-side top-token share (the single most frequent token's
+    * fraction): O(distinct×len) comparisons within the row — bounded by
+    * document length, still cheaper than a shuffle at corpus scale. All
+    * counts are exact integers, so the rounded ratio is hash-stable.
+    */
+  def topTokenShare(toks: Column): Column =
+    round(
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))).cast("double") /
+        size(toks).cast("double"), 6)
+
   /** Language-ID marker lists (n-gram heuristic degenerated to function
     * words — enough to be a deterministic, SQL-expressible classifier).
     * Order is the tie-break priority.

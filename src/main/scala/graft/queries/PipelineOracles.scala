@@ -219,6 +219,25 @@ object PipelineOracles {
          |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len
          |FROM t""".stripMargin,
 
+    "text_gopher_rules" ->
+      s"""WITH $tokCte,
+         |s AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n,
+         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS mlen,
+         |  round(CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS stopr,
+         |  round(CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS dr,
+         |  round(CAST(list_max(list_transform(list_distinct(toks), t2 -> len(list_filter(toks, x -> x = t2)))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS tshare
+         |FROM t)
+         |SELECT doc_id,
+         |  (n >= 20 AND n <= 90) AS r_len,
+         |  (mlen >= 4.0 AND mlen <= 5.0) AS r_mean_len,
+         |  (stopr >= 0.03) AS r_stopwords,
+         |  (dr >= 0.4) AS r_distinct,
+         |  (tshare <= 0.12) AS r_top_share,
+         |  (n >= 20 AND n <= 90 AND mlen >= 4.0 AND mlen <= 5.0
+         |   AND stopr >= 0.03 AND dr >= 0.4 AND tshare <= 0.12) AS keep
+         |FROM s""".stripMargin,
+
     "text_langid" -> {
       val scores = TextOps.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
         s"len(list_filter(toks, x -> x IN ${inList(ms)})) AS s$i"

@@ -144,6 +144,33 @@ object PipelineQueries {
           round(col("top").cast("double") / col("n").cast("double"), 6)
             .as("top_tok_frac"))),
 
+    // Gopher-style composite quality filter (Rae et al. 2021, §A1.1
+    // shape): the individual signals the engine already oracle-checks
+    // (token count, mean token length, stopword ratio, repetition)
+    // combined into per-rule verdict columns and a conjunctive keep —
+    // the form a production curation pass actually applies. Everything
+    // is scan-side (the repetition signals use the in-row array forms,
+    // not the aggregated ones), so the whole filter is a zero-shuffle
+    // pass over the corpus; thresholds are set to split the synthetic
+    // corpus so both verdicts are exercised.
+    "text_gopher_rules" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      val n = size(col("toks")).cast("long")
+      val mlen = TextOps.meanTokenLength(col("toks"))
+      val stopr = TextOps.stopwordRatio(col("toks"))
+      val dr = TextOps.distinctRatio(col("toks"))
+      val tshare = TextOps.topTokenShare(col("toks"))
+      d.select(col("doc_id"),
+        (n >= 20 && n <= 90).as("r_len"),
+        (mlen >= 4.0 && mlen <= 5.0).as("r_mean_len"),
+        (stopr >= 0.03).as("r_stopwords"),
+        (dr >= 0.4).as("r_distinct"),
+        (tshare <= 0.12).as("r_top_share"))
+        .withColumn("keep",
+          col("r_len") && col("r_mean_len") && col("r_stopwords") &&
+            col("r_distinct") && col("r_top_share"))
+    }),
+
     // Document chunking: overlapping 32-token windows every 24 tokens —
     // the pretraining chunk shape. Explode happens scan-side (Generate
     // in the scan stage, no shuffle); tail coverage is guaranteed by the

@@ -40,6 +40,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r(3L) == 0.0)
   }
 
+  test("scan-side repetition signals: distinct ratio and top-token share") {
+    val r = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        TextOps.distinctRatio(col("toks")).as("dr"),
+        TextOps.topTokenShare(col("toks")).as("ts"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // doc 0: 9 tokens, 8 distinct ("the" twice) → dr 8/9, top share 2/9
+    assert(r(0L) == ((0.888889, 0.222222)))
+    // doc 4: "ab cd" — all distinct, top share 1/2
+    assert(r(4L) == ((1.0, 0.5)))
+    // and the array forms agree with the aggregated text_repetition
+    // computation on every doc (same numbers via explode+groupBy)
+    val agg = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n"), count(lit(1)).as("nd"), max("cnt").as("top"))
+      .select(col("doc_id"),
+        round(col("nd").cast("double") / col("n"), 6).as("dr"),
+        round(col("top").cast("double") / col("n"), 6).as("ts"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(agg == r)
+  }
+
   test("langid: marker argmax with und fallback") {
     val fx = Seq(
       (0L, "the cat and the dog is here"),
