@@ -188,4 +188,54 @@ object TextOps {
     * shingles with k=2.
     */
   def bigrams(toks: Column): Column = shingles(toks, 2)
+
+  /** T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4): the
+    * denoising-objective data prep — fixed-length token spans are
+    * masked pseudo-randomly, the INPUT replaces each masked span with a
+    * numbered sentinel, and the TARGET lists each sentinel followed by
+    * the tokens it hid, closed by a final sentinel. Span selection is
+    * the engine's deterministic md5 draw (`doc_id:spanIndex` hashed into
+    * [0,100), masked below `pct`) so the same (input, target) pair comes
+    * out on any partitioning, any rerun, and in the DuckDB oracle.
+    *
+    * Everything is in-row array algebra (sequence/filter/flatten over a
+    * bounded token array — no shuffle, no Generate), so corrupting a
+    * 100 TB corpus is a pure scan. Sentinel numbering uses the
+    * masked-spans-before-this-one count rather than a positional lambda
+    * index, because that form replays 1:1 in DuckDB (whose
+    * list_transform has no index parameter). Tail spans shorter than
+    * `spanLen` mask/copy whole via slice clamping on both engines.
+    *
+    * Returns `struct(input, target, n_masked)`; empty token arrays give
+    * ("", "<extra_id_0>", 0) — the degenerate all-sentinel pair.
+    */
+  def spanCorrupt(docId: Column, toks: Column, spanLen: Int,
+      pct: Int): Column = {
+    def masked(s: Column): Column =
+      (conv(substring(md5(concat(docId.cast("string"), lit(":"),
+        s.cast("string"))), 1, 4), 16, 10).cast("long") % 100) < pct
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    def spanToks(s: Column): Column =
+      slice(toks, s * spanLen + 1, lit(spanLen))
+    val nSpans = ((size(toks) + lit(spanLen - 1)) / lit(spanLen)).cast("int")
+    val spanIdx = sequence(lit(0), nSpans - 1)
+    val ms = filter(spanIdx, s => masked(s))
+    def rank(s: Column): Column = size(filter(ms, j => j < s))
+    val inputToks = flatten(transform(spanIdx, s =>
+      when(masked(s), array(sentinel(rank(s)))).otherwise(spanToks(s))))
+    val targetToks = concat(
+      flatten(transform(ms, s =>
+        concat(array(sentinel(rank(s))), spanToks(s)))),
+      array(sentinel(size(ms))))
+    when(size(toks) > 0,
+      struct(
+        array_join(inputToks, " ").as("input"),
+        array_join(targetToks, " ").as("target"),
+        size(ms).cast("long").as("n_masked")))
+      .otherwise(struct(
+        lit("").as("input"),
+        lit("<extra_id_0>").as("target"),
+        lit(0L).as("n_masked")))
+  }
 }

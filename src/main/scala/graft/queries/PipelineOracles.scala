@@ -238,6 +238,40 @@ object PipelineOracles {
          |   AND stopr >= 0.03 AND dr >= 0.4 AND tshare <= 0.12) AS keep
          |FROM s""".stripMargin,
 
+    // span-corruption replay: same md5 span draw, same rank-by-count
+    // sentinel numbering, same slice clamping. DuckDB list slices are
+    // 1-based inclusive; range(0, n) is [0, n-1].
+    "text_span_corrupt" -> {
+      val L = 3
+      val pct = 15
+      def masked(s: String) =
+        s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST($s AS VARCHAR)), 1, 4))::BIGINT % 100) < $pct"
+      def sent(k: String) = s"'<extra_id_' || CAST($k AS VARCHAR) || '>'"
+      def spanToks(s: String) = s"toks[$s*$L+1 : $s*$L+$L]"
+      def rank(s: String) = s"len(list_filter(ms, j -> j < $s))"
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id, toks,
+         |  list_filter(range(0, CAST(ceil(len(toks) / $L.0) AS INT)),
+         |              s -> ${masked("s")}) AS ms
+         |FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN '' ELSE
+         |    array_to_string(flatten(list_transform(
+         |      range(0, CAST(ceil(len(toks) / $L.0) AS INT)),
+         |      s -> CASE WHEN ${masked("s")}
+         |                THEN [${sent(rank("s"))}]
+         |                ELSE ${spanToks("s")} END)), ' ')
+         |  END AS input,
+         |  CASE WHEN len(toks) = 0 THEN '<extra_id_0>' ELSE
+         |    array_to_string(
+         |      flatten(list_transform(ms,
+         |        s -> list_prepend(${sent(rank("s"))}, ${spanToks("s")})))
+         |      || [${sent("len(ms)")}], ' ')
+         |  END AS target,
+         |  CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE len(ms) END AS BIGINT) AS n_masked
+         |FROM m""".stripMargin
+    },
+
     "text_langid" -> {
       val scores = TextOps.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
         s"len(list_filter(toks, x -> x IN ${inList(ms)})) AS s$i"

@@ -171,6 +171,19 @@ object PipelineQueries {
             col("r_distinct") && col("r_top_share"))
     }),
 
+    // T5 span corruption: deterministic masked-span (input, target)
+    // pairs — the denoising-objective prep a pretraining pipeline runs
+    // after curation and before packing. Pure in-row array algebra
+    // (zero shuffle), pseudo-random span draw from the md5 hash both
+    // engines share. spanLen=3, 15% mask rate.
+    "text_span_corrupt" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      d.select(col("doc_id"),
+        TextOps.spanCorrupt(col("doc_id"), col("toks"), 3, 15).as("sc"))
+        .select(col("doc_id"), col("sc.input").as("input"),
+          col("sc.target").as("target"), col("sc.n_masked").as("n_masked"))
+    }),
+
     // Document chunking: overlapping 32-token windows every 24 tokens —
     // the pretraining chunk shape. Explode happens scan-side (Generate
     // in the scan stage, no shuffle); tail coverage is guaranteed by the

@@ -64,6 +64,43 @@ class TextDedupSpec extends AnyFunSuite {
     assert(agg == r)
   }
 
+  test("span corruption: input+target reconstruct the original exactly") {
+    val rows = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("text"),
+        TextOps.spanCorrupt(col("doc_id"), col("toks"), 3, 40).as("sc"))
+      .select(col("doc_id"), col("text"), col("sc.input"), col("sc.target"),
+        col("sc.n_masked"))
+      .collect()
+    var sawMasked = false
+    rows.foreach { r =>
+      val (text, input, target, nMasked) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+      // target holds one span per sentinel plus the closing sentinel
+      val spans = target.split("<extra_id_\\d+>", -1).map(_.trim)
+      // spans(0) is the empty prefix before sentinel 0
+      val fills = spans.drop(1)
+      assert(fills.length == nMasked + 1 && fills.last.isEmpty,
+        s"target shape: $target")
+      // splice each fill back over its sentinel — must give the original
+      var rebuilt = input
+      fills.dropRight(1).zipWithIndex.foreach { case (f, k) =>
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", f)
+      }
+      assert(rebuilt.replaceAll(" +", " ").trim == text.trim,
+        s"doc ${r.getLong(0)}: $rebuilt != $text")
+      if (nMasked > 0) sawMasked = true
+      // sentinel count in input matches n_masked
+      assert("<extra_id_\\d+>".r.findAllIn(input).length == nMasked)
+    }
+    assert(sawMasked, "mask rate 40% drew nothing — hash draw broken?")
+    // empty token array degrades to the all-sentinel pair
+    val e = Seq((99L, Array.empty[String])).toDF("doc_id", "toks")
+      .select(TextOps.spanCorrupt(col("doc_id"), col("toks"), 3, 40).as("sc"))
+      .select("sc.input", "sc.target", "sc.n_masked").head()
+    assert(e.getString(0) == "" && e.getString(1) == "<extra_id_0>" &&
+      e.getLong(2) == 0L)
+  }
+
   test("langid: marker argmax with und fallback") {
     val fx = Seq(
       (0L, "the cat and the dog is here"),
