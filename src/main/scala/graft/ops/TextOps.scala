@@ -189,6 +189,28 @@ object TextOps {
     */
   def bigrams(toks: Column): Column = shingles(toks, 2)
 
+  /** The Gopher-style conjunctive quality verdict as one struct column
+    * (rule booleans + final keep) — shared by the batch query
+    * `text_gopher_rules` and the streaming curation path, so the two
+    * cannot drift. Entirely scan-side; see the query's oracle for the
+    * DuckDB replay of every band.
+    */
+  def gopherRules(toks: Column): Column = {
+    val n = size(toks).cast("long")
+    val rLen = n >= 20 && n <= 90
+    val rMean = meanTokenLength(toks) >= 4.0 && meanTokenLength(toks) <= 5.0
+    val rStop = stopwordRatio(toks) >= 0.03
+    val rDist = distinctRatio(toks) >= 0.4
+    val rTop = topTokenShare(toks) <= 0.12
+    struct(
+      rLen.as("r_len"),
+      rMean.as("r_mean_len"),
+      rStop.as("r_stopwords"),
+      rDist.as("r_distinct"),
+      rTop.as("r_top_share"),
+      (rLen && rMean && rStop && rDist && rTop).as("keep"))
+  }
+
   /** T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4): the
     * denoising-objective data prep — fixed-length token spans are
     * masked pseudo-randomly, the INPUT replaces each masked span with a

@@ -153,23 +153,15 @@ object PipelineQueries {
     // not the aggregated ones), so the whole filter is a zero-shuffle
     // pass over the corpus; thresholds are set to split the synthetic
     // corpus so both verdicts are exercised.
-    "text_gopher_rules" -> ((s, dir) => {
-      val d = docsTok(s, dir)
-      val n = size(col("toks")).cast("long")
-      val mlen = TextOps.meanTokenLength(col("toks"))
-      val stopr = TextOps.stopwordRatio(col("toks"))
-      val dr = TextOps.distinctRatio(col("toks"))
-      val tshare = TextOps.topTokenShare(col("toks"))
-      d.select(col("doc_id"),
-        (n >= 20 && n <= 90).as("r_len"),
-        (mlen >= 4.0 && mlen <= 5.0).as("r_mean_len"),
-        (stopr >= 0.03).as("r_stopwords"),
-        (dr >= 0.4).as("r_distinct"),
-        (tshare <= 0.12).as("r_top_share"))
-        .withColumn("keep",
-          col("r_len") && col("r_mean_len") && col("r_stopwords") &&
-            col("r_distinct") && col("r_top_share"))
-    }),
+    "text_gopher_rules" -> ((s, dir) =>
+      docsTok(s, dir)
+        .select(col("doc_id"), TextOps.gopherRules(col("toks")).as("g"))
+        .select(col("doc_id"), col("g.r_len").as("r_len"),
+          col("g.r_mean_len").as("r_mean_len"),
+          col("g.r_stopwords").as("r_stopwords"),
+          col("g.r_distinct").as("r_distinct"),
+          col("g.r_top_share").as("r_top_share"),
+          col("g.keep").as("keep"))),
 
     // T5 span corruption: deterministic masked-span (input, target)
     // pairs — the denoising-objective prep a pretraining pipeline runs

@@ -145,6 +145,53 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless curation + span corruption stream ≡ their oracle-checked batch queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch truths — the exact frames the DuckDB oracle gate hash-checks
+    val batchKeep = graft.SparkEntry.queries("text_gopher_rules")(spark, SfDir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val batchSc = graft.SparkEntry.queries("text_span_corrupt")(spark, SfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("input"), r.getAs[String]("target"),
+          r.getAs[Long]("n_masked")))).toMap
+
+    val docs = graft.etl.Ingest.table(spark, SfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+
+    // the streaming pipeline applies the SAME column expressions the
+    // batch queries use (gopherRules / spanCorrupt are shared functions,
+    // so the two paths cannot drift) — both ops are stateless maps, the
+    // form that streams with no watermark or state at all
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDS().toDF("doc_id", "text")
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        graft.ops.TextOps.gopherRules(col("toks")).getField("keep").as("keep"),
+        graft.ops.TextOps.spanCorrupt(col("doc_id"), col("toks"), 3, 15).as("sc"))
+      .select(col("doc_id"), col("keep"), col("sc.input").as("input"),
+        col("sc.target").as("target"), col("sc.n_masked").as("n_masked"))
+    val q = out.writeStream
+      .format("memory").queryName("equiv_curate")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      chunks(docs).foreach { c => input.addData(c); q.processAllAvailable() }
+      val fin = spark.table("equiv_curate").collect()
+      assert(fin.length == docs.length)
+      fin.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        assert(r.getAs[Boolean]("keep") == batchKeep(id), s"doc $id keep")
+        assert((r.getAs[String]("input"), r.getAs[String]("target"),
+          r.getAs[Long]("n_masked")) == batchSc(id), s"doc $id corruption")
+      }
+    } finally q.stop()
+  }
+
   test("StreamingSessions closed sessions ≡ batch sessionize stats (oracle-checked)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
