@@ -29,6 +29,37 @@ object PipelineOracles {
        |sh AS (SELECT DISTINCT doc_id, shingle FROM
        |  (SELECT doc_id, unnest($shingleExpr) AS shingle FROM t))""".stripMargin
 
+  /** DSIR refit-and-score pipeline (mirrors DsirOps.featureBuckets /
+    * fitCounts / logRatioMicro / scoreMicro): hashed unigram+bigram
+    * buckets → one conditional count pass → dense log-ratio model in
+    * exact micro units → per-doc integer sum. Target = lang='en',
+    * dim/alpha from DsirOps defaults.
+    */
+  private val dsirWeightsCte = {
+    val dim = graft.ops.DsirOps.DefaultDim
+    def bk(e: String) = s"('0x' || substr(md5($e), 1, 4))::BIGINT % $dim"
+    s"""t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |f AS (SELECT doc_id, lang, unnest(list_concat(
+       |    list_transform(toks, tk -> ${bk("tk")}),
+       |    CASE WHEN len(toks) < 2 THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(range(1, len(toks)),
+       |                i -> ${bk("toks[i] || ' ' || toks[i+1]")}) END)) AS bucket
+       |  FROM t),
+       |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS raw_n,
+       |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tgt_n
+       |  FROM f GROUP BY 1),
+       |tot AS (SELECT CAST(sum(raw_n) AS BIGINT) AS rt,
+       |    CAST(sum(tgt_n) AS BIGINT) AS tt FROM c),
+       |m AS (SELECT r.range AS bucket,
+       |    CAST(CAST(round(
+       |      ln((coalesce(c.tgt_n, 0) + 1.0) / (tot.tt + $dim.0)) -
+       |      ln((coalesce(c.raw_n, 0) + 1.0) / (tot.rt + $dim.0)), 6)
+       |      AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS micro
+       |  FROM range($dim) r LEFT JOIN c ON c.bucket = r.range, tot),
+       |w AS (SELECT f.doc_id, CAST(sum(m.micro) AS BIGINT) AS dsir_micro
+       |  FROM f JOIN m USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
   /** MinHash signature + band CTEs (mirrors DedupOps.minhashSignature /
     * lshBands).
     */
@@ -1167,6 +1198,24 @@ object PipelineOracles {
          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
          |  < (CASE $cases ELSE 0 END)""".stripMargin
     },
+
+    // DSIR: the oracle refits the whole model — hashed unigram+bigram
+    // buckets, conditional raw/target counts, dense range(dim) log-ratio
+    // table in exact micro units — and replays the per-doc integer sum.
+    "mix_dsir_weights" ->
+      s"""WITH $dsirWeightsCte
+         |SELECT doc_id, dsir_micro FROM w""".stripMargin,
+
+    // Gumbel-top-k replay: the same md5 hash draw feeds −ln(−ln(u)),
+    // keys rounded to 6 dp, ties broken by doc_id.
+    "mix_dsir_select" ->
+      s"""WITH $dsirWeightsCte
+         |SELECT doc_id, dsir_micro,
+         |  round(CAST(dsir_micro AS DOUBLE) / 1000000.0
+         |    - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 0.5) / 65536.0)),
+         |    6) AS dsir_key
+         |FROM w
+         |QUALIFY row_number() OVER (ORDER BY dsir_key DESC, doc_id) <= 100""".stripMargin,
 
     "sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),

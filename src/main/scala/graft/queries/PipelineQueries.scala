@@ -860,6 +860,30 @@ object PipelineQueries {
         alpha = 0.5)
         .select("doc_id", "lang", "tok")),
 
+    // DSIR importance weights: every doc scored by how en-like its
+    // hashed-n-gram profile is (target = lang='en'). Fit is one
+    // exploded-feature aggregate to ≤1024 rows; scoring is a zero-
+    // shuffle scan against the collected model as a single array
+    // literal. Weights are exact micro-unit longs (round(ln·,6)·1e6) so
+    // the per-doc sum is integer math the oracle replays bit-for-bit.
+    "mix_dsir_weights" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      val feats = DsirOps.featureBuckets(col("toks"))
+      val model = DsirOps.logRatioMicro(s,
+        DsirOps.fitCounts(d, feats, col("lang") === "en"))
+      d.select(col("doc_id"),
+        DsirOps.scoreMicro(feats, model).as("dsir_micro"))
+    }),
+
+    // DSIR resampling: Gumbel-top-k ≡ sampling k docs without
+    // replacement ∝ exp(weight), with the Gumbel's uniform drawn from
+    // the md5 hash of doc_id — deterministic on any partitioning and
+    // replayed by the oracle. Top-k is TakeOrderedAndProject: only k
+    // rows leave the executors.
+    "mix_dsir_select" -> ((s, dir) =>
+      DsirOps.select(s, docsTok(s, dir), col("toks"), "doc_id",
+        col("lang") === "en", k = 100)),
+
     // -- sessionization ---------------------------------------------------
     "sessionize" -> ((s, dir) =>
       SessionOps.sessionStats(eventsUs(s, dir))),
