@@ -500,6 +500,79 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embedding corpus with trained k-means cells, and within each cell
+    * drop every vector that has a near-duplicate (cosine ≥ `threshold`)
+    * ranked ahead of it — where the paper's keep rule ranks members by
+    * DISTANCE FROM CENTROID, descending (the far-from-centroid example
+    * survives; its redundant near-copies closer to the cluster core are
+    * the ones removed), ties broken by vec_id.
+    *
+    * Unlike [[nearDupPairs]] (pairs within a PRE-LABELED bucket), this is
+    * the full pipeline over learned cells: exact dedup catches byte
+    * copies, MinHash catches lexical rewrites, SemDeDup catches semantic
+    * redundancy — paraphrases and templated content that share no
+    * shingles at all.
+    *
+    * Scale shape: one corpus scan assigns cells (centroids ride the plan
+    * as literals — k×dim doubles), ONE shuffle on the cell key, and the
+    * quadratic pair expansion happens only inside a cell's collected
+    * member list, exactly the [[nearDupPairs]] single-branch pattern. The
+    * drop rule needs no iteration: "dominated by any earlier near-dup"
+    * is a one-shot EXISTS over in-cell ordered pairs, which is what the
+    * paper's implementation computes per cluster.
+    *
+    * The centroid distance reuses the assignment functional
+    * `round(|c|² − 2·x·c, dp)` — already exact across engines — so the
+    * dominance order (and therefore the kept set) hash-replays.
+    *
+    * Returns every corpus row: (vec_id, cell, kept ∈ {0,1}).
+    */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+      roundDp: Int = 6): DataFrame = {
+    val cents = kmeansCentroids(emb, k, iters, roundDp)
+    val n = withNorm(emb)
+    if (cents.isEmpty)
+      return n.select(col("vec_id"), lit(-1L).as("cell"), lit(1L).as("kept"))
+        .filter(lit(false))
+    val assigned = n
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        array_min(array(cellCandidates(cents, col("embedding"), roundDp): _*))
+          .as("best"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("best").getField("cell").as("cell"),
+        col("best").getField("d").as("cdist"))
+    // Sort key: (−cdist, vec_id) ascending ≡ centroid distance
+    // descending — struct sort is lexicographic, so the survivor
+    // ordering is pinned before the pair expansion. Pairs are
+    // (earlier a, later b); b is dropped when cos(a,b) clears the
+    // threshold. distinct() because b may near-dup several earlier
+    // members.
+    val members = assigned
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(
+        (lit(0d) - col("cdist")).as("negd"), col("vec_id"),
+        col("embedding"), col("nrm")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val dropped = members
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
+          struct(b.getField("vec_id").as("dup_id"),
+            a.getField("embedding").as("ea"),
+            b.getField("embedding").as("eb"),
+            a.getField("nrm").as("na"),
+            b.getField("nrm").as("nb")))))).as("p"))
+      .select(col("p.dup_id").as("vec_id"),
+        cosine(col("p.ea"), col("p.eb"), col("p.na"), col("p.nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("__dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("__dup").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   // ─── Product quantization (Jégou, Douze, Schmid, "Product Quantization
   //     for Nearest Neighbor Search", TPAMI 2011) ────────────────────────
   //

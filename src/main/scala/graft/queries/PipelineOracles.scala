@@ -961,6 +961,28 @@ object PipelineOracles {
          |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
          |FROM ranked WHERE rank <= ${PipelineQueries.IvfK}""".stripMargin,
 
+    // SemDeDup replay: the full k-means chain (same CTEs as
+    // sim_kmeans_cells), centroid distance via the assignment functional
+    // round(|c|²−2·x·c, 6), dominance = (cdist DESC, vec_id ASC), drop
+    // any member with an earlier in-cell near-dup. Cosine compared
+    // UNROUNDED, like dedup_embedding.
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+         |nv AS (SELECT emb.vec_id, emb.e,
+         |    sqrt(list_dot_product(emb.e, emb.e)) AS nrm, af.cell,
+         |    round(list_dot_product(cf.c, cf.c)
+         |          - 2.0 * list_dot_product(emb.e, cf.c), 6) AS cdist
+         |  FROM emb JOIN af USING (vec_id)
+         |  JOIN c${PipelineQueries.KmeansIters} cf ON af.cell = cf.cell),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |  FROM nv a JOIN nv b ON a.cell = b.cell
+         |    AND (a.cdist > b.cdist OR (a.cdist = b.cdist AND a.vec_id < b.vec_id))
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.NearDupThreshold})
+         |SELECT nv.vec_id, nv.cell,
+         |  CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM nv LEFT JOIN dup USING (vec_id)""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH $normCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -686,6 +686,15 @@ object PipelineQueries {
     "dedup_embedding" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
 
+    // SemDeDup: semantic dedup over TRAINED k-means cells — the third
+    // dedup layer after exact (byte copies) and MinHash (lexical
+    // rewrites). Keeps the far-from-centroid member of every near-dup
+    // group; all 500 corpus rows come back with a kept/dropped mark so
+    // the selection itself is the oracle-checked artifact.
+    "dedup_semantic" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(
+        table(s, dir, "embeddings"), KmeansK, KmeansIters, NearDupThreshold)),
+
     // trained IVF cells: Lloyd's k-means (driver-iterated, MLlib-style)
     // over the embedding corpus — deterministic init + decimal-exact
     // centroid means, so the final assignment oracle-checks; the output

@@ -328,4 +328,33 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(out(2L)(bucket("alpha")) == 1.0)
     assert(out(1L)(bucket("alpha")) >= 2.0)
   }
+
+  test("semanticDedup: far-from-centroid member survives, near-copies drop") {
+    // k=2 seeds are vec 0 and 1. After one Lloyd's iteration the cells
+    // are {0,2,4} (4 lands in cell 0 on the distance tie → smaller cell
+    // id) and {1,3}. Hand-computed dominance (centroid distance DESC):
+    // cell 0 orders (4, 2, 0) and cos(2,0)=0.9939 ≥ 0.95 drops 0 — the
+    // member CLOSER to the cell core than its near-copy 2; cell 1 orders
+    // (1, 3) and cos(1,3)=0.9806 drops 3. Orthogonal 4 has no near-dup.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0.2f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedup(emb, k = 2, iters = 1, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L)) // every row comes back
+    assert(out(0L) == (0L, 0L) && out(2L) == (0L, 1L), s"cell0: $out")
+    assert(out(3L) == (1L, 0L) && out(1L) == (1L, 1L), s"cell1: $out")
+    assert(out(4L)._2 == 1L)
+    // an unreachable threshold keeps everything
+    val all = SimilarityOps.semanticDedup(emb, 2, 1, threshold = 1.1)
+      .collect()
+    assert(all.length == 5 && all.forall(_.getLong(2) == 1L))
+    // empty corpus: empty result, not a crash
+    assert(SimilarityOps.semanticDedup(emb.filter(lit(false)), 2, 1, 0.9)
+      .collect().isEmpty)
+  }
 }
