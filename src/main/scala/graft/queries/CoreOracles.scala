@@ -578,6 +578,17 @@ object CoreOracles {
         |  CAST(NULL AS VARCHAR) AS event_type, value, 2 AS src_v
         |FROM events WHERE event_id % 2 = 1""".stripMargin,
 
+    // bit-interleave replay of Layout.zorderKey: a's bits odd, b's even
+    "layout_zorder" -> {
+      val terms = (0 until 10).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i})")
+      s"""WITH m AS (SELECT event_id, event_id % 1024 AS b,
+         |    user_id % 1024 AS a FROM events)
+         |SELECT event_id, a, b,
+         |  ${terms.mkString(" | ")} AS zkey
+         |FROM m""".stripMargin
+    },
+
     "ts_gapfill" ->
       """WITH pb AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS bkt,

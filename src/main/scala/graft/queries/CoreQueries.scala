@@ -899,6 +899,20 @@ object CoreQueries {
       v1.unionByName(v2, allowMissingColumns = true)
     }),
 
+    // LAYOUT1 — the z-order interleave key itself, oracle-checked: the
+    // pure shift/mask/or codegen chain Layout.writeZOrdered sorts by
+    // (BucketingSpec proves the per-file envelope property; this row
+    // pins the KEY ARITHMETIC cross-engine, so the layout both engines
+    // would produce from the same data is the same layout). Inputs are
+    // masked to the low 10 bits the same way on both sides.
+    "layout_zorder" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(1024L)).as("a"),
+          pmod(col("event_id"), lit(1024L)).as("b"))
+        .select(col("event_id"), col("a"), col("b"),
+          graft.etl.Layout.zorderKey(col("a"), col("b"), 10).as("zkey"))),
+
     // TS1 — time-series gap fill: dense per-user daily grid with empty
     // days surfaced as zero. Aggregate-first (events collapse before any
     // generation), per-key explode(sequence) grid — no driver loop, no
