@@ -25,6 +25,61 @@ import org.apache.spark.sql.functions._
   */
 object ProfileOps {
 
+  /** Declarative data-quality constraint suite (the Deequ pattern:
+    * validation as ONE aggregation pass, not one job per rule). Each
+    * check is (name, metric aggregate, minimum acceptable value); the
+    * whole suite compiles into a single `agg` — every metric combines
+    * map-side, one 1-row partial crosses the shuffle per partition —
+    * then unpivots to one (check_name, metric, min_accept, passed) row
+    * per rule. At 100 TB the suite costs one corpus scan regardless of
+    * how many rules it carries.
+    *
+    * Metric helpers below return FRACTIONS in [0,1] so thresholds read
+    * uniformly. Metrics are rounded to 6dp (cross-engine hash parity).
+    * Over an EMPTY input every metric is null and `passed` is 0 — a
+    * gate that cannot observe its data must fail closed, not pass open.
+    *
+    * One [[uniqueness]] check plans as a single-distinct two-phase
+    * aggregate (no Expand); several distinct-based checks on DIFFERENT
+    * columns would Expand the scan per distinct column — split those
+    * into separate suites if the input is wide.
+    */
+  def constraintSuite(
+      df: DataFrame,
+      checks: Seq[(String, Column, Double)]): DataFrame = {
+    require(checks.nonEmpty, "constraintSuite needs at least one check")
+    val metrics = checks.zipWithIndex.map { case ((_, m, _), i) =>
+      round(m, 6).as(s"m_$i")
+    }
+    val one = df.agg(metrics.head, metrics.tail: _*)
+    val stacked = checks.zipWithIndex.map { case ((name, _, minA), i) =>
+      s"'$name', m_$i, CAST($minA AS DOUBLE)"
+    }.mkString(", ")
+    one
+      .selectExpr(s"stack(${checks.length}, $stacked) AS " +
+        "(check_name, metric, min_accept)")
+      .select(col("check_name"), col("metric"), col("min_accept"),
+        when(col("metric") >= col("min_accept"), lit(1L)).otherwise(lit(0L))
+          .as("passed"))
+  }
+
+  /** Fraction of rows where `c` is non-null. */
+  def completeness(c: Column): Column =
+    avg(when(c.isNotNull, 1d).otherwise(0d))
+
+  /** Distinct values over rows — 1.0 ⇔ the column is a key. The
+    * denominator nulls out over zero rows (ANSI mode would otherwise
+    * throw DIVIDE_BY_ZERO), making the metric null like the avg-based
+    * ones — which [[constraintSuite]] fails closed.
+    */
+  def uniqueness(c: Column): Column =
+    count_distinct(c).cast("double") /
+      when(count(lit(1)) > 0, count(lit(1)))
+
+  /** Fraction of rows satisfying an arbitrary row predicate. */
+  def satisfaction(pred: Column): Column =
+    avg(when(pred, 1d).otherwise(0d))
+
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     def asStr(c: Column, name: String): Column = df.schema(name).dataType match {
       case org.apache.spark.sql.types.DoubleType |

@@ -487,6 +487,28 @@ object CoreOracles {
         |  coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k
         |FROM events""".stripMargin,
 
+    // one aggregation pass, unpivoted: mirrors ProfileOps.constraintSuite
+    "dq_constraints" ->
+      """WITH m AS (SELECT
+        |  round(CAST(count(DISTINCT event_id) AS DOUBLE) / count(*), 6) AS m0,
+        |  round(avg(CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS m1,
+        |  round(avg(CASE WHEN value BETWEEN 0 AND 100 THEN 1.0 ELSE 0.0 END), 6) AS m2,
+        |  round(avg(CASE WHEN event_type IN ('click','view','purchase','signup')
+        |                 THEN 1.0 ELSE 0.0 END), 6) AS m3,
+        |  round(avg(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+        |                 THEN 1.0 ELSE 0.0 END), 6) AS m4
+        |  FROM events),
+        |s AS (
+        |  SELECT 'event_id_unique' AS check_name, m0 AS metric,
+        |    CAST(1.0 AS DOUBLE) AS min_accept FROM m
+        |  UNION ALL SELECT 'user_id_complete', m1, 0.99 FROM m
+        |  UNION ALL SELECT 'value_in_range', m2, 0.99 FROM m
+        |  UNION ALL SELECT 'type_in_domain', m3, 0.95 FROM m
+        |  UNION ALL SELECT 'props_json_k', m4, 0.9 FROM m)
+        |SELECT check_name, metric, min_accept,
+        |  CAST(CASE WHEN metric >= min_accept THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM s""".stripMargin,
+
     "f3_gpu_flavor" -> (f3ClassifiedSql +
       """SELECT event_id,
         |  coalesce(su_type, '(quarantined)') AS su_type,

@@ -1000,6 +1000,30 @@ object CoreQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority", "o_orderdate_us"))),
 
+    // DQ1 — declarative constraint suite (the Deequ pattern): five rules
+    // — key uniqueness, completeness, range satisfaction, domain
+    // membership, JSON parseability — validated in ONE aggregation pass
+    // over the table (the scan cost is rule-count-invariant), unpivoted
+    // to a row per rule with the measured metric and pass/fail mark.
+    "dq_constraints" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.ops.ProfileOps.constraintSuite(ev, Seq(
+        ("event_id_unique",
+          graft.ops.ProfileOps.uniqueness(col("event_id")), 1.0),
+        ("user_id_complete",
+          graft.ops.ProfileOps.completeness(col("user_id")), 0.99),
+        ("value_in_range",
+          graft.ops.ProfileOps.satisfaction(col("value").between(0, 100)),
+          0.99),
+        ("type_in_domain",
+          graft.ops.ProfileOps.satisfaction(
+            col("event_type").isin("click", "view", "purchase", "signup")),
+          0.95),
+        ("props_json_k",
+          graft.ops.ProfileOps.satisfaction(
+            get_json_object(col("props"), "$.k").isNotNull), 0.9)))
+    }),
+
     // F12 — event-time TUMBLING window aggregation: Spark's window()
     // function in batch (the same operator Structured Streaming uses),
     // surfaced as the window start in epoch micros. Epoch-aligned hourly

@@ -100,4 +100,31 @@ class ChangeProfileSpec extends AnyFunSuite {
     val p = ProfileOps.profile(df, Seq("k", "s", "v")).queryExecution.executedPlan.toString
     assert(!p.contains("Join") && !p.contains("Expand"))
   }
+
+  test("constraintSuite: one-pass metrics, thresholds, fail-closed on empty") {
+    val df = Seq(
+      (1L, Some("a"), 5.0),
+      (2L, Some("a"), 50.0),
+      (3L, None, 500.0),
+      (3L, Some("b"), 5.0)
+    ).toDF("id", "s", "v")
+    def suite(d: org.apache.spark.sql.DataFrame) =
+      ProfileOps.constraintSuite(d, Seq(
+        ("id_unique", ProfileOps.uniqueness(col("id")), 1.0),
+        ("s_complete", ProfileOps.completeness(col("s")), 0.5),
+        ("v_small", ProfileOps.satisfaction(col("v") < 100), 0.9)))
+    val out = suite(df).orderBy("check_name").collect()
+      .map(r => (r.getString(0), r.get(1), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("id_unique", 0.75, 0L),   // 3 distinct / 4 rows
+      ("s_complete", 0.75, 1L),
+      ("v_small", 0.75, 0L)))
+    // the whole suite is ONE aggregation over the input: a single scan
+    // (single distinct rewrites two-phase, no Expand), no self-joins
+    val p = suite(df).queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Expand"))
+    // empty input: metrics unobservable (null) → every rule FAILS closed
+    val empty = suite(df.filter(lit(false))).collect()
+    assert(empty.length == 3 && empty.forall(r => r.isNullAt(1) && r.getLong(3) == 0L))
+  }
 }
