@@ -29,6 +29,57 @@ object SessionOps {
       .drop("prev_ts", "is_new")
   }
 
+  /** Ordered funnel progression per key: the first time each stage of
+    * `stages` is reached, where stage i+1 must occur STRICTLY AFTER the
+    * event that satisfied stage i (a purchase before the first view is
+    * not a converted funnel — the sequencing is the whole operator; a
+    * per-stage min() would count it).
+    *
+    * Shape: ONE shuffle (the groupBy), then a linear fold over each
+    * key's time-sorted events — `aggregate` over the collected list,
+    * appending stage i's timestamp the first time its type shows up
+    * after stage i−1's. Per-key collect_list is bounded by per-key
+    * event counts (the r5_sorted_events caveat, documented there); the
+    * alternative — one conditional-min aggregate + join PER STAGE —
+    * costs `stages.length` shuffles of the full event table, which is
+    * the wrong trade at 100 TB for the funnels that matter (3–7
+    * stages).
+    *
+    * Unreached stages surface as −1 (hash-stable), `n_stages` counts
+    * the reached prefix.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val stageLit = typedlit(stages)
+    val folded = events
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_type"))))
+        .as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"),
+          lit(Array.empty[Long]),
+          (acc, e) => {
+            // try_element_at throughout: ANSI element_at throws on any
+            // out-of-range index, and when()'s branches don't guard
+            // subexpression evaluation — a completed funnel would probe
+            // stages[n+1]
+            val nxt = size(acc)
+            val wanted = try_element_at(stageLit, nxt + 1)
+            val inOrder = (nxt === 0) ||
+              (e.getField("ts_us") > try_element_at(acc, nxt))
+            when(nxt < stages.length && e.getField("event_type") === wanted
+                && inOrder,
+              concat(acc, array(e.getField("ts_us"))))
+              .otherwise(acc)
+          }).as("reached"))
+    stages.indices.foldLeft(folded) { (d, i) =>
+      d.withColumn(s"stage${i + 1}_us",
+        coalesce(try_element_at(col("reached"), lit(i + 1)), lit(-1L)))
+    }
+      .withColumn("n_stages", size(col("reached")).cast("long"))
+      .drop("reached")
+  }
+
   /** Per-user session stats: count, total events, longest session. */
   def sessionStats(events: DataFrame, gapUs: Long = DefaultGapUs): DataFrame =
     sessionized(events, gapUs)

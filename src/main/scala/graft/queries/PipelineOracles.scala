@@ -1239,6 +1239,26 @@ object PipelineOracles {
          |FROM w
          |QUALIFY row_number() OVER (ORDER BY dsir_key DESC, doc_id) <= 100""".stripMargin,
 
+    // funnel replay as a sequential-min CTE chain: stage i+1 = min ts
+    // of its type STRICTLY after stage i's ts — provably what the
+    // time-ordered greedy fold computes (first match in scan order ≡
+    // min over the after-region).
+    "funnel_stages" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |f1 AS (SELECT user_id, min(ts_us) AS s1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(ts_us) AS s2 FROM e JOIN f1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us > f1.s1 GROUP BY e.user_id),
+        |f3 AS (SELECT e.user_id, min(ts_us) AS s3 FROM e JOIN f2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > f2.s2 GROUP BY e.user_id)
+        |SELECT u.user_id, coalesce(s1, -1) AS stage1_us,
+        |  coalesce(s2, -1) AS stage2_us, coalesce(s3, -1) AS stage3_us,
+        |  CAST(CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+        |       WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_stages
+        |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+        |LEFT JOIN f3 USING (user_id)""".stripMargin,
+
     "sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
          |x AS (SELECT user_id, ts_us, event_id,

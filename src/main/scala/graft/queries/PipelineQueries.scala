@@ -897,6 +897,15 @@ object PipelineQueries {
     "sessionize" -> ((s, dir) =>
       SessionOps.sessionStats(eventsUs(s, dir))),
 
+    // ordered funnel: first view → first click strictly after it →
+    // first purchase strictly after that. ONE shuffle + a linear fold
+    // per user; the sequencing (not per-stage mins) is the operator.
+    "funnel_stages" -> ((s, dir) =>
+      SessionOps.funnel(
+        table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")),
+        Seq("view", "click", "purchase"))),
+
     // -- multimodal plumbing ---------------------------------------------
     "mm_media_meta" -> ((s, dir) =>
       MultimodalOps.decodeStub(

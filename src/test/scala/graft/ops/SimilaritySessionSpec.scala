@@ -248,6 +248,33 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(st(2L) == ((1L, 1L, 0L)))
   }
 
+  test("funnel: sequencing enforced — later stages only count after earlier ones") {
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: purchase BEFORE the first view — must not convert;
+      // the click at the view's exact ts must not count either (strict >)
+      (2L, 5L, "purchase"), (2L, 10L, "view"), (2L, 10L, "click"),
+      (2L, 40L, "click"),
+      // user 3: no funnel events at all
+      (3L, 10L, "error"),
+      // user 4: stages reachable only via the SECOND view (first view
+      // has no later click) — greedy-first still converts because the
+      // first click after the FIRST view is what stage 2 wants
+      (4L, 10L, "view"), (4L, 50L, "view"), (4L, 60L, "click"),
+      (4L, 55L, "purchase")
+    ).toDF("user_id", "ts_us", "event_type")
+    val out = SessionOps.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("stage1_us"), r.getAs[Long]("stage2_us"),
+          r.getAs[Long]("stage3_us"), r.getAs[Long]("n_stages")))).toMap
+    assert(out(1L) == ((10L, 20L, 30L, 3L)))
+    assert(out(2L) == ((10L, 40L, -1L, 2L))) // early purchase ignored, ts-tie click ignored
+    assert(out(3L) == ((-1L, -1L, -1L, 0L)))
+    // purchase at 55 precedes the click at 60 → stage 3 unreached
+    assert(out(4L) == ((10L, 60L, -1L, 2L)))
+  }
+
   test("multimodal plumbing: decodeStub matches typed extractFeatures") {
     val docs = Seq((0L, "hello world", 11L), (1L, "spark", 5L), (2L, "x" * 600, 600L))
       .toDF("doc_id", "text", "n_chars")
