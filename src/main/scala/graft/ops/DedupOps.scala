@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -127,6 +127,49 @@ object DedupOps {
           struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+
+  /** Blocked edit-distance pairs — the record-linkage primitive (fuzzy
+    * key matching: titles, names, URLs) the shingle/minhash family
+    * doesn't cover: Levenshtein is ORDER-sensitive ("ab cd" vs "cd ab"
+    * is far by edit distance, identical by shingle set), which is what
+    * fuzzy identifier matching wants.
+    *
+    * Classic blocking shape: pairs expand only within a caller-chosen
+    * block key (sorted neighborhood / standard blocking from the record-
+    * linkage literature) via the same one-scan collected-member-list
+    * expansion as [[candidatePairs]] — no all-pairs anywhere, one
+    * shuffle on the block key, quadratic only inside a block. The
+    * distance itself runs with Spark's threshold form (`levenshtein(a,
+    * b, maxDist)`), which abandons a pair's DP early once it exceeds
+    * `maxDist` — at 100 TB the threshold is the difference between
+    * O(len²) and O(len·maxDist) per pair.
+    *
+    * Emits (doc_a, doc_b, dist), doc_a < doc_b, dist ≤ `maxDist`.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      strCol: Column,
+      blockCol: Column,
+      maxDist: Int): DataFrame = {
+    val members = docs
+      .select(col("doc_id"), strCol.as("__s"), blockCol.as("__blk"))
+      .groupBy("__blk")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("__s"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+    members
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            a.getField("__s").as("sa"), b.getField("__s").as("sb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        levenshtein(col("p.sa"), col("p.sb"), maxDist).as("dist"))
+      // threshold form returns -1 past maxDist — exclude it with the
+      // same predicate shape the oracle's plain levenshtein uses
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+  }
 
   /** Duplicate-cluster resolution: connected components over the
     * near-dup pair graph, so transitive duplicates (A~B, B~C) collapse

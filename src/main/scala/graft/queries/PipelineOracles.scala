@@ -983,6 +983,19 @@ object PipelineOracles {
          |  CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM nv LEFT JOIN dup USING (vec_id)""".stripMargin,
 
+    // blocked Levenshtein replay: same (lang, prefix) blocking, plain
+    // levenshtein ≤ maxDist (the engine side's threshold DP is an
+    // early-exit of the same metric)
+    "dedup_editdist" ->
+      """WITH d AS (SELECT doc_id,
+        |    lang || '|' || substr(text, 1, 8) AS blk,
+        |    substr(text, 1, 24) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 4""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH $normCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -686,6 +686,17 @@ object PipelineQueries {
     "dedup_embedding" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
 
+    // blocked fuzzy matching: Levenshtein ≤ 4 over 24-char prefixes,
+    // pairs expanded only within (lang, 8-char-prefix) blocks — the
+    // order-sensitive record-linkage pass the shingle family can't
+    // express. Early-exit threshold DP on the Spark side.
+    "dedup_editdist" -> ((s, dir) =>
+      DedupOps.editDistancePairs(
+        table(s, dir, "documents"),
+        strCol = substring(col("text"), 1, 24),
+        blockCol = concat_ws("|", col("lang"), substring(col("text"), 1, 8)),
+        maxDist = 4)),
+
     // SemDeDup: semantic dedup over TRAINED k-means cells — the third
     // dedup layer after exact (byte copies) and MinHash (lexical
     // rewrites). Keeps the far-from-centroid member of every near-dup

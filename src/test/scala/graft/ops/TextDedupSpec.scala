@@ -385,4 +385,22 @@ class TextDedupSpec extends AnyFunSuite {
       if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
     assert(messages(e).contains("pre-chunk doc_id=7"))
   }
+
+  test("editDistancePairs: blocked, thresholded, order-sensitive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "b1"), // dist(1,2)=1
+      (2L, "alpha betg", "b1"),
+      (3L, "alpha XXXX", "b1"), // dist to 1 = 4 (boundary, kept)
+      (4L, "alpha beta", "b2"), // identical to 1 but other block: no pair
+      (5L, "beta alpha", "b1")  // same token SET as 1 — edit-far, excluded
+    ).toDF("doc_id", "s", "blk")
+    val pairs = DedupOps.editDistancePairs(docs, col("s"), col("blk"), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) == 1L && pairs((1L, 3L)) == 4L)
+    // empty input: no groups, no pairs
+    assert(DedupOps.editDistancePairs(
+      docs.filter(lit(false)), col("s"), col("blk"), 4).count() == 0)
+  }
 }
