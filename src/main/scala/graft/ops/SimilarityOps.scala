@@ -112,6 +112,50 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Matryoshka truncation (Kusupati et al., "Matryoshka Representation
+    * Learning", NeurIPS 2022): the first `d` dimensions of an MRL-trained
+    * embedding are themselves a valid lower-resolution embedding. Slicing
+    * + renormalizing is the cheapest ANN axis of all — no index, no
+    * training, the serving scan just reads d/dim of the bytes (with the
+    * prefix dims stored as their own parquet column, the scan PRUNES to
+    * them — column projection does the compression).
+    */
+  def truncate(emb: DataFrame, d: Int): DataFrame =
+    withNorm(emb.select(col("vec_id"),
+      slice(col("embedding"), 1, d).as("embedding")))
+
+  /** Truncated-space brute top-k: full-accuracy ranking functional, d-dim
+    * vectors. Corpus scanned once; dot products cost d/dim of the full
+    * ones.
+    */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, d: Int,
+      k: Int): DataFrame =
+    bruteTopK(truncate(corpus, d), truncate(queries, d), k)
+
+  /** MRL funnel retrieval: shortlist in the cheap truncated space, exact
+    * re-rank of the shortlist in the full space — the adaptive-retrieval
+    * recipe from the MRL paper (and the same two-stage shape as
+    * [[pqTopKRefined]]). The shortlist (nQueries × `shortlist` rows)
+    * BROADCASTS back against the corpus for the re-rank, so the full
+    * vectors of only the shortlisted candidates are ever touched.
+    */
+  def truncatedTopKRefined(corpus: DataFrame, queries: DataFrame, d: Int,
+      k: Int, shortlist: Int): DataFrame = {
+    val short = truncatedTopK(corpus, queries, d, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("n_emb"), col("q_emb"), col("n_nrm"), col("q_nrm"))
+          .as("cos"))
+    topK(rer, k)
+  }
+
   /** Hyperplane-LSH parameters. `LshPlanes` Rademacher (±1-component)
     * hyperplanes give each vector a `LshPlanes`-bit sign signature;
     * cosine-similar vectors agree on most signs, so same-signature

@@ -622,6 +622,44 @@ object PipelineOracles {
          |SELECT vec_id, $cols FROM pqcodes""".stripMargin
     },
 
+    // MRL truncation replay: the truncated space is the same norm CTE
+    // over sliced DOUBLE[] prefixes; shortlist + full-space re-rank
+    // mirror truncatedTopKRefined
+    "sim_recall_trunc" -> {
+      val d = PipelineQueries.TruncDim
+      val nq = PipelineQueries.IvfQueryCount
+      val k = PipelineQueries.IvfK
+      val r = PipelineQueries.PqShortlist
+      s"""WITH $normCte,
+         |tn AS (SELECT vec_id, label, (embedding::DOUBLE[])[1:$d] AS e,
+         |  sqrt(list_dot_product((embedding::DOUBLE[])[1:$d],
+         |                        (embedding::DOUBLE[])[1:$d])) AS nrm
+         |  FROM embeddings),
+         |${topkCtes("ex", nq, k, cellJoin = false)},
+         |${topkCtes("tr", nq, k, cellJoin = false, src = "tn")},
+         |${topkCtes("sl", nq, r, cellJoin = false, src = "tn")},
+         |rfs AS (SELECT sl.query_id, sl.neighbor_id,
+         |    list_dot_product(cn.e, qn2.e) / (cn.nrm * qn2.nrm) AS cos
+         |  FROM sl JOIN n cn ON cn.vec_id = sl.neighbor_id
+         |  JOIN n qn2 ON qn2.vec_id = sl.query_id),
+         |rf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rfs) WHERE rank <= $k)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_trunc,
+         |  CAST(sum(CASE WHEN rf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_refined,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  round(CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_trunc,
+         |  round(CAST(sum(CASE WHEN rf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall_refined
+         |FROM ex LEFT JOIN tr USING (query_id, neighbor_id)
+         |LEFT JOIN rf USING (query_id, neighbor_id)
+         |GROUP BY ex.query_id""".stripMargin
+    },
+
     "sim_recall_pq" -> {
       val m = PipelineQueries.PqM
       val iters = PipelineQueries.PqIters

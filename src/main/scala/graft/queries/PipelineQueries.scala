@@ -30,6 +30,7 @@ object PipelineQueries {
   val PqIters = 2
   val PqShortlist = 50
   val SpannReplicas = 3
+  val TruncDim = 16
   val IndexDim = 16
   val IndexTopK = 5
   val IndexQueryDocs = 3
@@ -584,6 +585,40 @@ object PipelineQueries {
             .as("recall_1replica"),
           round(col("n_hits_replicated") / col("k").cast("double"), 6)
             .as("recall_replicated"))
+    }),
+
+    // Matryoshka truncation recall: one row per query reports raw
+    // truncated-space recall (16 of 64 dims — the scan reads 1/4 of the
+    // bytes, no index, no training) AND funnel-retrieval recall (cheap
+    // shortlist → exact re-rank of only the shortlisted candidates) —
+    // the fourth ANN axis after IVF/LSH/PQ, measured on the same
+    // frontier contract as the others.
+    "sim_recall_trunc" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < IvfQueryCount)
+      val exact = SimilarityOps.bruteTopK(corpus, qs, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val raw = SimilarityOps.truncatedTopK(corpus, qs, TruncDim, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val refined = SimilarityOps.truncatedTopKRefined(
+        corpus, qs, TruncDim, IvfK, PqShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(broadcast(raw.withColumn("hitt", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(broadcast(refined.withColumn("hitr", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(coalesce(col("hitt"), lit(0L))).as("n_hits_trunc"),
+          sum(coalesce(col("hitr"), lit(0L))).as("n_hits_refined"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits_trunc"), col("n_hits_refined"),
+          col("k"),
+          round(col("n_hits_trunc") / col("k").cast("double"), 6)
+            .as("recall_trunc"),
+          round(col("n_hits_refined") / col("k").cast("double"), 6)
+            .as("recall_refined"))
     }),
 
     // product quantization, index-build half: train the m per-subspace

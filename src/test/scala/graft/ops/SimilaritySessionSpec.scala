@@ -356,6 +356,23 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(out(1L)(bucket("alpha")) >= 2.0)
   }
 
+  test("truncated retrieval: slice+renorm space; full shortlist ≡ exact brute") {
+    val c = SimilarityOps.withNorm(vecs)
+    val qs = c.filter(col("vec_id") === 0)
+    // truncation to d=2 keeps (x, y): vec 2 (0,1,..) is orthogonal to
+    // vec 0 in BOTH spaces; 1 and 4 stay near-parallel to 0
+    val t = SimilarityOps.truncatedTopK(c, qs, d = 2, k = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(t == Set(1L, 4L))
+    // shortlist covering the whole corpus makes the funnel exact: the
+    // re-rank IS brute force then
+    val exact = SimilarityOps.bruteTopK(c, qs, 4)
+      .select("query_id", "neighbor_id", "rank").collect().toSeq
+    val refined = SimilarityOps.truncatedTopKRefined(c, qs, d = 2, k = 4,
+      shortlist = 10).select("query_id", "neighbor_id", "rank").collect().toSeq
+    assert(refined.sortBy(_.getLong(2)) == exact.sortBy(_.getLong(2)))
+  }
+
   test("semanticDedup: far-from-centroid member survives, near-copies drop") {
     // k=2 seeds are vec 0 and 1. After one Lloyd's iteration the cells
     // are {0,2,4} (4 lands in cell 0 on the distance tie → smaller cell
