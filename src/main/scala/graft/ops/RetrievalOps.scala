@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval and hybrid fusion — the sparse complement to
+  * [[SimilarityOps]]' dense ANN family. A training-data pipeline needs
+  * both: BM25 for exact-term recall (rare tokens, identifiers, names
+  * that embeddings smear) and rank fusion to combine it with the
+  * embedding ranker for hybrid search.
+  *
+  * Everything is deterministic closed-form math over corpus statistics,
+  * so both rankers and the fused list hash-replay in the DuckDB oracle.
+  */
+object RetrievalOps {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+  val RrfK = 60
+
+  /** Okapi BM25 top-k (Robertson et al.; the Lucene-default scoring
+    * form with the +1-inside-ln idf that keeps it non-negative):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * Scale shape: the token explode FILTERS to the query's terms at the
+    * scan (the posting lists of only those terms exist anywhere in the
+    * plan — at 100 TB that is the difference between a query and an
+    * index build); tf aggregates on (doc, term) in one shuffle;
+    * df (≤ |terms| rows) and the (N, avgdl) scalar broadcast back; the
+    * final top-k is TakeOrderedAndProject (per-partition heaps, k rows
+    * shuffle). Doc lengths are recomputed scan-side from the text — no
+    * second shuffle.
+    *
+    * Per-term contributions round to 6dp and sum in DECIMAL (the
+    * text_lm_score parity pattern), so ranks are partitioning- and
+    * engine-independent. Returns (doc_id, rank, score), rank 1-based,
+    * ties by doc_id.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val lengths = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("dl"))
+    val stats = lengths.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val term = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(term, 6).cast("decimal(28,6)").as("term"))
+      .groupBy("doc_id")
+      .agg(sum("term").cast("decimal(38,6)").as("s"))
+      .select(col("doc_id"), col("s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
+
+  /** Reciprocal rank fusion (Cormack, Clarke, Büttcher, SIGIR 2009):
+    * fused(d) = Σ_lists 1/(RrfK + rank_list(d)). Rank-based, so the
+    * lists' incomparable score scales (BM25 vs cosine) never touch each
+    * other — the standard hybrid-search combiner. Input lists are
+    * (doc_id, rank) frames; k-bounded, so the union and the aggregate
+    * are tiny regardless of corpus size.
+    *
+    * Returns the top `k` fused: (doc_id, rrf_score, n_lists), score
+    * rounded to 6dp, ties by doc_id.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    lists
+      .map(_.select(col("doc_id"), col("rank")))
+      .reduce(_.unionAll(_))
+      .groupBy("doc_id")
+      .agg(
+        round(sum(lit(1.0) / (lit(RrfK) + col("rank"))), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

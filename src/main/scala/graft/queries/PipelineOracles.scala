@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{DedupOps, TextOps}
+import graft.ops.{DedupOps, RetrievalOps, TextOps}
 
 /** DuckDB oracle SQL for [[PipelineQueries]]. The repetitive parts
   * (stopword lists, language markers, MinHash bands, SimHash digit/bit
@@ -58,6 +58,37 @@ object PipelineOracles {
        |  FROM range($dim) r LEFT JOIN c ON c.bucket = r.range, tot),
        |w AS (SELECT f.doc_id, CAST(sum(m.micro) AS BIGINT) AS dsir_micro
        |  FROM f JOIN m USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
+  /** BM25 CTE chain (mirrors RetrievalOps.bm25TopK: same idf form, same
+    * multiply-then-divide order, per-term round(·,6) into DECIMAL).
+    * Ends in `bm(doc_id, rank, score)`.
+    */
+  private lazy val bm25Cte: String = {
+    val terms = PipelineQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val k1 = RetrievalOps.DefaultK1
+    val b = RetrievalOps.DefaultB
+    s"""bl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bl),
+       |btf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM
+       |    (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |       unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+       |bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+       |bsc AS (SELECT btf.doc_id,
+       |    CAST(round(ln((bst.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+       |      * (btf.tf * ($k1 + 1)) /
+       |      (btf.tf + $k1 * (1.0 - $b + $b * btf.dl / bst.avgdl)), 6)
+       |      AS DECIMAL(28,6)) AS term
+       |  FROM btf JOIN bdf USING (tok), bst),
+       |bagg AS (SELECT doc_id,
+       |    CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) AS score
+       |  FROM bsc GROUP BY 1),
+       |bm AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |    score
+       |  FROM bagg ORDER BY score DESC, doc_id LIMIT ${PipelineQueries.Bm25K})""".stripMargin
   }
 
   /** MinHash signature + band CTEs (mirrors DedupOps.minhashSignature /
@@ -1289,6 +1320,31 @@ object PipelineOracles {
          |    6) AS dsir_key
          |FROM w
          |QUALIFY row_number() OVER (ORDER BY dsir_key DESC, doc_id) <= 100""".stripMargin,
+
+    "text_bm25_topk" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, rank, score FROM bm""".stripMargin,
+
+    // RRF: both ranked lists replayed (BM25 chain + cosine top-k for
+    // query vec 0), fused by 1/(60+rank) — rank-based, score scales
+    // never mix
+    "hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         |$normCte,
+         |sq AS (SELECT e, nrm FROM n WHERE vec_id = 0),
+         |sems AS (SELECT n.vec_id AS doc_id,
+         |    list_dot_product(n.e, sq.e) / (n.nrm * sq.nrm) AS cos
+         |  FROM n, sq WHERE n.vec_id <> 0),
+         |sem AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sems ORDER BY cos DESC, doc_id LIMIT ${PipelineQueries.Bm25K}),
+         |u AS (SELECT doc_id, rank FROM bm
+         |  UNION ALL SELECT doc_id, rank FROM sem),
+         |f AS (SELECT doc_id, round(sum(1.0 / (${RetrievalOps.RrfK} + rank)), 6) AS rrf_score,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY 1)
+         |SELECT doc_id, rrf_score, n_lists FROM f
+         |ORDER BY rrf_score DESC, doc_id LIMIT ${PipelineQueries.HybridK}""".stripMargin,
 
     // funnel replay as a sequential-min CTE chain: stage i+1 = min ts
     // of its type STRICTLY after stage i's ts — provably what the

@@ -31,6 +31,9 @@ object PipelineQueries {
   val PqShortlist = 50
   val SpannReplicas = 3
   val TruncDim = 16
+  val Bm25Terms = Seq("spark", "window", "hash")
+  val Bm25K = 20
+  val HybridK = 10
   val IndexDim = 16
   val IndexTopK = 5
   val IndexQueryDocs = 3
@@ -282,6 +285,27 @@ object PipelineQueries {
         .select(col("doc_id"),
           round((col("sum_term").cast("double") - col("n") * log(col("total"))) /
             col("n"), 6).as("lm_score"))
+    }),
+
+    // Okapi BM25 top-k: lexical retrieval, the sparse complement to the
+    // ANN family. The token explode filters to the query's terms at the
+    // scan — only those posting lists exist anywhere in the plan.
+    "text_bm25_topk" -> ((s, dir) =>
+      RetrievalOps.bm25TopK(table(s, dir, "documents"), Bm25Terms, Bm25K)),
+
+    // Hybrid search: reciprocal rank fusion of the BM25 list and the
+    // embedding-cosine list (query = vec 0, embeddings aligned to
+    // doc_ids). Rank-based, so the incomparable score scales never mix;
+    // both inputs are k-bounded so fusion is corpus-size-independent.
+    "hybrid_rrf" -> ((s, dir) => {
+      val lex = RetrievalOps.bm25TopK(
+        table(s, dir, "documents"), Bm25Terms, Bm25K)
+        .select(col("doc_id"), col("rank"))
+      val corpus = normed(s, dir)
+      val sem = SimilarityOps.bruteTopK(
+        corpus, corpus.filter(col("vec_id") === 0), Bm25K)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      RetrievalOps.rrfFuse(Seq(lex, sem), HybridK)
     }),
 
     // PII scrubbing over the events payload (the one testdata column with
