@@ -149,9 +149,23 @@ object DsirOps {
       keyCol: String,
       isTarget: Column,
       k: Int,
-      dim: Int = DefaultDim): DataFrame = {
+      dim: Int = DefaultDim): DataFrame =
+    select(docs, toks, keyCol,
+      logRatioMicro(spark, fitCounts(docs, featureBuckets(toks, dim), isTarget), dim),
+      k, dim)
+
+  /** Selection against an ALREADY-FIT model — the train-once split (one
+    * fitted log-ratio model serves weights, selection, and any future
+    * mixture pass over the same corpus).
+    */
+  def select(
+      docs: DataFrame,
+      toks: Column,
+      keyCol: String,
+      model: Array[Long],
+      k: Int,
+      dim: Int): DataFrame = {
     val feats = featureBuckets(toks, dim)
-    val model = logRatioMicro(spark, fitCounts(docs, feats, isTarget), dim)
     docs
       .select(
         col(keyCol),

@@ -433,11 +433,18 @@ object SimilarityOps {
   }
 
   /** Trained-cell assignment per vector (the IVF index build step). */
-  def kmeansCells(emb: DataFrame, k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
-    val cur = kmeansCentroids(emb, k, iters, roundDp)
-    if (cur.isEmpty)
+  def kmeansCells(emb: DataFrame, k: Int, iters: Int, roundDp: Int = 6): DataFrame =
+    kmeansCells(emb, kmeansCentroids(emb, k, iters, roundDp), roundDp)
+
+  /** Assignment against an ALREADY-TRAINED centroid matrix — the
+    * train-once / assign-many split (the cached-model path shares one
+    * matrix across the whole recall family).
+    */
+  def kmeansCells(emb: DataFrame, cents: Seq[(Long, Array[Double])],
+      roundDp: Int): DataFrame = {
+    if (cents.isEmpty)
       return emb.select(col("vec_id"), lit(-1L).as("cell")).filter(lit(false))
-    emb.withColumn("cell", assignCell(cur, roundDp)).select(col("vec_id"), col("cell"))
+    emb.withColumn("cell", assignCell(cents, roundDp)).select(col("vec_id"), col("cell"))
   }
 
   /** IVF multi-probe top-k: each query searches its `nprobe` NEAREST
@@ -574,8 +581,12 @@ object SimilarityOps {
     * Returns every corpus row: (vec_id, cell, kept ∈ {0,1}).
     */
   def semanticDedup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
-      roundDp: Int = 6): DataFrame = {
-    val cents = kmeansCentroids(emb, k, iters, roundDp)
+      roundDp: Int = 6): DataFrame =
+    semanticDedup(emb, kmeansCentroids(emb, k, iters, roundDp), threshold, roundDp)
+
+  /** [[semanticDedup]] against an already-trained centroid matrix. */
+  def semanticDedup(emb: DataFrame, cents: Seq[(Long, Array[Double])],
+      threshold: Double, roundDp: Int): DataFrame = {
     val n = withNorm(emb)
     if (cents.isEmpty)
       return n.select(col("vec_id"), lit(-1L).as("cell"), lit(1L).as("kept"))

@@ -60,6 +60,37 @@ object PipelineQueries {
     * (CacheManager keys on the canonicalized plan, so each query may
     * rebuild this expression independently and still hit the cache).
     */
+  /** Trained k-means centroid matrix for `dir`'s embeddings — trained
+    * ONCE per JVM per directory and shared by the whole recall family
+    * (cells, nprobe, SPANN, SemDeDup). Training is deterministic (the
+    * oracle replays it), so a cache hit is indistinguishable from a
+    * retrain; what it models is the real workflow: the index is built in
+    * one job and probed by every query after it.
+    */
+  private def cachedCentroids(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    ModelCache.cached(s"$dir|kmeans|k=$KmeansK,iters=$KmeansIters") {
+      SimilarityOps.kmeansCentroids(table(s, dir, "embeddings"), KmeansK, KmeansIters)
+    }
+
+  /** Trained PQ codebooks for `dir`'s embeddings — same train-once
+    * contract as [[cachedCentroids]], shared by codes + both serving
+    * evaluations.
+    */
+  private def cachedBooks(s: SparkSession, dir: String): Seq[Seq[(Long, Array[Double])]] =
+    ModelCache.cached(s"$dir|pq|m=$PqM,sub=$PqSubDim,k=$PqK,iters=$PqIters") {
+      SimilarityOps.pqCodebooks(table(s, dir, "embeddings"), PqM, PqSubDim, PqK, PqIters)
+    }
+
+  /** Fitted DSIR log-ratio model (target = lang='en') for `dir`'s
+    * documents — one fit serves both the weights and the selection.
+    */
+  private def cachedDsirModel(s: SparkSession, dir: String): Array[Long] =
+    ModelCache.cached(s"$dir|dsir|en|dim=${DsirOps.DefaultDim}") {
+      val d = docsTok(s, dir)
+      DsirOps.logRatioMicro(s,
+        DsirOps.fitCounts(d, DsirOps.featureBuckets(col("toks")), col("lang") === "en"))
+    }
+
   private def dedupBands(s: SparkSession, dir: String): DataFrame =
     DedupOps.lshBands(
       DedupOps.minhashSignature(DedupOps.shingledAll(table(s, dir, "documents"))))
@@ -474,7 +505,7 @@ object PipelineQueries {
     // similarity, so recall@k rises accordingly.
     "sim_recall_kmeans" -> ((s, dir) => {
       val cells = SimilarityOps.kmeansCells(
-        table(s, dir, "embeddings"), KmeansK, KmeansIters)
+        table(s, dir, "embeddings"), cachedCentroids(s, dir), 6)
         .withColumnRenamed("cell", "label")
       val base = normed(s, dir)
       val corpus = base.drop("label").join(cells, Seq("vec_id"))
@@ -504,8 +535,7 @@ object PipelineQueries {
     // side; nprobe=1 is bitwise the trained-cell ivfTopK (same (d, cell)
     // argmin), so the 1-vs-nprobe pair quantifies what probing buys.
     "sim_recall_ivf_probe" -> ((s, dir) => {
-      val cents = SimilarityOps.kmeansCentroids(
-        table(s, dir, "embeddings"), KmeansK, KmeansIters)
+      val cents = cachedCentroids(s, dir)
       val base = normed(s, dir)
       val qs = base.filter(col("vec_id") < IvfQueryCount)
       val exact = SimilarityOps.bruteTopK(base, qs, IvfK)
@@ -582,8 +612,7 @@ object PipelineQueries {
     // directly comparable; replicas=1 is bitwise the trained-cell
     // 1-probe baseline.
     "sim_recall_spann" -> ((s, dir) => {
-      val cents = SimilarityOps.kmeansCentroids(
-        table(s, dir, "embeddings"), KmeansK, KmeansIters)
+      val cents = cachedCentroids(s, dir)
       val base = normed(s, dir)
       val qs = base.filter(col("vec_id") < IvfQueryCount)
       val exact = SimilarityOps.bruteTopK(base, qs, IvfK)
@@ -654,8 +683,7 @@ object PipelineQueries {
     // code, so the compressed index itself is hash-checked.
     "sim_pq_codes" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val books = SimilarityOps.pqCodebooks(emb, PqM, PqSubDim, PqK, PqIters)
-      SimilarityOps.pqCodes(emb, books, PqSubDim)
+      SimilarityOps.pqCodes(emb, cachedBooks(s, dir), PqSubDim)
     }),
 
     // product quantization, serving half: raw ADC top-k vs
@@ -667,7 +695,7 @@ object PipelineQueries {
     // sim_recall_ivf_probe / sim_recall_lsh_tables.
     "sim_recall_pq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val books = SimilarityOps.pqCodebooks(emb, PqM, PqSubDim, PqK, PqIters)
+      val books = cachedBooks(s, dir)
       val qs = emb.filter(col("vec_id") < IvfQueryCount)
       val exact = SimilarityOps.bruteTopKL2(emb, qs, IvfK)
         .select(col("query_id"), col("neighbor_id"))
@@ -763,7 +791,7 @@ object PipelineQueries {
     // the selection itself is the oracle-checked artifact.
     "dedup_semantic" -> ((s, dir) =>
       SimilarityOps.semanticDedup(
-        table(s, dir, "embeddings"), KmeansK, KmeansIters, NearDupThreshold)),
+        table(s, dir, "embeddings"), cachedCentroids(s, dir), NearDupThreshold, 6)),
 
     // trained IVF cells: Lloyd's k-means (driver-iterated, MLlib-style)
     // over the embedding corpus — deterministic init + decimal-exact
@@ -771,7 +799,7 @@ object PipelineQueries {
     // cell column is what ivfTopK would consume in place of `label`.
     "sim_kmeans_cells" -> ((s, dir) =>
       SimilarityOps.kmeansCells(
-        table(s, dir, "embeddings"), KmeansK, KmeansIters)),
+        table(s, dir, "embeddings"), cachedCentroids(s, dir), 6)),
 
     // -- SQL surface ------------------------------------------------------
     // the same engine through pure SQL: temp view + the natively-
@@ -948,10 +976,8 @@ object PipelineQueries {
     "mix_dsir_weights" -> ((s, dir) => {
       val d = docsTok(s, dir)
       val feats = DsirOps.featureBuckets(col("toks"))
-      val model = DsirOps.logRatioMicro(s,
-        DsirOps.fitCounts(d, feats, col("lang") === "en"))
       d.select(col("doc_id"),
-        DsirOps.scoreMicro(feats, model).as("dsir_micro"))
+        DsirOps.scoreMicro(feats, cachedDsirModel(s, dir)).as("dsir_micro"))
     }),
 
     // DSIR resampling: Gumbel-top-k ≡ sampling k docs without
@@ -960,8 +986,8 @@ object PipelineQueries {
     // replayed by the oracle. Top-k is TakeOrderedAndProject: only k
     // rows leave the executors.
     "mix_dsir_select" -> ((s, dir) =>
-      DsirOps.select(s, docsTok(s, dir), col("toks"), "doc_id",
-        col("lang") === "en", k = 100)),
+      DsirOps.select(docsTok(s, dir), col("toks"), "doc_id",
+        cachedDsirModel(s, dir), k = 100, DsirOps.DefaultDim)),
 
     // -- sessionization ---------------------------------------------------
     "sessionize" -> ((s, dir) =>
