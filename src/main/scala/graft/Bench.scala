@@ -2,23 +2,72 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR. Each query runs twice — the first pass absorbs JVM
-  * warm-up (codegen, classloading, parquet footer cache) so the timed
-  * pass reflects steady-state plan execution, which is what matters at
-  * cluster scale. Queries run in sorted name order for run-to-run
-  * comparability.
+/** Benchmark main: one JSON line with the suite total at
+  * SPARK_GRAFT_SF_DIR, plus a per-query sidecar.
+  *
+  * Estimator design — this host (a microVM) shows two distinct failure
+  * modes the harness must defend the artifact against:
+  *
+  *  1. ONE-SIDED STALLS (seconds): scheduling freezes that inflate a
+  *     single measurement. Defense: min over repeated runs.
+  *  2. SUSTAINED DEGRADATION (minutes–the whole run): the round-5
+  *     artifact was taken during a host slowdown spanning every query;
+  *     back-to-back min-of-3 per query cannot see it, because all three
+  *     samples sit inside the degraded window and max≈min then reads as
+  *     "real cost".
+  *
+  * Against (2) the harness does two things:
+  *
+  *  - PASS INTERLEAVING: after one untimed warm-up sweep, the suite runs
+  *    as THREE FULL TIMED PASSES (every query once per pass, sorted
+  *    order), and each query reports the min across passes. A query's
+  *    three samples are now minutes apart, so a degradation window must
+  *    span the entire run — not just three consecutive seconds — to
+  *    taint a query's min.
+  *  - CPU CALIBRATION PROBES: a fixed-work single-threaded spin
+  *    (xorshift, constant iteration count — no I/O, no JVM allocation)
+  *    runs before each pass and after the last. Its wall time is a
+  *    host-health measurement with a KNOWN workload: across healthy
+  *    rounds it is near-constant, so a future artifact whose calib
+  *    values sit far above the historical band is self-evidently
+  *    host-tainted, and the per-query numbers can be discounted (or
+  *    rescaled) by the calib ratio without re-running anything.
+  *
+  * The stdout line carries the per-pass totals and the calib series
+  * (short — the driver's stdout tail capture is ~2 KB); the per-query
+  * min/max detail goes to the `bench_queries.json` sidecar and stderr.
   */
 object Bench {
 
   /** Sidecar line: per-query `{"min":…,"max":…}` of the timed runs.
-    * max >> min fingerprints a one-sided host stall; max ~= min means the
-    * cost is real. Pure so the schema is spec-checked.
+    * max >> min fingerprints a one-sided host stall; max ~= min across
+    * INTERLEAVED passes means the cost is real. Pure so the schema is
+    * spec-checked.
     */
   def sidecarJson(results: Seq[(String, (Double, Double))]): String =
     results.map { case (k, (mn, mx)) =>
       "\"" + k + "\":" + f"""{"min":$mn%.4f,"max":$mx%.4f}"""
     }.mkString("{", ",", "}")
+
+  /** Fixed-work CPU probe: `CalibIters` xorshift64 steps on one thread.
+    * Pure register arithmetic — wall time is a direct read of how much
+    * CPU the host is actually delivering. Returns seconds; the folded
+    * state defeats dead-code elimination.
+    */
+  val CalibIters: Long = 400000000L
+
+  def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < CalibIters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 0L) System.err.println("[bench] calib state zero") // keep x live
+    dt
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,33 +87,48 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Warm-up absorbs JVM/codegen/footer-cache cost; a warm-up failure is
-      // logged (not swallowed) because it can skew the min-of-3 below.
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+    val ordered = selected.toSeq.sortBy(_._1)
+
+    // JIT the probe itself before trusting its first reading.
+    calibrate()
+
+    // Warm-up sweep: absorbs JVM/codegen/parquet-footer cost, populates
+    // the plan-canonical caches, and trains the ModelCache artifacts —
+    // so every timed pass below measures steady-state serving, the
+    // cluster-relevant number. A warm-up failure is logged (not
+    // swallowed): it predicts timed failures below.
+    ordered.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
         System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
       }
-      // min of three timed runs: this host shows multi-second one-sided
-      // stalls (microVM scheduling + GC); the min is the only robust
-      // steady-state estimator here. A query that throws records -1 —
-      // a failure must look like one, not like a fast run.
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-        }
-      }
-      if (times.exists(_ < 0)) name -> (-1.0, -1.0)
-      else name -> (times.min, times.max)
     }
-    // Per-query detail goes to stderr (and a sidecar file): the driver's
-    // stdout tail capture is ~2 KB, so the ONE stdout line below must stay
-    // short enough to always sit whole inside that window. Each entry
-    // carries min AND max of the 3 timed runs: max >> min fingerprints a
-    // host stall (this microVM shows one-sided multi-second freezes);
-    // max ~= min means the cost is real — so a future outlier in the
-    // driver's BENCH artifact is attributable from the sidecar alone.
+
+    val passes = 3
+    // times(q) accumulates that query's per-pass seconds; -1 marks a
+    // failed run — a failure must look like one, not like a fast run.
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val passTotals = new Array[Double](passes)
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (p <- 0 until passes) {
+      calibs += calibrate()
+      ordered.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val dt =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          }
+        times.updateWith(name)(prev => Some(dt :: prev.getOrElse(Nil)))
+        if (dt >= 0) passTotals(p) += dt
+      }
+    }
+    calibs += calibrate()
+
+    val results = ordered.map { case (name, _) =>
+      val ts = times.getOrElse(name, Nil)
+      if (ts.exists(_ < 0)) name -> (-1.0, -1.0)
+      else name -> (ts.min, ts.max)
+    }
     val qs = sidecarJson(results)
     System.err.println(s"[bench] per-query: $qs")
     try {
@@ -75,7 +139,12 @@ object Bench {
     }
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val failed = results.count(_._2._1 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    // calib: fixed-work probe seconds (healthy band ~ the committed
+    // history; >>band ⇒ host-tainted artifact). passes: per-pass totals
+    // (divergence ⇒ within-run drift; the min-aggregate already routes
+    // around it).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"calib":${arr(calibs.toSeq)},"passes":${arr(passTotals.toIndexedSeq)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,4 +22,18 @@ class BenchSidecarSpec extends AnyFunSuite {
     val line = Bench.sidecarJson(Seq("q_bad" -> (-1.0, -1.0)))
     assert(line == """{"q_bad":{"min":-1.0000,"max":-1.0000}}""")
   }
+
+  // The calibration probe is the artifact's host-health defense: fixed
+  // work, so its wall time must be positive, finite, and repeatable
+  // within the same process to well under the stall magnitudes it
+  // exists to flag (the committed history pins the healthy band).
+  test("calibration probe is fixed-work and repeatable in-process") {
+    Bench.calibrate() // JIT
+    val a = Bench.calibrate()
+    val b = Bench.calibrate()
+    assert(a > 0.01 && b > 0.01, s"probe too fast to measure: $a, $b")
+    assert(a.isFinite && b.isFinite)
+    assert(math.max(a, b) / math.min(a, b) < 3.0,
+      s"probe not repeatable on this host right now: $a vs $b")
+  }
 }
