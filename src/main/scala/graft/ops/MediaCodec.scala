@@ -125,6 +125,75 @@ object MediaCodec {
     BmpStats(w, h, bpp, w.toLong * h, sum, firstPixel)
   }
 
+  // -- PNG / JPEG via javax.imageio -----------------------------------------
+  //
+  // The formats a real multimodal pipeline actually ingests, decoded by
+  // the JDK's own pure-Java plugins (no native deps, headless-safe).
+  // PNG is lossless: decode(encode(pattern)) returns the exact pixels,
+  // so its stats oracle-check in closed form like BMP's. JPEG is lossy:
+  // exact pixel equality is not a property the format has, so its
+  // contract is a RATED-ERROR bound (the a5_approx_sketches pattern) —
+  // encode a uniform-grey single-DCT-block image, decode, and assert
+  // the per-channel mean error within a small tolerance; the boolean is
+  // what the oracle checks.
+
+  final case class ImageStats(
+      width: Int,
+      height: Int,
+      nPixels: Long,
+      channelSum: Long,
+      firstPixel: Int)
+
+  /** Encode a grey pattern with the JDK encoder. `format` is an ImageIO
+    * informal name ("png", "jpg"); `pixel(idx)` supplies the grey value
+    * of row-major pixel `idx`, written to all three channels.
+    */
+  def encodeImageIo(format: String, w: Int, h: Int, pixel: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(y * w + x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, baos)
+    require(ok, s"encodeImageIo: no JDK writer for format '$format'")
+    baos.toByteArray
+  }
+
+  /** Decode any ImageIO-readable bitstream (PNG/JPEG/GIF/BMP…) and
+    * reduce it to exact integer stats: `channelSum` sums R+G+B over
+    * every pixel; `firstPixel` probes the top-left RED channel (all
+    * three are equal for the grey patterns this engine packs). Strict:
+    * undecodable bytes raise — quarantine upstream if lenience is
+    * wanted.
+    */
+  def decodeImageIo(bytes: Array[Byte]): ImageStats = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "decodeImageIo: not a decodable image bitstream")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val first = (img.getRGB(0, 0) >> 16) & 0xff
+    ImageStats(w, h, w.toLong * h, sum, first)
+  }
+
   // -- WAV ------------------------------------------------------------------
 
   val WavRate = 8000

@@ -137,6 +137,36 @@ object MultimodalOps {
       .toDF("media_id", "mime", "payload")
   }
 
+  /** PNG/JPEG pattern parameters — closed-form functions of doc_id so a
+    * DuckDB oracle replays the DECODED stats without parsing bytes. PNG
+    * carries a varying grey pattern (lossless ⇒ exact sums replay);
+    * JPEG is one uniform-grey 8×8 DCT block (lossy ⇒ the oracle checks
+    * a rated-error boolean, not the sum).
+    */
+  val PngWidth = 4
+  def pngHeight(docId: Long): Int = 1 + (docId % 3).toInt
+  def pngPixel(docId: Long, i: Int): Int = ((docId + i.toLong * 7) % 256).toInt
+  val JpegSide = 8
+  def jpegGrey(docId: Long): Int = (docId % 256).toInt
+
+  /** Documents → REAL PNG/JPEG bitstreams through the JDK encoder
+    * (alternating by doc_id parity). Same seam shape as
+    * [[packMediaCodec]]; deterministic patterns per doc_id.
+    */
+  def packImageIo(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        if (id % 2 == 0)
+          (id, "image/png",
+            MediaCodec.encodeImageIo("png", PngWidth, pngHeight(id), pngPixel(id, _)))
+        else
+          (id, "image/jpeg",
+            MediaCodec.encodeImageIo("jpg", JpegSide, JpegSide, _ => jpegGrey(id)))
+      }
+      .toDF("media_id", "mime", "payload")
+  }
+
   /** REAL decode through the batched mapPartitions seam: BMP and WAV
     * payloads go through [[MediaCodec]]'s actual binary parsers (header
     * fields, row padding, bottom-up pixel order, RIFF chunk walk); other
@@ -160,6 +190,10 @@ object MultimodalOps {
                 val s = MediaCodec.decodeWav(payload)
                 MediaDecoded(id, mime, None, None, Some(s.sampleRate.toLong),
                   s.nSamples, Some(s.sampleSum), Some(s.firstSample.toLong))
+              case "image/png" | "image/jpeg" =>
+                val s = MediaCodec.decodeImageIo(payload)
+                MediaDecoded(id, mime, Some(s.width.toLong), Some(s.height.toLong),
+                  None, s.nPixels, Some(s.channelSum), Some(s.firstPixel.toLong))
               case _ => // declared stub fallback (no codec for this mime)
                 MediaDecoded(id, mime, None, None, None,
                   (payload.length.toLong + frameStride - 1) / frameStride, None, None)

@@ -1418,6 +1418,28 @@ object PipelineOracles {
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), NULL, NULL
         |FROM d WHERE m = 2""".stripMargin,
 
+    // PNG rows replay exactly (lossless): sum over the (doc_id + 7i)%256
+    // grey pattern ×3 channels. JPEG rows carry NULL sums (lossy — the
+    // exact value would pin the JDK's quantization tables, not the
+    // engine) and the oracle asserts the Spark-side rated-error boolean
+    // came out TRUE.
+    "mm_imageio_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 2 AS m FROM documents),
+        |png AS (SELECT doc_id, 4 AS w, 1 + (doc_id % 3) AS h FROM d WHERE m = 0),
+        |ppx AS (SELECT doc_id, unnest(range(0, w * h)) AS i FROM png),
+        |ps AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(((doc_id + i * 7) % 256) * 3) AS BIGINT) AS unit_sum
+        |  FROM ppx GROUP BY doc_id)
+        |SELECT png.doc_id AS media_id, 'image/png' AS mime,
+        |  CAST(4 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  ps.n_units, ps.unit_sum,
+        |  CAST(png.doc_id % 256 AS BIGINT) AS first_unit, TRUE AS sum_ok
+        |FROM png JOIN ps USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, 'image/jpeg', 8, 8, 64, NULL, NULL, TRUE
+        |FROM d WHERE m = 1""".stripMargin,
+
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id, text,

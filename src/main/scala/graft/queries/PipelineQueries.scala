@@ -1019,6 +1019,34 @@ object PipelineQueries {
       MultimodalOps.decodeMedia(
         MultimodalOps.packMediaCodec(table(s, dir, "documents")))),
 
+    // real-world image formats through the SAME decode seam, with the
+    // JDK's own pure-Java codecs: PNG is lossless so its decoded stats
+    // replay exactly in closed form; JPEG is lossy so its contract is a
+    // rated-error boolean (|sum − exact| ≤ 4/channel over one uniform
+    // 8×8 DCT block — the a5 sketch-bounds pattern), which the oracle
+    // asserts TRUE. The lossy columns are nulled in the projection:
+    // hash-comparing a lossy byte-for-byte value would pin the JDK's
+    // quantization tables, not this engine.
+    "mm_imageio_decode" -> ((s, dir) => {
+      val dec = MultimodalOps.decodeMedia(
+        MultimodalOps.packImageIo(table(s, dir, "documents")))
+      val png = col("mime") === "image/png"
+      val pngExact =
+        lit(3L) * aggregate(
+          sequence(lit(0L), col("n_units") - 1L),
+          lit(0L),
+          (acc, i) => acc + (col("media_id") + i * 7L) % 256L)
+      val jpegExact = lit(3L) * col("n_units") * (col("media_id") % 256L)
+      dec.select(
+        col("media_id"), col("mime"), col("width"), col("height"),
+        col("n_units"),
+        when(png, col("unit_sum")).as("unit_sum"),
+        when(png, col("first_unit")).as("first_unit"),
+        when(png, col("unit_sum") === pngExact)
+          .otherwise(abs(col("unit_sum") - jpegExact) <= lit(12L) * col("n_units"))
+          .as("sum_ok"))
+    }),
+
     // frame sampling: one row per stride offset with a frame checksum —
     // the explode shape a real decoder's seek plan uses.
     "mm_frames" -> ((s, dir) => {

@@ -51,6 +51,37 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodec.decodeWav(nonPcm))
   }
 
+  test("PNG round-trip through javax.imageio is lossless: exact pattern stats") {
+    val w = 4; val h = 3
+    val bytes = MediaCodec.encodeImageIo("png", w, h, i => (11 + i * 7) % 256)
+    // PNG magic: proves a real bitstream came out, not a raw buffer
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val s = MediaCodec.decodeImageIo(bytes)
+    assert(s.width == w && s.height == h && s.nPixels == 12L)
+    assert(s.channelSum == 3L * (0 until 12).map(i => (11 + i * 7) % 256).sum)
+    assert(s.firstPixel == 11)
+  }
+
+  test("JPEG round-trip is lossy but bounded: uniform block decodes within tolerance") {
+    // one 8×8 DCT block of uniform grey: the hardest-to-get-wrong JPEG,
+    // which is the point — the contract is a rated error bound, not
+    // bitwise equality (lossy formats don't have that property)
+    for (v <- Seq(0, 7, 128, 200, 255)) {
+      val bytes = MediaCodec.encodeImageIo("jpg", 8, 8, _ => v)
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) // SOI marker
+      val s = MediaCodec.decodeImageIo(bytes)
+      assert(s.width == 8 && s.height == 8 && s.nPixels == 64L)
+      val exact = 3L * 64L * v
+      assert(math.abs(s.channelSum - exact) <= 4L * 3L * 64L,
+        s"grey $v: channelSum ${s.channelSum} vs exact $exact drifted past ±4/channel")
+    }
+  }
+
+  test("image decode is strict: undecodable bytes raise") {
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeImageIo("definitely not an image".getBytes("US-ASCII")))
+  }
+
   test("packMediaCodec → decodeMedia: real parsers match the closed forms") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
