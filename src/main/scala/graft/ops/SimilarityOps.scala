@@ -524,6 +524,87 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  // ─── k-center coreset (Gonzalez, "Clustering to minimize the maximum
+  //     intercluster distance", TCS 1985) ───────────────────────────────
+  //
+  // Greedy farthest-point selection: start from a deterministic seed,
+  // repeatedly add the corpus vector FARTHEST from the current center
+  // set. The selected k vectors 2-approximate the optimal k-center
+  // cover — the standard coreset / diverse-subset primitive for data
+  // curation (pick maximally-spread exemplars, budget-bounded).
+  //
+  // Execution shape at 100 TB: each of the k−1 steps is ONE corpus scan
+  // computing min-distance-to-centers against a ≤k-row broadcast
+  // literal, reduced by TakeOrderedAndProject to a SINGLE row (per-
+  // partition top-1 heaps — only numPartitions rows ever reach the
+  // driver). Selection is inherently sequential (step i's candidate
+  // depends on centers 0..i−1 — the same driver-iterated contract as
+  // Lloyd's); k is small by construction, so the chain is k−1 cheap
+  // scan+reduce jobs, never a shuffle of the corpus.
+  //
+  // Determinism: squared L2 distance via round(|x|² + |c|² − 2·x·c, dp)
+  // with vec_id tiebreak — the kmeansCentroids arithmetic contract, so
+  // the DuckDB oracle replays the whole selection chain.
+
+  /** Per-center `struct(d2, cid)` squared-distance candidates. */
+  private def d2Candidates(cs: Seq[(Long, Array[Double])], vecCol: Column,
+      roundDp: Int): Seq[Column] =
+    cs.map { case (id, c) =>
+      struct(
+        round(dot(vecCol, vecCol) + lit(sqNorm(c))
+          - lit(2.0) * dot(vecCol, typedlit(c.toSeq)), roundDp).as("d"),
+        lit(id).as("cid"))
+    }
+
+  /** The selected centers, in selection order. Seed = min vec_id. */
+  def kcenterCenters(emb: DataFrame, k: Int,
+      roundDp: Int = 6): Seq[(Long, Array[Double])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def readRow(r: org.apache.spark.sql.Row): (Long, Array[Double]) =
+      (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue).toArray)
+    val seed = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(1).collect()
+    if (seed.isEmpty) return Seq.empty // empty corpus: benign empty coreset
+    var centers = Vector(readRow(seed(0)))
+    while (centers.length < k) {
+      val next = emb
+        .select(col("vec_id"), col("embedding"),
+          array_min(array(d2Candidates(centers, col("embedding"), roundDp): _*))
+            .getField("d").as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id").asc)
+        .limit(1)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+      centers = centers :+ readRow(next(0))
+    }
+    centers
+  }
+
+  /** Corpus rows against a selected coreset: selection order for the
+    * centers themselves (−1 otherwise), nearest center, and the rounded
+    * squared distance — the per-row cover assignment downstream
+    * curation filters on (e.g. keep one exemplar per cover cell, or
+    * weight by cover radius).
+    */
+  def kcenterAssign(emb: DataFrame, centers: Seq[(Long, Array[Double])],
+      roundDp: Int = 6): DataFrame = {
+    if (centers.isEmpty)
+      return emb.select(col("vec_id"), lit(-1L).as("center_ord"),
+        lit(-1L).as("center_id"), lit(0d).as("d2")).filter(lit(false))
+    val ordExpr = centers.zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, ((id, _), i)) =>
+        when(col("vec_id") === id, lit(i.toLong)).otherwise(acc)
+      }
+    emb
+      .select(col("vec_id"),
+        ordExpr.as("center_ord"),
+        array_min(array(d2Candidates(centers, col("embedding"), roundDp): _*))
+          .as("best"))
+      .select(col("vec_id"), col("center_ord"),
+        col("best").getField("cid").as("center_id"),
+        col("best").getField("d").as("d2"))
+  }
+
   /** Embedding-cosine near-dup pairs within a bucket: same-label pairs
     * above a cosine threshold. Bucketed self-join — quadratic only within
     * cells.

@@ -646,6 +646,40 @@ object PipelineOracles {
 
     "sim_kmeans_cells" -> oracleKmeans,
 
+    // the greedy farthest-point chain replayed step by step: cents_i is
+    // cents_{i-1} plus the row maximizing min-d² against it (rounded,
+    // vec_id tiebreak — SimilarityOps.kcenterCenters' exact rule); the
+    // final select re-derives every row's cover assignment.
+    "sim_kcenter_coreset" -> {
+      val k = PipelineQueries.KcenterK
+      def d2(e: String, c: String) =
+        s"round(list_dot_product($e, $e) + list_dot_product($c, $c)" +
+          s" - 2.0 * list_dot_product($e, $c), 6)"
+      val steps = (1 until k).map { i =>
+        s"""dm$i AS (SELECT emb.vec_id, min(${d2("emb.e", s"cents${i - 1}.c")}) AS dmin
+           |  FROM emb CROSS JOIN cents${i - 1} GROUP BY emb.vec_id),
+           |pick$i AS (SELECT emb.vec_id AS cid, emb.e AS c, $i AS ord
+           |  FROM emb JOIN dm$i USING (vec_id)
+           |  ORDER BY dm$i.dmin DESC, emb.vec_id ASC LIMIT 1),
+           |cents$i AS (SELECT * FROM cents${i - 1} UNION ALL SELECT * FROM pick$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $embCte,
+         |cents0 AS (SELECT vec_id AS cid, e AS c, 0 AS ord FROM emb
+         |  WHERE vec_id = (SELECT min(vec_id) FROM emb)),
+         |$steps,
+         |asg AS (SELECT vec_id, cid, d2 FROM (
+         |  SELECT emb.vec_id, cents.cid, ${d2("emb.e", "cents.c")} AS d2,
+         |    row_number() OVER (PARTITION BY emb.vec_id
+         |      ORDER BY ${d2("emb.e", "cents.c")}, cents.cid) AS rk
+         |  FROM emb CROSS JOIN cents${k - 1} cents) WHERE rk = 1)
+         |SELECT asg.vec_id,
+         |  CAST(coalesce(cents.ord, -1) AS BIGINT) AS center_ord,
+         |  CAST(asg.cid AS BIGINT) AS center_id,
+         |  asg.d2
+         |FROM asg LEFT JOIN cents${k - 1} cents ON cents.cid = asg.vec_id""".stripMargin
+    },
+
     "sim_pq_codes" -> {
       val cols = (0 until PipelineQueries.PqM)
         .map(s => s"code_$s").mkString(", ")

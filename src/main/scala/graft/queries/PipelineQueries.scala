@@ -31,6 +31,7 @@ object PipelineQueries {
   val PqShortlist = 50
   val SpannReplicas = 3
   val TruncDim = 16
+  val KcenterK = 6
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   val HybridK = 10
@@ -800,6 +801,19 @@ object PipelineQueries {
     "sim_kmeans_cells" -> ((s, dir) =>
       SimilarityOps.kmeansCells(
         table(s, dir, "embeddings"), cachedCentroids(s, dir), 6)),
+
+    // k-center greedy coreset (Gonzalez 1985): the diverse-subset
+    // selection primitive — k maximally-spread exemplars, each step ONE
+    // corpus scan reduced to a single row by TakeOrderedAndProject.
+    // Every corpus row comes back with its cover assignment (selection
+    // order, nearest center, rounded d²), so the whole greedy chain is
+    // the oracle-checked artifact. Centers share the train-once cache.
+    "sim_kcenter_coreset" -> ((s, dir) =>
+      SimilarityOps.kcenterAssign(
+        table(s, dir, "embeddings"),
+        ModelCache.cached(s"$dir|kcenter|k=$KcenterK") {
+          SimilarityOps.kcenterCenters(table(s, dir, "embeddings"), KcenterK)
+        })),
 
     // -- SQL surface ------------------------------------------------------
     // the same engine through pure SQL: temp view + the natively-

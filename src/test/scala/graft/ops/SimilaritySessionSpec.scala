@@ -401,4 +401,31 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(SimilarityOps.semanticDedup(emb.filter(lit(false)), 2, 1, 0.9)
       .collect().isEmpty)
   }
+
+  test("k-center greedy: farthest-point order, ties by vec_id, cover assignment") {
+    // 1-D line positions 0, 1, 9, 10, 5 (padded to 4 dims). Greedy from
+    // seed vec 0 (pos 0): farthest is pos 10 (vec 3, d²=100); then min-
+    // distance-to-{0,10} maximizes at pos 5 (vec 4, d²=25); then pos 9
+    // and pos 1 tie at d²=1 → vec_id tiebreak picks vec 1 (pos 1).
+    val emb = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(9f, 0f, 0f, 0f)),
+      (3L, Array(10f, 0f, 0f, 0f)),
+      (4L, Array(5f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val centers = SimilarityOps.kcenterCenters(emb, k = 4)
+    assert(centers.map(_._1) == Seq(0L, 3L, 4L, 1L))
+    val asg = SimilarityOps.kcenterAssign(emb, centers)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // centers carry their selection order and cover themselves at d²=0
+    assert(asg(0L) == (0L, 0L, 0.0) && asg(3L) == (1L, 3L, 0.0))
+    assert(asg(4L) == (2L, 4L, 0.0) && asg(1L) == (3L, 1L, 0.0))
+    // the one non-center (pos 9) covers to the nearest center (pos 10)
+    assert(asg(2L) == (-1L, 3L, 1.0))
+    // empty corpus: benign empties on both halves
+    assert(SimilarityOps.kcenterCenters(emb.filter(lit(false)), 3).isEmpty)
+    assert(SimilarityOps.kcenterAssign(emb, Seq.empty).collect().isEmpty)
+  }
 }
