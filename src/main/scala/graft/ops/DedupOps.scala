@@ -333,6 +333,28 @@ object DedupOps {
     * Both inputs are (doc_id, shingle) tables from [[shingled]]
     * (distinct), so `count(*)` counts distinct shared shingles.
     */
+  /** Train/test leakage audit: verified near-dup pairs whose endpoints
+    * land in DIFFERENT splits — the cross-split twin of benchmark
+    * decontamination. Exact dedup before splitting removes byte copies,
+    * but hash-based split assignment happily strands two near-duplicate
+    * REWRITES on opposite sides of the train/test wall, silently
+    * inflating eval scores; this is the audit that catches it.
+    *
+    * `verified` is a (doc_a, doc_b, jaccard) relation — the LSH-candidate
+    * → Jaccard-verified pipeline's output, already bounded (never
+    * corpus²). Split labels are pure scan-side expressions of the ids
+    * ([[SampleOps.splitOf]]), so the audit adds ZERO joins and zero
+    * shuffles on top of the pair list it reads.
+    */
+  def splitLeakage(verified: DataFrame, threshold: Double): DataFrame =
+    verified
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        SampleOps.splitOf(col("doc_a")).as("split_a"),
+        SampleOps.splitOf(col("doc_b")).as("split_b"),
+        col("jaccard"))
+      .filter(col("split_a") =!= col("split_b"))
+
   def contaminationCounts(trainSh: DataFrame, benchSh: DataFrame): DataFrame =
     trainSh
       .join(benchSh.select(col("shingle")).distinct(), Seq("shingle"))

@@ -26,6 +26,16 @@ object SampleOps {
   def hashDraw(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
 
+  /** Deterministic 3-way split label for a key: the [[hashDraw]] draw
+    * against cumulative fraction thresholds. A pure scan-side expression
+    * — any query needing a row's split derives it from the key alone,
+    * never by joining a split table.
+    */
+  def splitOf(key: Column, trainFrac: Double = 0.8, valFrac: Double = 0.1): Column =
+    when(hashDraw(key) < (trainFrac * HashSpace).toLong, lit("train"))
+      .when(hashDraw(key) < ((trainFrac + valFrac) * HashSpace).toLong, lit("val"))
+      .otherwise(lit("test"))
+
   /** Keep ~`fraction` of rows, deterministically by key. */
   def hashSample(df: DataFrame, key: String, fraction: Double): DataFrame =
     df.filter(hashDraw(col(key)) < (fraction * HashSpace).toLong)

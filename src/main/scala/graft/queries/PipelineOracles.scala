@@ -502,6 +502,39 @@ object PipelineOracles {
          |JOIN cnt ca ON ca.doc_id = c.doc_a
          |JOIN cnt cb ON cb.doc_id = c.doc_b""".stripMargin,
 
+    // dedup_jaccard's replay + the split CASE over each endpoint id +
+    // the cross-split filter (wrapped one level so the aliases are
+    // referenceable).
+    "dedup_split_leakage" -> {
+      val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong
+      val t2 = (0.9 * graft.ops.SampleOps.HashSpace).toLong
+      def splitCase(idCol: String): String =
+        s"""CASE WHEN ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4))::BIGINT < $t1 THEN 'train'
+           |     WHEN ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4))::BIGINT < $t2 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.doc_a, p.doc_b, count(*) AS n_common
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.doc_a, p.doc_b),
+         |jac AS (SELECT c.doc_a, c.doc_b,
+         |    round(n_common / CAST(ca.n + cb.n - n_common AS DOUBLE), 6) AS jaccard
+         |  FROM common c
+         |  JOIN cnt ca ON ca.doc_id = c.doc_a
+         |  JOIN cnt cb ON cb.doc_id = c.doc_b),
+         |lab AS (SELECT doc_a, doc_b,
+         |    ${splitCase("doc_a")} AS split_a,
+         |    ${splitCase("doc_b")} AS split_b, jaccard
+         |  FROM jac WHERE jaccard >= ${PipelineQueries.LeakJaccard})
+         |SELECT doc_a, doc_b, split_a, split_b, jaccard
+         |FROM lab WHERE split_a <> split_b""".stripMargin
+    },
+
     "dedup_incremental" ->
       s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
          |ba AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

@@ -32,6 +32,7 @@ object PipelineQueries {
   val SpannReplicas = 3
   val TruncDim = 16
   val KcenterK = 6
+  val LeakJaccard = 0.3
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   val HybridK = 10
@@ -408,6 +409,19 @@ object PipelineQueries {
       val docsets = DedupOps.candidateShingleSets(pairs,
         table(s, dir, "documents")).cache()
       DedupOps.ngramJaccardSets(pairs, docsets)
+    }),
+
+    // cross-split leakage audit: verified near-dup pairs stranded on
+    // opposite sides of the train/val/test wall. Rides the SAME cached
+    // bands/pairs/shingle-set artifacts as dedup_jaccard (candidate
+    // generation is shared, not recomputed); split labels are scan-side
+    // expressions of the ids, so the audit itself adds zero shuffles.
+    "dedup_split_leakage" -> ((s, dir) => {
+      val pairs = DedupOps.candidatePairs(dedupBands(s, dir)).cache()
+      val docsets = DedupOps.candidateShingleSets(pairs,
+        table(s, dir, "documents")).cache()
+      DedupOps.splitLeakage(
+        DedupOps.ngramJaccardSets(pairs, docsets), LeakJaccard)
     }),
 
     // EXACT similarity self-join (prefix filtering, PPJoin-style): every
@@ -916,13 +930,9 @@ object PipelineQueries {
     // train/val/test by hash range (80/10/10) — deterministic, disjoint,
     // exhaustive, partitioning-independent; the split survives corpus
     // growth (a doc's assignment never changes as others arrive).
-    "split_assign" -> ((s, dir) => {
-      val draw = SampleOps.hashDraw(col("doc_id"))
+    "split_assign" -> ((s, dir) =>
       table(s, dir, "documents").select(col("doc_id"), col("lang"),
-        when(draw < (0.8 * SampleOps.HashSpace).toLong, "train")
-          .when(draw < (0.9 * SampleOps.HashSpace).toLong, "val")
-          .otherwise("test").as("split"))
-    }),
+        SampleOps.splitOf(col("doc_id")).as("split"))),
 
     // importance sampling: per-row keep probability = a quality proxy
     // (token count / 100, clamped) — longer docs kept preferentially,

@@ -403,4 +403,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(DedupOps.editDistancePairs(
       docs.filter(lit(false)), col("s"), col("blk"), 4).count() == 0)
   }
+
+  test("splitLeakage: threshold gate, cross-split filter, scan-side labels") {
+    import spark.implicits._
+    // find two ids per split via the same splitOf rule the operator uses
+    val labels = spark.range(0, 200)
+      .select(col("id"), SampleOps.splitOf(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val trainId = labels.collectFirst { case (i, "train") => i }.get
+    val testId = labels.collectFirst { case (i, "test") => i }.get
+    val train2 = labels.collect { case (i, "train") => i }.apply(1)
+    val verified = Seq(
+      (trainId, testId, 0.9),  // cross-split, above threshold → leaks
+      (trainId, train2, 0.9),  // same split → not leakage
+      (trainId, testId, 0.1)   // cross-split but sub-threshold → dropped
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val leaks = DedupOps.splitLeakage(verified, threshold = 0.3).collect()
+    assert(leaks.length == 1)
+    val r = leaks.head
+    assert(r.getAs[Long]("doc_a") == trainId && r.getAs[Long]("doc_b") == testId)
+    assert(r.getAs[String]("split_a") == "train" && r.getAs[String]("split_b") == "test")
+    assert(r.getAs[Double]("jaccard") == 0.9)
+  }
 }
