@@ -101,4 +101,42 @@ object RetrievalOps {
       .orderBy(col("rrf_score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** The IR evaluation triple — recall@k, MRR, nDCG@k — of an
+    * approximate ranking against exact ground truth, one row per query.
+    * Both inputs are (query_id, neighbor_id, rank) frames (any of the
+    * ANN family's top-k outputs); relevance is binary membership in the
+    * exact list, so ideal DCG is the gain sum over the exact ranks —
+    * computed IN-ENGINE through the same rounded expression as the DCG
+    * numerator, never driver-side math (ln/log2 parity contract).
+    *
+    * Determinism: per-rank gains round(1/log2(r+1), 6) accumulate in
+    * DECIMAL (exact, order-independent), the final ratios divide as
+    * doubles and round to 6dp. Scale shape: both inputs are k-bounded
+    * per query by construction, so the join and aggregate never touch
+    * corpus-sized data.
+    */
+  def rankingMetrics(exact: DataFrame, approx: DataFrame): DataFrame = {
+    def gain(r: Column): Column =
+      round(lit(1.0) / log2(r.cast("double") + lit(1.0)), 6)
+        .cast("decimal(28,12)")
+    exact.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"),
+          col("rank").as("rank_a")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("k"),
+        sum(when(col("rank_a").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        min(col("rank_a")).as("first_hit"),
+        sum(when(col("rank_a").isNotNull, gain(col("rank_a")))
+          .otherwise(lit(0).cast("decimal(28,12)"))).as("dcg"),
+        sum(gain(col("rank"))).as("idcg"))
+      .select(col("query_id"), col("n_hits"), col("k"),
+        round(col("n_hits") / col("k").cast("double"), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"),
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+          .as("ndcg"))
+  }
 }

@@ -758,6 +758,50 @@ object PipelineOracles {
          |GROUP BY ex.query_id""".stripMargin
     },
 
+    // ranked exact + ranked truncated lists, then the metric aggregate:
+    // binary relevance, gains round(1/log2(r+1),6) summed in DECIMAL,
+    // ideal DCG from the exact ranks through the SAME expression.
+    "ret_metrics_trunc" -> {
+      val d = PipelineQueries.TruncDim
+      val nq = PipelineQueries.IvfQueryCount
+      val k = PipelineQueries.IvfK
+      def ranked(name: String, src: String) =
+        s"""${name}q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM $src
+           |      WHERE vec_id < $nq),
+           |${name}s AS (SELECT ${name}q.query_id, $src.vec_id AS neighbor_id,
+           |    list_dot_product($src.e, ${name}q.qe) / ($src.nrm * ${name}q.qn) AS cos
+           |  FROM $src JOIN ${name}q ON $src.vec_id <> ${name}q.query_id),
+           |$name AS (SELECT query_id, neighbor_id, rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM ${name}s) WHERE rank <= $k)""".stripMargin
+      s"""WITH $normCte,
+         |tn AS (SELECT vec_id, label, (embedding::DOUBLE[])[1:$d] AS e,
+         |  sqrt(list_dot_product((embedding::DOUBLE[])[1:$d],
+         |                        (embedding::DOUBLE[])[1:$d])) AS nrm
+         |  FROM embeddings),
+         |${ranked("ex", "n")},
+         |${ranked("tr", "tn")},
+         |j AS (SELECT ex.query_id, ex.rank, tr.rank AS rank_a
+         |  FROM ex LEFT JOIN tr USING (query_id, neighbor_id)),
+         |g AS (SELECT query_id,
+         |    count(*) AS kk,
+         |    sum(CASE WHEN rank_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+         |    min(rank_a) AS first_hit,
+         |    sum(CASE WHEN rank_a IS NOT NULL
+         |        THEN CAST(round(1.0 / log2(rank_a + 1), 6) AS DECIMAL(28,12))
+         |        ELSE CAST(0 AS DECIMAL(28,12)) END) AS dcg,
+         |    sum(CAST(round(1.0 / log2(rank + 1), 6) AS DECIMAL(28,12))) AS idcg
+         |  FROM j GROUP BY query_id)
+         |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(kk AS BIGINT) AS k,
+         |  round(CAST(n_hits AS DOUBLE) / kk, 6) AS recall,
+         |  round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr,
+         |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+         |FROM g""".stripMargin
+    },
+
     "sim_recall_pq" -> {
       val m = PipelineQueries.PqM
       val iters = PipelineQueries.PqIters

@@ -785,6 +785,21 @@ object PipelineQueries {
             .as("recall_tables"))
     }),
 
+    // the IR evaluation triple over the truncated (Matryoshka) ranker:
+    // recall@k says WHETHER the right neighbors surface, MRR says how
+    // soon the first one does, nDCG says how well the whole order is
+    // preserved — one oracle-checked row per query, the evaluation
+    // frame any retrieval system must pass through before it replaces
+    // the exact path. Both inputs are k-bounded, so the metric join
+    // never touches corpus-sized data.
+    "ret_metrics_trunc" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < IvfQueryCount)
+      RetrievalOps.rankingMetrics(
+        SimilarityOps.bruteTopK(corpus, qs, IvfK),
+        SimilarityOps.truncatedTopK(corpus, qs, TruncDim, IvfK))
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
 

@@ -45,4 +45,35 @@ class RetrievalOpsSpec extends AnyFunSuite {
     // singles ordered by their one rank, ties by doc_id
     assert(out.map(_._1).toSeq == Seq(10L, 13L, 11L, 12L))
   }
+
+  test("rankingMetrics: hand-computed recall/MRR/nDCG, perfect and zero cases") {
+    // query 1: exact top-3 = (a,b,c); approx ranks: b@1, c@3, a missed.
+    // recall = 2/3; MRR = 1 (first hit at approx rank 1);
+    // DCG  = g(1) + g(3) = 1 + 0.5      (gains rounded at 6dp)
+    // IDCG = g(1) + g(2) + g(3) = 1 + 0.630930 + 0.5
+    val exact = Seq(
+      (1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L),
+      (2L, 200L, 1L), (2L, 201L, 2L), // query 2: approx ≡ exact → all 1.0
+      (3L, 300L, 1L)                  // query 3: approx finds nothing
+    ).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (1L, 101L, 1L), (1L, 999L, 2L), (1L, 102L, 3L),
+      (2L, 200L, 1L), (2L, 201L, 2L),
+      (3L, 999L, 1L)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val m = RetrievalOps.rankingMetrics(exact, approx)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val g2 = BigDecimal(1.0 / math.log(3) * math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble // 0.630930
+    assert(m(1L)._1 == 2L && m(1L)._2 == 3L)
+    assert(m(1L)._3 == BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(m(1L)._4 == 1.0)
+    assert(m(1L)._5 == BigDecimal(1.5 / (1.5 + g2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(m(2L) == ((2L, 2L, 1.0, 1.0, 1.0))) // perfect retrieval
+    assert(m(3L) == ((0L, 1L, 0.0, 0.0, 0.0))) // total miss
+  }
 }
