@@ -84,6 +84,31 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most-similar vectors with a DIFFERENT label — the near-miss
+    * negatives that actually move an embedding model (random negatives
+    * are trivially separable; the hard ones sit just across the class
+    * boundary). Same broadcast-scan shape as [[bruteTopK]] with the
+    * label-mismatch predicate fused into the join condition, so
+    * same-label rows never reach the scorer; at scale the anchor set is
+    * the (small) broadcast side and the corpus scans once. For tighter
+    * candidate bounds, feed a cell-restricted corpus (the IVF/LSH
+    * family) instead of the full one.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("label").as("q_label"),
+      col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val scored = corpus
+      .join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    topK(scored, k)
+  }
+
   /** IVF-style top-k: restrict each query to its coarse cell (here the
     * precomputed `label` column as the quantizer assignment). The join key
     * becomes (label), so the corpus is probed per-bucket.

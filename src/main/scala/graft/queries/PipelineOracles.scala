@@ -758,6 +758,24 @@ object PipelineOracles {
          |GROUP BY ex.query_id""".stripMargin
     },
 
+    // bruteTopK's replay with the label-mismatch predicate in the join,
+    // keeping rank and the rounded cosine.
+    "sim_hard_negatives" -> {
+      val nq = PipelineQueries.IvfQueryCount
+      val k = PipelineQueries.IvfK
+      s"""WITH $normCte,
+         |hq AS (SELECT vec_id AS query_id, label AS q_label, e AS qe, nrm AS qn
+         |  FROM n WHERE vec_id < $nq),
+         |hs AS (SELECT hq.query_id, n.vec_id AS neighbor_id,
+         |    list_dot_product(n.e, hq.qe) / (n.nrm * hq.qn) AS cos
+         |  FROM n JOIN hq ON n.vec_id <> hq.query_id AND n.label <> hq.q_label)
+         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM hs) WHERE rank <= $k""".stripMargin
+    },
+
     // ranked exact + ranked truncated lists, then the metric aggregate:
     // binary relevance, gains round(1/log2(r+1),6) summed in DECIMAL,
     // ideal DCG from the exact ranks through the SAME expression.

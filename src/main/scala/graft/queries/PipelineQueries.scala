@@ -792,6 +792,17 @@ object PipelineQueries {
     // frame any retrieval system must pass through before it replaces
     // the exact path. Both inputs are k-bounded, so the metric join
     // never touches corpus-sized data.
+    // hard-negative mining: per anchor the top-k nearest DIFFERENT-label
+    // vectors — the near-miss negatives contrastive training needs
+    // (random negatives are trivially separable). Label mismatch is
+    // fused into the broadcast join condition: same-label rows never
+    // reach the scorer.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      SimilarityOps.hardNegatives(
+        corpus, corpus.filter(col("vec_id") < IvfQueryCount), IvfK)
+    }),
+
     "ret_metrics_trunc" -> ((s, dir) => {
       val corpus = normed(s, dir)
       val qs = corpus.filter(col("vec_id") < IvfQueryCount)

@@ -402,6 +402,17 @@ class SimilaritySessionSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("hard negatives: only cross-label neighbors, similarity-ranked") {
+    val c = SimilarityOps.withNorm(vecs)
+    val negs = SimilarityOps.hardNegatives(c, c.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+    // label(0)=0; cross-label corpus = {3 (opposite), 4 (near)}: vec 4
+    // outranks vec 3, and the same-label near-twin vec 1 NEVER appears
+    assert(negs.map(_._1).toSeq == Seq(4L, 3L))
+    assert(negs.head._2 > 0.9 && negs.last._2 == -1.0)
+  }
+
   test("k-center greedy: farthest-point order, ties by vec_id, cover assignment") {
     // 1-D line positions 0, 1, 9, 10, 5 (padded to 4 dims). Greedy from
     // seed vec 0 (pos 0): farthest is pos 10 (vec 3, d²=100); then min-
