@@ -584,6 +584,29 @@ object PipelineOracles {
          |)
          |SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
 
+    // dedup_clusters' replay + the split CASE over the CLUSTER id.
+    "split_leakproof" -> {
+      val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong
+      val t2 = (0.9 * graft.ops.SampleOps.HashSpace).toLong
+      s"""WITH RECURSIVE $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+         |),
+         |cl AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT < $t1 THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT < $t2 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl""".stripMargin
+    },
+
     "dedup_simhash" -> {
       val digits = (0 until 16)
         .map(p => s"instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1 AS d$p")

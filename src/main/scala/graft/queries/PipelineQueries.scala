@@ -453,6 +453,21 @@ object PipelineQueries {
         driverMaxEdges = sys.env.get("SPARK_GRAFT_DEDUP_DRIVER_MAX_EDGES")
           .map(_.toLong).getOrElse(1L << 20))),
 
+    // the REMEDY for what dedup_split_leakage detects: split by
+    // duplicate-CLUSTER id instead of doc id, so every near-dup group
+    // lands on one side of the train/val/test wall by construction —
+    // any pair the candidate generation can see shares a cluster and
+    // therefore a split. Costs one extra scan-side hash over the
+    // cluster label on top of the clustering itself.
+    "split_leakproof" -> ((s, dir) =>
+      DedupOps.duplicateClusters(
+        table(s, dir, "documents").select("doc_id"),
+        DedupOps.candidatePairs(dedupBands(s, dir)).cache(),
+        driverMaxEdges = sys.env.get("SPARK_GRAFT_DEDUP_DRIVER_MAX_EDGES")
+          .map(_.toLong).getOrElse(1L << 20))
+        .select(col("doc_id"), col("cluster_id"),
+          SampleOps.splitOf(col("cluster_id")).as("split"))),
+
     // incremental dedup — the production daily-increment workflow: even
     // doc_ids play the already-ingested corpus, odd ones the new batch,
     // plus synthesized exact copies (re-keyed) so every status branch is
