@@ -549,6 +549,62 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  // ─── Sparse random projection (Achlioptas, "Database-friendly random
+  //     projections", JCSS 2003) ─────────────────────────────────────────
+  //
+  // The Johnson–Lindenstrauss axis of the compression family: project
+  // dim-d vectors through a FIXED sparse ±1 matrix (entries +1/−1/0
+  // with probability 1/6, 1/6, 2/3) into a much smaller space where
+  // angles are approximately preserved. Unlike PQ (trained codebooks)
+  // and Matryoshka (model-dependent prefix structure), the projection
+  // is data-INDEPENDENT: no training pass, no model state — the matrix
+  // derives deterministically from md5, so any engine regenerates it
+  // bit-identically (the LSH-hyperplane determinism story, reused).
+  //
+  // Scale shape: the projection is a pure scan-side map (outDim dot
+  // products against literal weight vectors, 2/3 of whose entries are
+  // zero); cosine in the projected space is scale-invariant, so the
+  // 1/sqrt(outDim) JL normalization is dropped.
+
+  /** The fixed sparse weight matrix: `outDim` rows of `inDim` entries in
+    * {−1, 0, +1}, entry (j,i) from md5("rp:j:i") — the same derivation
+    * an oracle replays.
+    */
+  def rpWeights(outDim: Int, inDim: Int): Seq[Seq[Int]] =
+    (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$j:$i".getBytes("UTF-8"))
+        val h4 = ((d(0) & 0xff) << 8) | (d(1) & 0xff) // first 4 hex chars
+        h4 % 6 match {
+          case 0 => 1
+          case 1 => -1
+          case _ => 0
+        }
+      }
+    }
+
+  /** Projected embeddings: one row per (vec_id, dim j, rounded value) —
+    * the exploded form hash-compares robustly across engines.
+    */
+  def randomProjectLong(emb: DataFrame, weights: Seq[Seq[Int]]): DataFrame = {
+    val dims = weights.zipWithIndex.map { case (w, j) =>
+      struct(lit(j.toLong).as("j"),
+        round(dot(col("embedding"), typedlit(w.map(_.toDouble))), 6).as("v"))
+    }
+    emb.select(col("vec_id"), explode(array(dims: _*)).as("p"))
+      .select(col("vec_id"), col("p.j").as("j"), col("p.v").as("v"))
+  }
+
+  /** The projected corpus in [[withNorm]] shape (embedding + nrm), ready
+    * for any of the top-k searchers.
+    */
+  def randomProject(emb: DataFrame, weights: Seq[Seq[Int]]): DataFrame = {
+    val proj = array(weights.map(w =>
+      round(dot(col("embedding"), typedlit(w.map(_.toDouble))), 6)): _*)
+    withNorm(emb.select(col("vec_id"), proj.as("embedding")))
+  }
+
   // ─── k-center coreset (Gonzalez, "Clustering to minimize the maximum
   //     intercluster distance", TCS 1985) ───────────────────────────────
   //

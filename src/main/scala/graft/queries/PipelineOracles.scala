@@ -182,6 +182,63 @@ object PipelineOracles {
   private lazy val oracleKmeans: String =
     s"WITH $kmeansCtes\nSELECT vec_id, cell FROM af"
 
+  /** Ranked top-k CTE (keeps rank — the metric oracles need it): `$name`
+    * = (query_id, neighbor_id, rank) over the `$src` (vec_id, e, nrm)
+    * space, IvfQueryCount queries, IvfK deep.
+    */
+  private def rankedCte(name: String, src: String): String = {
+    val nq = PipelineQueries.IvfQueryCount
+    val k = PipelineQueries.IvfK
+    s"""${name}q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM $src
+       |      WHERE vec_id < $nq),
+       |${name}s AS (SELECT ${name}q.query_id, $src.vec_id AS neighbor_id,
+       |    list_dot_product($src.e, ${name}q.qe) / ($src.nrm * ${name}q.qn) AS cos
+       |  FROM $src JOIN ${name}q ON $src.vec_id <> ${name}q.query_id),
+       |$name AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM ${name}s) WHERE rank <= $k)""".stripMargin
+  }
+
+  /** The metric aggregate over ranked CTEs `ex` (exact) and `tr`
+    * (approx): recall@k, MRR, nDCG@k — RetrievalOps.rankingMetrics'
+    * arithmetic replayed (DECIMAL gain sums, double division, 6dp).
+    */
+  private val metricsTail: String =
+    s"""j AS (SELECT ex.query_id, ex.rank, tr.rank AS rank_a
+       |  FROM ex LEFT JOIN tr USING (query_id, neighbor_id)),
+       |g AS (SELECT query_id,
+       |    count(*) AS kk,
+       |    sum(CASE WHEN rank_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+       |    min(rank_a) AS first_hit,
+       |    sum(CASE WHEN rank_a IS NOT NULL
+       |        THEN CAST(round(1.0 / log2(rank_a + 1), 6) AS DECIMAL(28,12))
+       |        ELSE CAST(0 AS DECIMAL(28,12)) END) AS dcg,
+       |    sum(CAST(round(1.0 / log2(rank + 1), 6) AS DECIMAL(28,12))) AS idcg
+       |  FROM j GROUP BY query_id)
+       |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(kk AS BIGINT) AS k,
+       |  round(CAST(n_hits AS DOUBLE) / kk, 6) AS recall,
+       |  round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr,
+       |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+       |FROM g""".stripMargin
+
+  /** The sparse-random-projection space as a (vec_id, e, nrm) CTE: the
+    * projected vector is RpDim rounded dot products against the fixed
+    * ±1 weight literals.
+    */
+  private lazy val rpCte: String = {
+    val ws = graft.ops.SimilarityOps.rpWeights(
+      PipelineQueries.RpDim, PipelineQueries.EmbDim)
+    val comps = ws.map(w =>
+      s"round(list_dot_product(embedding::DOUBLE[], ${w.mkString("[", ",", "]")}::DOUBLE[]), 6)")
+      .mkString("[", ",\n    ", "]")
+    s"""rp0 AS (SELECT vec_id, $comps AS e FROM embeddings),
+       |rp AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM rp0)"""
+      .stripMargin
+  }
+
   /** One Lloyd's CTE chain over `emb.e$sl` ($sl is a DuckDB list-slice
     * suffix, "" = the whole vector), every CTE name prefixed with `p` so
     * several chains (one per PQ subspace) coexist in one WITH. Produces
@@ -804,43 +861,38 @@ object PipelineOracles {
     // ideal DCG from the exact ranks through the SAME expression.
     "ret_metrics_trunc" -> {
       val d = PipelineQueries.TruncDim
-      val nq = PipelineQueries.IvfQueryCount
-      val k = PipelineQueries.IvfK
-      def ranked(name: String, src: String) =
-        s"""${name}q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM $src
-           |      WHERE vec_id < $nq),
-           |${name}s AS (SELECT ${name}q.query_id, $src.vec_id AS neighbor_id,
-           |    list_dot_product($src.e, ${name}q.qe) / ($src.nrm * ${name}q.qn) AS cos
-           |  FROM $src JOIN ${name}q ON $src.vec_id <> ${name}q.query_id),
-           |$name AS (SELECT query_id, neighbor_id, rank FROM (
-           |  SELECT query_id, neighbor_id,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY cos DESC, neighbor_id) AS rank
-           |  FROM ${name}s) WHERE rank <= $k)""".stripMargin
       s"""WITH $normCte,
          |tn AS (SELECT vec_id, label, (embedding::DOUBLE[])[1:$d] AS e,
          |  sqrt(list_dot_product((embedding::DOUBLE[])[1:$d],
          |                        (embedding::DOUBLE[])[1:$d])) AS nrm
          |  FROM embeddings),
-         |${ranked("ex", "n")},
-         |${ranked("tr", "tn")},
-         |j AS (SELECT ex.query_id, ex.rank, tr.rank AS rank_a
-         |  FROM ex LEFT JOIN tr USING (query_id, neighbor_id)),
-         |g AS (SELECT query_id,
-         |    count(*) AS kk,
-         |    sum(CASE WHEN rank_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
-         |    min(rank_a) AS first_hit,
-         |    sum(CASE WHEN rank_a IS NOT NULL
-         |        THEN CAST(round(1.0 / log2(rank_a + 1), 6) AS DECIMAL(28,12))
-         |        ELSE CAST(0 AS DECIMAL(28,12)) END) AS dcg,
-         |    sum(CAST(round(1.0 / log2(rank + 1), 6) AS DECIMAL(28,12))) AS idcg
-         |  FROM j GROUP BY query_id)
-         |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
-         |  CAST(kk AS BIGINT) AS k,
-         |  round(CAST(n_hits AS DOUBLE) / kk, 6) AS recall,
-         |  round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr,
-         |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
-         |FROM g""".stripMargin
+         |${rankedCte("ex", "n")},
+         |${rankedCte("tr", "tn")},
+         |$metricsTail""".stripMargin
+    },
+
+    // the same metric frame over the sparse-random-projection space; the
+    // ±1 weight matrix literals are the md5-derived constants
+    // SimilarityOps.rpWeights defines (part of the algorithm spec, like
+    // the LSH lane digests).
+    "ret_metrics_rp" -> {
+      s"""WITH $normCte,
+         |$rpCte,
+         |${rankedCte("ex", "n")},
+         |${rankedCte("tr", "rp")},
+         |$metricsTail""".stripMargin
+    },
+
+    // the projection itself, exploded to (vec_id, j, v) rows.
+    "sim_rp_project" -> {
+      val ws = graft.ops.SimilarityOps.rpWeights(
+        PipelineQueries.RpDim, PipelineQueries.EmbDim)
+      val rows = ws.zipWithIndex.map { case (w, j) =>
+        s"""SELECT vec_id, CAST($j AS BIGINT) AS j,
+           |  round(list_dot_product(e, ${w.mkString("[", ",", "]")}::DOUBLE[]), 6) AS v
+           |FROM emb""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $embCte\n$rows"
     },
 
     "sim_recall_pq" -> {

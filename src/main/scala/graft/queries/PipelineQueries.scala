@@ -33,6 +33,8 @@ object PipelineQueries {
   val TruncDim = 16
   val KcenterK = 6
   val LeakJaccard = 0.3
+  val RpDim = 8
+  val EmbDim = 64
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   val HybridK = 10
@@ -816,6 +818,29 @@ object PipelineQueries {
       val corpus = normed(s, dir)
       SimilarityOps.hardNegatives(
         corpus, corpus.filter(col("vec_id") < IvfQueryCount), IvfK)
+    }),
+
+    // sparse random projection (Achlioptas/JL): 64 dims → 8 through a
+    // fixed md5-derived ±1 matrix — data-independent compression (no
+    // training, no model state; contrast PQ's codebooks and
+    // Matryoshka's model-dependent prefixes). Exploded (vec_id, j, v)
+    // form so the projected values hash-compare robustly.
+    "sim_rp_project" -> ((s, dir) =>
+      SimilarityOps.randomProjectLong(
+        table(s, dir, "embeddings"),
+        SimilarityOps.rpWeights(RpDim, EmbDim))),
+
+    // the JL quality measurement: the full IR metric triple of the
+    // projected-space ranking vs exact — directly comparable to
+    // ret_metrics_trunc (16 informative prefix dims vs 8 random ones).
+    "ret_metrics_rp" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < IvfQueryCount)
+      val w = SimilarityOps.rpWeights(RpDim, EmbDim)
+      val rp = SimilarityOps.randomProject(table(s, dir, "embeddings"), w)
+      RetrievalOps.rankingMetrics(
+        SimilarityOps.bruteTopK(corpus, qs, IvfK),
+        SimilarityOps.bruteTopK(rp, rp.filter(col("vec_id") < IvfQueryCount), IvfK))
     }),
 
     "ret_metrics_trunc" -> ((s, dir) => {

@@ -402,6 +402,28 @@ class SimilaritySessionSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("random projection: deterministic sparse ±1 matrix, exact dot products") {
+    val w = SimilarityOps.rpWeights(4, 4)
+    assert(w == SimilarityOps.rpWeights(4, 4)) // regenerates bit-identically
+    assert(w.flatten.forall(v => v == -1 || v == 0 || v == 1))
+    assert(w.flatten.exists(_ != 0), "degenerate all-zero matrix")
+    val emb = Seq((0L, Array(1f, 2f, 3f, 4f)), (1L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.randomProjectLong(emb, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 8) // 2 vecs × 4 dims
+    // each projected component is exactly the signed sum the weights say
+    for (j <- 0 until 4) {
+      val expect = Seq(1d, 2d, 3d, 4d).zip(w(j)).map { case (x, s) => x * s }.sum
+      assert(out((0L, j.toLong)) == expect, s"dim $j")
+    }
+    // the withNorm-shaped variant carries the same values as an array
+    val proj = SimilarityOps.randomProject(emb, w)
+      .filter(col("vec_id") === 0L).select("embedding").collect()
+      .head.getSeq[Double](0)
+    assert(proj == (0 until 4).map(j => out((0L, j.toLong))))
+  }
+
   test("hard negatives: only cross-label neighbors, similarity-ranked") {
     val c = SimilarityOps.withNorm(vecs)
     val negs = SimilarityOps.hardNegatives(c, c.filter(col("vec_id") === 0), 3)
