@@ -192,6 +192,41 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingContamination stream-static join ≡ batch dedup_contamination (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch truth — the exact frame the DuckDB oracle gate hash-checks
+    val batch = graft.SparkEntry.queries("dedup_contamination")(spark, SfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated"))
+      .toMap
+
+    val allDocs = graft.etl.Ingest.table(spark, SfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    // static side: the benchmark corpus (doc_id % 10 == 0), as in batch
+    val benchSh = graft.ops.DedupOps.shingled(
+      graft.etl.Ingest.table(spark, SfDir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0))
+    val trainDocs = allDocs.filter(_._1 % 10 != 0)
+
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingContamination.contaminationCounts(
+      input.toDS().toDF("doc_id", "text"), benchSh)
+    val q = out.writeStream
+      .format("memory").queryName("equiv_contam")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      chunks(trainDocs).foreach { c => input.addData(c); q.processAllAvailable() }
+      val fin = spark.table("equiv_contam").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated"))
+        .toMap
+      assert(fin == batch, s"streaming ${fin.size} rows vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("StreamingSessions closed sessions ≡ batch sessionize stats (oracle-checked)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
