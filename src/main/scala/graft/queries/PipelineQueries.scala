@@ -95,6 +95,12 @@ object PipelineQueries {
         DsirOps.fitCounts(d, DsirOps.featureBuckets(col("toks")), col("lang") === "en"))
     }
 
+  /** The BM25 top-k list — k-bounded (Bm25K rows), CACHED so the lexical
+    * query and the hybrid fusion share one corpus scoring pass.
+    */
+  private def bm25Cached(s: SparkSession, dir: String): DataFrame =
+    RetrievalOps.bm25TopK(table(s, dir, "documents"), Bm25Terms, Bm25K).cache()
+
   private def dedupBands(s: SparkSession, dir: String): DataFrame =
     DedupOps.lshBands(
       DedupOps.minhashSignature(DedupOps.shingledAll(table(s, dir, "documents"))))
@@ -325,16 +331,16 @@ object PipelineQueries {
     // Okapi BM25 top-k: lexical retrieval, the sparse complement to the
     // ANN family. The token explode filters to the query's terms at the
     // scan — only those posting lists exist anywhere in the plan.
-    "text_bm25_topk" -> ((s, dir) =>
-      RetrievalOps.bm25TopK(table(s, dir, "documents"), Bm25Terms, Bm25K)),
+    "text_bm25_topk" -> ((s, dir) => bm25Cached(s, dir)),
 
     // Hybrid search: reciprocal rank fusion of the BM25 list and the
     // embedding-cosine list (query = vec 0, embeddings aligned to
     // doc_ids). Rank-based, so the incomparable score scales never mix;
     // both inputs are k-bounded so fusion is corpus-size-independent.
+    // The BM25 list is the cached relation text_bm25_topk materializes —
+    // one corpus scoring pass serves both queries (dedupBands precedent).
     "hybrid_rrf" -> ((s, dir) => {
-      val lex = RetrievalOps.bm25TopK(
-        table(s, dir, "documents"), Bm25Terms, Bm25K)
+      val lex = bm25Cached(s, dir)
         .select(col("doc_id"), col("rank"))
       val corpus = normed(s, dir)
       val sem = SimilarityOps.bruteTopK(
