@@ -120,10 +120,14 @@ object RetrievalOps {
     def gain(r: Column): Column =
       round(lit(1.0) / log2(r.cast("double") + lit(1.0)), 6)
         .cast("decimal(28,12)")
+    // approx is ≤ k rows per query BY CONSTRUCTION (a rank-filtered
+    // list), but that bound is invisible to the planner (it sits behind
+    // a window), so without the hint this joins sort-merge — broadcast
+    // is the only right call for a metric join over bounded lists.
     exact.select(col("query_id"), col("neighbor_id"), col("rank"))
       .join(
-        approx.select(col("query_id"), col("neighbor_id"),
-          col("rank").as("rank_a")),
+        broadcast(approx.select(col("query_id"), col("neighbor_id"),
+          col("rank").as("rank_a"))),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(

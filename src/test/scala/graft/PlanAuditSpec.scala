@@ -254,6 +254,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
   }
 
+  test("sim_rp_project is a pure scan-side map — zero exchanges, one scan") {
+    val p = plan("sim_rp_project")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 0, p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "BroadcastExchange") == 0)
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 1)
+  }
+
+  test("sim_kcenter_coreset assignment: zero joins, zero exchanges — centers are literals") {
+    val p = plan("sim_kcenter_coreset")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 0, p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("Join"))
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 1)
+  }
+
+  test("sim_hard_negatives: label mismatch fused into one broadcast join, top-k pushed down") {
+    val p = plan("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("WindowGroupLimit")) // rank<=k prunes per partition
+  }
+
+  test("ret_metrics joins stay broadcast — k-bounded inputs never sort-merge") {
+    val p = plan("ret_metrics_trunc")
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("split_assign derives the split scan-side — zero exchanges") {
+    val p = plan("split_assign")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 0)
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))
