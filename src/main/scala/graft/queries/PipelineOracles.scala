@@ -871,6 +871,46 @@ object PipelineOracles {
          |$metricsTail""".stripMargin
     },
 
+    // the metric frame over the PQ/ADC ranker: exact L2 ranked list and
+    // the ADC ranked list (both from sim_recall_pq's replay machinery),
+    // then the shared metric aggregate.
+    "ret_metrics_pq" -> {
+      val m = PipelineQueries.PqM
+      val iters = PipelineQueries.PqIters
+      val nq = PipelineQueries.IvfQueryCount
+      val k = PipelineQueries.IvfK
+      val qtabs = (0 until m).map { s =>
+        s"""qt$s AS (SELECT q.query_id, c.cell,
+           |  round(list_dot_product(c.c, c.c)
+           |        - 2.0 * list_dot_product(q.e${pqSlice(s)}, c.c), 6) AS d
+           |  FROM q CROSS JOIN p${s}c$iters c)""".stripMargin
+      }.mkString(",\n")
+      val adSum = (0 until m).map(s => s"qt$s.d").mkString(" + ")
+      val adJoins = (0 until m)
+        .map(s => s"JOIN qt$s ON qt$s.query_id = q.query_id AND qt$s.cell = pqcodes.code_$s")
+        .mkString("\n  ")
+      s"""WITH $pqCtes,
+         |q AS (SELECT vec_id AS query_id, e FROM emb WHERE vec_id < $nq),
+         |xs AS (SELECT q.query_id, emb.vec_id AS neighbor_id,
+         |  round(list_dot_product(emb.e, emb.e)
+         |        - 2.0 * list_dot_product(emb.e, q.e), 6) AS d
+         |  FROM emb JOIN q ON emb.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+         |  FROM xs) WHERE rank <= $k),
+         |$qtabs,
+         |ads AS (SELECT q.query_id, pqcodes.vec_id AS neighbor_id, $adSum AS ad
+         |  FROM pqcodes CROSS JOIN q
+         |  $adJoins
+         |  WHERE pqcodes.vec_id <> q.query_id),
+         |tr AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ad, neighbor_id) AS rank
+         |  FROM ads) WHERE rank <= $k),
+         |$metricsTail""".stripMargin
+    },
+
     // the same metric frame over the sparse-random-projection space; the
     // ±1 weight matrix literals are the md5-derived constants
     // SimilarityOps.rpWeights defines (part of the algorithm spec, like

@@ -808,6 +808,18 @@ object PipelineQueries {
             .as("recall_tables"))
     }),
 
+    // the metric triple over the PQ/ADC ranker (L2 functional) — with
+    // ret_metrics_trunc and ret_metrics_rp this puts all three
+    // compression families (trained codes, informative prefix, random
+    // projection) on one comparable evaluation frame.
+    "ret_metrics_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < IvfQueryCount)
+      RetrievalOps.rankingMetrics(
+        SimilarityOps.bruteTopKL2(emb, qs, IvfK),
+        SimilarityOps.pqTopK(emb, qs, cachedBooks(s, dir), PqSubDim, IvfK))
+    }),
+
     // the IR evaluation triple over the truncated (Matryoshka) ranker:
     // recall@k says WHETHER the right neighbors surface, MRR says how
     // soon the first one does, nDCG says how well the whole order is
