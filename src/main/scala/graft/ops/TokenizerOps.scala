@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE tokenizer-merge training (Sennrich, Haddow, Birch, "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) —
+  * the tokenizer is itself a trained artifact of the corpus, and a
+  * training-data engine should be able to produce it.
+  *
+  * The classic algorithm, re-expressed for Spark's execution model:
+  *
+  *  1. VOCAB — one corpus pass folds the token stream to the distinct
+  *     (word, count) table. At 100 TB this is the only corpus-sized
+  *     step, and it is a plain map-side-combined aggregation; every
+  *     merge iteration below runs over the VOCAB (Heaps'-law small),
+  *     never the corpus again.
+  *  2. SEQ — each word becomes its space-joined character sequence
+  *     (regexp_replace, scan-side).
+  *  3. MERGE ×T — per iteration: adjacent-pair counts weighted by word
+  *     count (one vocab-sized aggregation), argmax via
+  *     TakeOrderedAndProject to exactly ONE collected row (count DESC,
+  *     pair ASC — the deterministic tie rule), then `replace(seq, pair,
+  *     merged)` rewrites the sequences. The merge chain is inherently
+  *     sequential (merge i's counts depend on merge i−1's rewrite — the
+  *     same driver-iterated contract as Lloyd's k-means), so T bounded
+  *     driver actions is the correct shape, not a limitation.
+  *
+  * Determinism: counts are exact longs; `replace` is leftmost
+  * non-overlapping all-occurrences in both Spark and DuckDB, so the
+  * whole chain — including which pair wins each round — replays
+  * bit-for-bit in the oracle's unrolled CTEs.
+  */
+object TokenizerOps {
+
+  /** The distinct-word vocabulary with counts and char-spaced form. */
+  def vocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
+        col("cnt"))
+
+  /** The first `t` learned merges, in learning order:
+    * (merge_rank, pair, merged, pair_count). Training runs here (t
+    * bounded driver actions over the vocab); share the result through
+    * [[ModelCache]] when several queries need it.
+    */
+  def bpeMerges(docs: DataFrame, t: Int): Seq[(Long, String, String, Long)] = {
+    require(t >= 1, s"t must be >= 1, got $t")
+    var seqs = vocab(docs)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (i <- 1 to t) {
+      val top = seqs
+        .select(explode(TextOps.shingles(split(col("seq"), " "), 2)).as("pair"),
+          col("cnt"))
+        .groupBy("pair")
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) return merges.toSeq // vocab of 1-char words: done
+      val pair = top(0).getString(0)
+      val cnt = top(0).getLong(1)
+      val merged = pair.replace(" ", "")
+      merges += ((i.toLong, pair, merged, cnt))
+      seqs = seqs.select(
+        expr(s"replace(seq, '${pair.replace("'", "''")}', '${merged.replace("'", "''")}')")
+          .as("seq"),
+        col("cnt"))
+    }
+    merges.toSeq
+  }
+
+  /** A learned merge list as a DataFrame (the oracle-checked artifact). */
+  def mergeTable(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("pair", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.map { case (r, p, m, c) => Row(r, p, m, c) }, 1),
+      schema)
+  }
+}

@@ -559,6 +559,42 @@ object PipelineOracles {
          |JOIN cnt ca ON ca.doc_id = c.doc_a
          |JOIN cnt cb ON cb.doc_id = c.doc_b""".stripMargin,
 
+    // the BPE merge chain replayed step by step: per round, weighted
+    // adjacent-pair counts over the vocab sequences, the (count DESC,
+    // pair ASC) argmax, and a replace() rewrite — both engines'
+    // replace() is leftmost non-overlapping all-occurrences, so the
+    // chain (including each round's winner) replays exactly.
+    "text_bpe_merges" -> {
+      val t = PipelineQueries.BpeMergeCount
+      def pairCte(i: Int, src: String) =
+        s"""pc$i AS (SELECT tk[i] || ' ' || tk[i + 1] AS pair, sum(cnt) AS c
+           |  FROM (SELECT tk, cnt, unnest(range(1, len(tk))) AS i
+           |        FROM (SELECT string_split(seq, ' ') AS tk, cnt FROM $src))
+           |  GROUP BY pair),
+           |m$i AS (SELECT pair, c FROM pc$i ORDER BY c DESC, pair ASC LIMIT 1)"""
+          .stripMargin
+      def rewriteCte(i: Int, src: String) =
+        s"""s$i AS (SELECT replace(seq, (SELECT pair FROM m$i),
+           |  (SELECT replace(pair, ' ', '') FROM m$i)) AS seq, cnt FROM $src)"""
+          .stripMargin
+      val steps = (1 to t).map { i =>
+        val src = s"s${i - 1}"
+        if (i < t) pairCte(i, src) + ",\n" + rewriteCte(i, src)
+        else pairCte(i, src)
+      }.mkString(",\n")
+      val out = (1 to t).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS merge_rank, pair,
+           |  replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS pair_count
+           |FROM m$i""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |s0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, cnt
+         |  FROM w),
+         |$steps
+         |$out""".stripMargin
+    },
+
     // dedup_jaccard's replay + the split CASE over each endpoint id +
     // the cross-split filter (wrapped one level so the aliases are
     // referenceable).

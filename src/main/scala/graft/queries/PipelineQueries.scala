@@ -35,6 +35,7 @@ object PipelineQueries {
   val LeakJaccard = 0.3
   val RpDim = 8
   val EmbDim = 64
+  val BpeMergeCount = 6
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   val HybridK = 10
@@ -1074,6 +1075,19 @@ object PipelineQueries {
         keyCol = "doc_id", stratumCol = "lang", tokensCol = "tok",
         alpha = 0.5)
         .select("doc_id", "lang", "tok")),
+
+    // BPE tokenizer-merge training IN-ENGINE: the tokenizer is itself a
+    // trained corpus artifact. One corpus pass folds to the (word,
+    // count) vocab; each of the 6 merges is a vocab-sized aggregation +
+    // a 1-row TakeOrderedAndProject argmax; the learned merge list —
+    // including which pair wins each round under the (count DESC, pair
+    // ASC) tie rule — replays bit-for-bit in the oracle's unrolled
+    // merge CTEs. Shares the train-once cache.
+    "text_bpe_merges" -> ((s, dir) =>
+      TokenizerOps.mergeTable(s,
+        ModelCache.cached(s"$dir|bpe|t=$BpeMergeCount") {
+          TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
+        })),
 
     // DSIR importance weights: every doc scored by how en-like its
     // hashed-n-gram profile is (target = lang='en'). Fit is one
