@@ -76,6 +76,35 @@ object TokenizerOps {
     merges.toSeq
   }
 
+  /** Apply a learned merge list: per document, the word count and the
+    * subword count after segmenting every word with the merges in
+    * learning order — the compression measurement that tells you what
+    * the tokenizer actually buys on this corpus (subwords/word → 1 as
+    * merges cover it). FULLY scan-side: the merge chain is a nested
+    * literal replace() expression inside a `transform` over the doc's
+    * own token array, aggregated per row — zero shuffles, zero joins;
+    * the trained merges travel as expression literals exactly like
+    * k-means centroids do.
+    */
+  def segmentStats(docs: DataFrame,
+      merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    def applyMerges(seq: org.apache.spark.sql.Column) =
+      merges.foldLeft(seq) { case (c, (_, pair, merged, _)) =>
+        call_function("replace", c, lit(pair), lit(merged))
+      }
+    val toks = TextOps.tokens(col("text"))
+    val words = filter(toks, w => length(w) > 0)
+    docs.select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(
+        transform(words, w =>
+          size(split(applyMerges(rtrim(regexp_replace(w, "(.)", "$1 "))), " "))
+            .cast("long")),
+        lit(0L),
+        (acc, x) => acc + x).as("n_subwords"))
+  }
+
   /** A learned merge list as a DataFrame (the oracle-checked artifact). */
   def mergeTable(spark: org.apache.spark.sql.SparkSession,
       merges: Seq[(Long, String, String, Long)]): DataFrame = {

@@ -595,6 +595,47 @@ object PipelineOracles {
          |$out""".stripMargin
     },
 
+    // the merge chain replayed, then APPLIED per word: the nested
+    // replace() uses each round's winner via scalar subqueries over the
+    // m_i CTEs, so the oracle derives the tokenizer AND the
+    // segmentation from raw text alone.
+    "text_bpe_segment" -> {
+      val t = PipelineQueries.BpeMergeCount
+      def pairCte(i: Int, src: String) =
+        s"""pc$i AS (SELECT tk[i] || ' ' || tk[i + 1] AS pair, sum(cnt) AS c
+           |  FROM (SELECT tk, cnt, unnest(range(1, len(tk))) AS i
+           |        FROM (SELECT string_split(seq, ' ') AS tk, cnt FROM $src))
+           |  GROUP BY pair),
+           |m$i AS (SELECT pair, c FROM pc$i ORDER BY c DESC, pair ASC LIMIT 1)"""
+          .stripMargin
+      def rewriteCte(i: Int, src: String) =
+        s"""s$i AS (SELECT replace(seq, (SELECT pair FROM m$i),
+           |  (SELECT replace(pair, ' ', '') FROM m$i)) AS seq, cnt FROM $src)"""
+          .stripMargin
+      val steps = (1 to t).map { i =>
+        val src = s"s${i - 1}"
+        if (i < t) pairCte(i, src) + ",\n" + rewriteCte(i, src)
+        else pairCte(i, src)
+      }.mkString(",\n")
+      val applied = (1 to t).foldLeft("seq0") { (acc, i) =>
+        s"replace($acc, (SELECT pair FROM m$i), (SELECT replace(pair, ' ', '') FROM m$i))"
+      }
+      s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |s0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, cnt
+         |  FROM w),
+         |$steps,
+         |dw AS (SELECT doc_id, word,
+         |    rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq0
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE len(word) > 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(string_split($applied, ' '))) AS BIGINT) AS n_subwords
+         |FROM dw GROUP BY doc_id""".stripMargin
+    },
+
     // dedup_jaccard's replay + the split CASE over each endpoint id +
     // the cross-split filter (wrapped one level so the aliases are
     // referenceable).

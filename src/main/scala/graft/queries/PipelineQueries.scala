@@ -1089,6 +1089,18 @@ object PipelineQueries {
           TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
         })),
 
+    // the learned tokenizer APPLIED: per-doc word vs subword counts
+    // after segmenting with the trained merges — the compression the
+    // tokenizer buys, measured on the corpus that trained it. Zero
+    // shuffles: the merge chain rides as nested replace() literals
+    // inside a per-row transform/aggregate.
+    "text_bpe_segment" -> ((s, dir) =>
+      TokenizerOps.segmentStats(
+        table(s, dir, "documents"),
+        ModelCache.cached(s"$dir|bpe|t=$BpeMergeCount") {
+          TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
+        })),
+
     // DSIR importance weights: every doc scored by how en-like its
     // hashed-n-gram profile is (target = lang='en'). Fit is one
     // exploded-feature aggregate to ≤1024 rows; scoring is a zero-

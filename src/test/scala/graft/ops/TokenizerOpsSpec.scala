@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.SparkTestSession
 
 /** Hand-computed BPE chain. Corpus words: aaab ×3, ab ×1.
@@ -28,5 +29,21 @@ class TokenizerOpsSpec extends AnyFunSuite {
     // single-char words have no pairs at all
     assert(TokenizerOps.bpeMerges(
       Seq((0L, "a b c")).toDF("doc_id", "text"), 2).isEmpty)
+  }
+
+  test("segmentStats applies merges in order: aaab collapses to ONE subword") {
+    import spark.implicits._
+    val docs = Seq((0L, "aaab aaab ab"), (1L, "aaab"), (2L, "xy")).toDF("doc_id", "text")
+    val m = TokenizerOps.bpeMerges(docs.filter(col("doc_id") < 2), 3)
+    val out = TokenizerOps.segmentStats(docs, m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // merges (a a→aa, a b→ab, aa ab→aaab) fully cover both vocab words
+    assert(out(0L) == (3L, 3L) && out(1L) == (1L, 1L))
+    // an unseen word stays fully split: "x y" → 2 subwords
+    assert(out(2L) == (1L, 2L))
+    // no merges at all: every word splits to its characters
+    val raw = TokenizerOps.segmentStats(docs, Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(0L) == 10L && raw(1L) == 4L && raw(2L) == 2L)
   }
 }
