@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A logistic-regression quality classifier trained IN-ENGINE by full-
+  * batch gradient descent — the fasttext-style quality-scoring stage of
+  * a curation pipeline (score docs by P(high quality), threshold or
+  * importance-sample on the score), with the training loop itself a
+  * sequence of Spark aggregations instead of an external ML system.
+  *
+  * Execution shape: one corpus scan per GD iteration computing the
+  * gradient as d per-feature DECIMAL sums (map-side combined, one
+  * 1-row collect); the weight update happens IN-ENGINE in the same
+  * aggregation (`round(w_j − lr·mean_g_j, 6)` as result columns), so
+  * no driver float arithmetic exists anywhere — the collected row IS
+  * the new weight vector, the Lloyd's-kmeans contract. Scoring is a
+  * pure scan-side map with the trained weights as literals.
+  *
+  * Numeric contract (what makes the whole chain oracle-replayable):
+  * features, margins, probabilities, per-doc gradient contributions and
+  * weight updates all round to 6dp at each step; gradient sums
+  * accumulate in DECIMAL (exact, order-independent); the sigmoid's
+  * `exp` runs inside engine expressions on 6dp-rounded arguments (the
+  * text_lm_score ln-parity pattern).
+  */
+object ClassifierOps {
+
+  val DefaultLr = 0.5
+  val DefaultIters = 3
+
+  /** Feature vector for a doc's token array: intercept, stopword ratio,
+    * mean token length / 10 (kept O(1) so the fixed step size is sane).
+    */
+  def features(toks: Column): Seq[Column] = Seq(
+    lit(1.0),
+    TextOps.stopwordRatio(toks),
+    round(TextOps.meanTokenLength(toks) / 10.0, 6))
+
+  /** 6dp sigmoid of a 6dp margin. */
+  def sigmoid(z: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(lit(0.0) - z)), 6)
+
+  /** 6dp margin of a feature row against literal weights. */
+  def margin(w: Seq[Double], xs: Seq[Column]): Column =
+    round(xs.zip(w).map { case (x, wi) => x * lit(wi) }.reduce(_ + _), 6)
+
+  /** Guard excluding rows whose token array cannot yield features
+    * (ANSI mode: a 0/0 ratio THROWS rather than nulling, so the guard
+    * must run BELOW the feature projection — filter first, never
+    * isNotNull over the computed ratio).
+    */
+  def featurable(toks: Column): Column = toks.isNotNull && size(toks) > 0
+
+  /** Full-batch GD from zero init. `docs` must carry the columns `xs`
+    * and `label` read; rows failing `valid` are excluded from training —
+    * mirror the filter when scoring.
+    */
+  def trainLogistic(docs: DataFrame, xs: Seq[Column], label: Column,
+      valid: Column = featurable(org.apache.spark.sql.functions.col("toks")),
+      lr: Double = DefaultLr, iters: Int = DefaultIters): Seq[Double] = {
+    var w: Seq[Double] = Seq.fill(xs.length)(0.0)
+    val y = label.cast("double")
+    for (_ <- 1 to iters) {
+      val err = sigmoid(margin(w, xs)) - y
+      val gradSums = xs.zipWithIndex.map { case (x, j) =>
+        sum(round(err * x, 6).cast("decimal(28,12)")).as(s"g$j")
+      }
+      val row = docs
+        .filter(valid)
+        .agg(gradSums.head, gradSums.tail :+ count(lit(1)).as("n"): _*)
+        .select(xs.indices.map(j =>
+          round(lit(w(j)) - lit(lr) *
+            round(col(s"g$j").cast("double") / col("n"), 6), 6).as(s"w$j")): _*)
+        .head()
+      w = xs.indices.map(j => row.getDouble(j))
+    }
+    w
+  }
+
+  /** Per-row score and thresholded prediction from literal weights. */
+  def score(w: Seq[Double], xs: Seq[Column]): Column = sigmoid(margin(w, xs))
+}

@@ -559,6 +559,45 @@ object PipelineOracles {
          |JOIN cnt ca ON ca.doc_id = c.doc_a
          |JOIN cnt cb ON cb.doc_id = c.doc_b""".stripMargin,
 
+    // the GD chain replayed: per iteration, a gradient aggregate with
+    // DECIMAL sums and the in-engine weight-update formula, weights
+    // carried as 1-row CTEs; the final scoring select reuses the same
+    // 6dp sigmoid/margin arithmetic.
+    "quality_lr_score" -> {
+      val lr = graft.ops.ClassifierOps.DefaultLr
+      val iters = graft.ops.ClassifierOps.DefaultIters
+      val sig = (z: String) => s"round(1.0 / (1.0 + exp(0.0 - $z)), 6)"
+      val zExpr = (w: String) =>
+        s"round(f.x0 * $w.w0 + f.x1 * $w.w1 + f.x2 * $w.w2, 6)"
+      def gsum(xj: String) =
+        s"round(CAST(sum(CAST(round(e * $xj, 6) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)"
+      val steps = (1 to iters).map { i =>
+        s"""g$i AS (SELECT w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2,
+           |    f.x0, f.x1, f.x2,
+           |    ${sig(zExpr("w"))} - f.y AS e
+           |  FROM f CROSS JOIN w${i - 1} w),
+           |w$i AS (SELECT
+           |    round(pw0 - $lr * ${gsum("x0")}, 6) AS w0,
+           |    round(pw1 - $lr * ${gsum("x1")}, 6) AS w1,
+           |    round(pw2 - $lr * ${gsum("x2")}, 6) AS w2
+           |  FROM g$i GROUP BY pw0, pw1, pw2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT doc_id, lang,
+         |    1.0 AS x0,
+         |    round(CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS x1,
+         |    round(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) / 10.0, 6) AS x2,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         |$steps
+         |SELECT f.doc_id,
+         |  ${sig(zExpr("w"))} AS score,
+         |  ${sig(zExpr("w"))} >= 0.5 AS pred,
+         |  f.lang = 'en' AS label
+         |FROM f CROSS JOIN w$iters w""".stripMargin
+    },
+
     // the BPE merge chain replayed step by step: per round, weighted
     // adjacent-pair counts over the vocab sequences, the (count DESC,
     // pair ASC) argmax, and a replace() rewrite — both engines'

@@ -1076,6 +1076,26 @@ object PipelineQueries {
         alpha = 0.5)
         .select("doc_id", "lang", "tok")),
 
+    // logistic-regression quality classifier trained IN-ENGINE (full-
+    // batch GD, one corpus aggregation per iteration, weight updates
+    // computed in-engine — no driver float math anywhere) and applied
+    // as a scan-side scorer. The oracle replays training AND scoring
+    // from raw text: unrolled gradient CTEs with DECIMAL sums and the
+    // same 6dp sigmoid/margin arithmetic. Weights share the train-once
+    // cache.
+    "quality_lr_score" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      val xs = ClassifierOps.features(col("toks"))
+      val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
+        ClassifierOps.trainLogistic(d, xs, col("lang") === "en")
+      }
+      d.filter(ClassifierOps.featurable(col("toks")))
+        .select(col("doc_id"),
+          ClassifierOps.score(w, xs).as("score"),
+          (ClassifierOps.score(w, xs) >= 0.5).as("pred"),
+          (col("lang") === "en").as("label"))
+    }),
+
     // BPE tokenizer-merge training IN-ENGINE: the tokenizer is itself a
     // trained corpus artifact. One corpus pass folds to the (word,
     // count) vocab; each of the 6 merges is a vocab-sized aggregation +
