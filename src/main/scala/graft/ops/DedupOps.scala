@@ -435,6 +435,30 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
           .as("jaccard"))
 
+  /** Asymmetric containment over candidate pairs: |A∩B|/|A| and
+    * |A∩B|/|B| alongside Jaccard. Jaccard misses the subset case a
+    * curation pipeline cares about — a short doc quoted WHOLE inside a
+    * long one scores low Jaccard (the union is big) but containment ≈ 1
+    * on the short side; that is the quote/extraction-dup signal.
+    * Same bounded shape as [[ngramJaccardSets]]: candidate-pair list ×
+    * pre-aggregated shingle-set arrays, in-row intersect.
+    */
+  def ngramContainmentSets(pairs: DataFrame, docsets: DataFrame): DataFrame =
+    pairs
+      .join(docsets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+        Seq("doc_a"))
+      .join(docsets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),
+        size(col("set_a")).as("n_a"), size(col("set_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common") / col("n_a").cast("double"), 6).as("containment_a"),
+        round(col("n_common") / col("n_b").cast("double"), 6).as("containment_b"),
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+
   /** EXACT set-similarity self-join via prefix filtering (PPJoin-style):
     * every pair with Jaccard ≥ `threshold`, no false negatives — the
     * exact counterpart to the MinHash/LSH candidate path (which misses

@@ -675,6 +675,34 @@ object PipelineOracles {
          |FROM dw GROUP BY doc_id""".stripMargin
     },
 
+    // dedup_jaccard's replay with both asymmetric denominators.
+    "dedup_containment" ->
+      s"""WITH $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.doc_a, p.doc_b, count(*) AS n_common
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(n_common / CAST(ca.n AS DOUBLE), 6) AS containment_a,
+         |  round(n_common / CAST(cb.n AS DOUBLE), 6) AS containment_b,
+         |  round(n_common / CAST(ca.n + cb.n - n_common AS DOUBLE), 6) AS jaccard
+         |FROM common c
+         |JOIN cnt ca ON ca.doc_id = c.doc_a
+         |JOIN cnt cb ON cb.doc_id = c.doc_b""".stripMargin,
+
+    "sample_topk_stratum" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT ASC,
+        |               doc_id ASC) AS BIGINT) AS rk
+        |  FROM documents) WHERE rk <= 20""".stripMargin,
+
     // dedup_jaccard's replay + the split CASE over each endpoint id +
     // the cross-split filter (wrapped one level so the aliases are
     // referenceable).

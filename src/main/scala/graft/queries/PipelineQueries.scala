@@ -420,6 +420,32 @@ object PipelineQueries {
       DedupOps.ngramJaccardSets(pairs, docsets)
     }),
 
+    // asymmetric containment: the quote/subset-dup signal Jaccard
+    // misses (a short doc quoted whole inside a long one unions big →
+    // low Jaccard, but containment ≈ 1 on the short side). Rides the
+    // same cached candidate artifacts as dedup_jaccard.
+    "dedup_containment" -> ((s, dir) => {
+      val pairs = DedupOps.candidatePairs(dedupBands(s, dir)).cache()
+      val docsets = DedupOps.candidateShingleSets(pairs,
+        table(s, dir, "documents")).cache()
+      DedupOps.ngramContainmentSets(pairs, docsets)
+    }),
+
+    // deterministic fixed-size uniform sample per stratum: the k
+    // smallest hash draws per language — "give me 20 random docs per
+    // lang, stably across reruns and engines". One shuffle on the
+    // stratum key; rank<=k compiles to WindowGroupLimit so the
+    // per-partition heaps prune before the exchange.
+    "sample_topk_stratum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(SampleOps.hashDraw(col("doc_id")).asc, col("doc_id").asc)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+    }),
+
     // cross-split leakage audit: verified near-dup pairs stranded on
     // opposite sides of the train/val/test wall. Rides the SAME cached
     // bands/pairs/shingle-set artifacts as dedup_jaccard (candidate
