@@ -903,6 +903,25 @@ object PipelineOracles {
 
     "sim_kmeans_cells" -> oracleKmeans,
 
+    // the Lloyd's chain trained over the EXISTING (even-id) half only —
+    // `emb` here IS the training subset — then every vector (old and
+    // new) assigned against the frozen final centroids.
+    "sim_ivf_append" -> {
+      val k = PipelineQueries.KmeansK
+      val iters = PipelineQueries.KmeansIters
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |${kmeansChain("", "", k, iters)},
+         |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT vec_id, cell, vec_id % 2 = 1 AS is_new FROM (
+         |  SELECT allv.vec_id, c$iters.cell,
+         |    row_number() OVER (PARTITION BY allv.vec_id
+         |      ORDER BY round(list_dot_product(c$iters.c, c$iters.c)
+         |                     - 2.0 * list_dot_product(allv.e, c$iters.c), 6),
+         |               c$iters.cell) AS rk
+         |  FROM allv CROSS JOIN c$iters) WHERE rk = 1""".stripMargin
+    },
+
     // the greedy farthest-point chain replayed step by step: cents_i is
     // cents_{i-1} plus the row maximizing min-d² against it (rounded,
     // vec_id tiebreak — SimilarityOps.kcenterCenters' exact rule); the

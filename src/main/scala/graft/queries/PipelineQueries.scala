@@ -927,6 +927,23 @@ object PipelineQueries {
       SimilarityOps.kmeansCells(
         table(s, dir, "embeddings"), cachedCentroids(s, dir), 6)),
 
+    // incremental index maintenance — the production daily-append: the
+    // quantizer was trained on the EXISTING corpus (even vec_ids); the
+    // new batch (odd vec_ids) is assigned to those frozen cells without
+    // retraining — a pure scan-side argmin against the cached centroid
+    // literals. The vector twin of dedup_incremental's probe-stored-
+    // indexes story.
+    "sim_ivf_append" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = ModelCache.cached(
+        s"$dir|kmeans-existing|k=$KmeansK,iters=$KmeansIters") {
+        SimilarityOps.kmeansCentroids(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), KmeansK, KmeansIters)
+      }
+      SimilarityOps.kmeansCells(emb, cents, 6)
+        .withColumn("is_new", pmod(col("vec_id"), lit(2)) === 1)
+    }),
+
     // k-center greedy coreset (Gonzalez 1985): the diverse-subset
     // selection primitive — k maximally-spread exemplars, each step ONE
     // corpus scan reduced to a single row by TakeOrderedAndProject.
