@@ -1773,6 +1773,15 @@ object PipelineOracles {
         |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
         |LEFT JOIN f3 USING (user_id)""".stripMargin,
 
+    "cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, act.d) AS BIGINT) AS days_since,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN c USING (user_id)
+        |GROUP BY c.cohort_day, days_since""".stripMargin,
+
     "sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
          |x AS (SELECT user_id, ts_us, event_id,

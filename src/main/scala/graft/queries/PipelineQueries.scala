@@ -1186,6 +1186,23 @@ object PipelineQueries {
       DsirOps.select(docsTok(s, dir), col("toks"), "doc_id",
         cachedDsirModel(s, dir), k = 100, DsirOps.DefaultDim)),
 
+    // cohort retention — the product-analytics matrix next to funnel
+    // and sessionization: users bucketed by first-activity day, one row
+    // per (cohort_day, days_since) with the distinct-user count. The
+    // (user, day) distinct collapses events first (the big reduction),
+    // the per-user cohort derives from it, and the join back is
+    // co-partitioned on user_id so AQE reuses the exchange.
+    "cohort_retention" -> ((s, dir) => {
+      val act = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohort = act.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      act.join(cohort, Seq("user_id"))
+        .select(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("days_since"))
+        .groupBy("cohort_day", "days_since")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // -- sessionization ---------------------------------------------------
     "sessionize" -> ((s, dir) =>
       SessionOps.sessionStats(eventsUs(s, dir))),
