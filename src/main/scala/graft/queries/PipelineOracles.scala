@@ -1773,6 +1773,21 @@ object PipelineOracles {
         |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
         |LEFT JOIN f3 USING (user_id)""".stripMargin,
 
+    "path_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |x AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC) AS next_type
+        |  FROM e),
+        |m AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM x WHERE next_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM m""".stripMargin,
+
     "cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |c AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id)

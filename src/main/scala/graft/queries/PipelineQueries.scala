@@ -1203,6 +1203,30 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // event-path transition matrix (first-order Markov): per user the
+    // time-ordered event stream, counted over adjacent (from → to)
+    // pairs, plus each from-state's outgoing total so the transition
+    // probability is oracle-checked too. ONE shuffle (user_id window);
+    // the from-state totals derive FROM the pair counts (window sum
+    // over the tiny matrix), never a second corpus pass.
+    "path_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      val pairs = table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+      pairs
+        .withColumn("from_total", sum(col("n")).over(wt))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("from_total").cast("double"), 6).as("p"))
+    }),
+
     // -- sessionization ---------------------------------------------------
     "sessionize" -> ((s, dir) =>
       SessionOps.sessionStats(eventsUs(s, dir))),
