@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge relations — the family next to the
+  * connected components [[DedupOps.duplicateClusters]] already runs for
+  * dup-cluster resolution.
+  *
+  * PageRank by power iteration, the canonical distributed-graph
+  * workload: each iteration is ONE edges⋈ranks equi-join on the source
+  * id plus a destination-keyed aggregation — both shuffles partition on
+  * node ids, so at 100 TB the edge relation co-partitions once and
+  * every iteration reuses that layout (the ranks side is node-sized,
+  * orders of magnitude smaller). No driver state beyond the iteration
+  * count; the rank vector never leaves the executors.
+  *
+  * Numeric contract (oracle-replayable like every trained artifact
+  * here): per-edge contributions round(r/outdeg, 6) accumulate in
+  * DECIMAL, the damped update round((1−d)/N + d·sum, 6) — all
+  * in-engine arithmetic on 6dp-rounded doubles.
+  */
+object GraphOps {
+
+  val DefaultDamping = 0.85
+  val DefaultIters = 3
+
+  /** PageRank over an undirected edge list (a, b) — each edge feeds
+    * both directions. Returns (node, rank) for every edge endpoint
+    * after `iters` damped power iterations from the uniform vector.
+    */
+  def pagerank(edges: DataFrame, aCol: String, bCol: String,
+      damping: Double = DefaultDamping, iters: Int = DefaultIters): DataFrame = {
+    val directed = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val nodes = directed.select(col("src").as("node")).distinct().cache()
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val outdeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val g = directed.join(outdeg, Seq("src")).cache()
+    // uniform init — round like every later iterate so iteration 1
+    // reads the same start vector the oracle derives
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), round(lit(1.0) / col("n_nodes"), 6).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = g
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("rank") / col("outdeg").cast("double"), 6)
+            .cast("decimal(28,12)").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("s"))
+      ranks = contribs.crossJoin(broadcast(nDf))
+        .select(col("node"),
+          round(lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * col("s").cast("double"), 6).as("rank"))
+    }
+    ranks
+  }
+}

@@ -785,6 +785,37 @@ object PipelineOracles {
          |)
          |SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
 
+    // the power-iteration chain over the LSH candidate graph, unrolled:
+    // contributions round(r/outdeg,6) sum in DECIMAL, damped update
+    // round((1-d)/N + d*sum, 6) — GraphOps.pagerank's exact arithmetic.
+    "graph_pagerank" -> {
+      val d = graft.ops.GraphOps.DefaultDamping
+      val iters = graft.ops.GraphOps.DefaultIters
+      val steps = (1 to iters).map { i =>
+        s"""r$i AS (SELECT dd.dst AS node,
+           |    round((1.0 - $d) / (SELECT n FROM nn) +
+           |      $d * CAST(sum(CAST(round(r.rank / od.outdeg, 6)
+           |        AS DECIMAL(28,12))) AS DOUBLE), 6) AS rank
+           |  FROM directed dd
+           |  JOIN od ON od.src = dd.src
+           |  JOIN r${i - 1} r ON r.node = dd.src
+           |  GROUP BY dd.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |directed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |             UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM directed),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS outdeg FROM directed GROUP BY src),
+         |r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 6) AS rank
+         |  FROM nodes),
+         |$steps
+         |SELECT node, rank FROM r$iters""".stripMargin
+    },
+
     // dedup_clusters' replay + the split CASE over the CLUSTER id.
     "split_leakproof" -> {
       val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong

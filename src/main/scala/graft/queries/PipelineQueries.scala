@@ -488,6 +488,15 @@ object PipelineQueries {
         driverMaxEdges = sys.env.get("SPARK_GRAFT_DEDUP_DRIVER_MAX_EDGES")
           .map(_.toLong).getOrElse(1L << 20))),
 
+    // PageRank over the duplicate graph — which documents sit at the
+    // CENTER of duplication clusters (high-rank nodes are the hubs
+    // worth keeping/canonicalizing). Each power iteration is one
+    // edges⋈ranks join + a node-keyed aggregation, both partitioned on
+    // node ids; the rank vector never leaves the executors.
+    "graph_pagerank" -> ((s, dir) =>
+      GraphOps.pagerank(
+        DedupOps.candidatePairs(dedupBands(s, dir)).cache(), "doc_a", "doc_b")),
+
     // the REMEDY for what dedup_split_leakage detects: split by
     // duplicate-CLUSTER id instead of doc id, so every near-dup group
     // lands on one side of the train/val/test wall by construction —
