@@ -239,6 +239,42 @@ object PipelineOracles {
       .stripMargin
   }
 
+  /** The logistic-regression GD chain (features `f`, weights `w0…wT`) —
+    * shared by the score / uncertainty / calibration oracles.
+    */
+  private lazy val lrChainCtes: String = {
+    val lr = graft.ops.ClassifierOps.DefaultLr
+    val iters = graft.ops.ClassifierOps.DefaultIters
+    def gsum(xj: String) =
+      s"round(CAST(sum(CAST(round(e * $xj, 6) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)"
+    val steps = (1 to iters).map { i =>
+      s"""g$i AS (SELECT w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2,
+         |    f.x0, f.x1, f.x2,
+         |    round(1.0 / (1.0 + exp(0.0 - round(f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2, 6))), 6) - f.y AS e
+         |  FROM f CROSS JOIN w${i - 1} w),
+         |w$i AS (SELECT
+         |    round(pw0 - $lr * ${gsum("x0")}, 6) AS w0,
+         |    round(pw1 - $lr * ${gsum("x1")}, 6) AS w1,
+         |    round(pw2 - $lr * ${gsum("x2")}, 6) AS w2
+         |  FROM g$i GROUP BY pw0, pw1, pw2)""".stripMargin
+    }.mkString(",\n")
+    s"""f AS (SELECT doc_id, lang,
+       |    1.0 AS x0,
+       |    round(CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS x1,
+       |    round(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) / 10.0, 6) AS x2,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+       |$steps""".stripMargin
+  }
+
+  /** The 6dp sigmoid of the 6dp margin against the final weights CTE
+    * alias `w` — the scoring expression all three LR oracles share.
+    */
+  private val lrScoreExpr: String =
+    "round(1.0 / (1.0 + exp(0.0 - round(f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2, 6))), 6)"
+
   /** One Lloyd's CTE chain over `emb.e$sl` ($sl is a DuckDB list-slice
     * suffix, "" = the whole vector), every CTE name prefixed with `p` so
     * several chains (one per PQ subspace) coexist in one WITH. Produces
@@ -563,39 +599,46 @@ object PipelineOracles {
     // DECIMAL sums and the in-engine weight-update formula, weights
     // carried as 1-row CTEs; the final scoring select reuses the same
     // 6dp sigmoid/margin arithmetic.
-    "quality_lr_score" -> {
-      val lr = graft.ops.ClassifierOps.DefaultLr
-      val iters = graft.ops.ClassifierOps.DefaultIters
-      val sig = (z: String) => s"round(1.0 / (1.0 + exp(0.0 - $z)), 6)"
-      val zExpr = (w: String) =>
-        s"round(f.x0 * $w.w0 + f.x1 * $w.w1 + f.x2 * $w.w2, 6)"
-      def gsum(xj: String) =
-        s"round(CAST(sum(CAST(round(e * $xj, 6) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)"
-      val steps = (1 to iters).map { i =>
-        s"""g$i AS (SELECT w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2,
-           |    f.x0, f.x1, f.x2,
-           |    ${sig(zExpr("w"))} - f.y AS e
-           |  FROM f CROSS JOIN w${i - 1} w),
-           |w$i AS (SELECT
-           |    round(pw0 - $lr * ${gsum("x0")}, 6) AS w0,
-           |    round(pw1 - $lr * ${gsum("x1")}, 6) AS w1,
-           |    round(pw2 - $lr * ${gsum("x2")}, 6) AS w2
-           |  FROM g$i GROUP BY pw0, pw1, pw2)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH f AS (SELECT doc_id, lang,
-         |    1.0 AS x0,
-         |    round(CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS x1,
-         |    round(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) / 10.0, 6) AS x2,
-         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-         |  WHERE len(toks) > 0),
-         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
-         |$steps
+    "quality_lr_score" ->
+      s"""WITH $lrChainCtes
          |SELECT f.doc_id,
-         |  ${sig(zExpr("w"))} AS score,
-         |  ${sig(zExpr("w"))} >= 0.5 AS pred,
+         |  $lrScoreExpr AS score,
+         |  $lrScoreExpr >= 0.5 AS pred,
          |  f.lang = 'en' AS label
-         |FROM f CROSS JOIN w$iters w""".stripMargin
+         |FROM f CROSS JOIN w${graft.ops.ClassifierOps.DefaultIters} w""".stripMargin,
+
+    // the trained scorer's |score−0.5| bottom-k (active learning's
+    // label-next set), replayed over the same chain.
+    "sample_uncertainty" -> {
+      val iters = graft.ops.ClassifierOps.DefaultIters
+      s"""WITH $lrChainCtes
+         |SELECT doc_id, score, margin FROM (
+         |  SELECT f.doc_id, $lrScoreExpr AS score,
+         |    round(abs($lrScoreExpr - 0.5), 6) AS margin
+         |  FROM f CROSS JOIN w$iters w)
+         |ORDER BY margin ASC, doc_id ASC LIMIT 25""".stripMargin
+    },
+
+    // observed-range reliability diagram over the same chain: DECIMAL
+    // score sums so bin means are order-independent.
+    "quality_lr_calibration" -> {
+      val iters = graft.ops.ClassifierOps.DefaultIters
+      s"""WITH $lrChainCtes,
+         |sc AS (SELECT f.doc_id, $lrScoreExpr AS score, CAST(f.y AS BIGINT) AS yy
+         |  FROM f CROSS JOIN w$iters w),
+         |rg AS (SELECT min(score) AS mn, max(score) AS mx FROM sc),
+         |b AS (SELECT
+         |    CAST(CASE WHEN rg.mx > rg.mn THEN
+         |      least(floor(round((sc.score - rg.mn) / (rg.mx - rg.mn), 6) * 10), 9.0)
+         |      ELSE 0.0 END AS BIGINT) AS bin,
+         |    sc.score, sc.yy
+         |  FROM sc CROSS JOIN rg)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         |    AS mean_score,
+         |  round(CAST(sum(yy) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+         |    AS frac_positive
+         |FROM b GROUP BY bin""".stripMargin
     },
 
     // the BPE merge chain replayed step by step: per round, weighted

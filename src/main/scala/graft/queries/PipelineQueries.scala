@@ -1148,6 +1148,54 @@ object PipelineQueries {
           (col("lang") === "en").as("label"))
     }),
 
+    // active learning's query step: the k most UNCERTAIN docs under the
+    // trained classifier (|score − 0.5| smallest) — the rows a labeling
+    // budget should go to next. TakeOrderedAndProject: only k rows
+    // leave the executors.
+    "sample_uncertainty" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      val xs = ClassifierOps.features(col("toks"))
+      val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
+        ClassifierOps.trainLogistic(d, xs, col("lang") === "en")
+      }
+      d.filter(ClassifierOps.featurable(col("toks")))
+        .select(col("doc_id"),
+          ClassifierOps.score(w, xs).as("score"),
+          round(abs(ClassifierOps.score(w, xs) - 0.5), 6).as("margin"))
+        .orderBy(col("margin").asc, col("doc_id").asc)
+        .limit(25)
+    }),
+
+    // the classifier's reliability diagram: scores binned into 10 equal
+    // slices of the OBSERVED score range (min/max travel as a broadcast
+    // 1-row dim — no global sort, unlike rank deciles) vs the actual
+    // positive rate per bin — calibration is what decides whether a
+    // score can gate a curation threshold.
+    "quality_lr_calibration" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      val xs = ClassifierOps.features(col("toks"))
+      val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
+        ClassifierOps.trainLogistic(d, xs, col("lang") === "en")
+      }
+      val scored = d.filter(ClassifierOps.featurable(col("toks")))
+        .select(ClassifierOps.score(w, xs).as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val range = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      scored.crossJoin(broadcast(range))
+        .select(
+          when(col("mx") > col("mn"),
+            least(floor(round((col("score") - col("mn")) /
+              (col("mx") - col("mn")), 6) * 10), lit(9.0)))
+            .otherwise(lit(0.0)).cast("long").as("bin"),
+          col("score"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("score").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("mean_score"),
+          round(sum(col("y")) / count(lit(1)).cast("double"), 6)
+            .as("frac_positive"))
+    }),
+
     // BPE tokenizer-merge training IN-ENGINE: the tokenizer is itself a
     // trained corpus artifact. One corpus pass folds to the (word,
     // count) vocab; each of the 6 merges is a vocab-sized aggregation +
