@@ -127,4 +127,32 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(sets.count() == 0)
     assert(DedupOps.ngramJaccardSets(noPairs, sets).count() == 0)
   }
+
+  test("round-7 operators survive zero-row inputs") {
+    val noDocs2 = noDocs
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noPairs = Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    // k-center: empty centers from an empty corpus, empty assignment
+    assert(SimilarityOps.kcenterCenters(noVecs, 3).isEmpty)
+    // random projection over zero rows: zero exploded rows
+    val w = SimilarityOps.rpWeights(2, 4)
+    assert(SimilarityOps.randomProjectLong(noVecs, w).count() == 0)
+    // leakage audit over an empty verified-pair list
+    assert(DedupOps.splitLeakage(noPairs, 0.3).count() == 0)
+    // containment over empty pairs/sets
+    assert(DedupOps.ngramContainmentSets(
+      noPairs.select(col("doc_a"), col("doc_b")),
+      DedupOps.candidateShingleSets(
+        noPairs.select(col("doc_a"), col("doc_b")), noDocs2)).count() == 0)
+    // BPE: no words → no merges; segmentation of nothing is nothing
+    assert(TokenizerOps.bpeMerges(noDocs2, 3).isEmpty)
+    assert(TokenizerOps.segmentStats(noDocs2, Seq.empty).count() == 0)
+    // pagerank over an empty edge list: empty ranks, no division error
+    assert(GraphOps.pagerank(noPairs.select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b").count() == 0)
+    // metric frame over empty ranked lists
+    val noRanked = Seq.empty[(Long, Long, Long)]
+      .toDF("query_id", "neighbor_id", "rank")
+    assert(RetrievalOps.rankingMetrics(noRanked, noRanked).count() == 0)
+  }
 }
