@@ -1729,6 +1729,57 @@ object PipelineOracles {
         |SELECT doc_id, lang, tok FROM t JOIN fr USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < thr""".stripMargin,
 
+    // every stage's individual replay, composed: gopher stats → keep →
+    // md5 canonical → bench-shingle anti-join → prefixed bands over the
+    // CLEAN survivors → recursive min-label clusters → split CASE over
+    // the cluster id → accounting.
+    "pipeline_full" -> {
+      val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong
+      val t2 = (0.9 * graft.ops.SampleOps.HashSpace).toLong
+      s"""WITH RECURSIVE
+         |q AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |st AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n,
+         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS mlen,
+         |  round(CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS stopr,
+         |  round(CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS dr,
+         |  round(CAST(list_max(list_transform(list_distinct(toks), t2 -> len(list_filter(toks, x -> x = t2)))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS tshare
+         |  FROM q),
+         |qa AS (SELECT q.* FROM q JOIN st USING (doc_id)
+         |  WHERE st.n >= 20 AND st.n <= 90 AND st.mlen >= 4.0 AND st.mlen <= 5.0
+         |    AND st.stopr >= 0.03 AND st.dr >= 0.4 AND st.tshare <= 0.12),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM qa GROUP BY md5(text)),
+         |dd AS (SELECT qa.* FROM qa JOIN canon USING (doc_id)),
+         |${shinglesFor("(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)", "b")},
+         |${shinglesFor("dd", "d")},
+         |contam AS (SELECT DISTINCT dsh.doc_id
+         |  FROM dsh JOIN (SELECT DISTINCT shingle FROM bsh) bs USING (shingle)),
+         |clean AS (SELECT * FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |${shinglesFor("clean", "c")},
+         |${bandsFor("c")},
+         |cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cbands a JOIN cbands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM cpairs),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM clean
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+         |),
+         |cl AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT
+         |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT < $t1 THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT < $t2 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  clean.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(clean.toks)) AS BIGINT) AS n_tokens
+         |FROM clean JOIN cl USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     "pipeline_curate" -> {
       val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong
       val t2 = (0.9 * graft.ops.SampleOps.HashSpace).toLong

@@ -1063,6 +1063,44 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
     }),
 
+    // THE WHOLE PREPROCESSING DAG AS ONE PLAN: Gopher quality gate →
+    // exact dedup → benchmark decontamination → duplicate-cluster
+    // leak-proof split → per-(split, lang) accounting. Every stage is
+    // an operator this engine ships individually and oracle-checks
+    // individually; this query proves they COMPOSE — one declarative
+    // plan Catalyst optimizes end-to-end, the shape a real 100 TB
+    // curation run has. Corpus-sized data crosses a shuffle only for
+    // the dedup hash, the shingle semi-joins, and the final accounting;
+    // the bench gram set and the cluster labels are the small sides.
+    "pipeline_full" -> ((s, dir) => {
+      val all = table(s, dir, "documents")
+      val isBench = pmod(col("doc_id"), lit(10)) === 0
+      val bench = all.filter(isBench)
+      val quality = all.filter(!isBench)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(TextOps.gopherRules(col("toks")).getField("keep"))
+      val canonical = quality
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = quality.join(canonical, Seq("doc_id"), "left_semi")
+      val benchSh = DedupOps.shingled(bench).select("shingle").distinct()
+      val contaminated = DedupOps.shingledAll(deduped)
+        .join(benchSh, Seq("shingle"))
+        .select("doc_id").distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti").cache()
+      val pairs = DedupOps.candidatePairs(DedupOps.lshBands(
+        DedupOps.minhashSignature(DedupOps.shingledAll(clean))))
+      val clusters = DedupOps.duplicateClusters(
+        clean.select("doc_id"), pairs, driverMaxEdges = 1L << 20)
+      clean.join(clusters, Seq("doc_id"))
+        .select(col("lang"),
+          SampleOps.splitOf(col("cluster_id")).as("split"),
+          size(col("toks")).cast("long").as("tok"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    }),
+
     // dataset split assignment: every doc lands in exactly one of
     // train/val/test by hash range (80/10/10) — deterministic, disjoint,
     // exhaustive, partitioning-independent; the split survives corpus
