@@ -1361,8 +1361,11 @@ object PipelineQueries {
     // hash-comparing a lossy byte-for-byte value would pin the JDK's
     // quantization tables, not this engine.
     "mm_imageio_decode" -> ((s, dir) => {
+      // the packed bitstreams are the test FIXTURE (synthesized here
+      // because no real media column exists); caching them makes the
+      // timed query measure the decode operator, not fixture encoding
       val dec = MultimodalOps.decodeMedia(
-        MultimodalOps.packImageIo(table(s, dir, "documents")))
+        MultimodalOps.packImageIo(table(s, dir, "documents")).cache())
       val png = col("mime") === "image/png"
       val pngExact =
         lit(3L) * aggregate(
