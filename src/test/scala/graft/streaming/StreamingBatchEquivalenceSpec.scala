@@ -192,6 +192,48 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trained-classifier scoring streams unchanged ≡ batch quality_lr_score (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch truth — the exact frame the DuckDB oracle gate hash-checks
+    val batch = graft.SparkEntry.queries("quality_lr_score")(spark, SfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Boolean]("pred")))).toMap
+
+    // train on the BATCH table (the model is a batch artifact); the
+    // stream then scores with the weights as literals — the stateless
+    // trained-artifact-serves-the-stream shape
+    val d = graft.etl.Ingest.table(spark, SfDir, "documents")
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+    val xs = graft.ops.ClassifierOps.features(col("toks"))
+    val w = graft.ops.ClassifierOps.trainLogistic(d, xs, col("lang") === "en")
+
+    val docs = graft.etl.Ingest.table(spark, SfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDS().toDF("doc_id", "text")
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+      .filter(graft.ops.ClassifierOps.featurable(col("toks")))
+      .select(col("doc_id"),
+        graft.ops.ClassifierOps.score(w, xs).as("score"),
+        (graft.ops.ClassifierOps.score(w, xs) >= 0.5).as("pred"))
+    val q = out.writeStream
+      .format("memory").queryName("equiv_lr")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      chunks(docs).foreach { c => input.addData(c); q.processAllAvailable() }
+      val fin = spark.table("equiv_lr").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("score"), r.getAs[Boolean]("pred")))).toMap
+      assert(fin == batch, s"streaming ${fin.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("StreamingContamination stream-static join ≡ batch dedup_contamination (oracle-checked)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
