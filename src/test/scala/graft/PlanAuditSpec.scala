@@ -285,6 +285,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "\\(\\d+\\) Exchange") == 0)
   }
 
+  test("pipeline_full: the composed DAG plans clean — no nested-loop joins, no cartesian") {
+    val p = plan("pipeline_full")
+    // the decontamination anti-join and dedup semi-join must stay
+    // equi-joins; a NOT-IN-style rewrite degenerating to a nested loop
+    // would be quadratic at 100 TB
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))
