@@ -46,6 +46,53 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq == Seq(10L, 13L, 11L, 12L))
   }
 
+  test("rankingMetrics equals a plain-Scala reference over seeded random rankings") {
+    def refMetrics(exact: Seq[(Long, Long)], approx: Seq[(Long, Long)])
+        : Map[Long, (Long, Long, Double, Double, Double)] = {
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def gain(r: Long) = BigDecimal(r6(1.0 / (math.log(r + 1.0) / math.log(2.0))))
+      exact.groupBy(_._1).map { case (q, ex) =>
+        val ap = approx.filter(_._1 == q).zipWithIndex
+          .map { case ((_, n), i) => n -> (i + 1L) }.toMap
+        val hits = ex.zipWithIndex.collect {
+          case ((_, n), _) if ap.contains(n) => ap(n)
+        }
+        val k = ex.length.toLong
+        val dcg = hits.map(gain).sum
+        val idcg = ex.indices.map(i => gain(i + 1L)).sum
+        val mrr = if (hits.isEmpty) 0.0 else r6(1.0 / hits.min)
+        q -> ((hits.length.toLong, k, r6(hits.length.toDouble / k), mrr,
+          r6((dcg / idcg).toDouble)))
+      }
+    }
+    // seeded pseudo-random rankings: 4 queries, k=4, neighbor pool of 12
+    val rnd = new scala.util.Random(42)
+    val exact = for (q <- 0L until 4L; r <- 0 until 4)
+      yield (q, rnd.shuffle((0L until 12L).toList).take(4)(r))
+    val approx = for (q <- 0L until 4L; r <- 0 until 4)
+      yield (q, rnd.shuffle((0L until 12L).toList).take(4)(r))
+    def df(xs: Seq[(Long, Long)]) = xs.groupBy(identity).keys.toSeq // dedup (q,n)
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.zipWithIndex.map { case ((q, n), i) => (q, n, i + 1L) }
+      }.toDF("query_id", "neighbor_id", "rank")
+    // rebuild rank-consistent frames: ranks are 1..k per query
+    val exD = df(exact)
+    val apD = df(approx)
+    val got = RetrievalOps.rankingMetrics(exD, apD).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val exSeq = exD.collect().sortBy(r => (r.getLong(0), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val apSeq = apD.collect().sortBy(r => (r.getLong(0), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = refMetrics(exSeq, apSeq)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (q, g) =>
+      assert(g == want(q), s"query $q: spark $g vs reference ${want(q)}")
+    }
+  }
+
   test("rankingMetrics: hand-computed recall/MRR/nDCG, perfect and zero cases") {
     // query 1: exact top-3 = (a,b,c); approx ranks: b@1, c@3, a missed.
     // recall = 2/3; MRR = 1 (first hit at approx rank 1);
