@@ -79,6 +79,53 @@ object RetrievalOps {
       .select(col("doc_id"), col("rank"), col("score"))
   }
 
+  /** Multi-query BM25 — the SERVING shape: score a QUERY TABLE
+    * (query_id, term) instead of one literal term list. The posting
+    * lists are filtered AT THE SCAN to the union of all queries' terms
+    * (broadcast semi-join — the inverted-index access pattern for a
+    * whole query batch in one corpus pass), per-(query, doc) scores
+    * aggregate in DECIMAL, and the per-query top-k prunes through
+    * WindowGroupLimit. At 100 TB one scan serves the entire query
+    * batch; the query table and the ≤|terms| df rows ride broadcast.
+    */
+  def bm25TopKQueries(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val qt = queries.select(col("query_id"), col("term")).distinct()
+    val terms = qt.select(col("term").as("tok")).distinct()
+    val stats = docs.select(TextOps.tokenCount(col("text")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .join(broadcast(terms), Seq("tok"), "left_semi")
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val term = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    tf
+      .join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt.withColumnRenamed("term", "tok")), Seq("tok"))
+      .select(col("query_id"), col("doc_id"),
+        round(term, 6).cast("decimal(28,6)").as("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term").cast("decimal(38,6)").as("s"))
+      .select(col("query_id"), col("doc_id"), col("s").cast("double").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
   /** Reciprocal rank fusion (Cormack, Clarke, Büttcher, SIGIR 2009):
     * fused(d) = Σ_lists 1/(RrfK + rank_list(d)). Rank-based, so the
     * lists' incomparable score scales (BM25 vs cosine) never touch each

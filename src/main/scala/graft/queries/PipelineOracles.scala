@@ -1857,6 +1857,38 @@ object PipelineOracles {
       s"""WITH $bm25Cte
          |SELECT doc_id, rank, score FROM bm""".stripMargin,
 
+    // the multi-query chain: same stats/tf/df/score arithmetic, the
+    // query batch as a VALUES dim, per-query rank window.
+    "ret_bm25_multi" -> {
+      val k1 = RetrievalOps.DefaultK1
+      val b = RetrievalOps.DefaultB
+      val vals = PipelineQueries.Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH qt(query_id, term) AS (VALUES $vals),
+         |bl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bl),
+         |btf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM
+         |    (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |       unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+         |bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+         |bsc AS (SELECT qt.query_id, btf.doc_id,
+         |    CAST(round(ln((bst.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+         |      * (btf.tf * ($k1 + 1)) /
+         |      (btf.tf + $k1 * (1.0 - $b + $b * btf.dl / bst.avgdl)), 6)
+         |      AS DECIMAL(28,6)) AS term
+         |  FROM btf JOIN bdf USING (tok) JOIN qt ON qt.term = btf.tok, bst),
+         |bagg AS (SELECT query_id, doc_id,
+         |    CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) AS score
+         |  FROM bsc GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score FROM (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bagg) WHERE rank <= ${PipelineQueries.HybridK}""".stripMargin
+    },
+
     // RRF: both ranked lists replayed (BM25 chain + cosine top-k for
     // query vec 0), fused by 1/(60+rank) — rank-based, score scales
     // never mix

@@ -38,6 +38,11 @@ object PipelineQueries {
   val BpeMergeCount = 6
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
+  /** The multi-query BM25 batch: (query_id, term) rows. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "window",
+    1L -> "hash", 1L -> "shuffle",
+    2L -> "join", 2L -> "data")
   val HybridK = 10
   val IndexDim = 16
   val IndexTopK = 5
@@ -333,6 +338,17 @@ object PipelineQueries {
     // ANN family. The token explode filters to the query's terms at the
     // scan — only those posting lists exist anywhere in the plan.
     "text_bm25_topk" -> ((s, dir) => bm25Cached(s, dir)),
+
+    // the SERVING shape: a whole query batch scored in ONE corpus pass —
+    // posting lists filtered at the scan to the union of all queries'
+    // terms, per-query top-k via WindowGroupLimit.
+    "ret_bm25_multi" -> ((s, dir) => {
+      import s.implicits._
+      RetrievalOps.bm25TopKQueries(
+        table(s, dir, "documents"),
+        Bm25Queries.toDF("query_id", "term"),
+        HybridK)
+    }),
 
     // Hybrid search: reciprocal rank fusion of the BM25 list and the
     // embedding-cosine list (query = vec 0, embeddings aligned to

@@ -46,6 +46,17 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq == Seq(10L, 13L, 11L, 12L))
   }
 
+  test("multi-query BM25 with one query ≡ the literal-terms form") {
+    val docs = graft.etl.Ingest.table(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Seq("spark", "window", "hash")
+    val single = RetrievalOps.bm25TopK(docs, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val multi = RetrievalOps.bm25TopKQueries(
+      docs, terms.map(t => (7L, t)).toDF("query_id", "term"), 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(single == multi, s"single $single vs multi $multi")
+  }
+
   test("rankingMetrics equals a plain-Scala reference over seeded random rankings") {
     def refMetrics(exact: Seq[(Long, Long)], approx: Seq[(Long, Long)])
         : Map[Long, (Long, Long, Double, Double, Double)] = {
