@@ -149,6 +149,28 @@ object RetrievalOps {
       .limit(k)
   }
 
+  /** Per-query reciprocal rank fusion — [[rrfFuse]] keyed by query_id,
+    * for fusing BATCHED rankings (multi-query BM25 + dense top-k) in
+    * one pass. Inputs are (query_id, doc_id, rank) frames, k-bounded
+    * per query, so the union/aggregate stay query-batch-sized.
+    */
+  def rrfFuseByQuery(lists: Seq[DataFrame], k: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseByQuery needs at least one ranked list")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lists
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionAll(_))
+      .groupBy("query_id", "doc_id")
+      .agg(
+        round(sum(lit(1.0) / (lit(RrfK) + col("rank"))), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("fused_rank"),
+        col("rrf_score"), col("n_lists"))
+  }
+
   /** The IR evaluation triple — recall@k, MRR, nDCG@k — of an
     * approximate ranking against exact ground truth, one row per query.
     * Both inputs are (query_id, neighbor_id, rank) frames (any of the
@@ -167,7 +189,7 @@ object RetrievalOps {
     def gain(r: Column): Column =
       round(lit(1.0) / log2(r.cast("double") + lit(1.0)), 6)
         .cast("decimal(28,12)")
-    // approx is ≤ k rows per query BY CONSTRUCTION (a rank-filtered
+    // approx is <= k rows per query BY CONSTRUCTION (a rank-filtered
     // list), but that bound is invisible to the planner (it sits behind
     // a window), so without the hint this joins sort-merge — broadcast
     // is the only right call for a metric join over bounded lists.

@@ -350,6 +350,24 @@ object PipelineQueries {
         HybridK)
     }),
 
+    // batched hybrid search end to end: the multi-query BM25 batch and
+    // the dense top-k batch for the same query ids, fused per query by
+    // reciprocal rank — the full serving pipeline (two one-pass batch
+    // rankings + a query-keyed fusion) as one plan.
+    "hybrid_rrf_multi" -> ((s, dir) => {
+      import s.implicits._
+      val lex = RetrievalOps.bm25TopKQueries(
+        table(s, dir, "documents"),
+        Bm25Queries.toDF("query_id", "term"), HybridK)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val corpus = normed(s, dir)
+      val qids = Bm25Queries.map(_._1).distinct
+      val sem = SimilarityOps.bruteTopK(
+        corpus, corpus.filter(col("vec_id").isin(qids: _*)), HybridK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      RetrievalOps.rrfFuseByQuery(Seq(lex, sem), HybridK)
+    }),
+
     // Hybrid search: reciprocal rank fusion of the BM25 list and the
     // embedding-cosine list (query = vec 0, embeddings aligned to
     // doc_ids). Rank-based, so the incomparable score scales never mix;
