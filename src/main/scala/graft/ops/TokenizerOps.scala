@@ -105,6 +105,48 @@ object TokenizerOps {
         (acc, x) => acc + x).as("n_subwords"))
   }
 
+  /** Skip-gram training pairs with deterministic negative sampling
+    * (Mikolov et al. 2013) — the contrastive data-prep behind word2vec
+    * and its descendants: every (center, context) pair within a ±window
+    * plus `negatives` hash-drawn corrupted contexts per pair. Pure
+    * scan-side row algebra: positions explode in-row (flatten/
+    * transform over the bounded token array), negatives draw from the
+    * doc's own vocabulary by the md5 uniform (deterministic on any
+    * partitioning — the SampleOps.hashDraw contract), so the whole
+    * generated dataset replays in an oracle. Zero shuffles; at 100 TB
+    * generation is a map over the corpus scan.
+    */
+  def skipgramPairs(docs: DataFrame, window: Int = 2,
+      negatives: Int = 2): DataFrame = {
+    val n = size(col("toks"))
+    // (ci, xi) offset pairs: xi in [ci−window, ci+window] \ {ci},
+    // clipped to the doc; docs under 2 tokens yield nothing (and the
+    // n<2 branch never builds a descending sequence)
+    val offsetPairs = when(n >= 2,
+      flatten(transform(sequence(lit(1), greatest(n, lit(2))), i =>
+        transform(
+          org.apache.spark.sql.functions.filter(
+            sequence(greatest(i - window, lit(1)),
+              least(i + window, greatest(n, lit(2)))),
+            j => j =!= i),
+          j => struct(i.cast("int").as("ci"), j.cast("int").as("xi"))))))
+      .otherwise(array().cast("array<struct<ci:int,xi:int>>"))
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), explode(offsetPairs).as("p"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("p.ci")).as("center"),
+        element_at(col("toks"), col("p.xi")).as("context"),
+        col("p.ci").cast("long").as("pos"),
+        col("p.xi").cast("long").as("ctx_pos"),
+        transform(sequence(lit(0), lit(negatives - 1)), g =>
+          element_at(col("toks"),
+            (SampleOps.hashDraw(concat_ws(":", col("doc_id"),
+              col("p.ci").cast("long"), col("p.xi").cast("long"),
+              g.cast("long"))) % size(col("toks")) + 1).cast("int")))
+          .as("neg_samples"))
+  }
+
   /** A learned merge list as a DataFrame (the oracle-checked artifact). */
   def mergeTable(spark: org.apache.spark.sql.SparkSession,
       merges: Seq[(Long, String, String, Long)]): DataFrame = {

@@ -641,6 +641,28 @@ object PipelineOracles {
          |FROM b GROUP BY bin""".stripMargin
     },
 
+    // offset pairs re-derived with nested unnests, negatives by the
+    // same md5 draw over the "doc:pos:ctx:g" key.
+    "text_skipgram_pairs" -> {
+      def neg(g: Int) =
+        s"""toks[CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+           |  CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || '$g'), 1, 4))::BIGINT
+           |  % len(toks) + 1 AS INT)]""".stripMargin.replace("\n", " ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |a AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, toks, i,
+         |    unnest(range(greatest(i - 2, 1), least(i + 2, len(toks)) + 1)) AS j
+         |  FROM a),
+         |c AS (SELECT * FROM b WHERE j <> i)
+         |SELECT doc_id,
+         |  toks[CAST(i AS INT)] AS center,
+         |  toks[CAST(j AS INT)] AS context,
+         |  CAST(i AS BIGINT) AS pos, CAST(j AS BIGINT) AS ctx_pos,
+         |  ${neg(0)} || ',' || ${neg(1)} AS negs
+         |FROM c""".stripMargin
+    },
+
     // the BPE merge chain replayed step by step: per round, weighted
     // adjacent-pair counts over the vocab sequences, the (count DESC,
     // pair ASC) argmax, and a replace() rewrite — both engines'

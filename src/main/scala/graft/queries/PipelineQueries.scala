@@ -1293,6 +1293,18 @@ object PipelineQueries {
           TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
         })),
 
+    // skip-gram pairs + deterministic negative sampling (the word2vec /
+    // contrastive data prep): every (center, context) pair in a ±2
+    // window plus 2 md5-drawn corrupted contexts per pair — pure in-row
+    // array algebra, zero shuffles; generation is a map over the scan.
+    // Negatives surface as one joined string (the mm_frame_embed
+    // array-hashing pattern).
+    "text_skipgram_pairs" -> ((s, dir) =>
+      TokenizerOps.skipgramPairs(table(s, dir, "documents"))
+        .select(col("doc_id"), col("center"), col("context"),
+          col("pos"), col("ctx_pos"),
+          concat_ws(",", col("neg_samples")).as("negs"))),
+
     // DSIR importance weights: every doc scored by how en-like its
     // hashed-n-gram profile is (target = lang='en'). Fit is one
     // exploded-feature aggregate to ≤1024 rows; scoring is a zero-

@@ -31,6 +31,34 @@ class TokenizerOpsSpec extends AnyFunSuite {
       Seq((0L, "a b c")).toDF("doc_id", "text"), 2).isEmpty)
   }
 
+  test("skip-gram pairs: window clipping, self-exclusion, deterministic negatives") {
+    import spark.implicits._
+    val docs = Seq((5L, "a b c d"), (6L, "x")).toDF("doc_id", "text")
+    val out = TokenizerOps.skipgramPairs(docs, window = 2, negatives = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)) ->
+        ((r.getString(1), r.getString(2), r.getSeq[String](5))))
+      .toMap
+    // doc 6 has one token: no pairs at all
+    assert(out.keys.forall(_._1 == 5L))
+    // "a b c d", window 2: boundary positions clip, center never pairs
+    // with itself
+    val posPairs = out.keys.collect { case (_, p, c) => (p, c) }.toSet
+    assert(posPairs == Set(
+      (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 2L), (4L, 3L)))
+    assert(out((5L, 1L, 2L))._1 == "a" && out((5L, 1L, 2L))._2 == "b")
+    // negatives: 2 per pair, drawn from the doc's own tokens, stable
+    val negs = out((5L, 1L, 2L))._3
+    assert(negs.length == 2 && negs.forall(Set("a", "b", "c", "d")))
+    val again = TokenizerOps.skipgramPairs(docs, 2, 2).collect()
+      .find(r => r.getLong(0) == 5L && r.getLong(3) == 1L && r.getLong(4) == 2L)
+      .get.getSeq[String](5)
+    assert(again == negs, "negative draw must be deterministic")
+  }
+
   test("segmentStats applies merges in order: aaab collapses to ONE subword") {
     import spark.implicits._
     val docs = Seq((0L, "aaab aaab ab"), (1L, "aaab"), (2L, "xy")).toDF("doc_id", "text")
