@@ -107,6 +107,16 @@ object PipelineQueries {
   private def bm25Cached(s: SparkSession, dir: String): DataFrame =
     RetrievalOps.bm25TopK(table(s, dir, "documents"), Bm25Terms, Bm25K).cache()
 
+  /** The multi-query BM25 batch — k-bounded per query, CACHED so the
+    * batch query and the batched hybrid fusion share one corpus pass.
+    */
+  private def bm25MultiCached(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RetrievalOps.bm25TopKQueries(
+      table(s, dir, "documents"),
+      Bm25Queries.toDF("query_id", "term"), HybridK).cache()
+  }
+
   private def dedupBands(s: SparkSession, dir: String): DataFrame =
     DedupOps.lshBands(
       DedupOps.minhashSignature(DedupOps.shingledAll(table(s, dir, "documents"))))
@@ -342,23 +352,14 @@ object PipelineQueries {
     // the SERVING shape: a whole query batch scored in ONE corpus pass —
     // posting lists filtered at the scan to the union of all queries'
     // terms, per-query top-k via WindowGroupLimit.
-    "ret_bm25_multi" -> ((s, dir) => {
-      import s.implicits._
-      RetrievalOps.bm25TopKQueries(
-        table(s, dir, "documents"),
-        Bm25Queries.toDF("query_id", "term"),
-        HybridK)
-    }),
+    "ret_bm25_multi" -> ((s, dir) => bm25MultiCached(s, dir)),
 
     // batched hybrid search end to end: the multi-query BM25 batch and
     // the dense top-k batch for the same query ids, fused per query by
     // reciprocal rank — the full serving pipeline (two one-pass batch
     // rankings + a query-keyed fusion) as one plan.
     "hybrid_rrf_multi" -> ((s, dir) => {
-      import s.implicits._
-      val lex = RetrievalOps.bm25TopKQueries(
-        table(s, dir, "documents"),
-        Bm25Queries.toDF("query_id", "term"), HybridK)
+      val lex = bm25MultiCached(s, dir)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val corpus = normed(s, dir)
       val qids = Bm25Queries.map(_._1).distinct
