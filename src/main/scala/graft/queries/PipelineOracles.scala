@@ -850,6 +850,32 @@ object PipelineOracles {
          |)
          |SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
 
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+         |),
+         |cl AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM cl GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY sz""".stripMargin,
+
+    "text_vocab_stats" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+        |  round(count(DISTINCT w) / CAST(count(*) AS DOUBLE), 6) AS ttr
+        |FROM w WHERE len(w) > 0 GROUP BY source""".stripMargin,
+
     // the power-iteration chain over the LSH candidate graph, unrolled:
     // contributions round(r/outdeg,6) sum in DECIMAL, damped update
     // round((1-d)/N + d*sum, 6) — GraphOps.pagerank's exact arithmetic.

@@ -523,6 +523,32 @@ object PipelineQueries {
         driverMaxEdges = sys.env.get("SPARK_GRAFT_DEDUP_DRIVER_MAX_EDGES")
           .map(_.toLong).getOrElse(1L << 20))),
 
+    // the duplication report a curation run actually reads: how many
+    // clusters of each size exist (size 1 = unique docs). Derives from
+    // the same cluster labels as split_leakproof; two tiny aggregations
+    // over the label table.
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      DedupOps.duplicateClusters(
+        table(s, dir, "documents").select("doc_id"),
+        DedupOps.candidatePairs(dedupBands(s, dir)).cache(),
+        driverMaxEdges = 1L << 20)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
+
+    // per-source vocabulary profile (the Heaps-curve report): token
+    // volume, distinct-word count, and type/token ratio per source —
+    // the corpus-composition numbers a mixing decision starts from.
+    "text_vocab_stats" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(col("n_types") / col("n_tokens").cast("double"), 6).as("ttr"))),
+
     // PageRank over the duplicate graph — which documents sit at the
     // CENTER of duplication clusters (high-rank nodes are the hubs
     // worth keeping/canonicalizing). Each power iteration is one
