@@ -1937,6 +1937,53 @@ object PipelineOracles {
          |  FROM bagg) WHERE rank <= ${PipelineQueries.HybridK}""".stripMargin
     },
 
+    // dense ground truth (top-5 per query id) vs the BM25 batch ranks,
+    // through the shared metric aggregate.
+    "ret_metrics_lexical" -> {
+      val k1 = RetrievalOps.DefaultK1
+      val b = RetrievalOps.DefaultB
+      val kk = PipelineQueries.HybridK
+      val k = PipelineQueries.IvfK
+      val vals = PipelineQueries.Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val qids = PipelineQueries.Bm25Queries.map(_._1).distinct.mkString(", ")
+      s"""WITH qt(query_id, term) AS (VALUES $vals),
+         |bl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bl),
+         |btf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM
+         |    (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |       unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+         |bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+         |bsc AS (SELECT qt.query_id, btf.doc_id,
+         |    CAST(round(ln((bst.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+         |      * (btf.tf * ($k1 + 1)) /
+         |      (btf.tf + $k1 * (1.0 - $b + $b * btf.dl / bst.avgdl)), 6)
+         |      AS DECIMAL(28,6)) AS term
+         |  FROM btf JOIN bdf USING (tok) JOIN qt ON qt.term = btf.tok, bst),
+         |bagg AS (SELECT query_id, doc_id,
+         |    CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) AS score
+         |  FROM bsc GROUP BY 1, 2),
+         |tr AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bagg) WHERE rank <= $kk),
+         |$normCte,
+         |dq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+         |  WHERE vec_id IN ($qids)),
+         |dsems AS (SELECT dq.query_id, n.vec_id AS neighbor_id,
+         |    list_dot_product(n.e, dq.qe) / (n.nrm * dq.qn) AS cos
+         |  FROM n JOIN dq ON n.vec_id <> dq.query_id),
+         |ex AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM dsems) WHERE rank <= $k),
+         |$metricsTail""".stripMargin
+    },
+
     // the batched hybrid: multi-query BM25 ranks + per-query dense
     // ranks for the same ids, fused by 1/(60+rank) per (query, doc),
     // per-query fused top-k.

@@ -354,6 +354,21 @@ object PipelineQueries {
     // terms, per-query top-k via WindowGroupLimit.
     "ret_bm25_multi" -> ((s, dir) => bm25MultiCached(s, dir)),
 
+    // the lexical-vs-dense ablation on the shared metric frame: how
+    // well does BM25 alone recover each query's dense-cosine ground
+    // truth? (The complementarity these numbers show is the case for
+    // hybrid fusion.) Exact = dense top-5 per query id; approx = the
+    // cached BM25 batch ranking.
+    "ret_metrics_lexical" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qids = Bm25Queries.map(_._1).distinct
+      val exact = SimilarityOps.bruteTopK(
+        corpus, corpus.filter(col("vec_id").isin(qids: _*)), IvfK)
+      val approx = bm25MultiCached(s, dir)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+      RetrievalOps.rankingMetrics(exact, approx)
+    }),
+
     // batched hybrid search end to end: the multi-query BM25 batch and
     // the dense top-k batch for the same query ids, fused per query by
     // reciprocal rank — the full serving pipeline (two one-pass batch
