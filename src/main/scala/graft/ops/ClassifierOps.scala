@@ -29,13 +29,31 @@ object ClassifierOps {
   val DefaultLr = 0.5
   val DefaultIters = 3
 
-  /** Feature vector for a doc's token array: intercept, stopword ratio,
-    * mean token length / 10 (kept O(1) so the fixed step size is sane).
+  /** Features in EXACT micro units (1e-6), as BIGINTs: intercept,
+    * stopword ratio, mean token length / 10 (kept O(1) so the fixed
+    * step size is sane). `floor(a·10^k / n)` over integer numerators is
+    * bit-deterministic across engines: the product is exactly
+    * representable, and a non-integer quotient sits ≥ 1/n from the
+    * nearest integer — astronomically farther than the division's ulp —
+    * so the floor never straddles. This is what makes the whole
+    * classifier surface hash-exact (round(double, 6) is NOT: Spark's
+    * exact-BigDecimal HALF_UP and DuckDB's ×1e6 multiply disagree when
+    * a value lands within an ulp of a .5e-6 boundary — observed in the
+    * wild at sf0.1).
     */
-  def features(toks: Column): Seq[Column] = Seq(
-    lit(1.0),
-    TextOps.stopwordRatio(toks),
-    round(TextOps.meanTokenLength(toks) / 10.0, 6))
+  def microFeatures(toks: Column): Seq[Column] = Seq(
+    lit(1000000L),
+    floor(TextOps.stopwordCount(toks) * lit(1000000.0) /
+      size(toks).cast("double")).cast("long"),
+    floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) *
+      lit(100000.0) / size(toks).cast("double")).cast("long"))
+
+  /** The double-valued features TRAINING consumes: micro/1e6 — the same
+    * integer divided by the same constant on every engine, so the
+    * doubles are bit-identical too.
+    */
+  def features(toks: Column): Seq[Column] =
+    microFeatures(toks).map(m => m.cast("double") / lit(1000000.0))
 
   /** 6dp sigmoid of a 6dp margin. */
   def sigmoid(z: Column): Column =
@@ -44,6 +62,20 @@ object ClassifierOps {
   /** 6dp margin of a feature row against literal weights. */
   def margin(w: Seq[Double], xs: Seq[Column]): Column =
     round(xs.zip(w).map { case (x, wi) => x * lit(wi) }.reduce(_ + _), 6)
+
+  /** Trained 6dp weights as exact micro-unit longs. */
+  def microWeights(w: Seq[Double]): Seq[Long] =
+    w.map(wi => BigDecimal(wi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(1000000L)).toLongExact)
+
+  /** The margin in 1e-12 fixed-point units as BIGINT — the
+    * hash-compared scoring surface (the DSIR micro-unit pattern): pure
+    * INTEGER arithmetic over micro features × micro weights, so there
+    * is no rounding, rendering, or transcendental edge anywhere.
+    */
+  def marginFixed(w: Seq[Double], micro: Seq[Column]): Column =
+    micro.zip(microWeights(w)).map { case (m, wi) => m * lit(wi) }
+      .reduce(_ + _)
 
   /** Guard excluding rows whose token array cannot yield features
     * (ANSI mode: a 0/0 ratio THROWS rather than nulling, so the guard

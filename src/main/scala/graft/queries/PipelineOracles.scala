@@ -258,22 +258,31 @@ object PipelineOracles {
          |    round(pw2 - $lr * ${gsum("x2")}, 6) AS w2
          |  FROM g$i GROUP BY pw0, pw1, pw2)""".stripMargin
     }.mkString(",\n")
-    s"""f AS (SELECT doc_id, lang,
-       |    1.0 AS x0,
-       |    round(CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) AS x1,
-       |    round(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 6) / 10.0, 6) AS x2,
+    s"""f AS (SELECT doc_id, lang, mx0, mx1, mx2,
+       |    CAST(mx0 AS DOUBLE) / 1000000.0 AS x0,
+       |    CAST(mx1 AS DOUBLE) / 1000000.0 AS x1,
+       |    CAST(mx2 AS DOUBLE) / 1000000.0 AS x2,
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-       |  WHERE len(toks) > 0),
+       |  FROM (SELECT doc_id, lang,
+       |      CAST(1000000 AS BIGINT) AS mx0,
+       |      CAST(floor(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) * 1000000.0 / len(toks)) AS BIGINT) AS mx1,
+       |      CAST(floor(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) * 100000.0 / len(toks)) AS BIGINT) AS mx2
+       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+       |    WHERE len(toks) > 0)),
        |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
        |$steps""".stripMargin
   }
 
-  /** The 6dp sigmoid of the 6dp margin against the final weights CTE
-    * alias `w` — the scoring expression all three LR oracles share.
+  /** The LOGIT in 1e-12 fixed point against the final weights CTE alias
+    * `w` — pure INTEGER arithmetic (micro features × micro weights; a
+    * 6dp weight ×1e6 sits within an ulp of its integer, so round→BIGINT
+    * is exact). The sigmoid stays internal to training, where
+    * gradient-mean rounding absorbs transcendental ulp noise.
     */
-  private val lrScoreExpr: String =
-    "round(1.0 / (1.0 + exp(0.0 - round(f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2, 6))), 6)"
+  private val lrLogitExpr: String = {
+    def wMicro(c: String) = s"CAST(round($c * 1000000.0, 0) AS BIGINT)"
+    s"(f.mx0 * ${wMicro("w.w0")} + f.mx1 * ${wMicro("w.w1")} + f.mx2 * ${wMicro("w.w2")})"
+  }
 
   /** One Lloyd's CTE chain over `emb.e$sl` ($sl is a DuckDB list-slice
     * suffix, "" = the whole vector), every CTE name prefixed with `p` so
@@ -599,24 +608,27 @@ object PipelineOracles {
     // DECIMAL sums and the in-engine weight-update formula, weights
     // carried as 1-row CTEs; the final scoring select reuses the same
     // 6dp sigmoid/margin arithmetic.
+    // the hashed surface is the LOGIT (exact polynomial arithmetic) —
+    // raw transcendentals are kept out of hash-compared columns; see
+    // the query-side note.
     "quality_lr_score" ->
       s"""WITH $lrChainCtes
          |SELECT f.doc_id,
-         |  $lrScoreExpr AS score,
-         |  $lrScoreExpr >= 0.5 AS pred,
+         |  $lrLogitExpr AS logit_fp,
+         |  $lrLogitExpr >= 0 AS pred,
          |  f.lang = 'en' AS label
          |FROM f CROSS JOIN w${graft.ops.ClassifierOps.DefaultIters} w""".stripMargin,
 
-    // the trained scorer's |score−0.5| bottom-k (active learning's
-    // label-next set), replayed over the same chain.
+    // the trained scorer's |logit| bottom-k (≡ |sigmoid − 0.5| by
+    // monotone symmetry — active learning's label-next set).
     "sample_uncertainty" -> {
       val iters = graft.ops.ClassifierOps.DefaultIters
       s"""WITH $lrChainCtes
-         |SELECT doc_id, score, margin FROM (
-         |  SELECT f.doc_id, $lrScoreExpr AS score,
-         |    round(abs($lrScoreExpr - 0.5), 6) AS margin
+         |SELECT doc_id, logit_fp, margin_fp FROM (
+         |  SELECT f.doc_id, $lrLogitExpr AS logit_fp,
+         |    abs($lrLogitExpr) AS margin_fp
          |  FROM f CROSS JOIN w$iters w)
-         |ORDER BY margin ASC, doc_id ASC LIMIT 25""".stripMargin
+         |ORDER BY margin_fp ASC, doc_id ASC LIMIT 25""".stripMargin
     },
 
     // observed-range reliability diagram over the same chain: DECIMAL
@@ -624,18 +636,17 @@ object PipelineOracles {
     "quality_lr_calibration" -> {
       val iters = graft.ops.ClassifierOps.DefaultIters
       s"""WITH $lrChainCtes,
-         |sc AS (SELECT f.doc_id, $lrScoreExpr AS score, CAST(f.y AS BIGINT) AS yy
+         |sc AS (SELECT f.doc_id, $lrLogitExpr AS logit_fp, CAST(f.y AS BIGINT) AS yy
          |  FROM f CROSS JOIN w$iters w),
-         |rg AS (SELECT min(score) AS mn, max(score) AS mx FROM sc),
+         |rg AS (SELECT min(logit_fp) AS mn, max(logit_fp) AS mx FROM sc),
          |b AS (SELECT
          |    CAST(CASE WHEN rg.mx > rg.mn THEN
-         |      least(floor(round((sc.score - rg.mn) / (rg.mx - rg.mn), 6) * 10), 9.0)
+         |      least(floor(round(CAST(sc.logit_fp - rg.mn AS DOUBLE) / CAST(rg.mx - rg.mn AS DOUBLE), 6) * 10), 9.0)
          |      ELSE 0.0 END AS BIGINT) AS bin,
-         |    sc.score, sc.yy
+         |    sc.logit_fp, sc.yy
          |  FROM sc CROSS JOIN rg)
          |SELECT bin, CAST(count(*) AS BIGINT) AS n,
-         |  round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
-         |    AS mean_score,
+         |  CAST(sum(logit_fp) AS BIGINT) AS sum_logit_fp,
          |  round(CAST(sum(yy) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
          |    AS frac_positive
          |FROM b GROUP BY bin""".stripMargin

@@ -1249,16 +1249,26 @@ object PipelineQueries {
     // from raw text: unrolled gradient CTEs with DECIMAL sums and the
     // same 6dp sigmoid/margin arithmetic. Weights share the train-once
     // cache.
+    // NOTE the hashed surface is the LOGIT, not the sigmoid: the margin
+    // is exact polynomial arithmetic (hash-stable on any engine), while
+    // a raw transcendental in a hash-compared column is fragile by
+    // nature — at sf0.1 one doc in 5000 landed within one exp() ulp of
+    // a 6dp rounding boundary and flipped between engines. The sigmoid
+    // is a monotone function of the logit, so ranking, thresholding
+    // (pred ⟺ logit ≥ 0), and calibration all survive unchanged;
+    // training is robust regardless (a single-row ulp flip shifts the
+    // 6dp-rounded gradient MEAN by ~1e-10, which rounds away).
     "quality_lr_score" -> ((s, dir) => {
       val d = docsTok(s, dir)
       val xs = ClassifierOps.features(col("toks"))
       val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
         ClassifierOps.trainLogistic(d, xs, col("lang") === "en")
       }
+      val mxs = ClassifierOps.microFeatures(col("toks"))
       d.filter(ClassifierOps.featurable(col("toks")))
         .select(col("doc_id"),
-          ClassifierOps.score(w, xs).as("score"),
-          (ClassifierOps.score(w, xs) >= 0.5).as("pred"),
+          ClassifierOps.marginFixed(w, mxs).as("logit_fp"),
+          (ClassifierOps.marginFixed(w, mxs) >= 0L).as("pred"),
           (col("lang") === "en").as("label"))
     }),
 
@@ -1272,11 +1282,14 @@ object PipelineQueries {
       val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
         ClassifierOps.trainLogistic(d, xs, col("lang") === "en")
       }
+      // |logit| ascending ≡ |sigmoid − 0.5| ascending (monotone +
+      // symmetric), so the selected set is identical and hash-exact
+      val mxs = ClassifierOps.microFeatures(col("toks"))
       d.filter(ClassifierOps.featurable(col("toks")))
         .select(col("doc_id"),
-          ClassifierOps.score(w, xs).as("score"),
-          round(abs(ClassifierOps.score(w, xs) - 0.5), 6).as("margin"))
-        .orderBy(col("margin").asc, col("doc_id").asc)
+          ClassifierOps.marginFixed(w, mxs).as("logit_fp"),
+          abs(ClassifierOps.marginFixed(w, mxs)).as("margin_fp"))
+        .orderBy(col("margin_fp").asc, col("doc_id").asc)
         .limit(25)
     }),
 
@@ -1291,21 +1304,23 @@ object PipelineQueries {
       val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
         ClassifierOps.trainLogistic(d, xs, col("lang") === "en")
       }
+      // logit-space bins (a monotone reparametrization of the score
+      // axis — still a reliability diagram, now hash-exact end to end)
+      val mxs = ClassifierOps.microFeatures(col("toks"))
       val scored = d.filter(ClassifierOps.featurable(col("toks")))
-        .select(ClassifierOps.score(w, xs).as("score"),
+        .select(ClassifierOps.marginFixed(w, mxs).as("logit_fp"),
           when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-      val range = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      val range = scored.agg(min(col("logit_fp")).as("mn"), max(col("logit_fp")).as("mx"))
       scored.crossJoin(broadcast(range))
         .select(
           when(col("mx") > col("mn"),
-            least(floor(round((col("score") - col("mn")) /
-              (col("mx") - col("mn")), 6) * 10), lit(9.0)))
+            least(floor(round((col("logit_fp") - col("mn")).cast("double") /
+              (col("mx") - col("mn")).cast("double"), 6) * 10), lit(9.0)))
             .otherwise(lit(0.0)).cast("long").as("bin"),
-          col("score"), col("y"))
+          col("logit_fp"), col("y"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("score").cast("decimal(28,12)")).cast("double") /
-            count(lit(1)), 6).as("mean_score"),
+          sum(col("logit_fp")).as("sum_logit_fp"),
           round(sum(col("y")) / count(lit(1)).cast("double"), 6)
             .as("frac_positive"))
     }),

@@ -200,7 +200,7 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     val batch = graft.SparkEntry.queries("quality_lr_score")(spark, SfDir)
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Double]("score"), r.getAs[Boolean]("pred")))).toMap
+        ((r.getAs[Long]("logit_fp"), r.getAs[Boolean]("pred")))).toMap
 
     // train on the BATCH table (the model is a batch artifact); the
     // stream then scores with the weights as literals — the stateless
@@ -219,8 +219,10 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
       .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
       .filter(graft.ops.ClassifierOps.featurable(col("toks")))
       .select(col("doc_id"),
-        graft.ops.ClassifierOps.score(w, xs).as("score"),
-        (graft.ops.ClassifierOps.score(w, xs) >= 0.5).as("pred"))
+        graft.ops.ClassifierOps.marginFixed(w,
+          graft.ops.ClassifierOps.microFeatures(col("toks"))).as("logit_fp"),
+        (graft.ops.ClassifierOps.marginFixed(w,
+          graft.ops.ClassifierOps.microFeatures(col("toks"))) >= 0L).as("pred"))
     val q = out.writeStream
       .format("memory").queryName("equiv_lr")
       .outputMode(OutputMode.Append())
@@ -229,7 +231,7 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
       chunks(docs).foreach { c => input.addData(c); q.processAllAvailable() }
       val fin = spark.table("equiv_lr").collect()
         .map(r => r.getAs[Long]("doc_id") ->
-          ((r.getAs[Double]("score"), r.getAs[Boolean]("pred")))).toMap
+          ((r.getAs[Long]("logit_fp"), r.getAs[Boolean]("pred")))).toMap
       assert(fin == batch, s"streaming ${fin.size} vs batch ${batch.size}")
     } finally q.stop()
   }
