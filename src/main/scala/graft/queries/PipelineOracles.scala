@@ -652,6 +652,44 @@ object PipelineOracles {
          |FROM b GROUP BY bin""".stripMargin
     },
 
+    // the three labeling functions replayed (stopword presence, the
+    // langid ladder, the micro-unit length band) + integer majority.
+    "weak_labels" -> {
+      val scores = TextOps.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
+        s"len(list_filter(toks, x -> x IN ${inList(ms)})) AS s$i"
+      }.mkString(", ")
+      val n = TextOps.LangMarkers.size
+      val total = (0 until n).map(i => s"s$i").mkString(" + ")
+      val ladder = TextOps.LangMarkers.zipWithIndex.init.map { case ((lang, _), i) =>
+        val conds = ((i + 1) until n).map(j => s"s$i >= s$j").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t0 AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |t AS (SELECT * FROM t0 WHERE len(toks) > 0),
+         |s AS (SELECT doc_id, lang, toks, $scores FROM t),
+         |lf AS (SELECT doc_id, lang = 'en' AS label,
+         |  CASE WHEN len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) >= 1 THEN 1 ELSE 0 END AS v0,
+         |  CASE WHEN $total = 0 THEN -1
+         |       WHEN (CASE $ladder ELSE '${TextOps.LangMarkers.last._1}' END) = 'en' THEN 1
+         |       ELSE 0 END AS v1,
+         |  CASE WHEN CAST(floor(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) * 1000000.0 / len(toks)) AS BIGINT)
+         |         BETWEEN 4200000 AND 4800000 THEN 1 ELSE -1 END AS v2
+         |  FROM s),
+         |v AS (SELECT doc_id, label,
+         |  CAST(v0 AS BIGINT) AS v0, CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+         |  CAST((CASE WHEN v0 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 >= 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN v2 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_votes,
+         |  CAST((CASE WHEN v0 = 1 THEN 1 ELSE 0 END) + (CASE WHEN v1 = 1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN v2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM lf)
+         |SELECT doc_id, label, v0, v1, v2, n_votes, n_pos,
+         |  CAST(CASE WHEN n_pos * 2 > n_votes THEN 1
+         |            WHEN n_pos * 2 < n_votes THEN 0
+         |            ELSE -1 END AS BIGINT) AS majority
+         |FROM v""".stripMargin
+    },
+
     // offset pairs re-derived with nested unnests, negatives by the
     // same md5 draw over the "doc:pos:ctx:g" key.
     "text_skipgram_pairs" -> {

@@ -1350,6 +1350,18 @@ object PipelineQueries {
           TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
         })),
 
+    // weak supervision (Snorkel pattern): three scan-side labeling
+    // functions vote is-English per doc (abstentions allowed), majority
+    // resolves — programmatic labels where ground truth doesn't exist
+    // at corpus scale. Entirely integer votes: hash-exact by
+    // construction, one corpus pass, zero shuffles.
+    "weak_labels" -> ((s, dir) => {
+      val d = docsTok(s, dir).filter(size(col("toks")) > 0)
+      WeakLabelOps.majorityLabel(
+        d, WeakLabelOps.englishLfs(col("toks")),
+        Seq(col("doc_id"), (col("lang") === "en").as("label")))
+    }),
+
     // skip-gram pairs + deterministic negative sampling (the word2vec /
     // contrastive data prep): every (center, context) pair in a ±2
     // window plus 2 md5-drawn corrupted contexts per pair — pure in-row
