@@ -28,10 +28,21 @@ object ModelCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** The artifact under `key`, training it with `train` on first use.
-    * `train` may run Spark actions (all trainers here do).
+    * `train` may run Spark actions (all trainers here do) — which is
+    * why this is NOT computeIfAbsent: holding a hash-bin lock across a
+    * multi-second training job would block unrelated keys in the same
+    * bin and deadlock (IllegalStateException) any trainer that itself
+    * consults the cache. get-then-putIfAbsent admits a rare duplicate
+    * train under a race, which determinism makes harmless: both racers
+    * compute the identical artifact and either may win.
     */
-  def cached[T <: AnyRef](key: String)(train: => T): T =
-    cache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+  def cached[T <: AnyRef](key: String)(train: => T): T = {
+    val hit = cache.get(key)
+    if (hit ne null) return hit.asInstanceOf[T]
+    val computed = train
+    val prev = cache.putIfAbsent(key, computed)
+    (if (prev ne null) prev else computed).asInstanceOf[T]
+  }
 
   /** Entry count — observability for specs. */
   def size: Int = cache.size()

@@ -50,9 +50,21 @@ object TokenizerOps {
     * bounded driver actions over the vocab); share the result through
     * [[ModelCache]] when several queries need it.
     */
-  def bpeMerges(docs: DataFrame, t: Int): Seq[(Long, String, String, Long)] = {
+  def bpeMerges(docs: DataFrame, t: Int,
+      checkpointEvery: Int = 16): Seq[(Long, String, String, Long)] =
+    bpeMergesTracked(docs, t, checkpointEvery)._1
+
+  /** [[bpeMerges]] plus the max analyzed-plan node count seen across
+    * iterations — the observable the lineage-bound spec pins. Node count
+    * stays O(checkpointEvery), not O(t), because each checkpoint
+    * collapses the rewrite chain to a LogicalRDD leaf.
+    */
+  private[graft] def bpeMergesTracked(docs: DataFrame, t: Int,
+      checkpointEvery: Int): (Seq[(Long, String, String, Long)], Int) = {
     require(t >= 1, s"t must be >= 1, got $t")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     var seqs = vocab(docs)
+    var maxPlanNodes = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (i <- 1 to t) {
       val top = seqs
@@ -63,17 +75,25 @@ object TokenizerOps {
         .orderBy(col("c").desc, col("pair").asc)
         .limit(1)
         .collect()
-      if (top.isEmpty) return merges.toSeq // vocab of 1-char words: done
+      if (top.isEmpty) return (merges.toSeq, maxPlanNodes) // vocab exhausted: done
       val pair = top(0).getString(0)
       val cnt = top(0).getLong(1)
       val merged = pair.replace(" ", "")
       merges += ((i.toLong, pair, merged, cnt))
+      // call_function keeps the learned pair a bound literal — no SQL
+      // string-literal escaping concerns for backslashes/quotes in pairs.
       seqs = seqs.select(
-        expr(s"replace(seq, '${pair.replace("'", "''")}', '${merged.replace("'", "''")}')")
-          .as("seq"),
+        call_function("replace", col("seq"), lit(pair), lit(merged)).as("seq"),
         col("cnt"))
+      // The rewrite chain grows plan lineage linearly in T; at production
+      // merge counts (32k) an unbounded chain blows up analysis time.
+      // Materialize every `checkpointEvery` merges so the plan seen by
+      // iteration i is O(checkpointEvery) deep regardless of T.
+      if (i % checkpointEvery == 0 && i < t) seqs = seqs.localCheckpoint(true)
+      maxPlanNodes = math.max(maxPlanNodes,
+        seqs.queryExecution.analyzed.collect { case n => n }.size)
     }
-    merges.toSeq
+    (merges.toSeq, maxPlanNodes)
   }
 
   /** Apply a learned merge list: per document, the word count and the
@@ -118,6 +138,8 @@ object TokenizerOps {
     */
   def skipgramPairs(docs: DataFrame, window: Int = 2,
       negatives: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(negatives >= 0, s"negatives must be >= 0, got $negatives")
     val n = size(col("toks"))
     // (ci, xi) offset pairs: xi in [ci−window, ci+window] \ {ci},
     // clipped to the doc; docs under 2 tokens yield nothing (and the
@@ -139,11 +161,16 @@ object TokenizerOps {
         element_at(col("toks"), col("p.xi")).as("context"),
         col("p.ci").cast("long").as("pos"),
         col("p.xi").cast("long").as("ctx_pos"),
-        transform(sequence(lit(0), lit(negatives - 1)), g =>
-          element_at(col("toks"),
-            (SampleOps.hashDraw(concat_ws(":", col("doc_id"),
-              col("p.ci").cast("long"), col("p.xi").cast("long"),
-              g.cast("long"))) % size(col("toks")) + 1).cast("int")))
+        (if (negatives == 0)
+          // sequence(0, -1) would be the DESCENDING [0, -1] in Spark —
+          // two bogus draws, not zero. Emit the empty array explicitly.
+          array().cast("array<string>")
+        else
+          transform(sequence(lit(0), lit(negatives - 1)), g =>
+            element_at(col("toks"),
+              (SampleOps.hashDraw(concat_ws(":", col("doc_id"),
+                col("p.ci").cast("long"), col("p.xi").cast("long"),
+                g.cast("long"))) % size(col("toks")) + 1).cast("int"))))
           .as("neg_samples"))
   }
 

@@ -21,4 +21,18 @@ class ModelCacheSpec extends AnyFunSuite {
     val b = ModelCache.cached(keyB) { trainsB += 1; Seq(4) }
     assert(trainsB == 1 && b == Seq(4), "a different key trains on its own")
   }
+
+  test("a trainer may itself consult the cache (no computeIfAbsent reentrancy trap)") {
+    val outer = s"mc-spec-outer-${System.identityHashCode(this)}"
+    val inner = s"mc-spec-inner-${System.identityHashCode(this)}"
+    // under computeIfAbsent this recursive shape threw
+    // IllegalStateException when both keys landed in one hash bin; the
+    // get/putIfAbsent form must simply train both
+    val v = ModelCache.cached(outer) {
+      val sub = ModelCache.cached(inner) { Seq(7) }
+      sub.map(_ * 2)
+    }
+    assert(v == Seq(14))
+    assert(ModelCache.cached(inner) { Seq(-1) } == Seq(7))
+  }
 }

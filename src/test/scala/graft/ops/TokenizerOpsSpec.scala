@@ -59,6 +59,51 @@ class TokenizerOpsSpec extends AnyFunSuite {
     assert(again == negs, "negative draw must be deterministic")
   }
 
+  test("BPE merges: pairs with backslashes survive the rewrite (bound literals, not SQL text)") {
+    import spark.implicits._
+    // tokens split on space, so "a\" is a legal 2-char word; the learned
+    // pair "a \" and merged "a\" would mis-parse as interpolated SQL
+    // string literals (backslash is an escape there)
+    val docs = Seq((0L, "a\\ a\\ b")).toDF("doc_id", "text")
+    val m = TokenizerOps.bpeMerges(docs, 3)
+    assert(m == Seq((1L, "a \\", "a\\", 2L)))
+    val stats = TokenizerOps.segmentStats(docs, m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(0L) == (3L, 3L)) // both "a\" words collapse to one subword
+  }
+
+  test("BPE lineage bound: checkpointing keeps the plan O(checkpointEvery), chain unchanged") {
+    import spark.implicits._
+    // 62 distinct chars -> 61 distinct starting pairs; merges mint new
+    // pairs, so 64 rounds all find work. Counts are all equal: the
+    // pair-asc tie rule makes the chain deterministic either way.
+    val word = (('a' to 'z') ++ ('0' to '9') ++ ('A' to 'Z')).mkString
+    // two distinct words: each yields 61 sequential merges, so 64
+    // rounds never exhaust the vocab
+    val docs = Seq((0L, s"$word ${word.reverse}"), (1L, word)).toDF("doc_id", "text")
+    val (chunked, chunkedMax) = TokenizerOps.bpeMergesTracked(docs, 64, checkpointEvery = 8)
+    val (flat, flatMax) = TokenizerOps.bpeMergesTracked(docs, 64, checkpointEvery = 1000)
+    assert(chunked == flat, "checkpointing must not alter the merge chain")
+    assert(chunked.length == 64)
+    assert(chunkedMax < flatMax,
+      s"chunked plan ($chunkedMax nodes) should be smaller than unchunked ($flatMax)")
+    assert(chunkedMax <= 30, s"chunked plan grew to $chunkedMax nodes")
+    assert(flatMax > 40, s"unchunked control should grow linearly, saw $flatMax")
+  }
+
+  test("skip-gram pairs: negatives = 0 yields an empty array, not sequence(0,-1) garbage") {
+    import spark.implicits._
+    val docs = Seq((5L, "a b c")).toDF("doc_id", "text")
+    val out = TokenizerOps.skipgramPairs(docs, window = 1, negatives = 0)
+    assert(out.schema("neg_samples").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getSeq[String](5).isEmpty))
+    assertThrows[IllegalArgumentException] {
+      TokenizerOps.skipgramPairs(docs, window = 1, negatives = -1)
+    }
+  }
+
   test("segmentStats applies merges in order: aaab collapses to ONE subword") {
     import spark.implicits._
     val docs = Seq((0L, "aaab aaab ab"), (1L, "aaab"), (2L, "xy")).toDF("doc_id", "text")
