@@ -57,4 +57,58 @@ object GraphOps {
     }
     ranks
   }
+
+  /** PageRank over a DIRECTED edge list — edges feed src → dst only.
+    *
+    * What the undirected form silently avoids, handled explicitly:
+    *  - **Dangling nodes** (no out-edges — a sink loses its rank mass
+    *    every iteration if ignored): their summed rank is redistributed
+    *    uniformly, the standard teleport treatment (Page et al. 1999).
+    *    Per iteration that is ONE extra node-sized aggregation reduced
+    *    to a 1-row broadcast — never a shuffle of the edges.
+    *  - **Source-only nodes** (no in-edges, so absent from the
+    *    contribution sums): `nodes LEFT JOIN contribs` keeps them at the
+    *    teleport floor instead of dropping them.
+    *
+    * Same numeric contract as [[pagerank]] (6dp-rounded doubles, DECIMAL
+    * accumulation) with the dangling mass also summed in DECIMAL, so the
+    * whole chain replays in an oracle. With dangling redistribution the
+    * rank vector stays a probability distribution (Σ≈1 up to rounding)
+    * — the property the spec pins.
+    */
+  def pagerankDirected(edges: DataFrame, srcCol: String, dstCol: String,
+      damping: Double = DefaultDamping, iters: Int = DefaultIters): DataFrame = {
+    val directed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = directed.select(col("src").as("node"))
+      .unionAll(directed.select(col("dst").as("node")))
+      .distinct().cache()
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val outdeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val g = directed.join(outdeg, Seq("src")).cache()
+    val dangling = nodes
+      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .cache()
+    val zero = lit(0).cast("decimal(28,12)")
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), round(lit(1.0) / col("n_nodes"), 6).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = g
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("rank") / col("outdeg").cast("double"), 6)
+            .cast("decimal(28,12)").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("s"))
+      val dangMass = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank").cast("decimal(28,12)")), zero).as("dm"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(dangMass))
+        .select(col("node"),
+          round(lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * (coalesce(col("s"), zero).cast("double") +
+              col("dm").cast("double") / col("n_nodes")), 6).as("rank"))
+    }
+    ranks
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,28 @@ import org.apache.spark.sql.functions._
 object SessionOps {
 
   val DefaultGapUs: Long = 30L * 60L * 1000000L
+
+  /** Hot-key ceiling for per-key collected-list folds ([[funnel]], the
+    * r5_sorted_events family): a key carrying more events than this is
+    * pathological (a bot, a sentinel id, a join-key bug) and would make
+    * one task's fold arbitrarily large at scale — fail loudly with the
+    * key named instead of letting the task OOM. The count rides the
+    * SAME aggregation (zero extra shuffles); the F3 strict-raise
+    * pattern, applied to skew.
+    */
+  val DefaultMaxEventsPerKey: Long = 10L * 1000L * 1000L
+
+  /** The guard: `value` if the key's event count is within bound, else
+    * raise_error naming the key — when()'s lazy branches keep the error
+    * unevaluated on healthy keys.
+    */
+  private[graft] def hotKeyGuarded(value: Column, nEvents: Column,
+      keyCol: Column, maxPerKey: Long, op: String): Column =
+    when(nEvents <= maxPerKey, value)
+      .otherwise(raise_error(concat(
+        lit(s"$op: key "), keyCol.cast("string"),
+        lit(" has "), nEvents.cast("string"),
+        lit(s" events, exceeding maxEventsPerKey=$maxPerKey"))))
 
   /** Assign session ids: a session breaks when the gap to the previous
     * event exceeds `gapUs`. Input needs (user_id, ts_us, event_id).
@@ -47,16 +69,32 @@ object SessionOps {
     *
     * Unreached stages surface as −1 (hash-stable), `n_stages` counts
     * the reached prefix.
+    *
+    * `maxGapUs` bounds each stage i → i+1 transition by a conversion
+    * window (inclusive: a gap of exactly `maxGapUs` converts): a
+    * wanted-type event later than `maxGapUs` after the previous stage's
+    * timestamp does NOT convert — and since every later event is later
+    * still, the funnel stalls there, exactly the min-with-window the
+    * oracle replays. First-touch anchoring is deliberate: the earliest
+    * stage-1 event anchors the funnel even if a later one would have
+    * converted (re-anchoring is a different operator — per-user
+    * backtracking — and not what product funnels report). The default
+    * (Long.MaxValue) is the unbounded horizon.
     */
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, stages: Seq[String],
+      maxGapUs: Long = Long.MaxValue,
+      maxEventsPerKey: Long = DefaultMaxEventsPerKey): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapUs > 0, s"maxGapUs must be > 0, got $maxGapUs")
+    require(maxEventsPerKey > 0, s"maxEventsPerKey must be > 0, got $maxEventsPerKey")
     val stageLit = typedlit(stages)
     val folded = events
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("ts_us"), col("event_type"))))
-        .as("evs"))
+        .as("evs"),
+        count(lit(1)).as("n_evs"))
       .select(col("user_id"),
-        aggregate(col("evs"),
+        hotKeyGuarded(aggregate(col("evs"),
           lit(Array.empty[Long]),
           (acc, e) => {
             // try_element_at throughout: ANSI element_at throws on any
@@ -66,12 +104,15 @@ object SessionOps {
             val nxt = size(acc)
             val wanted = try_element_at(stageLit, nxt + 1)
             val inOrder = (nxt === 0) ||
-              (e.getField("ts_us") > try_element_at(acc, nxt))
+              ((e.getField("ts_us") > try_element_at(acc, nxt)) &&
+                (e.getField("ts_us") - try_element_at(acc, nxt) <= maxGapUs))
             when(nxt < stages.length && e.getField("event_type") === wanted
                 && inOrder,
               concat(acc, array(e.getField("ts_us"))))
               .otherwise(acc)
-          }).as("reached"))
+          }),
+          col("n_evs"), col("user_id"), maxEventsPerKey, "funnel")
+          .as("reached"))
     stages.indices.foldLeft(folded) { (d, i) =>
       d.withColumn(s"stage${i + 1}_us",
         coalesce(try_element_at(col("reached"), lit(i + 1)), lit(-1L)))

@@ -647,18 +647,78 @@ object SimilarityOps {
       .orderBy(col("vec_id")).limit(1).collect()
     if (seed.isEmpty) return Seq.empty // empty corpus: benign empty coreset
     var centers = Vector(readRow(seed(0)))
-    while (centers.length < k) {
+    var covered = false // every remaining row is already a center (dmin 0)
+    while (centers.length < k && !covered) {
       val next = emb
         .select(col("vec_id"), col("embedding"),
           array_min(array(d2Candidates(centers, col("embedding"), roundDp): _*))
             .getField("d").as("dmin"))
         .orderBy(col("dmin").desc, col("vec_id").asc)
         .limit(1)
-        .select(col("vec_id"), col("embedding"))
         .collect()
-      centers = centers :+ readRow(next(0))
+      // k > distinct corpus rows: the farthest remaining point is AT a
+      // selected center. Appending it would duplicate a center, and the
+      // oracle's LEFT JOIN on cid would then fan out — stop instead.
+      if (next.isEmpty || next(0).getDouble(2) <= 0d) covered = true
+      else centers = centers :+ readRow(next(0))
     }
     centers
+  }
+
+  /** k-center with PARALLEL seeding (the deterministic analog of
+    * k-means|| oversampling, Bahmani et al., "Scalable k-means++",
+    * VLDB 2012): instead of one corpus scan PER CENTER (k−1 sequential
+    * passes — infeasible at 100 TB for k in the hundreds), run `rounds`
+    * scans that each batch-select the `oversample` FARTHEST rows from
+    * the current candidate set (dmin DESC, vec_id ASC — a
+    * TakeOrderedAndProject, so only `oversample` rows reach the
+    * driver), then reduce the ≤ 1 + rounds·oversample candidates to k
+    * by the exact greedy — run in-engine over the tiny candidate
+    * DataFrame, so the arithmetic contract (rounded d², vec_id
+    * tiebreak) is the same code path the oracle replays.
+    *
+    * Corpus passes: `rounds` + 1 (seed) instead of k−1; with
+    * oversample ≈ 2k, 2–3 rounds suffice in practice (the spec pins
+    * cover radius within 2× of the full greedy's). `dmin > 0` keeps
+    * already-selected rows out of later batches, so candidates never
+    * duplicate and the reduce's oracle join stays 1:1.
+    */
+  def kcenterParallelCenters(emb: DataFrame, k: Int, rounds: Int = 2,
+      oversample: Int = 0, roundDp: Int = 6): Seq[(Long, Array[Double])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val l = if (oversample > 0) oversample else 2 * k
+    def readRow(r: org.apache.spark.sql.Row): (Long, Array[Double]) =
+      (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue).toArray)
+    val seed = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(1).collect()
+    if (seed.isEmpty) return Seq.empty
+    var cands = Vector(readRow(seed(0)))
+    for (_ <- 1 to rounds) {
+      val batch = emb
+        .select(col("vec_id"), col("embedding"),
+          array_min(array(d2Candidates(cands, col("embedding"), roundDp): _*))
+            .getField("d").as("dmin"))
+        .filter(col("dmin") > 0d)
+        .orderBy(col("dmin").desc, col("vec_id").asc)
+        .limit(l)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+      cands = cands ++ batch.map(readRow)
+    }
+    val spark = emb.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false)))
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cands.map { case (id, e) =>
+          org.apache.spark.sql.Row(id, e.toSeq) }, 1),
+      schema)
+    kcenterCenters(candDf, k, roundDp)
   }
 
   /** Corpus rows against a selected coreset: selection order for the

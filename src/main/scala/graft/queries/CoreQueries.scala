@@ -128,13 +128,21 @@ object CoreQueries {
 
     // R5 — per-key sort: event ids ordered by (ts, id) as an array
     // (model.py:215 order-by is load-bearing for K1).
+    // The per-key collect is guarded by the hot-key ceiling (a key with
+    // 10M+ events is a bug, not data — fail loudly, naming the key,
+    // instead of OOMing one task; the count rides the same aggregation).
     "r5_sorted_events" -> ((s, dir) =>
       table(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
         .groupBy("user_id")
         .agg(array_join(transform(
           sort_array(collect_list(struct(col("ts_us"), col("event_id")))),
-          x => x.getField("event_id").cast("string")), ",").as("event_ids"))),
+          x => x.getField("event_id").cast("string")), ",").as("event_ids"),
+          count(lit(1)).as("n_evs"))
+        .select(col("user_id"),
+          graft.ops.SessionOps.hotKeyGuarded(col("event_ids"), col("n_evs"),
+            col("user_id"), graft.ops.SessionOps.DefaultMaxEventsPerKey,
+            "r5_sorted_events").as("event_ids"))),
 
     // R6 — the reference's N+1 correlated loop dissolved into one shuffle
     // (model.py:211-222, 295-301).

@@ -956,6 +956,46 @@ object PipelineOracles {
          |SELECT node, rank FROM r$iters""".stripMargin
     },
 
+    // the directed replay: per iteration a dangling-mass CTE (rank sum
+    // over nodes absent from od) feeds the uniform redistribution term,
+    // and nodes LEFT JOIN the contribution sums so source-only nodes
+    // keep their teleport floor.
+    "graph_pagerank_directed" -> {
+      val d = graft.ops.GraphOps.DefaultDamping
+      val iters = graft.ops.GraphOps.DefaultIters
+      val steps = (1 to iters).map { i =>
+        s"""dm$i AS (SELECT CAST(coalesce(sum(CAST(r.rank AS DECIMAL(28,12))), 0)
+           |    AS DECIMAL(28,12)) AS dm
+           |  FROM r${i - 1} r LEFT JOIN od ON od.src = r.node
+           |  WHERE od.src IS NULL),
+           |r$i AS (SELECT n.node,
+           |    round((1.0 - $d) / (SELECT nv FROM nn) +
+           |      $d * (CAST(coalesce(c.s, 0) AS DOUBLE) +
+           |        CAST((SELECT dm FROM dm$i) AS DOUBLE) / (SELECT nv FROM nn)),
+           |      6) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT dd.dst AS node,
+           |        sum(CAST(round(r.rank / od.outdeg, 6) AS DECIMAL(28,12))) AS s
+           |      FROM directed dd
+           |      JOIN od ON od.src = dd.src
+           |      JOIN r${i - 1} r ON r.node = dd.src
+           |      GROUP BY dd.dst) c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |directed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+         |nodes AS (SELECT src AS node FROM directed
+         |          UNION SELECT dst FROM directed),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM nodes),
+         |od AS (SELECT src, count(*) AS outdeg FROM directed GROUP BY src),
+         |r0 AS (SELECT node, round(1.0 / (SELECT nv FROM nn), 6) AS rank
+         |  FROM nodes),
+         |$steps
+         |SELECT node, rank FROM r$iters""".stripMargin
+    },
+
     // dedup_clusters' replay + the split CASE over the CLUSTER id.
     "split_leakproof" -> {
       val t1 = (0.8 * graft.ops.SampleOps.HashSpace).toLong
@@ -1125,6 +1165,54 @@ object PipelineOracles {
          |  CAST(asg.cid AS BIGINT) AS center_id,
          |  asg.d2
          |FROM asg LEFT JOIN cents${k - 1} cents ON cents.cid = asg.vec_id""".stripMargin
+    },
+
+    // parallel-seeded replay: R candidate rounds (top-L farthest per
+    // round, dmin>0 keeps batches disjoint), then the greedy reduce
+    // unrolled over the CANDIDATE set instead of the corpus, then the
+    // same cover-assignment select.
+    "sim_kcenter_parallel" -> {
+      val k = PipelineQueries.KcenterK
+      val rounds = PipelineQueries.KcenterRounds
+      val l = PipelineQueries.KcenterOversample
+      def d2(e: String, c: String) =
+        s"round(list_dot_product($e, $e) + list_dot_product($c, $c)" +
+          s" - 2.0 * list_dot_product($e, $c), 6)"
+      val candSteps = (1 to rounds).map { r =>
+        s"""rdm$r AS (SELECT emb.vec_id, min(${d2("emb.e", s"cand${r - 1}.c")}) AS dmin
+           |  FROM emb CROSS JOIN cand${r - 1} GROUP BY emb.vec_id),
+           |rpick$r AS (SELECT emb.vec_id AS cid, emb.e AS c
+           |  FROM emb JOIN rdm$r USING (vec_id) WHERE rdm$r.dmin > 0
+           |  ORDER BY rdm$r.dmin DESC, emb.vec_id ASC LIMIT $l),
+           |cand$r AS (SELECT * FROM cand${r - 1} UNION ALL SELECT * FROM rpick$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      val greedySteps = (1 until k).map { i =>
+        s"""gdm$i AS (SELECT cand.cid, min(${d2("cand.c", s"gc${i - 1}.c")}) AS dmin
+           |  FROM cand$rounds cand CROSS JOIN gc${i - 1} GROUP BY cand.cid),
+           |gpick$i AS (SELECT cand.cid, cand.c, $i AS ord
+           |  FROM cand$rounds cand JOIN gdm$i USING (cid)
+           |  ORDER BY gdm$i.dmin DESC, cand.cid ASC LIMIT 1),
+           |gc$i AS (SELECT * FROM gc${i - 1} UNION ALL SELECT * FROM gpick$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $embCte,
+         |cand0 AS (SELECT vec_id AS cid, e AS c FROM emb
+         |  WHERE vec_id = (SELECT min(vec_id) FROM emb)),
+         |$candSteps,
+         |gc0 AS (SELECT cid, c, 0 AS ord FROM cand$rounds
+         |  WHERE cid = (SELECT min(cid) FROM cand$rounds)),
+         |$greedySteps,
+         |asg AS (SELECT vec_id, cid, d2 FROM (
+         |  SELECT emb.vec_id, cents.cid, ${d2("emb.e", "cents.c")} AS d2,
+         |    row_number() OVER (PARTITION BY emb.vec_id
+         |      ORDER BY ${d2("emb.e", "cents.c")}, cents.cid) AS rk
+         |  FROM emb CROSS JOIN gc${k - 1} cents) WHERE rk = 1)
+         |SELECT asg.vec_id,
+         |  CAST(coalesce(cents.ord, -1) AS BIGINT) AS center_ord,
+         |  CAST(asg.cid AS BIGINT) AS center_id,
+         |  asg.d2
+         |FROM asg LEFT JOIN gc${k - 1} cents ON cents.cid = asg.vec_id""".stripMargin
     },
 
     "sim_pq_codes" -> {
@@ -2131,6 +2219,28 @@ object PipelineOracles {
         |       WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_stages
         |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
         |LEFT JOIN f3 USING (user_id)""".stripMargin,
+
+    // windowed funnel: the same sequential-min chain with each stage's
+    // after-region additionally capped at prev + window. First-match-
+    // in-scan-order ≡ min over the capped region because every later
+    // event is later still — once past the window the funnel stalls.
+    "funnel_window" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |f1 AS (SELECT user_id, min(ts_us) AS s1 FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |f2 AS (SELECT e.user_id, min(ts_us) AS s2 FROM e JOIN f1 USING (user_id)
+         |  WHERE event_type = 'click' AND ts_us > f1.s1
+         |    AND ts_us - f1.s1 <= ${PipelineQueries.FunnelWindowUs} GROUP BY e.user_id),
+         |f3 AS (SELECT e.user_id, min(ts_us) AS s3 FROM e JOIN f2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND ts_us > f2.s2
+         |    AND ts_us - f2.s2 <= ${PipelineQueries.FunnelWindowUs} GROUP BY e.user_id)
+         |SELECT u.user_id, coalesce(s1, -1) AS stage1_us,
+         |  coalesce(s2, -1) AS stage2_us, coalesce(s3, -1) AS stage3_us,
+         |  CAST(CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+         |       WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_stages
+         |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+         |LEFT JOIN f3 USING (user_id)""".stripMargin,
 
     "path_transitions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type

@@ -32,10 +32,15 @@ object PipelineQueries {
   val SpannReplicas = 3
   val TruncDim = 16
   val KcenterK = 6
+  /** Parallel k-center seeding: scans and per-scan candidate batch. */
+  val KcenterRounds = 2
+  val KcenterOversample = 12
   val LeakJaccard = 0.3
   val RpDim = 8
   val EmbDim = 64
   val BpeMergeCount = 6
+  /** funnel_window conversion window: 24 h per stage transition. */
+  val FunnelWindowUs: Long = 24L * 3600L * 1000000L
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   /** The multi-query BM25 batch: (query_id, term) rows. */
@@ -573,6 +578,15 @@ object PipelineQueries {
       GraphOps.pagerank(
         DedupOps.candidatePairs(dedupBands(s, dir)).cache(), "doc_a", "doc_b")),
 
+    // the DIRECTED form over the same pairs, oriented doc_a → doc_b
+    // (earlier id → later id, a DAG): rank flows toward the latest
+    // members of each duplication chain. The DAG's leaves are dangling
+    // nodes — their mass redistributes uniformly each iteration, which
+    // is exactly what the undirected variant never has to face.
+    "graph_pagerank_directed" -> ((s, dir) =>
+      GraphOps.pagerankDirected(
+        DedupOps.candidatePairs(dedupBands(s, dir)).cache(), "doc_a", "doc_b")),
+
     // the REMEDY for what dedup_split_leakage detects: split by
     // duplicate-CLUSTER id instead of doc id, so every near-dup group
     // lands on one side of the train/val/test wall by construction —
@@ -1042,6 +1056,21 @@ object PipelineQueries {
           SimilarityOps.kcenterCenters(table(s, dir, "embeddings"), KcenterK)
         })),
 
+    // the same coreset contract seeded the SCALABLE way (k-means||-
+    // style batched oversampling, Bahmani 2012): `rounds` corpus scans
+    // each pulling the `oversample` farthest rows, then the exact
+    // greedy reduces the bounded candidate set to k — corpus passes
+    // O(rounds), not O(k), which is what makes k in the hundreds
+    // feasible at 100 TB.
+    "sim_kcenter_parallel" -> ((s, dir) =>
+      SimilarityOps.kcenterAssign(
+        table(s, dir, "embeddings"),
+        ModelCache.cached(
+          s"$dir|kcenter-par|k=$KcenterK,r=$KcenterRounds,l=$KcenterOversample") {
+          SimilarityOps.kcenterParallelCenters(table(s, dir, "embeddings"),
+            KcenterK, KcenterRounds, KcenterOversample)
+        })),
+
     // -- SQL surface ------------------------------------------------------
     // the same engine through pure SQL: temp view + the natively-
     // registered codegen expression resolving by name (the
@@ -1449,6 +1478,16 @@ object PipelineQueries {
         table(s, dir, "events").select(col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("event_type")),
         Seq("view", "click", "purchase"))),
+
+    // windowed funnel: same stages, but each transition must convert
+    // within 24 h of the previous stage — the real-world form (an
+    // unbounded funnel credits a purchase months after the view).
+    "funnel_window" -> ((s, dir) =>
+      SessionOps.funnel(
+        table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")),
+        Seq("view", "click", "purchase"),
+        maxGapUs = FunnelWindowUs)),
 
     // -- multimodal plumbing ---------------------------------------------
     "mm_media_meta" -> ((s, dir) =>

@@ -26,4 +26,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r(1L) == r(2L) && r(2L) == r(3L), s"leaves are symmetric: $r")
     assert(math.abs(r.values.sum - 1.0) < 1e-4, s"mass ~1: ${r.values.sum}")
   }
+
+  test("pagerankDirected: sinks redistribute mass, source-only nodes keep the floor") {
+    // 1 → 2 → 3 and 4 → 2: node 3 is a sink (dangling), 1 and 4 are
+    // source-only (no in-edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L)).toDF("s", "d")
+    val r = GraphOps.pagerankDirected(edges, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L), "no node may drop out")
+    // without dangling redistribution the sink's mass (≈0.3+) leaks
+    // every iteration and Σrank collapses; with it the vector stays a
+    // distribution
+    assert(math.abs(r.values.sum - 1.0) < 1e-3, s"mass ~1: ${r.values.sum}")
+    // rank order: 2 collects from two sources; 3 collects all of 2
+    assert(r(2L) > r(1L) && r(3L) > r(1L), s"collectors outrank sources: $r")
+    // source-only nodes: teleport floor + their dangling share only
+    assert(r(1L) == r(4L), s"symmetric sources tie: $r")
+
+    // exact replay against a plain-Scala reference of the same
+    // arithmetic contract (6dp rounds, exact dangling sum)
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Map(1L -> Seq(2L), 2L -> Seq(3L), 4L -> Seq(2L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    var ranks = nodes.map(_ -> rnd(1.0 / 4)).toMap
+    for (_ <- 1 to GraphOps.DefaultIters) {
+      val contribs = out.toSeq.flatMap { case (s, ds) =>
+        ds.map(_ -> BigDecimal(rnd(ranks(s) / ds.length)))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val dang = nodes.filterNot(out.contains)
+        .map(n => BigDecimal(ranks(n))).sum
+      ranks = nodes.map(n => n -> rnd(
+        0.15 / 4 + 0.85 * (contribs.getOrElse(n, BigDecimal(0)).toDouble +
+          dang.toDouble / 4))).toMap
+    }
+    assert(r == ranks, s"engine $r vs reference $ranks")
+  }
 }

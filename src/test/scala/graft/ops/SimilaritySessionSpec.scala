@@ -275,6 +275,52 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(out(4L) == ((10L, 60L, -1L, 2L)))
   }
 
+  test("windowed funnel: gap == maxGapUs converts, gap+1 stalls, later events can't rescue") {
+    val ev = Seq(
+      // user 1: click exactly AT the window boundary (inclusive), then
+      // purchase inside its own window → full conversion
+      (1L, 10L, "view"), (1L, 110L, "click"), (1L, 150L, "purchase"),
+      // user 2: click one past the window → stage 2 expires; the later
+      // purchase is orphaned (its predecessor never converted)
+      (2L, 10L, "view"), (2L, 111L, "click"), (2L, 120L, "purchase"),
+      // user 3: first click out of window and a SECOND, later click too
+      // (later events are later still — no rescue), purchase in window
+      // of nothing
+      (3L, 10L, "view"), (3L, 115L, "click"), (3L, 130L, "click"),
+      // user 4: stage 1→2 converts mid-window, 2→3 exactly at boundary
+      (4L, 10L, "view"), (4L, 50L, "click"), (4L, 150L, "purchase")
+    ).toDF("user_id", "ts_us", "event_type")
+    val out = SessionOps.funnel(ev, Seq("view", "click", "purchase"),
+      maxGapUs = 100L)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("stage1_us"), r.getAs[Long]("stage2_us"),
+          r.getAs[Long]("stage3_us"), r.getAs[Long]("n_stages")))).toMap
+    assert(out(1L) == ((10L, 110L, 150L, 3L)), "boundary gap must convert")
+    assert(out(2L) == ((10L, -1L, -1L, 1L)), "boundary+1 must expire")
+    assert(out(3L) == ((10L, -1L, -1L, 1L)))
+    assert(out(4L) == ((10L, 50L, 150L, 3L)))
+    // unbounded default reproduces the unwindowed funnel exactly
+    val unb = SessionOps.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_stages")).toMap
+    assert(unb(2L) == 3L && unb(3L) == 2L)
+  }
+
+  test("hot-key guard: a pathological key fails loudly with the key named") {
+    val ev = ((1 to 20).map(i => (7L, i.toLong, "view")) :+ ((2L, 1L, "view")))
+      .toDF("user_id", "ts_us", "event_type")
+    // generous ceiling: both keys pass
+    assert(SessionOps.funnel(ev, Seq("view"), maxEventsPerKey = 100)
+      .count() == 2)
+    // ceiling below the hot key's 20 events: loud failure naming key 7
+    val e = intercept[Exception] {
+      SessionOps.funnel(ev, Seq("view"), maxEventsPerKey = 10).collect()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("exceeding maxEventsPerKey=10") && msg.contains("key 7"),
+      s"unexpected error: $msg")
+  }
+
   test("multimodal plumbing: decodeStub matches typed extractFeatures") {
     val docs = Seq((0L, "hello world", 11L), (1L, "spark", 5L), (2L, "x" * 600, 600L))
       .toDF("doc_id", "text", "n_chars")
@@ -460,5 +506,43 @@ class SimilaritySessionSpec extends AnyFunSuite {
     // empty corpus: benign empties on both halves
     assert(SimilarityOps.kcenterCenters(emb.filter(lit(false)), 3).isEmpty)
     assert(SimilarityOps.kcenterAssign(emb, Seq.empty).collect().isEmpty)
+    // k > distinct rows: selection stops when every row is a center
+    // (appending a duplicate would fan out the oracle's cid join)
+    val all = SimilarityOps.kcenterCenters(emb, k = 99)
+    assert(all.length == emb.count())
+    assert(all.map(_._1).distinct.length == all.length, "no duplicate centers")
+  }
+
+  test("k-center parallel seeding: O(rounds) scans, cover radius within 2x of greedy") {
+    // 16 points on a 1-D line with three tight clumps and outliers —
+    // enough structure that a bad seeding would blow the radius
+    val pts = Seq(0f, 1f, 2f, 10f, 11f, 12f, 30f, 31f, 32f, 50f,
+      51f, 52f, 70f, 71f, 90f, 100f)
+    val emb = pts.zipWithIndex
+      .map { case (p, i) => (i.toLong, Array(p, 0f, 0f, 0f)) }
+      .toDF("vec_id", "embedding")
+    def radius(cs: Seq[(Long, Array[Double])]) =
+      SimilarityOps.kcenterAssign(emb, cs)
+        .agg(org.apache.spark.sql.functions.max("d2")).collect()(0).getDouble(0)
+    val greedy = SimilarityOps.kcenterCenters(emb, k = 4)
+    val par = SimilarityOps.kcenterParallelCenters(emb, k = 4,
+      rounds = 2, oversample = 8)
+    assert(par.length == 4)
+    assert(par.map(_._1).distinct.length == 4, "no duplicate centers")
+    assert(par.map { case (id, a) => (id, a.toSeq) } ==
+      SimilarityOps.kcenterParallelCenters(emb, 4, 2, 8)
+        .map { case (id, a) => (id, a.toSeq) },
+      "parallel seeding must be deterministic")
+    // greedy is a 2-approx of optimal; the batched seeding must stay
+    // within 2x of GREEDY's cover radius (d² compares as 4x)
+    assert(radius(par) <= 4.0 * radius(greedy) + 1e-9,
+      s"par radius² ${radius(par)} vs greedy ${radius(greedy)}")
+    // degenerate: k larger than the candidate pool still terminates
+    // with distinct centers only
+    val small = SimilarityOps.kcenterParallelCenters(
+      emb.filter(col("vec_id") < 3), k = 10, rounds = 2, oversample = 4)
+    assert(small.length == 3 && small.map(_._1).distinct.length == 3)
+    assert(SimilarityOps.kcenterParallelCenters(
+      emb.filter(lit(false)), 3).isEmpty)
   }
 }
