@@ -254,6 +254,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
   }
 
+  test("w6_global_cumsum: the only single-partition stage is the bin summary") {
+    val p = plan("w6_global_cumsum")
+    // exactly ONE SinglePartition exchange — the nBins-row bin-offset
+    // window — and the DATA window repartitions by __bin; a bare global
+    // Window.orderBy would plan the data itself through SinglePartition
+    assert(countOf(p, "Arguments: SinglePartition") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "hashpartitioning\\(__bin") >= 2,
+      "bin agg and final window must both partition on __bin")
+    assert(!p.contains("rangepartitioning"), "no global range sort of the data")
+  }
+
+  test("text_tfidf_topterms: dims broadcast, top-3 pruned by WindowGroupLimit") {
+    val p = plan("text_tfidf_topterms")
+    // df and n_docs ride the broadcast side; the corpus is never
+    // shuffled for a join, and rk<=3 prunes before the final sort
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("text_bm25_topk: term filter before aggregation, top-k via TakeOrderedAndProject") {
+    val p = plan("text_bm25_topk")
+    // the query-term filter kills non-matching tokens straight off the
+    // explode (before any exchange), the result is served from the
+    // shared multi-query cache, and the global top-k plans as
+    // TakeOrderedAndProject (per-partition heaps), never a full sort
+    assert(p.contains("InMemoryTableScan"), "bm25 serves from the shared cached pass")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dq_constraints: pure aggregation — no joins, no Expand") {
+    val p = plan("dq_constraints")
+    assert(!p.contains("Join"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("Expand"))
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 1, "one scan of events")
+  }
+
   test("sim_rp_project is a pure scan-side map — zero exchanges, one scan") {
     val p = plan("sim_rp_project")
     assert(countOf(p, "\\(\\d+\\) Exchange") == 0, p.linesIterator.take(25).mkString("\n"))
