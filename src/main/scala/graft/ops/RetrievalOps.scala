@@ -171,6 +171,89 @@ object RetrievalOps {
         col("rrf_score"), col("n_lists"))
   }
 
+  /** Maximal-Marginal-Relevance diversity re-ranking (Carbonell &
+    * Goldstein, "The Use of MMR, Diversity-Based Reranking", SIGIR
+    * 1998): greedily select k of the candidate list maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the de-dup-at-
+    * serving-time step that keeps a RAG context window from burning k
+    * slots on k copies of the same passage.
+    *
+    * Scale shape: the corpus is touched exactly once (the brute top-
+    * `candidates` scan — swap in any of the ANN family for the
+    * candidate pass at 100 TB); the greedy loop runs over the
+    * k-BOUNDED candidate frame, one 1-row TakeOrderedAndProject argmax
+    * per step (the kcenterCenters contract — selection is inherently
+    * sequential, candidates are bounded, so k cheap jobs is the right
+    * shape, never a shuffle).
+    *
+    * Numeric contract — INTEGER-EXACT end to end: relevance and
+    * pairwise cosines round to 6dp (the sim-family contract) then
+    * convert to exact micro-unit longs; the MMR objective is
+    * round(λ·rel_µ − (1−λ)·msim_µ) where λ·(integer < 2⁵³) is exact
+    * for the shipped λ = 0.5, so scores, ordering, and ties (by
+    * neighbor_id) carry zero float-boundary risk — the ClassifierOps
+    * fixed-point lesson applied at design time.
+    *
+    * Returns (mmr_rank, neighbor_id, rel_micro, mmr_score_micro) — at
+    * most k rows; fewer when the candidate list itself runs dry.
+    */
+  def mmrRerank(corpus: DataFrame, queryVecId: Long, candidates: Int,
+      k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidates >= 1, s"candidates must be >= 1, got $candidates")
+    val cand = SimilarityOps.bruteTopK(
+      corpus, corpus.filter(col("vec_id") === queryVecId), candidates)
+      .select(col("neighbor_id"),
+        round(col("cos_sim") * 1e6).cast("long").as("rel_u"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm")), Seq("neighbor_id"))
+      .cache()
+
+    def scoreOf(msimU: Column): Column =
+      round(lit(lambda) * col("rel_u") - (lit(1.0) - lit(lambda)) * msimU)
+        .cast("long")
+
+    // (neighbor_id, embedding, norm, rel_u, score_u) per selected row
+    var sel = Vector.empty[(Long, Array[Double], Double, Long, Long)]
+    def readSel(r: org.apache.spark.sql.Row): (Long, Array[Double], Double, Long, Long) =
+      (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue).toArray,
+        r.getDouble(2), r.getLong(3), r.getLong(4))
+    while (sel.length < k) {
+      val msimU =
+        if (sel.isEmpty) lit(0L)
+        else array_max(array(sel.map { case (_, e, nrm, _, _) =>
+          round(round(SimilarityOps.dot(col("embedding"), typedlit(e.toSeq)) /
+            (col("nrm") * lit(nrm)), 6) * 1e6).cast("long")
+        }: _*))
+      val remaining =
+        if (sel.isEmpty) cand
+        else cand.filter(!col("neighbor_id").isin(sel.map(_._1): _*))
+      val next = remaining
+        .select(col("neighbor_id"), col("embedding"), col("nrm"),
+          col("rel_u"), scoreOf(msimU).as("score_u"))
+        .orderBy(col("score_u").desc, col("neighbor_id").asc)
+        .limit(1)
+        .collect()
+      if (next.isEmpty) sel = sel :+ ((-1L, Array.empty[Double], 0d, 0L, 0L))
+      else sel = sel :+ readSel(next(0))
+    }
+    val picked = sel.filter(_._1 >= 0)
+    val ordExpr = picked.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, ((id, _, _, _, _), i)) =>
+        when(col("neighbor_id") === id, lit((i + 1).toLong)).otherwise(acc)
+    }
+    val scoreExpr = picked.foldLeft(lit(null).cast("long")) {
+      case (acc, (id, _, _, _, scoreU)) =>
+        when(col("neighbor_id") === id, lit(scoreU)).otherwise(acc)
+    }
+    cand
+      .select(ordExpr.as("mmr_rank"), col("neighbor_id"), col("rel_u"),
+        scoreExpr.as("mmr_score_u"))
+      .filter(col("mmr_rank") > 0)
+      .select(col("mmr_rank"), col("neighbor_id"),
+        col("rel_u").as("rel_micro"), col("mmr_score_u").as("mmr_score_micro"))
+  }
+
   /** The IR evaluation triple — recall@k, MRR, nDCG@k — of an
     * approximate ranking against exact ground truth, one row per query.
     * Both inputs are (query_id, neighbor_id, rank) frames (any of the

@@ -174,6 +174,53 @@ object TokenizerOps {
           .as("neg_samples"))
   }
 
+  /** Pointwise-mutual-information collocations over adjacent-token
+    * bigrams (Church & Hanks, "Word Association Norms, Mutual
+    * Information, and Lexicography", Computational Linguistics 1990) —
+    * the collocation detector that feeds phrase-vocabulary induction
+    * (word2vec's phrase pass) and multiword-expression mining:
+    *
+    *   pmi(l, r) = ln( p(l,r) / (p(l,·) · p(·,r)) )
+    *
+    * with all three probabilities estimated from the BIGRAM table
+    * itself (left marginal, right marginal, grand total), so one
+    * corpus-sized aggregation feeds everything. Scale shape: bigrams
+    * explode scan-side (zip_with over the row's own token array — no
+    * joins), ONE shuffle builds the (l, r, n) table; both marginals
+    * and the total derive from that table (vocab-bounded, ≪ corpus)
+    * and ride back as broadcasts. The corpus is touched exactly once.
+    *
+    * Determinism: counts are exact longs; the PMI ratio multiplies/
+    * divides doubles that are exactly-represented integers (IEEE-
+    * deterministic), and ln + round(·,6) is the text_lm_score parity
+    * contract. `minCount` prunes the noisy low-count tail (PMI's known
+    * bias toward hapax pairs) BEFORE the join, so the broadcast side
+    * of nothing depends on it.
+    */
+  def bigramPmi(docs: DataFrame, minCount: Long): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val pairs = docs
+      .select(explode(
+        zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("p.l").as("tok_l"), col("p.r").as("tok_r"))
+    val pc = pairs.groupBy("tok_l", "tok_r").agg(count(lit(1)).as("n_pair"))
+    val lm = pc.groupBy("tok_l").agg(sum("n_pair").as("n_left"))
+    val rm = pc.groupBy("tok_r").agg(sum("n_pair").as("n_right"))
+    val tot = pc.agg(sum("n_pair").as("n_total"))
+    pc.filter(col("n_pair") >= minCount)
+      .join(broadcast(lm), Seq("tok_l"))
+      .join(broadcast(rm), Seq("tok_r"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok_l"), col("tok_r"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") * col("n_total").cast("double")) /
+            (col("n_left").cast("double") * col("n_right").cast("double"))), 6)
+          .as("pmi"))
+  }
+
   /** A learned merge list as a DataFrame (the oracle-checked artifact). */
   def mergeTable(spark: org.apache.spark.sql.SparkSession,
       merges: Seq[(Long, String, String, Long)]): DataFrame = {

@@ -2397,6 +2397,184 @@ object PipelineOracles {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS payload_md5,
         |  CAST((octet_length(encode(text)) - 1) // 256 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // bigram counts + marginals + total all from the pair table; the
+    // PMI ratio multiplies exactly-represented integer doubles, then
+    // ln + round(·,6) (the text_lm_score parity contract).
+    "text_pmi_bigrams" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |b AS (SELECT toks[i] AS tok_l, toks[i + 1] AS tok_r
+         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |pc AS (SELECT tok_l, tok_r, count(*) AS n_pair FROM b GROUP BY 1, 2),
+         |lm AS (SELECT tok_l, sum(n_pair) AS n_left FROM pc GROUP BY 1),
+         |rm AS (SELECT tok_r, sum(n_pair) AS n_right FROM pc GROUP BY 1),
+         |tot AS (SELECT sum(n_pair) AS n_total FROM pc)
+         |SELECT pc.tok_l, pc.tok_r, CAST(pc.n_pair AS BIGINT) AS n_pair,
+         |  round(ln((CAST(pc.n_pair AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+         |    (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))), 6) AS pmi
+         |FROM pc JOIN lm USING (tok_l) JOIN rm USING (tok_r) CROSS JOIN tot
+         |WHERE pc.n_pair >= ${PipelineQueries.PmiMinCount}""".stripMargin,
+
+    // distinct-per-doc bigrams, document frequency, per-doc unique
+    // fraction — docs under n tokens have no grams and drop.
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |df AS (SELECT gram, count(*) AS df FROM dg GROUP BY 1)
+        |SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM dg JOIN df USING (gram) GROUP BY 1""".stripMargin,
+
+    // the MMR greedy unrolled: candidate list = brute top-20 of query
+    // vec 0, then one (max-sim, argmax) CTE pair per pick. The score
+    // surface is integer micro-units — 0.5·(long < 2⁵³) is exact, so
+    // ordering and the .5 rounding cases replay bit-for-bit.
+    "ret_mmr_rerank" -> {
+      val cands = PipelineQueries.MmrCandidates
+      val k = PipelineQueries.MmrK
+      val q = PipelineQueries.MmrQueryVec
+      def simU(a: String, b: String, na: String, nb: String) =
+        s"CAST(round(round(list_dot_product($a, $b) / ($na * $nb), 6) * 1000000.0) AS BIGINT)"
+      val steps = (2 to k).map { i =>
+        s"""m$i AS (SELECT c.neighbor_id,
+           |    max(${simU("c.e", "s.e", "c.nrm", "s.nrm")}) AS msim_u
+           |  FROM cand c CROSS JOIN sel${i - 1} s
+           |  WHERE c.neighbor_id NOT IN (SELECT neighbor_id FROM sel${i - 1})
+           |  GROUP BY c.neighbor_id),
+           |p$i AS (SELECT c.neighbor_id, c.rel_u, c.e, c.nrm,
+           |    CAST(round(0.5::DOUBLE * c.rel_u - 0.5::DOUBLE * m$i.msim_u) AS BIGINT) AS score_u,
+           |    $i AS mmr_rank
+           |  FROM cand c JOIN m$i USING (neighbor_id)
+           |  ORDER BY score_u DESC, c.neighbor_id LIMIT 1),
+           |sel$i AS (SELECT * FROM sel${i - 1}
+           |  UNION ALL SELECT neighbor_id, rel_u, e, nrm, score_u, mmr_rank FROM p$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $normCte,
+         |qv AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = $q),
+         |sc AS (SELECT n.vec_id AS neighbor_id,
+         |    list_dot_product(n.e, qv.qe) / (n.nrm * qv.qn) AS cos
+         |  FROM n CROSS JOIN qv WHERE n.vec_id <> $q),
+         |topc AS (SELECT neighbor_id,
+         |    CAST(round(round(cos, 6) * 1000000.0) AS BIGINT) AS rel_u
+         |  FROM (SELECT neighbor_id, cos,
+         |      row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
+         |  WHERE rk <= $cands),
+         |cand AS (SELECT topc.neighbor_id, topc.rel_u, n.e, n.nrm
+         |  FROM topc JOIN n ON n.vec_id = topc.neighbor_id),
+         |sel1 AS (SELECT neighbor_id, rel_u, e, nrm,
+         |    CAST(round(0.5::DOUBLE * rel_u) AS BIGINT) AS score_u, 1 AS mmr_rank
+         |  FROM cand
+         |  ORDER BY CAST(round(0.5::DOUBLE * rel_u) AS BIGINT) DESC, neighbor_id
+         |  LIMIT 1),
+         |$steps
+         |SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank, neighbor_id,
+         |  rel_u AS rel_micro, score_u AS mmr_score_micro
+         |FROM sel$k""".stripMargin
+    },
+
+    "pref_pairs" ->
+      """WITH p AS (SELECT event_type AS cur,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT cur AS winner, prev AS loser, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE prev IS NOT NULL AND prev <> cur GROUP BY 1, 2""".stripMargin,
+
+    // all five KN statistics re-derived from the unrolled bigram
+    // tables; the probability expression mirrors TextOps.knBigramScores'
+    // operator tree exactly (same association, same casts); per-term
+    // micro-unit longs via SCALE-0 round (the only round both engines
+    // agree on unconditionally) sum exactly.
+    "text_kn_score" -> {
+      val d = PipelineQueries.KnDiscount
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] AS v, toks[i + 1] AS w
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |tf AS (SELECT doc_id, v, w, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |pc AS (SELECT v, w, sum(tf) AS c FROM tf GROUP BY 1, 2),
+         |lmr AS (SELECT v, sum(c) AS cv, count(*) AS n1v FROM pc GROUP BY 1),
+         |rmr AS (SELECT w, count(*) AS n1w FROM pc GROUP BY 1),
+         |tt AS (SELECT count(*) AS n1all FROM pc)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CAST(round(tf * ln(
+         |      (CAST(c AS DOUBLE) - $d) / CAST(cv AS DOUBLE)
+         |      + $d * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)
+         |        * (CAST(n1w AS DOUBLE) / CAST(n1all AS DOUBLE))) * 1000000.0)
+         |    AS BIGINT)) AS BIGINT) AS kn_sum_micro
+         |FROM tf JOIN pc USING (v, w) JOIN lmr USING (v) JOIN rmr USING (w)
+         |CROSS JOIN tt
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    // embedding-near pairs (the dedup_embedding predicate) verified
+    // lexically: LEFT JOIN the shared-shingle counts so zero-overlap
+    // pairs keep jaccard 0 (Spark's array_intersect gives 0, not a
+    // dropped row).
+    "dedup_paraphrase" ->
+      s"""WITH $normCte,
+         |$shCte,
+         |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.NearDupThreshold}),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.doc_a, p.doc_b, count(*) AS n_common
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT p.doc_a, p.doc_b, p.cos_sim,
+         |  round(coalesce(c.n_common, 0)
+         |    / CAST(ca.n + cb.n - coalesce(c.n_common, 0) AS DOUBLE), 6) AS jaccard,
+         |  round(coalesce(c.n_common, 0)
+         |    / CAST(ca.n + cb.n - coalesce(c.n_common, 0) AS DOUBLE), 6)
+         |    < ${PipelineQueries.ParaJaccardMax} AS is_paraphrase
+         |FROM pairs p
+         |JOIN cnt ca ON ca.doc_id = p.doc_a
+         |JOIN cnt cb ON cb.doc_id = p.doc_b
+         |LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b""".stripMargin,
+
+    // the MM chain unrolled: per iteration, per-pair terms round(·,6)
+    // sum in DECIMAL, the weight update rounds to 6dp, the round
+    // normalizes to a probability vector — PreferenceOps.btStrengths
+    // step for step.
+    "pref_bt_strength" -> {
+      val iters = PipelineQueries.BtIters
+      val steps = (1 to iters).map { i =>
+        s"""d$i AS (SELECT s.item,
+           |    sum(CAST(round(s.games / (wa.w + wb.w), 6) AS DECIMAL(28,12))) AS denom
+           |  FROM sym s JOIN w${i - 1} wa ON wa.item = s.item
+           |  JOIN w${i - 1} wb ON wb.item = s.opp GROUP BY s.item),
+           |r$i AS (SELECT d$i.item,
+           |    round(coalesce(wins.wins, 0) / CAST(denom AS DOUBLE), 6) AS wr
+           |  FROM d$i LEFT JOIN wins ON wins.item = d$i.item),
+           |w$i AS (SELECT item,
+           |    round(wr / (SELECT CAST(sum(CAST(wr AS DECIMAL(28,6))) AS DOUBLE)
+           |                FROM r$i), 6) AS w FROM r$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT event_type AS cur,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |pr AS (SELECT cur AS winner, prev AS loser, count(*) AS n FROM p
+         |  WHERE prev IS NOT NULL AND prev <> cur GROUP BY 1, 2),
+         |sym AS (SELECT item, opp, sum(n) AS games FROM (
+         |    SELECT winner AS item, loser AS opp, n FROM pr
+         |    UNION ALL SELECT loser AS item, winner AS opp, n FROM pr)
+         |  GROUP BY 1, 2),
+         |wins AS (SELECT winner AS item, sum(n) AS wins FROM pr GROUP BY 1),
+         |gt AS (SELECT item, sum(games) AS n_games FROM sym GROUP BY 1),
+         |w0 AS (SELECT DISTINCT item, 1.0::DOUBLE AS w FROM sym),
+         |$steps
+         |SELECT w$iters.item, CAST(coalesce(wins.wins, 0) AS BIGINT) AS wins,
+         |  CAST(gt.n_games AS BIGINT) AS n_games, w$iters.w AS strength
+         |FROM w$iters LEFT JOIN wins ON wins.item = w$iters.item
+         |JOIN gt ON gt.item = w$iters.item""".stripMargin
+    }
   )
 }

@@ -41,6 +41,21 @@ object PipelineQueries {
   val BpeMergeCount = 6
   /** funnel_window conversion window: 24 h per stage transition. */
   val FunnelWindowUs: Long = 24L * 3600L * 1000000L
+  /** PMI collocations: min bigram count (prunes PMI's hapax bias). */
+  val PmiMinCount = 10L
+  /** Novelty n-gram order. */
+  val NoveltyN = 2
+  /** MMR re-ranking: candidate-list depth, picks, trade-off. */
+  val MmrCandidates = 20
+  val MmrK = 5
+  val MmrLambda = 0.5
+  val MmrQueryVec = 0L
+  /** Bradley-Terry MM iterations. */
+  val BtIters = 3
+  /** Kneser-Ney absolute discount. */
+  val KnDiscount = 0.75
+  /** Paraphrase mining: embedding-near pairs below this lexical overlap. */
+  val ParaJaccardMax = 0.2
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   /** The multi-query BM25 batch: (query_id, term) rows. */
@@ -1602,6 +1617,71 @@ object PipelineQueries {
               round((x.cast("double") - array_min(col("embedding")).cast("double")) /
                 (array_max(col("embedding")).cast("double") -
                   array_min(col("embedding")).cast("double")) * 255).cast("long")),
-            lit(0L), (acc, q) => acc + q).as("q_checksum")))
+            lit(0L), (acc, q) => acc + q).as("q_checksum"))),
+
+    // -- collocations / novelty / diversity / preferences -----------------
+
+    // PMI collocations over adjacent bigrams (Church & Hanks 1990) — the
+    // phrase-vocabulary induction pass (word2vec's phrase step). One
+    // corpus shuffle builds the bigram table; marginals + total derive
+    // FROM it (vocab-bounded) and ride back as broadcasts.
+    "text_pmi_bigrams" -> ((s, dir) =>
+      TokenizerOps.bigramPmi(table(s, dir, "documents"), PmiMinCount)),
+
+    // per-doc n-gram novelty — the memorization-risk score: fraction of
+    // a doc's distinct bigrams occurring in no other document. Grams
+    // deduplicate in-row first, so df is a plain count per gram.
+    "text_novelty" -> ((s, dir) =>
+      TextOps.noveltyScores(table(s, dir, "documents"), NoveltyN)),
+
+    // MMR diversity re-ranking over the dense top-20 of query vec 0 —
+    // the serving-time de-dup that keeps a RAG context from burning
+    // slots on near-copies. Greedy loop over the k-BOUNDED candidate
+    // frame (1-row argmax per step, the kcenter contract); the score
+    // surface is integer micro-units end to end.
+    "ret_mmr_rerank" -> ((s, dir) =>
+      RetrievalOps.mmrRerank(normed(s, dir), MmrQueryVec,
+        MmrCandidates, MmrK, MmrLambda)),
+
+    // implicit pairwise preferences from the event log: within each
+    // user's (ts, event_id)-ordered stream, every consecutive a→b
+    // transition (a≠b) is one "b beats a". One window shuffle, then the
+    // aggregate collapses to ≤ items² rows.
+    "pref_pairs" -> ((s, dir) =>
+      PreferenceOps.pairsFromLog(table(s, dir, "events"))),
+
+    // Bradley-Terry strengths via 3 in-engine MM iterations (Hunter
+    // 2004) over the comparison counts — the reward-model fit on
+    // preference data, with the same train-in-engine contract as the
+    // LR classifier: per-round work is items²-bounded, only the weight
+    // vector reaches the driver, the whole chain replays in the oracle.
+    "pref_bt_strength" -> ((s, dir) =>
+      PreferenceOps.btStrengths(
+        PreferenceOps.pairsFromLog(table(s, dir, "events")), BtIters)),
+
+    // corpus-trained interpolated Kneser-Ney bigram LM score — the
+    // CCNet-style perplexity filter with CONTEXT: word salad with
+    // plausible unigrams scores low because its transitions are rare.
+    // All five KN statistics fold from one bigram aggregation.
+    "text_kn_score" -> ((s, dir) =>
+      TextOps.knBigramScores(table(s, dir, "documents"), KnDiscount)),
+
+    // paraphrase mining — the dedup layer near-dup Jaccard CANNOT see:
+    // embedding-near pairs (semantic overlap) verified lexically; low
+    // Jaccard + high cosine = paraphrase candidates (keep one for a
+    // dedup policy, keep BOTH as a paraphrase-pair training example).
+    // Composition of the shared artifacts: label-bucketed cosine pairs
+    // × candidate-bounded shingle-set Jaccard.
+    "dedup_paraphrase" -> ((s, dir) => {
+      val pairs = SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+          col("cos_sim"))
+      val sets = DedupOps.candidateShingleSets(
+        pairs, table(s, dir, "documents"))
+      pairs
+        .join(DedupOps.ngramJaccardSets(pairs, sets), Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("cos_sim"), col("jaccard"),
+          (col("jaccard") < ParaJaccardMax).as("is_paraphrase"))
+    })
   )
 }

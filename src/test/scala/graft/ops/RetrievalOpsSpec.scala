@@ -134,4 +134,29 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(m(2L) == ((2L, 2L, 1.0, 1.0, 1.0))) // perfect retrieval
     assert(m(3L) == ((0L, 1L, 0.0, 0.0, 0.0))) // total miss
   }
+
+  test("mmrRerank: a near-duplicate of the first pick drops behind a diverse candidate") {
+    // query (1,0); a=(4,3) rel .8; b=(8,6) exact duplicate direction of
+    // a, rel .8; c=(1,−1) rel .707107 but nearly orthogonal to a.
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(4.0, 3.0)),
+      (2L, Array(8.0, 6.0)),
+      (3L, Array(1.0, -1.0))
+    ).toDF("vec_id", "embedding")
+    val corpus = SimilarityOps.withNorm(emb)
+    val out = RetrievalOps.mmrRerank(corpus, 0L, candidates = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // relevance alone ranks a, b, c — MMR flips b and c: after picking a,
+    // b's msim is 1.0 (cos(a,b)=1) so its margin collapses to −100000,
+    // while c keeps round(.5·707107 − .5·141421) = 282843
+    assert(out.toSeq == Seq(
+      (1L, 1L, 800000L, 400000L),
+      (2L, 3L, 707107L, 282843L),
+      (3L, 2L, 800000L, -100000L)))
+    // candidate list shorter than k: everything selected, nothing padded
+    assert(RetrievalOps.mmrRerank(corpus, 0L, candidates = 3, k = 5)
+      .count() == 3L)
+  }
 }

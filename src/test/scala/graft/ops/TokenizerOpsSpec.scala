@@ -119,4 +119,24 @@ class TokenizerOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(raw(0L) == 10L && raw(1L) == 4L && raw(2L) == 2L)
   }
+
+  test("bigramPmi: hand-computed marginals, minCount prune, short docs contribute nothing") {
+    import spark.implicits._
+    // bigrams: doc 0 → (a,b), (b,a), (a,b); doc 1 → (a,c); doc 2 → none
+    val docs = Seq((0L, "a b a b"), (1L, "a c"), (2L, "z"))
+      .toDF("doc_id", "text")
+    val all = TokenizerOps.bigramPmi(docs, minCount = 1L)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // totals: 4 bigrams; left a=3, b=1; right b=2, a=1, c=1
+    assert(all.keySet == Set(("a", "b"), ("b", "a"), ("a", "c")))
+    assert(all(("a", "b")) == ((2L, 0.287682))) // ln(2·4 / (3·2))
+    assert(all(("b", "a")) == ((1L, 1.386294))) // ln(1·4 / (1·1))
+    assert(all(("a", "c")) == ((1L, 0.287682))) // ln(1·4 / (3·1))
+    // minCount prunes the hapax tail before the join
+    val pruned = TokenizerOps.bigramPmi(docs, minCount = 2L).collect()
+    assert(pruned.length == 1 && pruned(0).getString(0) == "a"
+      && pruned(0).getString(1) == "b")
+  }
 }
