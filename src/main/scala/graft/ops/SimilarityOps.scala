@@ -409,6 +409,35 @@ object SimilarityOps {
   def assignCell(cs: Seq[(Long, Array[Double])], roundDp: Int = 6): Column =
     assignCellOn(cs, col("embedding"), roundDp)
 
+  /** Per-label class prototypes (the Rocchio / nearest-centroid
+    * classifier's training step, Rocchio 1971): the exact decimal mean
+    * of each label's member vectors — ONE aggregation over the corpus
+    * (the Lloyd's update step grouped by the LABEL column instead of an
+    * assigned cell), collected as a labels×dim matrix. With
+    * [[assignCell]] as the predictor this is the cheapest supervised
+    * baseline an embedding column supports: train = one pass, predict =
+    * scan-side argmin against the prototype literals, and the whole
+    * train→predict→evaluate chain shares the audited k-means
+    * arithmetic contract (6dp-rounded components, DECIMAL sums, cell
+    * tiebreak), so it replays in the oracle.
+    */
+  def labelPrototypes(emb: DataFrame, roundDp: Int = 6): Seq[(Long, Array[Double])] = {
+    val rows = emb
+      .select(col("label").cast("long").as("cell"), posexplode(col("embedding")))
+      .groupBy("cell", "pos")
+      .agg(
+        sum(round(col("col").cast("double"), roundDp).cast("decimal(28,12)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        round(col("s").cast("double") / col("n"), roundDp).as("m"))
+      .collect()
+    rows.groupBy(_.getLong(0)).map { case (cell, rs) =>
+      val arr = new Array[Double](rs.length)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      (cell, arr)
+    }.toSeq.sortBy(_._1)
+  }
+
   /** [[assignCell]]'s argmin over an EXPLICIT vector column — product
     * quantization assigns per subspace slice, not the whole embedding.
     */

@@ -304,7 +304,12 @@ object TextOps {
         (a, b) => struct(a.as("v"), b.as("w")))).as("p"))
       .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
     val tf = bg.groupBy("doc_id", "v", "w").agg(count(lit(1)).as("tf"))
-    val pc = tf.groupBy("v", "w").agg(sum("tf").as("c"))
+    // the vocab²-bounded LM itself is cached (the train/score split:
+    // one corpus pass builds the model, one scores against it); the
+    // corpus-sized tf table deliberately is NOT — materializing it
+    // would trade a cheap re-explode for corpus-scale cache memory,
+    // the raw-shingle-cache mistake
+    val pc = tf.groupBy("v", "w").agg(sum("tf").as("c")).cache()
     val lm = pc.groupBy("v").agg(sum("c").as("cv"), count(lit(1)).as("n1v"))
     val rm = pc.groupBy("w").agg(count(lit(1)).as("n1w"))
     val tt = pc.agg(count(lit(1)).as("n1all"))

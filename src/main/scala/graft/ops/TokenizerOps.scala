@@ -206,7 +206,12 @@ object TokenizerOps {
           slice(toks, lit(2), size(toks) - 1),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
       .select(col("p.l").as("tok_l"), col("p.r").as("tok_r"))
+    // the pair-count table is the trained artifact every downstream
+    // branch (marginals, total, output) reads — cache IT so the corpus
+    // explode+shuffle runs once, not once per branch (4 planned corpus
+    // scans otherwise; static exchange reuse does not collapse them)
     val pc = pairs.groupBy("tok_l", "tok_r").agg(count(lit(1)).as("n_pair"))
+      .cache()
     val lm = pc.groupBy("tok_l").agg(sum("n_pair").as("n_left"))
     val rm = pc.groupBy("tok_r").agg(sum("n_pair").as("n_right"))
     val tot = pc.agg(sum("n_pair").as("n_total"))

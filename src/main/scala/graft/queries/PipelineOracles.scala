@@ -917,6 +917,39 @@ object PipelineOracles {
          |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          |FROM sz GROUP BY sz""".stripMargin,
 
+    // the cluster chain + per-cluster size + the exact integer floor
+    // weight (the microFeatures floor contract).
+    "mix_dedup_weights" ->
+      s"""WITH RECURSIVE $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+         |),
+         |cl AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM cl GROUP BY cluster_id)
+         |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+         |  CAST(floor(1000000.0 / sz.cluster_size) AS BIGINT) AS weight_micro
+         |FROM cl JOIN sz USING (cluster_id)""".stripMargin,
+
+    // distinct (source, gram) pairs self-joined on gram with the
+    // lexicographic a<b rule — the same order sort_array gives the
+    // collected source set.
+    "profile_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT DISTINCT source, toks[i] || ' ' || toks[i + 1] AS gram
+        |  FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i FROM t))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM g0 a JOIN g0 b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
     "text_vocab_stats" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
         |  FROM documents)
@@ -2510,6 +2543,44 @@ object PipelineOracles {
          |CROSS JOIN tt
          |GROUP BY doc_id""".stripMargin
     },
+
+    // per-label decimal-exact prototype means (the Lloyd's update CTE
+    // grouped by label), assignment via the same rounded |c|²−2·x·c
+    // argmin + cell tiebreak, rolled to the confusion matrix.
+    "sim_rocchio_confusion" ->
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |u AS (SELECT CAST(label AS BIGINT) AS cell, pos,
+         |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,12))) AS DOUBLE)
+         |          / count(*), 6) AS m
+         |  FROM (SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS v
+         |        FROM emb)
+         |  GROUP BY cell, pos),
+         |cts AS (SELECT cell, list(m ORDER BY pos) AS c FROM u GROUP BY cell),
+         |asg AS (SELECT vec_id, label, cell AS predicted FROM (
+         |  SELECT emb.vec_id, emb.label, cts.cell,
+         |    row_number() OVER (PARTITION BY emb.vec_id
+         |      ORDER BY round(list_dot_product(cts.c, cts.c)
+         |                     - 2.0 * list_dot_product(emb.e, cts.c), 6),
+         |               cts.cell) AS rk
+         |  FROM emb CROSS JOIN cts) WHERE rk = 1)
+         |SELECT CAST(label AS BIGINT) AS label, predicted,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM asg GROUP BY 1, 2""".stripMargin,
+
+    // per-source token stats; the entropy sum is Σ c·ln c in scale-0
+    // micro longs, the TTR the bit-deterministic integer floor.
+    "profile_source_entropy" ->
+      """WITH c AS (SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))
+        |    AS BIGINT) AS clogc_sum_micro,
+        |  CAST(floor(count(*) * 1000000.0 / sum(c)) AS BIGINT) AS ttr_micro
+        |FROM c GROUP BY source""".stripMargin,
 
     // embedding-near pairs (the dedup_embedding predicate) verified
     // lexically: LEFT JOIN the shared-shingle counts so zero-overlap

@@ -1666,6 +1666,81 @@ object PipelineQueries {
     "text_kn_score" -> ((s, dir) =>
       TextOps.knBigramScores(table(s, dir, "documents"), KnDiscount)),
 
+    // Rocchio nearest-prototype classification over the embedding
+    // corpus: per-label exact-decimal-mean prototypes (one corpus
+    // aggregation, the Lloyd's update grouped by label), prediction as
+    // a scan-side argmin against the prototype literals, evaluated as
+    // the labels² confusion matrix — the cheapest supervised baseline
+    // an embedding column supports, sharing the audited k-means
+    // arithmetic contract end to end.
+    "sim_rocchio_confusion" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val protos = ModelCache.cached(s"$dir|rocchio") {
+        SimilarityOps.labelPrototypes(emb)
+      }
+      emb.select(col("label").cast("long").as("label"),
+          SimilarityOps.assignCell(protos, 6).as("predicted"))
+        .groupBy("label", "predicted")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // per-source corpus data card: vocabulary size, token count, token
+    // entropy (as the exact Σ c·ln c micro sum — H = ln N − S/(N·1e6)
+    // derives in the consumer), and a micro-unit type/token ratio. One
+    // corpus explode + two bounded aggregations; all-integer surface.
+    "profile_source_entropy" -> ((s, dir) => {
+      val c = table(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok")
+        .agg(count(lit(1)).as("c"))
+      c.groupBy("source").agg(
+        count(lit(1)).as("vocab_size"),
+        sum("c").as("n_tokens"),
+        sum(round(col("c") * log(col("c").cast("double")) * lit(1000000.0))
+          .cast("long")).as("clogc_sum_micro"),
+        floor(count(lit(1)).cast("double") * lit(1000000.0) / sum("c"))
+          .cast("long").as("ttr_micro"))
+    }),
+
+    // soft dedup (SoftDeDup-style loss weighting): instead of DROPPING
+    // near-duplicates, weight every doc by 1/cluster_size in exact
+    // integer micro units — the training loss then sees each duplicate
+    // GROUP once in expectation, preserving rare-dup signal hard
+    // removal destroys. One window shuffle over the cluster assignment
+    // (no join back); singletons keep weight 1e6.
+    "mix_dedup_weights" -> ((s, dir) => {
+      val cl = DedupOps.duplicateClusters(
+        table(s, dir, "documents").select("doc_id"),
+        DedupOps.candidatePairs(dedupBands(s, dir)).cache(),
+        driverMaxEdges = 1L << 20)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      cl.withColumn("cluster_size", count(lit(1)).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          floor(lit(1000000.0) / col("cluster_size")).cast("long")
+            .as("weight_micro"))
+    }),
+
+    // cross-source overlap matrix — the contamination data card: for
+    // every source pair, how many distinct bigrams they share. The
+    // per-gram source set is BOUNDED (≤ |sources|), so the in-row pair
+    // expansion is the nearDupPairs single-branch shape: one gram-keyed
+    // shuffle, pairs never touch corpus-scale data.
+    "profile_source_overlap" -> ((s, dir) => {
+      val gs = table(s, dir, "documents")
+        .select(col("source"), explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), NoveltyN))).as("gram"))
+        .distinct()
+      gs.groupBy("gram")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) > 1)
+        .select(explode(flatten(transform(col("ss"), (a, i) =>
+          transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
+            struct(a.as("sa"), b.as("sb")))))).as("p"))
+        .select(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
     // paraphrase mining — the dedup layer near-dup Jaccard CANNOT see:
     // embedding-near pairs (semantic overlap) verified lexically; low
     // Jaccard + high cosine = paraphrase candidates (keep one for a
@@ -1673,11 +1748,16 @@ object PipelineQueries {
     // Composition of the shared artifacts: label-bucketed cosine pairs
     // × candidate-bounded shingle-set Jaccard.
     "dedup_paraphrase" -> ((s, dir) => {
+      // pairs (pair-bounded) and the candidate shingle sets (endpoint-
+      // bounded) are each read twice downstream — cache both so the
+      // embeddings corpus is scanned once and the documents corpus once
+      // (8 planned scans collapse to 2)
       val pairs = SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
           col("cos_sim"))
+        .cache()
       val sets = DedupOps.candidateShingleSets(
-        pairs, table(s, dir, "documents"))
+        pairs, table(s, dir, "documents")).cache()
       pairs
         .join(DedupOps.ngramJaccardSets(pairs, sets), Seq("doc_a", "doc_b"))
         .select(col("doc_a"), col("doc_b"), col("cos_sim"), col("jaccard"),

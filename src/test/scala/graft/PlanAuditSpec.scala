@@ -333,6 +333,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  private def corpusScans(p: String): Int =
+    countOf(p, "documents\\.parquet\\]") + countOf(p, "events\\.parquet\\]") +
+      countOf(p, "embeddings\\.parquet\\]")
+
+  test("text_pmi_bigrams: corpus scanned once (cached pair table feeds every branch)") {
+    val p = plan("text_pmi_bigrams")
+    assert(corpusScans(p) == 1, p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin")) // marginals + total ride broadcast
+  }
+
+  test("text_kn_score: exactly the train/score split — two corpus passes, no SMJ") {
+    val p = plan("text_kn_score")
+    // pass 1 builds the cached vocab²-bounded LM, pass 2 scores against
+    // it; a third scan would mean a marginal recomputing the corpus
+    assert(corpusScans(p) == 2, p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dedup_paraphrase: embeddings once + documents once (cached pairs/sets)") {
+    val p = plan("dedup_paraphrase")
+    assert(corpusScans(p) == 2, p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pref_bt_strength: the event log is scanned once — MM rounds read the cached pairs") {
+    val p = plan("pref_bt_strength")
+    assert(corpusScans(p) == 1, p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("billing flagship keeps money in DecimalType to the sink edge") {
     val df = SparkEntry.queries("billing_invoice")(spark, dir)
     val costField = df.schema.fields.find(_.name.toLowerCase.contains("cost"))
