@@ -112,4 +112,86 @@ object ClassifierOps {
 
   /** Per-row score and thresholded prediction from literal weights. */
   def score(w: Seq[Double], xs: Seq[Column]): Column = sigmoid(margin(w, xs))
+
+  /** Multinomial Naive Bayes over whitespace tokens (McCallum & Nigam
+    * 1998) — the second supervised baseline next to [[trainLogistic]]:
+    * where the LR works on three dense quality features, NB consumes
+    * the full sparse token space, which is what language / topic / spam
+    * classification of raw corpora wants.
+    *
+    * Training is ONE corpus aggregation to the (class, token) count
+    * table — vocab×classes bounded, cached (the train/score split).
+    * Scoring uses the add-one-smoothed decomposition
+    *
+    *   log P(d|l) = Σ_tok tf·ln(c(l,tok)+1) − n_d·ln(N_l + V)
+    *
+    * which makes the smoothing IMPLICIT: a token unseen in class l
+    * contributes tf·ln(0+1) = 0 to the first sum, so the scoring join
+    * is a plain inner join against the model — no (token × class)
+    * outer-join densification, which at a real vocab would dwarf the
+    * corpus itself.
+    *
+    * Numeric contract: every term converts to micro-unit longs via
+    * SCALE-0 rounding (`round(x·1e6)` — the knBigramScores contract,
+    * the only rounding both engines agree on unconditionally) and sums
+    * exactly; the argmax breaks ties on the class name ascending, so
+    * the predicted label replays bit-for-bit.
+    *
+    * Returns the classes² confusion matrix (lang, predicted, n) —
+    * self-evaluation on the training corpus, the [[SimilarityOps
+    * .labelPrototypes]] Rocchio evaluation shape.
+    */
+  def naiveBayesConfusion(docs: DataFrame, labelCol: String = "lang"): DataFrame = {
+    def tf0 = docs
+      .select(col("doc_id"), col(labelCol).as("lang_true"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "lang_true", "tok")
+      .agg(count(lit(1)).as("tf"))
+    // the model: per-(class, token) occurrence counts — vocab×classes
+    // bounded, cached; per-class totals, vocab size, and doc priors all
+    // derive FROM it (or from a metadata-cheap doc count), so the
+    // corpus is scanned once for training
+    val c = tf0.groupBy(col("lang_true").as("cl"), col("tok"))
+      .agg(sum("tf").as("c")).cache()
+    val nl = c.groupBy("cl").agg(sum("c").as("nl"))
+    val v = c.agg(countDistinct(col("tok")).as("v"))
+    val priors = docs.groupBy(col(labelCol).as("cl"))
+      .agg(count(lit(1)).as("dl"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("dtot"))))
+      .select(col("cl"),
+        round(log(col("dl").cast("double") / col("dtot").cast("double")) *
+          lit(1000000.0)).cast("long").as("prior_micro"))
+    // scoring pass 1: Σ tf·ln(c+1) per (doc, candidate class) — the
+    // model joins broadcast (vocab×classes bounded)
+    val terms = tf0.join(broadcast(c), Seq("tok"))
+      .groupBy("doc_id", "cl")
+      .agg(sum(round(col("tf").cast("double") *
+        log(col("c").cast("double") + lit(1.0)) * lit(1000000.0))
+        .cast("long")).as("tsum"))
+    // scoring pass 2: per-doc token totals × every candidate class,
+    // LEFT-joined to the term sums so a doc sharing no vocabulary with
+    // a class still gets its smoothed-floor score
+    val nd = tf0.groupBy("doc_id", "lang_true").agg(sum("tf").as("n_d"))
+    val langs = c.select("cl").distinct()
+    val scored = nd
+      .crossJoin(broadcast(langs))
+      .join(broadcast(nl), Seq("cl"))
+      .crossJoin(broadcast(v))
+      .join(broadcast(priors), Seq("cl"))
+      .join(terms, Seq("doc_id", "cl"), "left")
+      .select(col("doc_id"), col("lang_true"), col("cl"),
+        (coalesce(col("tsum"), lit(0L)) -
+          round(col("n_d").cast("double") *
+            log((col("nl") + col("v")).cast("double")) * lit(1000000.0))
+            .cast("long") +
+          col("prior_micro")).as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("cl"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang_true").as("lang"), col("cl").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -2646,6 +2646,69 @@ object PipelineOracles {
          |  CAST(gt.n_games AS BIGINT) AS n_games, w$iters.w AS strength
          |FROM w$iters LEFT JOIN wins ON wins.item = w$iters.item
          |JOIN gt ON gt.item = w$iters.item""".stripMargin
-    }
+    },
+
+    // the NB chain re-derived: (class, token) counts, the smoothed
+    // decomposition Σ tf·ln(c+1) − n_d·ln(N_l+V) + ln prior, every term
+    // a scale-0 micro long, argmax with the class-ascending tiebreak.
+    "quality_nb_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, lang AS lang_true, tok, count(*) AS tf
+        |  FROM t GROUP BY 1, 2, 3),
+        |c AS (SELECT lang_true AS cl, tok, sum(tf) AS c FROM tf GROUP BY 1, 2),
+        |nl AS (SELECT cl, sum(c) AS nl FROM c GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM c),
+        |pri AS (SELECT lang AS cl,
+        |    CAST(round(ln(CAST(count(*) AS DOUBLE) /
+        |      (SELECT CAST(count(*) AS DOUBLE) FROM documents)) * 1000000.0)
+        |      AS BIGINT) AS prior_micro
+        |  FROM documents GROUP BY 1),
+        |terms AS (SELECT tf.doc_id, c.cl,
+        |    sum(CAST(round(CAST(tf.tf AS DOUBLE) *
+        |      ln(CAST(c.c AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT)) AS tsum
+        |  FROM tf JOIN c ON c.tok = tf.tok GROUP BY 1, 2),
+        |nd AS (SELECT doc_id, lang_true, sum(tf) AS n_d FROM tf GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT cl FROM c),
+        |sc AS (SELECT nd.doc_id, nd.lang_true, l.cl,
+        |    coalesce(t.tsum, 0)
+        |    - CAST(round(CAST(nd.n_d AS DOUBLE) *
+        |        ln(CAST(nl.nl + v.v AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    + pri.prior_micro AS score_micro
+        |  FROM nd CROSS JOIN langs l
+        |  JOIN nl ON nl.cl = l.cl CROSS JOIN v
+        |  JOIN pri ON pri.cl = l.cl
+        |  LEFT JOIN terms t ON t.doc_id = nd.doc_id AND t.cl = l.cl),
+        |pred AS (SELECT lang_true, cl FROM (
+        |    SELECT lang_true, cl, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micro DESC, cl) AS rk FROM sc)
+        |  WHERE rk = 1)
+        |SELECT lang_true AS lang, cl AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    // degree-ordered orientation replayed with SQL row-value
+    // comparisons: each triangle enumerated once from its lowest
+    // corner, then exploded back to all three.
+    "graph_triangles" ->
+      s"""WITH $normCte,
+         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |deg AS (SELECT node, count(*) AS d FROM (
+         |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b END AS u,
+         |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN db.d ELSE da.d END AS dv,
+         |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a END AS v
+         |  FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+         |tri AS (SELECT w1.u AS x1, w1.v AS x2, w2.v AS x3
+         |  FROM o w1 JOIN o w2 ON w2.u = w1.u AND (w1.dv, w1.v) < (w2.dv, w2.v)
+         |  JOIN o t ON t.u = w1.v AND t.v = w2.v)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |  SELECT x1 AS node FROM tri
+         |  UNION ALL SELECT x2 FROM tri
+         |  UNION ALL SELECT x3 FROM tri)
+         |GROUP BY node""".stripMargin
   )
 }

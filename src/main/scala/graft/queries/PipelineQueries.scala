@@ -56,6 +56,9 @@ object PipelineQueries {
   val KnDiscount = 0.75
   /** Paraphrase mining: embedding-near pairs below this lexical overlap. */
   val ParaJaccardMax = 0.2
+  /** Triangle counting: cosine edge threshold (denser than the 0.3
+    * near-dup graph so triangles exist at every SF). */
+  val TriangleCos = 0.25
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   /** The multi-query BM25 batch: (query_id, term) rows. */
@@ -1762,6 +1765,25 @@ object PipelineQueries {
         .join(DedupOps.ngramJaccardSets(pairs, sets), Seq("doc_a", "doc_b"))
         .select(col("doc_a"), col("doc_b"), col("cos_sim"), col("jaccard"),
           (col("jaccard") < ParaJaccardMax).as("is_paraphrase"))
-    })
+    }),
+
+    // multinomial Naive Bayes over the full sparse token space — the
+    // supervised baseline dense-feature LR cannot be: language/topic
+    // classification from raw counts. One corpus aggregation trains the
+    // (class, token) model; the smoothed decomposition keeps scoring an
+    // INNER join (unseen tokens contribute ln(1)=0), so nothing
+    // vocab×classes-dense ever materializes. Self-evaluated as the
+    // classes² confusion matrix.
+    "quality_nb_confusion" -> ((s, dir) =>
+      ClassifierOps.naiveBayesConfusion(table(s, dir, "documents"))),
+
+    // per-node triangle counts over the cosine near-dup graph — local
+    // clustering density (how clique-like each doc's dup neighborhood
+    // is). Degree-ordered orientation bounds the wedge join by the
+    // oriented out-degree (O(√m)), the MapReduce triangle shape.
+    "graph_triangles" -> ((s, dir) =>
+      GraphOps.triangleCounts(
+        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        "vec_a", "vec_b"))
   )
 }

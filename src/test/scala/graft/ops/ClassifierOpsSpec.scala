@@ -45,4 +45,71 @@ class ClassifierOpsSpec extends AnyFunSuite {
     assert(w == ClassifierOps.trainLogistic(docs, xs, col("y") === 1),
       "the null-feature row must not change the gradient")
   }
+
+  private def confusion(rows: Seq[(Long, String, String)]): Map[(String, String), Long] =
+    ClassifierOps.naiveBayesConfusion(
+      rows.toDF("doc_id", "lang", "text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("naive bayes: separable vocabularies classify perfectly") {
+    val rows = Seq(
+      (0L, "en", "the cat sat on the mat"),
+      (1L, "en", "the dog sat"),
+      (2L, "de", "der hund schlief"),
+      (3L, "de", "die katze und der hund"))
+    assert(confusion(rows) == Map(("en", "en") -> 2L, ("de", "de") -> 2L))
+  }
+
+  test("naive bayes: a doc wearing the other class's vocabulary crosses over") {
+    val rows = Seq(
+      (0L, "en", "the cat sat on the mat"),
+      (1L, "en", "the dog sat on the mat"),
+      (2L, "en", "der hund schlief tief"), // mislabeled: pure-de tokens
+      (3L, "de", "der hund schlief"),
+      (4L, "de", "die katze und der hund"))
+    val c = confusion(rows)
+    assert(c(("en", "de")) == 1L, s"the de-vocab doc must predict de: $c")
+    assert(c(("en", "en")) == 2L && c(("de", "de")) == 2L, c.toString)
+  }
+
+  test("naive bayes: exact class symmetry breaks the tie to the smaller class name") {
+    // two classes with IDENTICAL statistics over disjoint docs: every
+    // doc scores the same under both, so all predictions land on "aa"
+    val rows = Seq((0L, "aa", "x y"), (1L, "bb", "x y"))
+    assert(confusion(rows) ==
+      Map(("aa", "aa") -> 1L, ("bb", "aa") -> 1L))
+  }
+
+  test("naive bayes: engine matches a plain-Scala replay of the micro contract") {
+    val rows = Seq(
+      (0L, "en", "the cat sat"),
+      (1L, "en", "the dog"),
+      (2L, "de", "der hund"),
+      (3L, "de", "der der hund katze"))
+    def micro(x: Double) =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val tf = rows.flatMap { case (id, l, t) =>
+      t.split(" ", -1).toSeq.map(tok => (id, l, tok))
+    }.groupMapReduce(identity)(_ => 1L)(_ + _)
+    val c = tf.toSeq.groupMapReduce { case ((_, l, tok), _) => (l, tok) }(_._2)(_ + _)
+    val nl = c.toSeq.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val vocab = c.keys.map(_._2).toSet.size
+    val dl = rows.groupMapReduce(_._2)(_ => 1L)(_ + _)
+    val classes = dl.keys.toSeq.sorted
+    val ref = rows.map { case (id, l, _) =>
+      val docTf = tf.collect { case ((i, _, tok), n) if i == id => tok -> n }
+      val nD = docTf.values.sum
+      val pred = classes.map { cl =>
+        val tsum = docTf.collect {
+          case (tok, n) if c.contains((cl, tok)) =>
+            micro(n.toDouble * math.log(c((cl, tok)).toDouble + 1.0) * 1e6)
+        }.sum
+        val s = tsum - micro(nD.toDouble * math.log((nl(cl) + vocab).toDouble) * 1e6) +
+          micro(math.log(dl(cl).toDouble / rows.size) * 1e6)
+        (cl, s)
+      }.sortBy { case (cl, s) => (-s, cl) }.head._1
+      (l, pred)
+    }.groupMapReduce(identity)(_ => 1L)(_ + _)
+    assert(confusion(rows) == ref)
+  }
 }

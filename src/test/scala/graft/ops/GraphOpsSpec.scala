@@ -62,4 +62,32 @@ class GraphOpsSpec extends AnyFunSuite {
     }
     assert(r == ranks, s"engine $r vs reference $ranks")
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+  test("triangleCounts: one triangle, each corner counted once") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: K4 puts every node in 3 triangles") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: pendant nodes and duplicate/reversed edges don't count") {
+    // triangle 1-2-3 with pendant 4, the triangle's edges also fed
+    // reversed and duplicated — normalization must not double-count
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (3L, 4L), (4L, 4L))
+    assert(tri(e) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: two triangles sharing an edge") {
+    // 1-2-3 and 2-3-4 share edge 2-3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(e) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }
