@@ -125,6 +125,43 @@ object TokenizerOps {
         (acc, x) => acc + x).as("n_subwords"))
   }
 
+  /** Tokenizer FERTILITY per corpus slice (subwords emitted per word —
+    * the standard measure of how well a trained tokenizer fits a
+    * domain; Ács 2019 popularized it for multilingual vocab audits):
+    * the [[segmentStats]] segmentation rolled up by `keyCol` instead of
+    * per doc. A source whose fertility sits far above the corpus mean
+    * is under-served by the merge table — the data card that tells you
+    * to retrain or re-balance BEFORE a tokenizer ships.
+    *
+    * Same zero-shuffle scan shape as segmentStats plus one bounded
+    * (|sources|-row) aggregation; the ratio lands as an integer-floored
+    * micro unit (`floor(n_subwords·1e6 / n_words)` — exact-integer
+    * numerator, so the floor never straddles an engine ulp).
+    */
+  def fertilityBySource(docs: DataFrame,
+      merges: Seq[(Long, String, String, Long)],
+      keyCol: String = "source"): DataFrame = {
+    def applyMerges(seq: org.apache.spark.sql.Column) =
+      merges.foldLeft(seq) { case (c, (_, pair, merged, _)) =>
+        call_function("replace", c, lit(pair), lit(merged))
+      }
+    val words = filter(TextOps.tokens(col("text")), w => length(w) > 0)
+    docs.select(
+      col(keyCol).as("source"),
+      size(words).cast("long").as("nw"),
+      aggregate(
+        transform(words, w =>
+          size(split(applyMerges(rtrim(regexp_replace(w, "(.)", "$1 "))), " "))
+            .cast("long")),
+        lit(0L),
+        (acc, x) => acc + x).as("ns"))
+      .groupBy("source")
+      .agg(sum("nw").as("n_words"), sum("ns").as("n_subwords"))
+      .select(col("source"), col("n_words"), col("n_subwords"),
+        floor(col("n_subwords").cast("double") * lit(1000000.0) /
+          col("n_words").cast("double")).cast("long").as("fertility_micro"))
+  }
+
   /** Skip-gram training pairs with deterministic negative sampling
     * (Mikolov et al. 2013) — the contrastive data-prep behind word2vec
     * and its descendants: every (center, context) pair within a ±window

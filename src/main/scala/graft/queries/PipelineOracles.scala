@@ -322,6 +322,32 @@ object PipelineOracles {
   private val embCte =
     "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
 
+  /** The Kneser-Ney per-doc score chain (all five statistics from the
+    * unrolled bigram tables), ending in `kns(doc_id, n_bigrams,
+    * kn_sum_micro)` — shared by the raw score oracle and the
+    * perplexity-bucket mixer that ranks on it.
+    */
+  private lazy val knScoreCtes: String = {
+    val d = PipelineQueries.KnDiscount
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks[i] AS v, toks[i + 1] AS w
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+       |tf AS (SELECT doc_id, v, w, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+       |pc AS (SELECT v, w, sum(tf) AS c FROM tf GROUP BY 1, 2),
+       |lmr AS (SELECT v, sum(c) AS cv, count(*) AS n1v FROM pc GROUP BY 1),
+       |rmr AS (SELECT w, count(*) AS n1w FROM pc GROUP BY 1),
+       |tt AS (SELECT count(*) AS n1all FROM pc),
+       |kns AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CAST(round(tf * ln(
+       |      (CAST(c AS DOUBLE) - $d) / CAST(cv AS DOUBLE)
+       |      + $d * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)
+       |        * (CAST(n1w AS DOUBLE) / CAST(n1all AS DOUBLE))) * 1000000.0)
+       |    AS BIGINT)) AS BIGINT) AS kn_sum_micro
+       |FROM tf JOIN pc USING (v, w) JOIN lmr USING (v) JOIN rmr USING (w)
+       |CROSS JOIN tt
+       |GROUP BY doc_id)""".stripMargin
+  }
+
   /** The k-means CTE chain without the WITH prefix / final select, so the
     * nprobe oracle can compose it with further CTEs that need BOTH the
     * final centroids (`c{iters}`) and the assignment (`af`).
@@ -2523,26 +2549,9 @@ object PipelineOracles {
     // operator tree exactly (same association, same casts); per-term
     // micro-unit longs via SCALE-0 round (the only round both engines
     // agree on unconditionally) sum exactly.
-    "text_kn_score" -> {
-      val d = PipelineQueries.KnDiscount
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |bg AS (SELECT doc_id, toks[i] AS v, toks[i + 1] AS w
-         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
-         |tf AS (SELECT doc_id, v, w, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
-         |pc AS (SELECT v, w, sum(tf) AS c FROM tf GROUP BY 1, 2),
-         |lmr AS (SELECT v, sum(c) AS cv, count(*) AS n1v FROM pc GROUP BY 1),
-         |rmr AS (SELECT w, count(*) AS n1w FROM pc GROUP BY 1),
-         |tt AS (SELECT count(*) AS n1all FROM pc)
-         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(CAST(round(tf * ln(
-         |      (CAST(c AS DOUBLE) - $d) / CAST(cv AS DOUBLE)
-         |      + $d * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)
-         |        * (CAST(n1w AS DOUBLE) / CAST(n1all AS DOUBLE))) * 1000000.0)
-         |    AS BIGINT)) AS BIGINT) AS kn_sum_micro
-         |FROM tf JOIN pc USING (v, w) JOIN lmr USING (v) JOIN rmr USING (w)
-         |CROSS JOIN tt
-         |GROUP BY doc_id""".stripMargin
-    },
+    "text_kn_score" ->
+      s"""WITH $knScoreCtes
+         |SELECT doc_id, n_bigrams, kn_sum_micro FROM kns""".stripMargin,
 
     // per-label decimal-exact prototype means (the Lloyd's update CTE
     // grouped by label), assignment via the same rounded |c|²−2·x·c
@@ -2709,6 +2718,67 @@ object PipelineOracles {
          |  SELECT x1 AS node FROM tri
          |  UNION ALL SELECT x2 FROM tri
          |  UNION ALL SELECT x3 FROM tri)
-         |GROUP BY node""".stripMargin
+         |GROUP BY node""".stripMargin,
+
+    // the KN chain (shared CTEs) ranked into per-lang terciles on the
+    // integer-floored per-bigram NLL; ntile over identical integers
+    // with the doc_id tiebreak is engine-exact.
+    "mix_perplexity_buckets" ->
+      s"""WITH $knScoreCtes,
+         |sc AS (SELECT kns.doc_id, d.lang,
+         |    CAST(floor(CAST(-kn_sum_micro AS DOUBLE) /
+         |      CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS nll_micro
+         |  FROM kns JOIN documents d ON d.doc_id = kns.doc_id),
+         |nt AS (SELECT doc_id, lang, nll_micro,
+         |    ntile(3) OVER (PARTITION BY lang ORDER BY nll_micro, doc_id)
+         |      AS tercile
+         |  FROM sc)
+         |SELECT doc_id, lang, nll_micro,
+         |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM nt""".stripMargin,
+
+    // the BPE merge chain replayed (the text_bpe_segment steps), then
+    // the segmentation rolled up per source with the integer-floored
+    // fertility micro ratio.
+    "text_bpe_fertility" -> {
+      val t = PipelineQueries.BpeMergeCount
+      def pairCte(i: Int, src: String) =
+        s"""pc$i AS (SELECT tk[i] || ' ' || tk[i + 1] AS pair, sum(cnt) AS c
+           |  FROM (SELECT tk, cnt, unnest(range(1, len(tk))) AS i
+           |        FROM (SELECT string_split(seq, ' ') AS tk, cnt FROM $src))
+           |  GROUP BY pair),
+           |m$i AS (SELECT pair, c FROM pc$i ORDER BY c DESC, pair ASC LIMIT 1)"""
+          .stripMargin
+      def rewriteCte(i: Int, src: String) =
+        s"""s$i AS (SELECT replace(seq, (SELECT pair FROM m$i),
+           |  (SELECT replace(pair, ' ', '') FROM m$i)) AS seq, cnt FROM $src)"""
+          .stripMargin
+      val steps = (1 to t).map { i =>
+        val src = s"s${i - 1}"
+        if (i < t) pairCte(i, src) + ",\n" + rewriteCte(i, src)
+        else pairCte(i, src)
+      }.mkString(",\n")
+      val applied = (1 to t).foldLeft("seq0") { (acc, i) =>
+        s"replace($acc, (SELECT pair FROM m$i), (SELECT replace(pair, ' ', '') FROM m$i))"
+      }
+      s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |s0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, cnt
+         |  FROM w),
+         |$steps,
+         |dw AS (SELECT source, word,
+         |    rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq0
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE len(word) > 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(string_split($applied, ' '))) AS BIGINT) AS n_subwords,
+         |  CAST(floor(CAST(sum(len(string_split($applied, ' '))) AS DOUBLE)
+         |    * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT)
+         |    AS fertility_micro
+         |FROM dw GROUP BY source""".stripMargin
+    }
   )
 }

@@ -1784,6 +1784,41 @@ object PipelineQueries {
     "graph_triangles" -> ((s, dir) =>
       GraphOps.triangleCounts(
         SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
-        "vec_a", "vec_b"))
+        "vec_a", "vec_b")),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-lang
+    // head/middle/tail terciles of the trained-LM score — the standard
+    // "keep head+middle, drop tail" curation split, with the KN bigram
+    // LM standing in for CCNet's 5-gram KenLM. The ranking key is the
+    // integer-floored per-bigram NLL (exact micro longs; identical
+    // doubles → identical ntile order), so the split replays exactly.
+    "mix_perplexity_buckets" -> ((s, dir) => {
+      val kn = TextOps.knBigramScores(table(s, dir, "documents"), KnDiscount)
+      val scored = kn
+        .join(table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          floor((-col("kn_sum_micro")).cast("double") /
+            col("n_bigrams").cast("double")).cast("long").as("nll_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("nll_micro"), col("doc_id"))
+      scored.withColumn("tercile", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("nll_micro"),
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    }),
+
+    // tokenizer fertility per source (subwords/word under the trained
+    // BPE merges) — the vocab-fit data card: a source far above the
+    // corpus mean is under-served by the merge table. Scan-side
+    // segmentation + one |sources|-row aggregation; shares the
+    // train-once merge cache.
+    "text_bpe_fertility" -> ((s, dir) =>
+      TokenizerOps.fertilityBySource(
+        table(s, dir, "documents"),
+        ModelCache.cached(s"$dir|bpe|t=$BpeMergeCount") {
+          TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
+        }))
   )
 }

@@ -38,4 +38,50 @@ class KnScoreSpec extends AnyFunSuite {
       TextOps.knBigramScores(docs, 1.5)
     }
   }
+
+  test("perplexity buckets: ntile terciles per lang on the floored NLL, short docs drop") {
+    import org.apache.spark.sql.functions._
+    // en: doc 0 is pure repetition (common transition → low NLL),
+    // docs 3/4 are one-off transitions (rare → high NLL); doc 5 has a
+    // single token and must not appear in any bucket
+    val docs = Seq(
+      (0L, "en", "a a a a a a"),
+      (1L, "en", "a a b a"),
+      (2L, "en", "a b c a"),
+      (3L, "en", "c b x q"),
+      (4L, "en", "q x p z"),
+      (5L, "en", "solo"),
+      (6L, "de", "u u u"),
+      (7L, "de", "u v w")
+    ).toDF("doc_id", "lang", "text")
+    val kn = TextOps.knBigramScores(docs, 0.75)
+    val scored = kn
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        floor((-col("kn_sum_micro")).cast("double") /
+          col("n_bigrams").cast("double")).cast("long").as("nll_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("nll_micro"), col("doc_id"))
+    val rows = scored.withColumn("tercile", ntile(3).over(w))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val out = rows.map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(!out.contains(5L), "sub-bigram docs carry no LM score")
+    // en has 5 scored docs → tercile sizes 2/2/1 (SQL ntile rule)
+    val enSizes = out.collect { case (_, ("en", t)) => t }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(enSizes == Map(1 -> 2, 2 -> 2, 3 -> 1), enSizes.toString)
+    // the repetition doc (most-probable transitions) sits in the head
+    assert(out(0L)._2 == 1, s"repetition doc is head: $out")
+    // buckets are monotone in the NLL ranking: sorting by
+    // (nll, doc_id) must reproduce the tercile sequence
+    for (lang <- Seq("en", "de")) {
+      val seq = rows.filter(_._2 == lang).sortBy(r => (r._3, r._1))
+        .map(_._4).toSeq
+      assert(seq == seq.sorted, s"$lang buckets not monotone: $seq")
+    }
+    // terciles are computed per lang, not globally
+    assert(out(6L)._1 == "de" && out(7L)._1 == "de")
+    assert(out.collect { case (_, ("de", t)) => t }.toSet == Set(1, 2))
+  }
 }

@@ -139,4 +139,20 @@ class TokenizerOpsSpec extends AnyFunSuite {
     assert(pruned.length == 1 && pruned(0).getString(0) == "a"
       && pruned(0).getString(1) == "b")
   }
+
+  test("fertilityBySource: per-source subwords/word under hand merges, floored micro") {
+    import spark.implicits._
+    val merges = Seq((1L, "a b", "ab", 9L)) // only 'a b' fuses
+    val docs = Seq(
+      (0L, "ab ab", "s1"),   // each word → "a b" → "ab": 1 subword
+      (1L, "cd", "s2"),      // "c d" stays split: 2 subwords
+      (2L, "ab cd x", "s2")  // 1 + 2 + 1 = 4 subwords over 3 words
+    ).toDF("doc_id", "text", "source")
+    val out = TokenizerOps.fertilityBySource(docs, merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("s1") == ((2L, 2L, 1000000L)))
+    // s2: 4 words, 6 subwords → floor(6e6/4) = 1500000
+    assert(out("s2") == ((4L, 6L, 1500000L)))
+  }
 }
