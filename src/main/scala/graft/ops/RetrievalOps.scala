@@ -295,4 +295,46 @@ object RetrievalOps {
         round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
           .as("ndcg"))
   }
+
+  /** Pseudo-relevance feedback query expansion (Rocchio 1971 applied to
+    * retrieval; the RM/RM3 family of Lavrenko & Croft 2001, in its
+    * deterministic tf form): run the query, mine the top `feedbackDocs`
+    * results for their most frequent non-query terms, append the top
+    * `expandTerms` of them, and re-run — the classic vocabulary-
+    * mismatch fix (a query for "spark" learns the corpus says "shuffle"
+    * too) that needs no trained model at all.
+    *
+    * Scale shape: two [[bm25TopK]]-shaped passes (each filters its
+    * posting lists AT THE SCAN) plus one term-count aggregation over
+    * only the k-bounded feedback docs (left-semi join against the
+    * first-pass ids, so the mining step never touches corpus scale).
+    * Candidate selection orders by (tf DESC, term ASC) — fully
+    * deterministic, so the expanded term set and the final ranking
+    * hash-replay.
+    *
+    * Returns the second-pass (doc_id, rank, score) top `k`.
+    */
+  def prfExpandTopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      feedbackDocs: Int,
+      expandTerms: Int,
+      k: Int): DataFrame = {
+    val first = bm25TopK(docs, queryTerms, feedbackDocs)
+    val expansion = docs
+      .join(broadcast(first.select("doc_id")), Seq("doc_id"), "left_semi")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(queryTerms: _*) && length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(expandTerms)
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val q2 = expansion.select(lit(0L).as("query_id"), col("term"))
+      .unionAll(queryTerms.toDF("term")
+        .select(lit(0L).as("query_id"), col("term")))
+    bm25TopKQueries(docs, q2, k)
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
 }

@@ -2779,6 +2779,59 @@ object PipelineOracles {
          |    * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT)
          |    AS fertility_micro
          |FROM dw GROUP BY source""".stripMargin
-    }
+    },
+
+    // phase 1 reuses the audited bm25 chain (feedback = its top-5),
+    // candidate mining is IN-bounded to those docs, phase 2 re-derives
+    // df/score over the expanded term set exactly like the multi-query
+    // scorer.
+    "ret_prf_expand" -> {
+      val terms = PipelineQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val k1 = graft.ops.RetrievalOps.DefaultK1
+      val b = graft.ops.RetrievalOps.DefaultB
+      s"""WITH $bm25Cte,
+         |cand AS (SELECT tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  WHERE doc_id IN (SELECT doc_id FROM bm
+         |                   WHERE rank <= ${PipelineQueries.PrfFeedbackDocs})
+         |    AND tok NOT IN ($terms) AND len(tok) > 0
+         |  GROUP BY 1 ORDER BY tf DESC, term
+         |  LIMIT ${PipelineQueries.PrfExpandTerms}),
+         |q2 AS (SELECT term FROM cand
+         |  UNION ALL SELECT unnest([$terms]) AS term),
+         |p2tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM
+         |    (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |       unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok IN (SELECT term FROM q2) GROUP BY 1, 2, 3),
+         |p2df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p2tf GROUP BY 1),
+         |p2sc AS (SELECT p2tf.doc_id,
+         |    CAST(round(ln((bst.n_docs - p2df.df + 0.5) / (p2df.df + 0.5) + 1.0)
+         |      * (p2tf.tf * ($k1 + 1)) /
+         |      (p2tf.tf + $k1 * (1.0 - $b + $b * p2tf.dl / bst.avgdl)), 6)
+         |      AS DECIMAL(28,6)) AS term
+         |  FROM p2tf JOIN p2df USING (tok), bst),
+         |p2agg AS (SELECT doc_id,
+         |    CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) AS score
+         |  FROM p2sc GROUP BY 1)
+         |SELECT doc_id, rank, score FROM (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |      AS rank, score
+         |  FROM p2agg)
+         |WHERE rank <= ${PipelineQueries.Bm25K}""".stripMargin
+    },
+
+    // trained cells replayed, then the deterministic per-cell hash-draw
+    // quota.
+    "sample_cluster_balanced" ->
+      s"""WITH $kmeansCtes,
+         |r AS (SELECT vec_id, cell,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT,
+         |               vec_id) AS BIGINT) AS rk
+         |  FROM af)
+         |SELECT vec_id, cell, rk FROM r
+         |WHERE rk <= ${PipelineQueries.ClusterSampleN}""".stripMargin
   )
 }

@@ -59,6 +59,11 @@ object PipelineQueries {
   /** Triangle counting: cosine edge threshold (denser than the 0.3
     * near-dup graph so triangles exist at every SF). */
   val TriangleCos = 0.25
+  /** PRF expansion: feedback-doc count and appended-term count. */
+  val PrfFeedbackDocs = 5
+  val PrfExpandTerms = 3
+  /** Cluster-balanced sampling: rows kept per trained cell. */
+  val ClusterSampleN = 25
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   /** The multi-query BM25 batch: (query_id, term) rows. */
@@ -1819,6 +1824,32 @@ object PipelineQueries {
         table(s, dir, "documents"),
         ModelCache.cached(s"$dir|bpe|t=$BpeMergeCount") {
           TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
-        }))
+        })),
+
+    // pseudo-relevance feedback: BM25 → mine the top-5 results' most
+    // frequent non-query terms → re-run with the expanded query. The
+    // vocabulary-mismatch fix with zero trained models; the mining step
+    // is semi-join-bounded to the feedback docs, so both passes keep
+    // the scan-filtered posting-list shape.
+    "ret_prf_expand" -> ((s, dir) =>
+      RetrievalOps.prfExpandTopK(table(s, dir, "documents"), Bm25Terms,
+        PrfFeedbackDocs, PrfExpandTerms, Bm25K)),
+
+    // cluster-balanced sampling: equal per-cell quotas over the trained
+    // k-means cells (the diversity-preserving alternative to uniform
+    // sampling — rare clusters keep full representation while dominant
+    // ones cap). Membership by the deterministic hash draw inside each
+    // cell, so the sample is stable under any partitioning; shares the
+    // train-once centroid cache.
+    "sample_cluster_balanced" -> ((s, dir) => {
+      val cells = SimilarityOps.kmeansCells(
+        table(s, dir, "embeddings"), cachedCentroids(s, dir), 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell")
+        .orderBy(SampleOps.hashDraw(col("vec_id")), col("vec_id"))
+      cells.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= ClusterSampleN)
+        .select(col("vec_id"), col("cell"), col("rk"))
+    })
   )
 }

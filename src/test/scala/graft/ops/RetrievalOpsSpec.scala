@@ -159,4 +159,26 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(RetrievalOps.mmrRerank(corpus, 0L, candidates = 3, k = 5)
       .count() == 3L)
   }
+
+  test("prfExpandTopK: expansion mines FEEDBACK docs only, ≡ hand-expanded query") {
+    import spark.implicits._
+    // query 'q'; feedback (top-2) must be d1/d2. Their non-query counts:
+    // a=3, b=1, c=1 → expandTerms=2 picks a then b (tf DESC, term ASC).
+    // d3 is c-heavy: if mining leaked corpus-wide, c (6) would beat b.
+    val docs = Seq(
+      (1L, "q a a b"),
+      (2L, "q a c"),
+      (3L, "c c c c c")).toDF("doc_id", "text")
+    val prf = RetrievalOps.prfExpandTopK(docs, Seq("q"),
+      feedbackDocs = 2, expandTerms = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val hand = RetrievalOps.bm25TopKQueries(docs,
+      Seq((0L, "q"), (0L, "a"), (0L, "b")).toDF("query_id", "term"), 3)
+      .select("doc_id", "rank", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(prf == hand, s"prf $prf vs hand-expanded $hand")
+    // the expanded query now reaches d3 via nothing (no a/b/q) — d3 may
+    // only appear through its own terms; with none shared it is absent
+    assert(!prf.exists(_._1 == 3L), s"c-only doc must not enter: $prf")
+  }
 }

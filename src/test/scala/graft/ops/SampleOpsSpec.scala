@@ -99,4 +99,38 @@ class SampleOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(half == uniform)
   }
+
+  test("cluster-balanced quota: per-cell cap by the md5 draw, exact expected order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two obvious cells: ids 0-4 near (0,0), ids 10-11 near (10,10)
+    val emb = Seq(
+      0L -> Array(0.1f, 0.0f), 1L -> Array(0.0f, 0.2f),
+      2L -> Array(0.2f, 0.1f), 3L -> Array(0.1f, 0.1f),
+      4L -> Array(0.0f, 0.0f),
+      10L -> Array(10f, 10f), 11L -> Array(9.9f, 10.1f)
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> Array(0.0, 0.0), 1L -> Array(10.0, 10.0))
+    val cells = SimilarityOps.kmeansCells(emb, cents, 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell")
+      .orderBy(SampleOps.hashDraw(col("vec_id")), col("vec_id"))
+    val kept = cells.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    // replicate the draw: first 4 hex chars of md5(id string), base 16
+    def draw(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = Map(
+      0L -> Seq(0L, 1L, 2L, 3L, 4L).sortBy(i => (draw(i), i)).take(2),
+      1L -> Seq(10L, 11L).sortBy(i => (draw(i), i)).take(2))
+    val got = kept.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(got == expect, s"got $got expect $expect")
+    // the small cell keeps BOTH members — quotas cap, never pad
+    assert(got(1L).size == 2)
+  }
 }
