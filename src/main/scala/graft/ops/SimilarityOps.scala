@@ -1080,4 +1080,110 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("d"))
   }
+
+  /** PCA top principal component trained IN-ENGINE: scatter matrix by
+    * one corpus aggregation, eigenvector by power iteration (the von
+    * Mises iteration) over the BOUNDED dim² table — the TRAINED linear
+    * compression next to the data-independent JL projection
+    * ([[rpWeights]]) and the prefix-dim Matryoshka truncation: where
+    * those pick their subspace blindly, PCA picks the axis the corpus
+    * actually varies along.
+    *
+    * Execution shape: mean = one corpus aggregation (the Lloyd's-update
+    * arithmetic contract, dim-bounded collect); scatter = ONE corpus
+    * scan exploding the dim² flattened centered outer product in-row
+    * (map-side combined on dim² keys — at 100 TB the shuffle carries
+    * dim² partials per partition, never rows); each power-iteration
+    * step is two aggregations over the CACHED dim²-row scatter frame —
+    * corpus-independent. Only dim-bounded vectors reach the driver (the
+    * kmeansCentroids contract).
+    *
+    * Numeric contract — ALL-INTEGER, by necessity not just hygiene: the
+    * first build used round(·,6) per term (the kmeans form) and
+    * diverged from DuckDB at sf0.001 — scatter terms are O(1e-5), so
+    * 6dp rounding sits exactly in the band where Spark's
+    * exact-BigDecimal HALF_UP and DuckDB's ×1e6/std::round disagree,
+    * and the iteration amplifies any flip. Instead every derived value
+    * is a SCALE-0 round (the only portable one): scatter terms are
+    * micro longs, the matrix-vector product is exact DECIMAL(18,0)
+    * integer arithmetic, and normalization is by max|w| (exact decimal
+    * max — power iteration is scale-invariant, so the L2 norm and its
+    * non-portable sqrt/decimal-sum are simply not needed), with the new
+    * iterate re-quantized to micro units. Works on the SCATTER matrix,
+    * not the covariance — dropping the 1/n division keeps everything
+    * integer and changes no eigenvector.
+    *
+    * Returns (mean, component): the 6dp mean vector and the micro-unit
+    * eigenvector (≈1e6 · unit-max-norm component).
+    */
+  def pcaComponent(emb: DataFrame, dim: Int, iters: Int,
+      roundDp: Int = 6): (Array[Double], Array[Long]) = {
+    val muRows = emb
+      .select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg(
+        sum(round(col("col").cast("double"), roundDp).cast("decimal(28,12)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("pos"),
+        round(col("s").cast("double") / col("n"), roundDp).as("m"))
+      .collect()
+    val mu = new Array[Double](dim)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val muLit = array(mu.map(lit): _*)
+    val centered = transform(col("embedding"), (e, i) =>
+      e.cast("double") - element_at(muLit, i + 1))
+    val scatter = emb
+      .select(posexplode(flatten(transform(centered, a =>
+        transform(centered, b =>
+          round(a * b * lit(1000000.0)).cast("long"))))))
+      .groupBy("pos")
+      .agg(sum(col("col").cast("decimal(28,0)")).cast("long").as("s"))
+      .cache()
+    var v = Array.fill(dim)(
+      BigDecimal(1000000.0 / math.sqrt(dim.toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit): _*)
+      val w = scatter
+        .groupBy(floor(col("pos") / dim).cast("int").as("i"))
+        .agg(sum(col("s").cast("decimal(18,0)") *
+          element_at(vLit, (col("pos") % dim) + 1).cast("decimal(18,0)"))
+          .as("w"))
+        .cache()
+      val wmax = w.agg(max(abs(col("w"))).as("wm"))
+      // wm = 0 (all-identical corpus → zero scatter): v collapses to the
+      // zero vector instead of 0/0 NaN (ANSI would throw on the cast)
+      val vRows = w.crossJoin(broadcast(wmax))
+        .select(col("i"),
+          when(col("wm") === 0, lit(0L))
+            .otherwise(round(col("w").cast("double") /
+              col("wm").cast("double") * lit(1000000.0)).cast("long"))
+            .as("v"))
+        .collect()
+      w.unpersist()
+      val next = new Array[Long](dim)
+      vRows.foreach(r => next(r.getInt(0)) = r.getLong(1))
+      v = next
+    }
+    scatter.unpersist()
+    (mu, v)
+  }
+
+  /** Scan-side projection onto a trained micro-unit component: per-dim
+    * terms `round(centered · v_micro)` as scale-0 longs (the
+    * unconditional cross-engine round) summed exactly in-row — zero
+    * shuffles, the model rides as literals.
+    */
+  def pcaProject(emb: DataFrame, mu: Array[Double],
+      v: Array[Long]): DataFrame = {
+    val muLit = array(mu.map(lit): _*)
+    val vLit = array(v.map(lit): _*)
+    val centered = transform(col("embedding"), (e, i) =>
+      e.cast("double") - element_at(muLit, i + 1))
+    emb.select(col("vec_id"),
+      aggregate(
+        zip_with(centered, vLit, (a, b) =>
+          round(a * b.cast("double")).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("pc1_micro"))
+  }
 }

@@ -2822,6 +2822,52 @@ object PipelineOracles {
          |WHERE rank <= ${PipelineQueries.Bm25K}""".stripMargin
     },
 
+    // the PCA chain replayed end to end: decimal-exact means, the dim²
+    // micro-long scatter matrix from the centered self-join, the power
+    // iteration unrolled as exact DECIMAL(18,0) integer matrix-vector
+    // products with max|w| normalization, and the per-vec micro-long
+    // projection — scale-0 rounds only (the 6dp form diverged; see
+    // SimilarityOps.pcaComponent).
+    "sim_pca_project" -> {
+      val iters = PipelineQueries.PcaIters
+      val dim = PipelineQueries.EmbDim
+      val steps = (1 to iters).map { i =>
+        s"""w$i AS (SELECT sc.i AS pos,
+           |    sum(CAST(sc.s AS DECIMAL(18,0)) *
+           |        CAST(v${i - 1}.vv AS DECIMAL(18,0))) AS w
+           |  FROM sc JOIN v${i - 1} ON v${i - 1}.pos = sc.j GROUP BY 1),
+           |m$i AS (SELECT max(abs(w)) AS wm FROM w$i),
+           |v$i AS (SELECT pos,
+           |    CASE WHEN wm = 0 THEN 0
+           |         ELSE CAST(round(CAST(w AS DOUBLE) / CAST(wm AS DOUBLE)
+           |           * 1000000.0) AS BIGINT) END AS vv
+           |  FROM w$i, m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |mu AS (SELECT pos, round(CAST(sum(CAST(round(v, 6)
+         |    AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM (SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS v
+         |        FROM emb)
+         |  GROUP BY pos),
+         |cent AS (SELECT vec_id, pos, v - m AS cv
+         |  FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+         |          unnest(e) AS v FROM emb)
+         |  JOIN mu USING (pos)),
+         |sc AS (SELECT a.pos AS i, b.pos AS j,
+         |    CAST(sum(CAST(round(a.cv * b.cv * 1000000.0) AS BIGINT))
+         |      AS BIGINT) AS s
+         |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT pos,
+         |    CAST(round(1000000.0 / sqrt($dim.0)) AS BIGINT) AS vv FROM mu),
+         |$steps
+         |SELECT c.vec_id,
+         |  CAST(sum(CAST(round(c.cv * v$iters.vv) AS BIGINT))
+         |    AS BIGINT) AS pc1_micro
+         |FROM cent c JOIN v$iters ON v$iters.pos = c.pos
+         |GROUP BY c.vec_id""".stripMargin
+    },
+
     // trained cells replayed, then the deterministic per-cell hash-draw
     // quota.
     "sample_cluster_balanced" ->

@@ -64,6 +64,8 @@ object PipelineQueries {
   val PrfExpandTerms = 3
   /** Cluster-balanced sampling: rows kept per trained cell. */
   val ClusterSampleN = 25
+  /** PCA power-iteration count. */
+  val PcaIters = 3
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   /** The multi-query BM25 batch: (query_id, term) rows. */
@@ -1850,6 +1852,20 @@ object PipelineQueries {
       cells.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= ClusterSampleN)
         .select(col("vec_id"), col("cell"), col("rk"))
+    }),
+
+    // PCA top component trained in-engine (covariance aggregation +
+    // power iteration over the dim²-bounded matrix) and the corpus
+    // projected onto it — the TRAINED compression axis next to JL
+    // (random) and Matryoshka (prefix); projection is a zero-shuffle
+    // scan with the model as literals, per-dim micro-long terms summed
+    // exactly. Shares the train-once cache.
+    "sim_pca_project" -> ((s, dir) => {
+      val (mu, v) = ModelCache.cached(s"$dir|pca|iters=$PcaIters") {
+        SimilarityOps.pcaComponent(
+          table(s, dir, "embeddings"), EmbDim, PcaIters)
+      }
+      SimilarityOps.pcaProject(table(s, dir, "embeddings"), mu, v)
     })
   )
 }
