@@ -163,4 +163,41 @@ object GraphOps {
       .groupBy("node")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007, made deterministic): labels start as node ids; each
+    * round every node adopts its neighbors' most frequent label —
+    * count DESC, label ASC on ties — all nodes updating from the
+    * PREVIOUS round's labels (the asynchronous original is
+    * order-dependent and unreproducible; the synchronous form is a
+    * fixed dataflow, so the oracle replays it round for round).
+    *
+    * Per round: ONE edges⋈labels join on the destination + a
+    * (node, label)-keyed count + per-node argmax — the same
+    * co-partitioned edges-join-vector shape as [[pagerank]], with the
+    * label vector node-sized. Isolated nodes never appear (no edges →
+    * no membership); a clique converges to its minimum id.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int): DataFrame = {
+    val e = edges.filter(col(aCol) =!= col(bCol))
+    val directed = e
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(e.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = directed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val byCount = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to iters) {
+      labels = directed
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(byCount))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label"))
+    }
+    labels
+  }
 }

@@ -1169,6 +1169,33 @@ object SimilarityOps {
     (mu, v)
   }
 
+  /** Out-of-distribution score per vector: the FULL squared L2 distance
+    * to the nearest trained centroid — the embedding-space outlier
+    * filter (mislabeled content, encoder failures, genuinely novel
+    * inputs all sit far from every cell a clean corpus trained). The
+    * [[kmeansCells]] assignment drops the cell-independent |x|² term;
+    * an OOD SCORE needs it back, so the candidate functional here is
+    * round(|x|² + |c|² − 2·x·c, dp) with the same (d, cell) tiebreak.
+    *
+    * Pure scan-side map (centroids ride as literals), zero shuffles —
+    * the 100 TB outlier pass costs one corpus read. Returns
+    * (vec_id, cell, d2).
+    */
+  def oodDistance(emb: DataFrame, cs: Seq[(Long, Array[Double])],
+      roundDp: Int = 6): DataFrame = {
+    require(cs.nonEmpty, "oodDistance needs a trained centroid matrix")
+    val cands = cs.map { case (id, c) =>
+      struct(
+        round(dot(col("embedding"), col("embedding")) + lit(sqNorm(c)) -
+          lit(2.0) * dot(col("embedding"), typedlit(c.toSeq)), roundDp)
+          .as("d"),
+        lit(id).as("cell"))
+    }
+    emb.select(col("vec_id"), array_min(array(cands: _*)).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.d").as("d2"))
+  }
+
   /** Scan-side projection onto a trained micro-unit component: per-dim
     * terms `round(centered · v_micro)` as scale-0 longs (the
     * unconditional cross-engine round) summed exactly in-row — zero

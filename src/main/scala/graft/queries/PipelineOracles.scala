@@ -2878,6 +2878,63 @@ object PipelineOracles {
          |               vec_id) AS BIGINT) AS rk
          |  FROM af)
          |SELECT vec_id, cell, rk FROM r
-         |WHERE rk <= ${PipelineQueries.ClusterSampleN}""".stripMargin
+         |WHERE rk <= ${PipelineQueries.ClusterSampleN}""".stripMargin,
+
+    // the EMA recursion replayed literally: row_number orders each
+    // key's stream, the recursive CTE carries the micro-long state.
+    "ts_ema" ->
+      """WITH RECURSIVE b AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS ema
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    CAST(round(0.5 * b.value * 1000000.0 + 0.5 * r.ema) AS BIGINT)
+        |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, ema AS ema_micro FROM r""".stripMargin,
+
+    // three synchronous rounds unrolled: per round a (node, label)
+    // count over the bidirectional edge list and the
+    // (count DESC, label ASC) argmax.
+    "graph_label_prop" -> {
+      val steps = (1 to PipelineQueries.LabelPropIters).map { i =>
+        s"""c$i AS (SELECT g.src AS node, l.label, count(*) AS c
+           |  FROM g JOIN l${i - 1} l ON l.node = g.dst GROUP BY 1, 2),
+           |l$i AS (SELECT node, label FROM (SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label)
+           |      AS rk FROM c$i) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $normCte,
+         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |g AS (SELECT a AS src, b AS dst FROM e0
+         |  UNION SELECT b AS src, a AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM g),
+         |$steps
+         |SELECT node, label FROM l${PipelineQueries.LabelPropIters}"""
+        .stripMargin
+    },
+
+    // trained centroids replayed, then the FULL squared distance
+    // (|x|² restored) with the (d2, cell) argmin.
+    "sim_ood_distance" ->
+      s"""WITH $kmeansCtes,
+         |d AS (SELECT emb.vec_id, c${PipelineQueries.KmeansIters}.cell,
+         |    round(list_dot_product(emb.e, emb.e)
+         |      + list_dot_product(c${PipelineQueries.KmeansIters}.c,
+         |          c${PipelineQueries.KmeansIters}.c)
+         |      - 2.0 * list_dot_product(emb.e,
+         |          c${PipelineQueries.KmeansIters}.c), 6) AS d2
+         |  FROM emb CROSS JOIN c${PipelineQueries.KmeansIters}),
+         |r AS (SELECT vec_id, cell, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+         |      AS rk FROM d)
+         |SELECT vec_id, cell, d2 FROM r WHERE rk = 1""".stripMargin
   )
 }

@@ -66,6 +66,8 @@ object PipelineQueries {
   val ClusterSampleN = 25
   /** PCA power-iteration count. */
   val PcaIters = 3
+  /** Label-propagation rounds. */
+  val LabelPropIters = 3
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   /** The multi-query BM25 batch: (query_id, term) rows. */
@@ -1866,6 +1868,35 @@ object PipelineQueries {
           table(s, dir, "embeddings"), EmbDim, PcaIters)
       }
       SimilarityOps.pcaProject(table(s, dir, "embeddings"), mu, v)
-    })
+    }),
+
+    // per-key exponential moving average over event time — the
+    // recursive smoothing a window frame cannot express: one shuffle +
+    // in-row fold (the K1 shape) with the hot-key guard, scale-0
+    // micro-long state so the recursion replays in the oracle's
+    // recursive CTE.
+    "ts_ema" -> ((s, dir) =>
+      TimeSeriesOps.emaSmooth(
+        table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value")),
+
+    // community detection by deterministic SYNCHRONOUS label
+    // propagation over the cosine near-dup graph — the coarse community
+    // layer above exact connected components: every round one
+    // co-partitioned edges⋈labels join + per-node majority argmax
+    // (count DESC, label ASC).
+    "graph_label_prop" -> ((s, dir) =>
+      GraphOps.labelPropagation(
+        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        "vec_a", "vec_b", LabelPropIters)),
+
+    // embedding-space outlier scoring: full squared L2 distance to the
+    // nearest trained centroid (the |x|² term the assignment drops,
+    // restored) — the OOD filter for encoder failures / novel inputs;
+    // zero-shuffle scan with the cached centroids as literals.
+    "sim_ood_distance" -> ((s, dir) =>
+      SimilarityOps.oodDistance(
+        table(s, dir, "embeddings"), cachedCentroids(s, dir)))
   )
 }

@@ -90,4 +90,30 @@ class GraphOpsSpec extends AnyFunSuite {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
     assert(tri(e) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  private def lp(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphOps.labelPropagation(edges.toDF("a", "b"), "a", "b", iters)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+  test("labelPropagation: a clique converges to its minimum id and stays") {
+    val e = Seq((5L, 6L), (6L, 7L), (5L, 7L))
+    // r1: 5→min(6,7)=6, 6→5, 7→5; r2 onward: everyone sees a 5-majority
+    assert(lp(e, 2) == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+    assert(lp(e, 3) == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("labelPropagation: synchronous rounds replay exactly on a path") {
+    val e = Seq((1L, 2L), (2L, 3L))
+    // r1: 1→2, 2→min(1,3)=1, 3→2
+    assert(lp(e, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    // r2: 1→(2's r1 label)=1, 2→both ends carry 2 → 2, 3→1
+    assert(lp(e, 2) == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("labelPropagation: disjoint components never mix labels") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val out = lp(e, 3)
+    assert(out.filter(_._1 < 10L).values.toSet == Set(1L))
+    assert(out.filter(_._1 >= 10L).values.toSet == Set(10L))
+  }
 }

@@ -85,4 +85,24 @@ class PcaSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSeq
     assert(proj == Seq(0L, 0L))
   }
+
+  test("oodDistance: full squared distance, nearest cell, cell tiebreak") {
+    val emb = Seq(
+      1L -> Array(0f, 1f),     // d² to (0,0)=1, to (10,10)=181 → cell 0
+      2L -> Array(10f, 10f),   // exactly on centroid 1 → d²=0
+      3L -> Array(5f, 5f),     // equidistant (50 both) → lower cell wins
+      4L -> Array(100f, 100f)  // far outlier: (90²+90²)=16200 to cell 1
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> Array(0.0, 0.0), 1L -> Array(10.0, 10.0))
+    val out = SimilarityOps.oodDistance(emb, cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out(1L) == ((0L, 1.0)))
+    assert(out(2L) == ((1L, 0.0)))
+    assert(out(3L) == ((0L, 50.0)), s"tie must break to the lower cell: $out")
+    assert(out(4L) == ((1L, 16200.0)))
+    assertThrows[IllegalArgumentException] {
+      SimilarityOps.oodDistance(emb, Seq.empty)
+    }
+  }
 }
