@@ -88,4 +88,64 @@ object PrefixOps {
     globalCumsum(
       df.withColumn("__one", lit(1L)), binCol, tieCols, "__one", outCol, nBins)
       .drop("__one")
+
+  /** EXACT global k-th order statistic (default: the lower median) with
+    * no global sort — the selection companion to [[globalCumsum]]'s
+    * prefix sums. An exact median on 100 TB cannot `ORDER BY` the
+    * relation (one reducer) and `approx_percentile` is an estimate;
+    * the textbook two-phase selection is exact at any scale:
+    *
+    *   1. one pass: (count, min, max);
+    *   2. one pass: a fixed-width `nBins` histogram (map-side combined
+    *      — the shuffle carries nBins partials per partition);
+    *   3. locate the bin holding rank k from the bounded histogram
+    *      (driver-side over nBins rows — a summary, never data);
+    *   4. one pruned pass: sort ONLY that bin (~1/nBins of the data)
+    *      and take its `k − cumBelow`-th row.
+    *
+    * The answer is the k-th VALUE of the sorted multiset — independent
+    * of where bin boundaries fall, so the oracle replays it with a
+    * plain ORDER BY / OFFSET. Nulls excluded; `k` defaults to
+    * `(n−1)/2`. Returns one row (n, k, kth) — or zero rows on empty
+    * input.
+    */
+  def exactKth(
+      df: DataFrame,
+      valueCol: String,
+      k: Long => Long = n => (n - 1) / 2,
+      nBins: Int = 1024
+  ): DataFrame = {
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val st = vals.agg(count(lit(1)), min("v"), max("v")).head()
+    val n = st.getLong(0)
+    if (n == 0)
+      return vals.limit(0)
+        .select(lit(0L).as("n"), lit(0L).as("k"), col("v").as("kth"))
+    val kk = k(n)
+    require(kk >= 0 && kk < n, s"rank $kk out of [0, $n)")
+    val (mn, mx) = (st.getDouble(1), st.getDouble(2))
+    if (mn == mx)
+      return vals.limit(1)
+        .select(lit(n).as("n"), lit(kk).as("k"), col("v").as("kth"))
+    val width = (mx - mn) / nBins
+    val binExpr = least(lit(nBins - 1),
+      floor((col("v") - lit(mn)) / lit(width))).cast("int")
+    val hist = vals.groupBy(binExpr.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var cumBelow = 0L
+    var target = -1
+    var i = 0
+    while (target < 0 && i < nBins) {
+      val c = hist.getOrElse(i, 0L)
+      if (kk < cumBelow + c) target = i else { cumBelow += c; i += 1 }
+    }
+    val offset = kk - cumBelow
+    require(offset <= Int.MaxValue,
+      s"bin $target holds > 2^31 rows at rank offset $offset — raise nBins")
+    vals.filter(binExpr === target)
+      .orderBy(col("v"))
+      .offset(offset.toInt).limit(1)
+      .select(lit(n).as("n"), lit(kk).as("k"), col("v").as("kth"))
+  }
 }

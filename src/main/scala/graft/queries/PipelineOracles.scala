@@ -322,6 +322,34 @@ object PipelineOracles {
   private val embCte =
     "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
 
+  /** The three weak-supervision labeling functions as CTEs ending in
+    * `lf(doc_id, label, v0, v1, v2)` — shared by the majority label
+    * model and the pairwise-κ diagnostics.
+    */
+  private lazy val weakLfCtes: String = {
+    val scores = TextOps.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
+      s"len(list_filter(toks, x -> x IN ${inList(ms)})) AS s$i"
+    }.mkString(", ")
+    val n = TextOps.LangMarkers.size
+    val total = (0 until n).map(i => s"s$i").mkString(" + ")
+    val ladder = TextOps.LangMarkers.zipWithIndex.init.map { case ((lang, _), i) =>
+      val conds = ((i + 1) until n).map(j => s"s$i >= s$j").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""t0 AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |t AS (SELECT * FROM t0 WHERE len(toks) > 0),
+       |s AS (SELECT doc_id, lang, toks, $scores FROM t),
+       |lf AS (SELECT doc_id, lang = 'en' AS label,
+       |  CASE WHEN len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) >= 1 THEN 1 ELSE 0 END AS v0,
+       |  CASE WHEN $total = 0 THEN -1
+       |       WHEN (CASE $ladder ELSE '${TextOps.LangMarkers.last._1}' END) = 'en' THEN 1
+       |       ELSE 0 END AS v1,
+       |  CASE WHEN CAST(floor(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) * 1000000.0 / len(toks)) AS BIGINT)
+       |         BETWEEN 4200000 AND 4800000 THEN 1 ELSE -1 END AS v2
+       |  FROM s)""".stripMargin
+  }
+
   /** The Kneser-Ney per-doc score chain (all five statistics from the
     * unrolled bigram tables), ending in `kns(doc_id, n_bigrams,
     * kn_sum_micro)` — shared by the raw score oracle and the
@@ -680,28 +708,8 @@ object PipelineOracles {
 
     // the three labeling functions replayed (stopword presence, the
     // langid ladder, the micro-unit length band) + integer majority.
-    "weak_labels" -> {
-      val scores = TextOps.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
-        s"len(list_filter(toks, x -> x IN ${inList(ms)})) AS s$i"
-      }.mkString(", ")
-      val n = TextOps.LangMarkers.size
-      val total = (0 until n).map(i => s"s$i").mkString(" + ")
-      val ladder = TextOps.LangMarkers.zipWithIndex.init.map { case ((lang, _), i) =>
-        val conds = ((i + 1) until n).map(j => s"s$i >= s$j").mkString(" AND ")
-        s"WHEN $conds THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH t0 AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-         |  FROM documents),
-         |t AS (SELECT * FROM t0 WHERE len(toks) > 0),
-         |s AS (SELECT doc_id, lang, toks, $scores FROM t),
-         |lf AS (SELECT doc_id, lang = 'en' AS label,
-         |  CASE WHEN len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) >= 1 THEN 1 ELSE 0 END AS v0,
-         |  CASE WHEN $total = 0 THEN -1
-         |       WHEN (CASE $ladder ELSE '${TextOps.LangMarkers.last._1}' END) = 'en' THEN 1
-         |       ELSE 0 END AS v1,
-         |  CASE WHEN CAST(floor(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) * 1000000.0 / len(toks)) AS BIGINT)
-         |         BETWEEN 4200000 AND 4800000 THEN 1 ELSE -1 END AS v2
-         |  FROM s),
+    "weak_labels" ->
+      s"""WITH $weakLfCtes,
          |v AS (SELECT doc_id, label,
          |  CAST(v0 AS BIGINT) AS v0, CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
          |  CAST((CASE WHEN v0 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 >= 0 THEN 1 ELSE 0 END)
@@ -713,8 +721,7 @@ object PipelineOracles {
          |  CAST(CASE WHEN n_pos * 2 > n_votes THEN 1
          |            WHEN n_pos * 2 < n_votes THEN 0
          |            ELSE -1 END AS BIGINT) AS majority
-         |FROM v""".stripMargin
-    },
+         |FROM v""".stripMargin,
 
     // offset pairs re-derived with nested unnests, negatives by the
     // same md5 draw over the "doc:pos:ctx:g" key.
@@ -2935,6 +2942,49 @@ object PipelineOracles {
          |r AS (SELECT vec_id, cell, d2,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
          |      AS rk FROM d)
-         |SELECT vec_id, cell, d2 FROM r WHERE rk = 1""".stripMargin
+         |SELECT vec_id, cell, d2 FROM r WHERE rk = 1""".stripMargin,
+
+    // the shared LF CTEs rolled to per-pair sufficient statistics in
+    // one aggregation, κ from exact integers via identical double
+    // arithmetic + integer floor.
+    "weak_kappa" -> {
+      val pairs = Seq((0, 1), (0, 2), (1, 2))
+      val sums = pairs.flatMap { case (a, b) =>
+        Seq(
+          s"sum(CASE WHEN v$a >= 0 AND v$b >= 0 THEN 1 ELSE 0 END) AS n$a$b",
+          s"sum(CASE WHEN v$a >= 0 AND v$b >= 0 AND v$a = v$b THEN 1 ELSE 0 END) AS ag$a$b",
+          s"sum(CASE WHEN v$a >= 0 AND v$b >= 0 AND v$a = 1 THEN 1 ELSE 0 END) AS a1$a$b",
+          s"sum(CASE WHEN v$a >= 0 AND v$b >= 0 AND v$b = 1 THEN 1 ELSE 0 END) AS b1$a$b")
+      }.mkString(",\n    ")
+      val branches = pairs.map { case (a, b) =>
+        val (n, ag, a1, b1) = (s"n$a$b", s"ag$a$b", s"a1$a$b", s"b1$a$b")
+        val po = s"CAST($ag AS DOUBLE) / CAST($n AS DOUBLE)"
+        val pe = s"CAST($a1 * $b1 + ($n - $a1) * ($n - $b1) AS DOUBLE) / CAST($n * $n AS DOUBLE)"
+        s"""SELECT CAST($a AS BIGINT) AS lf_a, CAST($b AS BIGINT) AS lf_b,
+           |  CAST($n AS BIGINT) AS n_both, CAST($ag AS BIGINT) AS n_agree,
+           |  CAST(CASE WHEN $n = 0 THEN 0
+           |       WHEN 1.0 - ($pe) = 0.0 THEN 1000000
+           |       ELSE floor((($po) - ($pe)) / (1.0 - ($pe)) * 1000000.0)
+           |       END AS BIGINT) AS kappa_micro
+           |FROM k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $weakLfCtes,
+         |k AS (SELECT
+         |    $sums
+         |  FROM lf)
+         |$branches""".stripMargin
+    },
+
+    // two-phase exact selection's answer is the k-th value of the
+    // sorted multiset — bin-placement-independent, so the oracle is a
+    // plain rank lookup.
+    "a14_exact_median" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rk
+        |  FROM v),
+        |c AS (SELECT count(*) AS n FROM v)
+        |SELECT CAST(c.n AS BIGINT) AS n, CAST((c.n - 1) // 2 AS BIGINT) AS k,
+        |  s.value AS kth
+        |FROM c JOIN s ON s.rk = (c.n - 1) // 2""".stripMargin
   )
 }

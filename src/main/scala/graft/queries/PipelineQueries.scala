@@ -1897,6 +1897,23 @@ object PipelineQueries {
     // zero-shuffle scan with the cached centroids as literals.
     "sim_ood_distance" -> ((s, dir) =>
       SimilarityOps.oodDistance(
-        table(s, dir, "embeddings"), cachedCentroids(s, dir)))
+        table(s, dir, "embeddings"), cachedCentroids(s, dir))),
+
+    // pairwise Cohen's κ between the weak-supervision labeling
+    // functions — the LF diagnostic (κ≈1 = redundant heuristic, κ≈0 =
+    // independent signal): every pair's sufficient statistics from ONE
+    // corpus aggregation, κ via exact-integer inputs + integer floor.
+    "weak_kappa" -> ((s, dir) => {
+      val d = docsTok(s, dir).filter(size(col("toks")) > 0)
+      WeakLabelOps.pairKappa(d, WeakLabelOps.englishLfs(col("toks")))
+    }),
+
+    // EXACT global median with no global sort: two-phase selection
+    // (count/min/max pass → bounded fixed-width histogram → sort only
+    // the 1/nBins bin holding rank k) — the selection companion to
+    // w6_global_cumsum's binned prefix sums; at 100 TB no stage sees
+    // more than one bin's rows.
+    "a14_exact_median" -> ((s, dir) =>
+      PrefixOps.exactKth(table(s, dir, "events"), "value"))
   )
 }

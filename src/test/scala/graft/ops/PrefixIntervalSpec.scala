@@ -74,4 +74,38 @@ class PrefixIntervalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((0L, 100L, 3L)))
   }
+
+  private def kth(vals: Seq[Double], nBins: Int = 4,
+      k: Long => Long = n => (n - 1) / 2): Seq[(Long, Long, Double)] = {
+    import spark.implicits._
+    PrefixOps.exactKth(vals.toDF("value"), "value", k, nBins)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  test("exactKth: lower median across bins, ties, duplicates") {
+    assert(kth(Seq(5, 1, 9, 3, 7)) == Seq((5L, 2L, 5.0)))
+    // even count → lower median
+    assert(kth(Seq(4, 1, 3, 2)) == Seq((4L, 1L, 2.0)))
+    // duplicates spanning the rank
+    assert(kth(Seq(2, 2, 2, 1, 3)) == Seq((5L, 2L, 2.0)))
+    // matches a plain sort at every rank, with coarse bins forcing the
+    // offset path
+    val vs = Seq(0.3, -2.0, 5.5, 5.5, 1.0, 9.9, -2.0, 4.1)
+    val sorted = vs.sorted
+    for (r <- sorted.indices)
+      assert(kth(vs, nBins = 2, k = _ => r.toLong) ==
+        Seq((vs.length.toLong, r.toLong, sorted(r))), s"rank $r")
+  }
+
+  test("exactKth: degenerate inputs (all-equal, empty, nulls)") {
+    import spark.implicits._
+    assert(kth(Seq(7, 7, 7)) == Seq((3L, 1L, 7.0)))
+    assert(PrefixOps.exactKth(
+      Seq.empty[Double].toDF("value"), "value").collect().isEmpty)
+    val withNulls = Seq[Option[Double]](Some(1.0), None, Some(3.0), None)
+      .toDF("value")
+    assert(PrefixOps.exactKth(withNulls, "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((2L, 1.0)))
+  }
 }

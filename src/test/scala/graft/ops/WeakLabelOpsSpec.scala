@@ -45,4 +45,39 @@ class WeakLabelOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def kappa(rows: Seq[(Long, Long)]): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val out = WeakLabelOps.pairKappa(
+      rows.toDF("a", "b"), Seq(col("a"), col("b")))
+      .collect().head
+    (out.getLong(2), out.getLong(3), out.getLong(4))
+  }
+
+  test("pairKappa: perfect, chance, and anti-agreement land at 1e6 / 0 / -1e6") {
+    // perfect agreement with a mixed distribution: po=1, pe=0.5 → κ=1e6
+    assert(kappa(Seq((1L, 1L), (0L, 0L))) == ((2L, 2L, 1000000L)))
+    // exact chance level: po=0.5, pe=0.5 → κ=0
+    assert(kappa(Seq((1L, 1L), (1L, 0L), (0L, 1L), (0L, 0L))) ==
+      ((4L, 2L, 0L)))
+    // systematic disagreement: po=0, pe=0.5 → κ=-1e6
+    assert(kappa(Seq((1L, 0L), (0L, 1L))) == ((2L, 0L, -1000000L)))
+  }
+
+  test("pairKappa: abstentions excluded; degenerate pairs guarded") {
+    // the two abstaining rows must not move the statistics
+    assert(kappa(Seq((1L, 1L), (0L, 0L), (-1L, 1L), (1L, -1L))) ==
+      ((2L, 2L, 1000000L)))
+    // both LFs constant and equal: pe=1 → κ=1e6 by convention
+    assert(kappa(Seq((1L, 1L), (1L, 1L))) == ((2L, 2L, 1000000L)))
+    // no co-voting rows at all: κ=0
+    assert(kappa(Seq((-1L, 1L), (1L, -1L))) == ((0L, 0L, 0L)))
+    // three LFs → three pair rows, ids ordered
+    import org.apache.spark.sql.functions.col
+    val three = WeakLabelOps.pairKappa(
+      Seq((1L, 1L, 0L)).toDF("a", "b", "c"),
+      Seq(col("a"), col("b"), col("c")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(three == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
 }
