@@ -369,4 +369,34 @@ class PlanAuditSpec extends AnyFunSuite {
       costField.get.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] ||
       costField.get.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
   }
+
+  test("sim_ood_distance is a pure scan-side map — zero exchanges") {
+    val p = plan("sim_ood_distance")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 0, p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("BroadcastExchange"))
+  }
+
+  test("sim_pca_project projection: zero exchanges, model as literals") {
+    val p = plan("sim_pca_project")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 0, p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("Join"))
+  }
+
+  test("weak_kappa: every pair's statistics in ONE aggregation — no joins") {
+    val p = plan("weak_kappa")
+    assert(!p.contains("Join"), p.linesIterator.take(20).mkString("\n"))
+    // one exchange to the 1-row global aggregate; the 3 pair branches
+    // read it via union, never re-scan the corpus per pair
+    assert(countOf(p, "documents\\.parquet\\]") <= 3)
+  }
+
+  test("quality_nb_confusion: model joins broadcast; only the doc-keyed score join sort-merges") {
+    val p = plan("quality_nb_confusion")
+    // the (class, token) model, totals, priors and the class dim all ride
+    // broadcast; the ONE sort-merge join is (doc_id, cl)-keyed between
+    // two doc-scale relations — the correct shape at 100 TB
+    assert(countOf(p, "\\(\\d+\\) SortMergeJoin") == 1,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(countOf(p, "\\(\\d+\\) BroadcastHashJoin") >= 2)
+  }
 }
