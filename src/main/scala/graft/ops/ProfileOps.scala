@@ -99,4 +99,53 @@ object ProfileOps {
           col("min_val"), col("max_val"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Zipf / power-law fit per corpus slice: the OLS slope of
+    * ln(frequency) against ln(rank) over the top `topR` terms — the
+    * data card that flags a DEGENERATE source (templated or machine-
+    * generated text runs much flatter than natural language's ≈ −1;
+    * near-constant token streams much steeper).
+    *
+    * One corpus aggregation to (key, token) counts, a per-key window
+    * rank capped at `topR` (WindowGroupLimit — the rank cut prunes
+    * before the regression ever sees a row), then the four OLS moments
+    * as EXACT decimal sums of micro-long ln terms; the closed-form
+    * slope derives through identical double arithmetic + an integer
+    * floor, so the surface is hash-exact. Keys with fewer than 2
+    * distinct ranks report 0 (no line to fit).
+    */
+  def zipfSlope(docs: DataFrame, keyCol: String = "source",
+      topR: Int = 200): DataFrame = {
+    val c = docs
+      .select(col(keyCol).as("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("tok"))
+    val ranked = c
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= topR)
+      .select(col("source"),
+        round(log(col("r").cast("double")) * lit(1000000.0)).cast("long").as("x"),
+        round(log(col("c").cast("double")) * lit(1000000.0)).cast("long").as("y"))
+    val n = col("n_terms").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    ranked
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("x").cast("decimal(28,0)")).as("sx"),
+        sum(col("y").cast("decimal(28,0)")).as("sy"),
+        sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+          .as("sxy"),
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("sxx"))
+      .select(col("source"), col("n_terms"),
+        when(col("n_terms") < 2, 0L)
+          .otherwise(floor(num / den * lit(1000000.0)).cast("long"))
+          .as("zipf_slope_micro"))
+  }
 }

@@ -2985,6 +2985,57 @@ object PipelineOracles {
         |c AS (SELECT count(*) AS n FROM v)
         |SELECT CAST(c.n AS BIGINT) AS n, CAST((c.n - 1) // 2 AS BIGINT) AS k,
         |  s.value AS kth
-        |FROM c JOIN s ON s.rk = (c.n - 1) // 2""".stripMargin
+        |FROM c JOIN s ON s.rk = (c.n - 1) // 2""".stripMargin,
+
+    // per-source (rank, frequency) micro-ln pairs capped at top-200,
+    // exact decimal OLS moments, closed-form slope through identical
+    // double arithmetic + integer floor.
+    "profile_zipf_slope" ->
+      """WITH c AS (SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT source, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+        |  FROM c),
+        |xy AS (SELECT source,
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+        |  FROM rk WHERE r <= 200),
+        |m AS (SELECT source, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(28,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(28,0))) AS sy,
+        |    sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy,
+        |    sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_terms,
+        |  CAST(CASE WHEN n < 2 THEN 0 ELSE floor(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * 1000000.0) END AS BIGINT) AS zipf_slope_micro
+        |FROM m""".stripMargin,
+
+    // the KN tercile chain + the seeded draw fused into one sort key;
+    // the binned global row number replays as a plain row_number.
+    "mix_curriculum_order" ->
+      s"""WITH $knScoreCtes,
+         |sc AS (SELECT kns.doc_id, d.lang,
+         |    CAST(floor(CAST(-kn_sum_micro AS DOUBLE) /
+         |      CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS nll_micro
+         |  FROM kns JOIN documents d ON d.doc_id = kns.doc_id),
+         |nt AS (SELECT doc_id, lang, nll_micro,
+         |    ntile(3) OVER (PARTITION BY lang ORDER BY nll_micro, doc_id)
+         |      AS tercile
+         |  FROM sc),
+         |ky AS (SELECT doc_id, lang, CAST(tercile AS BIGINT) AS tercile,
+         |    CAST(tercile AS BIGINT) * 4294967296 +
+         |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      AS ck
+         |  FROM nt)
+         |SELECT doc_id, lang, tercile,
+         |  CAST(row_number() OVER (ORDER BY ck, doc_id) AS BIGINT) AS pos
+         |FROM ky""".stripMargin
   )
 }

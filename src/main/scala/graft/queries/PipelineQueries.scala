@@ -1914,6 +1914,38 @@ object PipelineQueries {
     // w6_global_cumsum's binned prefix sums; at 100 TB no stage sees
     // more than one bin's rows.
     "a14_exact_median" -> ((s, dir) =>
-      PrefixOps.exactKth(table(s, dir, "events"), "value"))
+      PrefixOps.exactKth(table(s, dir, "events"), "value")),
+
+    // Zipf slope per source — the degenerate-source data card (natural
+    // language runs ≈ −1; templates flatter, constant streams steeper):
+    // OLS over micro-ln (rank, frequency) with exact decimal moments.
+    "profile_zipf_slope" -> ((s, dir) =>
+      ProfileOps.zipfSlope(table(s, dir, "documents"))),
+
+    // curriculum ordering: a deterministic GLOBAL training order that
+    // schedules clean (head-perplexity) docs first and shuffles within
+    // each tercile — composed from the KN quality terciles, the seeded
+    // md5 draw, and the binned global row number (no single-partition
+    // sort anywhere).
+    "mix_curriculum_order" -> ((s, dir) => {
+      val kn = TextOps.knBigramScores(table(s, dir, "documents"), KnDiscount)
+      val scored = kn
+        .join(table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          floor((-col("kn_sum_micro")).cast("double") /
+            col("n_bigrams").cast("double")).cast("long").as("nll_micro"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("nll_micro"), col("doc_id"))
+      val keyed = scored.withColumn("tercile", ntile(3).over(wl))
+        .select(col("doc_id"), col("lang"),
+          col("tercile").cast("long").as("tercile"),
+          (col("tercile").cast("long") * lit(4294967296L) +
+            conv(substring(md5(concat(lit("42:"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+            .as("ck"))
+      PrefixOps.globalRowNumber(keyed, "ck", Seq("doc_id"), "pos")
+        .select(col("doc_id"), col("lang"), col("tercile"), col("pos"))
+    })
   )
 }

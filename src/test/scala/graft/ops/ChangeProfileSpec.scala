@@ -127,4 +127,35 @@ class ChangeProfileSpec extends AnyFunSuite {
     val empty = suite(df.filter(lit(false))).collect()
     assert(empty.length == 3 && empty.forall(r => r.isNullAt(1) && r.getLong(3) == 0L))
   }
+
+  test("zipfSlope matches a plain-Scala OLS replay; degenerate source reports 0") {
+    import spark.implicits._
+    // s1: counts 12/6/4/3 = 12/r over ranks 1..4 (an exact r^−1 law);
+    // s2: exponential decay (much steeper); s3: a single term — no line
+    val docs = Seq(
+      (0L, ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim, "s1"),
+      (1L, ("x " * 27 + "y " * 3 + "z").trim, "s2"),
+      (2L, "solo solo solo", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = ProfileOps.zipfSlope(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def replay(counts: Seq[Long]): Long = {
+      def mln(v: Double) =
+        BigDecimal(math.log(v) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val xy = counts.sorted(Ordering[Long].reverse).zipWithIndex
+        .map { case (c, i) => (mln(i + 1.0), mln(c.toDouble)) }
+      val n = xy.length.toDouble
+      val (sx, sy) = (xy.map(_._1).sum.toDouble, xy.map(_._2).sum.toDouble)
+      val sxy = xy.map(p => BigInt(p._1) * BigInt(p._2)).sum.toDouble
+      val sxx = xy.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+      math.floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6).toLong
+    }
+    assert(out("s1") == ((4L, replay(Seq(12L, 6L, 4L, 3L)))))
+    assert(out("s2") == ((3L, replay(Seq(27L, 3L, 1L)))))
+    assert(out("s3") == ((1L, 0L)))
+    // the exact 12/r law fits slope −1 (up to the micro-ln rounding)
+    assert(math.abs(out("s1")._2 + 1000000L) < 2000L, out("s1").toString)
+    assert(out("s2")._2 < out("s1")._2, "steeper decay → more negative slope")
+  }
 }

@@ -84,4 +84,27 @@ class KnScoreSpec extends AnyFunSuite {
     assert(out(6L)._1 == "de" && out(7L)._1 == "de")
     assert(out.collect { case (_, ("de", t)) => t }.toSet == Set(1, 2))
   }
+
+  test("curriculum order: terciles gate the global order, draw shuffles within") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.PipelineQueries
+      .queries("mix_curriculum_order")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // pos is a 1..n permutation
+    assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    // every head doc precedes every middle doc precedes every tail doc
+    val byPos = rows.sortBy(_._3).map(_._2).toSeq
+    assert(byPos == byPos.sorted, "terciles must gate the global order")
+    // within a tercile the order is the seeded md5 draw, not doc_id
+    def draw(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val head = rows.filter(_._2 == 1L).sortBy(_._3).map(_._1).toSeq
+    assert(head == head.sortBy(id => (draw(id), id)),
+      "within-tercile order must follow the seeded draw")
+    assert(head != head.sorted, "the draw must actually shuffle")
+  }
 }
