@@ -3017,6 +3017,37 @@ object PipelineOracles {
         |    * 1000000.0) END AS BIGINT) AS zipf_slope_micro
         |FROM m""".stripMargin,
 
+    // truth = the naive jaccard≥t pairs, candidates = the band buckets;
+    // recall joins them and floors the integer-numerator ratio.
+    "dedup_lsh_recall" ->
+      s"""WITH $bandsCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM common
+         |  JOIN cnt na ON doc_a = na.doc_id
+         |  JOIN cnt nb ON doc_b = nb.doc_id
+         |  WHERE round(c / CAST(na.n + nb.n - c AS DOUBLE), 6)
+         |        >= ${PipelineQueries.SetJoinThreshold}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |tc AS (SELECT count(*) AS n_true FROM truth),
+         |cc AS (SELECT count(*) AS n_cand FROM cand),
+         |hc AS (SELECT count(*) AS n_hit
+         |  FROM truth JOIN cand USING (doc_a, doc_b))
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN n_true = 0 THEN 0
+         |       ELSE floor(CAST(n_hit AS DOUBLE) * 1000000.0
+         |                  / CAST(n_true AS DOUBLE)) END AS BIGINT)
+         |    AS recall_micro
+         |FROM tc, cc, hc""".stripMargin,
+
     // the KN tercile chain + the seeded draw fused into one sort key;
     // the binned global row number replays as a plain row_number.
     "mix_curriculum_order" ->

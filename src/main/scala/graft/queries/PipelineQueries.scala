@@ -1922,6 +1922,29 @@ object PipelineQueries {
     "profile_zipf_slope" -> ((s, dir) =>
       ProfileOps.zipfSlope(table(s, dir, "documents"))),
 
+    // measured LSH recall: the fraction of TRUE jaccard≥t pairs the
+    // banded candidate generation recovers, plus the candidate volume
+    // paid for it — the dedup analog of the sim_recall_* frontier, and
+    // the number that justifies (or indicts) the band configuration.
+    // Truth comes from the EXACT set-similarity join (PPJoin — zero
+    // false negatives without all-pairs), so the measurement itself
+    // scales.
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val truth = DedupOps.similarityJoinExact(
+        table(s, dir, "documents"), SetJoinThreshold)
+        .select("doc_a", "doc_b").cache()
+      val cand = DedupOps.candidatePairs(dedupBands(s, dir)).cache()
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          when(col("n_true") === 0, 0L)
+            .otherwise(floor(col("n_hit").cast("double") * lit(1000000.0) /
+              col("n_true").cast("double")).cast("long"))
+            .as("recall_micro"))
+    }),
+
     // curriculum ordering: a deterministic GLOBAL training order that
     // schedules clean (head-perplexity) docs first and shuffles within
     // each tercile — composed from the KN quality terciles, the seeded

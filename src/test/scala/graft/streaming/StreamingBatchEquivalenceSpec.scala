@@ -326,6 +326,43 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingSmoothing EMA ≡ batch ts_ema (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("ts_ema")(spark, SfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Long]("ema_micro"))
+      .toMap
+
+    val evs = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => StreamingSmoothing.ValueEvent(
+        r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .sortBy(e => (e.ts_us, e.event_id)).toSeq
+
+    val input = MemoryStream[StreamingSmoothing.ValueEvent]
+    val smoothed = StreamingSmoothing.emaStream(input.toDS())
+    val q = smoothed.writeStream
+      .format("memory").queryName("equiv_ema")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      chunks(evs).foreach { c => input.addData(c); q.processAllAvailable() }
+      val fin = spark.table("equiv_ema")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+          r.getAs[Long]("ema_micro"))
+        .toMap
+      assert(fin == batch,
+        s"${fin.size} streaming rows vs ${batch.size} batch rows")
+    } finally q.stop()
+  }
+
   test("StreamingAggregates windowed stats ≡ batch tumbling aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
