@@ -321,6 +321,12 @@ object RetrievalOps {
       expandTerms: Int,
       k: Int): DataFrame = {
     val first = bm25TopK(docs, queryTerms, feedbackDocs)
+    // the expanded term list is a BOUNDED learned artifact (≤
+    // expandTerms strings — the kmeansCentroids contract): collect it
+    // and re-enter as literals, so the q2 relation's two references
+    // inside bm25TopKQueries (term dim + query join) cannot re-plan
+    // phase 1. The remaining ~2 s at sf0.1 is the honest cost of the
+    // three corpus passes PRF is (retrieve, mine, re-retrieve).
     val expansion = docs
       .join(broadcast(first.select("doc_id")), Seq("doc_id"), "left_semi")
       .select(explode(TextOps.tokens(col("text"))).as("term"))
@@ -329,11 +335,11 @@ object RetrievalOps {
       .agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("term"))
       .limit(expandTerms)
+      .collect().map(_.getString(0)).toSeq
     val sess = docs.sparkSession
     import sess.implicits._
-    val q2 = expansion.select(lit(0L).as("query_id"), col("term"))
-      .unionAll(queryTerms.toDF("term")
-        .select(lit(0L).as("query_id"), col("term")))
+    val q2 = (expansion ++ queryTerms).toDF("term")
+      .select(lit(0L).as("query_id"), col("term"))
     bm25TopKQueries(docs, q2, k)
       .select(col("doc_id"), col("rank"), col("score"))
   }
