@@ -507,6 +507,28 @@ object PipelineOracles {
          |FROM s""".stripMargin
     },
 
+    // the same ladder grouped against the true label — the heuristic's
+    // measured confusion matrix.
+    "quality_langid_confusion" -> {
+      val scores = TextOps.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
+        s"len(list_filter(toks, x -> x IN ${inList(ms)})) AS s$i"
+      }.mkString(", ")
+      val n = TextOps.LangMarkers.size
+      val total = (0 until n).map(i => s"s$i").mkString(" + ")
+      val ladder = TextOps.LangMarkers.zipWithIndex.init.map { case ((lang, _), i) =>
+        val conds = ((i + 1) until n).map(j => s"s$i >= s$j").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang, $scores FROM t),
+         |p AS (SELECT lang, CASE WHEN $total = 0 THEN 'und' $ladder
+         |    ELSE '${TextOps.LangMarkers.last._1}' END AS lang_pred
+         |  FROM s)
+         |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2""".stripMargin
+    },
+
     "text_fingerprint" ->
       s"""WITH $tokCte
          |SELECT doc_id, list_min(list_transform($shingleExpr, s -> md5(s))) AS fp

@@ -174,6 +174,15 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.langId(col("toks")).as("lang_pred"))),
 
+    // the langid heuristic EVALUATED against the corpus's true labels
+    // (the langs² confusion matrix incl. the 'und' abstain column) —
+    // the measured-quality row for the weak-supervision ladder, the
+    // Rocchio/NB evaluation shape applied to a rule
+    "quality_langid_confusion" -> ((s, dir) =>
+      docsTok(s, dir)
+        .groupBy(col("lang"), TextOps.langId(col("toks")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
     "text_fingerprint" -> ((s, dir) =>
       docsTok(s, dir).select(
         col("doc_id"),
