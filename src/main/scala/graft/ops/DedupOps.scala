@@ -109,19 +109,38 @@ object DedupOps {
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
 
+  /** Ceiling on one bucket's member count in an in-row pair expansion:
+    * a bucket of m members expands to m²/2 pairs INSIDE one row, so a
+    * degenerate bucket (an empty-text cluster, a boilerplate shingle
+    * set, a constant embedding) OOMs a single task at scale no matter
+    * how healthy the rest of the job is. 10k members ≈ 50M pair structs
+    * ≈ the edge of one task's memory; beyond it, fail LOUDLY with the
+    * bucket named (the SessionOps hot-key / F3 quarantine pattern) —
+    * the fix is upstream (drop the degenerate key), not a bigger heap.
+    * Measured, not hypothetical: the 10× scale run OOMed exactly here
+    * when synthetic copies made every embedding 10-way duplicated.
+    */
+  val DefaultMaxBucket: Int = 10000
+
   /** Candidate near-dup pairs: docs sharing any band bucket.
     *
     * Deliberately NOT a self-join — a self-join plans the whole
     * shingle→signature pipeline twice (Spark broadcasts one side rather
     * than reuse the exchange; at 100 TB that is two corpus scans).
     * Instead: one aggregation collects each bucket's doc ids, and pairs
-    * expand from the (tiny, skew-bounded) in-bucket lists.
+    * expand from the (tiny, skew-bounded) in-bucket lists — bounded by
+    * [[DefaultMaxBucket]], above which the bucket raise_errors by name.
     */
-  def candidatePairs(bands: DataFrame): DataFrame =
+  def candidatePairs(bands: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
     bands
       .groupBy("band", "h")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .select(graft.ops.SessionOps.hotKeyGuarded(
+        col("ids"), size(col("ids")).cast("long"),
+        concat(col("band").cast("string"), lit(":"), col("h").cast("string")),
+        maxBucket.toLong, "candidatePairs bucket").as("ids"))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))

@@ -779,17 +779,25 @@ object SimilarityOps {
     * above a cosine threshold. Bucketed self-join — quadratic only within
     * cells.
     */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
     // Same single-branch shape as DedupOps.candidatePairs: ONE corpus
     // scan + one shuffle on the cell key, pairs expanded from collected
     // in-cell member lists (a self-join plans the corpus scan twice —
     // measured, and AQE did not reuse the exchanges). Cell size bounds
-    // both the collected list and the quadratic expansion.
+    // both the collected list and the quadratic expansion — enforced by
+    // the same hot-bucket ceiling as candidatePairs (a degenerate cell
+    // fails by name instead of OOMing its task; measured in the 10×
+    // scale run, where verbatim embedding copies densified one cell
+    // 100×).
     val members = corpus
       .groupBy("label")
       .agg(sort_array(collect_list(
         struct(col("vec_id"), col("embedding"), col("nrm")))).as("ms"))
       .filter(size(col("ms")) > 1)
+      .select(graft.ops.SessionOps.hotKeyGuarded(
+        col("ms"), size(col("ms")).cast("long"), col("label").cast("string"),
+        maxBucket.toLong, "nearDupPairs cell").as("ms"))
     members
       .select(explode(flatten(transform(col("ms"), (a, i) =>
         transform(slice(col("ms"), i + 2, size(col("ms"))), b =>

@@ -137,6 +137,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("candidatePairs: a bucket above the ceiling fails by name, not by OOM") {
+    val bands = DedupOps.lshBands(DedupOps.minhashSignature(DedupOps.shingled(docs)))
+    // dup docs 0/1 collide in every band → buckets of size 2; ceiling 1
+    // makes them pathological
+    val e = intercept[Exception] {
+      DedupOps.candidatePairs(bands, maxBucket = 1).collect()
+    }
+    assert(e.getMessage.contains("candidatePairs bucket"), e.getMessage)
+    // at the default ceiling the same input passes untouched
+    assert(DedupOps.candidatePairs(bands).collect().nonEmpty)
+  }
+
   test("ngram jaccard: 1.0 for identical docs, high for near dups") {
     val sh = DedupOps.shingled(docs)
     val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
