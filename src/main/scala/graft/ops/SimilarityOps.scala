@@ -1137,16 +1137,7 @@ object SimilarityOps {
       .collect()
     val mu = new Array[Double](dim)
     muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
-    val muLit = array(mu.map(lit): _*)
-    val centered = transform(col("embedding"), (e, i) =>
-      e.cast("double") - element_at(muLit, i + 1))
-    val scatter = emb
-      .select(posexplode(flatten(transform(centered, a =>
-        transform(centered, b =>
-          round(a * b * lit(1000000.0)).cast("long"))))))
-      .groupBy("pos")
-      .agg(sum(col("col").cast("decimal(28,0)")).cast("long").as("s"))
-      .cache()
+    val scatter = pcaScatter(emb, mu).cache()
     var v = Array.fill(dim)(
       BigDecimal(1000000.0 / math.sqrt(dim.toDouble))
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
@@ -1175,6 +1166,53 @@ object SimilarityOps {
     }
     scatter.unpersist()
     (mu, v)
+  }
+
+  /** The flattened micro-long scatter matrix (pos = i·dim + j, 0-based
+    * i-major): one corpus scan, map-side combined on dim² keys.
+    */
+  private def pcaScatter(emb: DataFrame, mu: Array[Double]): DataFrame = {
+    val muLit = array(mu.map(lit): _*)
+    val centered = transform(col("embedding"), (e, i) =>
+      e.cast("double") - element_at(muLit, i + 1))
+    emb
+      .select(posexplode(flatten(transform(centered, a =>
+        transform(centered, b =>
+          round(a * b * lit(1000000.0)).cast("long"))))))
+      .groupBy("pos")
+      .agg(sum(col("col").cast("decimal(28,0)")).cast("long").as("s"))
+  }
+
+  /** Variance explained by the trained component — the measured-quality
+    * number for the PCA axis (the recall-frontier pattern applied to
+    * compression): the Rayleigh-quotient fraction
+    * (vᵀSv / vᵀv) / trace(S) over the exact integer scatter, which is
+    * λ̂₁/Σλᵢ — how much of the corpus's variance one projected
+    * dimension keeps. Every operand is an exact integer (staged
+    * DECIMAL(18,0) products; |v|² precomputed in exact Scala integer
+    * arithmetic); the fraction derives through identical doubles + an
+    * integer floor. One corpus pass + one dim²-row aggregation.
+    */
+  def pcaVarianceExplained(emb: DataFrame, dim: Int, mu: Array[Double],
+      v: Array[Long]): DataFrame = {
+    val vLit = array(v.map(lit): _*)
+    val vv2 = v.map(x => x * x).sum
+    val iIdx = floor(col("pos") / dim).cast("int")
+    val jIdx = (col("pos") % dim).cast("int")
+    val term = (col("s").cast("decimal(18,0)") *
+      element_at(vLit, iIdx + 1).cast("decimal(18,0)"))
+      .cast("decimal(28,0)") *
+      element_at(vLit, jIdx + 1).cast("decimal(10,0)")
+    pcaScatter(emb, mu)
+      .agg(
+        sum(term).as("vsv"),
+        sum(when(iIdx === jIdx, col("s")).otherwise(0L)).as("trace"))
+      .select(lit(dim.toLong).as("n_dims"),
+        col("trace").as("trace_micro"),
+        when(col("trace") === 0, 0L)
+          .otherwise(floor(col("vsv").cast("double") / lit(vv2.toDouble) /
+            col("trace").cast("double") * lit(1000000.0)).cast("long"))
+          .as("var_explained_micro"))
   }
 
   /** Out-of-distribution score per vector: the FULL squared L2 distance

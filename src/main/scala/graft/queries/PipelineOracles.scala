@@ -322,6 +322,47 @@ object PipelineOracles {
   private val embCte =
     "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
 
+  /** The PCA training chain as CTEs — decimal-exact means, the dim²
+    * micro-long scatter `sc(i, j, s)`, and the unrolled power iteration
+    * ending in `v{PcaIters}(pos, vv)`; `cent(vec_id, pos, cv)` stays
+    * visible for projections. Shared by the projection oracle and the
+    * variance-explained quotient.
+    */
+  private lazy val pcaCtes: String = {
+    val iters = PipelineQueries.PcaIters
+    val dim = PipelineQueries.EmbDim
+    val steps = (1 to iters).map { i =>
+      s"""w$i AS (SELECT sc.i AS pos,
+         |    sum(CAST(sc.s AS DECIMAL(18,0)) *
+         |        CAST(v${i - 1}.vv AS DECIMAL(18,0))) AS w
+         |  FROM sc JOIN v${i - 1} ON v${i - 1}.pos = sc.j GROUP BY 1),
+         |m$i AS (SELECT max(abs(w)) AS wm FROM w$i),
+         |v$i AS (SELECT pos,
+         |    CASE WHEN wm = 0 THEN 0
+         |         ELSE CAST(round(CAST(w AS DOUBLE) / CAST(wm AS DOUBLE)
+         |           * 1000000.0) AS BIGINT) END AS vv
+         |  FROM w$i, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |mu AS (SELECT pos, round(CAST(sum(CAST(round(v, 6)
+       |    AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+       |  FROM (SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS v
+       |        FROM emb)
+       |  GROUP BY pos),
+       |cent AS (SELECT vec_id, pos, v - m AS cv
+       |  FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+       |          unnest(e) AS v FROM emb)
+       |  JOIN mu USING (pos)),
+       |sc AS (SELECT a.pos AS i, b.pos AS j,
+       |    CAST(sum(CAST(round(a.cv * b.cv * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS s
+       |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT pos,
+       |    CAST(round(1000000.0 / sqrt($dim.0)) AS BIGINT) AS vv FROM mu),
+       |$steps""".stripMargin
+  }
+
   /** The three weak-supervision labeling functions as CTEs ending in
     * `lf(doc_id, label, v0, v1, v2)` — shared by the majority label
     * model and the pairwise-κ diagnostics.
@@ -2857,44 +2898,36 @@ object PipelineOracles {
     // products with max|w| normalization, and the per-vec micro-long
     // projection — scale-0 rounds only (the 6dp form diverged; see
     // SimilarityOps.pcaComponent).
-    "sim_pca_project" -> {
-      val iters = PipelineQueries.PcaIters
-      val dim = PipelineQueries.EmbDim
-      val steps = (1 to iters).map { i =>
-        s"""w$i AS (SELECT sc.i AS pos,
-           |    sum(CAST(sc.s AS DECIMAL(18,0)) *
-           |        CAST(v${i - 1}.vv AS DECIMAL(18,0))) AS w
-           |  FROM sc JOIN v${i - 1} ON v${i - 1}.pos = sc.j GROUP BY 1),
-           |m$i AS (SELECT max(abs(w)) AS wm FROM w$i),
-           |v$i AS (SELECT pos,
-           |    CASE WHEN wm = 0 THEN 0
-           |         ELSE CAST(round(CAST(w AS DOUBLE) / CAST(wm AS DOUBLE)
-           |           * 1000000.0) AS BIGINT) END AS vv
-           |  FROM w$i, m$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |  FROM embeddings),
-         |mu AS (SELECT pos, round(CAST(sum(CAST(round(v, 6)
-         |    AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
-         |  FROM (SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS v
-         |        FROM emb)
-         |  GROUP BY pos),
-         |cent AS (SELECT vec_id, pos, v - m AS cv
-         |  FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
-         |          unnest(e) AS v FROM emb)
-         |  JOIN mu USING (pos)),
-         |sc AS (SELECT a.pos AS i, b.pos AS j,
-         |    CAST(sum(CAST(round(a.cv * b.cv * 1000000.0) AS BIGINT))
-         |      AS BIGINT) AS s
-         |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-         |v0 AS (SELECT pos,
-         |    CAST(round(1000000.0 / sqrt($dim.0)) AS BIGINT) AS vv FROM mu),
-         |$steps
+    "sim_pca_project" ->
+      s"""WITH $pcaCtes
          |SELECT c.vec_id,
-         |  CAST(sum(CAST(round(c.cv * v$iters.vv) AS BIGINT))
-         |    AS BIGINT) AS pc1_micro
-         |FROM cent c JOIN v$iters ON v$iters.pos = c.pos
-         |GROUP BY c.vec_id""".stripMargin
+         |  CAST(sum(CAST(round(c.cv * v${PipelineQueries.PcaIters}.vv)
+         |    AS BIGINT)) AS BIGINT) AS pc1_micro
+         |FROM cent c
+         |JOIN v${PipelineQueries.PcaIters}
+         |  ON v${PipelineQueries.PcaIters}.pos = c.pos
+         |GROUP BY c.vec_id""".stripMargin,
+
+    // the Rayleigh-quotient fraction of the trained axis: vᵀSv / vᵀv
+    // over the exact integer scatter, against trace(S) — every operand
+    // an exact integer, the fraction through identical doubles + floor.
+    "sim_pca_var" -> {
+      val it = PipelineQueries.PcaIters
+      s"""WITH $pcaCtes,
+         |q AS (SELECT sum(CAST(CAST(sc.s AS DECIMAL(18,0)) *
+         |    CAST(a.vv AS DECIMAL(18,0)) AS DECIMAL(28,0)) *
+         |    CAST(b.vv AS DECIMAL(10,0))) AS vsv
+         |  FROM sc JOIN v$it a ON a.pos = sc.i JOIN v$it b ON b.pos = sc.j),
+         |nv AS (SELECT sum(CAST(vv AS DECIMAL(18,0)) *
+         |    CAST(vv AS DECIMAL(18,0))) AS vv2 FROM v$it),
+         |tr AS (SELECT sum(s) AS trace FROM sc WHERE i = j)
+         |SELECT CAST(${PipelineQueries.EmbDim} AS BIGINT) AS n_dims,
+         |  CAST(trace AS BIGINT) AS trace_micro,
+         |  CAST(CASE WHEN trace = 0 THEN 0
+         |       ELSE floor(CAST(vsv AS DOUBLE) / CAST(vv2 AS DOUBLE)
+         |            / CAST(trace AS DOUBLE) * 1000000.0) END AS BIGINT)
+         |    AS var_explained_micro
+         |FROM q, nv, tr""".stripMargin
     },
 
     // trained cells replayed, then the deterministic per-cell hash-draw

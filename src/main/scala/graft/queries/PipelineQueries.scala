@@ -1879,6 +1879,18 @@ object PipelineQueries {
       SimilarityOps.pcaProject(table(s, dir, "embeddings"), mu, v)
     }),
 
+    // the PCA axis's measured quality: the Rayleigh-quotient fraction
+    // (vᵀSv/vᵀv)/trace(S) — how much corpus variance one projected
+    // dimension keeps; the compression analog of the recall frontier.
+    "sim_pca_var" -> ((s, dir) => {
+      val (mu, v) = ModelCache.cached(s"$dir|pca|iters=$PcaIters") {
+        SimilarityOps.pcaComponent(
+          table(s, dir, "embeddings"), EmbDim, PcaIters)
+      }
+      SimilarityOps.pcaVarianceExplained(
+        table(s, dir, "embeddings"), EmbDim, mu, v)
+    }),
+
     // per-key exponential moving average over event time — the
     // recursive smoothing a window frame cannot express: one shuffle +
     // in-row fold (the K1 shape) with the hot-key guard, scale-0

@@ -86,6 +86,23 @@ class PcaSpec extends AnyFunSuite {
     assert(proj == Seq(0L, 0L))
   }
 
+  test("pcaVarianceExplained: ≈1 on a rank-1 corpus, 0 on zero scatter") {
+    val emb = corr.toDF("vec_id", "embedding")
+    val (mu, v) = SimilarityOps.pcaComponent(emb, 2, 3)
+    val row = SimilarityOps.pcaVarianceExplained(emb, 2, mu, v).collect().head
+    assert(row.getLong(0) == 2L)
+    assert(row.getLong(1) > 0L, "trace must be positive on a varying corpus")
+    // the data is exactly rank-1 (all points on the line y = x/3): the
+    // trained axis keeps essentially all the variance
+    assert(row.getLong(2) > 980000L, row.toString)
+    // degenerate corpus: zero scatter → 0, not a division error
+    val const = Seq(1L -> Array(2f, 5f), 2L -> Array(2f, 5f))
+      .toDF("vec_id", "embedding")
+    val (m2, v2) = SimilarityOps.pcaComponent(const, 2, 3)
+    val r2 = SimilarityOps.pcaVarianceExplained(const, 2, m2, v2).collect().head
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L)
+  }
+
   test("oodDistance: full squared distance, nearest cell, cell tiebreak") {
     val emb = Seq(
       1L -> Array(0f, 1f),     // d² to (0,0)=1, to (10,10)=181 → cell 0
