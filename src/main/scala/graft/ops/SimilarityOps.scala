@@ -1183,18 +1183,41 @@ object SimilarityOps {
       .agg(sum(col("col").cast("decimal(28,0)")).cast("long").as("s"))
   }
 
+  /** The scatter matrix as a collected dim²-long vector (pos-ordered) —
+    * a BOUNDED trained artifact like the centroid matrices, so the
+    * variance quotient can ModelCache it and never re-pay the corpus
+    * pass at serve time.
+    */
+  def pcaScatterVector(emb: DataFrame, mu: Array[Double],
+      dim: Int): Array[Long] = {
+    val out = new Array[Long](dim * dim)
+    pcaScatter(emb, mu).collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
   /** Variance explained by the trained component — the measured-quality
     * number for the PCA axis (the recall-frontier pattern applied to
     * compression): the Rayleigh-quotient fraction
     * (vᵀSv / vᵀv) / trace(S) over the exact integer scatter, which is
     * λ̂₁/Σλᵢ — how much of the corpus's variance one projected
     * dimension keeps. Every operand is an exact integer (staged
-    * DECIMAL(18,0) products; |v|² precomputed in exact Scala integer
-    * arithmetic); the fraction derives through identical doubles + an
-    * integer floor. One corpus pass + one dim²-row aggregation.
+    * DECIMAL(18,0)→(28,0)×(10,0) products — the 18-wide staging
+    * overflowed at sf0.1's scatter magnitudes; |v|² precomputed in
+    * exact Scala integer arithmetic); the fraction derives through
+    * identical doubles + an integer floor. The quotient itself runs
+    * over the dim²-row cached scatter — corpus-independent.
     */
   def pcaVarianceExplained(emb: DataFrame, dim: Int, mu: Array[Double],
-      v: Array[Long]): DataFrame = {
+      v: Array[Long]): DataFrame =
+    pcaVarFromScatter(emb.sparkSession,
+      pcaScatterVector(emb, mu, dim), dim, v)
+
+  /** The quotient over an already-collected scatter vector. */
+  def pcaVarFromScatter(spark: org.apache.spark.sql.SparkSession,
+      scatter: Array[Long], dim: Int, v: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val sc = scatter.toSeq.zipWithIndex.map { case (s, p) => (p, s) }
+      .toDF("pos", "s")
     val vLit = array(v.map(lit): _*)
     val vv2 = v.map(x => x * x).sum
     val iIdx = floor(col("pos") / dim).cast("int")
@@ -1203,7 +1226,7 @@ object SimilarityOps {
       element_at(vLit, iIdx + 1).cast("decimal(18,0)"))
       .cast("decimal(28,0)") *
       element_at(vLit, jIdx + 1).cast("decimal(10,0)")
-    pcaScatter(emb, mu)
+    sc
       .agg(
         sum(term).as("vsv"),
         sum(when(iIdx === jIdx, col("s")).otherwise(0L)).as("trace"))

@@ -1887,8 +1887,13 @@ object PipelineQueries {
         SimilarityOps.pcaComponent(
           table(s, dir, "embeddings"), EmbDim, PcaIters)
       }
-      SimilarityOps.pcaVarianceExplained(
-        table(s, dir, "embeddings"), EmbDim, mu, v)
+      // the scatter is itself a dim²-bounded trained artifact: cache it
+      // so the quotient never re-pays the corpus pass at serve time
+      val scat = ModelCache.cached(s"$dir|pca-scatter") {
+        SimilarityOps.pcaScatterVector(
+          table(s, dir, "embeddings"), mu, EmbDim)
+      }
+      SimilarityOps.pcaVarFromScatter(s, scat, EmbDim, v)
     }),
 
     // per-key exponential moving average over event time — the
