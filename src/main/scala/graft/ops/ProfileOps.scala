@@ -100,6 +100,25 @@ object ProfileOps {
     }.reduce(_.unionAll(_))
   }
 
+  /** k-anonymity small-cell suppression (Sweeney 2002) — the
+    * release-gating step for published data cards: aggregate by the
+    * quasi-identifier columns and SUPPRESS (null out) the count of any
+    * cell with fewer than `k` members, so no released row isolates a
+    * small population. One aggregation; the suppression is a result
+    * expression, so the gate costs nothing beyond the count itself.
+    * Returns (quasi cols…, released, n_released) with `n_released`
+    * null on suppressed cells.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k > 0, "need quasi columns and k > 0")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(quasiCols.map(col) ++ Seq(
+        (col("__n") >= k).as("released"),
+        when(col("__n") >= k, col("__n")).otherwise(lit(null).cast("long"))
+          .as("n_released")): _*)
+  }
+
   /** Zipf / power-law fit per corpus slice: the OLS slope of
     * ln(frequency) against ln(rank) over the top `topR` terms — the
     * data card that flags a DEGENERATE source (templated or machine-

@@ -296,6 +296,75 @@ object RetrievalOps {
           .as("ndcg"))
   }
 
+  /** Passage-level BM25 (the long-document retrieval standard: score
+    * fixed-width overlapping CHUNKS as the retrieval unit, return each
+    * document by its BEST passage — BERT-era "MaxP" aggregation,
+    * Dai & Callan 2019): a long document cannot dominate by raw length,
+    * and the serving layer gets the passage offset to excerpt.
+    *
+    * Same scan-filtered posting-list shape as [[bm25TopK]] with the
+    * chunk (doc_id, chunk_start) as the scoring key: chunk lengths and
+    * corpus stats derive from the chunk relation, per-chunk scores
+    * aggregate in DECIMAL, the per-doc best passage reduces through one
+    * doc-keyed window, and the final top-k prunes with WindowGroupLimit.
+    * Returns (doc_id, rank, score, chunk_start).
+    */
+  def bm25PassageTopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      width: Int,
+      stride: Int,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25PassageTopK needs at least one term")
+    def chunked = docs
+      .select(col("doc_id"),
+        explode(TextOps.chunks(TextOps.tokens(col("text")), width, stride))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_start").cast("long").as("cs"),
+        TextOps.tokens(col("c.chunk")).as("ctoks"))
+    val stats = chunked
+      .select(size(col("ctoks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = chunked
+      .select(col("doc_id"), col("cs"),
+        size(col("ctoks")).cast("long").as("dl"),
+        explode(col("ctoks")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "cs", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val term = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val perChunk = tf
+      .join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("cs"),
+        round(term, 6).cast("decimal(28,6)").as("term"))
+      .groupBy("doc_id", "cs")
+      .agg(sum("term").cast("decimal(38,6)").as("s"))
+      .select(col("doc_id"), col("cs"), col("s").cast("double").as("score"))
+    val bestW = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cs"))
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, k rows shuffle), NEVER a global unpartitioned window; the
+    // rank window then runs over ≤ k rows
+    perChunk
+      .withColumn("brk", row_number().over(bestW))
+      .filter(col("brk") === 1)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("rank"), col("score"),
+        col("cs").as("chunk_start"))
+  }
+
   /** Pseudo-relevance feedback query expansion (Rocchio 1971 applied to
     * retrieval; the RM/RM3 family of Lavrenko & Croft 2001, in its
     * deterministic tf form): run the query, mine the top `feedbackDocs`

@@ -2851,6 +2851,59 @@ object PipelineOracles {
          |FROM dw GROUP BY source""".stripMargin
     },
 
+    // the chunk replay (text_chunks' starts) scored with the bm25
+    // formula at chunk granularity, per-doc best passage, top-k docs.
+    "ret_passage_topk" -> {
+      val terms = PipelineQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val k1 = graft.ops.RetrievalOps.DefaultK1
+      val b = graft.ops.RetrievalOps.DefaultB
+      s"""WITH $tokCte,
+         |st AS (SELECT doc_id, toks,
+         |    unnest(range(1, greatest(len(toks) - 31, 1) + 24, 24))
+         |      AS chunk_start
+         |  FROM t),
+         |ch AS (SELECT doc_id, CAST(chunk_start AS BIGINT) AS cs,
+         |    toks[chunk_start:chunk_start + 31] AS ct
+         |  FROM st),
+         |cst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(ct)) AS DOUBLE) / count(*) AS avgdl FROM ch),
+         |ctf AS (SELECT doc_id, cs, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, cs, len(ct) AS dl, unnest(ct) AS tok
+         |        FROM ch)
+         |  WHERE tok IN ($terms) GROUP BY 1, 2, 3, 4),
+         |cdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ctf
+         |  GROUP BY 1),
+         |csc AS (SELECT ctf.doc_id, ctf.cs,
+         |    CAST(round(ln((cst.n_docs - cdf.df + 0.5) / (cdf.df + 0.5) + 1.0)
+         |      * (ctf.tf * ($k1 + 1)) /
+         |      (ctf.tf + $k1 * (1.0 - $b + $b * ctf.dl / cst.avgdl)), 6)
+         |      AS DECIMAL(28,6)) AS term
+         |  FROM ctf JOIN cdf USING (tok), cst),
+         |cagg AS (SELECT doc_id, cs,
+         |    CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) AS score
+         |  FROM csc GROUP BY 1, 2),
+         |best AS (SELECT doc_id, cs AS chunk_start, score FROM (
+         |    SELECT doc_id, cs, score,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, cs) AS rk
+         |    FROM cagg) WHERE rk = 1)
+         |SELECT doc_id, rank, score, chunk_start FROM (
+         |  SELECT doc_id, chunk_start, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |      AS rank
+         |  FROM best)
+         |WHERE rank <= ${PipelineQueries.Bm25K}""".stripMargin
+    },
+
+    // small-cell suppression replayed: counts per quasi cell, nulled
+    // under k.
+    "privacy_k_anon" ->
+      s"""SELECT lang, source,
+         |  count(*) >= ${PipelineQueries.KAnonK} AS released,
+         |  CAST(CASE WHEN count(*) >= ${PipelineQueries.KAnonK}
+         |    THEN count(*) END AS BIGINT) AS n_released
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
     // phase 1 reuses the audited bm25 chain (feedback = its top-5),
     // candidate mining is IN-bounded to those docs, phase 2 re-derives
     // df/score over the expanded term set exactly like the multi-query

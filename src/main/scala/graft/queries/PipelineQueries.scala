@@ -68,6 +68,8 @@ object PipelineQueries {
   val PcaIters = 3
   /** Label-propagation rounds. */
   val LabelPropIters = 3
+  /** k-anonymity release threshold. */
+  val KAnonK = 10L
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   /** The multi-query BM25 batch: (query_id, term) rows. */
@@ -1838,6 +1840,21 @@ object PipelineQueries {
         ModelCache.cached(s"$dir|bpe|t=$BpeMergeCount") {
           TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
         })),
+
+    // passage-level retrieval (MaxP): fixed-width overlapping chunks
+    // are the scoring unit, each doc returned by its BEST passage with
+    // the offset — the long-document standard that also hands the
+    // serving layer an excerpt window.
+    "ret_passage_topk" -> ((s, dir) =>
+      RetrievalOps.bm25PassageTopK(table(s, dir, "documents"), Bm25Terms,
+        width = 32, stride = 24, k = Bm25K)),
+
+    // k-anonymity small-cell suppression over the (lang, source) quasi-
+    // identifier grid — the release gate for published data cards:
+    // cells under k get their count nulled, not published.
+    "privacy_k_anon" -> ((s, dir) =>
+      ProfileOps.kAnonymize(table(s, dir, "documents"),
+        Seq("lang", "source"), KAnonK)),
 
     // pseudo-relevance feedback: BM25 → mine the top-5 results' most
     // frequent non-query terms → re-run with the expanded query. The

@@ -128,6 +128,22 @@ class ChangeProfileSpec extends AnyFunSuite {
     assert(empty.length == 3 && empty.forall(r => r.isNullAt(1) && r.getLong(3) == 0L))
   }
 
+  test("kAnonymize: cells under k are suppressed, counts nulled") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) ++
+      Seq.fill(5)(("de", "s1"))).toDF("lang", "source")
+    val out = ProfileOps.kAnonymize(df, Seq("lang", "source"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(out(("en", "s1")) == ((true, Some(3L))))
+    assert(out(("en", "s2")) == ((false, None)), "a 2-cell must suppress")
+    assert(out(("de", "s1")) == ((true, Some(5L))))
+    assertThrows[IllegalArgumentException] {
+      ProfileOps.kAnonymize(df, Seq.empty, 3)
+    }
+  }
+
   test("zipfSlope matches a plain-Scala OLS replay; degenerate source reports 0") {
     import spark.implicits._
     // s1: counts 12/6/4/3 = 12/r over ranks 1..4 (an exact r^−1 law);

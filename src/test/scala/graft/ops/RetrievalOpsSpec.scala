@@ -181,4 +181,25 @@ class RetrievalOpsSpec extends AnyFunSuite {
     // only appear through its own terms; with none shared it is absent
     assert(!prf.exists(_._1 == 3L), s"c-only doc must not enter: $prf")
   }
+
+  test("bm25PassageTopK: MaxP ranks by the BEST passage, with its offset") {
+    import spark.implicits._
+    // doc 1 concentrates the term in its last chunk (tf 4 there);
+    // doc 2 spreads the same four occurrences (best chunk tf 2);
+    // doc 3 never matches and must be absent
+    val docs = Seq(
+      (1L, "x x x x q q q q"),
+      (2L, "q x q x q x q x"),
+      (3L, "y y y y y y y y")).toDF("doc_id", "text")
+    val out = RetrievalOps.bm25PassageTopK(docs, Seq("q"),
+      width = 4, stride = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L), out.mkString(","))
+    // doc 1's winning passage is the dense window at 1-based offset 5
+    assert(out.head == ((1L, 1L, 5L)), out.mkString(","))
+    // a doc shorter than the width still scores through its one chunk
+    val short = Seq((7L, "q q")).toDF("doc_id", "text")
+    val s = RetrievalOps.bm25PassageTopK(short, Seq("q"), 4, 2, 5).collect()
+    assert(s.length == 1 && s.head.getLong(3) == 1L)
+  }
 }
