@@ -1168,6 +1168,49 @@ object SimilarityOps {
     (mu, v)
   }
 
+  /** Sign-bit binary quantization (Charikar 2002's hyperplane sketch at
+    * the coordinate axes; "binary embeddings" as shipped by every
+    * production vector store's 1-bit mode): each dimension contributes
+    * its SIGN, packed MSB-first into exact 32-bit long halves — 64
+    * floats become 8 bytes, and similarity becomes a Hamming distance
+    * of two longs. The fifth compression axis next to truncation (MRL),
+    * JL, PQ, and PCA, measured on the same recall frontier.
+    */
+  def signBits(vec: Column, from: Int, n: Int): Column =
+    aggregate(
+      transform(slice(vec, from, n), e =>
+        when(e.cast("double") >= 0, 1L).otherwise(0L)),
+      lit(0L), (acc, b) => acc * 2 + b)
+
+  /** (vec_id, c_lo, c_hi) sign-bit codes for a 64-dim embedding. */
+  def binaryCodes(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      signBits(col("embedding"), 1, 32).as("c_lo"),
+      signBits(col("embedding"), 33, 32).as("c_hi"))
+
+  /** Hamming top-k over the packed codes: the corpus is touched as 8
+    * bytes per vector (bit_count of two XORs — pure codegen integer
+    * ops), queries broadcast, per-query top-k through WindowGroupLimit;
+    * ties break on neighbor id. Returns
+    * (query_id, neighbor_id, rank, hamming).
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = binaryCodes(corpus)
+    val q = binaryCodes(queries).select(col("vec_id").as("query_id"),
+      col("c_lo").as("q_lo"), col("c_hi").as("q_hi"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("c_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("c_hi").bitwiseXOR(col("q_hi"))))
+          .cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("hamming"))
+  }
+
   /** The flattened micro-long scatter matrix (pos = i·dim + j, 0-based
     * i-major): one corpus scan, map-side combined on dim² keys.
     */

@@ -2851,6 +2851,34 @@ object PipelineOracles {
          |FROM dw GROUP BY source""".stripMargin
     },
 
+    // sign bits packed MSB-first into two 32-bit halves (the closed
+    // form of the engine's acc·2+b fold), Hamming top-k, recall vs the
+    // exact cosine frontier.
+    "sim_recall_binary" -> {
+      val nq = PipelineQueries.IvfQueryCount
+      val k = PipelineQueries.IvfK
+      def bits(off: Int) =
+        s"""list_sum(list_transform(range(1, 33), p ->
+           |    CASE WHEN e[p + $off] >= 0 THEN (CAST(1 AS BIGINT) << (32 - p))
+           |         ELSE CAST(0 AS BIGINT) END))""".stripMargin
+      s"""WITH $normCte,
+         |${topkCtes("ex", nq, k, cellJoin = false)},
+         |bc AS (SELECT vec_id, CAST(${bits(0)} AS BIGINT) AS c_lo,
+         |    CAST(${bits(32)} AS BIGINT) AS c_hi FROM n),
+         |bq AS (SELECT vec_id AS query_id, c_lo AS q_lo, c_hi AS q_hi
+         |  FROM bc WHERE vec_id < $nq),
+         |bh AS (SELECT bq.query_id, bc.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(bc.c_lo, bq.q_lo)) +
+         |         bit_count(xor(bc.c_hi, bq.q_hi)) AS BIGINT) AS hamming
+         |  FROM bc CROSS JOIN bq WHERE bc.vec_id <> bq.query_id),
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY hamming, neighbor_id) AS rk
+         |    FROM bh) WHERE rk <= $k)
+         |${recallSelect("ex", "bt")}""".stripMargin
+    },
+
     // the chunk replay (text_chunks' starts) scored with the bm25
     // formula at chunk granularity, per-doc best passage, top-k docs.
     "ret_passage_topk" -> {

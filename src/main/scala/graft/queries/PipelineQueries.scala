@@ -1841,6 +1841,29 @@ object PipelineQueries {
           TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
         })),
 
+    // binary (sign-bit) embedding recall — the fifth compression axis
+    // on the shared frontier: 64 floats → 8 bytes, similarity = two
+    // XOR+popcounts; recall@k of Hamming top-k vs exact cosine.
+    "sim_recall_binary" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < IvfQueryCount)
+      val exact = SimilarityOps.bruteTopK(corpus, qs, IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps.binaryTopK(
+        table(s, dir, "embeddings"),
+        table(s, dir, "embeddings").filter(col("vec_id") < IvfQueryCount),
+        IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(broadcast(approx.withColumn("hit", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits"), col("k"),
+          round(col("n_hits") / col("k").cast("double"), 6).as("recall"))
+    }),
+
     // passage-level retrieval (MaxP): fixed-width overlapping chunks
     // are the scoring unit, each doc returned by its BEST passage with
     // the offset — the long-document standard that also hands the

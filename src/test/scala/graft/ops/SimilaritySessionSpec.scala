@@ -226,6 +226,28 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(SimilarityOps.pqTopK(pvecs, pvecs, books, subDim = 2, k = 3).count() == 0)
   }
 
+  test("binary codes: MSB-first sign packing, Hamming ranks by shared signs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4-dim check of the packing arithmetic: signs 1,0,1,0 → 0b1010
+    val small = Seq(0L -> Array(1f, -1f, 2f, -3f)).toDF("vec_id", "embedding")
+    val packed = small.select(
+      SimilarityOps.signBits(col("embedding"), 1, 4).as("b")).head.getLong(0)
+    assert(packed == 10L, s"expected 0b1010, got $packed")
+    // 64-dim retrieval: neighbor 1 shares query 0's sign pattern
+    // exactly (hamming 0), neighbor 2 flips one dim, neighbor 3 flips
+    // many — rank order must follow
+    def v(flips: Set[Int]): Array[Float] =
+      Array.tabulate(64)(i => if (flips(i)) -1f else 1f)
+    val emb = Seq(
+      0L -> v(Set()), 1L -> v(Set()), 2L -> v(Set(7)),
+      3L -> v((0 until 40).toSet)).toDF("vec_id", "embedding")
+    val out = SimilarityOps.binaryTopK(
+      emb, emb.filter(col("vec_id") === 0L), 3)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(3))).sorted
+    assert(out.toSeq == Seq((1L, 1L, 0L), (2L, 2L, 1L), (3L, 3L, 40L)), out.toSeq)
+  }
+
   test("near-dup pairs: bucketed, thresholded, a<b") {
     val c = SimilarityOps.withNorm(vecs)
     val pairs = SimilarityOps.nearDupPairs(c, 0.9).collect()
