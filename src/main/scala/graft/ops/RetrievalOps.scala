@@ -171,6 +171,40 @@ object RetrievalOps {
         col("rrf_score"), col("n_lists"))
   }
 
+  /** Weighted LINEAR score fusion with per-list min-max normalization —
+    * the score-based hybrid combiner next to [[rrfFuse]]'s rank-based
+    * one (the other standard choice; CLEF/TREC "CombSUM" with
+    * normalized inputs): each k-bounded list's scores map to [0, 1e6]
+    * micro ints by its own min/max (a constant list maps to 1e6), each
+    * doc's contribution is `round(wᵢ · nmicro)` (scale-0 — portable),
+    * and the fused score is an EXACT long sum, so the ranking replays.
+    * Lists are k-bounded before fusion; the union/aggregate never
+    * touches corpus scale.
+    *
+    * Input lists are ((doc_id, score) frame, weight) pairs. Returns the
+    * top `k` fused: (doc_id, fused_micro, n_lists).
+    */
+  def linearFuse(lists: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(lists.nonEmpty, "linearFuse needs at least one scored list")
+    lists.map { case (df, w) =>
+      val scored = df.select(col("doc_id"), col("score"))
+      scored
+        .crossJoin(broadcast(
+          scored.agg(min("score").as("mn"), max("score").as("mx"))))
+        .select(col("doc_id"),
+          when(col("mx") === col("mn"), lit(1000000L))
+            .otherwise(floor((col("score") - col("mn")) * lit(1000000.0) /
+              (col("mx") - col("mn"))).cast("long")).as("nm"))
+        .select(col("doc_id"),
+          round(lit(w) * col("nm")).cast("long").as("wnm"))
+    }
+      .reduce(_.unionAll(_))
+      .groupBy("doc_id")
+      .agg(sum("wnm").as("fused_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(col("fused_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Maximal-Marginal-Relevance diversity re-ranking (Carbonell &
     * Goldstein, "The Use of MMR, Diversity-Based Reranking", SIGIR
     * 1998): greedily select k of the candidate list maximizing

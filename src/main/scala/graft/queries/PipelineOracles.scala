@@ -2329,6 +2329,39 @@ object PipelineOracles {
          |SELECT doc_id, rrf_score, n_lists FROM f
          |ORDER BY rrf_score DESC, doc_id LIMIT ${PipelineQueries.HybridK}""".stripMargin,
 
+    // per-list min-max to micro ints (constant list → 1e6), halved
+    // scale-0 contributions, exact long sum, top-k.
+    "hybrid_linear" ->
+      s"""WITH $bm25Cte,
+         |$normCte,
+         |sq AS (SELECT e, nrm FROM n WHERE vec_id = 0),
+         |sems AS (SELECT n.vec_id AS doc_id,
+         |    list_dot_product(n.e, sq.e) / (n.nrm * sq.nrm) AS cr
+         |  FROM n, sq WHERE n.vec_id <> 0),
+         |semk AS (SELECT doc_id, round(cr, 6) AS cos FROM (
+         |    SELECT doc_id, cr,
+         |      row_number() OVER (ORDER BY cr DESC, doc_id) AS rk FROM sems)
+         |  WHERE rk <= ${PipelineQueries.Bm25K}),
+         |lexn AS (SELECT doc_id,
+         |    CASE WHEN mx = mn THEN CAST(1000000 AS BIGINT)
+         |      ELSE CAST(floor((score - mn) * 1000000.0 / (mx - mn))
+         |        AS BIGINT) END AS nm
+         |  FROM bm, (SELECT min(score) AS mn, max(score) AS mx FROM bm)),
+         |semn AS (SELECT doc_id,
+         |    CASE WHEN mx = mn THEN CAST(1000000 AS BIGINT)
+         |      ELSE CAST(floor((cos - mn) * 1000000.0 / (mx - mn))
+         |        AS BIGINT) END AS nm
+         |  FROM semk, (SELECT min(cos) AS mn, max(cos) AS mx FROM semk)),
+         |u AS (SELECT doc_id, CAST(round(0.5 * nm) AS BIGINT) AS wnm
+         |  FROM lexn
+         |  UNION ALL SELECT doc_id, CAST(round(0.5 * nm) AS BIGINT)
+         |  FROM semn),
+         |f AS (SELECT doc_id, CAST(sum(wnm) AS BIGINT) AS fused_micro,
+         |    CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1)
+         |SELECT doc_id, fused_micro, n_lists FROM f
+         |ORDER BY fused_micro DESC, doc_id
+         |LIMIT ${PipelineQueries.HybridK}""".stripMargin,
+
     // funnel replay as a sequential-min CTE chain: stage i+1 = min ts
     // of its type STRICTLY after stage i's ts — provably what the
     // time-ordered greedy fold computes (first match in scan order ≡

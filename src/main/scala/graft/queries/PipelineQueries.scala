@@ -443,6 +443,18 @@ object PipelineQueries {
       RetrievalOps.rrfFuse(Seq(lex, sem), HybridK)
     }),
 
+    // the score-based hybrid combiner next to hybrid_rrf's rank-based
+    // one: per-list min-max to micro ints, 0.5/0.5 weights, exact long
+    // sum — shares the cached BM25 pass.
+    "hybrid_linear" -> ((s, dir) => {
+      val lex = bm25Cached(s, dir).select(col("doc_id"), col("score"))
+      val corpus = normed(s, dir)
+      val sem = SimilarityOps.bruteTopK(
+        corpus, corpus.filter(col("vec_id") === 0), Bm25K)
+        .select(col("neighbor_id").as("doc_id"), col("cos_sim").as("score"))
+      RetrievalOps.linearFuse(Seq(lex -> 0.5, sem -> 0.5), HybridK)
+    }),
+
     // PII scrubbing over the events payload (the one testdata column with
     // digit runs): typed placeholders for emails / IPv4 / digit runs,
     // plus the redaction count. Pure scan-side regexp chain — no shuffle.

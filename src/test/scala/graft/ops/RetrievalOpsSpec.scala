@@ -182,6 +182,24 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(!prf.exists(_._1 == 3L), s"c-only doc must not enter: $prf")
   }
 
+  test("linearFuse: per-list min-max micro norm, exact weighted long sum") {
+    import spark.implicits._
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 1.0), (4L, 1.0)).toDF("doc_id", "score") // constant → 1e6
+    val out = RetrievalOps.linearFuse(Seq(a -> 0.5, b -> 0.5), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a norms to 1e6 / 5e5 / 0; b's constant list maps every doc to 1e6
+    assert(out.toSeq == Seq(
+      (2L, 750000L, 2L),   // 250000 + 500000
+      (1L, 500000L, 1L),
+      (4L, 500000L, 1L),   // doc_id tiebreak after doc 1
+      (3L, 0L, 1L)), out.mkString(","))
+    // asymmetric weights go through the same scale-0 round
+    val w = RetrievalOps.linearFuse(Seq(a -> 0.3), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w == Map(1L -> 300000L, 2L -> 150000L, 3L -> 0L))
+  }
+
   test("bm25PassageTopK: MaxP ranks by the BEST passage, with its offset") {
     import spark.implicits._
     // doc 1 concentrates the term in its last chunk (tf 4 there);
