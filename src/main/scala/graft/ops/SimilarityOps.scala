@@ -1325,4 +1325,75 @@ object SimilarityOps {
           round(a * b.cast("double")).cast("long")),
         lit(0L), (acc, x) => acc + x).as("pc1_micro"))
   }
+
+  /** Sparse TF-IDF cosine similarity join over k-word shingles — the
+    * inverted-index complement to the dense-ANN family: document
+    * similarity WITHOUT embeddings, via the classic
+    * term-at-a-time partial-product expansion (Bayardo et al., WWW'07
+    * "Scaling Up All Pairs Similarity Search" shape).
+    *
+    * Vocabulary pruning IS the scale guard: shingles with
+    * `df > maxDf` are dropped from the vector space entirely (the
+    * sklearn `max_df` semantics — stop-shingles carry no similarity
+    * signal and their posting lists are what makes the self-join
+    * quadratic). After pruning, every shingle's posting list is
+    * ≤ `maxDf` long, so the per-shingle pair expansion is ≤ maxDf²
+    * rows — the join's output is bounded by |vocab|·maxDf² no matter
+    * how big the corpus, and the expansion key (the shingle) hashes
+    * uniformly. No all-pairs path exists anywhere in the plan.
+    *
+    * Numeric contract (PLANS.md scale-0 rule): weights are
+    * round(tf·ln(N/df), 6) DECIMALs — partial products and norms sum
+    * EXACTLY, in any partition order; the only double step is the final
+    * cosine ratio, where both engines divide the same exact decimals
+    * and round the same double at micro scale. The threshold compares
+    * the MICRO value, so the cut is engine-identical at the boundary.
+    *
+    * One corpus explode feeds everything: df derives FROM tf (no second
+    * scan), and the pruned weight table is cached — it is read three
+    * times (norms + both sides of the posting-list self-join) and is
+    * df-bounded per shingle, not raw-corpus-sized (the r3 raw-shingle
+    * lesson does not apply to the post-aggregation table).
+    */
+  def sparseCosinePairs(docs: DataFrame, shingleK: Int, maxDf: Long,
+      minCosMicro: Long): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val grams = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), shingleK))
+        .as("gram"))
+    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    // df is vocab-sized; at this SF it broadcasts, at 100 TB AQE would
+    // plan the gram-keyed shuffle join over tf's existing exchange —
+    // either way the pruned weight table downstream is what matters.
+    val df = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(broadcast(df), Seq("gram"))
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("gram"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6)
+          .cast("decimal(18,6)").as("w"))
+      // a df=N shingle has idf 0: it contributes nothing to any dot or
+      // norm, and keeping it would let an all-stop-shingle doc reach the
+      // ratio with a ZERO norm — drop it so every surviving doc's norm
+      // is strictly positive (the divide-by-zero guard, mirrored in the
+      // oracle).
+      .filter(col("w") =!= 0)
+      .cache()
+    val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = w.alias("a")
+      .join(w.alias("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("na2")),
+        Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("nb2")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
+          * 1e6, 0).cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= minCosMicro)
+  }
 }
