@@ -37,6 +37,12 @@ object GraftExtensions {
         require(args.length == 2, "bit_hamming takes exactly 2 arguments")
         BitStringHamming(args.head, args(1))
       }),
+    ("jaro_winkler_micro",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler_micro"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler_micro takes exactly 2 arguments")
+        JaroWinkler(args.head, args(1))
+      }),
     ("vec_dot",
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vec_dot"),
       (args: Seq[Expression]) => {

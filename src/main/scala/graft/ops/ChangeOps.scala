@@ -102,4 +102,50 @@ object ChangeOps {
       .withColumn(validFrom, col(ordCol))
       .withColumn(validTo, lead(col(ordCol), 1).over(w))
   }
+
+  /** Per-key partial-aggregate summary in micro-long units — the
+    * MERGEABLE state for incremental aggregate-view maintenance: count,
+    * sum, min, max are all algebraic, so summaries built from disjoint
+    * batches merge EXACTLY into the summary of the union (see
+    * [[mergeSummaries]]). Values enter as scale-0 micro longs
+    * (`round(v·1e6)`, the portable cross-engine round), so every later
+    * merge is exact integer arithmetic — no float drift however many
+    * incremental batches fold in.
+    */
+  def microSummary(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      valCol: String): DataFrame =
+    rows
+      .select(keyCols.map(col) :+
+        round(col(valCol) * 1e6, 0).cast("long").as("__v"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("__v").as("sum_micro"),
+        min("__v").as("min_micro"), max("__v").as("max_micro"))
+
+  /** Incremental aggregate maintenance: fold one or more delta-batch
+    * summaries into a stored base summary WITHOUT rescanning the base
+    * facts — the materialized-view refresh that makes a 100 TB rollup
+    * affordable (the base is summary-sized, only the delta batch is
+    * fact-sized; a full recompute would rescan everything).
+    *
+    * One shuffle over summary-sized inputs: union the partials, re-group
+    * on the key, merge each aggregate with its own combiner (Σn, Σsum,
+    * min-of-mins, max-of-maxes — the algebraic-aggregate identity the
+    * oracle checks against a from-scratch recompute). The derived mean
+    * comes LAST, from the merged state (a mean is not mergeable; its
+    * numerator and denominator are — the reason the summary stores
+    * sums, not averages).
+    */
+  def mergeSummaries(
+      summaries: Seq[DataFrame],
+      keyCols: Seq[String]): DataFrame =
+    summaries.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum_micro").as("sum_micro"),
+        min("min_micro").as("min_micro"), max("max_micro").as("max_micro"))
+      .select(keyCols.map(col) ++ Seq(col("n"), col("sum_micro"),
+        col("min_micro"), col("max_micro"),
+        round(col("sum_micro").cast("double") / col("n"), 0).cast("long")
+          .as("avg_micro")): _*)
 }

@@ -190,6 +190,44 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Blocked Jaro-Winkler pairs — the name/title fuzzy-linkage metric
+    * next to [[editDistancePairs]]' Levenshtein: transposition-tolerant,
+    * prefix-weighted (Winkler's boost), and normalized to [0,1], so one
+    * threshold works across string lengths where an absolute edit
+    * distance cannot. Same blocking shape (pairs expand only inside a
+    * caller-chosen block — no all-pairs), with the similarity computed
+    * by the native [[graft.expressions.JaroWinkler]] expression: a
+    * codegen'd byte scan returning the EXACT micro integer, so the
+    * threshold cut is decided by integer arithmetic on both engines.
+    *
+    * Emits (doc_a, doc_b, jw_micro), doc_a < doc_b, jw ≥ `minMicro`.
+    */
+  def jaroPairs(
+      docs: DataFrame,
+      strCol: Column,
+      blockCol: Column,
+      minMicro: Long): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def jw(a: Column, b: Column): Column = ColumnBridge.column(
+      graft.expressions.JaroWinkler(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    val members = docs
+      .select(col("doc_id"), strCol.as("__s"), blockCol.as("__blk"))
+      .groupBy("__blk")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("__s"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+    members
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            a.getField("__s").as("sa"), b.getField("__s").as("sb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        jw(col("p.sa"), col("p.sb")).as("jw_micro"))
+      .filter(col("jw_micro") >= minMicro)
+  }
+
   /** Duplicate-cluster resolution: connected components over the
     * near-dup pair graph, so transitive duplicates (A~B, B~C) collapse
     * into ONE cluster with `cluster_id = min(doc_id)` — the id downstream

@@ -200,4 +200,45 @@ object GraphOps {
     }
     labels
   }
+
+  /** Multi-source BFS hop labeling over an undirected edge list —
+    * bounded reachability (blast radius of a contaminated source set,
+    * steps-to-seed curation distance): every node reached within
+    * `maxHops` of ANY source gets its minimum hop count.
+    *
+    * The frontier pattern: per hop ONE edges⋈frontier join on the
+    * source id (same co-partitioned layout as [[pagerank]] — the edge
+    * relation partitions once, every hop reuses it) plus an anti-join
+    * against the visited set, so a node is expanded exactly ONCE no
+    * matter how many paths reach it — per-hop work is proportional to
+    * the NEW frontier's edges, never the whole graph again. `maxHops`
+    * bounds the rounds; frontier/visited are node-sized and cached per
+    * round (each is read twice: expansion + the next anti-join).
+    *
+    * Pure integer surface. Sources appear at hop 0 (graph membership
+    * not required); unreached nodes are absent.
+    */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.filter(col(aCol) =!= col(bCol))
+    val directed = e
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(e.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var frontier = sources.select(col(sources.columns.head).as("node"))
+      .distinct().cache()
+    var visited = frontier.select(col("node"), lit(0L).as("hop")).cache()
+    for (h <- 1 to maxHops) {
+      val next = directed
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .cache()
+      visited = visited
+        .unionAll(next.select(col("node"), lit(h.toLong).as("hop")))
+        .cache()
+      frontier = next
+    }
+    visited
+  }
 }

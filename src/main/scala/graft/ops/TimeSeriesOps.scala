@@ -108,4 +108,65 @@ object TimeSeriesOps {
       .select(col(keyCol), explode(col("z")).as("p"))
       .select(col(keyCol), col("p.q").as(seqCol), col("p.m").as("ema_micro"))
   }
+
+  /** Per-key rolling z-score over a TRAILING window of `windowN` prior
+    * observations — the frame-expressible anomaly detector (contrast
+    * [[emaSmooth]], which needs the fold): each value is scored against
+    * the `windowN` values strictly BEFORE it, so an outlier cannot
+    * inflate its own baseline, and the first `windowN` rows of every key
+    * are unscored warm-up.
+    *
+    * Shape at scale: ONE shuffle to the key, then window aggregates in a
+    * single per-key sort — no collect_list (Spark's window operator
+    * spills; a hot key degrades, it does not OOM), no second pass: mean
+    * and variance come from sum/sum-of-squares over the same frame.
+    *
+    * Numeric contract (PLANS.md): values round to 6dp DECIMAL so the
+    * frame sums are exact in any partition order; the z ratio is the one
+    * double step, computed from identical exact inputs with identical
+    * operation order on both engines, then scale-0 micro-rounded. The
+    * var > 0 guard compares the same double, so the exclusion (a
+    * constant trailing window has no scale) is engine-identical too.
+    *
+    * Returns (key, seq, z_micro, is_anomaly) for every fully-windowed
+    * row; `is_anomaly` = |z| ≥ `zThresholdMicro` as 0/1.
+    */
+  def rollingZScore(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      valCol: String,
+      windowN: Int = 20,
+      zThresholdMicro: Long = 3000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tw = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(seqCol))
+      .rowsBetween(-windowN, -1)
+    val vd = col("v").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val nd = col("n").cast("double")
+    // ANSI mode raises on ANY division by zero (doubles included), and
+    // short frames surface n ∈ {0, 1}; the when-guard keeps the divisions
+    // unevaluated there (CaseWhen branches are lazy) — the DuckDB replay
+    // needs no twin because its double division never raises.
+    val variance = when(col("n") >= 2,
+      (s2d - s1d * s1d / nd) / (nd - lit(1.0))).otherwise(lit(-1.0))
+    events
+      .select(col(keyCol), col(tsCol), col(seqCol),
+        round(col(valCol), 6).cast("decimal(18,6)").as("v"))
+      .select(col(keyCol), col(seqCol), col("v"),
+        sum(col("v")).over(tw).as("s1"),
+        sum(col("v") * col("v")).over(tw).as("s2"),
+        count(lit(1)).over(tw).as("n"))
+      .filter(col("n") === windowN && variance > 0)
+      .select(col(keyCol), col(seqCol),
+        round((vd - s1d / nd) / sqrt(variance) * 1e6, 0)
+          .cast("long").as("z_micro"))
+      .select(col(keyCol), col(seqCol), col("z_micro"),
+        when(abs(col("z_micro")) >= zThresholdMicro, 1L).otherwise(0L)
+          .as("is_anomaly"))
+  }
 }

@@ -687,6 +687,19 @@ object CoreOracles {
          |SELECT user_id, event_type, value FROM win WHERE op = 'upsert'""".stripMargin
     },
 
+    // from-scratch recompute over ALL events — equals the engine's
+    // base⊕delta merge exactly iff the aggregates are algebraic and the
+    // micro units exact (the identity under test).
+    "cdc_agg_merge" ->
+      """WITH v AS (SELECT user_id,
+        |    CAST(round(value * 1e6, 0) AS BIGINT) AS v_micro FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v_micro) AS BIGINT) AS sum_micro,
+        |  min(v_micro) AS min_micro, max(v_micro) AS max_micro,
+        |  CAST(round(CAST(sum(v_micro) AS DOUBLE) / count(*), 0) AS BIGINT)
+        |    AS avg_micro
+        |FROM v GROUP BY user_id""".stripMargin,
+
     "f15_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
         |  FROM events),

@@ -980,6 +980,23 @@ object CoreQueries {
         payloadCols = Seq("event_type", "value"))
     }),
 
+    // CDC4 — incremental aggregate-view maintenance: the base summary
+    // (events before the cut) merges with the delta batch's summary —
+    // count/sum/min/max combine algebraically, the mean derives from
+    // merged state. The oracle recomputes from scratch over ALL events,
+    // so the green row IS the merge ≡ recompute identity; at 100 TB only
+    // the delta is fact-sized.
+    "cdc_agg_merge" -> ((s, dir) => {
+      val cut = Types.utcMicros(2024, 1, 15)
+      val ev = table(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val base = graft.ops.ChangeOps.microSummary(
+        ev.filter(col("ts_us") < cut), Seq("user_id"), "value")
+      val delta = graft.ops.ChangeOps.microSummary(
+        ev.filter(col("ts_us") >= cut), Seq("user_id"), "value")
+      graft.ops.ChangeOps.mergeSummaries(Seq(base, delta), Seq("user_id"))
+    }),
+
     // F15 — event-time SESSION window aggregation via Spark's native
     // session_window() (the third window shape next to f12 tumbling /
     // f13 sliding; the same operator Structured Streaming merges state

@@ -1860,6 +1860,22 @@ object PipelineOracles {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.s, b.s) <= 4""".stripMargin,
 
+    // blocked Jaro-Winkler replay: same blocking, DuckDB's native
+    // jaro_winkler_similarity micro-rounded (the engine's exact-integer
+    // expression was verified equal to this on 40k randomized cases;
+    // the threshold compares the micro value on both sides).
+    "dedup_jaro" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    lang || '|' || substr(text, 1, 8) AS blk,
+         |    substr(text, 1, 24) AS s
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(round(jaro_winkler_similarity(a.s, b.s) * 1e6, 0) AS BIGINT)
+         |    AS jw_micro
+         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE CAST(round(jaro_winkler_similarity(a.s, b.s) * 1e6, 0) AS BIGINT)
+         |      >= ${PipelineQueries.JaroMinMicro}""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH $normCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -3073,6 +3089,33 @@ object PipelineOracles {
         |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         |SELECT user_id, event_id, ema AS ema_micro FROM r""".stripMargin,
 
+    // the rolling-window replay: same trailing frame, exact decimal
+    // sums, the identical double z expression and micro round.
+    "ts_anomaly" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, v,
+        |    sum(v) OVER tw AS s1, sum(v * v) OVER tw AS s2,
+        |    count(*) OVER tw AS n
+        |  FROM b
+        |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT user_id, event_id,
+        |    CAST(round((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+        |      / sqrt((CAST(s2 AS DOUBLE)
+        |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |             / (n - 1)) * 1e6, 0) AS BIGINT) AS z_micro
+        |  FROM w
+        |  WHERE n = 20
+        |    AND (CAST(s2 AS DOUBLE)
+        |         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |        / (n - 1) > 0)
+        |SELECT user_id, event_id, z_micro,
+        |  CAST(CASE WHEN abs(z_micro) >= 3000000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_anomaly
+        |FROM z""".stripMargin,
+
     // three synchronous rounds unrolled: per round a (node, label)
     // count over the bidirectional edge list and the
     // (count DESC, label ASC) argmax.
@@ -3097,6 +3140,27 @@ object PipelineOracles {
         .stripMargin
     },
 
+    // bounded BFS as a recursive CTE: the recursion floods (node, hop)
+    // pairs capped at maxHops, min(hop) per node = the BFS distance —
+    // equal to the engine's expand-once frontier by induction on hops.
+    "graph_bfs_hops" ->
+      s"""WITH RECURSIVE $normCte,
+         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |g AS (SELECT a AS src, b AS dst FROM e0
+         |  UNION SELECT b AS src, a AS dst FROM e0),
+         |s AS (SELECT vec_id AS node FROM embeddings
+         |  WHERE vec_id % ${PipelineQueries.BfsSourceMod} = 0),
+         |r AS (SELECT node, 0 AS hop FROM s
+         |  UNION
+         |  SELECT g.dst AS node, r.hop + 1 AS hop
+         |  FROM r JOIN g ON g.src = r.node
+         |  WHERE r.hop < ${PipelineQueries.BfsMaxHops})
+         |SELECT node, CAST(min(hop) AS BIGINT) AS hop
+         |FROM r GROUP BY node""".stripMargin,
+
     // trained centroids replayed, then the FULL squared distance
     // (|x|² restored) with the (d2, cell) argmin.
     "sim_ood_distance" ->
@@ -3112,6 +3176,40 @@ object PipelineOracles {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
          |      AS rk FROM d)
          |SELECT vec_id, cell, d2 FROM r WHERE rk = 1""".stripMargin,
+
+    // sparse TF-IDF cosine replay: same shingle tf/df, same max_df
+    // prune, decimal weights summed exactly, the one double step (the
+    // final ratio) computed and micro-rounded identically.
+    "sim_sparse_cosine" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+         |  FROM t WHERE len(toks) >= 3),
+         |tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+         |df AS (SELECT gram, count(*) AS df FROM tf GROUP BY 1
+         |  HAVING count(*) <= ${PipelineQueries.SparseMaxDf}),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |w AS (SELECT * FROM (SELECT tf.doc_id, tf.gram,
+         |    CAST(round(tf.tf * ln(n_docs / CAST(df.df AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS w
+         |  FROM tf JOIN df USING (gram) CROSS JOIN nd) WHERE w <> 0),
+         |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    sum(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(round(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |    * 1e6, 0) AS BIGINT) AS cos_micro
+         |FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
+         |JOIN nrm nb ON dots.doc_b = nb.doc_id
+         |WHERE CAST(round(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |    * 1e6, 0) AS BIGINT) >= ${PipelineQueries.SparseMinCosMicro}"""
+      .stripMargin,
 
     // the shared LF CTEs rolled to per-pair sufficient statistics in
     // one aggregation, κ from exact integers via identical double

@@ -68,8 +68,18 @@ object PipelineQueries {
   val PcaIters = 3
   /** Label-propagation rounds. */
   val LabelPropIters = 3
+  /** BFS: source-set stride over vec_id and the hop bound. */
+  val BfsSourceMod = 50
+  val BfsMaxHops = 4
   /** k-anonymity release threshold. */
   val KAnonK = 10L
+  /** Sparse TF-IDF cosine join: shingle order, max_df vocabulary prune
+    * (the posting-list length bound — the scale guard), pair cut. */
+  val SparseShingleK = 3
+  val SparseMaxDf = 20L
+  val SparseMinCosMicro = 200000L
+  /** Jaro-Winkler fuzzy-linkage pair cut (micro units). */
+  val JaroMinMicro = 850000L
   val Bm25Terms = Seq("spark", "window", "hash")
   val Bm25K = 20
   /** The multi-query BM25 batch: (query_id, term) rows. */
@@ -1059,6 +1069,17 @@ object PipelineQueries {
         blockCol = concat_ws("|", col("lang"), substring(col("text"), 1, 8)),
         maxDist = 4)),
 
+    // blocked Jaro-Winkler fuzzy linkage — the normalized,
+    // transposition-tolerant metric next to dedup_editdist, computed by
+    // the native exact-integer expression (graft.expressions
+    // .JaroWinkler) so the threshold is integer-decided on both engines.
+    "dedup_jaro" -> ((s, dir) =>
+      DedupOps.jaroPairs(
+        table(s, dir, "documents"),
+        strCol = substring(col("text"), 1, 24),
+        blockCol = concat_ws("|", col("lang"), substring(col("text"), 1, 8)),
+        minMicro = JaroMinMicro)),
+
     // SemDeDup: semantic dedup over TRAINED k-means cells — the third
     // dedup layer after exact (byte copies) and MinHash (lexical
     // rewrites). Keeps the far-from-centroid member of every near-dup
@@ -1959,6 +1980,15 @@ object PipelineQueries {
           unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
         "user_id", "ts_us", "event_id", "value")),
 
+    // per-key rolling z-score anomaly detection over a trailing window
+    // of 20 prior observations — the frame-expressible companion to
+    // ts_ema's recursion: one shuffle, window sums (exact decimals),
+    // one identically-ordered double ratio, micro-rounded; a value is
+    // never scored against a baseline that includes itself.
+    "ts_anomaly" -> ((s, dir) =>
+      TimeSeriesOps.rollingZScore(
+        table(s, dir, "events"), "user_id", "ts", "event_id", "value")),
+
     // community detection by deterministic SYNCHRONOUS label
     // propagation over the cosine near-dup graph — the coarse community
     // layer above exact connected components: every round one
@@ -1969,6 +1999,20 @@ object PipelineQueries {
         SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
         "vec_a", "vec_b", LabelPropIters)),
 
+    // bounded multi-source BFS over the same cosine graph — hop
+    // distance from the seed set (contamination blast radius /
+    // steps-to-curated-seed): per hop one co-partitioned
+    // edges⋈frontier join + a visited anti-join, each node expanded
+    // exactly once; the oracle replays it as a recursive CTE.
+    "graph_bfs_hops" -> ((s, dir) =>
+      GraphOps.bfsHops(
+        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        "vec_a", "vec_b",
+        table(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(BfsSourceMod)) === 0)
+          .select(col("vec_id")),
+        BfsMaxHops)),
+
     // embedding-space outlier scoring: full squared L2 distance to the
     // nearest trained centroid (the |x|² term the assignment drops,
     // restored) — the OOD filter for encoder failures / novel inputs;
@@ -1976,6 +2020,15 @@ object PipelineQueries {
     "sim_ood_distance" -> ((s, dir) =>
       SimilarityOps.oodDistance(
         table(s, dir, "embeddings"), cachedCentroids(s, dir))),
+
+    // sparse TF-IDF cosine similarity join — document similarity with
+    // NO embeddings: inverted-index partial products over max_df-pruned
+    // shingles (posting lists ≤ maxDf ⇒ per-shingle pair expansion
+    // ≤ maxDf² — bounded regardless of corpus size; the all-pairs join
+    // never exists). Decimal-exact dots/norms, micro-integer cosine.
+    "sim_sparse_cosine" -> ((s, dir) =>
+      SimilarityOps.sparseCosinePairs(table(s, dir, "documents"),
+        SparseShingleK, SparseMaxDf, SparseMinCosMicro)),
 
     // pairwise Cohen's κ between the weak-supervision labeling
     // functions — the LF diagnostic (κ≈1 = redundant heuristic, κ≈0 =

@@ -84,6 +84,34 @@ class ChangeProfileSpec extends AnyFunSuite {
       Map(1L -> "new-a2", 4L -> "new-d"))
   }
 
+  test("mergeSummaries: any split of the facts merges to the full recompute") {
+    val facts = Seq(
+      (1L, 1.5), (1L, 2.25), (1L, -0.5), (1L, 4.0),
+      (2L, 10.0), (2L, 10.0),
+      (3L, 0.3333333)) // rounds to 333333 micro
+    def summary(rows: Seq[(Long, Double)]) =
+      ChangeOps.microSummary(rows.toDF("k", "v"), Seq("k"), "v")
+    val full = ChangeOps.mergeSummaries(Seq(summary(facts)), Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(full(1L) == ((4L, 7250000L, -500000L, 4000000L, 1812500L)))
+    assert(full(2L) == ((2L, 20000000L, 10000000L, 10000000L, 10000000L)))
+    assert(full(3L) == ((1L, 333333L, 333333L, 333333L, 333333L)))
+    // every 2-way split (including key-disjoint and empty delta) merges
+    // to exactly the same summary — the algebraic identity
+    for (cut <- 0 to facts.size) {
+      val (a, b) = facts.splitAt(cut)
+      val merged = ChangeOps.mergeSummaries(
+        Seq(summary(a), summary(b)), Seq("k"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))
+        .toMap
+      assert(merged == full, s"split at $cut diverged")
+    }
+  }
+
   test("profile counts nulls, distincts, min/max per column") {
     val df = Seq(
       (Some(1L), Some("b"), Some(2.5)),

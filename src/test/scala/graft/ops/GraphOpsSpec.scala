@@ -116,4 +116,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out.filter(_._1 < 10L).values.toSet == Set(1L))
     assert(out.filter(_._1 >= 10L).values.toSet == Set(10L))
   }
+
+  private def bfs(edges: Seq[(Long, Long)], sources: Seq[Long],
+      maxHops: Int): Map[Long, Long] =
+    GraphOps.bfsHops(edges.toDF("a", "b"), "a", "b",
+      sources.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsHops: hop distance along a path, cut at maxHops") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(bfs(path, Seq(1L), 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: multi-source takes the minimum hop; edges are undirected") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(bfs(path, Seq(1L, 6L), 4) == Map(
+      1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+  }
+
+  test("bfsHops: cycles terminate, off-graph sources appear at hop 0") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(bfs(tri, Seq(1L, 99L), 5) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 99L -> 0L))
+  }
 }
