@@ -184,6 +184,40 @@ object TextOps {
   def fingerprint(toks: Column): Column =
     array_min(transform(shingles(toks), s => md5(s)))
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): from the k-gram hash sequence, each sliding window of
+    * `w` positions selects its minimal hash (RIGHTMOST minimum on ties,
+    * the paper's robust-winnowing tiebreak), and the selected (pos,
+    * hash) set is the fingerprint. The guarantee [[fingerprint]]'s
+    * single global min lacks: any shared run of w+k−1 tokens between
+    * two documents yields at least one shared fingerprint, with
+    * positions for span localization — density 2/(w+1) of all grams
+    * instead of all of them (the substring-dedup index at a fraction
+    * of the rows).
+    *
+    * Entirely in-row (zero shuffle until the consumer aggregates):
+    * nested higher-order functions over the gram-hash array; hashes
+    * are 48-bit md5 prefixes (engine-portable, collision-safe at
+    * corpus scale ~n²/2⁴⁸). Docs shorter than w+k−1 tokens emit
+    * nothing — too short to carry a full window.
+    *
+    * Returns an array<struct<pos, fp>> of DISTINCT selections,
+    * 1-based gram positions.
+    */
+  def winnow(toks: Column, k: Int = ShingleK, w: Int = 4): Column = {
+    val hs = transform(shingles(toks, k), s =>
+      conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
+    when(size(hs) < w,
+      array().cast("array<struct<pos:long,fp:long>>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(hs) - (w - 1)), i => {
+          val mn = array_min(slice(hs, i, lit(w)))
+          val pos = array_max(filter(sequence(i, i + (w - 1)),
+            p => element_at(hs, p) === mn))
+          struct(pos.cast("long").as("pos"), mn.as("fp"))
+        })))
+  }
+
   /** Adjacent token pairs ("corpus bigrams"), empty for 1-token docs —
     * shingles with k=2.
     */

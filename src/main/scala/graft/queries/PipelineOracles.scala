@@ -604,6 +604,25 @@ object PipelineOracles {
         |)
         |SELECT doc_id, tok, rk, tfidf FROM ranked WHERE rk <= 3""".stripMargin,
 
+    // winnowing replay: same 48-bit md5-prefix gram hashes, per-window
+    // list_min with the rightmost-position tiebreak, DISTINCT selections.
+    "text_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> ('0x' || substr(md5(
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 12))::BIGINT)
+        |    AS hs
+        |  FROM t WHERE len(toks) >= 3),
+        |win AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS i
+        |  FROM g WHERE len(hs) >= 4),
+        |m AS (SELECT doc_id, i, hs, list_min(hs[i:i+3]) AS mn FROM win),
+        |p AS (SELECT doc_id, mn AS fp,
+        |    CAST(list_max(list_filter(range(i, i + 4), p -> hs[p] = mn))
+        |      AS BIGINT) AS pos
+        |  FROM m)
+        |SELECT DISTINCT doc_id, pos, fp FROM p""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id,
         |  count(*) AS n_copies

@@ -200,6 +200,14 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.fingerprint(col("toks")).as("fp"))),
 
+    // winnowing fingerprints (MOSS): every w-window's rightmost-minimal
+    // gram hash with its position — the guaranteed-overlap fingerprint
+    // set at 2/(w+1) density, built entirely in-row (zero shuffle).
+    "text_winnow" -> ((s, dir) =>
+      docsTok(s, dir)
+        .select(col("doc_id"), explode(TextOps.winnow(col("toks"))).as("s"))
+        .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))),
+
     // TF-IDF top terms per document — term frequency × inverse document
     // frequency, two aggregations and a broadcast-joined document-
     // frequency dim; top-3 by score with term tiebreak.

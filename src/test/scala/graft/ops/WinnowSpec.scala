@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def fps(docs: Seq[(Long, String)]): Map[Long, Set[(Long, Long)]] =
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(TextOps.winnow(split(col("text"), " "))).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.fp"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet
+      }
+
+  test("the winnowing guarantee: a shared w+k-1 token run shares a fingerprint") {
+    // k=3, w=4: any common run of 6 tokens must yield >= 1 common hash
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val out = fps(Seq(
+      (1L, s"one two three four $shared"),
+      (2L, s"$shared nine ten eleven twelve")))
+    val h1 = out(1L).map(_._2)
+    val h2 = out(2L).map(_._2)
+    assert((h1 & h2).nonEmpty)
+  }
+
+  test("rightmost-minimum tiebreak: a constant doc selects every window's last slot") {
+    // all grams identical => every window's min is its rightmost element
+    val n = 9 // 9 tokens, 7 grams, windows i = 1..4 select pos i+3
+    val out = fps(Seq((1L, Seq.fill(n)("x").mkString(" "))))
+    assert(out(1L).map(_._1) == Set(4L, 5L, 6L, 7L))
+    assert(out(1L).map(_._2).size == 1)
+  }
+
+  test("documents shorter than w+k-1 tokens emit nothing") {
+    val out = fps(Seq(
+      (1L, "a b c d e"), // 5 tokens: 3 grams < w=4 windows
+      (2L, "a b"),       // shorter than a gram
+      (3L, "a b c d e f")))
+    assert(!out.contains(1L) && !out.contains(2L))
+    assert(out(3L).nonEmpty)
+  }
+
+  test("selection density is the winnowing fraction, not all grams") {
+    val words = (0 until 200).map(i => s"w$i")
+    val out = fps(Seq((1L, words.mkString(" "))))
+    val grams = 198
+    // expected ~2/(w+1)=0.4 of grams; assert well under 1.0 and above 1/w
+    assert(out(1L).size < grams * 3 / 4)
+    assert(out(1L).size >= grams / 4)
+  }
+}
