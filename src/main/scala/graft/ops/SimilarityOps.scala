@@ -1326,6 +1326,55 @@ object SimilarityOps {
         lit(0L), (acc, x) => acc + x).as("pc1_micro"))
   }
 
+  /** DBSCAN-style density clustering over a threshold neighbor graph
+    * (Ester et al., KDD'96 adapted to the precomputed-pairs setting):
+    * CORE points have ≥ `minPts` neighbors (self excluded), clusters are
+    * the connected components of the core-core subgraph (id = min core
+    * vec_id — deterministic), BORDER points attach to the minimum
+    * cluster id among their core neighbors, everything else is NOISE
+    * (cluster −1) — the density layer the centroid family (k-means
+    * cells, SemDeDup) can't express: arbitrary-shape clusters and an
+    * explicit outlier verdict.
+    *
+    * Scale shape: `pairs` comes from a bucketed similarity join (LSH /
+    * blocked cosine — never all-pairs), so degrees, the core filter,
+    * and the component resolution (the shared size-switched
+    * [[DedupOps.duplicateClusters]] machinery) are all dup-graph-sized;
+    * the corpus is touched exactly once, by the final noise anti-join.
+    *
+    * Returns (vec_id, role ∈ core|border|noise, cluster_id).
+    */
+  def dbscan(emb: DataFrame, pairs: DataFrame, minPts: Long): DataFrame = {
+    val edges = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .cache()
+    val core = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= minPts).select(col("src").as("node")).cache()
+    val corePairs = pairs
+      .join(core.select(col("node").as("vec_a")), Seq("vec_a"))
+      .join(core.select(col("node").as("vec_b")), Seq("vec_b"))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val coreClusters = DedupOps.duplicateClusters(
+        core.select(col("node").as("doc_id")), corePairs)
+      .select(col("doc_id").as("node"), col("cluster_id")).cache()
+    val borderOut = edges
+      .join(coreClusters.select(col("node").as("dst"), col("cluster_id")),
+        Seq("dst"))
+      .join(core.select(col("node").as("src")), Seq("src"), "left_anti")
+      .groupBy(col("src").as("vec_id"))
+      .agg(min("cluster_id").as("cluster_id"))
+      .select(col("vec_id"), lit("border").as("role"), col("cluster_id"))
+    val coreOut = coreClusters.select(col("node").as("vec_id"),
+      lit("core").as("role"), col("cluster_id"))
+    val noise = emb.select(col("vec_id"))
+      .join(coreOut.select("vec_id").unionAll(borderOut.select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit("noise").as("role"),
+        lit(-1L).as("cluster_id"))
+    coreOut.unionAll(borderOut).unionAll(noise)
+  }
+
   /** Sparse TF-IDF cosine similarity join over k-word shingles — the
     * inverted-index complement to the dense-ANN family: document
     * similarity WITHOUT embeddings, via the classic

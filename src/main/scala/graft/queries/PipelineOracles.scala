@@ -3159,6 +3159,39 @@ object PipelineOracles {
         .stripMargin
     },
 
+    // DBSCAN replay: same threshold pairs, degree count, core cut,
+    // core-component min-root flood (the dedup_clusters recursion),
+    // border = min core-neighbor cluster, noise = the rest at −1.
+    "sim_dbscan" ->
+      s"""WITH RECURSIVE $normCte,
+         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |g AS (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |core AS (SELECT src AS node FROM g GROUP BY src
+         |  HAVING count(*) >= ${PipelineQueries.DbscanMinPts}),
+         |ce AS (SELECT e0.a AS src, e0.b AS dst FROM e0
+         |  JOIN core ca ON e0.a = ca.node JOIN core cb ON e0.b = cb.node),
+         |ce2 AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+         |reach(node, root) AS (
+         |  SELECT node, node FROM core
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN ce2 e ON e.src = r.node),
+         |cl AS (SELECT node, min(root) AS cluster_id FROM reach
+         |  GROUP BY node),
+         |border AS (SELECT g.src AS node, min(cl.cluster_id) AS cluster_id
+         |  FROM g JOIN cl ON g.dst = cl.node
+         |  WHERE g.src NOT IN (SELECT node FROM core) GROUP BY 1)
+         |SELECT node AS vec_id, 'core' AS role, cluster_id FROM cl
+         |UNION ALL
+         |SELECT node, 'border', cluster_id FROM border
+         |UNION ALL
+         |SELECT vec_id, 'noise', CAST(-1 AS BIGINT) FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM cl)
+         |  AND vec_id NOT IN (SELECT node FROM border)""".stripMargin,
+
     // bounded BFS as a recursive CTE: the recursion floods (node, hop)
     // pairs capped at maxHops, min(hop) per node = the BFS distance —
     // equal to the engine's expand-once frontier by induction on hops.

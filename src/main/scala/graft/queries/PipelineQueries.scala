@@ -71,6 +71,8 @@ object PipelineQueries {
   /** BFS: source-set stride over vec_id and the hop bound. */
   val BfsSourceMod = 50
   val BfsMaxHops = 4
+  /** DBSCAN: core threshold (neighbors at TriangleCos, self excluded). */
+  val DbscanMinPts = 3L
   /** k-anonymity release threshold. */
   val KAnonK = 10L
   /** Sparse TF-IDF cosine join: shingle order, max_df vocabulary prune
@@ -2006,6 +2008,17 @@ object PipelineQueries {
       GraphOps.labelPropagation(
         SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
         "vec_a", "vec_b", LabelPropIters)),
+
+    // DBSCAN over the cosine neighbor graph — the density layer next to
+    // the centroid family: core (≥ minPts neighbors), clusters = core
+    // components via the shared size-switched resolution, border joins
+    // its min core neighbor's cluster, noise gets −1. All dup-graph-
+    // sized except the one corpus anti-join that finds the noise.
+    "sim_dbscan" -> ((s, dir) =>
+      SimilarityOps.dbscan(
+        table(s, dir, "embeddings"),
+        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        DbscanMinPts)),
 
     // bounded multi-source BFS over the same cosine graph — hop
     // distance from the seed set (contamination blast radius /
