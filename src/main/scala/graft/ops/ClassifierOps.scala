@@ -194,4 +194,33 @@ object ClassifierOps {
       .groupBy(col("lang_true").as("lang"), col("cl").as("predicted"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** kNN classifier evaluation — the non-parametric member of the model
+    * family (LR / NB / Rocchio / kNN need no training pass at all):
+    * leave-one-out top-k cosine neighbors per query, majority label
+    * vote (count DESC, label ASC — deterministic), rolled to the
+    * labels² confusion matrix.
+    *
+    * `corpus`/`queries` carry (vec_id, embedding, nrm, label) — the
+    * [[SimilarityOps.withNorm]] shape. One corpus pass against the
+    * broadcast query stripe ([[SimilarityOps.bruteTopK]]); everything
+    * after the rank cut is query-bounded. Ranking uses the unrounded
+    * left-to-right double dot, the family's established oracle-exact
+    * contract.
+    */
+  def knnConfusion(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("c").desc, col("nl"))
+    SimilarityOps.bruteTopK(corpus, queries, k)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .groupBy("query_id", "nl").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("nl").as("label_pred"))
+      .join(corpus.select(col("vec_id").as("query_id"), col("label")),
+        Seq("query_id"))
+      .groupBy("label", "label_pred").agg(count(lit(1)).as("n"))
+  }
 }

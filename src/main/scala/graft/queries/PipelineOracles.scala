@@ -3159,6 +3159,32 @@ object PipelineOracles {
         .stripMargin
     },
 
+    // kNN eval replay: same leave-one-out unrounded-cosine ranking
+    // (identical left-to-right dots), majority vote, confusion rollup.
+    "quality_knn_confusion" ->
+      s"""WITH $normCte,
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+         |  WHERE vec_id % ${PipelineQueries.KnnQueryMod} = 0),
+         |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    n.label AS nl,
+         |    list_dot_product(n.e, q.qe) / (n.nrm * q.qn) AS cos
+         |  FROM n JOIN q ON n.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, nl,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |votes AS (SELECT query_id, nl, count(*) AS c FROM ranked
+         |  WHERE rank <= ${PipelineQueries.KnnK} GROUP BY 1, 2),
+         |pred AS (SELECT query_id, nl AS label_pred FROM (
+         |    SELECT query_id, nl,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY c DESC, nl) AS rk
+         |    FROM votes) WHERE rk = 1)
+         |SELECT n.label AS label, p.label_pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM pred p JOIN n ON n.vec_id = p.query_id
+         |GROUP BY 1, 2""".stripMargin,
+
     // DBSCAN replay: same threshold pairs, degree count, core cut,
     // core-component min-root flood (the dedup_clusters recursion),
     // border = min core-neighbor cluster, noise = the rest at −1.

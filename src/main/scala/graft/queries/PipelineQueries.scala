@@ -73,6 +73,9 @@ object PipelineQueries {
   val BfsMaxHops = 4
   /** DBSCAN: core threshold (neighbors at TriangleCos, self excluded). */
   val DbscanMinPts = 3L
+  /** kNN classifier eval: query stride and neighborhood size. */
+  val KnnQueryMod = 10
+  val KnnK = 5
   /** k-anonymity release threshold. */
   val KAnonK = 10L
   /** Sparse TF-IDF cosine join: shingle order, max_df vocabulary prune
@@ -2008,6 +2011,18 @@ object PipelineQueries {
       GraphOps.labelPropagation(
         SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
         "vec_a", "vec_b", LabelPropIters)),
+
+    // kNN classifier evaluation — the non-parametric member of the
+    // model family (LR / NB / Rocchio / kNN): leave-one-out top-k
+    // cosine neighbors for a query stripe, majority label vote
+    // (count DESC, label ASC), rolled to the labels² confusion matrix.
+    // One corpus pass against the broadcast query stripe; the vote and
+    // confusion are query-bounded aggregations.
+    "quality_knn_confusion" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      ClassifierOps.knnConfusion(corpus,
+        corpus.filter(pmod(col("vec_id"), lit(KnnQueryMod)) === 0), KnnK)
+    }),
 
     // DBSCAN over the cosine neighbor graph — the density layer next to
     // the centroid family: core (≥ minPts neighbors), clusters = core
