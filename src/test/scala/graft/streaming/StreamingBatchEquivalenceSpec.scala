@@ -363,6 +363,52 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingSummary incremental maintenance ≡ batch cdc_agg_merge (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("cdc_agg_merge")(spark, SfDir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_micro"),
+          r.getAs[Long]("min_micro"), r.getAs[Long]("max_micro"),
+          r.getAs[Long]("avg_micro")))
+      .toMap
+
+    // arrival order deliberately scrambled: the summary combiners are
+    // commutative, so unlike the EMA fold no event-time contract exists
+    val evs = events.select(col("user_id"), col("value"), col("event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+        r.getAs[Long]("event_id")))
+      .sortBy(e => e._3 % 7)
+      .map(e => StreamingSummary.ValueEvent(e._1, e._2)).toSeq
+
+    val input = MemoryStream[StreamingSummary.ValueEvent]
+    val q = StreamingSummary.summaryStream(input.toDS())
+      .writeStream.format("memory").queryName("equiv_summary")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      chunks(evs).foreach { c => input.addData(c); q.processAllAvailable() }
+      // update mode emits every revision; n is monotone per key, so the
+      // max-n row per key is the final summary
+      val fin = spark.table("equiv_summary")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("n").desc)))
+        .filter(col("rk") === 1)
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("sum_micro"),
+            r.getAs[Long]("min_micro"), r.getAs[Long]("max_micro"),
+            r.getAs[Long]("avg_micro")))
+        .toMap
+      assert(fin == batch,
+        s"${fin.size} streaming keys vs ${batch.size} batch keys")
+    } finally q.stop()
+  }
+
   test("StreamingAggregates windowed stats ≡ batch tumbling aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
