@@ -79,6 +79,103 @@ object RetrievalOps {
       .select(col("doc_id"), col("rank"), col("score"))
   }
 
+  /** BM25 top-k with MaxScore pruning (Turtle & Flood 1995) — SAME
+    * RESULTS as [[bm25TopK]], provably, with non-essential posting
+    * lists pruned before the per-doc aggregation:
+    *
+    *  1. per-term contribution upper bounds UB(t) = max over the
+    *     posting list (a ≤|terms|-row collect — a bounded model pull);
+    *  2. θ = the k-th best FULL score among docs containing the
+    *     top-UB term (one TakeOrdered + a k-row pull). For any doc
+    *     subset the k-th best is a LOWER bound of the global k-th
+    *     best, so θ is a safe threshold;
+    *  3. essential terms E = the minimal UB-descending prefix with
+    *     Σ UB(non-E) < θ (driver arithmetic on ≤|terms| values):
+    *     a doc containing ONLY non-essential terms scores
+    *     ≤ Σ UB(non-E) < θ while ≥ k docs score ≥ θ — it cannot
+    *     reach the top k, ties included;
+    *  4. the final aggregation keeps only docs with ≥1 essential term
+    *     (a semi-join on the contributions) — their scores still sum
+    *     ALL their terms, so survivors score exactly as in the
+    *     unpruned plan.
+    *
+    * When the invariant can't hold (θ too small, < k candidates), E
+    * grows to all terms and the plan degrades to exactly [[bm25TopK]]
+    * — pruning is an optimization, never a semantics change; the
+    * oracle for this operator IS the unpruned oracle.
+    */
+  def bm25TopKMaxScore(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKMaxScore needs a query term")
+    val lengths = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("dl"))
+    val stats = lengths.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val term = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val contribs = tf
+      .join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        round(term, 6).cast("decimal(28,6)").as("term"))
+      .cache()
+    def topkOf(c: DataFrame): DataFrame = c
+      .groupBy("doc_id")
+      .agg(sum("term").cast("decimal(38,6)").as("s"))
+      .select(col("doc_id"), col("s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // (1) bounded pulls: per-term UBs, then θ from the top-UB term's docs
+    val ubs = contribs.groupBy("tok")
+      .agg(max(col("term")).as("ub"))
+      .collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDecimal(1)))
+      .sortBy(-_._2)
+    val topTermDocs = contribs
+      .filter(col("tok") === ubs.head._1).select("doc_id")
+    val theta = topkOf(contribs.join(topTermDocs, Seq("doc_id"),
+        "left_semi"))
+      .collect() match {
+      case rows if rows.length >= k => Some(BigDecimal(rows.last.getDouble(1)))
+      case _ => None
+    }
+    // (3) minimal essential prefix: Σ UB(tail) < θ
+    val essential = theta match {
+      case Some(t) =>
+        val suffix = ubs.scanRight(BigDecimal(0))(_._2 + _).tail
+        val cut = ubs.indices.find(i => suffix(i) < t)
+          .map(_ + 1).getOrElse(ubs.length)
+        ubs.take(cut).map(_._1)
+      case None => ubs.map(_._1)
+    }
+    // (4) prune whole docs, never terms of surviving docs
+    val kept =
+      if (essential.length == ubs.length) contribs
+      else contribs.join(
+        contribs.filter(col("tok").isin(essential: _*))
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi")
+    topkOf(kept)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
+
   /** Multi-query BM25 — the SERVING shape: score a QUERY TABLE
     * (query_id, term) instead of one literal term list. The posting
     * lists are filtered AT THE SCAN to the union of all queries' terms

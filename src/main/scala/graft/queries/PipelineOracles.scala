@@ -2206,6 +2206,12 @@ object PipelineOracles {
       s"""WITH $bm25Cte
          |SELECT doc_id, rank, score FROM bm""".stripMargin,
 
+    // MaxScore pruning is an OPTIMIZATION, not a semantics change: its
+    // oracle is the unpruned BM25 replay, verbatim.
+    "ret_wand_topk" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, rank, score FROM bm""".stripMargin,
+
     // the multi-query chain: same stats/tf/df/score arithmetic, the
     // query batch as a VALUES dim, per-query rank window.
     "ret_bm25_multi" -> {

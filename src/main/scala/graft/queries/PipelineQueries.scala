@@ -420,6 +420,14 @@ object PipelineQueries {
     // terms, per-query top-k via WindowGroupLimit.
     "ret_bm25_multi" -> ((s, dir) => bm25MultiCached(s, dir)),
 
+    // MaxScore-pruned BM25: per-term upper bounds (bounded collect) set
+    // a safe threshold, docs with only non-essential terms never reach
+    // the aggregation — same results as text_bm25_topk by the MaxScore
+    // invariant, which is why its oracle IS the unpruned replay.
+    "ret_wand_topk" -> ((s, dir) =>
+      RetrievalOps.bm25TopKMaxScore(
+        table(s, dir, "documents"), Bm25Terms, Bm25K)),
+
     // the lexical-vs-dense ablation on the shared metric frame: how
     // well does BM25 alone recover each query's dense-cosine ground
     // truth? (The complementarity these numbers show is the case for
