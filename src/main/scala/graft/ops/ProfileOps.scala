@@ -119,6 +119,32 @@ object ProfileOps {
           .as("n_released")): _*)
   }
 
+  /** Distinct l-diversity (Machanavajjhala et al. 2007) — the layer
+    * k-anonymity misses: a cell can hold ≥ k rows yet leak the
+    * sensitive attribute when all of them share one value (the
+    * homogeneity attack). A quasi-identifier cell releases only when
+    * its sensitive column carries ≥ `l` DISTINCT values; suppressed
+    * cells null their statistics, like [[kAnonymize]].
+    *
+    * One aggregation: the distinct count rides the same groupBy
+    * (Spark plans the two-phase distinct-aggregate — partial per-cell
+    * value sets never leave their partitions un-combined). Returns
+    * (quasi…, released, n_released, diversity_released).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l > 0, "need quasi columns and l > 0")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        count_distinct(col(sensitiveCol)).as("__d"))
+      .select(quasiCols.map(col) ++ Seq(
+        (col("__d") >= l).as("released"),
+        when(col("__d") >= l, col("__n")).otherwise(lit(null).cast("long"))
+          .as("n_released"),
+        when(col("__d") >= l, col("__d")).otherwise(lit(null).cast("long"))
+          .as("diversity_released")): _*)
+  }
+
   /** Zipf / power-law fit per corpus slice: the OLS slope of
     * ln(frequency) against ln(rank) over the top `topR` terms — the
     * data card that flags a DEGENERATE source (templated or machine-

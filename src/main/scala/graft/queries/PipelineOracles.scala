@@ -3165,6 +3165,22 @@ object PipelineOracles {
         .stripMargin
     },
 
+    // l-diversity replay: same day cells, distinct-user diversity,
+    // suppression as NULLed statistics.
+    "privacy_l_diversity" ->
+      s"""WITH c AS (SELECT event_type,
+         |    epoch_us(date_trunc('day', ts)) AS day_us,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS d
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, day_us,
+         |  d >= ${PipelineQueries.LDiversityL} AS released,
+         |  CASE WHEN d >= ${PipelineQueries.LDiversityL} THEN n END
+         |    AS n_released,
+         |  CASE WHEN d >= ${PipelineQueries.LDiversityL} THEN d END
+         |    AS diversity_released
+         |FROM c""".stripMargin,
+
     // kNN eval replay: same leave-one-out unrounded-cosine ranking
     // (identical left-to-right dots), majority vote, confusion rollup.
     "quality_knn_confusion" ->

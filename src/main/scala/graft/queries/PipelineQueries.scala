@@ -78,6 +78,8 @@ object PipelineQueries {
   val KnnK = 5
   /** k-anonymity release threshold. */
   val KAnonK = 10L
+  /** distinct l-diversity threshold. */
+  val LDiversityL = 5L
   /** Sparse TF-IDF cosine join: shingle order, max_df vocabulary prune
     * (the posting-list length bound — the scale guard), pair cut. */
   val SparseShingleK = 3
@@ -1932,6 +1934,17 @@ object PipelineQueries {
     "privacy_k_anon" -> ((s, dir) =>
       ProfileOps.kAnonymize(table(s, dir, "documents"),
         Seq("lang", "source"), KAnonK)),
+
+    // distinct l-diversity over (event_type, day) cells with user_id as
+    // the sensitive attribute — the homogeneity-attack guard k-anonymity
+    // misses; one aggregation, suppression in the result expressions.
+    "privacy_l_diversity" -> ((s, dir) =>
+      ProfileOps.lDiversity(
+        table(s, dir, "events")
+          .select(col("event_type"),
+            unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+            col("user_id")),
+        Seq("event_type", "day_us"), "user_id", LDiversityL)),
 
     // pseudo-relevance feedback: BM25 → mine the top-5 results' most
     // frequent non-query terms → re-run with the expanded query. The

@@ -172,6 +172,27 @@ class ChangeProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("lDiversity: homogeneous cells suppress even above k, diverse ones release") {
+    val rows = Seq(
+      // cell A: 6 rows but ONE sensitive value — k-anon would release it
+      ("a", 1L), ("a", 1L), ("a", 1L), ("a", 1L), ("a", 1L), ("a", 1L),
+      // cell B: 3 rows, 3 distinct values — l=3 releases
+      ("b", 1L), ("b", 2L), ("b", 3L),
+      // cell C: 4 rows, 2 distinct — below l
+      ("c", 1L), ("c", 1L), ("c", 2L), ("c", 2L)
+    ).toDF("q", "s")
+    val out = ProfileOps.lDiversity(rows, Seq("q"), "s", 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("a") == ((false, None, None)))
+    assert(out("b") == ((true, Some(3L), Some(3L))))
+    assert(out("c") == ((false, None, None)))
+    // contrast: k-anonymity at k=4 happily releases the homogeneous cell
+    val ka = ProfileOps.kAnonymize(rows, Seq("q"), 4L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(ka("a") && !ka("b"))
+  }
+
   test("zipfSlope matches a plain-Scala OLS replay; degenerate source reports 0") {
     import spark.implicits._
     // s1: counts 12/6/4/3 = 12/r over ranks 1..4 (an exact r^−1 law);
