@@ -148,4 +148,55 @@ object ChangeOps {
         col("min_micro"), col("max_micro"),
         round(col("sum_micro").cast("double") / col("n"), 0).cast("long")
           .as("avg_micro")): _*)
+
+  /** Fixed-bin micro histogram — the MERGEABLE quantile state: unlike
+    * an exact quantile (which is not algebraic — the textbook reason
+    * sketches exist), bin counts over a FIXED grid merge by addition,
+    * so incremental maintenance needs only the delta batch
+    * (the [[microSummary]] story, extended to distributions). Clamped
+    * ends absorb out-of-range values.
+    */
+  def microHistogram(rows: DataFrame, valCol: String,
+      nBins: Int, loMicro: Long, widthMicro: Long): DataFrame =
+    rows.select(least(greatest(
+        floor((round(col(valCol) * 1e6, 0).cast("long") - loMicro)
+          .cast("double") / widthMicro).cast("long"),
+        lit(0L)), lit(nBins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** Merge histograms (Σ per bin) and read quantiles off the merged
+    * state: for each requested permille q, the first bin whose
+    * cumulative count reaches rank ⌈q·n/1000⌉ (ceil in exact integer
+    * arithmetic), reported with its lower edge — a wholly integer
+    * surface, so the merge ≡ recompute identity hash-checks like the
+    * summary one. Grid resolution is the caller's accuracy knob, the
+    * fixed-bin analog of a t-digest's compression parameter.
+    *
+    * Returns (q_permille, bin, edge_micro, cum_n).
+    */
+  def mergeHistogramQuantiles(hists: Seq[DataFrame],
+      quantilesPermille: Seq[Int], loMicro: Long,
+      widthMicro: Long): DataFrame = {
+    val merged = hists.reduce(_ unionByName _)
+      .groupBy("bin").agg(sum("n").as("n"))
+    val cum = merged.select(col("bin"), col("n"),
+      sum("n").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum_n"))
+    val total = merged.agg(sum("n").as("total"))
+    val qs = merged.sparkSession
+      .createDataFrame(quantilesPermille.map(Tuple1(_)))
+      .toDF("q_permille")
+    qs.crossJoin(broadcast(total))
+      .crossJoin(broadcast(cum))
+      // rank = ceil(q·n/1000) in exact integers ((q·n + 999) div 1000
+      // — `div`, not `/`, which would detour through doubles)
+      .filter(col("cum_n") >= expr("(q_permille * total + 999) div 1000"))
+      .groupBy("q_permille")
+      .agg(min("bin").as("bin"))
+      .join(cum, Seq("bin"))
+      .select(col("q_permille").cast("long").as("q_permille"), col("bin"),
+        (lit(loMicro) + col("bin") * widthMicro).as("edge_micro"),
+        col("cum_n"))
+  }
 }

@@ -119,6 +119,53 @@ object ProfileOps {
           .as("n_released")): _*)
   }
 
+  /** Population-stability-index drift report between a reference batch
+    * and a current batch — the "did the pipeline's input distribution
+    * move" check a scheduled ingest needs before the model downstream
+    * quietly degrades. PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref);
+    * the conventional read: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted.
+    *
+    * Engineering contract: bins are FIXED (caller's lo/width in micro
+    * units, clamped ends) so the binning is data-independent and the
+    * two histogram passes are one map-side-combined aggregation each;
+    * add-one smoothing on counts keeps empty bins finite
+    * deterministically. All doubles derive from exact integer counts
+    * with identical operation order on both engines; per-bin terms
+    * surface as scale-0 micro longs that SUM EXACTLY to the total PSI
+    * (micro-additive by construction — no hidden rounding at the
+    * rollup).
+    *
+    * Returns one row per bin: (bin, ref_n, cur_n, psi_term_micro).
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+      nBins: Int, loMicro: Long, widthMicro: Long): DataFrame = {
+    require(nBins > 0 && widthMicro > 0, "need bins and width")
+    def binned(df: DataFrame): DataFrame = df
+      .select(least(greatest(
+        floor((round(col(valCol) * 1e6, 0).cast("long") - loMicro)
+          .cast("double") / widthMicro).cast("long"),
+        lit(0L)), lit(nBins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val spine = ref.sparkSession.range(0, nBins)
+      .select(col("id").as("bin"))
+    val joined = spine
+      .join(binned(ref).withColumnRenamed("c", "ref_n"), Seq("bin"), "left")
+      .join(binned(cur).withColumnRenamed("c", "cur_n"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.agg(sum("ref_n").as("nr"), sum("cur_n").as("nc"))
+    val pr = (col("ref_n") + 1).cast("double") /
+      (col("nr") + nBins).cast("double")
+    val pc = (col("cur_n") + 1).cast("double") /
+      (col("nc") + nBins).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round((pc - pr) * log(pc / pr) * 1e6, 0).cast("long")
+          .as("psi_term_micro"))
+  }
+
   /** Distinct l-diversity (Machanavajjhala et al. 2007) — the layer
     * k-anonymity misses: a cell can hold ≥ k rows yet leak the
     * sensitive attribute when all of them share one value (the

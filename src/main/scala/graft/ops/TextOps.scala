@@ -195,27 +195,38 @@ object TextOps {
     * instead of all of them (the substring-dedup index at a fraction
     * of the rows).
     *
-    * Entirely in-row (zero shuffle until the consumer aggregates):
-    * nested higher-order functions over the gram-hash array; hashes
-    * are 48-bit md5 prefixes (engine-portable, collision-safe at
-    * corpus scale ~n²/2⁴⁸). Docs shorter than w+k−1 tokens emit
-    * nothing — too short to carry a full window.
+    * Shape: posexplode the grams, hash each EXACTLY ONCE (48-bit md5
+    * prefix — engine-portable, collision-safe at corpus scale
+    * ~n²/2⁴⁸), then ONE doc-keyed sliding frame taking
+    * `min(struct(h, −p))` — lexicographic struct-min is "smallest
+    * hash, rightmost position on ties" in a single window pass.
+    * A first draft did this in-row with nested higher-order functions
+    * over the hash array; CollapseProject inlined the array expression
+    * into every `element_at`, re-computing ALL the md5s per window
+    * element — measured 188 s at sf0.1 where this form takes ~2 s
+    * (the hashingTf lesson recurring; recorded in PLANS.md). Docs
+    * shorter than w+k−1 tokens emit nothing — no full window exists.
     *
-    * Returns an array<struct<pos, fp>> of DISTINCT selections,
+    * Input needs (doc_id, toks); returns DISTINCT (doc_id, pos, fp),
     * 1-based gram positions.
     */
-  def winnow(toks: Column, k: Int = ShingleK, w: Int = 4): Column = {
-    val hs = transform(shingles(toks, k), s =>
-      conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
-    when(size(hs) < w,
-      array().cast("array<struct<pos:long,fp:long>>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(hs) - (w - 1)), i => {
-          val mn = array_min(slice(hs, i, lit(w)))
-          val pos = array_max(filter(sequence(i, i + (w - 1)),
-            p => element_at(hs, p) === mn))
-          struct(pos.cast("long").as("pos"), mn.as("fp"))
-        })))
+  def winnowFingerprints(docs: DataFrame, k: Int = ShingleK,
+      w: Int = 4): DataFrame = {
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    docs
+      .select(col("doc_id"),
+        posexplode(shingles(col("toks"), k)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long")
+          .as("h"))
+      .select(col("doc_id"),
+        min(struct(col("h"), (-col("p")).as("np"))).over(frame).as("sel"),
+        count(lit(1)).over(frame).as("cnt"))
+      .filter(col("cnt") === w)
+      .select(col("doc_id"), (-col("sel.np")).as("pos"),
+        col("sel.h").as("fp"))
+      .distinct()
   }
 
   /** Adjacent token pairs ("corpus bigrams"), empty for 1-token docs —

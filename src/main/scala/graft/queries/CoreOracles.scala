@@ -700,6 +700,60 @@ object CoreOracles {
         |    AS avg_micro
         |FROM v GROUP BY user_id""".stripMargin,
 
+    // full-recompute histogram + the same exact-integer quantile read —
+    // equals the engine's base⊕delta bin merge by bin additivity.
+    "cdc_hist_merge" -> {
+      val (nb, lo, w) = (CoreQueries.HistBins, CoreQueries.HistLoMicro,
+        CoreQueries.HistWidthMicro)
+      val vals = CoreQueries.HistQuantilesPermille
+        .map(q => s"($q)").mkString(", ")
+      s"""WITH b AS (SELECT least(greatest(CAST(floor(
+         |      CAST(CAST(round(value * 1e6, 0) AS BIGINT) - $lo AS DOUBLE)
+         |      / $w) AS BIGINT), 0), ${nb - 1}) AS bin FROM events),
+         |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+         |cum AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum_n FROM h),
+         |t AS (SELECT sum(n) AS total FROM h),
+         |q(q_permille) AS (VALUES $vals),
+         |sel AS (SELECT q_permille, min(bin) AS bin
+         |  FROM q, t, cum
+         |  WHERE cum_n >= (q_permille * total + 999) // 1000
+         |  GROUP BY 1)
+         |SELECT CAST(q_permille AS BIGINT) AS q_permille, sel.bin,
+         |  CAST($lo + sel.bin * $w AS BIGINT) AS edge_micro,
+         |  CAST(cum.cum_n AS BIGINT) AS cum_n
+         |FROM sel JOIN cum ON sel.bin = cum.bin""".stripMargin
+    },
+
+    // PSI replay: same fixed grid + clamp, add-one smoothing, identical
+    // double expression micro-rounded per bin.
+    "dq_psi_drift" -> {
+      val (nb, lo, w) = (CoreQueries.HistBins, CoreQueries.HistLoMicro,
+        CoreQueries.HistWidthMicro)
+      val cut = graft.core.Types.utcMicros(2024, 1, 15)
+      def binCte(name: String, cond: String) =
+        s"""$name AS (SELECT least(greatest(CAST(floor(
+           |      CAST(CAST(round(value * 1e6, 0) AS BIGINT) - $lo AS DOUBLE)
+           |      / $w) AS BIGINT), 0), ${nb - 1}) AS bin
+           |  FROM events WHERE epoch_us(ts) $cond $cut)""".stripMargin
+      s"""WITH ${binCte("r", "<")},
+         |${binCte("c", ">=")},
+         |rb AS (SELECT bin, count(*) AS n FROM r GROUP BY 1),
+         |cb AS (SELECT bin, count(*) AS n FROM c GROUP BY 1),
+         |spine AS (SELECT unnest(range(0, $nb)) AS bin),
+         |j AS (SELECT spine.bin,
+         |    CAST(coalesce(rb.n, 0) AS BIGINT) AS ref_n,
+         |    CAST(coalesce(cb.n, 0) AS BIGINT) AS cur_n
+         |  FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+         |t AS (SELECT sum(ref_n) AS nr, sum(cur_n) AS nc FROM j)
+         |SELECT bin, ref_n, cur_n,
+         |  CAST(round((CAST(cur_n + 1 AS DOUBLE) / CAST(nc + $nb AS DOUBLE)
+         |      - CAST(ref_n + 1 AS DOUBLE) / CAST(nr + $nb AS DOUBLE))
+         |    * ln((CAST(cur_n + 1 AS DOUBLE) / CAST(nc + $nb AS DOUBLE))
+         |        / (CAST(ref_n + 1 AS DOUBLE) / CAST(nr + $nb AS DOUBLE)))
+         |    * 1e6, 0) AS BIGINT) AS psi_term_micro
+         |FROM j, t""".stripMargin
+    },
+
     "f15_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
         |  FROM events),

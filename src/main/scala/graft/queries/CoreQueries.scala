@@ -36,6 +36,12 @@ object CoreQueries {
   // interpolates the same values).
   val WStart: Long = Types.utcMicros(2024, 1, 5)
   val WEnd: Long = Types.utcMicros(2024, 1, 25)
+  /** Fixed micro-grid for the mergeable histogram / PSI drift pair:
+    * 30 bins of width 20 covering value ∈ [0, 600), clamped ends. */
+  val HistBins = 30
+  val HistLoMicro = 0L
+  val HistWidthMicro = 20000000L
+  val HistQuantilesPermille = Seq(500, 900, 990)
   val Outages: Seq[(Long, Long)] = Seq(
     (Types.utcMicros(2024, 1, 10), Types.utcMicros(2024, 1, 11)),
     (Types.utcMicros(2024, 1, 20, 6), Types.utcMicros(2024, 1, 20, 18)))
@@ -995,6 +1001,37 @@ object CoreQueries {
       val delta = graft.ops.ChangeOps.microSummary(
         ev.filter(col("ts_us") >= cut), Seq("user_id"), "value")
       graft.ops.ChangeOps.mergeSummaries(Seq(base, delta), Seq("user_id"))
+    }),
+
+    // CDC5 — mergeable quantile state: fixed-grid histograms merge by
+    // bin addition (what exact quantiles can't do), quantiles read off
+    // the MERGED state in exact integer arithmetic. Oracle recomputes
+    // the histogram from all events — the merge identity again, for
+    // distributions.
+    "cdc_hist_merge" -> ((s, dir) => {
+      val cut = Types.utcMicros(2024, 1, 15)
+      val ev = table(s, dir, "events").select(
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      def hist(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.ChangeOps.microHistogram(df, "value",
+          HistBins, HistLoMicro, HistWidthMicro)
+      graft.ops.ChangeOps.mergeHistogramQuantiles(
+        Seq(hist(ev.filter(col("ts_us") < cut)),
+          hist(ev.filter(col("ts_us") >= cut))),
+        HistQuantilesPermille, HistLoMicro, HistWidthMicro)
+    }),
+
+    // DQ2 — population-stability-index drift between the two halves of
+    // the event stream: fixed micro-grid histograms (one aggregation
+    // each), add-one smoothing, per-bin micro terms that sum exactly to
+    // the total PSI.
+    "dq_psi_drift" -> ((s, dir) => {
+      val cut = Types.utcMicros(2024, 1, 15)
+      val ev = table(s, dir, "events").select(
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      graft.ops.ProfileOps.psiDrift(
+        ev.filter(col("ts_us") < cut), ev.filter(col("ts_us") >= cut),
+        "value", HistBins, HistLoMicro, HistWidthMicro)
     }),
 
     // F15 — event-time SESSION window aggregation via Spark's native

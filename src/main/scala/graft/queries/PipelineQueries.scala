@@ -209,11 +209,10 @@ object PipelineQueries {
 
     // winnowing fingerprints (MOSS): every w-window's rightmost-minimal
     // gram hash with its position — the guaranteed-overlap fingerprint
-    // set at 2/(w+1) density, built entirely in-row (zero shuffle).
+    // set at 2/(w+1) density; each gram hashed once, one doc-keyed
+    // sliding frame (min(struct(h, −p)) = rightmost-min in one pass).
     "text_winnow" -> ((s, dir) =>
-      docsTok(s, dir)
-        .select(col("doc_id"), explode(TextOps.winnow(col("toks"))).as("s"))
-        .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))),
+      TextOps.winnowFingerprints(docsTok(s, dir))),
 
     // TF-IDF top terms per document — term frequency × inverse document
     // frequency, two aggregations and a broadcast-joined document-

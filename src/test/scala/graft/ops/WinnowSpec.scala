@@ -8,10 +8,9 @@ class WinnowSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def fps(docs: Seq[(Long, String)]): Map[Long, Set[(Long, Long)]] =
-    docs.toDF("doc_id", "text")
-      .select(col("doc_id"),
-        explode(TextOps.winnow(split(col("text"), " "))).as("s"))
-      .select(col("doc_id"), col("s.pos"), col("s.fp"))
+    TextOps.winnowFingerprints(
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("toks")))
       .collect()
       .groupBy(_.getLong(0))
       .map { case (k, rs) =>
