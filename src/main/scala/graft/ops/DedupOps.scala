@@ -228,6 +228,56 @@ object DedupOps {
       .filter(col("jw_micro") >= minMicro)
   }
 
+  /** Content-defined chunk dedup (the rolling-hash cutpoint family —
+    * Rabin/FastCDC — at token granularity): a gram position is a CUT
+    * when its hash ≡ 0 (mod `divisor`), chunks are the runs between
+    * cuts, and duplicate chunks are grouped by an order-preserving
+    * fingerprint of their gram hashes. The property fixed-width
+    * chunking lacks: boundaries derive from CONTENT, so an insertion
+    * early in a document shifts no downstream chunk boundaries and
+    * shared boilerplate hashes identically wherever it floats —
+    * sub-document dedup that survives edits.
+    *
+    * Shape: posexplode grams, hash each once (the winnow lesson), one
+    * doc-keyed window for the running cut count (= chunk id), one
+    * (doc, chunk) aggregation building the fingerprint from the
+    * in-chunk hash sequence, one fingerprint-keyed rollup. The
+    * collect_list is CHUNK-bounded (expected `divisor` grams; at worst
+    * one document — the per-doc contract every in-row fold here
+    * documents). `divisor` sets the expected chunk length and is the
+    * dedup granularity knob.
+    *
+    * Returns duplicate groups: (chunk_fp, n_chunks, n_docs, first_doc,
+    * n_grams).
+    */
+  def cdcDuplicateChunks(docs: DataFrame, k: Int = TextOps.ShingleK,
+      divisor: Long = 8L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cuts = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles(col("toks"), k)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long")
+          .as("h"))
+      .select(col("doc_id"), col("p"), col("h"),
+        coalesce(
+          sum(when(pmod(col("h"), lit(divisor)) === 0, 1L).otherwise(0L))
+            .over(cuts), lit(0L)).as("chunk_id"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("p"), col("h")))),
+            s => s.getField("h").cast("string")), ",")).as("chunk_fp"),
+        count(lit(1)).as("n_grams"))
+      .groupBy("chunk_fp")
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("first_doc"), min("n_grams").as("n_grams"))
+      .filter(col("n_chunks") > 1)
+  }
+
   /** Duplicate-cluster resolution: connected components over the
     * near-dup pair graph, so transitive duplicates (A~B, B~C) collapse
     * into ONE cluster with `cluster_id = min(doc_id)` — the id downstream

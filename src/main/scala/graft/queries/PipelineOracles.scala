@@ -604,6 +604,34 @@ object PipelineOracles {
         |)
         |SELECT doc_id, tok, rk, tfidf FROM ranked WHERE rk <= 3""".stripMargin,
 
+    // content-defined chunking replay: same gram hashes, same modulo
+    // cutpoints, running cut count as the chunk id, order-preserving
+    // string_agg fingerprint, duplicate-group rollup.
+    "dedup_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, i AS p,
+         |    ('0x' || substr(md5(
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 12))::BIGINT
+         |      AS h
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) x
+         |  WHERE len(toks) >= 3),
+         |c AS (SELECT doc_id, p, h,
+         |    coalesce(sum(CASE WHEN h % ${PipelineQueries.CdcDivisor} = 0
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY p
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk_id
+         |  FROM g),
+         |ch AS (SELECT doc_id, chunk_id,
+         |    md5(string_agg(h, ',' ORDER BY p)) AS chunk_fp,
+         |    CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM c GROUP BY 1, 2)
+         |SELECT chunk_fp, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc, min(n_grams) AS n_grams
+         |FROM ch GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
     // winnowing replay: same 48-bit md5-prefix gram hashes, per-window
     // list_min with the rightmost-position tiebreak, DISTINCT selections.
     "text_winnow" ->

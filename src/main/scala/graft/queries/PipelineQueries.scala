@@ -80,6 +80,10 @@ object PipelineQueries {
   val KAnonK = 10L
   /** distinct l-diversity threshold. */
   val LDiversityL = 5L
+  /** Content-defined chunking: gram order and the cutpoint divisor
+    * (expected chunk length in grams). */
+  val CdcChunkK = 3
+  val CdcDivisor = 8L
   /** Sparse TF-IDF cosine join: shingle order, max_df vocabulary prune
     * (the posting-list length bound — the scale guard), pair cut. */
   val SparseShingleK = 3
@@ -1101,6 +1105,14 @@ object PipelineQueries {
         strCol = substring(col("text"), 1, 24),
         blockCol = concat_ws("|", col("lang"), substring(col("text"), 1, 8)),
         minMicro = JaroMinMicro)),
+
+    // content-defined chunk dedup (Rabin/FastCDC cutpoints at token
+    // granularity): boundaries derive from content, so shared
+    // boilerplate hashes identically wherever it floats — sub-document
+    // dedup that survives edits, the edit-robust complement to
+    // dedup_substring_spans' fixed global-gram filter.
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      DedupOps.cdcDuplicateChunks(docsTok(s, dir), CdcChunkK, CdcDivisor)),
 
     // SemDeDup: semantic dedup over TRAINED k-means cells — the third
     // dedup layer after exact (byte copies) and MinHash (lexical
