@@ -399,4 +399,56 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.take(30).mkString("\n"))
     assert(countOf(p, "\\(\\d+\\) BroadcastHashJoin") >= 2)
   }
+
+  test("ts_anomaly: one key shuffle, window operator, no per-key array fold") {
+    val p = plan("ts_anomaly")
+    // the frame sums run in Spark's (spilling) window operator after ONE
+    // exchange to the key — never a collect_list the 100× hot key OOMs
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(p.contains("Window"))
+    assert(!p.contains("collect_list"))
+  }
+
+  test("text_winnow: grams exploded once, hashed once, one doc-keyed window") {
+    val p = plan("text_winnow")
+    // the CollapseProject lesson, pinned: ONE Generate (the posexplode)
+    // and the md5 only in its post-explode projection — the in-row form
+    // this replaced planned the hash array into every window element
+    assert(countOf(p, "\\(\\d+\\) Generate") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "documents\\.parquet\\]") == 1)
+    assert(p.contains("Window"))
+  }
+
+  test("sim_sparse_cosine: downstream reads only the cached weight table, no cartesian") {
+    val p = plan("sim_sparse_cosine")
+    // norms + BOTH sides of the posting-list self-join read the cached
+    // weight table (InMemoryTableScan); the corpus scans all sit inside
+    // its one-time build (tf + the df rollup's replan + the count dim —
+    // static copies AQE exchange-reuse collapses at runtime)
+    assert(p.contains("InMemoryTableScan"))
+    assert(countOf(p, "documents\\.parquet\\]") <= 3,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_cdc_chunks: the chunk rollup reuses the window's doc partitioning") {
+    val p = plan("dedup_cdc_chunks")
+    // hash(doc_id) from the cut-count window satisfies the
+    // (doc_id, chunk_id) aggregation's clustering, so the whole chain is
+    // TWO exchanges: to the doc key, then to the fingerprint rollup
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 2,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(countOf(p, "documents\\.parquet\\]") == 1)
+  }
+
+  test("quality_knn_confusion: corpus passes once against the broadcast stripe") {
+    val p = plan("quality_knn_confusion")
+    // the non-equi scoring join is the intended broadcast nested loop
+    // (every corpus row × the small query stripe), never a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
