@@ -474,6 +474,16 @@ object CoreOracles {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,
 
+    // the partition-pruned aggregate recomputed off the original table:
+    // pruning must lose nothing the filter keeps.
+    "src5_partitioned_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro,
+        |  max(epoch_us(ts)) AS max_ts_us
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type""".stripMargin,
+
     "src2_json_roundtrip" ->
       """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,

@@ -730,6 +730,26 @@ object CoreQueries {
         .option("header", true).csv(out)
     }),
 
+    // SRC5 — PARTITIONED parquet layout + partition-pruned read: the
+    // lakehouse table layout (one directory per partition value), read
+    // back with a partition filter that must prune at PLANNING time —
+    // PartitionFilters in the scan, non-matching directories never
+    // opened (PartitionedLayoutSpec pins that). The filter keeps 2 of
+    // the 5 event types, so the oracle checks pruning changed nothing.
+    "src5_partitioned_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_rt_part_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}"
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"),
+          max("ts_us").as("max_ts_us"))
+    }),
+
     // SRC3 — ORC sink + source round trip, same contract as SRC1/2 (the
     // third major columnar/text codec Spark ships natively). Exercises
     // the binary columnar path: doubles and timestamps survive exactly
