@@ -228,6 +228,38 @@ object DedupOps {
       .filter(col("jw_micro") >= minMicro)
   }
 
+  /** Winnowing-index near-dup candidates — the MOSS fingerprints
+    * ([[TextOps.winnowFingerprints]]) used as the dedup index: documents
+    * sharing at least `minShared` selected fingerprints become candidate
+    * pairs, with the shared count as the ranking signal. The third
+    * candidate generator next to MinHash-LSH (probabilistic, global
+    * similarity) and the substring-span filter (exact long runs):
+    * winnowing GUARANTEES a shared fingerprint for any shared
+    * w+k−1-token run, so short verbatim overlaps LSH dilutes away are
+    * caught, with positions available for span localization.
+    *
+    * Scale guard, same as the sparse-cosine join: a fingerprint shared
+    * by more than `maxDf` documents is boilerplate, carries no pair
+    * signal, and is what makes the expansion quadratic — dropped before
+    * pair generation, so per-fingerprint fanout is ≤ maxDf². The
+    * in-list expansion is maxDf-bounded by construction.
+    *
+    * Returns (doc_a, doc_b, n_shared), doc_a < doc_b,
+    * n_shared ≥ `minShared`.
+    */
+  def winnowCandidatePairs(fps: DataFrame, minShared: Long,
+      maxDf: Long): DataFrame =
+    fps
+      .groupBy("fp")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) between (2, maxDf))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** Content-defined chunk dedup (the rolling-hash cutpoint family —
     * Rabin/FastCDC — at token granularity): a gram position is a CUT
     * when its hash ≡ 0 (mod `divisor`), chunks are the runs between

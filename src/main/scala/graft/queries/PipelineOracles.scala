@@ -604,6 +604,30 @@ object PipelineOracles {
         |)
         |SELECT doc_id, tok, rk, tfidf FROM ranked WHERE rk <= 3""".stripMargin,
 
+    // winnow-index candidates: the winnow selections (distinct per doc),
+    // boilerplate df cap, fp-keyed pair join, shared-count cut.
+    "dedup_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         |    i -> ('0x' || substr(md5(
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 12))::BIGINT)
+         |    AS hs
+         |  FROM t WHERE len(toks) >= 3),
+         |win AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS i
+         |  FROM g WHERE len(hs) >= 4),
+         |m AS (SELECT doc_id, i, hs, list_min(hs[i:i+3]) AS mn FROM win),
+         |p AS (SELECT DISTINCT doc_id, mn AS fp FROM m),
+         |grp AS (SELECT fp FROM p GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND ${PipelineQueries.WinnowMaxDf}),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  WHERE a.fp IN (SELECT fp FROM grp))
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pairs GROUP BY 1, 2
+         |HAVING count(*) >= ${PipelineQueries.WinnowMinShared}"""
+      .stripMargin,
+
     // content-defined chunking replay: same gram hashes, same modulo
     // cutpoints, running cut count as the chunk id, order-preserving
     // string_agg fingerprint, duplicate-group rollup.

@@ -84,6 +84,9 @@ object PipelineQueries {
     * (expected chunk length in grams). */
   val CdcChunkK = 3
   val CdcDivisor = 8L
+  /** Winnow-index candidates: min shared fingerprints, boilerplate df cap. */
+  val WinnowMinShared = 2L
+  val WinnowMaxDf = 20L
   /** Sparse TF-IDF cosine join: shingle order, max_df vocabulary prune
     * (the posting-list length bound — the scale guard), pair cut. */
   val SparseShingleK = 3
@@ -217,6 +220,15 @@ object PipelineQueries {
     // sliding frame (min(struct(h, −p)) = rightmost-min in one pass).
     "text_winnow" -> ((s, dir) =>
       TextOps.winnowFingerprints(docsTok(s, dir))),
+
+    // the winnowing index USED: pairs sharing ≥2 selected fingerprints,
+    // boilerplate fingerprints (df > cap) dropped before the bounded
+    // in-list expansion — the guaranteed-local-overlap candidate
+    // generator next to MinHash-LSH's probabilistic global one.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      DedupOps.winnowCandidatePairs(
+        TextOps.winnowFingerprints(docsTok(s, dir)),
+        WinnowMinShared, WinnowMaxDf)),
 
     // TF-IDF top terms per document — term frequency × inverse document
     // frequency, two aggregations and a broadcast-joined document-

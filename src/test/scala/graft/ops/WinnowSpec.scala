@@ -45,6 +45,41 @@ class WinnowSpec extends AnyFunSuite {
     assert(out(3L).nonEmpty)
   }
 
+  test("winnowCandidatePairs: shared runs pair, boilerplate df cap prunes") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (1L to 6L).map(i =>
+      (i, s"u$i v$i w$i $shared x$i y$i z$i")) :+
+      (9L, "lone words only here nothing shared at all")
+    def pairs(maxDf: Long) = DedupOps.winnowCandidatePairs(
+      TextOps.winnowFingerprints(
+        docs.toDF("doc_id", "text")
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.split(col("text"), " ")
+              .as("toks"))),
+      minShared = 1L, maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all six sharers pair with each other; the lone doc pairs with none
+    val all = pairs(maxDf = 20L)
+    assert(all == (for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)).toSet)
+    // the df cap: six IDENTICAL docs select identical fingerprints
+    // everywhere (df = 6 for every fp), so a cap below 6 prunes all
+    // expansion. (The mixed corpus above is NOT fully prunable — near
+    // the run boundaries winnowing selects different grams per doc, so
+    // some shared fps have df 2: exactly the local-overlap sensitivity
+    // the index exists for.)
+    val identical = (1L to 6L).map(i => (i, shared + " " + shared))
+    def identicalPairs(maxDf: Long) = DedupOps.winnowCandidatePairs(
+      TextOps.winnowFingerprints(
+        identical.toDF("doc_id", "text")
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.split(col("text"), " ")
+              .as("toks"))),
+      minShared = 1L, maxDf)
+      .collect()
+    assert(identicalPairs(maxDf = 20L).nonEmpty)
+    assert(identicalPairs(maxDf = 5L).isEmpty)
+  }
+
   test("selection density is the winnowing fraction, not all grams") {
     val words = (0 until 200).map(i => s"w$i")
     val out = fps(Seq((1L, words.mkString(" "))))
