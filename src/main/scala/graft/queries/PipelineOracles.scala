@@ -604,6 +604,28 @@ object PipelineOracles {
         |)
         |SELECT doc_id, tok, rk, tfidf FROM ranked WHERE rk <= 3""".stripMargin,
 
+    // perceptual-hash replay from the fixture's closed-form pixels:
+    // the engine decodes REAL PNG bytes, the oracle recomputes the same
+    // exact-integer luma-vs-mean bits from the generator formula — they
+    // agree iff the decode is pixel-exact.
+    "mm_phash_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS h, i,
+        |    (doc_id + i * 7) % 256 AS p
+        |  FROM d, LATERAL (
+        |    SELECT unnest(range(0, 4 * (1 + doc_id % 3))) AS i) x),
+        |s AS (SELECT doc_id, h, sum(p) AS sp, count(*) AS n
+        |  FROM px GROUP BY 1, 2),
+        |b AS (SELECT px.doc_id, s.h, s.n,
+        |    sum(CASE WHEN s.n * px.p >= s.sp
+        |      THEN (CAST(1 AS BIGINT) << (s.n - 1 - px.i)) ELSE 0 END)
+        |      AS ahash
+        |  FROM px JOIN s ON px.doc_id = s.doc_id GROUP BY 1, 2, 3)
+        |SELECT CAST(4 AS BIGINT) AS width, h AS height,
+        |  CAST(ahash AS BIGINT) AS ahash,
+        |  CAST(count(*) AS BIGINT) AS n_imgs, min(doc_id) AS first_media
+        |FROM b GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
+
     // winnow-index candidates: the winnow selections (distinct per doc),
     // boilerplate df cap, fp-keyed pair join, shared-count cut.
     "dedup_winnow_pairs" ->

@@ -1654,6 +1654,19 @@ object PipelineQueries {
           .as("sum_ok"))
     }),
 
+    // perceptual-hash image dedup over the REAL decoded PNGs: aHash
+    // signatures (exact-integer luma-vs-mean bits) grouped into
+    // duplicate classes — image dedup that survives re-encoding, where
+    // byte-level hashing would not. The oracle replays the hash from
+    // the fixture's closed-form pixel pattern, so the decode path must
+    // reproduce the encoded pixels exactly (PNG is lossless).
+    "mm_phash_dedup" -> ((s, dir) =>
+      MultimodalOps.perceptualHash(
+        MultimodalOps.packImageIo(table(s, dir, "documents")).cache())
+        .groupBy("width", "height", "ahash")
+        .agg(count(lit(1)).as("n_imgs"), min("media_id").as("first_media"))
+        .filter(col("n_imgs") > 1)),
+
     // frame sampling: one row per stride offset with a frame checksum —
     // the explode shape a real decoder's seek plan uses.
     "mm_frames" -> ((s, dir) => {

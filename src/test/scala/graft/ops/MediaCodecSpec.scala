@@ -119,4 +119,25 @@ class MediaCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("aHash: hand-computed bits, and the same pixels hash identically through PNG and BMP") {
+    // 2×2 pattern: lumas 10, 200, 10, 200 → sum 420, n=4; bit set where
+    // 4·luma ≥ 420 → bits 0101 (MSB-first row-major) = 5
+    val pix = Array(10, 200, 10, 200)
+    val png = MediaCodec.encodeImageIo("png", 2, 2, pix(_))
+    assert(MediaCodec.aHash(png) == ((2, 2, 5L)))
+    // re-encoding invariance — the claim that makes a PERCEPTUAL hash
+    // worth having: identical pixels through a different lossless
+    // container produce the identical signature (byte-level md5 differs)
+    val bmp = MediaCodec.encodeBmp(2, 2, pix(_))
+    assert(MediaCodec.aHash(bmp) == MediaCodec.aHash(png))
+    assert(!java.util.Arrays.equals(png, bmp))
+    // uniform image: every luma equals the mean → all bits set
+    val flat = MediaCodec.encodeImageIo("png", 2, 2, _ => 7)
+    assert(MediaCodec.aHash(flat) == ((2, 2, 15L)))
+    // the ≤64-pixel contract fails loudly
+    intercept[IllegalArgumentException] {
+      MediaCodec.aHash(MediaCodec.encodeImageIo("png", 9, 8, _ => 0))
+    }
+  }
 }
