@@ -363,6 +363,42 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingAnomaly rolling z-score ≡ batch ts_anomaly (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("ts_anomaly")(spark, SfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("z_micro"), r.getAs[Long]("is_anomaly")))
+      .toMap
+
+    val evs = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => StreamingAnomaly.ValueEvent(r.getAs[Long]("user_id"),
+        r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+      .sortBy(e => (e.ts_us, e.event_id)).toSeq
+
+    val input = MemoryStream[StreamingAnomaly.ValueEvent]
+    val q = StreamingAnomaly.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("equiv_anomaly")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      chunks(evs).foreach { c => input.addData(c); q.processAllAvailable() }
+      val fin = spark.table("equiv_anomaly")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+          (r.getAs[Long]("z_micro"), r.getAs[Long]("is_anomaly")))
+        .toMap
+      assert(fin == batch,
+        s"${fin.size} streaming rows vs ${batch.size} batch rows")
+    } finally q.stop()
+  }
+
   test("StreamingSummary incremental maintenance ≡ batch cdc_agg_merge (oracle-checked)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
