@@ -474,6 +474,18 @@ object CoreOracles {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,
 
+    // the corrupt split replayed: lines with event_id % 10 = 3 were
+    // truncated (⇒ all parse fields NULL, counted corrupt), the rest
+    // parse cleanly.
+    "src6_corrupt_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM events WHERE event_id % 10 <> 3 GROUP BY event_type
+        |UNION ALL
+        |SELECT NULL AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_corrupt
+        |FROM events WHERE event_id % 10 = 3""".stripMargin,
+
     // the partition-pruned aggregate recomputed off the original table:
     // pruning must lose nothing the filter keeps.
     "src5_partitioned_roundtrip" ->

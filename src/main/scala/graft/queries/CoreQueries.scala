@@ -730,6 +730,33 @@ object CoreQueries {
         .option("header", true).csv(out)
     }),
 
+    // SRC6 — corrupt-record tolerance: a JSON ingest where every tenth
+    // line is deliberately truncated mid-token. PERMISSIVE mode parses
+    // the good lines and routes the rest to _corrupt_record instead of
+    // failing the batch — the posture a 100 TB ingest needs (one bad
+    // shard must not kill the job), with the damage COUNTED, never
+    // silently dropped. The oracle knows exactly which lines were
+    // corrupted, so the parsed/corrupt split is fully checked.
+    "src6_corrupt_json" -> ((s, dir) => {
+      val out = s"/tmp/graft_rt_corrupt_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}"
+      val js = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .select(col("event_id").as("id"),
+          to_json(struct(col("event_id"), col("event_type"),
+            col("user_id"))).as("j"))
+        .select(when(pmod(col("id"), lit(10)) === 3,
+          substring(col("j"), 1, 11)).otherwise(col("j")).as("value"))
+      js.write.mode("overwrite").text(out)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, user_id BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("_corrupt_record")).as("n_corrupt"))
+    }),
+
     // SRC5 — PARTITIONED parquet layout + partition-pruned read: the
     // lakehouse table layout (one directory per partition value), read
     // back with a partition filter that must prune at PLANNING time —
