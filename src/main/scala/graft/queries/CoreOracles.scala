@@ -474,6 +474,21 @@ object CoreOracles {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,
 
+    // the Q5-shape replay: same joins, same filters, same decimal
+    // revenue contract.
+    "j4_local_supplier_revenue" ->
+      """SELECT n_name,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |    AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
     // the corrupt split replayed: lines with event_id % 10 = 3 were
     // truncated (⇒ all parse fields NULL, counted corrupt), the rest
     // parse cleanly.

@@ -730,6 +730,35 @@ object CoreQueries {
         .option("header", true).csv(out)
     }),
 
+    // J4 — the TPC-H Q5 shape: a FIVE-way star join (fact lineitem ⋈
+    // orders ⋈ customer, with supplier/nation/region dims) under a
+    // region filter and an order-date range, local-supplier semantics
+    // (customer and supplier share a nation). The deepest join plan in
+    // the suite: date filter pushed into the orders scan, region filter
+    // prunes the dim BEFORE broadcast, the three dims broadcast, and
+    // only the fact-to-fact joins shuffle. Revenue in exact decimals.
+    "j4_local_supplier_revenue" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = table(s, dir, "customer")
+      val sup = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(28,6)")).cast("decimal(38,6)").cast("string")
+          .as("revenue"))
+    }),
+
     // SRC6 — corrupt-record tolerance: a JSON ingest where every tenth
     // line is deliberately truncated mid-token. PERMISSIVE mode parses
     // the good lines and routes the rest to _corrupt_record instead of

@@ -443,6 +443,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "documents\\.parquet\\]") == 1)
   }
 
+  test("j4_local_supplier_revenue: date filter pushed, dims broadcast, no cartesian") {
+    val p = plan("j4_local_supplier_revenue")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "the order-date range must reach the orders scan")
+    assert(countOf(p, "\\(\\d+\\) BroadcastHashJoin") >= 3,
+      "supplier, nation, and the pre-filtered region ride broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("quality_knn_confusion: corpus passes once against the broadcast stripe") {
     val p = plan("quality_knn_confusion")
     // the non-equi scoring join is the intended broadcast nested loop
