@@ -474,6 +474,17 @@ object CoreOracles {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,
 
+    // typed-Aggregator summary: the direct recompute, per event_type.
+    "a16_typed_summary" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(value * 1e6, 0) AS BIGINT) AS m FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(m) AS BIGINT) AS sum_micro,
+        |  min(m) AS min_micro, max(m) AS max_micro,
+        |  CAST(round(CAST(sum(m) AS DOUBLE) / count(*), 0) AS BIGINT)
+        |    AS avg_micro
+        |FROM v GROUP BY event_type""".stripMargin,
+
     // the Q5-shape replay: same joins, same filters, same decimal
     // revenue contract.
     "j4_local_supplier_revenue" ->

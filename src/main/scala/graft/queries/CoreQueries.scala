@@ -730,6 +730,23 @@ object CoreQueries {
         .option("header", true).csv(out)
     }),
 
+    // A16 — the typed-Aggregator lane: the same mergeable micro summary
+    // as cdc_agg_merge, but through the PUBLIC Aggregator API lifted
+    // with functions.udaf — per-(event_type) state is one fixed buffer,
+    // merge is the map-side partial combine, mean derives at finish.
+    // Oracle: the direct recompute, like the ChangeOps twin.
+    "a16_typed_summary" -> ((s, dir) => {
+      val summ = udaf(graft.expressions.MicroSummaryAgg)
+      table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(summ(col("value")).as("s"))
+        .select(col("event_type"), col("s.n").as("n"),
+          col("s.sum_micro").as("sum_micro"),
+          col("s.min_micro").as("min_micro"),
+          col("s.max_micro").as("max_micro"),
+          col("s.avg_micro").as("avg_micro"))
+    }),
+
     // J4 — the TPC-H Q5 shape: a FIVE-way star join (fact lineitem ⋈
     // orders ⋈ customer, with supplier/nation/region dims) under a
     // region filter and an order-date range, local-supplier semantics
