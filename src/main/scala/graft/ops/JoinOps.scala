@@ -45,6 +45,35 @@ object JoinOps {
   ): DataFrame =
     asofJoin(left, right, key, leftTs, rightTs, values, prior = true)
 
+  /** Backward as-of join with a TOLERANCE (the pandas `merge_asof
+    * tolerance` semantics): the most recent prior match counts only
+    * within `toleranceUs` of the left timestamp — a stale quote, rate,
+    * or sensor reading past the freshness window is NO match, not a
+    * silently ancient one. Same one-shuffle sweep as [[asofJoinPrior]];
+    * the expiry is a scan-side predicate over the already-joined pair,
+    * nulling `asof_ts` and every value column together.
+    */
+  def asofJoinPriorTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      values: Seq[String],
+      toleranceUs: Long
+  ): DataFrame = {
+    val joined = asofJoinPrior(left, right, key, leftTs, rightTs, values)
+      .withColumn("__expired",
+        col("asof_ts").isNull ||
+          (col(leftTs) - col("asof_ts")) > toleranceUs)
+    ("asof_ts" +: values)
+      .foldLeft(joined) { (df, v) =>
+        df.withColumn(v,
+          when(col("__expired"), lit(null)).otherwise(col(v)))
+      }
+      .drop("__expired")
+  }
+
   /** Forward as-of join: for each left row, the right row with the
     * SMALLEST `rightTs >= leftTs` for the same key (inclusive) — the
     * "next event after" direction (DuckDB `ASOF ... ON l.ts <= r.ts`).

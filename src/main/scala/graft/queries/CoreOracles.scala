@@ -341,6 +341,23 @@ object CoreOracles {
         |  coalesce(day_orders, 0) AS last_day_orders
         |FROM ev ASOF LEFT JOIN day ON ev.user_id = day.key AND ev.ts_us >= day.ots""".stripMargin,
 
+    // aj1's ASOF join with the freshness cut applied to the matched pair.
+    "aj5_asof_tolerance" ->
+      s"""WITH day AS (
+         |  SELECT o_custkey AS key, epoch_us(o_orderdate) AS ots,
+         |         CAST(count(*) AS BIGINT) AS day_orders
+         |  FROM orders GROUP BY 1, 2
+         |), ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+         |)
+         |SELECT event_id, user_id, ts_us,
+         |  coalesce(CASE WHEN ts_us - ots <= ${CoreQueries.AsofToleranceUs}
+         |    THEN ots END, -1) AS last_order_us,
+         |  coalesce(CASE WHEN ts_us - ots <= ${CoreQueries.AsofToleranceUs}
+         |    THEN day_orders END, 0) AS last_day_orders
+         |FROM ev ASOF LEFT JOIN day
+         |  ON ev.user_id = day.key AND ev.ts_us >= day.ots""".stripMargin,
+
     // the native-operator form must satisfy the SAME oracle as aj1
     "aj4_asof_native" ->
       """WITH day AS (

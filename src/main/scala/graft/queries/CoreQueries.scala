@@ -42,6 +42,10 @@ object CoreQueries {
   val HistLoMicro = 0L
   val HistWidthMicro = 20000000L
   val HistQuantilesPermille = Seq(500, 900, 990)
+  /** aj5 freshness window: 8400 days in micros — the synthetic events
+    * sit decades after the order history, and THIS bound splits the
+    * fixture's gap distribution so both verdicts occur at every SF. */
+  val AsofToleranceUs: Long = 8400L * 86400000000L
   val Outages: Seq[(Long, Long)] = Seq(
     (Types.utcMicros(2024, 1, 10), Types.utcMicros(2024, 1, 11)),
     (Types.utcMicros(2024, 1, 20, 6), Types.utcMicros(2024, 1, 20, 18)))
@@ -458,6 +462,27 @@ object CoreQueries {
         .agg(count(lit(1)).as("day_orders"))
       graft.ops.JoinOps
         .asofJoinPrior(ev, day, "key", "ts_us", "ots", Seq("day_orders"))
+        .select(col("event_id"), col("key").as("user_id"), col("ts_us"),
+          coalesce(col("asof_ts"), lit(-1L)).as("last_order_us"),
+          coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))
+    }),
+
+    // AJ5 — as-of with a freshness tolerance (pandas merge_asof
+    // `tolerance`): a prior match older than the window is NO match —
+    // the stale-quote guard aj1's unbounded lookback lacks. Tolerance
+    // is set where the fixture's gap distribution genuinely splits, so
+    // both verdicts are exercised at every SF.
+    "aj5_asof_tolerance" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(
+        col("event_id"), col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts_us"))
+      val day = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate")).as("ots"))
+        .agg(count(lit(1)).as("day_orders"))
+      graft.ops.JoinOps.asofJoinPriorTolerance(
+        ev, day, "key", "ts_us", "ots", Seq("day_orders"),
+        AsofToleranceUs)
         .select(col("event_id"), col("key").as("user_id"), col("ts_us"),
           coalesce(col("asof_ts"), lit(-1L)).as("last_order_us"),
           coalesce(col("day_orders"), lit(0L)).as("last_day_orders"))

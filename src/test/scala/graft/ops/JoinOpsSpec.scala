@@ -210,4 +210,25 @@ class JoinOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted
     assert(ids === Array(2L, 3L)) // 10 in, 19 in, 20 out (exclusive end)
   }
+
+  test("asofJoinPriorTolerance: inclusive boundary, stale matches null out whole") {
+    val left = Seq(
+      (1L, 10L, 110L), // gap 10 == tolerance: match survives
+      (1L, 20L, 131L), // gap 11 > tolerance: expired
+      (2L, 99L, 50L))  // no prior at all
+      .toDF("k", "lid", "lts")
+      .select(col("k"), col("lid"), col("lts"))
+    val right = Seq((1L, 100L, 7L), (1L, 120L, 8L))
+      .toDF("k", "rts", "v")
+    val out = JoinOps.asofJoinPriorTolerance(
+      left, right, "k", "lts", "rts", Seq("v"), toleranceUs = 10L)
+      .collect().map(r => r.getAs[Long]("lid") ->
+        (Option(r.getAs[Any]("asof_ts")), Option(r.getAs[Any]("v"))))
+      .toMap
+    assert(out(10L) == ((Some(100L), Some(7L))))
+    // expiry nulls the timestamp AND the value together — a half-nulled
+    // row would silently pair a value with no provenance
+    assert(out(20L) == ((None, None)))
+    assert(out(99L) == ((None, None)))
+  }
 }
