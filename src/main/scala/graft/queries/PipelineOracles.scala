@@ -1088,6 +1088,31 @@ object PipelineOracles {
          |)
          |SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
 
+    // the cluster flood joined back to sources, integer-ppm rate.
+    "profile_dedup_rate" ->
+      s"""WITH RECURSIVE $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+         |),
+         |cl AS (SELECT doc_id, min(root) AS cluster_id FROM reach
+         |  GROUP BY doc_id),
+         |sz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1),
+         |j AS (SELECT d.source,
+         |    CASE WHEN sz.sz > 1 THEN 1 ELSE 0 END AS duped
+         |  FROM cl JOIN sz USING (cluster_id)
+         |  JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(duped) AS BIGINT) AS n_duped,
+         |  CAST((sum(duped) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+         |FROM j GROUP BY source""".stripMargin,
+
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $bandsCte,
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -641,6 +641,26 @@ object PipelineQueries {
         driverMaxEdges = sys.env.get("SPARK_GRAFT_DEDUP_DRIVER_MAX_EDGES")
           .map(_.toLong).getOrElse(1L << 20))),
 
+    // per-source duplication-rate data card: which ingest source is
+    // feeding the dup clusters — the number that decides where to point
+    // the crawler fix. Cluster labels from the shared LSH machinery,
+    // one source-keyed rollup, integer-ppm rate (floor div).
+    "profile_dedup_rate" -> ((s, dir) => {
+      val clusters = DedupOps.duplicateClusters(
+        table(s, dir, "documents").select("doc_id"),
+        DedupOps.candidatePairs(dedupBands(s, dir)).cache())
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"))
+      clusters.join(sizes, Seq("cluster_id"))
+        .join(table(s, dir, "documents").select("doc_id", "source"),
+          Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_duped"))
+        .select(col("source"), col("n_docs"), col("n_duped"),
+          expr("(n_duped * 1000000) div n_docs").as("dup_ppm"))
+    }),
+
     // the duplication report a curation run actually reads: how many
     // clusters of each size exist (size 1 = unique docs). Derives from
     // the same cluster labels as split_leakproof; two tiny aggregations
