@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-min sketch: fixed-size frequency estimation over unbounded key
@@ -107,4 +108,165 @@ object SketchOps {
       .join(broadcast(cms), Seq("r", "b"), "left")
       .groupBy(col(key))
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+
+  // ===== HyperLogLog (Flajolet, Fusy, Gandouet, Meunier, AofA 2007) ===
+
+  /** Register-index bits: m = 2^6 = 64 registers per group. */
+  val HllP = 6
+  val HllM = 64
+  /** Remainder bits of the 32-bit draw (32 − HllP). */
+  val HllW = 26
+  /** Rank when the remainder is all zeros: every one of its HllW bits
+    * leads with a zero, plus one — the HLL ρ convention.
+    */
+  val HllRankCap = HllW + 1
+  /** α₆₄·m²·2^HllRankCap·10⁶ with α₆₄ = 709/1000 (the published
+    * constant for m = 64): the whole micro-estimate numerator folded
+    * into ONE exact long (z is rescaled by 2^HllRankCap below), so
+    * `est_micro = HllEstNumerator div z` is pure 64-bit integer
+    * arithmetic — bit-identical on any engine.
+    */
+  val HllEstNumerator: Long = 709L * HllM * HllM * (1L << HllRankCap) * 1000L
+
+  /** The uniform 32-bit draw for a key — the [[cmsBucket]] /
+    * SampleOps.hashDraw md5 convention, 8 hex chars wide.
+    */
+  def hllDraw(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Register index: the draw's top HllP bits. */
+  def hllIdx(h: Column): Column = shiftright(h, HllW)
+
+  /** Register rank ρ: leading zeros of the HllW-bit remainder plus one,
+    * computed EXACTLY from the remainder's binary-string length — both
+    * engines' `bin()` render a positive integer without leading zeros,
+    * so ρ = HllW + 1 − len(bin(w)), capped at HllW + 1 when w = 0. No
+    * floating log anywhere.
+    */
+  def hllRank(h: Column): Column = {
+    val w = h.bitwiseAND(lit((1L << HllW) - 1))
+    when(w === 0, lit(HllRankCap))
+      .otherwise(lit(HllRankCap) - length(bin(w)))
+      .cast("long")
+  }
+
+  /** The HLL register table for `key` per group: (group…, idx,
+    * max_rank), at most [[HllM]] rows per group. `max` is algebraic, so
+    * partial aggregation combines map-side and the shuffle carries at
+    * most m rows per (group, partition) REGARDLESS of data volume — the
+    * registers ARE the mergeable sketch state (two registers tables for
+    * disjoint slices merge by the same groupBy/max), which is what makes
+    * this the 100 TB distinct-count shape: the corpus is scanned once
+    * and only fixed-size summaries move. NULL keys are not sketched
+    * (a null never hashes), matching [[cmsTable]].
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
+    val h = hllDraw(key)
+    df.filter(key.isNotNull)
+      .select(groupCols.map(col) ++ Seq(hllIdx(h).as("idx"), hllRank(h).as("rank")): _*)
+      .groupBy(groupCols.map(col) :+ col("idx"): _*)
+      .agg(max("rank").as("max_rank"))
+  }
+
+  /** The raw HLL estimate from a registers table, in exact integer
+    * micro-units: est_micro = [[HllEstNumerator]] div z where
+    * z = Σ_filled 2^(cap − M[j]) + (m − filled)·2^cap is the harmonic
+    * denominator rescaled by 2^cap into a long. Pure integer floor
+    * division — deterministic and engine-independent (no doubles, no
+    * small/large-range corrections: this is the raw estimator, which is
+    * the right regime for the ≥ m·5/2 cardinalities the sketch is for).
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_registers"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRankCap - max_rank)"))
+          .as("z_filled"))
+      .withColumn("z",
+        col("z_filled") + (lit(HllM) - col("n_registers")) * lit(1L << HllRankCap))
+      .withColumn("est_micro", expr(s"$HllEstNumerator div z"))
+      .drop("z_filled", "z")
+
+  // ===== KMV set algebra (Beyer, Haas, Reinwald, Sismanis, Gemulla,
+  // SIGMOD 2007): distinct / union / intersection / Jaccard estimates
+  // from two k-minimum-values synopses =====
+
+  /** Set-operation estimates for two value sets from their k-min
+    * synopses, next to the exact answers (one row):
+    *
+    *   - est_a / est_b: (k−1)/u_k per set;
+    *   - est_union: the same estimator over the k smallest of the
+    *     COMBINED synopsis — valid because the k smallest hashes of
+    *     A∪B are a subset of the union of the two k-min lists;
+    *   - rho: |L ∩ K_A ∩ K_B| for L = the union synopsis —
+    *     the Jaccard estimator ρ/k (est_jaccard_ppm, integer ppm);
+    *   - est_inter: ρ·est_union div k (inclusion via the Jaccard
+    *     route, the paper's unbiased composition).
+    *
+    * Everything after the per-set distinct is k-bounded: the synopses
+    * are ≤ k rows each, every join below broadcasts. The per-set
+    * distinct is the one corpus-sized shuffle — at 100 TB the bounded
+    * alternative is the [[graft.expressions.KmvDistinct]]
+    * TypedImperativeAggregate (a8), whose buffer carries only k digests
+    * per partition; this composable form exists because the set
+    * ALGEBRA needs the synopsis rows themselves, and it reuses the
+    * exact distinct the companion exact columns need anyway.
+    *
+    * Both inputs must have a single column `v`; groups with fewer than
+    * k distinct values are the caller's contract to avoid (they are
+    * exactly countable — the estimator's own paper's advice).
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "kmvSetOps requires k >= 2")
+    val tagged = a.select(lit("a").as("s"), col("v"))
+      .unionAll(b.select(lit("b").as("s"), col("v")))
+      .filter(col("v").isNotNull)
+    val dig = tagged.select(col("s"), md5(col("v").cast("string")).as("d")).distinct()
+    val w = Window.partitionBy("s").orderBy("d")
+    val kmin = dig
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+    // per-set k-th smallest → cardinality estimates
+    val perSet = kmin.groupBy("s")
+      .agg(max("d").as("u"), count(lit(1)).as("nk"))
+      .withColumn("u32", conv(substring(col("u"), 1, 8), 16, 10).cast("long"))
+      .withColumn("est", expr(s"${(k - 1).toLong * 4294967296L} div u32"))
+    val estA = perSet.filter(col("s") === "a").select(col("est").as("est_a"))
+    val estB = perSet.filter(col("s") === "b").select(col("est").as("est_b"))
+    // the union synopsis: k smallest DISTINCT digests across both lists
+    val uw = Window.orderBy("d")
+    val unionK = kmin.select("d").distinct()
+      .withColumn("r", row_number().over(uw))
+      .filter(col("r") <= k)
+    val estU = unionK
+      .agg(max("d").as("u"))
+      .withColumn("u32", conv(substring(col("u"), 1, 8), 16, 10).cast("long"))
+      .select(expr(s"${(k - 1).toLong * 4294967296L} div u32").as("est_union"))
+    // rho: union-synopsis members present in BOTH per-set synopses
+    val rho = unionK
+      .join(kmin.filter(col("s") === "a").select("d"), Seq("d"), "left_semi")
+      .join(kmin.filter(col("s") === "b").select("d"), Seq("d"), "left_semi")
+      .agg(count(lit(1)).as("rho"))
+    // exact companions from the same distinct-digest table
+    val exA = dig.filter(col("s") === "a").agg(count(lit(1)).as("exact_a"))
+    val exB = dig.filter(col("s") === "b").agg(count(lit(1)).as("exact_b"))
+    val exI = dig.filter(col("s") === "a").select("d")
+      .join(dig.filter(col("s") === "b").select("d"), Seq("d"), "left_semi")
+      .agg(count(lit(1)).as("exact_inter"))
+    estA.crossJoin(estB).crossJoin(estU).crossJoin(rho)
+      .crossJoin(exA).crossJoin(exB).crossJoin(exI)
+      .select(
+        lit(k.toLong).as("k"),
+        col("est_a"), col("exact_a"),
+        col("est_b"), col("exact_b"),
+        col("est_union"),
+        (col("exact_a") + col("exact_b") - col("exact_inter")).as("exact_union"),
+        col("rho"),
+        expr(s"rho * 1000000 div $k").as("est_jaccard_ppm"),
+        expr("exact_inter * 1000000 div (exact_a + exact_b - exact_inter)")
+          .as("exact_jaccard_ppm"),
+        expr(s"rho * est_union div $k").as("est_inter"),
+        col("exact_inter"))
+  }
 }

@@ -928,6 +928,24 @@ object CoreOracles {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
         |FROM events GROUP BY user_id HAVING count(*) >= 80""".stripMargin,
 
+    // correlated key-sample join-size estimate: same md5 16-bit draw on
+    // both sides, Σ c_o·c_l over surviving keys × 16, vs the real join.
+    "a17_join_card_est" ->
+      """WITH co AS (SELECT o_orderkey AS k, count(*) AS c FROM orders
+        |  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+        |    < 4096 GROUP BY 1),
+        |cl AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+        |  WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4))::BIGINT
+        |    < 4096 GROUP BY 1),
+        |e AS (SELECT CAST(sum(co.c * cl.c) * 16 AS BIGINT) AS est_rows
+        |  FROM co JOIN cl USING (k)),
+        |x AS (SELECT count(*) AS exact_rows FROM orders
+        |  JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT e.est_rows, x.exact_rows,
+        |  CAST(abs(e.est_rows - x.exact_rows) * 1000000 // x.exact_rows
+        |    AS BIGINT) AS err_ppm
+        |FROM e, x""".stripMargin,
+
     "w7_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_ok,

@@ -1312,6 +1312,36 @@ object CoreQueries {
       graft.ops.SketchOps.cmsHeavyHitters(
         table(s, dir, "events").select(col("user_id")), "user_id", 80L)),
 
+    // A17 — join-cardinality estimation by correlated key sampling (the
+    // optimizer-statistics primitive: predict |A⋈B| before paying the
+    // join). BOTH sides keep only keys whose md5 draw falls in 1/16 of
+    // the hash space — the SAME keys survive on both sides (correlated
+    // sampling: per-key contributions c_o·c_l are preserved exactly for
+    // sampled keys, the thing independent row sampling gets wrong) —
+    // then Σ c_o·c_l scales by 16. Scan-side filters (no index, no
+    // pre-pass), two small aggregations, one sampled-key join: cost is
+    // ~1/16 of the join it predicts, at any scale. The exact join rides
+    // along so the row reports its own relative error in integer ppm.
+    "a17_join_card_est" -> ((s, dir) => {
+      val p = 16L
+      val thr = graft.ops.SampleOps.HashSpace / p
+      def sampled(t: String, key: String) =
+        table(s, dir, t).filter(graft.ops.SampleOps.hashDraw(col(key)) < thr)
+      val co = sampled("orders", "o_orderkey")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("c_o"))
+      val cl = sampled("lineitem", "l_orderkey")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c_l"))
+      val est = co.join(cl, Seq("k"))
+        .agg((sum(col("c_o") * col("c_l")) * p).as("est_rows"))
+      val exact = table(s, dir, "orders").select(col("o_orderkey").as("k"))
+        .join(table(s, dir, "lineitem").select(col("l_orderkey").as("k")), Seq("k"))
+        .agg(count(lit(1)).as("exact_rows"))
+      est.crossJoin(exact)
+        .select(col("est_rows"), col("exact_rows"),
+          expr("abs(est_rows - exact_rows) * 1000000 div exact_rows")
+            .as("err_ppm"))
+    }),
+
     // W7 — positional window analytics: first/last/nth order per
     // customer over the full-partition frame (unbounded both ways — the
     // default running frame would make last_value ≡ current row).

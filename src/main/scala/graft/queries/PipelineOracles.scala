@@ -29,6 +29,25 @@ object PipelineOracles {
        |sh AS (SELECT DISTINCT doc_id, shingle FROM
        |  (SELECT doc_id, unnest($shingleExpr) AS shingle FROM t))""".stripMargin
 
+  /** Per-source shingle multiset → HLL register table (SketchOps
+    * constants: 32-bit md5 draw, top-HllP-bit index, rank =
+    * cap − len(bin(remainder)) with the all-zeros cap case).
+    */
+  private val hllRegCte: String = {
+    val w = graft.ops.SketchOps.HllW
+    val cap = graft.ops.SketchOps.HllRankCap
+    val mask = (1L << w) - 1
+    s"""st AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |ssh AS (SELECT source, unnest($shingleExpr) AS shingle FROM st),
+       |hh AS (SELECT source, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+       |  FROM ssh),
+       |hr AS (SELECT source, h >> $w AS idx,
+       |    CAST(CASE WHEN (h & $mask) = 0 THEN $cap
+       |      ELSE $cap - length(bin(h & $mask)) END AS BIGINT) AS rank FROM hh),
+       |regs AS (SELECT source, idx, max(rank) AS max_rank FROM hr
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** DSIR refit-and-score pipeline (mirrors DsirOps.featureBuckets /
     * fitCounts / logRatioMicro / scoreMicro): hashed unigram+bigram
     * buckets → one conditional count pass → dense log-ratio model in
@@ -1163,6 +1182,84 @@ object PipelineOracles {
         |  CAST(count(*) AS BIGINT) AS n_shared_grams
         |FROM g0 a JOIN g0 b ON a.gram = b.gram AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+
+    // SketchOps.hllRegisters replayed: 32-bit md5 draw, top-6-bit
+    // register index, rank from bin()-string length (exact — no
+    // floating log), max per (source, register).
+    "profile_hll_registers" ->
+      s"""WITH $hllRegCte
+         |SELECT source, idx, max_rank FROM regs""".stripMargin,
+
+    // registers → raw-HLL estimate in integer micro-units (the whole
+    // α·m²·2^cap·10⁶ numerator folded into one exact long, floor-div
+    // by the rescaled harmonic sum), joined to the exact distinct.
+    "profile_hll_shingles" -> {
+      val cap = graft.ops.SketchOps.HllRankCap
+      val m = graft.ops.SketchOps.HllM
+      val num = graft.ops.SketchOps.HllEstNumerator
+      s"""WITH $hllRegCte,
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_registers,
+         |    CAST(sum(CAST(1 AS BIGINT) << ($cap - max_rank)) AS BIGINT) AS zf
+         |  FROM regs GROUP BY 1),
+         |e AS (SELECT source, n_registers,
+         |    CAST($num // (zf + ($m - n_registers) * ${1L << cap}) AS BIGINT)
+         |      AS est_micro FROM g),
+         |x AS (SELECT source, CAST(count(DISTINCT shingle) AS BIGINT)
+         |    AS exact_distinct FROM ssh GROUP BY 1)
+         |SELECT e.source, e.n_registers, e.est_micro, x.exact_distinct,
+         |  CAST(abs(e.est_micro - x.exact_distinct * 1000000)
+         |    // x.exact_distinct AS BIGINT) AS err_ppm
+         |FROM e JOIN x USING (source)""".stripMargin
+    },
+
+    // SketchOps.kmvSetOps replayed: per-set 128-minimum md5 synopses,
+    // (k−1)·2³² floor-div the k-th smallest for cardinalities, the
+    // combined synopsis for the union, rho/k for Jaccard.
+    "profile_kmv_overlap" -> {
+      val k = PipelineQueries.KmvOverlapK
+      val kNum = (k - 1).toLong * 4294967296L
+      val sa = PipelineQueries.KmvSrcA
+      val sb = PipelineQueries.KmvSrcB
+      s"""WITH st AS (SELECT source, string_split(text, ' ') AS toks
+         |  FROM documents WHERE source IN ('$sa', '$sb')),
+         |ssh AS (SELECT source, unnest($shingleExpr) AS shingle FROM st),
+         |dig AS (SELECT DISTINCT
+         |    CASE WHEN source = '$sa' THEN 'a' ELSE 'b' END AS s,
+         |    md5(shingle) AS d FROM ssh),
+         |kmin AS (SELECT s, d FROM (SELECT s, d,
+         |    row_number() OVER (PARTITION BY s ORDER BY d) AS r FROM dig)
+         |  WHERE r <= $k),
+         |ps AS (SELECT s,
+         |    CAST($kNum // ('0x' || substr(max(d), 1, 8))::BIGINT AS BIGINT)
+         |      AS est FROM kmin GROUP BY 1),
+         |uk AS (SELECT d FROM (SELECT d,
+         |    row_number() OVER (ORDER BY d) AS r FROM
+         |    (SELECT DISTINCT d FROM kmin)) WHERE r <= $k),
+         |uu AS (SELECT
+         |    CAST($kNum // ('0x' || substr(max(d), 1, 8))::BIGINT AS BIGINT)
+         |      AS est_union FROM uk),
+         |rr AS (SELECT CAST(count(*) AS BIGINT) AS rho FROM uk
+         |  WHERE d IN (SELECT d FROM kmin WHERE s = 'a')
+         |    AND d IN (SELECT d FROM kmin WHERE s = 'b')),
+         |xa AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM dig WHERE s = 'a'),
+         |xb AS (SELECT CAST(count(*) AS BIGINT) AS exact_b FROM dig WHERE s = 'b'),
+         |xi AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM
+         |  (SELECT d FROM dig WHERE s = 'a') ia
+         |  WHERE d IN (SELECT d FROM dig WHERE s = 'b'))
+         |SELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT est FROM ps WHERE s = 'a') AS est_a, xa.exact_a,
+         |  (SELECT est FROM ps WHERE s = 'b') AS est_b, xb.exact_b,
+         |  uu.est_union,
+         |  CAST(xa.exact_a + xb.exact_b - xi.exact_inter AS BIGINT) AS exact_union,
+         |  rr.rho,
+         |  CAST(rr.rho * 1000000 // $k AS BIGINT) AS est_jaccard_ppm,
+         |  CAST(xi.exact_inter * 1000000
+         |    // (xa.exact_a + xb.exact_b - xi.exact_inter) AS BIGINT)
+         |    AS exact_jaccard_ppm,
+         |  CAST(rr.rho * uu.est_union // $k AS BIGINT) AS est_inter,
+         |  xi.exact_inter
+         |FROM uu, rr, xa, xb, xi""".stripMargin
+    },
 
     "text_vocab_stats" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w

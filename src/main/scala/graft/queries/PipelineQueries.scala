@@ -78,6 +78,10 @@ object PipelineQueries {
   val KnnK = 5
   /** k-anonymity release threshold. */
   val KAnonK = 10L
+  /** KMV set-overlap synopsis size and the two compared sources. */
+  val KmvOverlapK = 128
+  val KmvSrcA = "src0"
+  val KmvSrcB = "src1"
   /** distinct l-diversity threshold. */
   val LDiversityL = 5L
   /** Content-defined chunking: gram order and the cutpoint divisor
@@ -1874,6 +1878,51 @@ object PipelineQueries {
         .select(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
+    // per-source distinct-shingle HLL registers — the MERGEABLE sketch
+    // state for "how big will the MinHash index be per source" asked
+    // before building it. max is algebraic, so the shuffle carries at
+    // most 64 register partials per (source, partition) regardless of
+    // corpus size; two slices' registers merge by the same groupBy/max
+    // (SketchHllSpec proves merge ≡ whole).
+    "profile_hll_registers" -> ((s, dir) =>
+      SketchOps.hllRegisters(
+        table(s, dir, "documents")
+          .select(col("source"),
+            explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle")),
+        Seq("source"), col("shingle"))),
+
+    // the register table cashed in: raw-HLL estimate per source in exact
+    // integer micro-units next to the exact distinct count and the
+    // integer-ppm error — the accuracy data card for the sketch above.
+    // The exact column is the part a 100 TB run would DROP (that's the
+    // point of the sketch); it rides here so the error is measured, not
+    // asserted.
+    "profile_hll_shingles" -> ((s, dir) => {
+      val sh = table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle"))
+      val est = SketchOps.hllEstimate(
+        SketchOps.hllRegisters(sh, Seq("source"), col("shingle")), Seq("source"))
+      val exact = sh.groupBy("source")
+        .agg(countDistinct("shingle").as("exact_distinct"))
+      est.join(exact, Seq("source"))
+        .withColumn("err_ppm",
+          expr("abs(est_micro - exact_distinct * 1000000) div exact_distinct"))
+    }),
+
+    // KMV set algebra between two sources' shingle sets: estimated
+    // |A|, |B|, |A∪B|, Jaccard, |A∩B| from two 128-minimum-value
+    // synopses, each next to its exact companion — the sketch-level
+    // answer to "how much does source B overlap what source A already
+    // gave me" (crawl-dedup planning) with the estimator error
+    // measured in the same row. All integer arithmetic.
+    "profile_kmv_overlap" -> ((s, dir) => {
+      def shOf(src: String) = table(s, dir, "documents")
+        .filter(col("source") === src)
+        .select(explode(TextOps.shingles(TextOps.tokens(col("text")))).as("v"))
+      SketchOps.kmvSetOps(shOf(KmvSrcA), shOf(KmvSrcB), KmvOverlapK)
     }),
 
     // paraphrase mining — the dedup layer near-dup Jaccard CANNOT see:
