@@ -946,6 +946,16 @@ object CoreOracles {
         |    AS BIGINT) AS err_ppm
         |FROM e, x""".stripMargin,
 
+    // the skyline by definition: no other part weakly better on both
+    // dimensions and strictly better on one (DuckDB plans the
+    // inequality pair as an IEJoin — fine at oracle scale).
+    "w8_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part r
+        |WHERE NOT EXISTS (SELECT 1 FROM part o
+        |  WHERE o.p_retailprice >= r.p_retailprice AND o.p_size <= r.p_size
+        |    AND (o.p_retailprice > r.p_retailprice OR o.p_size < r.p_size))"""
+        .stripMargin,
+
     "w7_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_ok,

@@ -1342,6 +1342,14 @@ object CoreQueries {
             .as("err_ppm"))
     }),
 
+    // W8 — 2D skyline / Pareto frontier: parts not beaten on BOTH
+    // price (maximize) and size (minimize) — grid-pruned two-phase
+    // shape (SkylineOps), oracle = the strict-domination NOT EXISTS.
+    "w8_skyline" -> ((s, dir) =>
+      graft.ops.SkylineOps.skyline2(
+        table(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice", "p_size")),
+
     // W7 — positional window analytics: first/last/nth order per
     // customer over the full-partition frame (unbounded both ways — the
     // default running frame would make last_value ≡ current row).
