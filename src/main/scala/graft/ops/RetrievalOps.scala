@@ -427,6 +427,36 @@ object RetrievalOps {
           .as("ndcg"))
   }
 
+  /** Average precision per query, in exact integer micro-units — the
+    * metric [[rankingMetrics]] doesn't carry (MAP is the TREC headline
+    * number): AP = (1/R)·Σ_i prec@r_i over the hit ranks r_1 < r_2 < …,
+    * where prec@r_i = i/r_i and R = |relevant| (the exact list's size).
+    * Computed as Σ (i·10⁶ div r_i) div R — nested integer floor
+    * divisions, so the result replays bit-identically on any engine
+    * (the float form would hash-drift on association order). Queries
+    * with zero hits surface with ap_micro = 0, not silently dropped.
+    * Same bounded-list shapes as [[rankingMetrics]]: the approx side
+    * broadcasts, the per-query windows run over ≤ k rows.
+    */
+  def apMetric(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val rTotal = exact.groupBy("query_id").agg(count(lit(1)).as("r_total"))
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(
+        broadcast(approx.select(col("query_id"), col("neighbor_id"),
+          col("rank").as("rank_a"))),
+        Seq("query_id", "neighbor_id"))
+    val w = Window.partitionBy("query_id").orderBy("rank_a")
+    val perQuery = hits
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("term", expr("i * 1000000 div rank_a"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), sum("term").as("tsum"))
+    rTotal.join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(expr("tsum div r_total"), lit(0L)).as("ap_micro"))
+  }
+
   /** Passage-level BM25 (the long-document retrieval standard: score
     * fixed-width overlapping CHUNKS as the retrieval unit, return each
     * document by its BEST passage — BERT-era "MaxP" aggregation,

@@ -1261,6 +1261,123 @@ object PipelineOracles {
          |FROM uu, rr, xa, xb, xi""".stripMargin
     },
 
+    // RetrievalOps.apMetric over the lexical-vs-dense frames: the BM25
+    // batch ranking (tr) scored against the dense top-k truth (ex) as
+    // per-query average precision in nested integer floor divisions.
+    "ret_metrics_map" -> {
+      val k1 = RetrievalOps.DefaultK1
+      val b = RetrievalOps.DefaultB
+      val kk = PipelineQueries.HybridK
+      val k = PipelineQueries.IvfK
+      val vals = PipelineQueries.Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val qids = PipelineQueries.Bm25Queries.map(_._1).distinct.mkString(", ")
+      s"""WITH qt(query_id, term) AS (VALUES $vals),
+         |bl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bl),
+         |btf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM
+         |    (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |       unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+         |bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+         |bsc AS (SELECT qt.query_id, btf.doc_id,
+         |    CAST(round(ln((bst.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+         |      * (btf.tf * ($k1 + 1)) /
+         |      (btf.tf + $k1 * (1.0 - $b + $b * btf.dl / bst.avgdl)), 6)
+         |      AS DECIMAL(28,6)) AS term
+         |  FROM btf JOIN bdf USING (tok) JOIN qt ON qt.term = btf.tok, bst),
+         |bagg AS (SELECT query_id, doc_id,
+         |    CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) AS score
+         |  FROM bsc GROUP BY 1, 2),
+         |tr AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bagg) WHERE rank <= $kk),
+         |$normCte,
+         |dq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+         |  WHERE vec_id IN ($qids)),
+         |dsems AS (SELECT dq.query_id, n.vec_id AS neighbor_id,
+         |    list_dot_product(n.e, dq.qe) / (n.nrm * dq.qn) AS cos
+         |  FROM n JOIN dq ON n.vec_id <> dq.query_id),
+         |ex AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM dsems) WHERE rank <= $k),
+         |apj AS (SELECT ex.query_id, tr.rank AS rank_a
+         |  FROM ex JOIN tr USING (query_id, neighbor_id)),
+         |rt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS r_total
+         |  FROM ex GROUP BY 1),
+         |ti AS (SELECT query_id, rank_a,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank_a)
+         |      AS BIGINT) AS i FROM apj),
+         |ts AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(sum(i * 1000000 // rank_a) AS BIGINT) AS tsum
+         |  FROM ti GROUP BY 1)
+         |SELECT rt.query_id, coalesce(ts.n_hits, 0) AS n_hits,
+         |  CAST(coalesce(ts.tsum // rt.r_total, 0) AS BIGINT) AS ap_micro
+         |FROM rt LEFT JOIN ts USING (query_id)""".stripMargin
+    },
+
+    // GraphOps.linkPrediction replayed: the same thresholded cosine
+    // edge list as graph_triangles, wedge pairs through the center
+    // node, NOT EXISTS against the edges, Jaccard in integer ppm,
+    // deterministic top-50.
+    "graph_linkpred" -> {
+      val kk = PipelineQueries.LinkPredK
+      s"""WITH $normCte,
+         |e0 AS (SELECT a.vec_id AS u, b.vec_id AS v
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |adjacency AS (SELECT u AS nn, v AS nbr FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |deg AS (SELECT nn, count(*) AS d FROM adjacency GROUP BY 1),
+         |cn AS (SELECT a1.nbr AS u, a2.nbr AS v, CAST(count(*) AS BIGINT) AS cn
+         |  FROM adjacency a1 JOIN adjacency a2
+         |    ON a1.nn = a2.nn AND a1.nbr < a2.nbr
+         |  GROUP BY 1, 2),
+         |nc AS (SELECT cn.u, cn.v, cn.cn FROM cn
+         |  WHERE NOT EXISTS (SELECT 1 FROM e0
+         |    WHERE e0.u = cn.u AND e0.v = cn.v))
+         |SELECT nc.u, nc.v, nc.cn,
+         |  CAST(nc.cn * 1000000 // (du.d + dv.d - nc.cn) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM nc JOIN deg du ON du.nn = nc.u JOIN deg dv ON dv.nn = nc.v
+         |ORDER BY nc.cn DESC, jaccard_ppm DESC, nc.u, nc.v LIMIT $kk"""
+        .stripMargin
+    },
+
+    // the cluster flood joined to documents; canonical = longest text,
+    // smallest doc_id — replayed with an explicit deterministic window.
+    "dedup_survivorship" ->
+      s"""WITH RECURSIVE $bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+         |),
+         |cl AS (SELECT doc_id, min(root) AS cluster_id FROM reach
+         |  GROUP BY doc_id),
+         |j AS (SELECT cl.cluster_id, d.doc_id, d.n_chars
+         |  FROM cl JOIN documents d USING (doc_id)),
+         |rk AS (SELECT cluster_id, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS rk FROM j),
+         |a AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM j GROUP BY 1)
+         |SELECT a.cluster_id, rk.doc_id AS canonical_doc,
+         |  rk.n_chars AS canonical_chars, a.n_members
+         |FROM a JOIN rk ON rk.cluster_id = a.cluster_id AND rk.rk = 1"""
+        .stripMargin,
+
     "text_vocab_stats" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
         |  FROM documents)

@@ -82,6 +82,8 @@ object PipelineQueries {
   val KmvOverlapK = 128
   val KmvSrcA = "src0"
   val KmvSrcB = "src1"
+  /** Link-prediction candidates returned. */
+  val LinkPredK = 50
   /** distinct l-diversity threshold. */
   val LDiversityL = 5L
   /** Content-defined chunking: gram order and the cutpoint divisor
@@ -464,6 +466,30 @@ object PipelineQueries {
       RetrievalOps.rankingMetrics(exact, approx)
     }),
 
+    // the TREC headline metric over the same frames: per-query average
+    // precision of the BM25 ranking against the dense ground truth, in
+    // exact integer micro-units (nested floor divisions — no float
+    // association-order drift). Complements recall/MRR/nDCG above.
+    "ret_metrics_map" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qids = Bm25Queries.map(_._1).distinct
+      val exact = SimilarityOps.bruteTopK(
+        corpus, corpus.filter(col("vec_id").isin(qids: _*)), IvfK)
+      val approx = bm25MultiCached(s, dir)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+      RetrievalOps.apMetric(exact, approx)
+    }),
+
+    // common-neighbor link prediction over the cosine near-dup graph:
+    // which non-adjacent doc pairs share the most dup-neighbors — the
+    // graph-completion answer to "these two docs are probably dups the
+    // threshold missed" (a recall repair for the LSH layer), top-50 by
+    // shared count then neighborhood Jaccard.
+    "graph_linkpred" -> ((s, dir) =>
+      GraphOps.linkPrediction(
+        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        "vec_a", "vec_b", LinkPredK)),
+
     // batched hybrid search end to end: the multi-query BM25 batch and
     // the dense top-k batch for the same query ids, fused per query by
     // reciprocal rank — the full serving pipeline (two one-pass batch
@@ -663,6 +689,26 @@ object PipelineQueries {
           sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_duped"))
         .select(col("source"), col("n_docs"), col("n_duped"),
           expr("(n_duped * 1000000) div n_docs").as("dup_ppm"))
+    }),
+
+    // survivorship: the keep-THIS-one decision per duplicate cluster —
+    // canonical record = longest text, ties to the smallest doc_id (a
+    // deterministic, defensible curation rule). One aggregation over
+    // the shared cluster labels via the max-struct trick (no window,
+    // no second shuffle): max(struct(n_chars, −doc_id)) picks the
+    // canonical atomically with the member count.
+    "dedup_survivorship" -> ((s, dir) => {
+      val clusters = DedupOps.duplicateClusters(
+        table(s, dir, "documents").select("doc_id"),
+        DedupOps.candidatePairs(dedupBands(s, dir)).cache())
+      clusters
+        .join(table(s, dir, "documents").select("doc_id", "n_chars"),
+          Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("c"))
+        .select(col("cluster_id"), (-col("c.neg")).as("canonical_doc"),
+          col("c.n_chars").as("canonical_chars"), col("n_members"))
     }),
 
     // the duplication report a curation run actually reads: how many

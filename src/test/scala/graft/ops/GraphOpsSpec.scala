@@ -140,4 +140,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(bfs(tri, Seq(1L, 99L), 5) ==
       Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 99L -> 0L))
   }
+
+  test("linkPrediction: common neighbors, non-adjacent only, exact jaccard") {
+    // star: hub 1 - {2,3,4}; plus 2-3 edge. Non-adjacent distance-2
+    // pairs: (2,4) cn=1 via 1, (3,4) cn=1 via 1. Pair (2,3) is adjacent
+    // (excluded) despite sharing neighbor 1.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+      .toDF("a", "b")
+    val got = GraphOps.linkPrediction(edges, "a", "b", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // deg: 1->3, 2->2, 3->2, 4->1. (2,4): 1/(2+1-1)=0.5; (3,4): same.
+    assert(got.toSet == Set((2L, 4L, 1L, 500000L), (3L, 4L, 1L, 500000L)))
+  }
+
+  test("linkPrediction: top-k order is (cn, jaccard, u, v) and self/dups ignored") {
+    // K4 minus edge (3,4): (3,4) has cn=2 (via 1 and 2)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 3L), (4L, 3L)) // self-loop dropped; (4,3) duplicate of nothing -> adjacent
+      .toDF("a", "b")
+    val got = GraphOps.linkPrediction(edges, "a", "b", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (3,4) IS adjacent here via (4,3) -> no candidates at all
+    assert(got.isEmpty)
+    val edges2 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val got2 = GraphOps.linkPrediction(edges2, "a", "b", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only candidate: (3,4) cn=2, deg3=deg4=2 -> 2/(2+2-2)=1.0
+    assert(got2.toSeq == Seq((3L, 4L, 2L, 1000000L)))
+  }
 }

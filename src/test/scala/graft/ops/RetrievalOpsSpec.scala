@@ -220,4 +220,25 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val s = RetrievalOps.bm25PassageTopK(short, Seq("q"), 4, 2, 5).collect()
     assert(s.length == 1 && s.head.getLong(3) == 1L)
   }
+
+  test("apMetric: hand-computed AP in exact micro-units, zero-hit queries kept") {
+    // query 1: relevant {10,11,12}; approx ranks: 10->1, 11->3 (12 missed)
+    //   AP = (1/3)(1/1 + 2/3); micro terms: 1000000 + 666666 -> sum div 3 = 555555
+    // query 2: relevant {20}; no hits -> ap 0, n_hits 0
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (2L, 20L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L), (2L, 21L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val rows = RetrievalOps.apMetric(exact, approx)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((2L, 555555L)))
+    assert(rows(2L) == ((0L, 0L)))
+  }
+
+  test("apMetric: perfect ranking gives ap_micro = 1000000") {
+    val exact = Seq((5L, 1L, 1L), (5L, 2L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((5L, 1L, 1L), (5L, 2L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val r = RetrievalOps.apMetric(exact, approx).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1000000L)
+  }
 }
