@@ -240,4 +240,28 @@ object ProfileOps {
           .otherwise(floor(num / den * lit(1000000.0)).cast("long"))
           .as("zipf_slope_micro"))
   }
+
+  /** Order- and partitioning-invariant dataset fingerprint per group:
+    * Σ over rows of the 48-bit md5 slice of the '|'-joined canonical
+    * row string, mod 2^48. The sum is DECIMAL (exact at any row
+    * count), so two runs over the same rows agree regardless of
+    * ordering, layout, or cluster size — and any single changed field
+    * changes the checksum with md5 strength. One map-side-combined
+    * aggregation, zero joins: the dataset-versioning primitive that
+    * costs one scan at any scale.
+    */
+  val ChecksumMod = 1L << 48
+
+  def datasetChecksum(
+      df: DataFrame,
+      groupCol: String,
+      reprCols: Seq[String]): DataFrame = {
+    val rowRepr = concat_ws("|", reprCols.map(col): _*)
+    val h = conv(substring(md5(rowRepr), 1, 12), 16, 10).cast("long")
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(h.cast("decimal(38,0)")).as("s"))
+      .select(col(groupCol), col("n_rows"),
+        expr(s"CAST(pmod(s, $ChecksumMod) AS BIGINT)").as("checksum"))
+  }
 }

@@ -1350,6 +1350,28 @@ object PipelineOracles {
         .stripMargin
     },
 
+    // the global size rank replayed with a plain window, dealt mod k.
+    "mix_shard_balance" -> {
+      val k = PipelineQueries.ShardBalanceK
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |  FROM documents),
+         |r AS (SELECT doc_id, tok,
+         |    row_number() OVER (ORDER BY tok DESC, doc_id) AS rn FROM d)
+         |SELECT CAST((rn - 1) % $k AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS tok_sum
+         |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // the row-hash sum mod 2^48, same canonical '|'-joined row string.
+    "profile_checksum" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || lang
+         |      || '|' || n_chars::VARCHAR || '|' || text), 1, 12))::BIGINT)
+         |    % ${graft.ops.ProfileOps.ChecksumMod} AS BIGINT) AS checksum
+         |FROM documents GROUP BY 1""".stripMargin,
+
     // the cluster flood joined to documents; canonical = longest text,
     // smallest doc_id — replayed with an explicit deterministic window.
     "dedup_survivorship" ->

@@ -84,6 +84,8 @@ object PipelineQueries {
   val KmvSrcB = "src1"
   /** Link-prediction candidates returned. */
   val LinkPredK = 50
+  /** Balanced-shard deal width. */
+  val ShardBalanceK = 8
   /** distinct l-diversity threshold. */
   val LDiversityL = 5L
   /** Content-defined chunking: gram order and the cutpoint divisor
@@ -2313,6 +2315,32 @@ object PipelineQueries {
         .cache()
       PrefixOps.globalRowNumber(keyed, "ck", Seq("doc_id"), "pos")
         .select(col("doc_id"), col("lang"), col("tercile"), col("pos"))
-    })
+    }),
+
+    // size-balanced shard assignment: docs ranked globally by token
+    // count (desc, id tiebreak) through the two-phase binned rank (no
+    // global sort), dealt round-robin into ShardBalanceK shards — the
+    // deterministic LPT-style deal that keeps per-shard token budgets
+    // near-equal so no trainer shard finishes early. Per-shard doc and
+    // token totals are the output data card.
+    "mix_shard_balance" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("tok"))
+        .withColumn("neg", -col("tok"))
+      PrefixOps.globalRowNumber(docs, "neg", Seq("doc_id"), "pos")
+        .withColumn("shard", pmod(col("pos") - 1, lit(ShardBalanceK.toLong)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"))
+    }),
+
+    // order- and partitioning-invariant dataset fingerprint per source:
+    // Σ over rows of a 48-bit md5 slice of the canonical row string,
+    // mod 2^48 (DECIMAL sum — exact at any row count). The
+    // dataset-versioning primitive: two ingest runs disagree on ANY
+    // row field → different checksum; equal data in any order/layout →
+    // equal checksum. One map-side-combined aggregation, zero joins.
+    "profile_checksum" -> ((s, dir) =>
+      ProfileOps.datasetChecksum(table(s, dir, "documents"), "source",
+        Seq("doc_id", "lang", "n_chars", "text")))
   )
 }

@@ -223,4 +223,25 @@ class ChangeProfileSpec extends AnyFunSuite {
     assert(math.abs(out("s1")._2 + 1000000L) < 2000L, out("s1").toString)
     assert(out("s2")._2 < out("s1")._2, "steeper decay → more negative slope")
   }
+
+  test("datasetChecksum: order/partition invariant, any field change detected") {
+    val rows = (1L to 200L).map(i => (i, s"g${i % 3}", s"payload-$i"))
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      ProfileOps.datasetChecksum(df, "g", Seq("id", "g", "pay"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val base = sum(rows.toDF("id", "g", "pay"))
+    val shuffled = sum(rows.reverse.toDF("id", "g", "pay").repartition(7))
+    assert(base == shuffled, "checksum must not depend on order or layout")
+    // flip one character in one row: only that row's group moves
+    val tweaked = sum(rows.map { case (i, g, p) =>
+      (i, g, if (i == 57L) p + "!" else p)
+    }.toDF("id", "g", "pay"))
+    val changedGroup = "g" + (57L % 3)
+    assert(tweaked(changedGroup) != base(changedGroup))
+    assert(tweaked.filter(_._1 != changedGroup) ==
+      base.filter(_._1 != changedGroup))
+    // checksums stay inside the 48-bit modulus
+    assert(base.values.forall { case (_, c) =>
+      c >= 0L && c < ProfileOps.ChecksumMod })
+  }
 }
