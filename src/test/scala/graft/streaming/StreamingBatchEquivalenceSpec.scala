@@ -546,4 +546,46 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
       assert(fin == batch)
     } finally q.stop()
   }
+
+  test("StreamingHll register maintenance ≡ batch profile_hll_registers (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("profile_hll_registers")(spark, SfDir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("idx")) ->
+        r.getAs[Long]("max_rank"))
+      .toMap
+
+    // the same per-source shingle multiset, arrival order scrambled:
+    // register max is commutative/idempotent, so no order contract
+    val shingles = graft.etl.Ingest.table(spark, SfDir, "documents")
+      .select(col("source"), explode(
+        graft.ops.TextOps.shingles(
+          graft.ops.TextOps.tokens(col("text")))).as("shingle"))
+      .collect()
+      .map(r => StreamingHll.KeyEvent(
+        r.getAs[String]("source"), r.getAs[String]("shingle")))
+      .toSeq
+      .sortBy(e => e.key.hashCode % 11)
+
+    val input = MemoryStream[StreamingHll.KeyEvent]
+    val q = StreamingHll.registerStream(input.toDS())
+      .writeStream.format("memory").queryName("equiv_hll")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      chunks(shingles).foreach { c => input.addData(c); q.processAllAvailable() }
+      // update mode emits every revision; the register is monotone, so
+      // the max per (group, idx) is the final state
+      val fin = spark.table("equiv_hll")
+        .groupBy("group", "idx").agg(max("max_rank").as("max_rank"))
+        .collect()
+        .map(r => (r.getAs[String]("group"), r.getAs[Long]("idx")) ->
+          r.getAs[Long]("max_rank"))
+        .toMap
+      assert(fin == batch,
+        s"${fin.size} streaming registers vs ${batch.size} batch registers")
+    } finally q.stop()
+  }
 }
