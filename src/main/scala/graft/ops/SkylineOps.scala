@@ -15,21 +15,20 @@ import org.apache.spark.sql.functions._
   * 100 TB. This is the two-phase grid shape instead (the w6/exactKth
   * pattern):
   *
-  *   1. one pass: value range of the max-col (1-row broadcast);
+  *   1. one pass: value range of the max-col (a 2-double driver pull —
+  *      the approxQuantile class of bounded action — so the bin
+  *      expression is a plan literal, never a replanned 1-row agg);
   *   2. fixed-width bins on the max-col; per-bin min of the min-col —
   *      a bounded aggregation (≤ nBins rows), whose EXCLUSIVE prefix
   *      min over strictly-higher bins is the only single-partition
   *      window (over the bin SUMMARY, never the data);
   *   3. grid prune: a row beaten by a strictly-higher bin's min is
   *      dominated (bin boundaries are price-strict by construction:
-  *      equal max-col values always share a bin). Survivors hug the
-  *      frontier — a tiny fraction of the data;
-  *   4. exact within-bin resolution among survivors only, partitioned
-  *      BY BIN (distributed): per (bin, value) group mins, exclusive
-  *      running min over higher same-bin values. In-bin dominators of
-  *      a survivor are themselves survivors (their min-col is ≤ the
-  *      survivor's, so they pass the same prune), so resolving among
-  *      survivors loses nothing.
+  *      equal max-col values always share a bin);
+  *   4. exact within-bin resolution, partitioned BY BIN (distributed):
+  *      per (bin, value) group mins, exclusive running min over higher
+  *      same-bin values — the window runs over the group SUMMARY of
+  *      each bin, and both predicates apply in one final filter.
   *
   * Domination semantics at ties: duplicate (max, min) points do NOT
   * dominate each other — all copies surface (matching the strict
@@ -45,30 +44,33 @@ object SkylineOps {
       nBins: Int = 32): DataFrame = {
     val x = col(maxCol).cast("double")
     val in = df.filter(col(maxCol).isNotNull && col(minCol).isNotNull)
-    val stats = in.agg(min(x).as("__lo"), max(x).as("__hi"))
-    val width = (col("__hi") - col("__lo")) / nBins
-    val binned = in.crossJoin(broadcast(stats))
-      .withColumn("__bin",
-        when(col("__hi") === col("__lo"), lit(0L))
-          .otherwise(least(floor((x - col("__lo")) / width), lit((nBins - 1).toLong))))
-      .drop("__lo", "__hi")
+    // bounded driver pull (2 doubles — the globalCumsum/approxQuantile
+    // class of action): bin boundaries as plan literals keep the 1-row
+    // stats aggregate from being replanned into every branch below
+    val statsRow = in.agg(min(x), max(x)).collect().head
+    if (statsRow.isNullAt(0)) return in
+    val (lo, hi) = (statsRow.getDouble(0), statsRow.getDouble(1))
+    val binExpr =
+      if (hi == lo) lit(0L)
+      else least(floor((x - lit(lo)) / lit((hi - lo) / nBins)),
+        lit((nBins - 1).toLong))
+    val binned = in.withColumn("__bin", binExpr)
     val wBins = Window.orderBy(col("__bin").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val prune = binned.groupBy("__bin").agg(min(col(minCol)).as("__bm"))
       .withColumn("__pm", min(col("__bm")).over(wBins))
       .select("__bin", "__pm")
-    val surv = binned.join(broadcast(prune), Seq("__bin"))
-      .filter(col("__pm").isNull || col(minCol) < col("__pm"))
-      .drop("__pm")
     val wIn = Window.partitionBy("__b2").orderBy(col("__x2").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val grp = surv.groupBy(col("__bin").as("__b2"), x.as("__x2"))
+    val grp = binned.groupBy(col("__bin").as("__b2"), x.as("__x2"))
       .agg(min(col(minCol)).as("__gm"))
       .withColumn("__cm", min(col("__gm")).over(wIn))
-    surv
+    binned
+      .join(broadcast(prune), Seq("__bin"))
       .join(grp, col("__bin") === col("__b2") && x === col("__x2"))
-      .filter((col("__cm").isNull || col(minCol) < col("__cm")) &&
+      .filter((col("__pm").isNull || col(minCol) < col("__pm")) &&
+        (col("__cm").isNull || col(minCol) < col("__cm")) &&
         col(minCol) === col("__gm"))
-      .drop("__bin", "__b2", "__x2", "__gm", "__cm")
+      .drop("__bin", "__b2", "__x2", "__pm", "__gm", "__cm")
   }
 }

@@ -460,4 +460,60 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.take(30).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("w8_skyline: single-partition only for the bin summary, phase 2 by bin") {
+    val p = plan("w8_skyline")
+    // the exclusive prefix-min over <=nBins rows is the ONE
+    // SinglePartition stage; the within-bin resolution window and the
+    // survivor join are partitioned by bin — never a global data sort
+    assert(countOf(p, "Arguments: SinglePartition") == 1,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("hashpartitioning(__b2"),
+      "phase-2 window must distribute by bin")
+    assert(!p.contains("rangepartitioning"))
+  }
+
+  test("profile_hll_registers: one scan, one shuffle, zero joins") {
+    val p = plan("profile_hll_registers")
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1,
+      "register build is one partial-aggregated shuffle")
+    assert(!p.contains("Join"))
+  }
+
+  test("profile_checksum: one scan, one shuffle, zero joins") {
+    val p = plan("profile_checksum")
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 1)
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("Join"))
+  }
+
+  test("mix_shard_balance: the only single-partition stage is the bin summary") {
+    val p = plan("mix_shard_balance")
+    assert(countOf(p, "Arguments: SinglePartition") == 1,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(countOf(p, "hashpartitioning\\(__bin") >= 2,
+      "bin offsets and the data window both partition on __bin")
+    assert(!p.contains("rangepartitioning"))
+  }
+
+  test("graph_linkpred: top-k via TakeOrderedAndProject, degree dims broadcast") {
+    val p = plan("graph_linkpred")
+    assert(p.contains("TakeOrderedAndProject"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(countOf(p, "\\(\\d+\\) BroadcastHashJoin") >= 2,
+      "both degree joins ride broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("a17_join_card_est: the sampled estimate reads each table once per role") {
+    val p = plan("a17_join_card_est")
+    // orders+lineitem each scanned twice (sampled estimate + exact
+    // companion) and nothing more — the estimator itself adds no pass
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 4,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
