@@ -169,4 +169,73 @@ object TimeSeriesOps {
         when(abs(col("z_micro")) >= zThresholdMicro, 1L).otherwise(0L)
           .as("is_anomaly"))
   }
+
+  /** Per-key Holt linear (double-exponential) smoothing, α = β = 1/2 —
+    * the trend-aware extension of [[emaSmooth]]: two recursive states,
+    *
+    *   l_t = ½·v_t·10⁶ + ½·(l_{t−1} + b_{t−1})   (level)
+    *   b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1}       (trend)
+    *
+    * initialized l₀ = v₀·10⁶, b₀ = 0 (the zero-trend start — no
+    * lookahead, documented). A window frame cannot express either
+    * state (both depend on the previous SMOOTHED values), so this is
+    * the same one-shuffle per-key fold as emaSmooth with a two-field
+    * accumulator, hot-key guarded the same way. The one-step-ahead
+    * forecast is l + b by definition — derivable from the output, not
+    * materialized.
+    *
+    * Numeric contract: states are scale-0 micro longs, every step
+    * rounds the same double expression in the same operation order as
+    * the oracle's recursive CTE — engine-exact.
+    *
+    * Returns (key, seq, level_micro, trend_micro) for every input row.
+    */
+  def holtSmooth(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      valCol: String,
+      maxEventsPerKey: Long = SessionOps.DefaultMaxEventsPerKey
+  ): DataFrame = {
+    val sorted = sort_array(collect_list(
+      struct(col(tsCol).as("t"), col(seqCol).as("q"), col(valCol).as("v"))))
+    val acc0 = struct(
+      array().cast("array<struct<l:bigint,b:bigint>>").as("outs"),
+      lit(0L).as("lvl"),
+      lit(0L).as("trd"),
+      lit(false).as("started"))
+    val fold = (acc: Column, x: Column) => {
+      val lvl = when(!acc.getField("started"),
+        round(x.getField("v") * lit(1000000.0)))
+        .otherwise(round(lit(0.5) * x.getField("v") * lit(1000000.0) +
+          lit(0.5) * (acc.getField("lvl") + acc.getField("trd")).cast("double")))
+        .cast("long")
+      val trd = when(!acc.getField("started"), lit(0L))
+        .otherwise(round(
+          lit(0.5) * (lvl - acc.getField("lvl")).cast("double") +
+            lit(0.5) * acc.getField("trd").cast("double")))
+        .cast("long")
+      struct(
+        concat(acc.getField("outs"),
+          array(struct(lvl.as("l"), trd.as("b")))).as("outs"),
+        lvl.as("lvl"),
+        trd.as("trd"),
+        lit(true).as("started"))
+    }
+    events
+      .groupBy(col(keyCol))
+      .agg(sorted.as("evs"), count(lit(1)).as("n"))
+      .select(col(keyCol),
+        SessionOps.hotKeyGuarded(
+          zip_with(
+            transform(col("evs"), e => e.getField("q")),
+            aggregate(col("evs"), acc0, fold).getField("outs"),
+            (a, b) => struct(a.as("q"),
+              b.getField("l").as("l"), b.getField("b").as("b"))),
+          col("n"), col(keyCol), maxEventsPerKey, "holtSmooth").as("z"))
+      .select(col(keyCol), explode(col("z")).as("p"))
+      .select(col(keyCol), col("p.q").as(seqCol),
+        col("p.l").as("level_micro"), col("p.b").as("trend_micro"))
+  }
 }

@@ -3449,6 +3449,30 @@ object PipelineOracles {
         |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         |SELECT user_id, event_id, ema AS ema_micro FROM r""".stripMargin,
 
+    // the Holt two-state recursion replayed: the new level expression
+    // repeats inside the trend update (a recursive CTE can't name an
+    // intermediate), same double ops in the same order.
+    "ts_holt" ->
+      """WITH RECURSIVE b AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS lvl,
+        |    CAST(0 AS BIGINT) AS trd
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    CAST(round(0.5 * b.value * 1000000.0
+        |      + 0.5 * (r.lvl + r.trd)) AS BIGINT),
+        |    CAST(round(0.5 * (CAST(round(0.5 * b.value * 1000000.0
+        |        + 0.5 * (r.lvl + r.trd)) AS BIGINT) - r.lvl)
+        |      + 0.5 * r.trd) AS BIGINT)
+        |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, lvl AS level_micro, trd AS trend_micro
+        |FROM r""".stripMargin,
+
     // the rolling-window replay: same trailing frame, exact decimal
     // sums, the identical double z expression and micro round.
     "ts_anomaly" ->

@@ -2167,6 +2167,16 @@ object PipelineQueries {
           unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
         "user_id", "ts_us", "event_id", "value")),
 
+    // Holt linear smoothing — level + trend states per key: the
+    // trend-aware baseline ts_ema can't give (an EMA always lags a
+    // ramp; Holt's forecast l+b tracks it). Same one-shuffle fold,
+    // two-field accumulator, engine-exact micro arithmetic.
+    "ts_holt" -> ((s, dir) =>
+      TimeSeriesOps.holtSmooth(
+        table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value")),
+
     // per-key rolling z-score anomaly detection over a trailing window
     // of 20 prior observations — the frame-expressible companion to
     // ts_ema's recursion: one shuffle, window sums (exact decimals),

@@ -69,4 +69,43 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("emaSmooth") && e.getMessage.contains("9"),
       e.getMessage)
   }
+
+  test("holtSmooth equals the plain-Scala two-state fold; trend tracks a ramp") {
+    import spark.implicits._
+    // Spark/DuckDB round() is half AWAY FROM ZERO (math.round is
+    // floor(x+0.5), which disagrees at negative halves)
+    def r(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    def replay(vs: Seq[Double]): Seq[(Long, Long)] = {
+      var lvl = 0L; var trd = 0L; var started = false
+      vs.map { v =>
+        if (!started) { lvl = r(v * 1e6); trd = 0L; started = true }
+        else {
+          val nl = r(0.5 * v * 1e6 + 0.5 * (lvl + trd).toDouble)
+          trd = r(0.5 * (nl - lvl).toDouble + 0.5 * trd.toDouble)
+          lvl = nl
+        }
+        (lvl, trd)
+      }
+    }
+    val vs = Seq(3.0, 7.5, 2.25, 9.0, 4.125, 8.0, 1.0, 6.5)
+    val ev = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+      .toDF("k", "ts", "seq", "v")
+    val got = TimeSeriesOps.holtSmooth(ev, "k", "ts", "seq", "v")
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got == replay(vs))
+    // on a pure ramp v_t = t the trend converges toward the slope (1e6)
+    // and the one-step forecast l+b approaches the next value
+    val ramp = (0 until 40).map(_.toDouble)
+    val rampEv = ramp.zipWithIndex.map { case (v, i) => (2L, i.toLong, i.toLong, v) }
+      .toDF("k", "ts", "seq", "v")
+    val last = TimeSeriesOps.holtSmooth(rampEv, "k", "ts", "seq", "v")
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).last
+    val (lvl39, trd39) = last._2
+    assert(math.abs(trd39 - 1000000L) < 20000L, s"trend $trd39 far from slope")
+    assert(math.abs((lvl39 + trd39) - 40L * 1000000L) < 40000L,
+      s"forecast ${lvl39 + trd39} far from 40e6")
+  }
 }
