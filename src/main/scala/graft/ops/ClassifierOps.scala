@@ -223,4 +223,87 @@ object ClassifierOps {
         Seq("query_id"))
       .groupBy("label", "label_pred").agg(count(lit(1)).as("n"))
   }
+
+  /** Split-conformal calibration + evaluation (Vovk et al.; the
+    * Angelopoulos-Bates recipe) over the nearest-prototype
+    * nonconformity score: s(x, y) = round(|x|² + |c_y|² − 2·x·c_y, 6)
+    * — the full squared distance from x to label y's prototype (the
+    * oodDistance functional against a FIXED label).
+    *
+    *   1. a deterministic hash split carves the calibration set;
+    *   2. q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score
+    *      s(x_i, y_i) (true-label scores), clamped to n — the exact
+    *      finite-sample threshold, found by rank selection;
+    *   3. every TEST point's prediction set is {y : s(x, y) ≤ q̂};
+    *      the output row reports empirical coverage (P[true label in
+    *      set] ≥ 1−α is the conformal guarantee) and mean set size
+    *      (the efficiency number that makes the guarantee non-vacuous).
+    *
+    * Shape at scale: prototypes ride as literals, both score columns
+    * are scan-side maps; the one corpus-ordered structure is the
+    * calibration rank selection (a window at test scale — the
+    * PrefixOps.exactKth two-phase selection is the drop-in at 100 TB,
+    * same contract). Everything downstream of the 1-row q̂ broadcast is
+    * a single aggregation.
+    *
+    * Returns ONE row: (n_cal, qhat_micro, n_test, n_covered,
+    * coverage_ppm, avg_set_micro) — integer/micro surface throughout.
+    * An EMPTY calibration split yields zero rows (no q̂ exists — the
+    * caller's split fraction must land at least one point).
+    */
+  def conformalEval(
+      emb: DataFrame,
+      protos: Seq[(Long, Array[Double])],
+      calFrac: Double = 0.5,
+      alphaNum: Int = 1,
+      alphaDen: Int = 10,
+      roundDp: Int = 6): DataFrame = {
+    require(protos.nonEmpty, "conformalEval needs trained prototypes")
+    import org.apache.spark.sql.expressions.Window
+    def sqn(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    def d2(c: Array[Double]): Column =
+      round(SimilarityOps.dot(col("embedding"), col("embedding")) +
+        lit(sqn(c)) -
+        lit(2.0) * SimilarityOps.dot(col("embedding"), typedlit(c.toSeq)),
+        roundDp)
+    val trueScore = protos.tail
+      .foldLeft(when(col("label") === protos.head._1, d2(protos.head._2))) {
+        case (acc, (id, c)) => acc.when(col("label") === id, d2(c))
+      }
+    val thr = (calFrac * SampleOps.HashSpace).toLong
+    val base = emb
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        trueScore.as("s_true"),
+        array(protos.map(p => d2(p._2)): _*).as("s_all"),
+        (SampleOps.hashDraw(col("vec_id")) < thr).as("is_cal"))
+      .cache()
+    val nCal = base.filter(col("is_cal")).agg(count(lit(1)).as("n_cal"))
+    val w = Window.orderBy(col("s_true"), col("vec_id"))
+    val qhat = base.filter(col("is_cal"))
+      .select(col("s_true"), col("vec_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(nCal))
+      .filter(col("rk") ===
+        least(expr(s"((n_cal + 1) * ($alphaDen - $alphaNum) + $alphaDen - 1)" +
+          s" div $alphaDen"), col("n_cal")))
+      .select(col("s_true").as("qhat"), col("n_cal"))
+    base.filter(!col("is_cal"))
+      .crossJoin(broadcast(qhat))
+      .select(col("n_cal"), col("qhat"),
+        when(col("s_true") <= col("qhat"), 1L).otherwise(0L).as("cov"),
+        size(filter(col("s_all"), v => v <= col("qhat"))).cast("long")
+          .as("ss"))
+      .groupBy("n_cal", "qhat")
+      .agg(count(lit(1)).as("n_test"), sum("cov").as("n_covered"),
+        sum("ss").as("sum_set"))
+      .select(col("n_cal"),
+        round(col("qhat") * lit(1000000.0)).cast("long").as("qhat_micro"),
+        col("n_test"), col("n_covered"),
+        expr("n_covered * 1000000 div n_test").as("coverage_ppm"),
+        expr("sum_set * 1000000 div n_test").as("avg_set_micro"))
+  }
 }

@@ -254,6 +254,46 @@ object GraphOps {
     * [[triangleCounts]] pays), an anti-join against the edge list, a
     * broadcast degree dim, and a TakeOrdered top-k — no global sort.
     */
+  /** k-core decomposition by synchronous peeling (Seidman 1983; the
+    * Batagelj-Zaveršnik sequential algorithm distributed as rounds):
+    * each round removes every node whose CURRENT degree is below `k`
+    * and induces the subgraph on the survivors; the fixpoint is the
+    * k-core — the maximal subgraph where every member keeps ≥ k
+    * neighbors, the standard "dense nucleus" extractor (community
+    * cores, spam-farm detection, robustness analysis). `rounds` bounds
+    * the peel (a cascade can be graph-diameter long); the output is
+    * round-`rounds` state — the spec shows small graphs converge well
+    * inside the default, and the oracle replays the SAME round count,
+    * so the contract is exact either way.
+    *
+    * Per round: one degree aggregation + two semi-joins on the
+    * SHRINKING edge set — never the corpus, never all-pairs; each
+    * round's edge set is checkpoint-cached so Catalyst plans a
+    * constant-size tree instead of 2^rounds lineage (the
+    * duplicateClusters lesson). Returns (node, core_degree) for nodes
+    * surviving the peel.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    var e = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val adj = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+      val keep = adj.groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("n")
+      e = e
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+  }
+
   def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
       k: Int): DataFrame = {
     val e = edges.filter(col(aCol) =!= col(bCol))

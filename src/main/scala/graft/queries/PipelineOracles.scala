@@ -1372,6 +1372,31 @@ object PipelineOracles {
          |    % ${graft.ops.ProfileOps.ChecksumMod} AS BIGINT) AS checksum
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // GraphOps.kCore replayed: the cosine edge list peeled for the
+    // same fixed round count, each round unrolled as degree/keep/induce
+    // CTEs.
+    "graph_kcore" -> {
+      val k = PipelineQueries.KCoreK
+      val rounds = (1 to PipelineQueries.KCoreRounds).map { i =>
+        s"""a$i AS (SELECT u AS nn FROM e${i - 1}
+           |  UNION ALL SELECT v FROM e${i - 1}),
+           |k$i AS (SELECT nn FROM a$i GROUP BY nn HAVING count(*) >= $k),
+           |e$i AS (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+           |  WHERE u IN (SELECT nn FROM k$i)
+           |    AND v IN (SELECT nn FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      val last = s"e${PipelineQueries.KCoreRounds}"
+      s"""WITH $normCte,
+         |e0 AS (SELECT a.vec_id AS u, b.vec_id AS v
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |$rounds
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM
+         |  (SELECT u AS node FROM $last UNION ALL SELECT v FROM $last)
+         |GROUP BY node""".stripMargin
+    },
+
     // the cluster flood joined to documents; canonical = longest text,
     // smallest doc_id — replayed with an explicit deterministic window.
     "dedup_survivorship" ->
@@ -3055,6 +3080,52 @@ object PipelineOracles {
          |SELECT CAST(label AS BIGINT) AS label, predicted,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM asg GROUP BY 1, 2""".stripMargin,
+
+    // ClassifierOps.conformalEval replayed: the same prototype means,
+    // the full-distance score (xx + cc − 2xc, 6dp), the hash split,
+    // exact-rank q̂ with the finite-sample ceil and n-clamp, then the
+    // one-row coverage/set-size audit.
+    "quality_conformal" ->
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |u AS (SELECT CAST(label AS BIGINT) AS cell, pos,
+         |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,12))) AS DOUBLE)
+         |          / count(*), 6) AS m
+         |  FROM (SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS v
+         |        FROM emb)
+         |  GROUP BY cell, pos),
+         |cts AS (SELECT cell, list(m ORDER BY pos) AS c FROM u GROUP BY cell),
+         |sc AS (SELECT emb.vec_id, CAST(emb.label AS BIGINT) AS label,
+         |    cts.cell,
+         |    round(list_dot_product(emb.e, emb.e)
+         |      + list_dot_product(cts.c, cts.c)
+         |      - 2.0 * list_dot_product(emb.e, cts.c), 6) AS s
+         |  FROM emb CROSS JOIN cts),
+         |flag AS (SELECT vec_id,
+         |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT < 32768
+         |      AS is_cal FROM emb),
+         |cal AS (SELECT sc.s, sc.vec_id FROM sc
+         |  JOIN flag USING (vec_id) WHERE sc.cell = sc.label AND is_cal),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+         |q AS (SELECT s AS qhat FROM
+         |    (SELECT s, row_number() OVER (ORDER BY s, vec_id) AS rk
+         |     FROM cal), nc
+         |  WHERE rk = least(((n_cal + 1) * 9 + 9) // 10, n_cal)),
+         |tst AS (SELECT sc.vec_id,
+         |    max(CASE WHEN sc.cell = sc.label AND sc.s <= q.qhat
+         |        THEN 1 ELSE 0 END) AS cov,
+         |    sum(CASE WHEN sc.s <= q.qhat THEN 1 ELSE 0 END) AS ss
+         |  FROM sc JOIN flag USING (vec_id), q
+         |  WHERE NOT is_cal GROUP BY sc.vec_id),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(cov) AS BIGINT) AS n_covered,
+         |    CAST(sum(ss) AS BIGINT) AS sum_set FROM tst)
+         |SELECT nc.n_cal,
+         |  CAST(round(q.qhat * 1000000.0) AS BIGINT) AS qhat_micro,
+         |  a.n_test, a.n_covered,
+         |  CAST(a.n_covered * 1000000 // a.n_test AS BIGINT) AS coverage_ppm,
+         |  CAST(a.sum_set * 1000000 // a.n_test AS BIGINT) AS avg_set_micro
+         |FROM nc, q, a""".stripMargin,
 
     // per-source token stats; the entropy sum is Σ c·ln c in scale-0
     // micro longs, the TTR the bit-deterministic integer floor.

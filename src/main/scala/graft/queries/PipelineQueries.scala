@@ -86,6 +86,12 @@ object PipelineQueries {
   val LinkPredK = 50
   /** Balanced-shard deal width. */
   val ShardBalanceK = 8
+  /** k-core threshold and synchronous peel rounds (k = 2 prunes
+    * pendant chains/trees to the cyclic nuclei and is nonempty at
+    * every test SF; 3-cores only appear at sf0.1's density).
+    */
+  val KCoreK = 2
+  val KCoreRounds = 4
   /** distinct l-diversity threshold. */
   val LDiversityL = 5L
   /** Content-defined chunking: gram order and the cutpoint divisor
@@ -491,6 +497,15 @@ object PipelineQueries {
       GraphOps.linkPrediction(
         SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
         "vec_a", "vec_b", LinkPredK)),
+
+    // k-core peeling over the cosine graph: the dense dup nucleus after
+    // fringe members cascade away — the cluster-core extractor beside
+    // triangles' local density. Bounded synchronous rounds, each a
+    // degree aggregation + two semi-joins on the shrinking edge set.
+    "graph_kcore" -> ((s, dir) =>
+      GraphOps.kCore(
+        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        "vec_a", "vec_b", KCoreK, KCoreRounds)),
 
     // batched hybrid search end to end: the multi-query BM25 batch and
     // the dense top-k batch for the same query ids, fused per query by
@@ -1869,6 +1884,20 @@ object PipelineQueries {
           SimilarityOps.assignCell(protos, 6).as("predicted"))
         .groupBy("label", "predicted")
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // split-conformal calibration over the nearest-prototype score: the
+    // distribution-free "prediction SET with ≥90% coverage" guarantee a
+    // point classifier (rocchio/NB/kNN above) cannot give — calibration
+    // quantile q̂ by exact rank selection on a hash split, then the
+    // coverage and mean-set-size audit on the held-out rest. Shares the
+    // cached Rocchio prototypes.
+    "quality_conformal" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val protos = ModelCache.cached(s"$dir|rocchio") {
+        SimilarityOps.labelPrototypes(emb)
+      }
+      ClassifierOps.conformalEval(emb, protos)
     }),
 
     // per-source corpus data card: vocabulary size, token count, token

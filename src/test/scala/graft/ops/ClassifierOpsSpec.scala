@@ -112,4 +112,41 @@ class ClassifierOpsSpec extends AnyFunSuite {
     }.groupMapReduce(identity)(_ => 1L)(_ + _)
     assert(confusion(rows) == ref)
   }
+
+  test("conformalEval: well-separated classes give >=1-alpha coverage and tight sets") {
+    // two tight clusters far apart in 2D: scores to the true prototype
+    // are tiny, to the other huge -> sets should be ~singletons
+    val pts = (0L until 400L).map { i =>
+      val label = (i % 2).toInt
+      val base = if (label == 0) 0.0 else 10.0
+      val jx = (i % 7).toDouble / 100.0
+      val jy = (i % 5).toDouble / 100.0
+      (i, Array((base + jx).toFloat, (base + jy).toFloat), label)
+    }
+    val emb = pts.toDF("vec_id", "embedding", "label")
+    val protos = SimilarityOps.labelPrototypes(emb)
+    val r = ClassifierOps.conformalEval(emb, protos).collect().head
+    val get = (n: String) => r.getLong(r.fieldIndex(n))
+    assert(get("n_cal") + get("n_test") == 400L)
+    assert(get("coverage_ppm") >= 900000L,
+      s"coverage ${get("coverage_ppm")} below the 90% guarantee")
+    // far-apart clusters: the other label's score never clears qhat
+    assert(get("avg_set_micro") <= 1100000L,
+      s"avg set ${get("avg_set_micro")} not tight on separable data")
+  }
+
+  test("conformalEval: the quantile clamps to n_cal when ceil((n+1)*0.9) > n") {
+    // ids chosen so the md5 split puts EXACTLY three on the calibration
+    // side (6, 9, 11) -> ceil((3+1)*0.9) = 4 > 3 -> qhat clamps to the
+    // max calibration score instead of selecting a missing rank
+    val ids = Seq(6L, 9L, 11L, 0L, 1L, 2L)
+    val pts = ids.map(i => (i, Array(i.toFloat, 0.0f), (i % 2).toInt))
+    val emb = pts.toDF("vec_id", "embedding", "label")
+    val protos = SimilarityOps.labelPrototypes(emb)
+    val out = ClassifierOps.conformalEval(emb, protos).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("n_cal")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_test")) == 3L)
+  }
 }

@@ -141,6 +141,36 @@ class GraphOpsSpec extends AnyFunSuite {
       Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 99L -> 0L))
   }
 
+  test("kCore: pendant chain peels away, the cycle survives with exact degrees") {
+    // triangle 1-2-3 plus a tail 3-4-5: the 2-core is exactly the
+    // triangle; the tail cascades away over two rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = GraphOps.kCore(edges, "a", "b", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a tree has no 2-core; a clique is its own (n-1)-core") {
+    val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)).toDF("a", "b")
+    assert(GraphOps.kCore(tree, "a", "b", 2, 4).collect().isEmpty)
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)).toDF("a", "b")
+    val got = GraphOps.kCore(k4, "a", "b", 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
+  test("kCore: insufficient rounds leave the unpeeled tail (the bounded contract)") {
+    // path 1-2-3-4-5-6: each round peels only the current endpoints, so
+    // 1 round leaves 2-3-4-5, and 3 rounds empty it
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val one = GraphOps.kCore(path, "a", "b", 2, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(2L, 3L, 4L, 5L))
+    assert(GraphOps.kCore(path, "a", "b", 2, 3).collect().isEmpty)
+  }
+
   test("linkPrediction: common neighbors, non-adjacent only, exact jaccard") {
     // star: hub 1 - {2,3,4}; plus 2-3 edge. Non-adjacent distance-2
     // pairs: (2,4) cn=1 via 1, (3,4) cn=1 via 1. Pair (2,3) is adjacent
