@@ -276,4 +276,69 @@ object TokenizerOps {
         merges.map { case (r, p, m, c) => Row(r, p, m, c) }, 1),
       schema)
   }
+
+  /** WordPiece greedy longest-match-first segmentation (Wu et al.,
+    * "Google's Neural Machine Translation System", 2016; the BERT
+    * inference tokenizer) against a FIXED vocab: from each position
+    * take the LONGEST matching piece (continuation pieces carry the
+    * `##` prefix); if no piece matches — or the word exceeds
+    * `maxWordLen`, the HF max_input_chars_per_word rule — the whole
+    * word becomes one [UNK]. The complement of [[segmentStats]]'s BPE
+    * merge-replay: same corpus measurement (pieces per word), different
+    * algorithm family (longest-match vs merge-order).
+    *
+    * Shape at scale: the segmentation loop (a bounded `aggregate` over
+    * `maxWordLen` steps, each step an `array_max` over ≤ `maxPieceLen`
+    * vocab probes) evaluates ONCE PER DISTINCT WORD — Heaps'-law
+    * small — never per occurrence; the per-word piece counts broadcast
+    * back onto the exploded token stream and roll up per doc in one
+    * shuffle. Greedy-longest-first = argmax over candidate lengths, so
+    * the in-row loop needs no data-dependent iteration count.
+    *
+    * Returns (doc_id, n_words, n_pieces, n_unk) — an [UNK] word
+    * contributes exactly one piece.
+    */
+  def wordpieceStats(
+      docs: DataFrame,
+      vocab: Seq[String],
+      maxPieceLen: Int,
+      maxWordLen: Int): DataFrame = {
+    require(vocab.nonEmpty, "wordpieceStats needs a vocab")
+    val vLit = typedlit(vocab)
+    def finalState(w: org.apache.spark.sql.Column) = {
+      val init = when(length(w) > maxWordLen,
+        struct((length(w) + 1).as("pos"), lit(1).as("pieces"), lit(1).as("unk")))
+        .otherwise(
+          struct(lit(1).as("pos"), lit(0).as("pieces"), lit(0).as("unk")))
+      val step = (acc: org.apache.spark.sql.Column,
+          i: org.apache.spark.sql.Column) => {
+        val pos = acc.getField("pos")
+        def sub(l: org.apache.spark.sql.Column) =
+          call_function("substring", w, pos, l)
+        def piece(l: org.apache.spark.sql.Column) =
+          when(pos === 1, sub(l)).otherwise(concat(lit("##"), sub(l)))
+        val best = array_max(transform(sequence(lit(1), lit(maxPieceLen)),
+          l => when(pos + l - 1 <= length(w) &&
+            array_contains(vLit, piece(l)), l).otherwise(lit(0))))
+        when(acc.getField("unk") === 1 || pos > length(w), acc)
+          .otherwise(when(best === 0,
+            struct((length(w) + 1).as("pos"), lit(1).as("pieces"),
+              lit(1).as("unk")))
+            .otherwise(struct((pos + best).as("pos"),
+              (acc.getField("pieces") + 1).as("pieces"), lit(0).as("unk"))))
+      }
+      aggregate(sequence(lit(1), lit(maxWordLen)), init, step)
+    }
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val uwStats = tok.select("w").distinct()
+      .select(col("w"), finalState(col("w")).as("st"))
+      .select(col("w"), col("st.pieces").as("pieces"), col("st.unk").as("unk"))
+    tok.join(broadcast(uwStats), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("pieces")).cast("long").as("n_pieces"),
+        sum(col("unk")).cast("long").as("n_unk"))
+  }
 }

@@ -997,6 +997,77 @@ object PipelineOracles {
          |FROM dw GROUP BY doc_id""".stripMargin
     },
 
+    // the BPE chain re-derived (m1..mT), its products + the alphabet
+    // assembled into the WordPiece vocab (initial + ## continuation
+    // forms), then greedy longest-match segmentation of each DISTINCT
+    // word as a recursive CTE; per-doc rollup joins the word stream.
+    "text_wordpiece" -> {
+      val t = PipelineQueries.BpeMergeCount
+      val p = PipelineQueries.WordpieceMaxPiece
+      val mw = PipelineQueries.WordpieceMaxWord
+      def pairCte(i: Int, src: String) =
+        s"""pc$i AS (SELECT tk[i] || ' ' || tk[i + 1] AS pair, sum(cnt) AS c
+           |  FROM (SELECT tk, cnt, unnest(range(1, len(tk))) AS i
+           |        FROM (SELECT string_split(seq, ' ') AS tk, cnt FROM $src))
+           |  GROUP BY pair),
+           |m$i AS (SELECT pair, c FROM pc$i ORDER BY c DESC, pair ASC LIMIT 1)"""
+          .stripMargin
+      def rewriteCte(i: Int, src: String) =
+        s"""s$i AS (SELECT replace(seq, (SELECT pair FROM m$i),
+           |  (SELECT replace(pair, ' ', '') FROM m$i)) AS seq, cnt FROM $src)"""
+          .stripMargin
+      val steps = (1 to t).map { i =>
+        val src = s"s${i - 1}"
+        if (i < t) pairCte(i, src) + ",\n" + rewriteCte(i, src)
+        else pairCte(i, src)
+      }.mkString(",\n")
+      val singles = ('a' to 'z')
+        .flatMap(c => Seq(s"'$c'", s"'##$c'")).mkString(", ")
+      val products = (1 to t).map(i =>
+        s"(SELECT replace(pair, ' ', '') FROM m$i), " +
+          s"'##' || (SELECT replace(pair, ' ', '') FROM m$i)").mkString(", ")
+      s"""WITH RECURSIVE w AS (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |s0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, cnt
+         |  FROM w),
+         |$steps,
+         |v AS (SELECT [$singles, $products] AS vocab),
+         |dw AS (SELECT doc_id, word FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |     FROM documents)
+         |  WHERE len(word) > 0),
+         |uw AS (SELECT DISTINCT word FROM dw),
+         |rseg(word, pos, pieces, unk) AS (
+         |  SELECT word,
+         |    CASE WHEN length(word) > $mw THEN length(word) + 1 ELSE 1 END,
+         |    CASE WHEN length(word) > $mw THEN 1 ELSE 0 END,
+         |    CASE WHEN length(word) > $mw THEN 1 ELSE 0 END
+         |  FROM uw
+         |  UNION ALL
+         |  SELECT word,
+         |    CASE WHEN best = 0 THEN length(word) + 1
+         |         ELSE pos + best END,
+         |    CASE WHEN best = 0 THEN 1 ELSE pieces + 1 END,
+         |    CASE WHEN best = 0 THEN 1 ELSE 0 END
+         |  FROM (SELECT word, pos, pieces, unk,
+         |      list_max(list_transform(range(1, ${p + 1}), l ->
+         |        CASE WHEN pos + l - 1 <= length(word)
+         |            AND list_contains(v.vocab,
+         |              CASE WHEN pos = 1
+         |                THEN substr(word, pos, CAST(l AS INT))
+         |                ELSE '##' || substr(word, pos, CAST(l AS INT)) END)
+         |          THEN l ELSE 0 END)) AS best
+         |    FROM rseg, v WHERE unk = 0 AND pos <= length(word))
+         |),
+         |term AS (SELECT word, pieces, unk FROM rseg
+         |  WHERE unk = 1 OR pos > length(word))
+         |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(term.pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(term.unk) AS BIGINT) AS n_unk
+         |FROM dw JOIN term USING (word) GROUP BY dw.doc_id""".stripMargin
+    },
+
     // dedup_jaccard's replay with both asymmetric denominators.
     "dedup_containment" ->
       s"""WITH $bandsCte,

@@ -86,6 +86,11 @@ object PipelineQueries {
   val LinkPredK = 50
   /** Balanced-shard deal width. */
   val ShardBalanceK = 8
+  /** WordPiece probe bounds: longest piece tried per position, and the
+    * max_input_chars_per_word rule (longer words → one [UNK]).
+    */
+  val WordpieceMaxPiece = 8
+  val WordpieceMaxWord = 16
   /** k-core threshold and synchronous peel rounds (k = 2 prunes
     * pendant chains/trees to the cyclic nuclei and is nonempty at
     * every test SF; 3-cores only appear at sf0.1's density).
@@ -1582,6 +1587,22 @@ object PipelineQueries {
         ModelCache.cached(s"$dir|bpe|t=$BpeMergeCount") {
           TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
         })),
+
+    // WordPiece greedy longest-match inference (the BERT tokenizer's
+    // algorithm) against a vocab of the full alphabet plus the trained
+    // BPE merge products (admitted in both initial and ## continuation
+    // position): the OTHER segmentation family over the same corpus,
+    // measured as pieces-per-word beside text_bpe_segment's
+    // merge-order replay. Segmentation runs once per DISTINCT word.
+    "text_wordpiece" -> ((s, dir) => {
+      val merges = ModelCache.cached(s"$dir|bpe|t=$BpeMergeCount") {
+        TokenizerOps.bpeMerges(table(s, dir, "documents"), BpeMergeCount)
+      }
+      val vocab = (('a' to 'z').map(_.toString) ++ merges.map(_._3))
+        .flatMap(p => Seq(p, "##" + p))
+      TokenizerOps.wordpieceStats(table(s, dir, "documents"), vocab,
+        WordpieceMaxPiece, WordpieceMaxWord)
+    }),
 
     // weak supervision (Snorkel pattern): three scan-side labeling
     // functions vote is-English per doc (abstentions allowed), majority

@@ -155,4 +155,25 @@ class TokenizerOpsSpec extends AnyFunSuite {
     // s2: 4 words, 6 subwords → floor(6e6/4) = 1500000
     assert(out("s2") == ((4L, 6L, 1500000L)))
   }
+
+  test("wordpieceStats: greedy longest match, UNK on no-match and overlong words") {
+    import spark.implicits._
+    val vocab = Seq("a", "ab", "abc", "c", "##c", "##ab")
+    // abc -> [abc] (longest wins over a/ab); aba -> ab + ##a missing -> UNK;
+    // cab -> c + ##ab; x -> UNK; 17 chars -> UNK by the max-word rule
+    val docs = Seq((1L, "abc aba cab x " + "a" * 17)).toDF("doc_id", "text")
+    val r = TokenizerOps.wordpieceStats(docs, vocab,
+      maxPieceLen = 3, maxWordLen = 16).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 6L, 3L)))
+  }
+
+  test("wordpieceStats: continuation pieces differ from initial pieces") {
+    import spark.implicits._
+    // "##c" present but "c" absent: word "c" is UNK while "ac" segments
+    val vocab = Seq("a", "##c")
+    val docs = Seq((1L, "c ac")).toDF("doc_id", "text")
+    val r = TokenizerOps.wordpieceStats(docs, vocab, 2, 16).collect().head
+    // c -> UNK (1 piece); ac -> a + ##c (2 pieces)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 3L, 1L)))
+  }
 }
