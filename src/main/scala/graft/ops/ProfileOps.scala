@@ -252,6 +252,94 @@ object ProfileOps {
     */
   val ChecksumMod = 1L << 48
 
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the
+    * fraud-and-fabrication screen auditors run on financial columns):
+    * observed first-significant-digit counts against the log10(1+1/d)
+    * law, with the per-digit χ² term. Deviation ≠ fraud — uniform or
+    * range-bounded data legitimately fails Benford — but a column that
+    * USED to conform and stopped is the classic audit trigger, which is
+    * why the per-digit terms ship rather than one opaque statistic.
+    *
+    * Determinism: the first digit comes from the INTEGER part's string
+    * (values < 1 are excluded by contract) — floor/cast/substr, never
+    * log10-of-value, whose libm rounding differs across engines; the
+    * law's nine probabilities are Scala-computed literals interpolated
+    * into both plans, so the χ² doubles see identical inputs in
+    * identical order. One scan, one 9-row aggregation; the digit spine
+    * keeps never-observed digits visible at zero.
+    *
+    * Returns (digit, n_obs, exp_micro, chi_term_micro), digits 1–9.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val ps = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val pLit = array(ps.map(lit): _*)
+    val obs = df.filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum("n_obs").as("n"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val p = element_at(pLit, col("digit"))
+    val dev = col("n_obs").cast("double") - col("n") * p
+    spine
+      .join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit").cast("long").as("digit"), col("n_obs"),
+        round(col("n") * p * lit(1000000.0)).cast("long").as("exp_micro"),
+        round(dev * dev / (col("n") * p) * lit(1000000.0)).cast("long")
+          .as("chi_term_micro"))
+  }
+
+  /** t-closeness (Li, Li, Venkatasubramanian, ICDE 2007) for an ORDERED
+    * sensitive attribute: per quasi-identifier group, the earth-mover
+    * distance between the group's sensitive-value distribution and the
+    * global one — EMD over an ordered domain is the mean |cumulative
+    * difference|, so the whole statistic is exact integer arithmetic on
+    * counts: t = Σ_i |Σ_{j≤i}(c_gj·n − c_j·n_g)| / (n_g·n·(m−1)),
+    * reported in integer micro-units. The homogeneity guard beyond
+    * [[lDiversity]]: a group can be l-diverse yet skew heavily toward
+    * one end of the sensitive range — t-closeness is the release gate
+    * that catches it.
+    *
+    * Shape: one cell aggregation (map-side combined), group/global
+    * margins derived FROM the cells (no second scan), the m-value
+    * spine crossed per group (m = distinct sensitive values — small by
+    * contract), one group-partitioned window for the cumulative
+    * difference. Sums ride DECIMAL(38,0) so no count scale overflows.
+    * Returns (qi…, n_g, t_micro); a single-valued sensitive domain
+    * (m = 1) reports t = 0.
+    */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qi = qiCols.map(col)
+    val cell = df.groupBy(qi :+ col(sensCol): _*)
+      .agg(count(lit(1)).as("c_gs"))
+    val grp = cell.groupBy(qi: _*).agg(sum("c_gs").as("n_g"))
+    val glob = cell.groupBy(col(sensCol)).agg(sum("c_gs").as("c_s"))
+    val tot = glob.agg(sum("c_s").as("n"), count(lit(1)).as("m"))
+    val w = Window.partitionBy(qi: _*).orderBy(col(sensCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grp.crossJoin(broadcast(glob))
+      .join(cell, qiCols :+ sensCol, "left")
+      .na.fill(0L, Seq("c_gs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cd",
+        sum(col("c_gs").cast("decimal(38,0)") * col("n") -
+          col("c_s").cast("decimal(38,0)") * col("n_g")).over(w))
+      .groupBy(qi :+ col("n_g") :+ col("n") :+ col("m"): _*)
+      .agg(sum(abs(col("cd"))).as("sa"))
+      .select(qi ++ Seq(col("n_g"),
+        when(col("m") <= 1, 0L)
+          .otherwise(expr(
+            "CAST((sa * 1000000) div (CAST(n_g AS DECIMAL(38,0)) * n * (m - 1)) AS BIGINT)"))
+          .as("t_micro")): _*)
+  }
+
   def datasetChecksum(
       df: DataFrame,
       groupCol: String,

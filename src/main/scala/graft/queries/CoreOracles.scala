@@ -956,6 +956,67 @@ object CoreOracles {
         |    AND (o.p_retailprice > r.p_retailprice OR o.p_size < r.p_size))"""
         .stripMargin,
 
+    // the same md5 arm split, exact decimal moments, and the identical
+    // fixed-order mean/variance/Welch-t doubles, micro-rounded.
+    "a18_ab_lift" ->
+      """WITH m AS (SELECT
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+        |      < 32768 AS a,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN a THEN v ELSE CAST(0 AS DECIMAL(18,6)) END) AS s1a,
+        |    sum(CASE WHEN NOT a THEN v ELSE CAST(0 AS DECIMAL(18,6)) END) AS s1b,
+        |    sum(CASE WHEN a THEN v * v
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS s2a,
+        |    sum(CASE WHEN NOT a THEN v * v
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS s2b
+        |  FROM m)
+        |SELECT n_a, n_b,
+        |  CAST(round(CAST(s1a AS DOUBLE) / n_a * 1000000.0) AS BIGINT)
+        |    AS mean_a_micro,
+        |  CAST(round(CAST(s1b AS DOUBLE) / n_b * 1000000.0) AS BIGINT)
+        |    AS mean_b_micro,
+        |  CAST(CASE WHEN s1b = 0 THEN 0 ELSE
+        |    round((CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)
+        |      / (CAST(s1b AS DOUBLE) / n_b) * 1000000.0) END AS BIGINT)
+        |    AS lift_ppm,
+        |  CAST(round((CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)
+        |    / sqrt(((CAST(s2a AS DOUBLE)
+        |        - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n_a)
+        |        / (n_a - 1)) / n_a
+        |      + ((CAST(s2b AS DOUBLE)
+        |        - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n_b)
+        |        / (n_b - 1)) / n_b)
+        |    * 1000000.0) AS BIGINT) AS t_micro
+        |FROM g""".stripMargin,
+
+    // first digit from the integer part's string; the nine Benford
+    // probabilities are the SAME Scala-computed literals the Spark plan
+    // carries, so the χ² doubles replay exactly.
+    "dq_benford" -> {
+      val plist = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+        .mkString("[", ", ", "]")
+      s"""WITH o AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+         |s AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+         |j AS (SELECT s.digit, coalesce(o.n_obs, 0) AS n_obs
+         |  FROM s LEFT JOIN o USING (digit))
+         |SELECT CAST(j.digit AS BIGINT) AS digit, j.n_obs,
+         |  CAST(round(t.n * ($plist)[j.digit] * 1000000.0) AS BIGINT)
+         |    AS exp_micro,
+         |  CAST(round((CAST(j.n_obs AS DOUBLE) - t.n * ($plist)[j.digit])
+         |      * (CAST(j.n_obs AS DOUBLE) - t.n * ($plist)[j.digit])
+         |      / (t.n * ($plist)[j.digit]) * 1000000.0) AS BIGINT)
+         |    AS chi_term_micro
+         |FROM j, t""".stripMargin
+    },
+
     "w7_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_ok,

@@ -1185,6 +1185,22 @@ object CoreQueries {
     // membership, JSON parseability — validated in ONE aggregation pass
     // over the table (the scan cost is rule-count-invariant), unpivoted
     // to a row per rule with the measured metric and pass/fail mark.
+    // A18 — A/B experiment readout: units hash-split into two arms, the
+    // event-level value metric compared as mean lift + Welch t — one
+    // map-side-combined aggregation over exact decimal moments, the
+    // only doubles the final fixed-order mean/variance/t expressions.
+    "a18_ab_lift" -> ((s, dir) =>
+      graft.ops.ExperimentOps.abLift(
+        table(s, dir, "events"), "user_id", "value")),
+
+    // Benford first-digit audit over the price column — the
+    // fraud/fabrication screen for financial columns, per-digit χ²
+    // terms against the log10(1+1/d) law (digit from the integer
+    // part's string, never log10-of-value — libm-portable).
+    "dq_benford" -> ((s, dir) =>
+      graft.ops.ProfileOps.benfordAudit(
+        table(s, dir, "lineitem"), "l_extendedprice")),
+
     "dq_constraints" -> ((s, dir) => {
       val ev = table(s, dir, "events")
       graft.ops.ProfileOps.constraintSuite(ev, Seq(

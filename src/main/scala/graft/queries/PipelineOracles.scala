@@ -1443,6 +1443,38 @@ object PipelineOracles {
          |    % ${graft.ops.ProfileOps.ChecksumMod} AS BIGINT) AS checksum
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // ProfileOps.tCloseness replayed: cells → margins → per-group
+    // spine → cumulative count-difference window → mean |cum| as the
+    // exact integer EMD.
+    "privacy_t_closeness" ->
+      """WITH b AS (SELECT lang, source, n_chars // 100 AS sens_bucket
+        |  FROM documents),
+        |cell AS (SELECT lang, source, sens_bucket,
+        |    CAST(count(*) AS BIGINT) AS c_gs FROM b GROUP BY 1, 2, 3),
+        |grp AS (SELECT lang, source, CAST(sum(c_gs) AS BIGINT) AS n_g
+        |  FROM cell GROUP BY 1, 2),
+        |gd AS (SELECT sens_bucket, CAST(sum(c_gs) AS BIGINT) AS c_s
+        |  FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_s) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS m FROM gd),
+        |sp AS (SELECT g.lang, g.source, g.n_g, gl.sens_bucket, gl.c_s
+        |  FROM grp g CROSS JOIN gd gl),
+        |j AS (SELECT sp.lang, sp.source, sp.n_g, sp.sens_bucket, sp.c_s,
+        |    coalesce(cell.c_gs, 0) AS c_gs
+        |  FROM sp LEFT JOIN cell USING (lang, source, sens_bucket)),
+        |cum AS (SELECT j.lang, j.source, j.n_g, tot.n, tot.m,
+        |    sum(j.c_gs * tot.n - j.c_s * j.n_g) OVER (
+        |      PARTITION BY j.lang, j.source ORDER BY j.sens_bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |  FROM j CROSS JOIN tot),
+        |agg AS (SELECT lang, source, n_g, n, m, sum(abs(cd)) AS sa
+        |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+        |SELECT lang, source, n_g,
+        |  CAST(CASE WHEN m <= 1 THEN 0
+        |    ELSE (sa * 1000000) // (n_g * n * (m - 1)) END AS BIGINT)
+        |    AS t_micro
+        |FROM agg""".stripMargin,
+
     // GraphOps.kCore replayed: the cosine edge list peeled for the
     // same fixed round count, each round unrolled as degree/keep/induce
     // CTEs.

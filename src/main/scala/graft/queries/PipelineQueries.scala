@@ -2149,6 +2149,19 @@ object PipelineQueries {
             col("user_id")),
         Seq("event_type", "day_us"), "user_id", LDiversityL)),
 
+    // t-closeness over the same (lang, source) QI grid with the
+    // n_chars bucket as the ORDERED sensitive attribute: the ordered
+    // earth-mover distance to the global distribution in exact integer
+    // micro-units — the skew guard k-anonymity and l-diversity both
+    // miss (a cell can be large AND diverse yet lean on one end of the
+    // sensitive range).
+    "privacy_t_closeness" -> ((s, dir) =>
+      ProfileOps.tCloseness(
+        table(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("sens_bucket")),
+        Seq("lang", "source"), "sens_bucket")),
+
     // pseudo-relevance feedback: BM25 → mine the top-5 results' most
     // frequent non-query terms → re-run with the expanded query. The
     // vocabulary-mismatch fix with zero trained models; the mining step

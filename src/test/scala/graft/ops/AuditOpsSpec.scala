@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** t-closeness, Benford audit, and the A/B readout: hand-computable
+  * cases for the exact-integer EMD, the digit law, and the Welch-t
+  * moment arithmetic.
+  */
+class AuditOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tCloseness: matching distribution gives 0; total concentration is maximal") {
+    // global sensitive values {0,1}, 50/50. Group g0 mirrors it -> t=0.
+    // Group g1 holds only value 0 -> cum diff |n_g*n/2| at bucket 0:
+    // t = (n_g*n/2) / (n_g*n*(2-1)) = 1/2 -> 500000 micro
+    val rows =
+      Seq.fill(10)(("g0", 0L)) ++ Seq.fill(10)(("g0", 1L)) ++
+        Seq.fill(8)(("g1", 0L)) ++
+        Seq.fill(2)(("g2", 1L)) ++ Seq.fill(6)(("g2", 0L))
+    val df = rows.toDF("qi", "sb")
+    val out = ProfileOps.tCloseness(df, Seq("qi"), "sb")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // global: n=36, c(0)=24, c(1)=12
+    // g0: n_g=20, cum0 = 10*36-24*20 = -120 -> |.|=120; t=120e6/(20*36*1)=166666
+    assert(out("g0") == ((20L, 166666L)))
+    // g1: n_g=8, cum0 = 8*36-24*8 = 96; t = 96e6/(8*36) = 333333
+    assert(out("g1") == ((8L, 333333L)))
+    // g2: n_g=8, cum0 = 6*36-24*8 = 24; t = 24e6/288 = 83333
+    assert(out("g2") == ((8L, 83333L)))
+  }
+
+  test("tCloseness: single sensitive value (m=1) reports 0 for every group") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("qi", "sb")
+    val out = ProfileOps.tCloseness(df, Seq("qi"), "sb")
+      .collect().map(r => r.getLong(2)).toSet
+    assert(out == Set(0L))
+  }
+
+  test("benfordAudit: digits counted from the integer part, spine keeps zeros") {
+    // values: 123.4 (1), 19.0 (1), 2.5 (2), 0.7 (excluded), 900.1 (9)
+    val df = Seq(123.4, 19.0, 2.5, 0.7, 900.1).toDF("v")
+    val out = ProfileOps.benfordAudit(df, "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L && out(2L) == 1L && out(9L) == 1L)
+    assert((3L to 8L).forall(out(_) == 0L))
+    assert(out.size == 9)
+    // expected counts follow the law: digit 1 expectation ~ n*0.301
+    val exp = ProfileOps.benfordAudit(df, "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exp(1L) == math.round(4 * math.log10(2.0) * 1e6))
+  }
+
+  test("abLift: moments and Welch t replay the exact formula") {
+    // arms decided by md5(user); compute expected from the same split
+    import java.security.MessageDigest
+    def draw(u: Long): Long = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        h.take(2).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val rows = (0L until 200L).map(i => (i, (i % 13).toDouble + 0.5))
+    val df = rows.toDF("user_id", "value")
+    val r = ExperimentOps.abLift(df, "user_id", "value").collect().head
+    val (as, bs) = rows.partition { case (u, _) => draw(u) < 32768L }
+    def s1(xs: Seq[Double]) = xs.map(BigDecimal(_)).sum.toDouble
+    def s2(xs: Seq[Double]) =
+      xs.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble
+    val (va, vb) = (as.map(_._2), bs.map(_._2))
+    assert(r.getLong(0) == va.length.toLong && r.getLong(1) == vb.length.toLong)
+    val ma = s1(va) / va.length
+    val mb = s1(vb) / vb.length
+    assert(r.getLong(2) == math.rint(ma * 1e6).toLong ||
+      r.getLong(2) == BigDecimal(ma * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val sa = (s2(va) - s1(va) * s1(va) / va.length) / (va.length - 1)
+    val sb = (s2(vb) - s1(vb) * s1(vb) / vb.length) / (vb.length - 1)
+    val t = (ma - mb) / math.sqrt(sa / va.length + sb / vb.length)
+    val tMicro = BigDecimal(t * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(r.getLong(5) == tMicro, s"${r.getLong(5)} vs $tMicro")
+  }
+}
