@@ -199,4 +199,28 @@ object ChangeOps {
         (lit(loMicro) + col("bin") * widthMicro).as("edge_micro"),
         col("cum_n"))
   }
+
+  /** Incremental JOIN-view maintenance — the delta-rule identity
+    * (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB for append-only
+    * deltas: the maintained view is the stored base join plus THREE
+    * delta-sized terms — at 100 TB the base⋈base term is the already-
+    * materialized view (it is recomputed here only so the oracle's
+    * full-recompute equality PROVES the identity end to end), and each
+    * delta term joins a small delta against one stored side, broadcast
+    * when the delta fits. The join-view companion to [[microSummary]] +
+    * [[mergeSummaries]]'s aggregate maintenance.
+    *
+    * Inputs must share `key`; columns are `a.*` ++ `b.*` minus the
+    * duplicate key. Returns the maintained view rows.
+    */
+  def joinViewMerge(
+      baseA: DataFrame, deltaA: DataFrame,
+      baseB: DataFrame, deltaB: DataFrame,
+      key: String): DataFrame =
+    Seq(
+      baseA.join(baseB, Seq(key)),
+      deltaA.join(baseB, Seq(key)),
+      baseA.join(deltaB, Seq(key)),
+      deltaA.join(deltaB, Seq(key)))
+      .reduce(_ unionByName _)
 }

@@ -66,4 +66,79 @@ object ExperimentOps {
       round((ma - mb) / sqrt(va / col("n_a") + vb / col("n_b")) *
         lit(1000000.0)).cast("long").as("t_micro"))
   }
+
+  /** Poisson-bootstrap confidence interval for the mean (Chamandy et
+    * al., "Estimating Uncertainty for Massive Data Streams", Google TR
+    * 2012 — the at-scale bootstrap): every row's multiplicity in
+    * replicate b is an independent-ish Poisson(1) draw derived from
+    * md5(key:b), so ALL `b` resamples ride ONE pass over the stream
+    * (no per-replicate shuffles, no sampling-without-replacement
+    * coordination — the whole reason this is the bootstrap that works
+    * on 100 TB). Map-side combine leaves `b` partials per partition.
+    *
+    * Determinism: the Poisson(1) inverse CDF is applied to the 16-bit
+    * draw through PRECOMPUTED integer thresholds (floor(cdf_k·65536),
+    * k capped at 7 — tail mass 8.3e-5, documented truncation), so
+    * multiplicities are pure integer comparisons; replicate sums ride
+    * exact DECIMALs; the only doubles are the per-replicate mean
+    * ratios, micro-rounded. CI bounds are the ⌈B·0.025⌉-th and
+    * ⌈B·0.975⌉-th order statistics of the B replicate means.
+    *
+    * Returns ONE row: (n_rows, mean_micro, n_replicates, ci_lo_micro,
+    * ci_hi_micro).
+    */
+  val PoissonThresholds: Seq[Long] = {
+    val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L)
+    val e1 = math.exp(-1.0)
+    fact.indices.map { k =>
+      val cdf = (0 to k).map(j => e1 / fact(j)).sum
+      math.floor(cdf * 65536.0).toLong
+    }
+  }
+
+  def bootstrapCi(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      b: Int = 64): DataFrame = {
+    require(b >= 40, "bootstrapCi needs enough replicates for the 2.5% rank")
+    import org.apache.spark.sql.expressions.Window
+    val u = SampleOps.hashDraw(
+      concat(col("kk"), lit(":"), col("b").cast("string")))
+    // flat comparison sum, NOT a HOF lambda: codegen's subexpression
+    // elimination then computes the md5 draw once per (row, replicate)
+    // — a lambda body re-evaluates its outer reference per element
+    // (the winnow lesson)
+    val mult = PoissonThresholds
+      .map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val rep = df
+      .select(round(col(valueCol), 6).cast("decimal(18,6)").as("v"),
+        col(keyCol).cast("string").as("kk"))
+      .select(col("v"), col("kk"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("mult", mult)
+      .groupBy("b")
+      .agg(sum(col("v") * col("mult").cast("decimal(18,0)")).as("s"),
+        sum("mult").as("n"))
+      .select(col("b"),
+        round(col("s").cast("double") / col("n") * lit(1000000.0))
+          .cast("long").as("m"))
+    val w = Window.orderBy(col("m"), col("b"))
+    val ranked = rep.withColumn("rk", row_number().over(w))
+    val loRk = math.ceil(b * 0.025).toInt
+    val hiRk = math.ceil(b * 0.975).toInt
+    val lo = ranked.filter(col("rk") === loRk)
+      .select(col("m").as("ci_lo_micro"))
+    val hi = ranked.filter(col("rk") === hiRk)
+      .select(col("m").as("ci_hi_micro"))
+    df.select(round(col(valueCol), 6).cast("decimal(18,6)").as("v"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("v").cast("double") / count(lit(1)) * lit(1000000.0))
+          .cast("long").as("mean_micro"))
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("n_rows"), col("mean_micro"),
+        lit(b.toLong).as("n_replicates"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
 }

@@ -956,6 +956,44 @@ object CoreOracles {
         |    AND (o.p_retailprice > r.p_retailprice OR o.p_size < r.p_size))"""
         .stripMargin,
 
+    // the FULL join recomputed from scratch — equal to the query's
+    // delta-rule maintenance by the distribution identity.
+    "cdc_join_merge" ->
+      """SELECT epoch_us(o_orderdate) // 2678400000000 AS month_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // the same integer Poisson thresholds on the same md5(key:b) draw,
+    // exact decimal replicate sums, identical mean/round arithmetic.
+    "a19_bootstrap_ci" -> {
+      val ts = graft.ops.ExperimentOps.PoissonThresholds
+      val sumTerms = ts.map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      """WITH base AS (SELECT CAST(event_id AS VARCHAR) AS kk,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+        |ex AS (SELECT v, kk, b,
+        |    ('0x' || substr(md5(kk || ':' || CAST(b AS VARCHAR)), 1, 4))::BIGINT
+        |      AS u
+        |  FROM base, (SELECT unnest(range(0, 64)) AS b)),
+        |mu AS (SELECT v, b, CAST(SUMTERMS AS BIGINT) AS mult FROM ex),
+        |rep AS (SELECT b,
+        |    CAST(round(CAST(sum(v * mult) AS DOUBLE) / sum(mult)
+        |      * 1000000.0) AS BIGINT) AS m
+        |  FROM mu GROUP BY b),
+        |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM rep),
+        |fl AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*) * 1000000.0)
+        |      AS BIGINT) AS mean_micro FROM base)
+        |SELECT fl.n_rows, fl.mean_micro,
+        |  CAST(64 AS BIGINT) AS n_replicates,
+        |  (SELECT m FROM rk WHERE rk = 2) AS ci_lo_micro,
+        |  (SELECT m FROM rk WHERE rk = 63) AS ci_hi_micro
+        |FROM fl""".stripMargin.replace("SUMTERMS", "(" + sumTerms + ")")
+    },
+
     // the same md5 arm split, exact decimal moments, and the identical
     // fixed-order mean/variance/Welch-t doubles, micro-rounded.
     "a18_ab_lift" ->

@@ -1121,6 +1121,28 @@ object CoreQueries {
       graft.ops.ChangeOps.mergeSummaries(Seq(base, delta), Seq("user_id"))
     }),
 
+    // CDC6 — incremental JOIN-view maintenance: the orders⋈lineitem
+    // view advanced by append-only deltas through the delta-rule
+    // expansion (base⋈base ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB), rolled up to a
+    // per-month revenue summary. The oracle recomputes the FULL join
+    // from scratch — equality proves the maintenance identity.
+    "cdc_join_merge" -> ((s, dir) => {
+      val cut = Types.utcMicros(1998, 1, 1)
+      val o = table(s, dir, "orders").select(
+        col("o_orderkey").as("k"), unix_micros(col("o_orderdate")).as("ots"))
+      val l = table(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"), col("l_extendedprice"),
+        unix_micros(col("l_shipdate")).as("lts"))
+      val view = graft.ops.ChangeOps.joinViewMerge(
+        o.filter(col("ots") < cut), o.filter(col("ots") >= cut),
+        l.filter(col("lts") < cut), l.filter(col("lts") >= cut), "k")
+      view
+        .groupBy(expr("ots div 2678400000000").as("month_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").cast("string").as("revenue"))
+    }),
+
     // CDC5 — mergeable quantile state: fixed-grid histograms merge by
     // bin addition (what exact quantiles can't do), quantiles read off
     // the MERGED state in exact integer arithmetic. Oracle recomputes
@@ -1185,6 +1207,15 @@ object CoreQueries {
     // membership, JSON parseability — validated in ONE aggregation pass
     // over the table (the scan cost is rule-count-invariant), unpivoted
     // to a row per rule with the measured metric and pass/fail mark.
+    // A19 — Poisson-bootstrap CI for the mean: all 64 resamples ride
+    // ONE pass (per-row multiplicity = hash-derived Poisson(1) draw,
+    // integer-threshold inverse CDF), replicate means in exact decimal
+    // moments, CI = the 2.5%/97.5% order statistics. The at-scale
+    // bootstrap — no per-replicate shuffles or sampling coordination.
+    "a19_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.ExperimentOps.bootstrapCi(
+        table(s, dir, "events"), "event_id", "value")),
+
     // A18 — A/B experiment readout: units hash-split into two arms, the
     // event-level value metric compared as mean lift + Welch t — one
     // map-side-combined aggregation over exact decimal moments, the

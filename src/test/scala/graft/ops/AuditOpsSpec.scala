@@ -53,6 +53,36 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(exp(1L) == math.round(4 * math.log10(2.0) * 1e6))
   }
 
+  test("joinViewMerge: delta-rule maintenance equals the full recompute") {
+    val a = (1L to 40L).map(i => (i % 12, i)).toDF("k", "av")
+    val b = (1L to 60L).map(i => (i % 15, -i)).toDF("k", "bv")
+    // arbitrary append split (different fractions per side)
+    val (a0, da) = (a.filter($"av" <= 25), a.filter($"av" > 25))
+    val (b0, db) = (b.filter($"bv" >= -20), b.filter($"bv" < -20))
+    val maintained = ChangeOps.joinViewMerge(a0, da, b0, db, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupMapReduce(identity)(_ => 1)(_ + _)
+    val full = a.join(b, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupMapReduce(identity)(_ => 1)(_ + _)
+    assert(maintained == full)
+  }
+
+  test("bootstrapCi: brackets the true mean, deterministic under repartition") {
+    val rows = (0L until 3000L).map(i => (i, (i % 100).toDouble))
+    val df = rows.toDF("id", "value")
+    val r1 = ExperimentOps.bootstrapCi(df, "id", "value").collect().head
+    val r2 = ExperimentOps.bootstrapCi(df.repartition(7), "id", "value")
+      .collect().head
+    assert(r1 == r2, "CI must not depend on partitioning")
+    val (lo, hi) = (r1.getLong(3), r1.getLong(4))
+    val mean = r1.getLong(1)
+    assert(lo < mean && mean < hi)
+    // true mean 49.5e6; sigma ~28.9 -> CI roughly +-2.1*28.9/sqrt(3000)
+    assert(lo > 48000000L && hi < 51000000L, s"[$lo, $hi] implausible")
+    assert(r1.getLong(0) == 3000L && r1.getLong(2) == 64L)
+  }
+
   test("abLift: moments and Welch t replay the exact formula") {
     // arms decided by md5(user); compute expected from the same split
     import java.security.MessageDigest
