@@ -316,4 +316,42 @@ object MediaCodec {
     require(haveData, "decodeWav: no data chunk")
     WavStats(rate, channels, bits, nSamples, sum, first)
   }
+
+  /** The data chunk's PCM16 samples themselves — same RIFF walk as
+    * [[decodeWav]], materializing the waveform for frame-level analysis
+    * (energy, VAD) instead of reducing to summary stats.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Int] = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      "decodeWavSamples: not a RIFF/WAVE stream")
+    var block = -1
+    var out: Array[Int] = null
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val id = new String(bytes, o, 4, "US-ASCII")
+      val size = rdLe32(bytes, o + 4)
+      val body = o + 8
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"decodeWavSamples: fmt chunk too small ($size)")
+          val audioFormat = rdLe16(bytes, body)
+          block = rdLe16(bytes, body + 12)
+          val bits = rdLe16(bytes, body + 14)
+          require(audioFormat == 1 && bits == 16,
+            "decodeWavSamples: only PCM16 supported")
+        case "data" =>
+          require(block > 0, "decodeWavSamples: data chunk before fmt chunk")
+          require(body + size <= bytes.length,
+            "decodeWavSamples: truncated data chunk")
+          val n = size / block
+          out = Array.tabulate(n)(i => rdLe16Signed(bytes, body + i * block))
+        case _ =>
+      }
+      o = body + size + (size & 1)
+    }
+    require(out != null, "decodeWavSamples: no data chunk")
+    out
+  }
 }

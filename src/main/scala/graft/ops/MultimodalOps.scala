@@ -230,6 +230,49 @@ object MultimodalOps {
       .toDF("media_id", "width", "height", "ahash")
   }
 
+  final case class WavFrame(
+      media_id: Long, frame_idx: Long, n_samples: Long, sum_sq: Long,
+      rms_micro: Long, is_silence: Long)
+
+  /** Frame-level audio energy over REAL decoded WAV payloads — the
+    * VAD-lite primitive (silence trimming, speech-segment selection)
+    * a speech-data curation pipeline runs before anything expensive:
+    * per `frameLen`-sample frame, exact integer Σv² plus the RMS in
+    * floor-micro units and a silence flag against `silenceRms`. The
+    * decode runs through the same batched mapPartitions seam as every
+    * codec here (byte-level RIFF walks have no Catalyst-expression
+    * form); everything AFTER decode is exact integers except the one
+    * fixed-order sqrt, so the frames hash-replay against the
+    * closed-form generator oracle.
+    */
+  def wavFrameEnergy(
+      media: DataFrame,
+      frameLen: Int,
+      silenceRms: Double): DataFrame = {
+    import media.sparkSession.implicits._
+    require(frameLen > 0, "wavFrameEnergy needs a positive frame length")
+    media.filter(col("mime") === "audio/wav")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            val samples = MediaCodec.decodeWavSamples(payload)
+            samples.grouped(frameLen).zipWithIndex.map { case (fr, fi) =>
+              var ssq = 0L
+              var i = 0
+              while (i < fr.length) { ssq += fr(i).toLong * fr(i); i += 1 }
+              val rms = math.sqrt(ssq.toDouble / fr.length)
+              WavFrame(id, fi.toLong, fr.length.toLong, ssq,
+                math.floor(rms * 1000000.0).toLong,
+                if (rms < silenceRms) 1L else 0L)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Per-partition batched feature extraction — the `mapInPandas` analog:
     * one iterator per partition, features computed batch-at-a-time. The
     * fake feature is 8 floats from the md5 (STUB — replace with codec).

@@ -2956,6 +2956,28 @@ object PipelineOracles {
     // sums the sample pattern (doc_id·31 + i·7) % 65536 − 32768; first_unit
     // probes the top-left pixel / sample 0. None of this parses binary —
     // matching the Spark side's REAL parsers is the proof.
+    // the closed-form WAV sample generator framed and reduced: exact
+    // integer sum-of-squares, one fixed-order sqrt, floor-micro RMS.
+    "mm_wav_energy" -> {
+      val fl = PipelineQueries.WavFrameLen
+      val thr = PipelineQueries.WavSilenceRms
+      s"""WITH w AS (SELECT doc_id, 1 + (doc_id % 6) * 2 AS n FROM documents
+         |  WHERE doc_id % 3 = 1),
+         |sm AS (SELECT doc_id, unnest(range(0, n)) AS i FROM w),
+         |sv AS (SELECT doc_id, i // $fl AS frame_idx,
+         |    (doc_id * 31 + i * 7) % 65536 - 32768 AS v FROM sm),
+         |fr AS (SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT)
+         |      AS frame_idx,
+         |    CAST(count(*) AS BIGINT) AS n_samples,
+         |    CAST(sum(v * v) AS BIGINT) AS sum_sq FROM sv GROUP BY 1, 2)
+         |SELECT media_id, frame_idx, n_samples, sum_sq,
+         |  CAST(floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1000000.0)
+         |    AS BIGINT) AS rms_micro,
+         |  CAST(CASE WHEN sqrt(CAST(sum_sq AS DOUBLE) / n_samples) < $thr
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_silence
+         |FROM fr""".stripMargin
+    },
+
     "mm_codec_decode" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS m, text FROM documents),
         |bmp AS (SELECT doc_id, 5 AS w, 1 + (doc_id % 4) AS h FROM d WHERE m = 0),

@@ -86,6 +86,9 @@ object PipelineQueries {
   val LinkPredK = 50
   /** Balanced-shard deal width. */
   val ShardBalanceK = 8
+  /** WAV frame analysis: samples per frame, silence RMS threshold. */
+  val WavFrameLen = 4
+  val WavSilenceRms = 8192.0
   /** WordPiece probe bounds: longest piece tried per position, and the
     * max_input_chars_per_word rule (longer words → one [UNK]).
     */
@@ -1768,6 +1771,15 @@ object PipelineQueries {
     // byte-level hashing would not. The oracle replays the hash from
     // the fixture's closed-form pixel pattern, so the decode path must
     // reproduce the encoded pixels exactly (PNG is lossless).
+    // frame-level RMS energy + silence flags over the REAL decoded WAV
+    // payloads — the VAD-lite curation pass for speech data, through
+    // the same batched decode seam; oracle replays the closed-form
+    // sample generator, so equality proves decode AND framing.
+    "mm_wav_energy" -> ((s, dir) =>
+      MultimodalOps.wavFrameEnergy(
+        MultimodalOps.packMediaCodec(table(s, dir, "documents")),
+        WavFrameLen, WavSilenceRms)),
+
     "mm_phash_dedup" -> ((s, dir) =>
       MultimodalOps.perceptualHash(
         MultimodalOps.packImageIo(table(s, dir, "documents")).cache())

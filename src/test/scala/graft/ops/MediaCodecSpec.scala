@@ -140,4 +140,28 @@ class MediaCodecSpec extends AnyFunSuite {
       MediaCodec.aHash(MediaCodec.encodeImageIo("png", 9, 8, _ => 0))
     }
   }
+
+  test("decodeWavSamples round-trips the waveform; frame energy is exact") {
+    val samples = Array(100, -200, 300, -32768, 32767, 0, 7)
+    val bytes = MediaCodec.encodeWav(8000, samples)
+    assert(MediaCodec.decodeWavSamples(bytes).toSeq == samples.toSeq)
+    // frame math over the decoded samples, mirrored by wavFrameEnergy
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val media = Seq((1L, "audio/wav", bytes), (2L, "image/bmp", bytes))
+      .toDF("media_id", "mime", "payload")
+    val out = graft.ops.MultimodalOps.wavFrameEnergy(media, 4, 8192.0)
+      .collect().map(r => (r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // only the wav row decodes; frame 0 = [100,-200,300,-32768]
+    val ssq0 = 100L * 100 + 200L * 200 + 300L * 300 + 32768L * 32768
+    val rms0 = math.sqrt(ssq0.toDouble / 4)
+    assert(out(0L) == ((4L, ssq0, math.floor(rms0 * 1e6).toLong,
+      if (rms0 < 8192.0) 1L else 0L)))
+    // frame 1 = [32767, 0, 7] (short tail frame)
+    val ssq1 = 32767L * 32767 + 49L
+    val rms1 = math.sqrt(ssq1.toDouble / 3)
+    assert(out(1L) == ((3L, ssq1, math.floor(rms1 * 1e6).toLong, 0L)))
+    assert(out.size == 2)
+  }
 }
