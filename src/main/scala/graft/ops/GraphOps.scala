@@ -254,6 +254,50 @@ object GraphOps {
     * [[triangleCounts]] pays), an anti-join against the edge list, a
     * broadcast degree dim, and a TakeOrdered top-k — no global sort.
     */
+  /** Newman-Girvan modularity terms per community: with m undirected
+    * edges, e_c intra-community edges and d_c the community's degree
+    * sum, community c contributes Q_c = e_c/m − (d_c/2m)². The output
+    * carries the EXACT integer pair q_num = 4·m·e_c − d_c² over
+    * q_den = 4·m² instead of a rounded quotient — Q_c is signed, and
+    * signed integer division is a portability trap (Spark's `div`
+    * truncates toward zero, DuckDB's `//` floors), so the division is
+    * left to the consumer where a rational suffices. Σ q_num / q_den
+    * is the partition's modularity — THE number that says whether the
+    * label-propagation communities are real structure or noise
+    * (Q ≈ 0 random, Q ≳ 0.3 strong).
+    *
+    * One labeled-edge join + two bounded aggregations; the 1-row edge
+    * count broadcasts. Labels must cover every edge endpoint (label
+    * propagation's contract — isolated nodes have no edges here).
+    */
+  def modularityTerms(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val m = e.agg(count(lit(1)).as("m"))
+    val eLab = e
+      .join(labels.select(col("node").as("u"), col("label").as("cu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("label").as("cv")), Seq("v"))
+    val intra = eLab.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("e_intra"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val ds = deg.join(labels, Seq("node"))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("d_sum"))
+    ds.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("e_intra"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("e_intra"), col("d_sum"),
+        (lit(4L) * col("m") * col("e_intra") - col("d_sum") * col("d_sum"))
+          .as("q_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"))
+  }
+
   /** k-core decomposition by synchronous peeling (Seidman 1983; the
     * Batagelj-Zaveršnik sequential algorithm distributed as rounds):
     * each round removes every node whose CURRENT degree is below `k`

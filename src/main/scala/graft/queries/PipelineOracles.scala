@@ -3720,6 +3720,46 @@ object PipelineOracles {
         .stripMargin
     },
 
+    // the label-prop chain re-derived, then the modularity rollup:
+    // intra-edge counts + degree sums per final community, exact
+    // integer q_num/q_den pair.
+    "graph_modularity" -> {
+      val steps = (1 to PipelineQueries.LabelPropIters).map { i =>
+        s"""c$i AS (SELECT g.src AS node, l.label, count(*) AS c
+           |  FROM g JOIN l${i - 1} l ON l.node = g.dst GROUP BY 1, 2),
+           |l$i AS (SELECT node, label FROM (SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label)
+           |      AS rk FROM c$i) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $normCte,
+         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |g AS (SELECT a AS src, b AS dst FROM e0
+         |  UNION SELECT b AS src, a AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM g),
+         |$steps,
+         |lf AS (SELECT node, label FROM l${PipelineQueries.LabelPropIters}),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         |el AS (SELECT lu.label AS cu, lv.label AS cv FROM e0
+         |  JOIN lf lu ON lu.node = e0.a JOIN lf lv ON lv.node = e0.b),
+         |intra AS (SELECT cu AS community, CAST(count(*) AS BIGINT)
+         |    AS e_intra FROM el WHERE cu = cv GROUP BY 1),
+         |deg AS (SELECT node, count(*) AS d FROM
+         |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+         |ds AS (SELECT lf.label AS community,
+         |    CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(deg.d) AS BIGINT) AS d_sum
+         |  FROM deg JOIN lf ON lf.node = deg.node GROUP BY 1)
+         |SELECT ds.community, ds.n_nodes,
+         |  coalesce(intra.e_intra, 0) AS e_intra, ds.d_sum,
+         |  CAST(4 * mm.m * coalesce(intra.e_intra, 0)
+         |    - ds.d_sum * ds.d_sum AS BIGINT) AS q_num,
+         |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+         |FROM ds LEFT JOIN intra USING (community), mm""".stripMargin
+    },
+
     // l-diversity replay: same day cells, distinct-user diversity,
     // suppression as NULLed statistics.
     "privacy_l_diversity" ->

@@ -2271,6 +2271,18 @@ object PipelineQueries {
         SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
         "vec_a", "vec_b", LabelPropIters)),
 
+    // are the propagated communities real? Newman-Girvan modularity
+    // terms per community as EXACT integer rationals (q_num/q_den —
+    // signed division left to the consumer; the trunc-vs-floor
+    // division trap stays out of the hash surface).
+    "graph_modularity" -> ((s, dir) => {
+      val edges = SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos)
+        .cache()
+      val labels = GraphOps.labelPropagation(
+        edges, "vec_a", "vec_b", LabelPropIters)
+      GraphOps.modularityTerms(edges, "vec_a", "vec_b", labels)
+    }),
+
     // kNN classifier evaluation — the non-parametric member of the
     // model family (LR / NB / Rocchio / kNN): leave-one-out top-k
     // cosine neighbors for a query stripe, majority label vote

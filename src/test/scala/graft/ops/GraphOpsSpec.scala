@@ -141,6 +141,28 @@ class GraphOpsSpec extends AnyFunSuite {
       Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 99L -> 0L))
   }
 
+  test("modularityTerms: two bridged triangles give the textbook Q = 5/14") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7; each
+    // community: e_c = 3, d_c = 7 -> q_num = 4*7*3 - 49 = 35, den 196;
+    // Q = 2*35/196 = 0.357...
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val got = GraphOps.modularityTerms(edges, "a", "b", labels)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(10L) == ((3L, 3L, 7L, 35L, 196L)))
+    assert(got(20L) == ((3L, 3L, 7L, 35L, 196L)))
+    // a deliberately bad split (cross-cutting labels) scores lower
+    val bad = Seq((1L, 10L), (2L, 20L), (3L, 10L),
+      (4L, 20L), (5L, 10L), (6L, 20L)).toDF("node", "label")
+    val qBad = GraphOps.modularityTerms(edges, "a", "b", bad)
+      .collect().map(r => r.getLong(4)).sum
+    assert(qBad < 70L, s"bad split q_num sum $qBad should trail 70")
+  }
+
   test("kCore: pendant chain peels away, the cycle survives with exact degrees") {
     // triangle 1-2-3 plus a tail 3-4-5: the 2-core is exactly the
     // triangle; the tail cascades away over two rounds
