@@ -860,6 +860,32 @@ object PipelineOracles {
          |ORDER BY margin_fp ASC, doc_id ASC LIMIT 25""".stripMargin
     },
 
+    // the ranked cut-depth curve over the same chain: logit-desc rank,
+    // running TP, decile selection, integer-ppm ratios.
+    "quality_pr_curve" -> {
+      val iters = graft.ops.ClassifierOps.DefaultIters
+      s"""WITH $lrChainCtes,
+         |sc AS (SELECT f.doc_id, $lrLogitExpr AS logit_fp,
+         |    CAST(f.y AS BIGINT) AS yy
+         |  FROM f CROSS JOIN w$iters w),
+         |r AS (SELECT doc_id, yy,
+         |    CAST(row_number() OVER (ORDER BY logit_fp DESC, doc_id)
+         |      AS BIGINT) AS pos,
+         |    CAST(sum(yy) OVER (ORDER BY logit_fp DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tp
+         |  FROM sc),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(yy) AS BIGINT) AS p FROM sc),
+         |dd AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile)
+         |SELECT dd.decile, CAST((dd.decile * nn.n) // 10 AS BIGINT) AS k,
+         |  r.cum_tp AS tp,
+         |  CAST(r.cum_tp * 1000000 // r.pos AS BIGINT) AS precision_ppm,
+         |  CAST(r.cum_tp * 1000000 // nn.p AS BIGINT) AS recall_ppm
+         |FROM dd CROSS JOIN nn
+         |JOIN r ON r.pos = (dd.decile * nn.n) // 10""".stripMargin
+    },
+
     // observed-range reliability diagram over the same chain: DECIMAL
     // score sums so bin means are order-independent.
     "quality_lr_calibration" -> {

@@ -1539,6 +1539,39 @@ object PipelineQueries {
     // 1-row dim — no global sort, unlike rank deciles) vs the actual
     // positive rate per bin — calibration is what decides whether a
     // score can gate a curation threshold.
+    // the ranking-quality companion to the reliability diagram: the
+    // exact precision/recall operating curve of the trained scorer at
+    // decile cut depths — rank by the fixed-point logit (two-phase
+    // binned rank + prefix-sum, no global sort), cum-TP at each decile,
+    // integer-ppm ratios. The "where do I set the keep threshold"
+    // curve a curation run reads before committing a cutoff.
+    "quality_pr_curve" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      val xs = ClassifierOps.features(col("toks"))
+      val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
+        ClassifierOps.trainLogistic(d, xs, col("lang") === "en")
+      }
+      val mxs = ClassifierOps.microFeatures(col("toks"))
+      val scored = d.filter(ClassifierOps.featurable(col("toks")))
+        .select(col("doc_id"),
+          ClassifierOps.marginFixed(w, mxs).as("logit_fp"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .withColumn("neg", -col("logit_fp"))
+        .cache()
+      val ranked = PrefixOps.globalRowNumber(scored, "neg", Seq("doc_id"), "pos")
+        .select(col("doc_id"), col("pos"))
+      val cum = PrefixOps.globalCumsum(scored, "neg", Seq("doc_id"), "y", "cum_tp")
+        .select(col("doc_id"), col("cum_tp"))
+      val tot = scored.agg(count(lit(1)).as("n"), sum("y").as("p"))
+      s.range(1, 11).select(col("id").as("decile"))
+        .crossJoin(broadcast(tot))
+        .withColumn("k", expr("(decile * n) div 10"))
+        .join(ranked.join(cum, Seq("doc_id")), col("pos") === col("k"))
+        .select(col("decile"), col("k"), col("cum_tp").as("tp"),
+          expr("cum_tp * 1000000 div k").as("precision_ppm"),
+          expr("cum_tp * 1000000 div p").as("recall_ppm"))
+    }),
+
     "quality_lr_calibration" -> ((s, dir) => {
       val d = docsTok(s, dir)
       val xs = ClassifierOps.features(col("toks"))
