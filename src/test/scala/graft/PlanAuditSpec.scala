@@ -516,4 +516,44 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.take(30).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("a18_ab_lift: one scan, one aggregation, zero joins") {
+    val p = plan("a18_ab_lift")
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 1)
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("Join"))
+  }
+
+  test("a19_bootstrap_ci: replicate aggregation shuffles by b, no sort-merge") {
+    val p = plan("a19_bootstrap_ci")
+    assert(p.contains("hashpartitioning(b"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("privacy_t_closeness: margins broadcast, no sort-merge joins") {
+    val p = plan("privacy_t_closeness")
+    assert(!p.contains("SortMergeJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quality_pr_curve: rank and prefix-sum ride the bin partitioning") {
+    val p = plan("quality_pr_curve")
+    assert(countOf(p, "hashpartitioning\\(__bin") >= 2,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("rangepartitioning"), "no global sort of the data")
+  }
+
+  test("dq_benford: two bounded scans (digits + total), everything broadcast") {
+    val p = plan("dq_benford")
+    // the observed-digit aggregate and its total each plan one scan;
+    // both reduce to <=9 rows before any join, and every join rides
+    // broadcast
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 2,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
