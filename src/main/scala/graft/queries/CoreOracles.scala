@@ -470,6 +470,59 @@ object CoreOracles {
         |  round(63 / (('0x' || substr(h, 1, 8))::BIGINT / 4294967296.0), 6) AS kmv_estimate
         |FROM r WHERE rk = 64""".stripMargin,
 
+    "w9_percent_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    // both estimators replayed beside the exact count: the HLL register
+    // chain over event_id and the a8 KMV k-th-smallest rule.
+    "a20_sketch_accuracy" -> {
+      val w = graft.ops.SketchOps.HllW
+      val cap = graft.ops.SketchOps.HllRankCap
+      val mask = (1L << w) - 1
+      val m = graft.ops.SketchOps.HllM
+      val num = graft.ops.SketchOps.HllEstNumerator
+      s"""WITH hh AS (SELECT event_type,
+         |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+         |      AS h FROM events),
+         |hr AS (SELECT event_type, h >> $w AS idx,
+         |    CAST(CASE WHEN (h & $mask) = 0 THEN $cap
+         |      ELSE $cap - length(bin(h & $mask)) END AS BIGINT) AS rank
+         |  FROM hh),
+         |regs AS (SELECT event_type, idx, max(rank) AS max_rank FROM hr
+         |  GROUP BY 1, 2),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_registers,
+         |    CAST(sum(CAST(1 AS BIGINT) << ($cap - max_rank)) AS BIGINT)
+         |      AS zf FROM regs GROUP BY 1),
+         |e AS (SELECT event_type,
+         |    CAST($num // (zf + ($m - n_registers) * ${1L << cap})
+         |      AS BIGINT) AS hll_est_micro FROM g),
+         |kh AS (SELECT DISTINCT event_type,
+         |    md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+         |kr AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM kh),
+         |kv AS (SELECT event_type,
+         |    round(63 / (('0x' || substr(h, 1, 8))::BIGINT / 4294967296.0), 6)
+         |      AS kmv_estimate
+         |  FROM kr WHERE rk = 64),
+         |x AS (SELECT event_type,
+         |    CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+         |  FROM events GROUP BY 1)
+         |SELECT x.event_type, x.exact_distinct, e.hll_est_micro,
+         |  CAST(abs(e.hll_est_micro - x.exact_distinct * 1000000)
+         |    // x.exact_distinct AS BIGINT) AS hll_err_ppm,
+         |  kv.kmv_estimate,
+         |  CAST(floor(abs(kv.kmv_estimate - x.exact_distinct)
+         |    / x.exact_distinct * 1000000.0) AS BIGINT) AS kmv_err_ppm
+         |FROM x JOIN e USING (event_type) JOIN kv USING (event_type)"""
+        .stripMargin
+    },
+
     "a7_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_events

@@ -1397,6 +1397,51 @@ object CoreQueries {
         table(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
         "p_retailprice", "p_size")),
 
+    // W9 — relative-position window analytics: percent_rank (rank
+    // among peers) and cume_dist (fraction at-or-below) per customer
+    // over order value — both exact small rationals in doubles, so the
+    // surface hash-replays without rounding.
+    "w9_percent_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    }),
+
+    // A20 — the sketch-accuracy data card: per event_type, the exact
+    // distinct event count beside BOTH estimators this engine ships
+    // (64-register raw HLL, k=64 KMV), each with its integer-ppm
+    // error — the table that tells a user which sketch to trust at
+    // which cardinality regime.
+    "a20_sketch_accuracy" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("event_id"))
+      val hll = graft.ops.SketchOps.hllEstimate(
+        graft.ops.SketchOps.hllRegisters(
+          ev, Seq("event_type"), col("event_id")), Seq("event_type"))
+        .select(col("event_type"), col("est_micro").as("hll_est_micro"))
+      import org.apache.spark.sql.graft.ColumnBridge
+      val kmvEst = ColumnBridge.column(
+        graft.expressions.KmvDistinct(
+          ColumnBridge.expression(col("event_id").cast("string")), 64)
+          .toAggregateExpression())
+      val base = ev.groupBy("event_type")
+        .agg(countDistinct("event_id").as("exact_distinct"),
+          round(kmvEst, 6).as("kmv_estimate"))
+      base.join(hll, Seq("event_type"))
+        .select(col("event_type"), col("exact_distinct"),
+          col("hll_est_micro"),
+          expr("abs(hll_est_micro - exact_distinct * 1000000)" +
+            " div exact_distinct").as("hll_err_ppm"),
+          col("kmv_estimate"),
+          floor(abs(col("kmv_estimate") - col("exact_distinct")) /
+            col("exact_distinct") * lit(1000000.0)).cast("long")
+            .as("kmv_err_ppm"))
+    }),
+
     // W7 — positional window analytics: first/last/nth order per
     // customer over the full-partition frame (unbounded both ways — the
     // default running frame would make last_value ≡ current row).
