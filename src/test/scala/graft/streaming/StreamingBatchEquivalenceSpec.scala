@@ -547,6 +547,53 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingBootstrap replicate moments reproduce batch a19_bootstrap_ci (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("a19_bootstrap_ci")(spark, SfDir)
+      .collect().head
+    val (batchLo, batchHi) =
+      (batch.getAs[Long]("ci_lo_micro"), batch.getAs[Long]("ci_hi_micro"))
+
+    val evs = events.select(col("event_id"), col("value"))
+      .collect()
+      .map(r => StreamingBootstrap.ValueEvent(
+        r.getAs[Long]("event_id").toString, r.getAs[Double]("value")))
+      .toSeq
+      .sortBy(_.key.hashCode % 13) // scrambled arrival: sums commute
+
+    val input = MemoryStream[StreamingBootstrap.ValueEvent]
+    val q = StreamingBootstrap.replicateStream(input.toDS(), 64)
+      .writeStream.format("memory").queryName("equiv_boot")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      chunks(evs).foreach { c => input.addData(c); q.processAllAvailable() }
+      // n_k is monotone per replicate: the max-n_k revision is final
+      val fin = spark.table("equiv_boot")
+        .groupBy("b")
+        .agg(max(struct(col("n_k"), col("sum_vk_micro"))).as("s"))
+        .select(col("b"), col("s.n_k"), col("s.sum_vk_micro"))
+        .collect()
+        .map(r => (r.getAs[Int]("b"), r.getAs[Long]("sum_vk_micro"),
+          r.getAs[Long]("n_k")))
+      assert(fin.length == 64)
+      // replicate means via the BATCH arithmetic (decimal -> double),
+      // then the same order-statistic CI ranks
+      val means = fin.map { case (b, sMicro, n) =>
+        val s6 = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(sMicro), 6)
+        (BigDecimal(s6.doubleValue / n * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, b)
+      }.sortBy(identity)
+      assert(means(1)._1 == batchLo,
+        s"streaming lo ${means(1)._1} vs batch $batchLo")
+      assert(means(62)._1 == batchHi,
+        s"streaming hi ${means(62)._1} vs batch $batchHi")
+    } finally q.stop()
+  }
+
   test("StreamingHll register maintenance ≡ batch profile_hll_registers (oracle-checked)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
