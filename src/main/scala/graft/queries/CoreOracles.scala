@@ -540,6 +540,29 @@ object CoreOracles {
         |  coalesce(n_big, 0) AS n_big
         |FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey""".stripMargin,
 
+    // Q3 replayed: numeric top-10, VARCHAR projection of the revenue.
+    "j5_shipping_priority" ->
+      """SELECT l_orderkey, ots, o_orderpriority,
+        |  CAST(CAST(rev AS DECIMAL(38,6)) AS VARCHAR) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, epoch_us(o_orderdate) AS ots, o_orderpriority,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |      AS DECIMAL(28,6))) AS rev
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-06-01'
+        |    AND l_shipdate > TIMESTAMP '1998-06-01'
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY rev DESC, ots, l_orderkey LIMIT 10""".stripMargin,
+
+    "dq_join_skew" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |  GROUP BY 1)
+        |SELECT c AS rows_per_key, CAST(count(*) AS BIGINT) AS n_keys
+        |FROM c GROUP BY 1""".stripMargin,
+
     "src1_csv_roundtrip" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,

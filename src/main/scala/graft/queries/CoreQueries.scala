@@ -801,6 +801,47 @@ object CoreQueries {
           .as("revenue"))
     }),
 
+    // J5 — the TPC-H Q3 shape (shipping-priority top-k): segment-
+    // filtered customers ⋈ date-bounded orders ⋈ unshipped lineitems,
+    // revenue per order, top-10 by revenue — filters push to all three
+    // scans, the dim side broadcasts, the top-k is a TakeOrdered (no
+    // global sort). Revenue ordered NUMERICALLY, projected as string
+    // for the hash surface.
+    "j5_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate")).as("ots"),
+          col("o_orderpriority"))
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("ots"), col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(28,6)")).as("rev"))
+        .orderBy(col("rev").desc, col("ots"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("ots"), col("o_orderpriority"),
+          col("rev").cast("decimal(38,6)").cast("string").as("revenue"))
+    }),
+
+    // DQ — the pre-join skew card: the count-of-counts distribution of
+    // a join key (how many keys carry how many rows) — the number that
+    // decides between a plain shuffle join, salting, and AQE skew
+    // handling BEFORE the join is paid. One aggregation chain,
+    // bounded output.
+    "dq_join_skew" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+        .groupBy(col("c").as("rows_per_key"))
+        .agg(count(lit(1)).as("n_keys"))),
+
     // SRC6 — corrupt-record tolerance: a JSON ingest where every tenth
     // line is deliberately truncated mid-token. PERMISSIVE mode parses
     // the good lines and routes the rest to _corrupt_record instead of
