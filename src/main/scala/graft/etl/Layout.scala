@@ -24,6 +24,47 @@ object Layout {
     * scale each column into [0, 2^bits) first — rank, modulo, or
     * min/max scaling, whatever preserves the locality they care about.
     */
+  /** Hilbert-curve distance of (a, b) on the 2^bits grid — the
+    * space-filling key with true ADJACENCY: consecutive keys are grid
+    * neighbors (|Δa|+|Δb| = 1, proven in LayoutHilbertSpec), so a
+    * contiguous key range is a connected region — tighter file
+    * envelopes than the z-curve's quadrant jumps at every power-of-two
+    * boundary. The classic xy2d bit walk (Hilbert 1891; the
+    * Warren/Wikipedia formulation): per level, quadrant digit
+    * d += s²·((3·rx) xor ry), then the reflect+swap rotation.
+    *
+    * Implemented as an `aggregate` fold over the level sequence — the
+    * accumulator is a BOUND lambda variable, so per-level state
+    * references stay O(1); a foldLeft over plain Column expressions
+    * would inline the whole prior state into every reference
+    * (exponential tree growth by level 10). Pure integer ops — exact
+    * on any engine.
+    */
+  def hilbertKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val acc0 = struct(
+      a.cast("long").as("x"), b.cast("long").as("y"), lit(0L).as("d"))
+    aggregate(
+      sequence(lit(bits - 1), lit(0), lit(-1)),
+      acc0,
+      (acc, i) => {
+        val x = acc.getField("x")
+        val y = acc.getField("y")
+        val d = acc.getField("d")
+        val s = call_function("shiftleft", lit(1L), i)
+        val rx = when(x.bitwiseAND(s) > 0, 1L).otherwise(0L)
+        val ry = when(y.bitwiseAND(s) > 0, 1L).otherwise(0L)
+        val d2 = d + s * s * (lit(3L) * rx).bitwiseXOR(ry)
+        val flip = ry === 0 && rx === 1
+        val xr = when(flip, s - 1 - x).otherwise(x)
+        val yr = when(flip, s - 1 - y).otherwise(y)
+        struct(
+          when(ry === 0, yr).otherwise(xr).as("x"),
+          when(ry === 0, xr).otherwise(yr).as("y"),
+          d2.as("d"))
+      }).getField("d")
+  }
+
   def zorderKey(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     // cast to long up front: Spark's shiftleft on an int column wraps

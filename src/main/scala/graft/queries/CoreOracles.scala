@@ -752,6 +752,35 @@ object CoreOracles {
          |FROM m""".stripMargin
     },
 
+    // the xy2d bit walk as a recursive CTE: per level, the quadrant
+    // digit and the reflect+swap rotation, terminal at i = -1.
+    "layout_hilbert" ->
+      """WITH RECURSIVE m AS (SELECT event_id, user_id % 1024 AS a,
+        |    event_id % 1024 AS b FROM events),
+        |r(event_id, i, x, y, d) AS (
+        |  SELECT event_id, 9, a, b, CAST(0 AS BIGINT) FROM m
+        |  UNION ALL
+        |  SELECT event_id, i - 1,
+        |    CASE WHEN ry = 0
+        |      THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END)
+        |      ELSE (CASE WHEN rx = 1 AND ry = 0 THEN s - 1 - x ELSE x END)
+        |    END,
+        |    CASE WHEN ry = 0
+        |      THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END)
+        |      ELSE (CASE WHEN rx = 1 AND ry = 0 THEN s - 1 - y ELSE y END)
+        |    END,
+        |    d + s * s * xor(3 * rx, ry)
+        |  FROM (SELECT event_id, i, x, y, d,
+        |      CAST(1 AS BIGINT) << i AS s,
+        |      CASE WHEN (x & (CAST(1 AS BIGINT) << i)) > 0
+        |        THEN 1 ELSE 0 END AS rx,
+        |      CASE WHEN (y & (CAST(1 AS BIGINT) << i)) > 0
+        |        THEN 1 ELSE 0 END AS ry
+        |    FROM r WHERE i >= 0))
+        |SELECT m.event_id, m.a, m.b, r.d AS hkey
+        |FROM m JOIN r ON r.event_id = m.event_id AND r.i = -1"""
+        .stripMargin,
+
     "ts_gapfill" ->
       """WITH pb AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS bkt,

@@ -1086,6 +1086,18 @@ object CoreQueries {
         .select(col("event_id"), col("a"), col("b"),
           graft.etl.Layout.zorderKey(col("a"), col("b"), 10).as("zkey"))),
 
+    // LAYOUT2 — the Hilbert-curve key beside the z-key: true adjacency
+    // (consecutive keys are grid neighbors — the property the z-curve
+    // gives up at every power-of-two boundary), same masked inputs,
+    // oracle = the recursive bit-walk replay.
+    "layout_hilbert" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(1024L)).as("a"),
+          pmod(col("event_id"), lit(1024L)).as("b"))
+        .select(col("event_id"), col("a"), col("b"),
+          graft.etl.Layout.hilbertKey(col("a"), col("b"), 10).as("hkey"))),
+
     // TS1 — time-series gap fill: dense per-user daily grid with empty
     // days surfaced as zero. Aggregate-first (events collapse before any
     // generation), per-key explode(sequence) grid — no driver loop, no
