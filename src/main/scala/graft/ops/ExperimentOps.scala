@@ -70,8 +70,9 @@ object ExperimentOps {
   /** Poisson-bootstrap confidence interval for the mean (Chamandy et
     * al., "Estimating Uncertainty for Massive Data Streams", Google TR
     * 2012 — the at-scale bootstrap): every row's multiplicity in
-    * replicate b is an independent-ish Poisson(1) draw derived from
-    * md5(key:b), so ALL `b` resamples ride ONE pass over the stream
+    * replicate b is an independent-ish Poisson(1) draw — the 16-bit
+    * slice b mod 8 of md5(key:(b div 8)), eight replicate draws per
+    * digest — so ALL `b` resamples ride ONE pass over the stream
     * (no per-replicate shuffles, no sampling-without-replacement
     * coordination — the whole reason this is the bootstrap that works
     * on 100 TB). Map-side combine leaves `b` partials per partition.
@@ -103,18 +104,29 @@ object ExperimentOps {
       b: Int = 64): DataFrame = {
     require(b >= 40, "bootstrapCi needs enough replicates for the 2.5% rank")
     import org.apache.spark.sql.expressions.Window
-    val u = SampleOps.hashDraw(
-      concat(col("kk"), lit(":"), col("b").cast("string")))
-    // flat comparison sum, NOT a HOF lambda: codegen's subexpression
-    // elimination then computes the md5 draw once per (row, replicate)
-    // — a lambda body re-evaluates its outer reference per element
-    // (the winnow lesson)
+    require(b % 8 == 0, "bootstrapCi needs b in whole md5 chunks of 8")
+    // each md5 digest yields EIGHT independent 16-bit draws (32 hex
+    // chars = 8 slices), so a row pays b/8 hashes, not b — computed
+    // BEFORE the explode so the per-replicate rows only slice.
+    // The threshold comparison is a flat sum, NOT a HOF lambda:
+    // codegen's subexpression elimination then evaluates each slice
+    // once — a lambda body re-evaluates its outer reference per
+    // element (the winnow lesson).
+    val digests = array((0 until b / 8).map(c =>
+      md5(concat(col("kk"), lit(s":$c")))): _*)
+    val u = conv(
+      call_function("substring",
+        element_at(col("hs"), expr("b div 8").cast("int") + lit(1)),
+        (pmod(col("b"), lit(8)) * lit(4) + lit(1)).cast("int"),
+        lit(4)),
+      16, 10).cast("long")
     val mult = PoissonThresholds
       .map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
     val rep = df
       .select(round(col(valueCol), 6).cast("decimal(18,6)").as("v"),
         col(keyCol).cast("string").as("kk"))
-      .select(col("v"), col("kk"),
+      .withColumn("hs", digests)
+      .select(col("v"), col("hs"),
         explode(sequence(lit(0), lit(b - 1))).as("b"))
       .withColumn("mult", mult)
       .groupBy("b")

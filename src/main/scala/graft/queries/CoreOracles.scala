@@ -1080,8 +1080,8 @@ object CoreOracles {
       """WITH base AS (SELECT CAST(event_id AS VARCHAR) AS kk,
         |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
         |ex AS (SELECT v, kk, b,
-        |    ('0x' || substr(md5(kk || ':' || CAST(b AS VARCHAR)), 1, 4))::BIGINT
-        |      AS u
+        |    ('0x' || substr(md5(kk || ':' || CAST(b // 8 AS VARCHAR)),
+        |      CAST((b % 8) * 4 + 1 AS INT), 4))::BIGINT AS u
         |  FROM base, (SELECT unnest(range(0, 64)) AS b)),
         |mu AS (SELECT v, b, CAST(SUMTERMS AS BIGINT) AS mult FROM ex),
         |rep AS (SELECT b,

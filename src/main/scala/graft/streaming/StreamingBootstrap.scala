@@ -23,13 +23,15 @@ object StreamingBootstrap {
 
   import graft.ops.ExperimentOps.PoissonThresholds
 
-  /** JVM mirror of the batch draw: md5(key:b) first 4 hex chars as a
-    * 16-bit draw, multiplicity = #{thresholds ≤ draw}.
+  /** JVM mirror of the batch draw: the 16-bit slice (b mod 8) of
+    * md5(key:(b div 8)) — eight replicate draws per digest —
+    * multiplicity = #{thresholds ≤ draw}.
     */
   def multOf(key: String, b: Int): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$key:$b".getBytes("UTF-8"))
-    val u = ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
+      .digest(s"$key:${b / 8}".getBytes("UTF-8"))
+    val o = (b % 8) * 2
+    val u = ((d(o) & 0xffL) << 8) | (d(o + 1) & 0xffL)
     PoissonThresholds.count(t => u >= t).toLong
   }
 
