@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,4 +48,28 @@ object IntervalOps {
         count(lit(1)).as("n_merged"))
       .drop("__island")
   }
+
+  /** Allen's interval algebra (Allen, CACM 1983): the relation of
+    * [s1, e1] to [s2, e2], one of the THIRTEEN mutually exclusive,
+    * jointly exhaustive relations — the complete vocabulary of
+    * temporal-pair reasoning (scheduling conflicts, containment
+    * audits, causal ordering). Implemented as one CASE ladder over
+    * exact integer endpoints, evaluated most-specific-first (equals
+    * and the endpoint-coincidence relations before the open-interval
+    * ones), so every pair lands in exactly one bucket.
+    */
+  def allenRelation(s1: Column, e1: Column, s2: Column, e2: Column): Column =
+    when(s1 === s2 && e1 === e2, "equals")
+      .when(e1 < s2, "precedes")
+      .when(e1 === s2, "meets")
+      .when(e2 < s1, "preceded_by")
+      .when(e2 === s1, "met_by")
+      .when(s1 === s2 && e1 < e2, "starts")
+      .when(s1 === s2, "started_by")
+      .when(e1 === e2 && s1 > s2, "finishes")
+      .when(e1 === e2, "finished_by")
+      .when(s1 > s2 && e1 < e2, "during")
+      .when(s1 < s2 && e1 > e2, "contains")
+      .when(s1 < s2, "overlaps")
+      .otherwise("overlapped_by")
 }

@@ -252,6 +252,51 @@ object ProfileOps {
     */
   val ChecksumMod = 1L << 48
 
+  /** Jensen-Shannon divergence between two slices' token
+    * distributions — the bounded, symmetric drift measure for TEXT
+    * (complementing dq_psi_drift's binned-numeric PSI): JSD(P,Q) =
+    * ½KL(P‖M) + ½KL(Q‖M) with M the mixture; 0 = identical, ln 2 =
+    * disjoint. Never infinite (unlike raw KL), so it works on
+    * vocabularies with one-sided tokens.
+    *
+    * Determinism: per-token contributions are computed from EXACT
+    * counts in one fixed operation order and rounded to integer e-12
+    * units BEFORE summation (the Σ c·ln c pattern), so the total is a
+    * long sum — order- and partition-independent. One token
+    * aggregation, 1-row totals broadcast, one rollup.
+    *
+    * Returns ONE row: (n_tokens_a, n_tokens_b, vocab_union, jsd_e12) —
+    * jsd in nats scaled by 10¹².
+    */
+  def jsDivergence(
+      docs: DataFrame,
+      srcCol: String,
+      a: String,
+      b: String): DataFrame = {
+    val byTok = docs.filter(col(srcCol).isin(a, b))
+      .select(col(srcCol).as("s"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("s", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("tok").agg(
+        sum(when(col("s") === a, col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("s") === b, col("c")).otherwise(0L)).as("cb"))
+    val tot = byTok.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    val mix = (p + q) / lit(2.0)
+    val term =
+      when(col("ca") > 0, p * log(p / mix) * lit(0.5)).otherwise(lit(0.0)) +
+        when(col("cb") > 0, q * log(q / mix) * lit(0.5)).otherwise(lit(0.0))
+    byTok.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        round(term * lit(1000000000000.0)).cast("long").as("t12"))
+      .groupBy("na", "nb")
+      .agg(count(lit(1)).as("vocab_union"), sum("t12").as("jsd_e12"))
+      .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        col("vocab_union"), col("jsd_e12"))
+  }
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the
     * fraud-and-fabrication screen auditors run on financial columns):
     * observed first-significant-digit counts against the log10(1+1/d)

@@ -752,6 +752,31 @@ object CoreOracles {
          |FROM m""".stripMargin
     },
 
+    // the same most-specific-first Allen ladder over exact endpoints.
+    "iv2_allen" ->
+      """WITH iv AS (SELECT user_id, event_type,
+        |    epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.st AS s1, a.en AS e1, b.st AS s2, b.en AS e2
+        |  FROM iv a JOIN iv b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type)
+        |SELECT CASE
+        |    WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+        |    WHEN e1 < s2 THEN 'precedes'
+        |    WHEN e1 = s2 THEN 'meets'
+        |    WHEN e2 < s1 THEN 'preceded_by'
+        |    WHEN e2 = s1 THEN 'met_by'
+        |    WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+        |    WHEN s1 = s2 THEN 'started_by'
+        |    WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+        |    WHEN e1 = e2 THEN 'finished_by'
+        |    WHEN s1 > s2 AND e1 < e2 THEN 'during'
+        |    WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+        |    WHEN s1 < s2 THEN 'overlaps'
+        |    ELSE 'overlapped_by' END AS relation,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1""".stripMargin,
+
     // the xy2d bit walk as a recursive CTE: per level, the quadrant
     // digit and the reflect+swap rotation, terminal at i = -1.
     "layout_hilbert" ->

@@ -1086,6 +1086,27 @@ object CoreQueries {
         .select(col("event_id"), col("a"), col("b"),
           graft.etl.Layout.zorderKey(col("a"), col("b"), 10).as("zkey"))),
 
+    // IV2 — Allen's interval algebra over per-(user, event_type)
+    // activity spans: every pair of a user's spans classified into one
+    // of the THIRTEEN mutually exclusive temporal relations, rolled to
+    // relation counts — the complete temporal-pair vocabulary
+    // (conflict/containment/ordering audits) in one CASE ladder over
+    // exact integer endpoints.
+    "iv2_allen" -> ((s, dir) => {
+      val iv = table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(unix_micros(min(col("ts"))).as("st"),
+          unix_micros(max(col("ts"))).as("en"))
+      val a = iv.select(col("user_id"), col("event_type").as("et_a"),
+        col("st").as("s1"), col("en").as("e1"))
+      val b = iv.select(col("user_id"), col("event_type").as("et_b"),
+        col("st").as("s2"), col("en").as("e2"))
+      a.join(b, Seq("user_id")).filter(col("et_a") < col("et_b"))
+        .select(graft.ops.IntervalOps.allenRelation(
+          col("s1"), col("e1"), col("s2"), col("e2")).as("relation"))
+        .groupBy("relation").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // LAYOUT2 — the Hilbert-curve key beside the z-key: true adjacency
     // (consecutive keys are grid neighbors — the property the z-curve
     // gives up at every power-of-two boundary), same masked inputs,

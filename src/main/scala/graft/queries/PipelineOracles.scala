@@ -1469,6 +1469,39 @@ object PipelineOracles {
          |    % ${graft.ops.ProfileOps.ChecksumMod} AS BIGINT) AS checksum
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // ProfileOps.jsDivergence replayed: the same fixed-order per-token
+    // doubles, e-12 integer rounding before the long sum.
+    "profile_drift_js" -> {
+      val a = PipelineQueries.KmvSrcA
+      val b = PipelineQueries.KmvSrcB
+      s"""WITH tk AS (SELECT source AS s, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE source IN ('$a', '$b')),
+         |c AS (SELECT s, tok, count(*) AS c FROM tk WHERE len(tok) > 0
+         |  GROUP BY 1, 2),
+         |bt AS (SELECT tok,
+         |    CAST(sum(CASE WHEN s = '$a' THEN c ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN s = '$b' THEN c ELSE 0 END) AS BIGINT) AS cb
+         |  FROM c GROUP BY 1),
+         |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM bt),
+         |tm AS (SELECT tt.na, tt.nb,
+         |    CAST(round((
+         |      (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+         |        * ln((CAST(ca AS DOUBLE) / na)
+         |          / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)
+         |            / 2.0)) * 0.5 ELSE 0.0 END)
+         |      + (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+         |        * ln((CAST(cb AS DOUBLE) / nb)
+         |          / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)
+         |            / 2.0)) * 0.5 ELSE 0.0 END)
+         |      ) * 1000000000000.0) AS BIGINT) AS t12
+         |  FROM bt CROSS JOIN tt)
+         |SELECT na AS n_tokens_a, nb AS n_tokens_b,
+         |  CAST(count(*) AS BIGINT) AS vocab_union,
+         |  CAST(sum(t12) AS BIGINT) AS jsd_e12
+         |FROM tm GROUP BY 1, 2""".stripMargin
+    },
+
     // ProfileOps.tCloseness replayed: cells → margins → per-group
     // spine → cumulative count-difference window → mean |cum| as the
     // exact integer EMD.

@@ -2194,6 +2194,14 @@ object PipelineQueries {
             col("user_id")),
         Seq("event_type", "day_us"), "user_id", LDiversityL)),
 
+    // bounded symmetric TEXT drift between two sources' token
+    // distributions — the JS-divergence companion to dq_psi_drift's
+    // binned-numeric PSI; per-token terms integer-rounded before the
+    // sum, so the one number is partition-exact.
+    "profile_drift_js" -> ((s, dir) =>
+      ProfileOps.jsDivergence(
+        table(s, dir, "documents"), "source", KmvSrcA, KmvSrcB)),
+
     // t-closeness over the same (lang, source) QI grid with the
     // n_chars bucket as the ORDERED sensitive attribute: the ordered
     // earth-mover distance to the global distribution in exact integer

@@ -53,6 +53,46 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(exp(1L) == math.round(4 * math.log10(2.0) * 1e6))
   }
 
+  test("allenRelation: all thirteen relations classify exactly") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // (s1, e1, s2, e2, expected)
+      (0L, 2L, 5L, 8L, "precedes"),
+      (0L, 5L, 5L, 8L, "meets"),
+      (0L, 6L, 5L, 8L, "overlaps"),
+      (5L, 8L, 5L, 9L, "starts"),
+      (6L, 7L, 5L, 9L, "during"),
+      (6L, 9L, 5L, 9L, "finishes"),
+      (5L, 9L, 5L, 9L, "equals"),
+      (5L, 9L, 5L, 8L, "started_by"),
+      (5L, 9L, 6L, 7L, "contains"),
+      (5L, 9L, 6L, 9L, "finished_by"),
+      (6L, 9L, 5L, 7L, "overlapped_by"),
+      (5L, 8L, 0L, 5L, "met_by"),
+      (5L, 8L, 0L, 2L, "preceded_by"))
+    val got = cases.map(c => (c._1, c._2, c._3, c._4))
+      .toDF("s1", "e1", "s2", "e2")
+      .select(IntervalOps.allenRelation(
+        col("s1"), col("e1"), col("s2"), col("e2")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._5))
+  }
+
+  test("jsDivergence: 0 on identical slices, ln 2 on disjoint vocabularies") {
+    val same = (Seq.fill(50)(("a", "x y z")) ++ Seq.fill(50)(("b", "x y z")))
+      .toDF("source", "text")
+    val r0 = ProfileOps.jsDivergence(same, "source", "a", "b").collect().head
+    assert(r0.getLong(3) == 0L, s"identical slices gave ${r0.getLong(3)}")
+    val disjoint = (Seq.fill(40)(("a", "p q")) ++ Seq.fill(40)(("b", "u v")))
+      .toDF("source", "text")
+    val r1 = ProfileOps.jsDivergence(disjoint, "source", "a", "b")
+      .collect().head
+    val ln2e12 = math.round(math.log(2.0) * 1e12)
+    assert(math.abs(r1.getLong(3) - ln2e12) <= 4L,
+      s"disjoint gave ${r1.getLong(3)} vs $ln2e12")
+    assert(r1.getLong(2) == 4L) // vocab union p,q,u,v
+  }
+
   test("joinViewMerge: delta-rule maintenance equals the full recompute") {
     val a = (1L to 40L).map(i => (i % 12, i)).toDF("k", "av")
     val b = (1L to 60L).map(i => (i % 15, -i)).toDF("k", "bv")
