@@ -170,6 +170,47 @@ object TimeSeriesOps {
           .as("is_anomaly"))
   }
 
+  /** CUSUM changepoint detection (Page 1954, the offline max-|CUSUM|
+    * form): per key, the candidate changepoint is the position where
+    * the cumulative deviation from the key's own mean peaks. Kept
+    * EXACT by scaling out the division: with S = Σx and n points,
+    * cusum_t = Σ_{i≤t} x_i·n − t·S is n·(the usual cusum) — same
+    * argmax, pure integer arithmetic, no mean rounding anywhere. The
+    * argmax takes the LARGEST |cusum|, ties to the earliest position
+    * (the max-struct trick: one aggregation, no second window).
+    *
+    * One shuffle to the key, one per-key window, one aggregation.
+    * Returns (key, n_points, x_total, cp_pos, cp_ts, cusum_abs) for
+    * keys with ≥ 2 points; cp_pos ∈ [1, n−1] (the boundary cusum_n = 0
+    * is excluded — it is identically zero, not a changepoint).
+    */
+  def cusumChangepoint(
+      points: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val staged = points
+      .select(col(keyCol), col(tsCol), col(valCol).cast("long").as("x"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cx",
+        sum(col("x") * col("n")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cusum", col("cx") - col("t") * col("s"))
+      .filter(col("n") >= 2 && col("t") < col("n"))
+    staged
+      .groupBy(col(keyCol), col("n").as("n_points"), col("s").as("x_total"))
+      .agg(max(struct(abs(col("cusum")).as("a"), (-col("t")).as("negt"),
+        col(tsCol).as("ts"), col("cusum").as("c"))).as("m"))
+      .select(col(keyCol), col("n_points"), col("x_total"),
+        (-col("m.negt")).as("cp_pos"), col("m.ts").as("cp_ts"),
+        col("m.a").as("cusum_abs"))
+  }
+
   /** Per-key Holt linear (double-exponential) smoothing, α = β = 1/2 —
     * the trend-aware extension of [[emaSmooth]]: two recursive states,
     *

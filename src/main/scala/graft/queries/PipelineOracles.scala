@@ -3704,6 +3704,30 @@ object PipelineOracles {
         |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         |SELECT user_id, event_id, ema AS ema_micro FROM r""".stripMargin,
 
+    // the scaled-integer CUSUM replayed: margins, running Σx·n − t·S,
+    // earliest-tie max-|cusum| per key.
+    "ts_changepoint" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |st1 AS (SELECT user_id, day, c,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS BIGINT) AS t
+        |  FROM d),
+        |st2 AS (SELECT user_id, day, n, s, t,
+        |    CAST(sum(c * n) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - t * s AS cusum
+        |  FROM st1),
+        |f AS (SELECT * FROM st2 WHERE n >= 2 AND t < n),
+        |rk AS (SELECT user_id, n, s, t, day, abs(cusum) AS a,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(cusum) DESC, t) AS rk FROM f)
+        |SELECT user_id, n AS n_points, s AS x_total, t AS cp_pos,
+        |  day AS cp_ts, a AS cusum_abs
+        |FROM rk WHERE rk = 1""".stripMargin,
+
     // the Holt two-state recursion replayed: the new level expression
     // repeats inside the trend update (a recursive CTE can't name an
     // intermediate), same double ops in the same order.

@@ -2283,6 +2283,19 @@ object PipelineQueries {
           unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
         "user_id", "ts_us", "event_id", "value")),
 
+    // CUSUM changepoint per user over daily event counts: where the
+    // cumulative deviation from the user's own mean peaks — the
+    // "behavior changed HERE" detector beside ts_anomaly's pointwise
+    // outliers. Exact integers throughout (the mean's division is
+    // scaled out), deterministic earliest-tie argmax.
+    "ts_changepoint" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      TimeSeriesOps.cusumChangepoint(daily, "user_id", "day", "c")
+    }),
+
     // Holt linear smoothing — level + trend states per key: the
     // trend-aware baseline ts_ema can't give (an EMA always lags a
     // ramp; Holt's forecast l+b tracks it). Same one-shuffle fold,

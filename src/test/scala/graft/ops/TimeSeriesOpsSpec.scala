@@ -70,6 +70,30 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("cusumChangepoint finds a level shift at the shift, exact and tie-stable") {
+    import spark.implicits._
+    // key 1: 5 points at 10 then 5 points at 20 -> cusum peaks at t=5
+    val shift = (1 to 10).map(i => (1L, i.toLong, if (i <= 5) 10L else 20L))
+    // key 2: constant series -> every cusum is 0, tie -> earliest t=1
+    val flat = (1 to 4).map(i => (2L, i.toLong, 7L))
+    // key 3: single point -> excluded (no interior position)
+    val single = Seq((3L, 1L, 99L))
+    val df = (shift ++ flat ++ single).toDF("k", "ts", "x").repartition(5)
+    val got = TimeSeriesOps.cusumChangepoint(df, "k", "ts", "x")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // key 1: n=10, S=150; cusum_5 = (5*10)*10 - 5*150 = -250
+    assert(got(1L) == ((10L, 150L, 5L, 5L, 250L)))
+    assert(got(2L) == ((4L, 28L, 1L, 1L, 0L)))
+    assert(!got.contains(3L))
+    // scaled cusum has the same argmax as the mean-subtracted one
+    val xs = shift.map(_._3.toDouble)
+    val mean = xs.sum / xs.length
+    val classic = xs.scanLeft(0.0)(_ + _ - mean).tail.dropRight(1)
+    assert(classic.map(math.abs).zipWithIndex.maxBy(_._1)._2 + 1 == 5)
+  }
+
   test("holtSmooth equals the plain-Scala two-state fold; trend tracks a ramp") {
     import spark.implicits._
     // Spark/DuckDB round() is half AWAY FROM ZERO (math.round is
