@@ -254,6 +254,43 @@ object GraphOps {
     * [[triangleCounts]] pays), an anti-join against the edge list, a
     * broadcast degree dim, and a TakeOrdered top-k — no global sort.
     */
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over the directed edge list (each undirected
+    * edge counted in both orientations, so the statistic is symmetric
+    * by construction) — positive means hubs link hubs (social-graph
+    * shape), negative means hubs link leaves (the dup-star shape that
+    * tells you near-duplicate clusters have canonical centers).
+    * Moments are exact DECIMAL sums of integer degrees; the one double
+    * expression derives r from them in fixed order, micro-rounded.
+    * Returns one row: (n_directed_edges, r_micro).
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val directed = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = directed.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val xy = directed
+      .join(deg.select(col("node").as("u"), col("d").as("dx")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dy")), Seq("v"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("dx").cast("decimal(38,0)")).as("sx"),
+      sum(col("dy").cast("decimal(38,0)")).as("sy"),
+      sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    m.select(col("n").as("n_directed_edges"),
+      round((dn * d("sxy") - d("sx") * d("sy")) /
+        sqrt((dn * d("sxx") - d("sx") * d("sx")) *
+          (dn * d("syy") - d("sy") * d("sy"))) * lit(1000000.0))
+        .cast("long").as("r_micro"))
+  }
+
   /** Newman-Girvan modularity terms per community: with m undirected
     * edges, e_c intra-community edges and d_c the community's degree
     * sum, community c contributes Q_c = e_c/m − (d_c/2m)². The output

@@ -252,6 +252,40 @@ object ProfileOps {
     */
   val ChecksumMod = 1L << 48
 
+  /** Pairwise Pearson correlation card over numeric columns — the EDA
+    * primitive ("which columns move together") from ONE aggregation:
+    * all per-column and per-pair moments (6dp-DECIMAL sums — exact,
+    * order-independent) collect in a single pass, and each pair's r
+    * derives in a fixed double operation order from those exact
+    * moments, micro-rounded. The pair rows explode from the one moment
+    * row — columns² never touches the data again.
+    */
+  def corrCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrCard needs at least two columns")
+    def v(c: String) = round(col(c).cast("double"), 6).cast("decimal(18,6)")
+    val momentAggs =
+      count(lit(1)).as("n") +:
+        cols.flatMap(c => Seq(
+          sum(v(c)).as(s"sx_$c"),
+          sum(v(c) * v(c)).as(s"sxx_$c"))) ++:
+        cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          sum(v(a) * v(b)).as(s"sxy_${a}_$b")
+        }
+    val m = df.agg(momentAggs.head, momentAggs.tail: _*)
+    val dn = col("n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val num = dn * d(s"sxy_${a}_$b") - d(s"sx_$a") * d(s"sx_$b")
+      val den = sqrt((dn * d(s"sxx_$a") - d(s"sx_$a") * d(s"sx_$a")) *
+        (dn * d(s"sxx_$b") - d(s"sx_$b") * d(s"sx_$b")))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(num / den * lit(1000000.0)).cast("long").as("r_micro"))
+    }
+    m.select(col("n"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("n"), col("p.r_micro").as("r_micro"))
+  }
+
   /** Jensen-Shannon divergence between two slices' token
     * distributions — the bounded, symmetric drift measure for TEXT
     * (complementing dq_psi_drift's binned-numeric PSI): JSD(P,Q) =

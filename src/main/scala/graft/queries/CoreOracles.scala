@@ -752,6 +752,37 @@ object CoreOracles {
          |FROM m""".stripMargin
     },
 
+    // the same exact-decimal moments and fixed-order Pearson doubles.
+    "profile_corr" -> {
+      // the LEFT product operand widens to DECIMAL(19,6): that forces
+      // DuckDB's int128 multiply path (two narrow operands multiply in
+      // int64 and overflow on a squared price)
+      def v(c: String) = s"CAST(round(CAST($c AS DOUBLE), 6) AS DECIMAL(12,6))"
+      def vw(c: String) = s"CAST(${v(c)} AS DECIMAL(19,6))"
+      def pair(a: String, b: String) =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy_${a}_$b AS DOUBLE)
+           |      - CAST(sx_$a AS DOUBLE) * CAST(sx_$b AS DOUBLE))
+           |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx_$a AS DOUBLE)
+           |        - CAST(sx_$a AS DOUBLE) * CAST(sx_$a AS DOUBLE))
+           |      * (CAST(n AS DOUBLE) * CAST(sxx_$b AS DOUBLE)
+           |        - CAST(sx_$b AS DOUBLE) * CAST(sx_$b AS DOUBLE)))
+           |    * 1000000.0) AS BIGINT) AS r_micro FROM m""".stripMargin
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val moments =
+        "CAST(count(*) AS BIGINT) AS n, " +
+          cols.map(c => s"sum(${v(c)}) AS sx_$c, sum(${vw(c)} * ${v(c)}) AS sxx_$c")
+            .mkString(", ") + ", " +
+          cols.combinations(2).toSeq.map { case Seq(a, b) =>
+            s"sum(${vw(a)} * ${v(b)}) AS sxy_${a}_$b"
+          }.mkString(", ")
+      val selects = cols.combinations(2).toSeq
+        .map { case Seq(a, b) => pair(a, b) }
+        .mkString("\nUNION ALL\n")
+      s"""WITH m AS (SELECT $moments FROM lineitem)
+         |$selects""".stripMargin
+    },
+
     // the same most-specific-first Allen ladder over exact endpoints.
     "iv2_allen" ->
       """WITH iv AS (SELECT user_id, event_type,

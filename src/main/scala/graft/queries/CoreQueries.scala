@@ -831,6 +831,14 @@ object CoreQueries {
           col("rev").cast("decimal(38,6)").cast("string").as("revenue"))
     }),
 
+    // DQ — the pairwise-correlation EDA card over lineitem's numeric
+    // columns: one exact-decimal moment pass, per-pair Pearson r in
+    // fixed-order doubles, micro-rounded.
+    "profile_corr" -> ((s, dir) =>
+      graft.ops.ProfileOps.corrCard(
+        table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
     // DQ — the pre-join skew card: the count-of-counts distribution of
     // a join key (how many keys carry how many rows) — the number that
     // decides between a plain shuffle join, salting, and AQE skew

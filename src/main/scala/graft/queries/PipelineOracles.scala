@@ -860,6 +860,32 @@ object PipelineOracles {
          |ORDER BY margin_fp ASC, doc_id ASC LIMIT 25""".stripMargin
     },
 
+    // the Mann-Whitney AUC replayed: distinct-logit groups, exclusive
+    // prefix counts, ×2 midranks, the same integer floor division.
+    "quality_auc" -> {
+      val iters = graft.ops.ClassifierOps.DefaultIters
+      s"""WITH $lrChainCtes,
+         |sc AS (SELECT f.doc_id, $lrLogitExpr AS logit_fp,
+         |    CAST(f.y AS BIGINT) AS yy
+         |  FROM f CROSS JOIN w$iters w),
+         |g AS (SELECT logit_fp, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(yy) AS BIGINT) AS pc FROM sc GROUP BY 1),
+         |cu AS (SELECT pc, cnt,
+         |    CAST(sum(cnt) OVER (ORDER BY logit_fp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cumc
+         |  FROM g),
+         |ag AS (SELECT CAST(sum(pc) AS BIGINT) AS p,
+         |    CAST(sum(cnt - pc) AS BIGINT) AS n,
+         |    CAST(sum(pc * (2 * (cumc - cnt) + cnt + 1)) AS BIGINT)
+         |      AS ranksum2
+         |  FROM cu)
+         |SELECT p AS n_pos, n AS n_neg,
+         |  CAST((ranksum2 - p * (p + 1)) * 1000000 // (2 * p * n)
+         |    AS BIGINT) AS auc_ppm
+         |FROM ag""".stripMargin
+    },
+
     // the ranked cut-depth curve over the same chain: logit-desc rank,
     // running TP, decile selection, integer-ppm ratios.
     "quality_pr_curve" -> {
@@ -3802,6 +3828,35 @@ object PipelineOracles {
          |SELECT node, label FROM l${PipelineQueries.LabelPropIters}"""
         .stripMargin
     },
+
+    // the cosine edge list in both orientations, degree joins, exact
+    // moment sums, the identical fixed-order Pearson expression.
+    "graph_assortativity" ->
+      s"""WITH $normCte,
+         |e0 AS (SELECT a.vec_id AS u, b.vec_id AS v
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |dr AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+         |  FROM dr GROUP BY 1),
+         |xy AS (SELECT du.d AS dx, dv.d AS dy FROM dr
+         |  JOIN deg du ON du.node = dr.u JOIN deg dv ON dv.node = dr.v),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         |    CAST(sum(dy * dy) AS BIGINT) AS syy
+         |  FROM xy)
+         |SELECT n AS n_directed_edges,
+         |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |    * 1000000.0) AS BIGINT) AS r_micro
+         |FROM m""".stripMargin,
 
     // the label-prop chain re-derived, then the modularity rollup:
     // intra-edge counts + degree sums per final community, exact

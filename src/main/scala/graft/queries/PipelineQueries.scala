@@ -1572,6 +1572,35 @@ object PipelineQueries {
           expr("cum_tp * 1000000 div p").as("recall_ppm"))
     }),
 
+    // exact ROC AUC of the trained scorer via the Mann-Whitney
+    // rank-sum identity, tie-aware: midranks per distinct logit (kept
+    // integer by the ×2 trick), rank sums through the binned prefix
+    // sum — AUC = (R⁺·2 − P(P+1))·10⁶ div (2PN), pure integers end to
+    // end. The single-number ranking summary beside the PR curve.
+    "quality_auc" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      val xs = ClassifierOps.features(col("toks"))
+      val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
+        ClassifierOps.trainLogistic(d, xs, col("lang") === "en")
+      }
+      val mxs = ClassifierOps.microFeatures(col("toks"))
+      val g = d.filter(ClassifierOps.featurable(col("toks")))
+        .select(ClassifierOps.marginFixed(w, mxs).as("logit_fp"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy("logit_fp")
+        .agg(count(lit(1)).as("cnt"), sum("y").as("pc"))
+      val cum = PrefixOps.globalCumsum(g, "logit_fp", Seq.empty, "cnt", "cumc")
+      cum
+        .select(col("pc"), col("cnt"),
+          (col("pc") * (lit(2L) * (col("cumc") - col("cnt")) +
+            col("cnt") + 1)).as("rs2"))
+        .agg(sum("pc").as("p"), sum(col("cnt") - col("pc")).as("n"),
+          sum("rs2").as("ranksum2"))
+        .select(col("p").as("n_pos"), col("n").as("n_neg"),
+          expr("(ranksum2 - p * (p + 1)) * 1000000 div (2 * p * n)")
+            .as("auc_ppm"))
+    }),
+
     "quality_lr_calibration" -> ((s, dir) => {
       val d = docsTok(s, dir)
       val xs = ClassifierOps.features(col("toks"))
@@ -2324,6 +2353,14 @@ object PipelineQueries {
       GraphOps.labelPropagation(
         SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
         "vec_a", "vec_b", LabelPropIters)),
+
+    // hubs-link-hubs or hubs-link-leaves? degree assortativity of the
+    // cosine dup graph — negative r is the canonical-center star shape
+    // near-dup clusters produce.
+    "graph_assortativity" -> ((s, dir) =>
+      GraphOps.degreeAssortativity(
+        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        "vec_a", "vec_b")),
 
     // are the propagated communities real? Newman-Girvan modularity
     // terms per community as EXACT integer rationals (q_num/q_den —

@@ -53,6 +53,35 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(exp(1L) == math.round(4 * math.log10(2.0) * 1e6))
   }
 
+  test("corrCard: perfect, inverse, and independent pairs hit exact poles") {
+    val rows = (1 to 200).map { i =>
+      (i.toDouble, 3.0 * i + 7.0, 100.0 - i, (i % 4).toDouble)
+    }
+    val df = rows.toDF("x", "y_pos", "y_neg", "y_mod")
+    val out = ProfileOps.corrCard(df, Seq("x", "y_pos", "y_neg", "y_mod"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    assert(out(("x", "y_pos")) == 1000000L)
+    assert(out(("x", "y_neg")) == -1000000L)
+    assert(math.abs(out(("x", "y_mod"))) < 60000L, "mod-4 is near-independent")
+    assert(out(("y_pos", "y_neg")) == -1000000L)
+    assert(out.size == 6)
+  }
+
+  test("degreeAssortativity: a star is -1, a clique-pair chain is positive") {
+    val star = (2L to 8L).map(i => (1L, i)).toDF("a", "b")
+    val rStar = GraphOps.degreeAssortativity(star, "a", "b")
+      .collect().head.getLong(1)
+    assert(rStar == -1000000L, s"star gave $rStar")
+    // two triangles bridged: degrees {2,2,3,3,2,2} — assortativity > 0
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("a", "b")
+    val rTri = GraphOps.degreeAssortativity(tri, "a", "b")
+      .collect().head.getLong(1)
+    assert(rTri < 0L && rTri > -1000000L,
+      s"bridged triangles gave $rTri (hub-bridge leans negative)")
+  }
+
   test("allenRelation: all thirteen relations classify exactly") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
