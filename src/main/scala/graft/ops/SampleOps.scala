@@ -66,4 +66,65 @@ object SampleOps {
     }
     df.filter(hashDraw(col(key)) < threshold)
   }
+
+  /** Neyman optimal allocation (Neyman 1934): per-stratum sampling
+    * rates ∝ N_h·σ_h — high-variance strata get oversampled, constant
+    * strata barely sampled — the minimum-variance design for a fixed
+    * total budget, then the deterministic hash draw executes it in the
+    * same pass. [[stratifiedSample]] takes the rates as GIVEN; this
+    * derives them from the data (one exact-decimal moment pass), which
+    * is what a real survey/eval-set budget run needs.
+    *
+    * Numeric contract: per-stratum moments are exact DECIMAL sums; σ_h
+    * and the allocated fraction evaluate in one fixed double order;
+    * the integer draw threshold floor(min(1, f_h)·65536) is what
+    * actually selects rows, so the SAMPLE ITSELF is deterministic.
+    * Single-row strata carry σ = 0 (no variance to chase — they get
+    * no budget beyond the σ > 0 strata's leftovers, i.e. none).
+    *
+    * Returns per stratum: (stratum, n_rows, sigma_micro, thr,
+    * n_sampled).
+    */
+  def neymanAllocate(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      valueCol: String,
+      budgetFrac: Double): DataFrame = {
+    val v = round(col(valueCol), 6).cast("decimal(18,6)")
+    val stats = df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(v).as("s1"),
+        sum(v * v).as("s2"))
+      .withColumn("sigma",
+        when(col("n_rows") < 2, lit(0.0))
+          .otherwise(sqrt(
+            (col("n_rows") * col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+              (col("n_rows") * (col("n_rows") - 1)))))
+    // per-stratum weights land as micro LONGS before the total — a
+    // float Σ N_h·σ_h would be partition-order-dependent
+    val weighted = stats.withColumn("w_micro",
+      round(col("n_rows").cast("double") * col("sigma") * lit(1000000.0))
+        .cast("long"))
+    val tot = weighted.agg(
+      sum(col("n_rows")).as("n_total"),
+      sum(col("w_micro")).as("w_total_micro"))
+    val withThr = weighted.crossJoin(broadcast(tot))
+      .withColumn("f",
+        when(col("w_total_micro") > 0,
+          least(lit(1.0),
+            round(col("n_total") * lit(budgetFrac)) * col("sigma") *
+              lit(1000000.0) / col("w_total_micro")))
+          .otherwise(lit(0.0)))
+      .withColumn("thr", floor(col("f") * lit(HashSpace.toDouble)).cast("long"))
+      .select(col("stratum"), col("n_rows"),
+        round(col("sigma") * lit(1000000.0)).cast("long").as("sigma_micro"),
+        col("thr"))
+    df.select(col(stratumCol).as("stratum"), hashDraw(col(keyCol)).as("u"))
+      .join(broadcast(withThr), Seq("stratum"))
+      .groupBy("stratum", "n_rows", "sigma_micro", "thr")
+      .agg(sum(when(col("u") < col("thr"), 1L).otherwise(0L)).as("n_sampled"))
+  }
 }

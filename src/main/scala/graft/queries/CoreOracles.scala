@@ -700,6 +700,38 @@ object CoreOracles {
         |  count(*) AS n_merged
         |FROM z GROUP BY user_id, island""".stripMargin,
 
+    // the island merge rolled to covered/span time per user.
+    "iv3_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS iv_start,
+        |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS iv_end,
+        |    event_id
+        |  FROM events
+        |), x AS (
+        |  SELECT user_id, iv_start, iv_end, event_id,
+        |    max(iv_end) OVER (PARTITION BY user_id ORDER BY iv_start, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM iv
+        |), y AS (
+        |  SELECT user_id, iv_start, iv_end, event_id,
+        |    CASE WHEN prior_max IS NULL OR iv_start > prior_max THEN 1 ELSE 0 END AS is_new
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, iv_start, iv_end,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY iv_start, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM y
+        |), isl AS (
+        |  SELECT user_id, min(iv_start) AS s, max(iv_end) AS e
+        |  FROM z GROUP BY user_id, island
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_us,
+        |  CAST(max(e) - min(s) AS BIGINT) AS span_us,
+        |  CAST(sum(e - s) * 1000000 // (max(e) - min(s)) AS BIGINT)
+        |    AS coverage_ppm
+        |FROM isl GROUP BY user_id""".stripMargin,
+
     "j2_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_orders,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_spend

@@ -1001,6 +1001,30 @@ object CoreQueries {
         keyCol = "user_id", startCol = "iv_start", endCol = "iv_end",
         tieCol = "event_id")),
 
+    // IV3 — temporal coverage ratio: per user, merged-island covered
+    // time over the observation span, integer-ppm — the utilization /
+    // uptime number the raw interval list can't report (overlaps would
+    // double-count). Composes the iv1 island merge; one extra rollup.
+    "iv3_coverage" -> ((s, dir) => {
+      val islands = graft.ops.IntervalOps.mergeIntervals(
+        table(s, dir, "events").select(
+          col("user_id"),
+          unix_micros(col("ts")).as("iv_start"),
+          (unix_micros(col("ts")) +
+            (col("value").cast("decimal(18,2)") * 1000000).cast("long"))
+            .as("iv_end"),
+          col("event_id")),
+        keyCol = "user_id", startCol = "iv_start", endCol = "iv_end",
+        tieCol = "event_id")
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("island_end") - col("island_start")).as("covered_us"),
+          (max(col("island_end")) - min(col("island_start"))).as("span_us"))
+        .select(col("user_id"), col("n_islands"), col("covered_us"),
+          col("span_us"),
+          expr("covered_us * 1000000 div span_us").as("coverage_ppm"))
+    }),
+
     // J2 — salted equi-join (SkewOps): known-skew fallback when AQE's
     // thresholds don't trigger; result identical to the plain join.
     "j2_salted_join" -> ((s, dir) => {

@@ -1495,6 +1495,40 @@ object PipelineOracles {
          |    % ${graft.ops.ProfileOps.ChecksumMod} AS BIGINT) AS checksum
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // SampleOps.neymanAllocate replayed: exact moments, the same
+    // fixed-order sigma/fraction doubles, integer thresholds, and the
+    // same md5 draw counting the sample.
+    "sample_neyman" ->
+      """WITH v AS (SELECT event_type AS stratum, event_id,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+        |st AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(v) AS s1, sum(CAST(v AS DECIMAL(19,6)) * v) AS s2
+        |  FROM v GROUP BY 1),
+        |sg AS (SELECT stratum, n_rows,
+        |    CASE WHEN n_rows < 2 THEN 0.0
+        |      ELSE sqrt((n_rows * CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |        / (n_rows * (n_rows - 1))) END AS sigma
+        |  FROM st),
+        |wg AS (SELECT stratum, n_rows, sigma,
+        |    CAST(round(CAST(n_rows AS DOUBLE) * sigma * 1000000.0)
+        |      AS BIGINT) AS w_micro FROM sg),
+        |tt AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+        |    CAST(sum(w_micro) AS BIGINT) AS w_total_micro FROM wg),
+        |th AS (SELECT stratum, n_rows,
+        |    CAST(round(sigma * 1000000.0) AS BIGINT) AS sigma_micro,
+        |    CAST(floor((CASE WHEN w_total_micro > 0
+        |      THEN least(1.0, round(n_total * 0.1) * sigma * 1000000.0
+        |        / w_total_micro)
+        |      ELSE 0.0 END) * 65536.0) AS BIGINT) AS thr
+        |  FROM wg CROSS JOIN tt)
+        |SELECT th.stratum, th.n_rows, th.sigma_micro, th.thr,
+        |  CAST(sum(CASE WHEN
+        |      ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 4))::BIGINT
+        |      < th.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM events e JOIN th ON e.event_type = th.stratum
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
     // ProfileOps.jsDivergence replayed: the same fixed-order per-token
     // doubles, e-12 integer rounding before the long sum.
     "profile_drift_js" -> {

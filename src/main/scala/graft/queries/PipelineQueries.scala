@@ -2223,6 +2223,14 @@ object PipelineQueries {
             col("user_id")),
         Seq("event_type", "day_us"), "user_id", LDiversityL)),
 
+    // Neyman optimal allocation executed in-engine: per-stratum rates
+    // ∝ N_h·σ_h from one exact moment pass, integer draw thresholds,
+    // and the deterministic sample counted in the same query — the
+    // minimum-variance budget design for an eval-set build.
+    "sample_neyman" -> ((s, dir) =>
+      SampleOps.neymanAllocate(CoreQueries.table(s, dir, "events"),
+        "event_type", "event_id", "value", 0.1)),
+
     // bounded symmetric TEXT drift between two sources' token
     // distributions — the JS-divergence companion to dq_psi_drift's
     // binned-numeric PSI; per-token terms integer-rounded before the

@@ -133,4 +133,30 @@ class SampleOpsSpec extends AnyFunSuite {
     // the small cell keeps BOTH members — quotas cap, never pad
     assert(got(1L).size == 2)
   }
+
+  test("neymanAllocate: variance drives the budget; constants get none") {
+    import spark.implicits._
+    // stratum "wild": values spread 0..99; "tame": constant 50
+    val rows = (0L until 1000L).map(i =>
+      if (i < 500) ("wild", i, (i % 100).toDouble)
+      else ("tame", i, 50.0))
+    val df = rows.toDF("g", "id", "value").repartition(7)
+    val out = SampleOps.neymanAllocate(df, "g", "id", "value", 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (wildN, wildSigma, wildThr, wildSampled) = out("wild")
+    val (_, tameSigma, tameThr, tameSampled) = out("tame")
+    assert(wildN == 500L)
+    assert(tameSigma == 0L && tameThr == 0L && tameSampled == 0L,
+      "a constant stratum has no variance to chase")
+    assert(wildSigma > 28000000L && wildSigma < 30000000L) // sd ~28.9
+    // all 200 budgeted rows land on the wild stratum: f = 200/500
+    assert(math.abs(wildThr - (0.4 * 65536).toLong) <= 1L)
+    assert(math.abs(wildSampled - 200L) < 60L,
+      s"sampled $wildSampled far from the 200-row budget")
+    // deterministic under repartition
+    val again = SampleOps.neymanAllocate(df.repartition(3), "g", "id",
+      "value", 0.2).collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(again("wild") == wildSampled)
+  }
 }
