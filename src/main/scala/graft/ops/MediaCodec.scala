@@ -317,6 +317,36 @@ object MediaCodec {
     WavStats(rate, channels, bits, nSamples, sum, first)
   }
 
+  /** The gray values of every LOGICAL pixel in row-major order — the
+    * same strict 24-bpp parse as [[decodeBmp]], materializing the
+    * raster (bottom-up storage unflipped) for histogram/feature work.
+    * Gray = the blue channel byte (this codec writes R = G = B).
+    */
+  def decodeBmpPixels(bytes: Array[Byte]): Array[Int] = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "decodeBmpPixels: not a BMP (missing BM magic)")
+    val dataOff = rdLe32(bytes, 10)
+    val w = rdLe32(bytes, 18)
+    val h = rdLe32(bytes, 22)
+    val bpp = rdLe16(bytes, 28)
+    val compression = rdLe32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      "decodeBmpPixels: only uncompressed 24-bpp supported")
+    require(h > 0, "decodeBmpPixels: top-down not supported")
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new Array[Int](w * h)
+    var s = 0
+    while (s < h) {
+      var c = 0
+      while (c < w) {
+        out((h - 1 - s) * w + c) = bytes(dataOff + s * stride + c * 3) & 0xff
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
+
   /** The data chunk's PCM16 samples themselves — same RIFF walk as
     * [[decodeWav]], materializing the waveform for frame-level analysis
     * (energy, VAD) instead of reducing to summary stats.

@@ -230,6 +230,33 @@ object MultimodalOps {
       .toDF("media_id", "width", "height", "ahash")
   }
 
+  final case class GrayBin(media_id: Long, bin: Long, n_px: Long)
+
+  /** Luminance histogram over REAL decoded BMP payloads — the
+    * image-level tonal profile (exposure audits, near-black/near-white
+    * junk detection) through the same batched decode seam: gray values
+    * bucket into `nBins` equal slices of [0, 256). Bins with zero
+    * pixels are omitted (both engines derive the same sparse rows).
+    */
+  def bmpGrayHistogram(media: DataFrame, nBins: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(256 % nBins == 0, "nBins must divide 256")
+    val width = 256 / nBins
+    media.filter(col("mime") === "image/bmp")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            MediaCodec.decodeBmpPixels(payload)
+              .groupBy(_ / width)
+              .map { case (b, px) => GrayBin(id, b.toLong, px.length.toLong) }
+          }
+        }
+      }
+      .toDF()
+  }
+
   final case class WavFrame(
       media_id: Long, frame_idx: Long, n_samples: Long, sum_sq: Long,
       rms_micro: Long, is_silence: Long)

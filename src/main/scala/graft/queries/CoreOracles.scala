@@ -619,6 +619,11 @@ object CoreOracles {
       """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,
 
+    // identity through the gzip wire format.
+    "src7_gzip_roundtrip" ->
+      """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM events""".stripMargin,
+
     "src3_orc_roundtrip" ->
       """SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,

@@ -912,6 +912,23 @@ object CoreQueries {
 
     // SRC2 — JSON-lines sink + source round trip, same contract
     // (doubles survive: writer emits a parse-exact decimal repr).
+    // SRC7 — COMPRESSED text ingest: the same JSONL roundtrip through
+    // gzip (the wire format most text dumps actually arrive in). Spark
+    // writes/reads .json.gz through the Hadoop codec transparently;
+    // the scale caveat is that one .gz member is NOT splittable — a
+    // 100 TB ingest wants many shards (as written here: one per task)
+    // or a splittable codec, the DumpConvert staging lesson.
+    "src7_gzip_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_rt_gz_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}"
+      table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").option("compression", "gzip").json(out)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT")
+        .json(out)
+    }),
+
     "src2_json_roundtrip" -> ((s, dir) => {
       val out = s"/tmp/graft_rt_json_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}"
       table(s, dir, "events")

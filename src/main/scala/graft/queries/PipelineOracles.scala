@@ -3075,6 +3075,17 @@ object PipelineOracles {
     // sums the sample pattern (doc_id·31 + i·7) % 65536 − 32768; first_unit
     // probes the top-left pixel / sample 0. None of this parses binary —
     // matching the Spark side's REAL parsers is the proof.
+    // the closed-form BMP pixel generator binned: gray = (doc_id+i)%256
+    // over the 5×(1+doc_id%4) raster, 4 bins of 64.
+    "mm_image_hist" ->
+      """WITH b AS (SELECT doc_id, 5 * (1 + doc_id % 4) AS np
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, (doc_id + unnest(range(0, np))) % 256 AS g
+        |  FROM b)
+        |SELECT doc_id AS media_id, CAST(g // 64 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_px
+        |FROM px GROUP BY 1, 2""".stripMargin,
+
     // the closed-form WAV sample generator framed and reduced: exact
     // integer sum-of-squares, one fixed-order sqrt, floor-micro RMS.
     "mm_wav_energy" -> {

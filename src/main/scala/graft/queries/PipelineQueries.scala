@@ -1833,6 +1833,14 @@ object PipelineQueries {
     // byte-level hashing would not. The oracle replays the hash from
     // the fixture's closed-form pixel pattern, so the decode path must
     // reproduce the encoded pixels exactly (PNG is lossless).
+    // luminance histogram over the REAL decoded BMP rasters — the
+    // tonal data card through the decode seam; the oracle recomputes
+    // the bins in closed form from the pixel generator, so equality
+    // proves decode, unflip, and binning.
+    "mm_image_hist" -> ((s, dir) =>
+      MultimodalOps.bmpGrayHistogram(
+        MultimodalOps.packMediaCodec(table(s, dir, "documents")), 4)),
+
     // frame-level RMS energy + silence flags over the REAL decoded WAV
     // payloads — the VAD-lite curation pass for speech data, through
     // the same batched decode seam; oracle replays the closed-form

@@ -141,6 +141,20 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeBmpPixels round-trips the raster through stride padding and unflip") {
+    // w=3: row bytes 9 -> stride 12 (3 pad bytes per stored row)
+    val px = Array(10, 20, 30, 40, 50, 60) // 3x2, row-major top-down
+    val bytes = MediaCodec.encodeBmp(3, 2, px(_))
+    assert(MediaCodec.decodeBmpPixels(bytes).toSeq == px.toSeq)
+    // histogram over the decoded raster through the seam
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val media = Seq((5L, "image/bmp", bytes)).toDF("media_id", "mime", "payload")
+    val h = graft.ops.MultimodalOps.bmpGrayHistogram(media, 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(h == Map(0L -> 6L)) // all values < 64
+  }
+
   test("decodeWavSamples round-trips the waveform; frame energy is exact") {
     val samples = Array(100, -200, 300, -32768, 32767, 0, 7)
     val bytes = MediaCodec.encodeWav(8000, samples)
