@@ -242,6 +242,46 @@ object GraphOps {
     visited
   }
 
+  /** Onion decomposition at threshold k: [[kCore]]'s peel with the
+    * REMOVAL ROUND recorded — layer(v) = the first round after which v
+    * leaves the graph (deg < k, or all its edges died with its
+    * neighbors), and the nodes still standing after `rounds` carry
+    * layer 0: the k-core itself. The layer number is how deep into the
+    * fringe a node sits — the "peripheral-ness" coordinate a flat
+    * in-or-out core test throws away. Same per-round shapes and
+    * checkpoint cadence as kCore; one extra endpoints anti-join per
+    * round to catch the nodes whose edges vanished.
+    */
+  def onionLayers(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    var e = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def nodesOf(g: DataFrame) =
+      g.select(col("u").as("node")).unionAll(g.select(col("v").as("node")))
+        .distinct()
+    var labeled = e.sparkSession.range(0)
+      .select(col("id").as("node"), col("id").as("layer"))
+    for (r <- 1 to rounds) {
+      val before = nodesOf(e)
+      val keep = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("node")
+      e = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val gone = before.join(nodesOf(e), Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("layer"))
+      labeled = labeled.unionAll(gone).localCheckpoint(true)
+    }
+    labeled.unionAll(
+      nodesOf(e).select(col("node"), lit(0L).as("layer")))
+  }
+
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg, CIKM
     * 2003): for node pairs at distance 2 that are NOT adjacent, the
     * number of shared neighbors and the neighborhood-Jaccard score

@@ -170,6 +170,52 @@ object TimeSeriesOps {
           .as("is_anomaly"))
   }
 
+  /** Day-of-week seasonality profile per key: the per-dow mean beside
+    * the SEASONAL STRENGTH — the between-dow share of total variance
+    * (the one-way ANOVA R²), which says whether the weekly pattern is
+    * real structure or noise before anyone fits to it. dow comes from
+    * epoch-day mod 7 (engine-free — the engines disagree on
+    * dayofweek()'s origin). Moments are exact decimals; per-dow
+    * between-variance terms round to micro LONGS before summing (the
+    * float-Σ order trap), and the final share is one integer floor
+    * division. Returns (key, dow, n_events, mean_micro, strength_ppm)
+    * with the key's strength repeated on its 7 rows.
+    */
+  def dowSeasonality(
+      events: DataFrame,
+      keyCol: String,
+      tsMicrosCol: String,
+      valCol: String): DataFrame = {
+    val v = round(col(valCol), 6).cast("decimal(18,6)")
+    val cell = events
+      .select(col(keyCol),
+        pmod(expr(s"$tsMicrosCol div 86400000000"), lit(7)).as("dow"),
+        v.as("v"))
+      .groupBy(col(keyCol), col("dow"))
+      .agg(count(lit(1)).as("n_d"), sum(col("v")).as("s1_d"),
+        sum(col("v") * col("v")).as("s2_d"))
+    val tot = cell.groupBy(col(keyCol))
+      .agg(sum("n_d").as("n"), sum("s1_d").as("s1"), sum("s2_d").as("s2"))
+    val m = col("s1").cast("double") / col("n")
+    val md = col("s1_d").cast("double") / col("n_d")
+    val terms = cell.join(tot, Seq(keyCol))
+      .withColumn("ssb_t",
+        round(col("n_d") * ((md - m) * (md - m)) * lit(1000000.0))
+          .cast("long"))
+      .withColumn("mean_micro", round(md * lit(1000000.0)).cast("long"))
+    val ssb = terms.groupBy(col(keyCol)).agg(sum("ssb_t").as("ssb"))
+    terms
+      .join(ssb, Seq(keyCol))
+      .withColumn("sst",
+        round((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n")) *
+          lit(1000000.0)).cast("long"))
+      .select(col(keyCol), col("dow"), col("n_d").as("n_events"),
+        col("mean_micro"),
+        when(col("sst") > 0, expr("ssb * 1000000 div sst")).otherwise(0L)
+          .as("strength_ppm"))
+  }
+
   /** CUSUM changepoint detection (Page 1954, the offline max-|CUSUM|
     * form): per key, the candidate changepoint is the position where
     * the cumulative deviation from the key's own mean peaks. Kept

@@ -1594,6 +1594,70 @@ object PipelineOracles {
         |    AS t_micro
         |FROM agg""".stripMargin,
 
+    // the same exact moments, micro-long between-variance terms, one
+    // floor division; dow from epoch-day mod 7.
+    "ts_seasonality" ->
+      """WITH b AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+        |cell AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_d,
+        |    sum(v) AS s1_d, sum(CAST(v AS DECIMAL(19,6)) * v) AS s2_d
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n_d) AS BIGINT) AS n,
+        |    CAST(sum(s1_d) AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(s2_d) AS DECIMAL(38,12)) AS s2
+        |  FROM cell GROUP BY 1),
+        |tm AS (SELECT cell.event_type, cell.dow, cell.n_d,
+        |    CAST(round(cell.n_d
+        |      * ((CAST(cell.s1_d AS DOUBLE) / cell.n_d
+        |          - CAST(tot.s1 AS DOUBLE) / tot.n)
+        |        * (CAST(cell.s1_d AS DOUBLE) / cell.n_d
+        |          - CAST(tot.s1 AS DOUBLE) / tot.n))
+        |      * 1000000.0) AS BIGINT) AS ssb_t,
+        |    CAST(round(CAST(cell.s1_d AS DOUBLE) / cell.n_d * 1000000.0)
+        |      AS BIGINT) AS mean_micro,
+        |    CAST(round((CAST(tot.s2 AS DOUBLE)
+        |      - CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE) / tot.n)
+        |      * 1000000.0) AS BIGINT) AS sst
+        |  FROM cell JOIN tot USING (event_type)),
+        |sb AS (SELECT event_type, CAST(sum(ssb_t) AS BIGINT) AS ssb
+        |  FROM tm GROUP BY 1)
+        |SELECT tm.event_type, tm.dow, tm.n_d AS n_events, tm.mean_micro,
+        |  CAST(CASE WHEN tm.sst > 0 THEN sb.ssb * 1000000 // tm.sst
+        |    ELSE 0 END AS BIGINT) AS strength_ppm
+        |FROM tm JOIN sb USING (event_type)""".stripMargin,
+
+    // the kCore peel with per-round except: layer = the first round a
+    // node leaves the graph, 0 = the surviving core.
+    "graph_onion" -> {
+      val k = PipelineQueries.KCoreK
+      val r = PipelineQueries.KCoreRounds
+      val rounds = (1 to r).map { i =>
+        s"""a$i AS (SELECT u AS nn FROM e${i - 1}
+           |  UNION ALL SELECT v FROM e${i - 1}),
+           |nb$i AS (SELECT DISTINCT nn FROM a$i),
+           |k$i AS (SELECT nn FROM a$i GROUP BY nn HAVING count(*) >= $k),
+           |e$i AS (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+           |  WHERE u IN (SELECT nn FROM k$i)
+           |    AND v IN (SELECT nn FROM k$i)),
+           |sv$i AS (SELECT u AS nn FROM e$i UNION SELECT v FROM e$i),
+           |g$i AS (SELECT nn AS node, CAST($i AS BIGINT) AS layer
+           |  FROM nb$i WHERE nn NOT IN (SELECT nn FROM sv$i))""".stripMargin
+      }.mkString(",\n")
+      val gones = (1 to r).map(i => s"SELECT node, layer FROM g$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $normCte,
+         |e0 AS (SELECT a.vec_id AS u, b.vec_id AS v
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |$rounds
+         |$gones
+         |UNION ALL
+         |SELECT nn AS node, CAST(0 AS BIGINT) AS layer FROM sv$r"""
+        .stripMargin
+    },
+
     // GraphOps.kCore replayed: the cosine edge list peeled for the
     // same fixed round count, each round unrolled as degree/keep/induce
     // CTEs.

@@ -2328,6 +2328,23 @@ object PipelineQueries {
           unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
         "user_id", "ts_us", "event_id", "value")),
 
+    // weekly-pattern data card per event_type: per-dow means + the
+    // between-dow variance share (one-way ANOVA R²) — is the weekly
+    // cycle real structure before anything fits to it.
+    "ts_seasonality" -> ((s, dir) =>
+      TimeSeriesOps.dowSeasonality(
+        table(s, dir, "events").select(col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value")),
+        "event_type", "ts_us", "value")),
+
+    // onion decomposition of the cosine graph: kCore's peel with the
+    // removal round recorded — layer = how deep into the fringe a node
+    // sits, 0 = the surviving core.
+    "graph_onion" -> ((s, dir) =>
+      GraphOps.onionLayers(
+        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        "vec_a", "vec_b", KCoreK, KCoreRounds)),
+
     // CUSUM changepoint per user over daily event counts: where the
     // cumulative deviation from the user's own mean peaks — the
     // "behavior changed HERE" detector beside ts_anomaly's pointwise

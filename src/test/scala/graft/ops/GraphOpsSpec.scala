@@ -163,6 +163,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(qBad < 70L, s"bad split q_num sum $qBad should trail 70")
   }
 
+  test("onionLayers: the fringe peels inward with exact round labels") {
+    // triangle {1,2,3} + tail 3-4-5: round 1 drops 5, round 2 drops 4,
+    // the triangle survives at layer 0
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = GraphOps.onionLayers(g, "a", "b", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 1L, 4L -> 2L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // a path peels symmetrically from both ends
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val lp = GraphOps.onionLayers(path, "a", "b", 2, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == Map(1L -> 1L, 6L -> 1L, 2L -> 2L, 5L -> 2L,
+      3L -> 3L, 4L -> 3L))
+  }
+
   test("kCore: pendant chain peels away, the cycle survives with exact degrees") {
     // triangle 1-2-3 plus a tail 3-4-5: the 2-core is exactly the
     // triangle; the tail cascades away over two rounds
