@@ -252,6 +252,53 @@ object ProfileOps {
     */
   val ChecksumMod = 1L << 48
 
+  /** EXACT two-sample Kolmogorov-Smirnov distance between two slices
+    * of a numeric column: D = max_v |F_a(v) − F_b(v)| kept as pure
+    * integer arithmetic — |cum_a·n_b − cum_b·n_a| maximized over the
+    * merged value spine, divided once at the end — so the classic
+    * distribution-drift test carries NO floating CDFs at all. The
+    * α = 0.05 two-sample critical value 1.358·√((n_a+n_b)/(n_a·n_b))
+    * rides along (one fixed-order double) with the reject flag.
+    *
+    * The spine is the column's DISTINCT values — bounded for the
+    * discrete/bucketed columns this is for; the single-partition
+    * cumulative window runs over that spine, never the data (bucket
+    * first if the domain is continuous). Returns one row:
+    * (n_a, n_b, d_ppm, crit_ppm, reject).
+    */
+  def ksTest(
+      df: DataFrame,
+      sliceCol: String,
+      a: String,
+      b: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = df.filter(col(sliceCol).isin(a, b))
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(sliceCol) === a, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sliceCol) === b, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = spine
+      .withColumn("f1", sum("c1").over(w))
+      .withColumn("f2", sum("c2").over(w))
+    // totals first (1 row, broadcast), then the scaled sup distance
+    val tot = spine.agg(sum("c1").as("n_a"), sum("c2").as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("f1") * col("n_b") - col("f2") * col("n_a")).as("dn"))
+      .groupBy("n_a", "n_b")
+      .agg(max("dn").as("dmax"))
+      .select(col("n_a"), col("n_b"),
+        expr("dmax * 1000000 div (n_a * n_b)").as("d_ppm"),
+        round(lit(1.358) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")) * lit(1000000.0))
+          .cast("long").as("crit_ppm"))
+      .withColumn("reject",
+        (col("d_ppm") > col("crit_ppm")).cast("boolean"))
+  }
+
   /** Pairwise Pearson correlation card over numeric columns — the EDA
     * primitive ("which columns move together") from ONE aggregation:
     * all per-column and per-pair moments (6dp-DECIMAL sums — exact,

@@ -170,6 +170,52 @@ object TimeSeriesOps {
           .as("is_anomaly"))
   }
 
+  /** Per-key autocorrelation at lags 1..maxLag — the "how much does
+    * yesterday predict today" profile that decides whether an EMA/Holt
+    * baseline is even worth fitting. The lag pairing is one per-key
+    * window (`lag` over the event-time order), pair moments accumulate
+    * as exact decimals, and each lag's Pearson r derives in fixed
+    * double order, micro-rounded. r is computed over the n−l COMPLETE
+    * pairs (the standard sample ACF up to its n/(n−l) factor — this is
+    * the Pearson-of-pairs form, replayable without a variance
+    * convention argument). Returns (key, lag, n_pairs, r_micro); keys
+    * need ≥ 3 pairs at a lag to emit it (the correlation of fewer is
+    * noise by construction).
+    */
+  def acf(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      valCol: String,
+      maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val v = round(col(valCol), 6).cast("decimal(18,6)")
+    val base = events.select(col(keyCol), col(tsCol), col(seqCol), v.as("v"))
+    val lagged = (1 to maxLag).map { l =>
+      base
+        .withColumn("vl", lag(col("v"), l).over(w))
+        .filter(col("vl").isNotNull)
+        .select(col(keyCol), lit(l.toLong).as("lag"),
+          col("v"), col("vl"))
+    }.reduce(_ unionAll _)
+    val m = lagged.groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sx"), sum(col("vl")).as("sy"),
+        sum(col("v") * col("vl")).as("sxy"),
+        sum(col("v") * col("v")).as("sxx"),
+        sum(col("vl") * col("vl")).as("syy"))
+      .filter(col("n") >= 3)
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    m.select(col(keyCol), col("lag"), col("n").as("n_pairs"),
+      round((dn * d("sxy") - d("sx") * d("sy")) /
+        sqrt((dn * d("sxx") - d("sx") * d("sx")) *
+          (dn * d("syy") - d("sy") * d("sy"))) * lit(1000000.0))
+        .cast("long").as("r_micro"))
+  }
+
   /** Day-of-week seasonality profile per key: the per-dow mean beside
     * the SEASONAL STRENGTH — the between-dow share of total variance
     * (the one-way ANOVA R²), which says whether the weekly pattern is

@@ -1594,6 +1594,72 @@ object PipelineOracles {
         |    AS t_micro
         |FROM agg""".stripMargin,
 
+    // the lag pairing replayed per lag, exact pair moments, the same
+    // fixed-order Pearson doubles.
+    "ts_acf" -> {
+      val lags = (1 to 3).map { l =>
+        s"""SELECT user_id, CAST($l AS BIGINT) AS lag, v,
+           |  lag(v, $l) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |    AS vl
+           |FROM b""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT user_id, ts, event_id,
+         |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+         |lg AS ($lags),
+         |p AS (SELECT user_id, lag, v, vl FROM lg WHERE vl IS NOT NULL),
+         |m AS (SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n,
+         |    sum(v) AS sx, sum(vl) AS sy,
+         |    sum(CAST(v AS DECIMAL(19,6)) * vl) AS sxy,
+         |    sum(CAST(v AS DECIMAL(19,6)) * v) AS sxx,
+         |    sum(CAST(vl AS DECIMAL(19,6)) * vl) AS syy
+         |  FROM p GROUP BY 1, 2)
+         |SELECT user_id, lag, n AS n_pairs,
+         |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |    * 1000000.0) AS BIGINT) AS r_micro
+         |FROM m WHERE n >= 3""".stripMargin
+    },
+
+    // the integer sup-CDF distance over the merged value spine, the
+    // identical fixed-order critical-value double.
+    "dq_ks_test" -> {
+      val a = PipelineQueries.KmvSrcA
+      val b = PipelineQueries.KmvSrcB
+      s"""WITH sp AS (SELECT n_chars AS v,
+         |    CAST(sum(CASE WHEN source = '$a' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1,
+         |    CAST(sum(CASE WHEN source = '$b' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c2
+         |  FROM documents WHERE source IN ('$a', '$b') GROUP BY 1),
+         |cm AS (SELECT v,
+         |    CAST(sum(c1) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS f1,
+         |    CAST(sum(c2) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS f2
+         |  FROM sp),
+         |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+         |    CAST(sum(c2) AS BIGINT) AS n_b FROM sp),
+         |dm AS (SELECT tt.n_a, tt.n_b,
+         |    max(abs(cm.f1 * tt.n_b - cm.f2 * tt.n_a)) AS dmax
+         |  FROM cm CROSS JOIN tt GROUP BY 1, 2)
+         |SELECT n_a, n_b,
+         |  CAST(dmax * 1000000 // (n_a * n_b) AS BIGINT) AS d_ppm,
+         |  CAST(round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+         |    / CAST(n_a * n_b AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |    AS crit_ppm,
+         |  CAST(dmax * 1000000 // (n_a * n_b) AS BIGINT)
+         |    > CAST(round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+         |      / CAST(n_a * n_b AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |    AS reject
+         |FROM dm""".stripMargin
+    },
+
     // the same exact moments, micro-long between-variance terms, one
     // floor division; dow from epoch-day mod 7.
     "ts_seasonality" ->

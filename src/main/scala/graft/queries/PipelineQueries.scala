@@ -2328,6 +2328,21 @@ object PipelineQueries {
           unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
         "user_id", "ts_us", "event_id", "value")),
 
+    // per-user autocorrelation profile at lags 1..3 — does yesterday
+    // predict today, per key, before any smoother is trusted.
+    "ts_acf" -> ((s, dir) =>
+      TimeSeriesOps.acf(
+        table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value", maxLag = 3)),
+
+    // exact two-sample KS drift test between two sources' length
+    // distributions: the sup-CDF distance as pure integers, the 5%
+    // critical value and reject flag riding along.
+    "dq_ks_test" -> ((s, dir) =>
+      ProfileOps.ksTest(table(s, dir, "documents"),
+        "source", KmvSrcA, KmvSrcB, "n_chars")),
+
     // weekly-pattern data card per event_type: per-dow means + the
     // between-dow variance share (one-way ANOVA R²) — is the weekly
     // cycle real structure before anything fits to it.

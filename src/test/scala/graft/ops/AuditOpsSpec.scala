@@ -53,6 +53,29 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(exp(1L) == math.round(4 * math.log10(2.0) * 1e6))
   }
 
+  test("ksTest: identical slices D=0, a shifted slice rejects, exact rationals") {
+    val same = ((1 to 100).map(i => ("a", (i % 10).toLong)) ++
+      (1 to 100).map(i => ("b", (i % 10).toLong))).toDF("s", "v")
+    val r0 = ProfileOps.ksTest(same, "s", "a", "b", "v").collect().head
+    assert(r0.getLong(2) == 0L && !r0.getBoolean(4))
+    val shifted = ((1 to 100).map(i => ("a", (i % 10).toLong)) ++
+      (1 to 100).map(i => ("b", (i % 10).toLong + 5))).toDF("s", "v")
+    val r1 = ProfileOps.ksTest(shifted, "s", "a", "b", "v").collect().head
+    // half the mass is displaced: D = 0.5 exactly
+    assert(r1.getLong(2) == 500000L, s"D was ${r1.getLong(2)}")
+    assert(r1.getBoolean(4), "a half-mass shift must reject at 5%")
+  }
+
+  test("acf: an alternating series has r(1) = -1 and r(2) = +1") {
+    val vals = (0 until 40).map(i => (1L, i.toLong, i.toLong,
+      if (i % 2 == 0) 3.0 else 9.0))
+    val df = vals.toDF("k", "ts", "seq", "v")
+    val out = TimeSeriesOps.acf(df, "k", "ts", "seq", "v", 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) == -1000000L, s"lag1 ${out(1L)}")
+    assert(out(2L) == 1000000L, s"lag2 ${out(2L)}")
+  }
+
   test("corrCard: perfect, inverse, and independent pairs hit exact poles") {
     val rows = (1 to 200).map { i =>
       (i.toDouble, 3.0 * i + 7.0, 100.0 - i, (i % 4).toDouble)
