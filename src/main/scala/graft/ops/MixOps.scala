@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus mixing: rebalancing a multi-domain corpus toward a target
@@ -124,5 +124,75 @@ object MixOps {
       .withColumn("__cum", sum(col(tokensCol)).over(w))
       .filter(col("__cum") - col(tokensCol) < budget)
       .drop("__cum")
+  }
+
+  /** Sequence-packing efficiency card: for each candidate sequence
+    * length L, the greedy NO-SPLIT first-fit pack (docs stay atomic;
+    * docs longer than L take dedicated ⌈n/L⌉ sequences whose last
+    * chunk pads) — reporting sequences used, total/pad tokens, and
+    * fill in ppm. The number that picks the training seq-len BEFORE
+    * committing the tokenizer run: too-short wastes on fragmentation,
+    * too-long wastes on padding.
+    *
+    * Greedy reset-on-overflow is NOT associative, so there is no
+    * honest global prefix-sum form — packing is per GROUP (the
+    * shard/source boundary a real pipeline packs within anyway), one
+    * shuffle + an in-row integer fold per (group, L), hot-key guarded.
+    * Returns (group, seq_len, n_docs, total_tok, n_seqs, pad_tok,
+    * fill_ppm).
+    */
+  def packEfficiency(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokensCol: String,
+      seqLens: Seq[Int],
+      maxDocsPerGroup: Long = 10000000L): DataFrame = {
+    require(seqLens.nonEmpty, "packEfficiency needs candidate lengths")
+    val sorted = sort_array(collect_list(
+      struct(col(idCol).as("i"), col(tokensCol).cast("long").as("n"))))
+    val grouped = docs
+      .groupBy(col(groupCol).as("grp"))
+      .agg(sorted.as("ds"), count(lit(1)).as("nd"),
+        sum(col(tokensCol).cast("long")).as("total_tok"))
+    val perL = seqLens.map { l =>
+      val cap = l.toLong
+      val acc0 = struct(lit(0L).as("fill"), lit(0L).as("seqs"),
+        lit(0L).as("pad"))
+      val fold = (acc: Column, x: Column) => {
+        val n = x.getField("n")
+        val fill = acc.getField("fill")
+        val seqs = acc.getField("seqs")
+        val pad = acc.getField("pad")
+        val flushPad = when(fill > 0, lit(cap) - fill).otherwise(lit(0L))
+        val flushSeq = when(fill > 0, 1L).otherwise(0L)
+        when(n > cap,
+          struct(lit(0L).as("fill"),
+            (seqs + flushSeq + floor(n / lit(cap)).cast("long") +
+              when(pmod(n, lit(cap)) > 0, 1L).otherwise(0L)).as("seqs"),
+            (pad + flushPad +
+              when(pmod(n, lit(cap)) > 0, lit(cap) - pmod(n, lit(cap)))
+                .otherwise(lit(0L))).as("pad")))
+          .when(fill + n <= cap,
+            struct((fill + n).as("fill"), seqs.as("seqs"), pad.as("pad")))
+          .otherwise(
+            struct(n.as("fill"), (seqs + 1).as("seqs"),
+              (pad + (lit(cap) - fill)).as("pad")))
+      }
+      val st = aggregate(col("ds"), acc0, fold)
+      val seqsFinal = st.getField("seqs") +
+        when(st.getField("fill") > 0, 1L).otherwise(0L)
+      val padFinal = st.getField("pad") +
+        when(st.getField("fill") > 0, lit(cap) - st.getField("fill"))
+          .otherwise(lit(0L))
+      grouped.select(col("grp").as(groupCol), lit(cap).as("seq_len"),
+        col("nd").as("n_docs"), col("total_tok"),
+        SessionOps.hotKeyGuarded(seqsFinal, col("nd"), col("grp"),
+          maxDocsPerGroup, "packEfficiency").as("n_seqs"),
+        padFinal.as("pad_tok"))
+    }
+    perL.reduce(_ unionAll _)
+      .withColumn("fill_ppm",
+        expr("total_tok * 1000000 div (n_seqs * seq_len)"))
   }
 }

@@ -1594,6 +1594,51 @@ object PipelineOracles {
         |    AS t_micro
         |FROM agg""".stripMargin,
 
+    // the greedy no-split fold replayed as a recursive CTE per
+    // (source, cap), same overflow/dedicated-sequence policy.
+    "mix_pack_efficiency" ->
+      """WITH RECURSIVE d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS total_tok FROM d GROUP BY 1),
+        |caps AS (SELECT CAST(unnest([64, 128, 256]) AS BIGINT) AS cap),
+        |r(source, cap, rk, fill, seqs, pad) AS (
+        |  SELECT s.source, caps.cap, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT source FROM d) s CROSS JOIN caps
+        |  UNION ALL
+        |  SELECT r.source, r.cap, r.rk + 1,
+        |    CASE WHEN d.n > r.cap THEN 0
+        |         WHEN r.fill + d.n <= r.cap THEN r.fill + d.n
+        |         ELSE d.n END,
+        |    CASE WHEN d.n > r.cap THEN r.seqs
+        |        + (CASE WHEN r.fill > 0 THEN 1 ELSE 0 END)
+        |        + d.n // r.cap
+        |        + (CASE WHEN d.n % r.cap > 0 THEN 1 ELSE 0 END)
+        |      WHEN r.fill + d.n <= r.cap THEN r.seqs
+        |      ELSE r.seqs + 1 END,
+        |    CASE WHEN d.n > r.cap THEN r.pad
+        |        + (CASE WHEN r.fill > 0 THEN r.cap - r.fill ELSE 0 END)
+        |        + (CASE WHEN d.n % r.cap > 0 THEN r.cap - d.n % r.cap
+        |           ELSE 0 END)
+        |      WHEN r.fill + d.n <= r.cap THEN r.pad
+        |      ELSE r.pad + (r.cap - r.fill) END
+        |  FROM r JOIN d ON d.source = r.source AND d.rk = r.rk + 1),
+        |term AS (SELECT r.source, r.cap, r.fill, r.seqs, r.pad
+        |  FROM r JOIN nd ON nd.source = r.source WHERE r.rk = nd.n_docs),
+        |fin AS (SELECT source, cap AS seq_len,
+        |    seqs + (CASE WHEN fill > 0 THEN 1 ELSE 0 END) AS n_seqs,
+        |    pad + (CASE WHEN fill > 0 THEN cap - fill ELSE 0 END) AS pad_tok
+        |  FROM term)
+        |SELECT fin.source, fin.seq_len, nd.n_docs, nd.total_tok,
+        |  CAST(fin.n_seqs AS BIGINT) AS n_seqs,
+        |  CAST(fin.pad_tok AS BIGINT) AS pad_tok,
+        |  CAST(nd.total_tok * 1000000 // (fin.n_seqs * fin.seq_len)
+        |    AS BIGINT) AS fill_ppm
+        |FROM fin JOIN nd USING (source)""".stripMargin,
+
     // the lag pairing replayed per lag, exact pair moments, the same
     // fixed-order Pearson doubles.
     "ts_acf" -> {

@@ -2328,6 +2328,18 @@ object PipelineQueries {
           unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
         "user_id", "ts_us", "event_id", "value")),
 
+    // which training sequence length wastes least? greedy no-split
+    // packing per source at L ∈ {64, 128, 256}: sequences, padding,
+    // fill ppm — the seq-len decision card, computed by an exact
+    // integer fold (greedy reset-on-overflow has no honest prefix-sum
+    // form; packing is per group, as real pipelines pack per shard).
+    "mix_pack_efficiency" -> ((s, dir) =>
+      MixOps.packEfficiency(
+        table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextOps.tokenCount(col("text")).as("tok")),
+        "source", "doc_id", "tok", Seq(64, 128, 256))),
+
     // per-user autocorrelation profile at lags 1..3 — does yesterday
     // predict today, per key, before any smoother is trusted.
     "ts_acf" -> ((s, dir) =>

@@ -4,6 +4,26 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class MixOpsSpec extends AnyFunSuite {
+
+  test("packEfficiency: hand-traced greedy no-split pack with overflow docs") {
+    val spark2 = graft.SparkTestSession.spark
+    import spark2.implicits._
+    // sizes in id order: 10, 50, 10, 70 at L=64:
+    //  10 -> fill 10; 50 -> fill 60; 10 overflows -> seq closed (pad 4),
+    //  fill 10; 70 > 64 -> flush (pad 54), one full chunk + rem 6
+    //  (pad 58) -> 4 sequences, pad 116, total 140
+    val docs = Seq(("g", 1L, 10L), ("g", 2L, 50L), ("g", 3L, 10L),
+      ("g", 4L, 70L)).toDF("src", "id", "tok")
+    val r = MixOps.packEfficiency(docs, "src", "id", "tok", Seq(64))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((64L, 4L, 140L, 4L, 116L, 546875L)))
+    // at L = 140 everything packs into one full sequence: fill 1e6
+    val exact = MixOps.packEfficiency(docs, "src", "id", "tok", Seq(140))
+      .collect().head
+    assert(exact.getLong(4) == 1L && exact.getLong(5) == 0L &&
+      exact.getLong(6) == 1000000L)
+  }
   lazy val spark = graft.SparkTestSession.spark
   import spark.implicits._
 
