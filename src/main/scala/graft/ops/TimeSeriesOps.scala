@@ -170,6 +170,48 @@ object TimeSeriesOps {
           .as("is_anomaly"))
   }
 
+  /** Wald-Wolfowitz runs test per key: is the sequence's above/below-
+    * mean pattern RANDOM, or does it trend/oscillate? (Too few runs =
+    * trending, too many = oscillating — the independence sanity check
+    * before any i.i.d.-assuming statistic.) The above-mean sign
+    * compares v·n > Σv in EXACT decimals (the mean's division scaled
+    * out), runs count through one lag window, and the z-score uses the
+    * classic identity σ² = (μ−1)(μ−2)/(N−1) in fixed-order doubles,
+    * micro-rounded. Keys need both signs present (n1, n2 ≥ 1). Returns
+    * (key, n1, n2, n_runs, z_micro).
+    */
+  def runsTest(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val v = round(col(valCol), 6).cast("decimal(18,6)")
+    val staged = events
+      .select(col(keyCol), col(tsCol), col(seqCol), v.as("v"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("v")).over(wAll))
+      .withColumn("sign",
+        when(col("v") * col("n") > col("s"), 1L).otherwise(0L))
+      .withColumn("prev", lag(col("sign"), 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") === col("sign"), 0L)
+          .otherwise(1L))
+    val agg = staged.groupBy(col(keyCol))
+      .agg(max(col("n")).as("nn"), sum(col("sign")).as("n1"),
+        (lit(1L) + sum(col("chg"))).as("n_runs"))
+      .withColumn("n2", col("nn") - col("n1"))
+      .filter(col("n1") >= 1 && col("n2") >= 1 && col("nn") >= 3)
+    val mu = lit(2.0) * col("n1") * col("n2") / col("nn") + lit(1.0)
+    val sig2 = (mu - lit(1.0)) * (mu - lit(2.0)) / (col("nn") - 1)
+    agg.select(col(keyCol), col("n1"), col("n2"), col("n_runs"),
+      round((col("n_runs") - mu) / sqrt(sig2) * lit(1000000.0))
+        .cast("long").as("z_micro"))
+  }
+
   /** Per-key autocorrelation at lags 1..maxLag — the "how much does
     * yesterday predict today" profile that decides whether an EMA/Holt
     * baseline is even worth fitting. The lag pairing is one per-key

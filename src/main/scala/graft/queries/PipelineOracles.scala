@@ -1639,6 +1639,36 @@ object PipelineOracles {
         |    AS BIGINT) AS fill_ppm
         |FROM fin JOIN nd USING (source)""".stripMargin,
 
+    // the scaled-out sign compare, one lag window, the sigma-squared
+    // identity in the same double order.
+    "ts_runs_test" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+        |st AS (SELECT user_id, ts, event_id, v,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    sum(v) OVER (PARTITION BY user_id) AS s
+        |  FROM b),
+        |sg AS (SELECT user_id, ts, event_id, n,
+        |    CASE WHEN v * n > s THEN 1 ELSE 0 END AS sign
+        |  FROM st),
+        |ch AS (SELECT user_id, n, sign,
+        |    lag(sign, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM sg),
+        |ag AS (SELECT user_id, CAST(max(n) AS BIGINT) AS nn,
+        |    CAST(sum(sign) AS BIGINT) AS n1,
+        |    CAST(1 + sum(CASE WHEN prev IS NULL OR prev = sign
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_runs
+        |  FROM ch GROUP BY 1),
+        |f AS (SELECT user_id, n1, nn - n1 AS n2, n_runs, nn FROM ag
+        |  WHERE n1 >= 1 AND nn - n1 >= 1 AND nn >= 3)
+        |SELECT user_id, n1, n2, n_runs,
+        |  CAST(round((n_runs - (2.0 * n1 * n2 / nn + 1.0))
+        |    / sqrt(((2.0 * n1 * n2 / nn + 1.0) - 1.0)
+        |      * ((2.0 * n1 * n2 / nn + 1.0) - 2.0) / (nn - 1))
+        |    * 1000000.0) AS BIGINT) AS z_micro
+        |FROM f""".stripMargin,
+
     // the lag pairing replayed per lag, exact pair moments, the same
     // fixed-order Pearson doubles.
     "ts_acf" -> {

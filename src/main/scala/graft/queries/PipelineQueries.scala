@@ -2340,6 +2340,15 @@ object PipelineQueries {
             TextOps.tokenCount(col("text")).as("tok")),
         "source", "doc_id", "tok", Seq(64, 128, 256))),
 
+    // randomness sanity per user: the Wald-Wolfowitz runs test over
+    // the value sequence — trend/oscillation shows up as too-few /
+    // too-many above-mean runs before any i.i.d. statistic is trusted.
+    "ts_runs_test" -> ((s, dir) =>
+      TimeSeriesOps.runsTest(
+        table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value")),
+
     // per-user autocorrelation profile at lags 1..3 — does yesterday
     // predict today, per key, before any smoother is trusted.
     "ts_acf" -> ((s, dir) =>

@@ -70,6 +70,29 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("runsTest: alternation maximizes runs, a trend minimizes them") {
+    import spark.implicits._
+    // alternating 1, 9 over 20 points: 20 runs (max), z strongly positive
+    val alt = (0 until 20).map(i =>
+      (1L, i.toLong, i.toLong, if (i % 2 == 0) 1.0 else 9.0))
+    // trend: 10 lows then 10 highs -> 2 runs, z strongly negative
+    val trend = (0 until 20).map(i =>
+      (2L, i.toLong, i.toLong, if (i < 10) 1.0 else 9.0))
+    // constant: one sign only -> filtered out
+    val const = (0 until 5).map(i => (3L, i.toLong, i.toLong, 4.0))
+    val df = (alt ++ trend ++ const).toDF("k", "ts", "seq", "v")
+    val out = TimeSeriesOps.runsTest(df, "k", "ts", "seq", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._3 == 20L && out(1L)._4 > 3000000L,
+      s"alternation gave ${out(1L)}")
+    assert(out(2L)._3 == 2L && out(2L)._4 < -3000000L,
+      s"trend gave ${out(2L)}")
+    assert(!out.contains(3L))
+    // both keys split 10/10 above/below the mean
+    assert(out(1L)._1 == 10L && out(2L)._1 == 10L)
+  }
+
   test("cusumChangepoint finds a level shift at the shift, exact and tie-stable") {
     import spark.implicits._
     // key 1: 5 points at 10 then 5 points at 20 -> cusum peaks at t=5
