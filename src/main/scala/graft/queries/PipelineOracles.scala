@@ -1495,6 +1495,23 @@ object PipelineOracles {
          |    % ${graft.ops.ProfileOps.ChecksumMod} AS BIGINT) AS checksum
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // the same exact-rational Fano factor per token, zeros folded in
+    // through the N·Σc² form.
+    "text_burstiness" ->
+      """WITH pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok, doc_id
+        |        FROM documents)
+        |  WHERE len(tok) > 0 GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |ag AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_docs_with,
+        |    CAST(sum(c) AS BIGINT) AS total_c,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |  FROM pd GROUP BY 1)
+        |SELECT ag.tok, ag.n_docs_with, ag.total_c,
+        |  CAST((nd.nd * ag.sum_c2 - ag.total_c * ag.total_c) * 1000000
+        |    // (nd.nd * ag.total_c) AS BIGINT) AS fano_ppm
+        |FROM ag CROSS JOIN nd""".stripMargin,
+
     // SampleOps.neymanAllocate replayed: exact moments, the same
     // fixed-order sigma/fraction doubles, integer thresholds, and the
     // same md5 draw counting the sample.

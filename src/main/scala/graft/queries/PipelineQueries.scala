@@ -2239,6 +2239,28 @@ object PipelineQueries {
       SampleOps.neymanAllocate(CoreQueries.table(s, dir, "events"),
         "event_type", "event_id", "value", 0.1)),
 
+    // token burstiness (Church & Gale's clumping measure): the Fano
+    // factor of per-doc counts over ALL docs (zeros included) — kept
+    // an exact rational, fano_ppm = (N·Σc² − (Σc)²)·10⁶ div (N·Σc).
+    // Function words sit near 1 (Poisson-like); topical/content words
+    // run far above — the stopword-vs-content discriminator that needs
+    // no stopword list.
+    "text_burstiness" -> ((s, dir) => {
+      val perDoc = table(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"),
+          col("doc_id"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      val nDocs = table(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      perDoc.groupBy("tok")
+        .agg(count(lit(1)).as("n_docs_with"), sum("c").as("total_c"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("n_docs_with"), col("total_c"),
+          expr("(nd * sum_c2 - total_c * total_c) * 1000000" +
+            " div (nd * total_c)").as("fano_ppm"))
+    }),
+
     // bounded symmetric TEXT drift between two sources' token
     // distributions — the JS-divergence companion to dq_psi_drift's
     // binned-numeric PSI; per-token terms integer-rounded before the
