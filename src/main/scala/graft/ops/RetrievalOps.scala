@@ -438,6 +438,67 @@ object RetrievalOps {
     * Same bounded-list shapes as [[rankingMetrics]]: the approx side
     * broadcasts, the per-query windows run over ≤ k rows.
     */
+  /** Team-draft interleaving (Radlinski, Kurup, Joachims, CIKM 2008) —
+    * the online-evaluation merge: rankers A and B alternately pick
+    * their best not-yet-picked document, the team behind in picks goes
+    * first, ties broken by a deterministic per-(query, step) hash coin.
+    * The served list carries per-position ATTRIBUTION, which is what
+    * click credit aggregates over — the A/B-for-rankers primitive that
+    * needs no traffic split.
+    *
+    * Both lists are k-bounded, so the whole merge is an in-row integer
+    * fold over ≤ 2k steps per query (arrays of ≤ k ids; the picked-set
+    * membership check is an array scan) — no shuffle beyond the two
+    * list builds. A team with no remaining candidates cedes its turn.
+    * Returns (query_id, pos, doc_id, team).
+    */
+  def teamDraftInterleave(
+      listA: DataFrame,
+      listB: DataFrame,
+      k: Int): DataFrame = {
+    def packed(df: DataFrame, out: String) =
+      df.groupBy("query_id").agg(
+        transform(
+          sort_array(collect_list(struct(col("rank"), col("doc_id")))),
+          x => x.getField("doc_id")).as(out))
+    val both = packed(listA, "la").join(packed(listB, "lb"), Seq("query_id"))
+    val acc0 = struct(
+      array().cast("array<struct<d:bigint,t:string>>").as("out"),
+      lit(0).as("na"), lit(0).as("nb"))
+    val fold = (acc: org.apache.spark.sql.Column,
+        i: org.apache.spark.sql.Column) => {
+      val out = acc.getField("out")
+      val na = acc.getField("na")
+      val nb = acc.getField("nb")
+      val picked = transform(out, e => e.getField("d"))
+      val coin = conv(substring(md5(concat(
+        col("query_id").cast("string"), lit(":"), i.cast("string"))),
+        1, 1), 16, 10).cast("long") % 2
+      val aTurn = na < nb || (na === nb && coin === 0)
+      val ca = filter(col("la"), d => !array_contains(picked, d))
+      val cb = filter(col("lb"), d => !array_contains(picked, d))
+      val pa = (aTurn && size(ca) > 0) ||
+        (!aTurn && size(cb) === 0 && size(ca) > 0)
+      val pb = !pa && ((!aTurn && size(cb) > 0) ||
+        (aTurn && size(ca) === 0 && size(cb) > 0))
+      struct(
+        when(pa, concat(out, array(struct(
+          element_at(ca, 1).as("d"), lit("a").as("t")))))
+          .when(pb, concat(out, array(struct(
+            element_at(cb, 1).as("d"), lit("b").as("t")))))
+          .otherwise(out).as("out"),
+        when(pa, na + 1).otherwise(na).as("na"),
+        when(pb, nb + 1).otherwise(nb).as("nb"))
+    }
+    both
+      .select(col("query_id"),
+        aggregate(sequence(lit(0), lit(2 * k - 1)), acc0, fold)
+          .getField("out").as("out"))
+      .select(col("query_id"), posexplode(col("out")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.d").as("doc_id"), col("col.t").as("team"))
+  }
+
   def apMetric(exact: DataFrame, approx: DataFrame): DataFrame = {
     val rTotal = exact.groupBy("query_id").agg(count(lit(1)).as("r_total"))
     val hits = exact.select(col("query_id"), col("neighbor_id"))

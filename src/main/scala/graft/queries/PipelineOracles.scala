@@ -3153,6 +3153,91 @@ object PipelineOracles {
          |  FROM f) WHERE fused_rank <= $kk""".stripMargin
     },
 
+    // both ranked lists re-derived (the hybrid chain), then the
+    // team-draft recursion: list state, hash-coin ties, cede-on-empty.
+    "ret_interleave" -> {
+      val k1 = RetrievalOps.DefaultK1
+      val b = RetrievalOps.DefaultB
+      val kk = PipelineQueries.HybridK
+      val vals = PipelineQueries.Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val qids = PipelineQueries.Bm25Queries.map(_._1).distinct.mkString(", ")
+      s"""WITH RECURSIVE qt(query_id, term) AS (VALUES $vals),
+         |bl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bl),
+         |btf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM
+         |    (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |       unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+         |bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+         |bsc AS (SELECT qt.query_id, btf.doc_id,
+         |    CAST(round(ln((bst.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+         |      * (btf.tf * ($k1 + 1)) /
+         |      (btf.tf + $k1 * (1.0 - $b + $b * btf.dl / bst.avgdl)), 6)
+         |      AS DECIMAL(28,6)) AS term
+         |  FROM btf JOIN bdf USING (tok) JOIN qt ON qt.term = btf.tok, bst),
+         |bagg AS (SELECT query_id, doc_id,
+         |    CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE) AS score
+         |  FROM bsc GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM bagg) WHERE rank <= $kk),
+         |$normCte,
+         |dq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+         |  WHERE vec_id IN ($qids)),
+         |dsems AS (SELECT dq.query_id, n.vec_id AS doc_id,
+         |    list_dot_product(n.e, dq.qe) / (n.nrm * dq.qn) AS cos
+         |  FROM n JOIN dq ON n.vec_id <> dq.query_id),
+         |sem AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id) AS rank
+         |  FROM dsems) WHERE rank <= $kk),
+         |pla AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |    list(doc_id ORDER BY rank) AS la FROM lex GROUP BY 1),
+         |plb AS (SELECT query_id, list(doc_id ORDER BY rank) AS lb
+         |  FROM sem GROUP BY 1),
+         |pr AS (SELECT pla.query_id, pla.la, plb.lb
+         |  FROM pla JOIN plb USING (query_id)),
+         |r(query_id, step, out_d, out_t, na, nb) AS (
+         |  SELECT query_id, 0, CAST([] AS BIGINT[]), CAST([] AS VARCHAR[]),
+         |    0, 0 FROM pr
+         |  UNION ALL
+         |  SELECT query_id, step + 1,
+         |    CASE WHEN pa THEN list_append(out_d, ca[1])
+         |         WHEN pb THEN list_append(out_d, cb[1]) ELSE out_d END,
+         |    CASE WHEN pa THEN list_append(out_t, 'a')
+         |         WHEN pb THEN list_append(out_t, 'b') ELSE out_t END,
+         |    na + CASE WHEN pa THEN 1 ELSE 0 END,
+         |    nb + CASE WHEN pb THEN 1 ELSE 0 END
+         |  FROM (SELECT t2.*,
+         |      NOT pa AND ((NOT aturn AND len(cb) > 0)
+         |        OR (aturn AND len(ca) = 0 AND len(cb) > 0)) AS pb
+         |    FROM (SELECT t1.*,
+         |        (aturn AND len(ca) > 0)
+         |          OR (NOT aturn AND len(cb) = 0 AND len(ca) > 0) AS pa
+         |      FROM (SELECT r.query_id, r.step, r.out_d, r.out_t, r.na,
+         |          r.nb,
+         |          list_filter(pr.la,
+         |            x -> NOT list_contains(r.out_d, x)) AS ca,
+         |          list_filter(pr.lb,
+         |            x -> NOT list_contains(r.out_d, x)) AS cb,
+         |          (r.na < r.nb) OR (r.na = r.nb
+         |            AND ('0x' || substr(md5(CAST(r.query_id AS VARCHAR)
+         |              || ':' || CAST(r.step AS VARCHAR)), 1, 1))::BIGINT
+         |              % 2 = 0) AS aturn
+         |        FROM r JOIN pr USING (query_id)
+         |        WHERE r.step < ${2 * kk}) t1) t2)
+         |)
+         |SELECT query_id,
+         |  CAST(generate_subscripts(out_d, 1) AS BIGINT) AS pos,
+         |  unnest(out_d) AS doc_id, unnest(out_t) AS team
+         |FROM r WHERE step = ${2 * kk}""".stripMargin
+    },
+
     // RRF: both ranked lists replayed (BM25 chain + cosine top-k for
     // query vec 0), fused by 1/(60+rank) — rank-based, score scales
     // never mix

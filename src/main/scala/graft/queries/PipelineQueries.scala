@@ -519,6 +519,20 @@ object PipelineQueries {
     // the dense top-k batch for the same query ids, fused per query by
     // reciprocal rank — the full serving pipeline (two one-pass batch
     // rankings + a query-keyed fusion) as one plan.
+    // team-draft interleaving of the BM25 batch against the dense
+    // ranking — the online-eval merge with per-position attribution,
+    // deterministic to the hash coin.
+    "ret_interleave" -> ((s, dir) => {
+      val lex = bm25MultiCached(s, dir)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val corpus = normed(s, dir)
+      val qids = Bm25Queries.map(_._1).distinct
+      val sem = SimilarityOps.bruteTopK(
+        corpus, corpus.filter(col("vec_id").isin(qids: _*)), HybridK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      RetrievalOps.teamDraftInterleave(lex, sem, HybridK)
+    }),
+
     "hybrid_rrf_multi" -> ((s, dir) => {
       val lex = bm25MultiCached(s, dir)
         .select(col("query_id"), col("doc_id"), col("rank"))

@@ -235,6 +235,39 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows(2L) == ((0L, 0L)))
   }
 
+  test("teamDraftInterleave: balanced picks in team order, overlap once, cede on empty") {
+    val la = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val lb = Seq((1L, 11L, 1L), (1L, 20L, 2L), (1L, 21L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val rows = RetrievalOps.teamDraftInterleave(la, lb, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // every doc appears once (11 overlaps but is picked by one team)
+    assert(rows.map(_._2).distinct.length == rows.length)
+    assert(rows.map(_._2).toSet.subsetOf(Set(10L, 11L, 12L, 20L, 21L)))
+    // balance: pick counts differ by at most one
+    val byTeam = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(math.abs(byTeam.getOrElse("a", 0) - byTeam.getOrElse("b", 0)) <= 1)
+    // each team's picks respect its own ranking order
+    def order(team: String, pref: Seq[Long]) = {
+      val picks = rows.filter(_._3 == team).map(_._2).toSeq
+      assert(picks == pref.filter(picks.contains),
+        s"$team picks ${picks.mkString(",")}")
+    }
+    order("a", Seq(10L, 11L, 12L))
+    order("b", Seq(11L, 20L, 21L))
+    // one-sided exhaustion: B empty -> A serves everything, attributed a
+    val only = RetrievalOps.teamDraftInterleave(la,
+      Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "rank"), 3)
+    assert(only.collect().isEmpty) // inner join: no query present in both
+    val lbShort = Seq((1L, 30L, 1L)).toDF("query_id", "doc_id", "rank")
+    val ced = RetrievalOps.teamDraftInterleave(la, lbShort, 3)
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(ced.length == 4 && ced.count(_._2 == "b") == 1,
+      s"cede gave ${ced.toSeq}")
+  }
+
   test("apMetric: perfect ranking gives ap_micro = 1000000") {
     val exact = Seq((5L, 1L, 1L), (5L, 2L, 2L)).toDF("query_id", "neighbor_id", "rank")
     val approx = Seq((5L, 1L, 1L), (5L, 2L, 2L)).toDF("query_id", "neighbor_id", "rank")
