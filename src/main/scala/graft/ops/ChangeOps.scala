@@ -200,6 +200,42 @@ object ChangeOps {
         col("cum_n"))
   }
 
+  /** Snapshot reconciliation — the data-diff report between two
+    * keyed states: rows added / removed / changed / unchanged, plus a
+    * per-column changed count (null-safe compares), in ONE full-outer
+    * join and one aggregation. The audit a CDC pipeline runs to prove
+    * "apply(changes, v1) really equals v2" — and the generic
+    * two-snapshot diff when no change log exists at all.
+    * Returns one row: (n_v1, n_v2, n_added, n_removed, n_changed,
+    * n_unchanged, changed_<col>…).
+    */
+  def reconcile(
+      v1: DataFrame,
+      v2: DataFrame,
+      key: String,
+      cols: Seq[String]): DataFrame = {
+    val a = v1.select((key +: cols).map(c => col(c).as(s"a_$c")): _*)
+    val b = v2.select((key +: cols).map(c => col(c).as(s"b_$c")): _*)
+    val j = a.join(b, col(s"a_$key") === col(s"b_$key"), "full_outer")
+    val inA = col(s"a_$key").isNotNull
+    val inB = col(s"b_$key").isNotNull
+    val anyChange = cols
+      .map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduce(_ || _)
+    val colCounts = cols.map(c =>
+      sum(when(inA && inB && !(col(s"a_$c") <=> col(s"b_$c")), 1L)
+        .otherwise(0L)).as(s"changed_$c"))
+    j.agg(
+      sum(when(inA, 1L).otherwise(0L)).as("n_v1"),
+      (sum(when(inB, 1L).otherwise(0L)).as("n_v2") +:
+        sum(when(!inA && inB, 1L).otherwise(0L)).as("n_added") +:
+        sum(when(inA && !inB, 1L).otherwise(0L)).as("n_removed") +:
+        sum(when(inA && inB && anyChange, 1L).otherwise(0L)).as("n_changed") +:
+        sum(when(inA && inB && !anyChange, 1L).otherwise(0L))
+          .as("n_unchanged") +:
+        colCounts): _*)
+  }
+
   /** Incremental JOIN-view maintenance — the delta-rule identity
     * (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB for append-only
     * deltas: the maintained view is the stored base join plus THREE

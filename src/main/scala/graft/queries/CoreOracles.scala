@@ -1154,6 +1154,43 @@ object CoreOracles {
         |    AND (o.p_retailprice > r.p_retailprice OR o.p_size < r.p_size))"""
         .stripMargin,
 
+    // the same perturbed views diffed with null-safe compares.
+    "cdc_reconcile" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events),
+        |v1 AS (SELECT * FROM base WHERE event_id % 7 <> 3),
+        |v2 AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN value + 1.0 ELSE value END
+        |      AS value
+        |  FROM base WHERE event_id % 11 <> 4),
+        |j AS (SELECT v1.event_id AS ka, v2.event_id AS kb,
+        |    v1.event_type AS at, v2.event_type AS bt,
+        |    v1.value AS av, v2.value AS bv
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN ka IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_v1,
+        |  CAST(sum(CASE WHEN kb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_v2,
+        |  CAST(sum(CASE WHEN ka IS NULL AND kb IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |    AND (NOT (at IS NOT DISTINCT FROM bt)
+        |      OR NOT (av IS NOT DISTINCT FROM bv)) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |    AND (at IS NOT DISTINCT FROM bt)
+        |    AND (av IS NOT DISTINCT FROM bv) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unchanged,
+        |  CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |    AND NOT (at IS NOT DISTINCT FROM bt) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS changed_event_type,
+        |  CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |    AND NOT (av IS NOT DISTINCT FROM bv) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS changed_value
+        |FROM j""".stripMargin,
+
     // the FULL join recomputed from scratch — equal to the query's
     // delta-rule maintenance by the distribution identity.
     "cdc_join_merge" ->

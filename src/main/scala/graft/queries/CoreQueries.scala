@@ -1244,6 +1244,22 @@ object CoreQueries {
       graft.ops.ChangeOps.mergeSummaries(Seq(base, delta), Seq("user_id"))
     }),
 
+    // CDC7 — snapshot reconciliation: the data-diff audit between two
+    // keyed states (deterministically perturbed views of events:
+    // adds, removes, and value edits), one full-outer join → row and
+    // per-column change counts.
+    "cdc_reconcile" -> ((s, dir) => {
+      val base = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val v1 = base.filter(pmod(col("event_id"), lit(7)) =!= 3)
+      val v2 = base.filter(pmod(col("event_id"), lit(11)) =!= 4)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(13)) === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+      graft.ops.ChangeOps.reconcile(v1, v2, "event_id",
+        Seq("event_type", "value"))
+    }),
+
     // CDC6 — incremental JOIN-view maintenance: the orders⋈lineitem
     // view advanced by append-only deltas through the delta-rule
     // expansion (base⋈base ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB), rolled up to a

@@ -145,6 +145,20 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r1.getLong(2) == 4L) // vocab union p,q,u,v
   }
 
+  test("reconcile: adds/removes/changes counted exactly with null safety") {
+    val v1 = Seq((1L, "x", Some(1.0)), (2L, "y", Some(2.0)),
+      (3L, "z", None), (4L, "w", Some(4.0))).toDF("k", "t", "v")
+    val v2 = Seq((1L, "x", Some(1.0)), // unchanged
+      (2L, "y", Some(9.0)), // value changed
+      (3L, "q", None), // type changed, null value stays equal
+      (5L, "n", Some(5.0))) // added (4 removed)
+      .toDF("k", "t", "v")
+    val r = ChangeOps.reconcile(v1, v2, "k", Seq("t", "v")).collect().head
+    val got = (0 until 8).map(r.getLong)
+    assert(got == Seq(4L, 4L, 1L, 1L, 2L, 1L, 1L, 1L),
+      s"got ${got.mkString(",")}")
+  }
+
   test("joinViewMerge: delta-rule maintenance equals the full recompute") {
     val a = (1L to 40L).map(i => (i % 12, i)).toDF("k", "av")
     val b = (1L to 60L).map(i => (i % 15, -i)).toDF("k", "bv")
