@@ -252,6 +252,41 @@ object ProfileOps {
     */
   val ChecksumMod = 1L << 48
 
+  /** Local generalization to k-anonymity: each row releases at the
+    * FINEST rung of a coarsening ladder whose cell it shares with ≥ k
+    * rows — the keep-the-data alternative to [[kAnonymize]]'s
+    * suppression (rows in small cells coarsen their quasi-identifiers
+    * instead of vanishing). One count-window per rung (each a single
+    * shuffle on that rung's key), then a first-match level pick;
+    * `level = ladder.size` marks rows no rung could cover (publish
+    * fully generalized or drop — the caller's policy). Returns the
+    * release census: (level, n_rows, n_cells).
+    */
+  def kAnonGeneralize(
+      df: DataFrame,
+      ladder: Seq[Seq[Column]],
+      k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ladder.nonEmpty, "kAnonGeneralize needs at least one rung")
+    val withCounts = ladder.zipWithIndex.foldLeft(
+      df.withColumn("__cell0", lit(0))) { case (acc, (rung, i)) =>
+      acc
+        .withColumn(s"__c$i", count(lit(1)).over(Window.partitionBy(rung: _*)))
+        .withColumn(s"__k$i", concat_ws("", rung.map(_.cast("string")): _*))
+    }
+    val level = ladder.indices.reverse.foldLeft(lit(ladder.size.toLong)) {
+      case (acc, i) => when(col(s"__c$i") >= k, i.toLong).otherwise(acc)
+    }
+    val cellAtLevel = ladder.indices.reverse.foldLeft(lit(" ")) {
+      case (acc, i) => when(col(s"__c$i") >= k, col(s"__k$i")).otherwise(acc)
+    }
+    withCounts
+      .select(level.as("level"), cellAtLevel.as("cell"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("cell").as("n_cells"))
+  }
+
   /** EXACT two-sample Kolmogorov-Smirnov distance between two slices
     * of a numeric column: D = max_v |F_a(v) − F_b(v)| kept as pure
     * integer arithmetic — |cum_a·n_b − cum_b·n_a| maximized over the

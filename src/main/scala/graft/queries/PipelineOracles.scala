@@ -1579,6 +1579,36 @@ object PipelineOracles {
          |FROM tm GROUP BY 1, 2""".stripMargin
     },
 
+    // the ladder replayed: one count-window per rung, first-match
+    // level, release census.
+    "privacy_generalize" -> {
+      val k = PipelineQueries.KAnonK
+      s"""WITH b AS (SELECT lang, source, n_chars,
+         |    count(*) OVER (PARTITION BY lang, source, n_chars // 50)
+         |      AS c0,
+         |    lang || source || CAST(n_chars // 50 AS VARCHAR) AS k0,
+         |    count(*) OVER (PARTITION BY lang, source, n_chars // 200)
+         |      AS c1,
+         |    lang || source || CAST(n_chars // 200 AS VARCHAR) AS k1,
+         |    count(*) OVER (PARTITION BY lang, n_chars // 200) AS c2,
+         |    lang || CAST(n_chars // 200 AS VARCHAR) AS k2,
+         |    count(*) OVER (PARTITION BY lang) AS c3,
+         |    lang AS k3
+         |  FROM documents),
+         |lv AS (SELECT
+         |    CASE WHEN c0 >= $k THEN 0 WHEN c1 >= $k THEN 1
+         |         WHEN c2 >= $k THEN 2 WHEN c3 >= $k THEN 3
+         |         ELSE 4 END AS level,
+         |    CASE WHEN c0 >= $k THEN k0 WHEN c1 >= $k THEN k1
+         |         WHEN c2 >= $k THEN k2 WHEN c3 >= $k THEN k3
+         |         ELSE ' ' END AS cell
+         |  FROM b)
+         |SELECT CAST(level AS BIGINT) AS level,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+         |FROM lv GROUP BY 1""".stripMargin
+    },
+
     // ProfileOps.tCloseness replayed: cells → margins → per-group
     // spine → cumulative count-difference window → mean |cum| as the
     // exact integer EMD.

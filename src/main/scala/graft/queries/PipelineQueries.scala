@@ -2283,6 +2283,21 @@ object PipelineQueries {
       ProfileOps.jsDivergence(
         table(s, dir, "documents"), "source", KmvSrcA, KmvSrcB)),
 
+    // the generalization route to k-anonymity: each doc releases at
+    // the finest rung of (lang, source, fine-length) → (lang, source,
+    // coarse-length) → (lang, coarse-length) → (lang) whose cell
+    // reaches k — the keep-the-data alternative to suppression; the
+    // output is the release census per ladder level.
+    "privacy_generalize" -> ((s, dir) =>
+      ProfileOps.kAnonGeneralize(
+        table(s, dir, "documents"),
+        Seq(
+          Seq(col("lang"), col("source"), expr("n_chars div 50")),
+          Seq(col("lang"), col("source"), expr("n_chars div 200")),
+          Seq(col("lang"), expr("n_chars div 200")),
+          Seq(col("lang"))),
+        KAnonK)),
+
     // t-closeness over the same (lang, source) QI grid with the
     // n_chars bucket as the ORDERED sensitive attribute: the ordered
     // earth-mover distance to the global distribution in exact integer

@@ -145,6 +145,20 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r1.getLong(2) == 4L) // vocab union p,q,u,v
   }
 
+  test("kAnonGeneralize: small cells cascade to coarser rungs, census exact") {
+    import org.apache.spark.sql.functions.col
+    // rung 0: (g, v); rung 1: (g). k = 3.
+    // g=a: v=1 x3 (releases at 0), v=2 x2 (cascades to rung 1, a has 5)
+    // g=b: v=3 x2 -> rung 1 has only 2 -> level 2 (uncovered)
+    val rows = Seq.fill(3)(("a", 1L)) ++ Seq.fill(2)(("a", 2L)) ++
+      Seq.fill(2)(("b", 3L))
+    val out = ProfileOps.kAnonGeneralize(rows.toDF("g", "v"),
+      Seq(Seq(col("g"), col("v")), Seq(col("g"))), 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(0L -> ((3L, 1L)), 1L -> ((2L, 1L)), 2L -> ((2L, 1L))),
+      out.toString)
+  }
+
   test("reconcile: adds/removes/changes counted exactly with null safety") {
     val v1 = Seq((1L, "x", Some(1.0)), (2L, "y", Some(2.0)),
       (3L, "z", None), (4L, "w", Some(4.0))).toDF("k", "t", "v")
