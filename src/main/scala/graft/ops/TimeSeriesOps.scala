@@ -170,6 +170,89 @@ object TimeSeriesOps {
           .as("is_anomaly"))
   }
 
+  /** Holt-Winters additive triple-exponential smoothing per key
+    * (α = β = γ = 1/2, seasonal period `period` BY ARRIVAL INDEX — the
+    * event-cadence analog of calendar seasonality):
+    *
+    *   l_t = ½·(y_t·10⁶ − s_{t−p}) + ½·(l_{t−1} + b_{t−1})
+    *   b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1}
+    *   s_t = ½·(y_t·10⁶ − l_t) + ½·s_{t−p}
+    *
+    * initialized l₀ = y₀·10⁶, b₀ = 0, seasonal slots 0 (indices learn
+    * as cycles pass — the no-lookahead init, documented like
+    * [[holtSmooth]]'s). The completion of the smoothing family
+    * (EMA → Holt → Holt-Winters): level, trend, AND a p-slot seasonal
+    * state no window frame can express. Same one-shuffle per-key fold,
+    * with the seasonal ring carried as a p-element long array in the
+    * accumulator; every step rounds the same fixed-order doubles as
+    * the oracle's recursive CTE, so the three states replay exactly.
+    *
+    * Returns (key, seq, level_micro, trend_micro, seasonal_micro).
+    */
+  def holtWintersSmooth(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      valCol: String,
+      period: Int = 7,
+      maxEventsPerKey: Long = SessionOps.DefaultMaxEventsPerKey
+  ): DataFrame = {
+    require(period >= 2, "holtWintersSmooth needs period >= 2")
+    val sorted = sort_array(collect_list(
+      struct(col(tsCol).as("t"), col(seqCol).as("q"), col(valCol).as("v"))))
+    val acc0 = struct(
+      array().cast("array<struct<l:bigint,b:bigint,s:bigint>>").as("outs"),
+      lit(0L).as("lvl"),
+      lit(0L).as("trd"),
+      typedlit(Seq.fill(period)(0L)).as("seas"),
+      lit(0).as("t"),
+      lit(false).as("started"))
+    val fold = (acc: Column, x: Column) => {
+      val slot = pmod(acc.getField("t"), lit(period))
+      val seas = acc.getField("seas")
+      val sPrev = element_at(seas, slot + 1)
+      val y6 = round(x.getField("v") * lit(1000000.0))
+      val lvl = when(!acc.getField("started"), y6)
+        .otherwise(round(lit(0.5) * (y6 - sPrev.cast("double")) +
+          lit(0.5) *
+            (acc.getField("lvl") + acc.getField("trd")).cast("double")))
+        .cast("long")
+      val trd = when(!acc.getField("started"), lit(0L))
+        .otherwise(round(
+          lit(0.5) * (lvl - acc.getField("lvl")).cast("double") +
+            lit(0.5) * acc.getField("trd").cast("double")))
+        .cast("long")
+      val sNew = round(lit(0.5) * (y6 - lvl).cast("double") +
+        lit(0.5) * sPrev.cast("double")).cast("long")
+      struct(
+        concat(acc.getField("outs"),
+          array(struct(lvl.as("l"), trd.as("b"), sNew.as("s")))).as("outs"),
+        lvl.as("lvl"),
+        trd.as("trd"),
+        concat(slice(seas, lit(1), slot), array(sNew),
+          slice(seas, slot + 2, lit(period) - slot - 1)).as("seas"),
+        (acc.getField("t") + 1).as("t"),
+        lit(true).as("started"))
+    }
+    events
+      .groupBy(col(keyCol))
+      .agg(sorted.as("evs"), count(lit(1)).as("n"))
+      .select(col(keyCol),
+        SessionOps.hotKeyGuarded(
+          zip_with(
+            transform(col("evs"), e => e.getField("q")),
+            aggregate(col("evs"), acc0, fold).getField("outs"),
+            (a, b) => struct(a.as("q"), b.getField("l").as("l"),
+              b.getField("b").as("b"), b.getField("s").as("s"))),
+          col("n"), col(keyCol), maxEventsPerKey, "holtWintersSmooth")
+          .as("z"))
+      .select(col(keyCol), explode(col("z")).as("p"))
+      .select(col(keyCol), col("p.q").as(seqCol),
+        col("p.l").as("level_micro"), col("p.b").as("trend_micro"),
+        col("p.s").as("seasonal_micro"))
+  }
+
   /** Wald-Wolfowitz runs test per key: is the sequence's above/below-
     * mean pattern RANDOM, or does it trend/oscillate? (Too few runs =
     * trending, too many = oscillating — the independence sanity check

@@ -1686,6 +1686,38 @@ object PipelineOracles {
         |    AS BIGINT) AS fill_ppm
         |FROM fin JOIN nd USING (source)""".stripMargin,
 
+    // the three-state recursion replayed with a 7-slot LIST carried in
+    // the CTE; intermediates can't be named, so the new level/seasonal
+    // expressions repeat where referenced (the ts_holt pattern).
+    "ts_holt_winters" -> {
+      val lvl2 = "CAST(round(0.5 * (round(b.value * 1000000.0)" +
+        " - CAST(r.seas[CAST(r.rn % 7 + 1 AS INT)] AS DOUBLE))" +
+        " + 0.5 * (r.lvl + r.trd)) AS BIGINT)"
+      val snew = s"CAST(round(0.5 * (round(b.value * 1000000.0) - $lvl2)" +
+        " + 0.5 * r.seas[CAST(r.rn % 7 + 1 AS INT)]) AS BIGINT)"
+      s"""WITH RECURSIVE b AS (SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events),
+         |r(user_id, event_id, rn, lvl, trd, s_out, seas) AS (
+         |  SELECT user_id, event_id, rn,
+         |    CAST(round(value * 1000000.0) AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0]
+         |  FROM b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.event_id, b.rn,
+         |    $lvl2,
+         |    CAST(round(0.5 * ($lvl2 - r.lvl) + 0.5 * r.trd) AS BIGINT),
+         |    $snew,
+         |    r.seas[1:CAST(r.rn % 7 AS INT)] || [$snew]
+         |      || r.seas[CAST(r.rn % 7 + 2 AS INT):7]
+         |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         |SELECT user_id, event_id, lvl AS level_micro, trd AS trend_micro,
+         |  s_out AS seasonal_micro
+         |FROM r""".stripMargin
+    },
+
     // the scaled-out sign compare, one lag window, the sigma-squared
     // identity in the same double order.
     "ts_runs_test" ->

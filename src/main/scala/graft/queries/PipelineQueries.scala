@@ -2391,6 +2391,15 @@ object PipelineQueries {
             TextOps.tokenCount(col("text")).as("tok")),
         "source", "doc_id", "tok", Seq(64, 128, 256))),
 
+    // the smoothing family's completion: Holt-Winters level + trend +
+    // 7-slot seasonal state per key — the forecast baseline when the
+    // series has a cycle the EMA and Holt lines smear.
+    "ts_holt_winters" -> ((s, dir) =>
+      TimeSeriesOps.holtWintersSmooth(
+        table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value")),
+
     // randomness sanity per user: the Wald-Wolfowitz runs test over
     // the value sequence — trend/oscillation shows up as too-few /
     // too-many above-mean runs before any i.i.d. statistic is trusted.

@@ -70,6 +70,46 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("holtWintersSmooth equals the plain-Scala triple fold; seasonality absorbs a cycle") {
+    import spark.implicits._
+    def r(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    def replay(vs: Seq[Double], p: Int): Seq[(Long, Long, Long)] = {
+      var lvl = 0L; var trd = 0L; var started = false
+      val seas = Array.fill(p)(0L)
+      vs.zipWithIndex.map { case (v, t) =>
+        val slot = t % p
+        val y6 = math.rint(v * 1e6) // round() of an exact 6dp value
+        val nl = if (!started) y6.toLong
+          else r(0.5 * (y6 - seas(slot).toDouble) + 0.5 * (lvl + trd).toDouble)
+        trd = if (!started) 0L
+          else r(0.5 * (nl - lvl).toDouble + 0.5 * trd.toDouble)
+        val ns = r(0.5 * (y6 - nl.toDouble) + 0.5 * seas(slot).toDouble)
+        lvl = nl; seas(slot) = ns; started = true
+        (lvl, trd, ns)
+      }
+    }
+    val vs = Seq(3.0, 9.5, 2.25, 8.0, 4.0, 10.0, 1.5, 7.75)
+    val ev = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+      .toDF("k", "ts", "seq", "v")
+    val got = TimeSeriesOps.holtWintersSmooth(ev, "k", "ts", "seq", "v",
+      period = 2)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got == replay(vs, 2))
+    // on a pure 2-cycle the seasonal slots absorb the swing: the last
+    // seasonal states approach +-half the amplitude around the level
+    val cyc = (0 until 40).map(i => if (i % 2 == 0) 10.0 else 20.0)
+    val cev = cyc.zipWithIndex.map { case (v, i) => (2L, i.toLong, i.toLong, v) }
+      .toDF("k", "ts", "seq", "v")
+    val tail2 = TimeSeriesOps.holtWintersSmooth(cev, "k", "ts", "seq", "v", 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).sortBy(_._1)
+      .takeRight(2).map(_._2)
+    assert(tail2.exists(_ < -3000000L) && tail2.exists(_ > 3000000L),
+      s"seasonal slots ${tail2.mkString(",")} did not split the cycle")
+  }
+
   test("runsTest: alternation maximizes runs, a trend minimizes them") {
     import spark.implicits._
     // alternating 1, 9 over 20 points: 20 runs (max), z strongly positive
