@@ -470,6 +470,32 @@ object CoreOracles {
         |  round(63 / (('0x' || substr(h, 1, 8))::BIGINT / 4294967296.0), 6) AS kmv_estimate
         |FROM r WHERE rk = 64""".stripMargin,
 
+    // first-occurrence flags + running sum — the distinct-window
+    // dissolution replayed.
+    "w11_cum_distinct" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) = 1 THEN 1 ELSE 0 END
+        |      AS first_seen
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  CAST(sum(first_seen) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_seen
+        |FROM b""".stripMargin,
+
+    // the same micro-ln long sum, the same fixed-order exp back out.
+    "a21_geomean" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(ln(value) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS ln_sum_micro,
+        |  CAST(round(exp(CAST(sum(CAST(round(ln(value) * 1000000.0)
+        |      AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0)
+        |    * 1000000.0) AS BIGINT) AS geomean_micro
+        |FROM events WHERE value > 0 GROUP BY 1""".stripMargin,
+
     "w9_percent_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  percent_rank() OVER w AS pr,

@@ -1536,6 +1536,46 @@ object CoreQueries {
         table(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
         "p_retailprice", "p_size")),
 
+    // W11 — running COUNT DISTINCT per key over event time (the
+    // engagement-breadth curve): no window frame supports distinct
+    // aggregation, so the standard dissolution applies — flag each
+    // (key, value)'s FIRST occurrence with one row_number, then a
+    // plain running sum of flags. Two windows, same key partitioning,
+    // exact at any scale.
+    "w11_cum_distinct" -> ((s, dir) => {
+      val wFirst = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum("first_seen").over(wRun))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("n_types_seen"))
+    }),
+
+    // A21 — geometric mean per group: the Σ ln micro surface (exact
+    // long sum, order-independent) plus the one fixed-order exp back
+    // out — the right mean for rates/ratios where the arithmetic mean
+    // overweights spikes.
+    "a21_geomean" -> ((s, dir) =>
+      table(s, dir, "events")
+        .filter(col("value") > 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(log(col("value")) * lit(1000000.0)).cast("long"))
+            .as("ln_sum_micro"))
+        .select(col("event_type"), col("n"), col("ln_sum_micro"),
+          round(exp(col("ln_sum_micro").cast("double") / col("n") /
+            lit(1000000.0)) * lit(1000000.0)).cast("long")
+            .as("geomean_micro"))),
+
     // W9 — relative-position window analytics: percent_rank (rank
     // among peers) and cume_dist (fraction at-or-below) per customer
     // over order value — both exact small rationals in doubles, so the
