@@ -1543,9 +1543,13 @@ object CoreQueries {
     // plain running sum of flags. Two windows, same key partitioning,
     // exact at any scale.
     "w11_cum_distinct" -> ((s, dir) => {
-      val wFirst = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id", "event_type")
-        .orderBy(col("ts_us"), col("event_id"))
+      // BOTH windows partition by user_id — the first orders by
+      // (type, ts, id) so a type's earliest row is where the type
+      // changes (a lag compare, not a per-(user, type) partition) —
+      // one Exchange serves both, only the Sorts differ (plan-pinned)
+      val wType = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
       val wRun = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id")
         .orderBy(col("ts_us"), col("event_id"))
@@ -1554,7 +1558,9 @@ object CoreQueries {
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"), col("event_type"))
         .withColumn("first_seen",
-          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          when(lag(col("event_type"), 1).over(wType).isNull ||
+            lag(col("event_type"), 1).over(wType) =!= col("event_type"), 1L)
+            .otherwise(0L))
         .withColumn("n_types_seen", sum("first_seen").over(wRun))
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("n_types_seen"))

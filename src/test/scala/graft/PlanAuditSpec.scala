@@ -547,6 +547,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), "no global sort of the data")
   }
 
+  test("ts_acf: lag windows only — no joins anywhere") {
+    val p = plan("ts_acf")
+    assert(!p.contains("Join"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dq_ks_test: sup distance over the value spine, margins broadcast") {
+    val p = plan("dq_ks_test")
+    assert(!p.contains("SortMergeJoin"),
+      p.linesIterator.take(25).mkString("\n"))
+    // the cumulative window and the 1-row totals are the only
+    // single-partition stages — both spine/summary-sized
+    assert(countOf(p, "Arguments: SinglePartition") <= 3)
+  }
+
+  test("sample_neyman: the threshold table rides broadcast onto the scan") {
+    val p = plan("sample_neyman")
+    assert(countOf(p, "\\(\\d+\\) BroadcastHashJoin") >= 1,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("mix_pack_efficiency: per-group folds, no joins") {
+    val p = plan("mix_pack_efficiency")
+    assert(!p.contains("Join"), p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("w11_cum_distinct: both windows share the key partitioning") {
+    val p = plan("w11_cum_distinct")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1,
+      "one shuffle serves both windows: " +
+        p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("Join"))
+  }
+
   test("dq_benford: two bounded scans (digits + total), everything broadcast") {
     val p = plan("dq_benford")
     // the observed-digit aggregate and its total each plan one scan;
