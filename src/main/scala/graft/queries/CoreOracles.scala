@@ -486,6 +486,16 @@ object CoreOracles {
         |    AS n_types_seen
         |FROM b""".stripMargin,
 
+    // the same one-rounding reciprocal sum and integer division.
+    "a22_harmonic_mean" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(1000000.0 / value) AS BIGINT)) AS BIGINT)
+        |    AS recip_sum_micro,
+        |  CAST(count(*) * 1000000000000 //
+        |    sum(CAST(round(1000000.0 / value) AS BIGINT)) AS BIGINT)
+        |    AS harmonic_micro
+        |FROM events WHERE value > 0 GROUP BY 1""".stripMargin,
+
     // the same micro-ln long sum, the same fixed-order exp back out.
     "a21_geomean" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -1582,6 +1582,22 @@ object CoreQueries {
             lit(1000000.0)) * lit(1000000.0)).cast("long")
             .as("geomean_micro"))),
 
+    // A22 — harmonic mean per group (the rates mean: avg speed, avg
+    // price-per-unit): per-row micro-reciprocals round once (the only
+    // double), their long sum is exact, and the mean is one integer
+    // floor division — n·10¹² div Σ round(10⁶/v). Completes the
+    // Pythagorean trio beside avg and a21_geomean.
+    "a22_harmonic_mean" -> ((s, dir) =>
+      table(s, dir, "events")
+        .filter(col("value") > 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(lit(1000000.0) / col("value")).cast("long"))
+            .as("recip_sum_micro"))
+        .select(col("event_type"), col("n"), col("recip_sum_micro"),
+          expr("n * 1000000000000 div recip_sum_micro")
+            .as("harmonic_micro"))),
+
     // W9 — relative-position window analytics: percent_rank (rank
     // among peers) and cume_dist (fraction at-or-below) per customer
     // over order value — both exact small rationals in doubles, so the
