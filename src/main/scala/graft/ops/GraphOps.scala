@@ -212,8 +212,17 @@ object GraphOps {
     * against the visited set, so a node is expanded exactly ONCE no
     * matter how many paths reach it — per-hop work is proportional to
     * the NEW frontier's edges, never the whole graph again. `maxHops`
-    * bounds the rounds; frontier/visited are node-sized and cached per
-    * round (each is read twice: expansion + the next anti-join).
+    * bounds the rounds.
+    *
+    * Iteration hygiene (same cadence as [[kCore]]/[[onionLayers]]):
+    * every per-round relation is `localCheckpoint(true)`'d, so the
+    * `visited` unionAll chain stays FLAT — each round's plan is one
+    * LogicalRDD plus one union, never a maxHops-deep lineage — and no
+    * round retains its predecessor's cache (checkpoint blocks are
+    * reclaimed by the ContextCleaner once unreachable, where the old
+    * `.cache()`-per-round form pinned O(hops) node-sized caches for
+    * the job's lifetime). An empty frontier short-circuits the loop:
+    * a diameter-d component costs d rounds, not maxHops.
     *
     * Pure integer surface. Sources appear at hop 0 (graph membership
     * not required); unreached nodes are absent.
@@ -224,20 +233,27 @@ object GraphOps {
     val directed = e
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(e.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var frontier = sources.select(col(sources.columns.head).as("node"))
-      .distinct().cache()
-    var visited = frontier.select(col("node"), lit(0L).as("hop")).cache()
-    for (h <- 1 to maxHops) {
+      .distinct().localCheckpoint(true)
+    var visited = frontier.select(col("node"), lit(0L).as("hop"))
+      .localCheckpoint(true)
+    var h = 1
+    var live = true
+    while (h <= maxHops && live) {
       val next = directed
         .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .cache()
-      visited = visited
-        .unionAll(next.select(col("node"), lit(h.toLong).as("hop")))
-        .cache()
-      frontier = next
+        .localCheckpoint(true)
+      if (next.isEmpty) live = false
+      else {
+        visited = visited
+          .unionAll(next.select(col("node"), lit(h.toLong).as("hop")))
+          .localCheckpoint(true)
+        frontier = next
+      }
+      h += 1
     }
     visited
   }

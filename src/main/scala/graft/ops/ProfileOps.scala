@@ -272,12 +272,12 @@ object ProfileOps {
       df.withColumn("__cell0", lit(0))) { case (acc, (rung, i)) =>
       acc
         .withColumn(s"__c$i", count(lit(1)).over(Window.partitionBy(rung: _*)))
-        .withColumn(s"__k$i", concat_ws("", rung.map(_.cast("string")): _*))
+        .withColumn(s"__k$i", concat_ws("\u0001", rung.map(_.cast("string")): _*))
     }
     val level = ladder.indices.reverse.foldLeft(lit(ladder.size.toLong)) {
       case (acc, i) => when(col(s"__c$i") >= k, i.toLong).otherwise(acc)
     }
-    val cellAtLevel = ladder.indices.reverse.foldLeft(lit(" ")) {
+    val cellAtLevel = ladder.indices.reverse.foldLeft(lit("\u0000")) {
       case (acc, i) => when(col(s"__c$i") >= k, col(s"__k$i")).otherwise(acc)
     }
     withCounts

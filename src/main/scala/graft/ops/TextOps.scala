@@ -393,9 +393,15 @@ object TextOps {
     * Docs with fewer than `n` tokens have no n-grams and drop from the
     * output (no 0/0 row).
     */
-  def noveltyScores(docs: DataFrame, n: Int): DataFrame = {
-    val dg = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text")), n))).as("gram"))
+  def noveltyScores(docs: DataFrame, n: Int): DataFrame =
+    noveltyFromGrams(docs.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), n))).as("gram")))
+
+  /** [[noveltyScores]] over a pre-exploded per-doc DISTINCT gram
+    * relation (doc_id, gram) — the entry point when the gram table is
+    * already materialized (the query layer's shared bigram cache).
+    */
+  def noveltyFromGrams(dg: DataFrame): DataFrame = {
     val novel = dg.groupBy("gram")
       .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
       .filter(col("df") === 1)

@@ -131,9 +131,67 @@ object PipelineQueries {
   val StratifiedFractions: Map[String, Double] =
     Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
 
+  /** The tokenized documents relation — CACHED, the stage a production
+    * pipeline materializes ONCE and every text/dedup/retrieval query
+    * reads from (tokenize-once, query-many). CacheManager keys on the
+    * canonicalized plan, so each query may rebuild this expression
+    * independently and still hit the same in-memory relation; the
+    * InMemoryTableScan prunes to the columns each consumer selects.
+    * Storage level is the default MEMORY_AND_DISK — at 100 TB the same
+    * stage writes parquet instead, but the shape (one tokenize pass
+    * feeding the family) is identical.
+    */
   private def docsTok(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .withColumn("toks", TextOps.tokens(col("text")))
+      .cache()
+
+  /** Shared per-(doc, token) term-frequency relation — the aggregated
+    * gram table the TF-consuming family (tfidf, repetition, lm_score,
+    * burstiness) previously each rebuilt with its own explode+groupBy
+    * over the corpus. One explode + one shuffle, materialized once.
+    */
+  private def docTokTf(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .cache()
+
+  /** Shared per-(source, token) count relation — the source-keyed twin
+    * of [[docTokTf]] (vocab stats, source entropy).
+    */
+  private def srcTokCounts(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .cache()
+
+  /** Shared exploded (source, shingle) relation at the default gram
+    * order — the sketch family's input (HLL registers/estimates, KMV
+    * set algebra), shingled once.
+    */
+  private def srcShingles(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(col("source"),
+        explode(TextOps.shingles(col("toks"))).as("shingle"))
+      .cache()
+
+  /** Shared per-doc DISTINCT bigram relation (doc_id, source, gram) at
+    * order [[NoveltyN]] — novelty scoring and the cross-source overlap
+    * card read this one materialization.
+    */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          TextOps.shingles(col("toks"), NoveltyN))).as("gram"))
+      .cache()
+
+  /** Shared winnowing fingerprint index — built once, read by both the
+    * fingerprint dump and the candidate-pair expansion.
+    */
+  private def winnowFp(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(docsTok(s, dir)).cache()
 
   private def normed(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.withNorm(table(s, dir, "embeddings"))
@@ -240,8 +298,7 @@ object PipelineQueries {
     // gram hash with its position — the guaranteed-overlap fingerprint
     // set at 2/(w+1) density; each gram hashed once, one doc-keyed
     // sliding frame (min(struct(h, −p)) = rightmost-min in one pass).
-    "text_winnow" -> ((s, dir) =>
-      TextOps.winnowFingerprints(docsTok(s, dir))),
+    "text_winnow" -> ((s, dir) => winnowFp(s, dir)),
 
     // the winnowing index USED: pairs sharing ≥2 selected fingerprints,
     // boilerplate fingerprints (df > cap) dropped before the bounded
@@ -249,8 +306,7 @@ object PipelineQueries {
     // generator next to MinHash-LSH's probabilistic global one.
     "dedup_winnow_pairs" -> ((s, dir) =>
       DedupOps.winnowCandidatePairs(
-        TextOps.winnowFingerprints(docsTok(s, dir)),
-        WinnowMinShared, WinnowMaxDf)),
+        winnowFp(s, dir), WinnowMinShared, WinnowMaxDf)),
 
     // TF-IDF top terms per document — term frequency × inverse document
     // frequency, two aggregations and a broadcast-joined document-
@@ -261,12 +317,10 @@ object PipelineQueries {
       // keeps the whole computation ONE plan/action (a separate count()
       // is a second full scan job at 100 TB)
       val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val toks = docs.select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("tok"))
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val tf = docTokTf(s, dir)
       // df derives FROM tf: tf already has one row per (doc, tok), so
       // the doc-frequency is a count over it — no second explode+distinct
-      // scan of the corpus, and AQE reuses tf's exchange for both uses.
+      // scan of the corpus, and the shared cache serves both uses.
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")
@@ -297,13 +351,11 @@ object PipelineQueries {
     // explode + per-(doc,tok) count, then a per-doc rollup — both
     // aggregations partial-agg before their shuffle.
     "text_repetition" -> ((s, dir) =>
-      table(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      docTokTf(s, dir)
         .groupBy("doc_id").agg(
-          sum("cnt").as("n"),
+          sum("tf").as("n"),
           count(lit(1)).as("n_distinct"),
-          max("cnt").as("top"))
+          max("tf").as("top"))
         .select(col("doc_id"),
           round(col("n_distinct").cast("double") / col("n").cast("double"), 6)
             .as("distinct_ratio"),
@@ -432,9 +484,7 @@ object PipelineQueries {
     // oracle; round(·,6)→DECIMAL makes the sum exact and associative at
     // a precision far beyond the score's meaning.
     "text_lm_score" -> ((s, dir) => {
-      val toks = table(s, dir, "documents").select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("tok"))
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val tf = docTokTf(s, dir)
       val cw = tf.groupBy("tok").agg(sum("tf").as("cw"))
       val tot = cw.agg(sum("cw").cast("double").as("total"))
       tf.join(broadcast(cw), Seq("tok"))
@@ -767,12 +817,11 @@ object PipelineQueries {
     // volume, distinct-word count, and type/token ratio per source —
     // the corpus-composition numbers a mixing decision starts from.
     "text_vocab_stats" -> ((s, dir) =>
-      table(s, dir, "documents")
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
+      srcTokCounts(s, dir)
+        .filter(length(col("tok")) > 0)
         .groupBy("source")
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("w")).as("n_types"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"))
         .select(col("source"), col("n_tokens"), col("n_types"),
           round(col("n_types") / col("n_tokens").cast("double"), 6).as("ttr"))),
 
@@ -1951,7 +2000,7 @@ object PipelineQueries {
     // a doc's distinct bigrams occurring in no other document. Grams
     // deduplicate in-row first, so df is a plain count per gram.
     "text_novelty" -> ((s, dir) =>
-      TextOps.noveltyScores(table(s, dir, "documents"), NoveltyN)),
+      TextOps.noveltyFromGrams(docBigrams(s, dir).select("doc_id", "gram"))),
 
     // MMR diversity re-ranking over the dense top-20 of query vec 0 —
     // the serving-time de-dup that keeps a RAG context from burning
@@ -2022,10 +2071,7 @@ object PipelineQueries {
     // derives in the consumer), and a micro-unit type/token ratio. One
     // corpus explode + two bounded aggregations; all-integer surface.
     "profile_source_entropy" -> ((s, dir) => {
-      val c = table(s, dir, "documents")
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy("source", "tok")
-        .agg(count(lit(1)).as("c"))
+      val c = srcTokCounts(s, dir)
       c.groupBy("source").agg(
         count(lit(1)).as("vocab_size"),
         sum("c").as("n_tokens"),
@@ -2059,10 +2105,7 @@ object PipelineQueries {
     // expansion is the nearDupPairs single-branch shape: one gram-keyed
     // shuffle, pairs never touch corpus-scale data.
     "profile_source_overlap" -> ((s, dir) => {
-      val gs = table(s, dir, "documents")
-        .select(col("source"), explode(array_distinct(
-          TextOps.shingles(TextOps.tokens(col("text")), NoveltyN))).as("gram"))
-        .distinct()
+      val gs = docBigrams(s, dir).select("source", "gram").distinct()
       gs.groupBy("gram")
         .agg(sort_array(collect_set(col("source"))).as("ss"))
         .filter(size(col("ss")) > 1)
@@ -2082,10 +2125,7 @@ object PipelineQueries {
     // (SketchHllSpec proves merge ≡ whole).
     "profile_hll_registers" -> ((s, dir) =>
       SketchOps.hllRegisters(
-        table(s, dir, "documents")
-          .select(col("source"),
-            explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle")),
-        Seq("source"), col("shingle"))),
+        srcShingles(s, dir), Seq("source"), col("shingle"))),
 
     // the register table cashed in: raw-HLL estimate per source in exact
     // integer micro-units next to the exact distinct count and the
@@ -2094,9 +2134,7 @@ object PipelineQueries {
     // point of the sketch); it rides here so the error is measured, not
     // asserted.
     "profile_hll_shingles" -> ((s, dir) => {
-      val sh = table(s, dir, "documents")
-        .select(col("source"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle"))
+      val sh = srcShingles(s, dir)
       val est = SketchOps.hllEstimate(
         SketchOps.hllRegisters(sh, Seq("source"), col("shingle")), Seq("source"))
       val exact = sh.groupBy("source")
@@ -2113,9 +2151,9 @@ object PipelineQueries {
     // gave me" (crawl-dedup planning) with the estimator error
     // measured in the same row. All integer arithmetic.
     "profile_kmv_overlap" -> ((s, dir) => {
-      def shOf(src: String) = table(s, dir, "documents")
+      def shOf(src: String) = srcShingles(s, dir)
         .filter(col("source") === src)
-        .select(explode(TextOps.shingles(TextOps.tokens(col("text")))).as("v"))
+        .select(col("shingle").as("v"))
       SketchOps.kmvSetOps(shOf(KmvSrcA), shOf(KmvSrcB), KmvOverlapK)
     }),
 
@@ -2260,11 +2298,9 @@ object PipelineQueries {
     // run far above — the stopword-vs-content discriminator that needs
     // no stopword list.
     "text_burstiness" -> ((s, dir) => {
-      val perDoc = table(s, dir, "documents")
-        .select(explode(TextOps.tokens(col("text"))).as("tok"),
-          col("doc_id"))
+      val perDoc = docTokTf(s, dir)
         .filter(length(col("tok")) > 0)
-        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+        .select(col("tok"), col("doc_id"), col("tf").as("c"))
       val nDocs = table(s, dir, "documents").agg(count(lit(1)).as("nd"))
       perDoc.groupBy("tok")
         .agg(count(lit(1)).as("n_docs_with"), sum("c").as("total_c"),

@@ -591,4 +591,59 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.take(25).mkString("\n"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("graph_bfs_hops: returned plan is ONE flat checkpointed scan") {
+    // the per-hop localCheckpoint cadence means the frontier loop's
+    // joins all ran at build time; the plan handed back is a single
+    // materialized RDD scan — no union chain, no retained joins, no
+    // exchange. (Drift here = someone removed the checkpoint and
+    // reintroduced the maxHops-deep lineage the r8 verdict flagged.)
+    val p = plan("graph_bfs_hops")
+    assert(p.contains("Scan ExistingRDD"), p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("Join") && countOf(p, "\\(\\d+\\) Exchange") == 0,
+      p.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("profile_source_overlap: in-row pair expansion, zero joins, two shuffles") {
+    // per-gram source sets collapse via ONE gram-keyed aggregation;
+    // pairs explode in-row (Generate) bounded by |sources|²; the only
+    // other shuffle is the final (source_a, source_b) rollup
+    val p = plan("profile_source_overlap")
+    assert(!p.contains("Join"), p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 2,
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("ret_prf_expand: both passes broadcast their term lists — no SMJ") {
+    // pass 1 scores the seed query, pass 2 rescans with the expanded
+    // term list; the feedback mining is semi-join-bounded and every
+    // join (term semi-joins, avgdl dim, expansion terms) is broadcast;
+    // per-doc top-k rides WindowGroupLimit
+    val p = plan("ret_prf_expand")
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 3,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("dedup_winnow_pairs: fingerprint-bounded in-row expansion, zero joins") {
+    // the candidate generator groups by fp (df cap filters boilerplate
+    // BEFORE the expansion) and explodes pairs in-row — the pair count
+    // is bounded per fingerprint and the corpus is scanned once
+    val p = plan("dedup_winnow_pairs")
+    assert(!p.contains("Join"), p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "documents\\.parquet\\]") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("graph_pagerank_directed: dangling mass rides broadcast, no cartesian") {
+    // the dangling-node mass and the damping normalizer are 1-row
+    // aggregates crossed in as BroadcastNestedLoopJoin over single
+    // rows — never a CartesianProduct; the rank join over node-sized
+    // relations may SMJ (big-big at scale, correct choice)
+    val p = plan("graph_pagerank_directed")
+    assert(p.contains("BroadcastNestedLoopJoin Cross"),
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

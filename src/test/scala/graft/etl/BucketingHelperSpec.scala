@@ -6,7 +6,7 @@ import graft.SparkTestSession
 /** The point of bucketing is the ABSENCE of a shuffle: joining two
   * tables bucketed on the join key must plan no Exchange on either side.
   */
-class BucketingSpec extends AnyFunSuite {
+class BucketingHelperSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 

@@ -141,6 +141,20 @@ class GraphOpsSpec extends AnyFunSuite {
       Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 99L -> 0L))
   }
 
+  test("bfsHops: visited's plan stays FLAT — node count bounded in maxHops") {
+    // the per-round localCheckpoint collapses each round's unionAll into
+    // a LogicalRDD, so the returned plan must not grow with maxHops (the
+    // pre-r9 cache()-per-round form returned a maxHops-deep union chain
+    // AND pinned O(hops) caches). 40 hops over a 6-node path: the loop
+    // also short-circuits once the frontier dries up (diameter 5).
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val out = GraphOps.bfsHops(path, "a", "b", Seq(1L).toDF("node"), 40)
+    val nodes = out.queryExecution.analyzed.collect { case p => p }.size
+    assert(nodes <= 4,
+      s"bfsHops visited plan has $nodes nodes — lineage is growing per hop")
+    assert(out.count() == 6L)
+  }
+
   test("modularityTerms: two bridged triangles give the textbook Q = 5/14") {
     // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7; each
     // community: e_c = 3, d_c = 7 -> q_num = 4*7*3 - 49 = 35, den 196;
