@@ -263,6 +263,212 @@ object TokenizerOps {
           .as("pmi"))
   }
 
+  // ---------------------------------------------------------------------
+  // Unigram-LM tokenizer (Kudo, "Subword Regularization", ACL 2018; the
+  // SentencePiece `--model_type=unigram` trainer) — the third production
+  // tokenizer family beside BPE train/segment and WordPiece inference.
+  //
+  // Deterministic hard-EM (Viterbi) variant, re-expressed for Spark:
+  //
+  //  1. SEED — all substrings (length ≤ maxPieceLen) of the distinct-word
+  //     table, weighted by word count: every single character is kept
+  //     (coverage guarantee — Viterbi can always segment), plus the top
+  //     `seedK` multi-char candidates by (count DESC, piece ASC).
+  //  2. SCORE — piece log-probabilities as INTEGER micro units:
+  //     floor(ln((cnt+1)/(tot+|V|))·1e6). Laplace smoothing keeps every
+  //     kept piece finite; floor (not round) because Java's round is
+  //     half-up while DuckDB's is half-away-from-zero — floor is the
+  //     same function in both engines, so the trained scores replay.
+  //  3. E-STEP — per DISTINCT word (Heaps'-law small; the corpus is
+  //     never re-touched), the Viterbi best segmentation under the
+  //     current scores: an in-row DP over word positions where each
+  //     cell is argmax over piece lengths, ties broken by the
+  //     lexicographic max of struct(score, len) — i.e. longest piece on
+  //     equal score — which is exactly `max(struct_pack(s, l))` in
+  //     DuckDB, so the argmax itself is replayable. Piece usage counts
+  //     roll up weighted by word count (one vocab-sized aggregation).
+  //  4. M-STEP + PRUNE — usage counts become the next scores; the vocab
+  //     keeps all single chars plus the top `finalK` multi-char pieces
+  //     by (count DESC, piece ASC). `rounds` EM rounds, driver-iterated
+  //     like [[bpeMerges]] (the merge chain there, the EM chain here,
+  //     are inherently sequential).
+  //
+  // Only the PIECE vocab (bounded by seedK + alphabet — a model
+  // artifact, like k-means centroids) is ever collected; the word table
+  // stays distributed. Integer DP scores make every comparison exact,
+  // so the whole chain — including which piece wins each lattice cell —
+  // replays in the oracle's unrolled CTEs.
+  // ---------------------------------------------------------------------
+
+  /** Viterbi DP forward pass, fully in-row: returns the dp array where
+    * index k+1 holds struct(s = best integer score covering the first k
+    * chars, l = the winning piece length at k). `vmap` is the literal
+    * piece→score map. Words longer than `mw` are the caller's problem
+    * (they are filtered to the char-fallback path).
+    */
+  private[graft] def viterbiDp(w: org.apache.spark.sql.Column,
+      vmap: org.apache.spark.sql.Column, p: Int, mw: Int)
+      : org.apache.spark.sql.Column = {
+    val sentinel = Long.MinValue / 4
+    val init = array(struct(lit(0L).as("s"), lit(0).as("l")))
+    aggregate(sequence(lit(1), lit(mw)), init, (acc, i) => {
+      val cands = transform(sequence(lit(1), lit(p)), l => {
+        val start = i - l + lit(1) // piece start; dp[i-l] sits at acc[start]
+        val piece = call_function("substring", w, greatest(start, lit(1)), l)
+        val sc = try_element_at(vmap, piece)
+        val prev = coalesce(
+          try_element_at(acc, greatest(start, lit(1))).getField("s"),
+          lit(sentinel))
+        when(l <= i && sc.isNotNull,
+          struct((prev + sc).as("s"), l.cast("int").as("l")))
+          .otherwise(struct(lit(sentinel).as("s"), lit(0).as("l")))
+      })
+      when(i <= length(w), concat(acc, array(array_max(cands)))).otherwise(acc)
+    })
+  }
+
+  /** Backward walk over a [[viterbiDp]] array: the best segmentation's
+    * pieces in order. Terminates in ≤ mw steps because every dp entry's
+    * l ≥ 1 (single-char coverage).
+    */
+  private[graft] def viterbiPieces(w: org.apache.spark.sql.Column,
+      dparr: org.apache.spark.sql.Column, mw: Int)
+      : org.apache.spark.sql.Column = {
+    val init = struct(length(w).cast("int").as("pos"),
+      array().cast("array<string>").as("pieces"))
+    val fin = aggregate(sequence(lit(1), lit(mw)), init, (acc, _) => {
+      val pos = acc.getField("pos")
+      val l = coalesce(
+        try_element_at(dparr, greatest(pos + 1, lit(1))).getField("l"), lit(1))
+      when(pos > 0,
+        struct((pos - l).cast("int").as("pos"),
+          concat(
+            array(call_function("substring", w,
+              greatest(pos - l + lit(1), lit(1)), l)),
+            acc.getField("pieces")).as("pieces")))
+        .otherwise(acc)
+    })
+    fin.getField("pieces")
+  }
+
+  /** Distinct words with counts; the only corpus-sized step. */
+  private def wordTable(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** (piece, cnt) → (piece, cnt, scoreMicro) with the Laplace-smoothed
+    * floor-micro log-probability. Order-independent (sum over longs).
+    */
+  private def scoreVocab(v: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+    val tot = v.map(_._2).sum
+    val n = v.size
+    v.map { case (pc, c) =>
+      (pc, c,
+        math.floor(math.log((c + 1).toDouble / (tot.toDouble + n.toDouble))
+          * 1e6).toLong)
+    }
+  }
+
+  /** Train the unigram-LM vocab: returns (piece, cnt, score_micro)
+    * sorted by piece. `cnt` is the final round's E-step usage count
+    * (seed substring-occurrence count if rounds == 0).
+    */
+  def unigramTrain(docs: DataFrame, maxPieceLen: Int, seedK: Int,
+      finalK: Int, rounds: Int, maxWordLen: Int): Seq[(String, Long, Long)] = {
+    require(maxPieceLen >= 1 && seedK >= 0 && finalK >= 0 && rounds >= 0)
+    val uw = wordTable(docs)
+    val trainW = uw.filter(length(col("word")) <= maxWordLen)
+
+    // SEED: substring candidates from ALL distinct words (so the single-
+    // char alphabet covers even char-fallback words), in-row explode.
+    val subPieces = flatten(transform(sequence(lit(1), length(col("word"))),
+      i => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
+        l => call_function("substring", col("word"), i, l))))
+    val cand = uw
+      .select(explode(subPieces).as("piece"), col("cnt"))
+      .groupBy("piece")
+      .agg(sum("cnt").as("c"))
+    val singles = cand.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val multi = cand.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece").asc)
+      .limit(seedK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var vocab = scoreVocab(singles ++ multi)
+
+    for (_ <- 1 to rounds) {
+      val vmap = typedlit(vocab.map(t => t._1 -> t._3).toMap)
+      val ecnt = trainW
+        .select(col("word"), col("cnt"),
+          viterbiDp(col("word"), vmap, maxPieceLen, maxWordLen).as("dp"))
+        .select(col("cnt"),
+          explode(viterbiPieces(col("word"), col("dp"), maxWordLen))
+            .as("piece"))
+        .groupBy("piece")
+        .agg(sum("cnt").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val withCnt = vocab.map { case (pc, _, _) => (pc, ecnt.getOrElse(pc, 0L)) }
+      val keep = withCnt.filter(_._1.length == 1) ++
+        withCnt.filter(_._1.length > 1)
+          .sortBy { case (pc, c) => (-c, pc) }.take(finalK)
+      vocab = scoreVocab(keep)
+    }
+    vocab.sortBy(_._1)
+  }
+
+  /** The trained vocab as the oracle-checked DataFrame artifact. */
+  def unigramVocabTable(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[(String, Long, Long)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("score_micro", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vocab.map { case (p, c, s) => Row(p, c, s) }, 1),
+      schema)
+  }
+
+  /** Per-doc segmentation stats under a trained unigram vocab:
+    * (doc_id, n_words, n_pieces, nll_micro) where nll_micro is the
+    * summed negative best-path score (integer micro units — exact).
+    * Same scale shape as [[wordpieceStats]]: the DP evaluates once per
+    * DISTINCT word, broadcasts back onto the token stream, one shuffle.
+    * Words over `maxWordLen` fall back to the always-covered char
+    * segmentation (the SentencePiece overlong-sentence rule).
+    */
+  def unigramSegmentStats(docs: DataFrame, vocab: Seq[(String, Long, Long)],
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    require(vocab.nonEmpty, "unigramSegmentStats needs a trained vocab")
+    val vmap = typedlit(vocab.map(t => t._1 -> t._3).toMap)
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val uws = tok.select("w").distinct()
+    val short = uws.filter(length(col("w")) <= maxWordLen)
+      .select(col("w"),
+        viterbiDp(col("w"), vmap, maxPieceLen, maxWordLen).as("dp"))
+      .select(col("w"),
+        size(viterbiPieces(col("w"), col("dp"), maxWordLen)).cast("long")
+          .as("np"),
+        (lit(-1L) * try_element_at(col("dp"), length(col("w")) + 1)
+          .getField("s")).as("nll"))
+    val overlong = uws.filter(length(col("w")) > maxWordLen)
+      .select(col("w"), length(col("w")).cast("long").as("np"),
+        aggregate(sequence(lit(1), length(col("w"))), lit(0L), (acc, i) =>
+          acc - try_element_at(vmap,
+            call_function("substring", col("w"), i, lit(1)))).as("nll"))
+    tok.join(broadcast(short.unionAll(overlong)), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(col("nll")).as("nll_micro"))
+  }
+
   /** A learned merge list as a DataFrame (the oracle-checked artifact). */
   def mergeTable(spark: org.apache.spark.sql.SparkSession,
       merges: Seq[(Long, String, String, Long)]): DataFrame = {

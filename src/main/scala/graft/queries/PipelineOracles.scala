@@ -29,6 +29,99 @@ object PipelineOracles {
        |sh AS (SELECT DISTINCT doc_id, shingle FROM
        |  (SELECT doc_id, unnest($shingleExpr) AS shingle FROM t))""".stripMargin
 
+  /** The unigram-LM hard-EM training chain (TokenizerOps.unigramTrain)
+    * as unrolled DuckDB CTEs: seed substring ranking, then per EM round
+    * an unrolled Viterbi DP over word positions (integer micro scores;
+    * the lattice argmax is max(struct_pack(s, l)) — lexicographically
+    * identical to Spark's array_max over struct(s, l)), a recursive
+    * backtrace to the used pieces, usage-count re-scoring, and the
+    * singles-always/top-K-multis prune. floor(ln(·)·1e6) scoring is the
+    * same function in both engines (round is not: Java half-up vs
+    * DuckDB half-away-from-zero). `segPass` appends one extra DP pass
+    * under the FINAL vocab for the segmentation oracle.
+    */
+  private def unigramChain(segPass: Boolean): String = {
+    val p = PipelineQueries.UnigramPieceLen
+    val seedK = PipelineQueries.UnigramSeedK
+    val finalK = PipelineQueries.UnigramFinalK
+    val rounds = PipelineQueries.UnigramRounds
+    val mw = PipelineQueries.UnigramMaxWord
+    require(rounds >= 1, "unigramChain assumes at least one EM round")
+
+    def scoreCte(name: String, src: String) =
+      s"""$name AS MATERIALIZED (SELECT piece, c, CAST(floor(ln(CAST(c + 1 AS DOUBLE) /
+         |    (CAST((SELECT sum(c) FROM $src) AS DOUBLE) +
+         |     (SELECT count(*) FROM $src))) * 1000000) AS BIGINT) AS s
+         |  FROM $src)""".stripMargin
+
+    def dpRound(r: Int, vsrc: String): String = {
+      val dps = (1 to mw).map { i =>
+        val branches = (1 to math.min(p, i)).map { l =>
+          s"""      SELECT d.word, d.s + v.s AS s, $l AS l
+             |      FROM dp${r}_${i - l} d JOIN $vsrc v
+             |        ON v.piece = substr(d.word, ${i - l + 1}, $l)
+             |      WHERE length(d.word) >= $i""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        s"""dp${r}_$i AS MATERIALIZED (SELECT word, struct_extract(b, 's') AS s,
+           |    struct_extract(b, 'l') AS l
+           |  FROM (SELECT word, max(struct_pack(s := s, l := l)) AS b FROM (
+           |$branches
+           |  ) GROUP BY word))""".stripMargin
+      }
+      val dpa = (1 to mw)
+        .map(i => s"SELECT word, $i AS pos, s, l FROM dp${r}_$i")
+        .mkString("\n  UNION ALL\n  ")
+      s"""dp${r}_0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS s, 0 AS l FROM tw),
+         |${dps.mkString(",\n")},
+         |dpa$r AS MATERIALIZED (
+         |  $dpa),
+         |bt$r(word, pos) AS (
+         |  SELECT word, CAST(length(word) AS INT) FROM tw
+         |  UNION ALL
+         |  SELECT b.word, b.pos - d.l FROM bt$r b
+         |    JOIN dpa$r d ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0),
+         |pc$r AS MATERIALIZED (SELECT b.word, substr(b.word, b.pos - d.l + 1, d.l) AS piece
+         |  FROM bt$r b JOIN dpa$r d ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }
+
+    def mStep(r: Int): String =
+      s"""ec$r AS MATERIALIZED (SELECT p.piece, sum(u.cnt) AS c FROM pc$r p
+         |  JOIN tw u USING (word) GROUP BY p.piece),
+         |mc$r AS MATERIALIZED (SELECT v.piece, coalesce(e.c, 0) AS c
+         |  FROM v${r - 1} v LEFT JOIN ec$r e USING (piece)),
+         |k$r AS MATERIALIZED (SELECT piece, c FROM mc$r WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (SELECT piece, c FROM mc$r
+         |    WHERE length(piece) > 1 ORDER BY c DESC, piece ASC LIMIT $finalK)),
+         |${scoreCte(s"v$r", s"k$r")}""".stripMargin
+
+    val seed =
+      s"""uw AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |tw AS MATERIALIZED (SELECT word, cnt FROM uw WHERE length(word) <= $mw),
+         |c0 AS MATERIALIZED (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS i
+         |  FROM uw),
+         |c1 AS MATERIALIZED (SELECT word, cnt, i,
+         |    unnest(range(1, least($p, length(word) - i + 1) + 1)) AS l
+         |  FROM c0),
+         |cand AS MATERIALIZED (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |    sum(cnt) AS c
+         |  FROM c1 GROUP BY piece),
+         |k0 AS MATERIALIZED (SELECT piece, c FROM cand WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (SELECT piece, c FROM cand
+         |    WHERE length(piece) > 1 ORDER BY c DESC, piece ASC LIMIT $seedK)),
+         |${scoreCte("v0", "k0")}""".stripMargin
+
+    val emRounds = (1 to rounds)
+      .map(r => dpRound(r, s"v${r - 1}") + ",\n" + mStep(r)).mkString(",\n")
+    val seg = if (segPass) ",\n" + dpRound(rounds + 1, s"v$rounds") else ""
+    seed + ",\n" + emRounds + seg
+  }
+
   /** Per-source shingle multiset → HLL register table (SketchOps
     * constants: 32-bit md5 draw, top-HllP-bit index, rank =
     * cap − len(bin(remainder)) with the all-zeros cap case).
@@ -1118,6 +1211,47 @@ object PipelineOracles {
          |  CAST(sum(term.pieces) AS BIGINT) AS n_pieces,
          |  CAST(sum(term.unk) AS BIGINT) AS n_unk
          |FROM dw JOIN term USING (word) GROUP BY dw.doc_id""".stripMargin
+    },
+
+    // the unigram-LM trainer replayed end to end: seed substring
+    // ranking, each EM round's Viterbi lattice (unrolled per-position
+    // DP CTEs with the max(struct(s,l)) argmax), recursive backtrace,
+    // usage re-score, prune — the final vocab row for row.
+    "text_unigram_train" -> {
+      val r = PipelineQueries.UnigramRounds
+      s"""WITH RECURSIVE ${unigramChain(segPass = false)}
+         |SELECT piece, CAST(c AS BIGINT) AS cnt, s AS score_micro
+         |FROM v$r""".stripMargin
+    },
+
+    // the trained unigram vocab applied: the same chain plus one more
+    // DP pass under the final vocab; per-doc rollup joins the word
+    // stream, overlong words take the char-fallback branch.
+    "text_unigram_segment" -> {
+      val r = PipelineQueries.UnigramRounds
+      val mw = PipelineQueries.UnigramMaxWord
+      s"""WITH RECURSIVE ${unigramChain(segPass = true)},
+         |np AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM pc${r + 1}
+         |  GROUP BY word),
+         |nl AS (SELECT word, -s AS nll FROM dpa${r + 1} d
+         |  WHERE d.pos = length(d.word)),
+         |lw AS (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM uw
+         |  WHERE length(word) > $mw),
+         |lst AS (SELECT word, CAST(length(word) AS BIGINT) AS np,
+         |    -sum(v.s) AS nll
+         |  FROM lw JOIN v$r v ON v.piece = substr(word, CAST(i AS INT), 1)
+         |  GROUP BY word),
+         |stat AS (SELECT n.word, n.np, l.nll FROM np n JOIN nl l USING (word)
+         |  UNION ALL
+         |  SELECT word, np, nll FROM lst),
+         |dw AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents)
+         |  WHERE len(word) > 0)
+         |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(st.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(st.nll) AS BIGINT) AS nll_micro
+         |FROM dw JOIN stat st USING (word) GROUP BY dw.doc_id""".stripMargin
     },
 
     // dedup_jaccard's replay with both asymmetric denominators.

@@ -94,6 +94,15 @@ object PipelineQueries {
     */
   val WordpieceMaxPiece = 8
   val WordpieceMaxWord = 16
+  /** Unigram-LM (SentencePiece-style) trainer: piece-length cap, seed
+    * multi-char candidates kept, post-prune multi-char vocab size, hard-
+    * EM rounds, and the overlong-word char-fallback bound.
+    */
+  val UnigramPieceLen = 4
+  val UnigramSeedK = 40
+  val UnigramFinalK = 24
+  val UnigramRounds = 2
+  val UnigramMaxWord = 10
   /** k-core threshold and synchronous peel rounds (k = 2 prunes
     * pendant chains/trees to the cyclic nuclei and is nonempty at
     * every test SF; 3-cores only appear at sf0.1's density).
@@ -1731,6 +1740,39 @@ object PipelineQueries {
       TokenizerOps.wordpieceStats(table(s, dir, "documents"), vocab,
         WordpieceMaxPiece, WordpieceMaxWord)
     }),
+
+    // Unigram-LM tokenizer trained in-engine (Kudo 2018 / SentencePiece
+    // --model_type=unigram, deterministic Viterbi hard-EM): seed = all
+    // substrings of the distinct-word table (singles always kept for
+    // coverage + top-K multis), then 2 EM rounds of per-word Viterbi
+    // lattice argmax (integer micro log-probs, max-struct tie rule) →
+    // usage-count re-score → prune. Only the piece vocab (bounded by
+    // seedK + alphabet) ever reaches the driver; E-steps run over the
+    // Heaps'-small distinct-word table, never the corpus. The whole
+    // chain — seed ranking, every lattice argmax, every prune — replays
+    // in the oracle's unrolled DP CTEs.
+    "text_unigram_train" -> ((s, dir) =>
+      TokenizerOps.unigramVocabTable(s,
+        ModelCache.cached(s"$dir|unigram|$UnigramPieceLen|$UnigramSeedK|$UnigramFinalK|$UnigramRounds|$UnigramMaxWord") {
+          TokenizerOps.unigramTrain(table(s, dir, "documents"),
+            UnigramPieceLen, UnigramSeedK, UnigramFinalK, UnigramRounds,
+            UnigramMaxWord)
+        })),
+
+    // the trained unigram vocab APPLIED: per-doc words / pieces / exact
+    // integer negative-log-likelihood of the Viterbi best path — the
+    // compression+fit card for the third tokenizer family, beside
+    // text_bpe_segment (merge replay) and text_wordpiece (longest
+    // match). DP once per DISTINCT word, broadcast back, one shuffle.
+    "text_unigram_segment" -> ((s, dir) =>
+      TokenizerOps.unigramSegmentStats(
+        table(s, dir, "documents"),
+        ModelCache.cached(s"$dir|unigram|$UnigramPieceLen|$UnigramSeedK|$UnigramFinalK|$UnigramRounds|$UnigramMaxWord") {
+          TokenizerOps.unigramTrain(table(s, dir, "documents"),
+            UnigramPieceLen, UnigramSeedK, UnigramFinalK, UnigramRounds,
+            UnigramMaxWord)
+        },
+        UnigramPieceLen, UnigramMaxWord)),
 
     // weak supervision (Snorkel pattern): three scan-side labeling
     // functions vote is-English per doc (abstentions allowed), majority

@@ -636,6 +636,21 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.take(25).mkString("\n"))
   }
 
+  test("text_unigram_segment: DP per distinct word, stats broadcast back, one doc rollup") {
+    // the Viterbi lattice evaluates once per DISTINCT word — two
+    // distinct exchanges, one per branch of the union (DP-eligible
+    // words and the char-fallback overlong words) — its (np, nll)
+    // stats ride a BroadcastHashJoin back onto the token stream, and
+    // the per-doc rollup is the only other shuffle — never a
+    // sort-merge join of corpus-sized sides
+    val p = plan("text_unigram_segment")
+    assert(p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 3,
+      p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("graph_pagerank_directed: dangling mass rides broadcast, no cartesian") {
     // the dangling-node mass and the damping normalizer are 1-row
     // aggregates crossed in as BroadcastNestedLoopJoin over single
