@@ -43,6 +43,19 @@ object ScaleUp {
     */
   val textCols: Map[String, Seq[String]] = Map("documents" -> Seq("text"))
 
+  /** Embedding columns that must vary per copy, for the same reason as
+    * [[textCols]]: a verbatim-copied vector is a cross-copy EXACT
+    * duplicate (cosine 1.0), so every similarity-graph operator sees its
+    * edge set grow ×copies² instead of ×copies — measured 11× wall time
+    * at factor 10 on graph_bfs_hops before this fix, a data artifact,
+    * not engine cost. The per-copy transform CIRCULAR-SHIFTS the
+    * dimensions by the copy index: within-copy dot products (hence all
+    * cosines, distances, and cluster structure) are EXACTLY preserved,
+    * while cross-copy alignment is destroyed — N× data, same per-copy
+    * similarity structure.
+    */
+  val vecCols: Map[String, Seq[String]] = Map("embeddings" -> Seq("embedding"))
+
   def scaleTable(df: DataFrame, name: String, factor: Int): DataFrame = {
     val ids = idCols.getOrElse(name, Seq.empty)
     if (ids.isEmpty) df
@@ -58,10 +71,18 @@ object ScaleUp {
       val copies = (0 until factor).map { c =>
         val off = base * c
         val offsetted = ids.foldLeft(df)((d, i) => d.withColumn(i, col(i) + off))
-        textCols.getOrElse(name, Seq.empty).foldLeft(offsetted)((d, t) =>
+        val texted = textCols.getOrElse(name, Seq.empty).foldLeft(offsetted)((d, t) =>
           if (c == 0) d
           else d.withColumn(t, array_join(
             transform(split(col(t), "\\s+"), w => concat(w, lit(s"v$c"))), " ")))
+        vecCols.getOrElse(name, Seq.empty).foldLeft(texted)((d, v) =>
+          if (c == 0) d
+          else {
+            val sh = pmod(lit(c), size(col(v)))
+            d.withColumn(v, concat(
+              slice(col(v), sh + 1, size(col(v)) - sh),
+              slice(col(v), lit(1), sh)))
+          })
       }
       copies.reduce(_.unionAll(_))
     }

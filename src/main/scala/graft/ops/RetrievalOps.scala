@@ -634,4 +634,42 @@ object RetrievalOps {
     bm25TopKQueries(docs, q2, k)
       .select(col("doc_id"), col("rank"), col("score"))
   }
+
+  /** Positional proximity search for a two-term query: for every doc
+    * containing BOTH terms, the minimal token gap between any occurrence
+    * of each (the proximity-scoring primitive bag-of-words BM25 cannot
+    * express — "data ... spark" nearby beats the same terms a page
+    * apart) plus the exact-phrase hit count (termB immediately after
+    * termA). Top-k by (min_gap asc, doc_id).
+    *
+    * Shape: posexplode prunes to the two query terms AT THE SCAN (the
+    * position relation carries only matching-term rows — per doc that is
+    * tf_A + tf_B rows, not the document), then ONE doc-keyed self-join
+    * expands tf_A × tf_B position pairs WITHIN each doc — bounded by
+    * per-doc term frequency, never corpus size — and one aggregation
+    * takes the min. Returns (doc_id, min_gap, phrase_hits, rank).
+    */
+  def proximityPair(
+      docs: DataFrame,
+      termA: String,
+      termB: String,
+      k: Int): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text")))
+        .as(Seq("p", "tok")))
+      .filter(col("tok").isin(termA, termB))
+    val pa = pos.filter(col("tok") === termA).select(col("doc_id"), col("p").as("pa"))
+    val pb = pos.filter(col("tok") === termB).select(col("doc_id"), col("p").as("pb"))
+    pa.join(pb, "doc_id")
+      .groupBy("doc_id")
+      .agg(min(abs(col("pa") - col("pb"))).cast("long").as("min_gap"),
+        sum(when(col("pb") - col("pa") === 1, 1L).otherwise(0L))
+          .as("phrase_hits"))
+      .orderBy(col("min_gap"), col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("min_gap"), col("doc_id"))).cast("long"))
+  }
 }

@@ -127,4 +127,43 @@ object SampleOps {
       .groupBy("stratum", "n_rows", "sigma_micro", "thr")
       .agg(sum(when(col("u") < col("thr"), 1L).otherwise(0L)).as("n_sampled"))
   }
+
+  /** Weighted reservoir sample of exactly k rows per stratum
+    * (Efraimidis-Spirakis 2006, A-ES): each row draws score
+    * ln(u)/w — monotone in the paper's u^(1/w) key — and the top-k
+    * scores per stratum ARE the sample, with inclusion probability ∝
+    * weight. Deterministic like everything in this file: u derives from
+    * the row-key hash ((2h+1)/2·HashSpace — never exactly 0 or 1), so
+    * the same rows are drawn on every run, engine, and partitioning.
+    *
+    * Shape: one scan computes the score, one per-stratum top-k window
+    * (WindowGroupLimit prunes to k rows per partition before the final
+    * sort — no stratum's full population is ever sorted); rows with
+    * non-positive weight are excluded by contract. Score evaluates in
+    * one fixed double order, surfaced in e-9 units. Returns
+    * (stratum, key, weight, score_e9, rk), rk 1..k.
+    */
+  def weightedReservoir(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      weightCol: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (hashDraw(col(keyCol)) * 2 + 1).cast("double") /
+      lit((2 * HashSpace).toDouble)
+    val scored = df
+      .filter(weightCol > 0)
+      .select(col(stratumCol).as("stratum"), col(keyCol).as("key"),
+        weightCol.cast("double").as("weight"),
+        (log(u) / weightCol.cast("double")).as("score"))
+    val w = Window.partitionBy("stratum")
+      .orderBy(col("score").desc, col("key"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("stratum"), col("key"), col("weight"),
+        round(col("score") * lit(1000000000.0)).cast("long").as("score_e9"),
+        col("rk").cast("long").as("rk"))
+  }
 }

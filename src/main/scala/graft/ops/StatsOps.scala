@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Categorical / rank statistics beyond the moment-based cards in
+  * [[ProfileOps]]: Spearman rank correlation, the χ² independence test
+  * with Cramér's V, mutual information, and the Gini concentration
+  * coefficient. Like the rest of the exact-statistics family, every
+  * surface is either a pure integer or a micro-rounded long derived from
+  * EXACT integer/decimal moments in one fixed double operation order —
+  * hash-replayable cross-engine, order- and partition-independent.
+  */
+object StatsOps {
+
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association EDA card Pearson misses (outlier-robust,
+    * captures any monotone curve, not just lines).
+    *
+    * Shape at scale: ranks are NOT a global sort of the data. Each
+    * column reduces to its DISTINCT-VALUE spine (one map-side-combined
+    * aggregation), the tie-averaged rank derives from the spine's
+    * cumulative counts (a window over the spine, never the data — the
+    * contract is bounded-domain columns: quantities, discounts, bucketed
+    * measures), and the two rank dims broadcast back onto the scan. The
+    * doubled rank 2·r̄ = 2·cum − cnt + 1 keeps tie-averaging in pure
+    * integers (the ½ never floats); the constant factor cancels in r.
+    *
+    * Moments ride DECIMAL(38,0) (doubled ranks reach ~2n; their products
+    * ~4n², summed over n rows overflow a long past ~10⁶ rows), and
+    * Spearman ρ = Pearson over the doubled ranks evaluates in one fixed
+    * double order. Returns ONE row: (n, rho_micro).
+    */
+  def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val data = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    def rankDim(c: String) = {
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      data.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("v").as(s"v_$c"),
+          (col("cum") * 2 - col("cnt") + 1).as(s"r2_$c"))
+    }
+    val ranked = data
+      .join(broadcast(rankDim("a")), col("a") === col("v_a"))
+      .join(broadcast(rankDim("b")), col("b") === col("v_b"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("r2_a"))).as("sx"),
+      sum(d38(col("r2_b"))).as("sy"),
+      sum(d38(col("r2_a")) * col("r2_a")).as("sxx"),
+      sum(d38(col("r2_b")) * col("r2_b")).as("syy"),
+      sum(d38(col("r2_a")) * col("r2_b")).as("sxy"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = dn * d("sxy") - d("sx") * d("sy")
+    val den = sqrt((dn * d("sxx") - d("sx") * d("sx")) *
+      (dn * d("syy") - d("sy") * d("sy")))
+    m.select(col("n"),
+      round(num / den * lit(1000000.0)).cast("long").as("rho_micro"))
+  }
+
+  /** Pearson χ² independence cells between two categorical columns:
+    * the full r×c contingency spine (absent cells surface at zero — a
+    * missing cell still contributes its expected count to the
+    * statistic), each with its expected count and χ² term. One cell
+    * aggregation; margins derive FROM the cells (no second scan); the
+    * spine is the margins' cross product — bounded by the domains, never
+    * the data. Returns (va, vb, n_obs, exp_micro, chi_term_micro);
+    * Σ chi_term_micro IS the statistic in micro units (micro-additive,
+    * the per-digit-term pattern of [[ProfileOps.benfordAudit]]).
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(aCol).as("va"), col(bCol).as("vb"))
+      .agg(count(lit(1)).as("n_obs"))
+    val ra = cells.groupBy("va").agg(sum("n_obs").as("row_n"))
+    val cb = cells.groupBy("vb").agg(sum("n_obs").as("col_n"))
+    val tot = cells.agg(sum("n_obs").as("n"))
+    val e = col("row_n").cast("double") * col("col_n") / col("n")
+    val dev = col("n_obs").cast("double") - e
+    broadcast(ra).crossJoin(broadcast(cb))
+      .join(cells, Seq("va", "vb"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("va"), col("vb"), col("n_obs"),
+        round(e * lit(1000000.0)).cast("long").as("exp_micro"),
+        round(dev * dev / e * lit(1000000.0)).cast("long")
+          .as("chi_term_micro"))
+  }
+
+  /** Cramér's V effect size from the [[chiSquareCells]] terms — the
+    * [0,1]-normalized "how strongly associated" card (χ² alone grows
+    * with n; V does not). One row:
+    * (n, n_rows, n_cols, dof, chi2_micro, v_micro). V derives from the
+    * micro-summed statistic in fixed double order; dof = (r−1)(c−1).
+    * A single-valued margin (dof 0) reports V = 0.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chiSquareCells(df, aCol, bCol)
+    val agg = cells.agg(
+      sum("n_obs").as("n"),
+      countDistinct("va").as("n_rows"),
+      countDistinct("vb").as("n_cols"),
+      sum("chi_term_micro").as("chi2_micro"))
+    val minDim = least(col("n_rows"), col("n_cols")) - 1
+    agg.select(col("n"), col("n_rows"), col("n_cols"),
+      ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+      col("chi2_micro"),
+      when(minDim < 1, 0L).otherwise(
+        round(sqrt(col("chi2_micro").cast("double") / lit(1000000.0) /
+          (col("n").cast("double") * minDim)) * lit(1000000.0))
+          .cast("long")).as("v_micro"))
+  }
+
+  /** Mutual information between two categorical columns, as per-cell
+    * contributions: I(X;Y) = Σ p(x,y)·ln(p(x,y)·n² / (c_x·c_y·n)) over
+    * OBSERVED cells (empty cells contribute exactly zero to MI — unlike
+    * χ², no spine is needed). Margins derive from the cells; each term
+    * rounds to e-12 units before summation (the Σ c·ln c pattern of
+    * [[ProfileOps.jsDivergence]]) so the total is an exact long sum.
+    * Returns (va, vb, n_xy, mi_term_e12); Σ mi_term_e12 ≈ I in nats·10¹².
+    */
+  def mutualInfoCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(aCol).as("va"), col(bCol).as("vb"))
+      .agg(count(lit(1)).as("n_xy"))
+    val ra = cells.groupBy("va").agg(sum("n_xy").as("c_x"))
+    val cb = cells.groupBy("vb").agg(sum("n_xy").as("c_y"))
+    val tot = cells.agg(sum("n_xy").as("n"))
+    val term = (col("n_xy").cast("double") / col("n")) *
+      log(col("n_xy").cast("double") * col("n") /
+        (col("c_x").cast("double") * col("c_y")))
+    cells
+      .join(broadcast(ra), "va")
+      .join(broadcast(cb), "vb")
+      .crossJoin(broadcast(tot))
+      .select(col("va"), col("vb"), col("n_xy"),
+        round(term * lit(1000000000000.0)).cast("long").as("mi_term_e12"))
+  }
+
+  /** Gini concentration coefficient of a count distribution per group —
+    * the inequality card for token/document frequency ("is this source's
+    * vocabulary dominated by a handful of terms?"): G = Σᵢ(2i−n−1)·cᵢ /
+    * (n·Σc) over counts sorted ascending. ENTIRELY integer: the ranked
+    * prefix identity folds to G = (2·Σi·cᵢ − (n+1)·Σc) / (n·Σc), so the
+    * only non-integer step is one decimal division at the end
+    * (micro-floored, the [[ProfileOps.tCloseness]] idiom).
+    *
+    * Shape: one window rank per group over the (group, item, count)
+    * relation — vocab-sized, never data-sized — then one aggregation.
+    * Input: (groupCol, itemCol, cntCol) counts. Returns
+    * (group, n_items, gini_micro); a single-item group reports 0.
+    */
+  def giniCard(rel: DataFrame, groupCol: String, itemCol: String,
+      cntCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(cntCol), col(itemCol))
+    rel
+      .withColumn("i", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col(cntCol).cast("decimal(38,0)")).as("sc"),
+        sum(col("i").cast("decimal(38,0)") * col(cntCol)).as("sic"))
+      .select(col(groupCol), col("n_items"),
+        expr("CAST(((2 * sic - (n_items + 1) * sc) * 1000000) div " +
+          "(CAST(n_items AS DECIMAL(38,0)) * sc) AS BIGINT)")
+          .as("gini_micro"))
+  }
+}

@@ -414,4 +414,59 @@ object TextOps {
         round(coalesce(col("n_novel"), lit(0L)).cast("double") /
           col("n_grams"), 6).as("novelty"))
   }
+
+  /** ROUGE-1/2 (Lin 2004) over adjacent doc pairs (candidate d, reference
+    * d+1) — the clipped-n-gram-overlap summary-quality metric, computed
+    * engine-side over paired text columns. Clipped overlap = Σ per gram
+    * of min(tf_cand, tf_ref); precision/recall divide by each side's
+    * total gram count; F1 = 2PR/(P+R).
+    *
+    * Shape: per-doc gram TF relations (one explode + map-side-combined
+    * aggregation per order), then ONE co-keyed equi-join on
+    * (doc_id+1, gram) per order — the pair relation never materializes
+    * gram cross products, and the pair spine is a doc-keyed self-join
+    * (broadcast-free, co-partitioned). Pairs with zero overlap still
+    * surface (score 0). All ratios micro-rounded from exact longs in one
+    * fixed double order.
+    *
+    * Input (doc_id, toks); returns (cand_id, ref_id, ov1, r1_p_micro,
+    * r1_r_micro, r1_f_micro, ov2, r2_f_micro).
+    */
+  def rougeAdjacent(docs: DataFrame): DataFrame = {
+    def tf(grams: org.apache.spark.sql.Column) = docs
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    def overlap(rel: DataFrame, name: String) = rel.as("c")
+      .join(rel.as("r"),
+        col("c.doc_id") + 1 === col("r.doc_id") && col("c.g") === col("r.g"))
+      .groupBy(col("c.doc_id").as("cand_id"))
+      .agg(sum(least(col("c.tf"), col("r.tf"))).as(name))
+    val spine = docs
+      .select(col("doc_id").as("cand_id"),
+        size(col("toks")).cast("long").as("tot1_c"),
+        greatest(size(col("toks")) - 1, lit(0)).cast("long").as("tot2_c"))
+      .as("cs")
+      .join(docs.select((col("doc_id") - 1).as("cand_id"),
+        size(col("toks")).cast("long").as("tot1_r"),
+        greatest(size(col("toks")) - 1, lit(0)).cast("long").as("tot2_r")),
+        Seq("cand_id"))
+    def prf(ov: org.apache.spark.sql.Column, totC: org.apache.spark.sql.Column,
+        totR: org.apache.spark.sql.Column) = {
+      val p = when(totC > 0, ov.cast("double") / totC).otherwise(lit(0.0))
+      val r = when(totR > 0, ov.cast("double") / totR).otherwise(lit(0.0))
+      val f = when(ov > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))
+      (p, r, f)
+    }
+    val joined = spine
+      .join(overlap(tf(col("toks")), "ov1"), Seq("cand_id"), "left")
+      .join(overlap(tf(shingles(col("toks"), 2)), "ov2"), Seq("cand_id"), "left")
+      .na.fill(0L, Seq("ov1", "ov2"))
+    val (p1, r1, f1) = prf(col("ov1"), col("tot1_c"), col("tot1_r"))
+    val (_, _, f2) = prf(col("ov2"), col("tot2_c"), col("tot2_r"))
+    def micro(c: org.apache.spark.sql.Column) =
+      round(c * lit(1000000.0)).cast("long")
+    joined.select(col("cand_id"), (col("cand_id") + 1).as("ref_id"),
+      col("ov1"), micro(p1).as("r1_p_micro"), micro(r1).as("r1_r_micro"),
+      micro(f1).as("r1_f_micro"), col("ov2"), micro(f2).as("r2_f_micro"))
+  }
 }

@@ -496,4 +496,115 @@ object TimeSeriesOps {
       .select(col(keyCol), col("p.q").as(seqCol),
         col("p.l").as("level_micro"), col("p.b").as("trend_micro"))
   }
+
+  /** Theil-Sen robust trend estimator per key (Theil 1950 / Sen 1968):
+    * the median of all pairwise slopes — the drift detector a few
+    * outlier points cannot drag the way they drag an OLS fit (breakdown
+    * point ~29% vs 0%).
+    *
+    * Shape: one shuffle collects each key's (ts, value) points into a
+    * sorted in-row array (the R5/K1 bounded-events-per-key contract —
+    * same as [[acf]]); the O(m²) pair expansion, sort, and median pick
+    * all happen INSIDE the row with higher-order functions — no
+    * self-join, nothing data-sized crosses a second shuffle. Equal-ts
+    * pairs are excluded (no slope exists); keys left with zero pairs
+    * drop. Each slope evaluates in one fixed double order
+    * (Δv / (Δt_us / 10⁶) — per-second units), the median is the LOWER
+    * median (a value that occurred, picked by position — no averaging),
+    * micro-rounded once at the end.
+    *
+    * Returns (key, n_pts, n_pairs, slope_micro).
+    */
+  def theilSen(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val pts = sort_array(collect_list(struct(
+      col(tsCol).cast("long").as("t"), col(valCol).cast("double").as("v"))))
+    val arr = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(pts.as("pts"))
+    val slopes = filter(
+      flatten(transform(col("pts"), (p, i) =>
+        transform(slice(col("pts"), i + 2, size(col("pts"))), q =>
+          when(q.getField("t") > p.getField("t"),
+            (q.getField("v") - p.getField("v")) /
+              ((q.getField("t") - p.getField("t")).cast("double") /
+                lit(1000000.0)))
+            .otherwise(lit(null).cast("double"))))),
+      s => s.isNotNull)
+    arr
+      .select(col(keyCol), size(col("pts")).cast("long").as("n_pts"),
+        array_sort(slopes).as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col(keyCol), col("n_pts"),
+        size(col("ss")).cast("long").as("n_pairs"),
+        round(element_at(col("ss"),
+          ((size(col("ss")) + 1) / lit(2)).cast("int")) * lit(1000000.0))
+          .cast("long").as("slope_micro"))
+  }
+
+  /** SAX symbolization (Lin et al., DMKD 2007): each key's series
+    * z-normalizes, aggregates to `segments` equal-count PAA frames, and
+    * each frame maps to a symbol by the standard-normal breakpoints —
+    * the discretization that turns raw series into joinable/groupable
+    * WORDS (motif mining, series dedup, symbolic anomaly lookup).
+    *
+    * Shape: two aligned shuffles on the key — per-(key, segment) PAA
+    * partial sums (map-side combined; the segment index derives from a
+    * per-key row_number window) and per-key moments — then the word
+    * concatenates from a sorted in-row array of segment symbols. Value
+    * sums ride 6dp-DECIMAL (exact, order-independent); mean/σ/PAA-z
+    * evaluate in one fixed double order; a flat or single-point series
+    * (σ = 0) symbolizes as all-'c' (z ≡ 0) rather than erroring.
+    * Alphabet is fixed at 4: breakpoints −0.6745, 0, 0.6745 (the N(0,1)
+    * quartiles, the standard a-b-c-d SAX alphabet).
+    *
+    * Returns (key, n_pts, sax_word).
+    */
+  def sax(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valCol: String,
+      segments: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v6 = round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .withColumn("__seg",
+        floor((col("__i") - 1).cast("double") * segments / col("__n"))
+          .cast("int"))
+    val segs = base.groupBy(col(keyCol), col("__seg"))
+      .agg(sum(v6).as("s1"), count(lit(1)).as("c"))
+    val moments = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pts"), sum(v6).as("m1"),
+        sum(v6 * v6).as("m2"))
+      .withColumn("mean", col("m1").cast("double") / col("n_pts"))
+      .withColumn("sd",
+        when(col("n_pts") < 2, lit(0.0)).otherwise(sqrt(
+          (col("n_pts") * col("m2").cast("double") -
+            col("m1").cast("double") * col("m1").cast("double")) /
+            (col("n_pts") * (col("n_pts") - 1)))))
+    val z = when(col("sd") <= 0, lit(0.0))
+      .otherwise((col("s1").cast("double") / col("c") - col("mean")) /
+        col("sd"))
+    val sym = when(z < -0.6745, "a").when(z < 0.0, "b")
+      .when(z < 0.6745, "c").otherwise("d")
+    segs.join(moments, keyCol)
+      .select(col(keyCol), col("n_pts"),
+        struct(col("__seg"), sym.as("sym")).as("p"))
+      .groupBy(col(keyCol), col("n_pts"))
+      .agg(array_join(transform(
+        sort_array(collect_list(col("p"))), x => x.getField("sym")), "")
+        .as("sax_word"))
+  }
 }

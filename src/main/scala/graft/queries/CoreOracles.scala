@@ -1394,6 +1394,83 @@ object CoreOracles {
          |SELECT key,
          |  CAST(sum(CASE WHEN state = 'Running' THEN (t1 - t0) * weight ELSE 0 END) AS BIGINT) AS running_us,
          |  CAST(sum(CASE WHEN state = 'Stopped' THEN (t1 - t0) * weight ELSE 0 END) AS BIGINT) AS stopped_us
-         |FROM c GROUP BY key""".stripMargin
+         |FROM c GROUP BY key""".stripMargin,
+
+    // Spearman replayed: tie-averaged DOUBLED ranks from the distinct-
+    // value spines (pure integers), HUGEINT moments, the same fixed
+    // double order for ρ.
+    "profile_spearman" ->
+      """WITH d AS (SELECT l_quantity AS a, l_discount AS b FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |ra AS (SELECT v_a, 2 * cum - cnt + 1 AS r2_a FROM (
+        |  SELECT a AS v_a, count(*) AS cnt,
+        |    sum(count(*)) OVER (ORDER BY a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d GROUP BY a)),
+        |rb AS (SELECT v_b, 2 * cum - cnt + 1 AS r2_b FROM (
+        |  SELECT b AS v_b, count(*) AS cnt,
+        |    sum(count(*)) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d GROUP BY b)),
+        |j AS (SELECT r2_a, r2_b FROM d
+        |  JOIN ra ON d.a = ra.v_a JOIN rb ON d.b = rb.v_b),
+        |m AS (SELECT count(*) AS n,
+        |  sum(CAST(r2_a AS HUGEINT)) AS sx, sum(CAST(r2_b AS HUGEINT)) AS sy,
+        |  sum(CAST(r2_a AS HUGEINT) * r2_a) AS sxx,
+        |  sum(CAST(r2_b AS HUGEINT) * r2_b) AS syy,
+        |  sum(CAST(r2_a AS HUGEINT) * r2_b) AS sxy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS rho_micro
+        |FROM m""".stripMargin,
+
+    // χ² cells replayed: margins from the cells, the full cross spine,
+    // identical expected-count op order.
+    "dq_chi_square" ->
+      """WITH cells AS (SELECT l_returnflag AS va, l_linestatus AS vb,
+        |    count(*) AS n_obs FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT va, sum(n_obs) AS row_n FROM cells GROUP BY 1),
+        |cb AS (SELECT vb, sum(n_obs) AS col_n FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n_obs) AS n FROM cells),
+        |sp AS (SELECT va, vb, CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+        |    CAST(row_n AS DOUBLE) * col_n / n AS e
+        |  FROM ra CROSS JOIN cb LEFT JOIN cells USING (va, vb) CROSS JOIN tot)
+        |SELECT va, vb, n_obs,
+        |  CAST(round(e * 1000000.0) AS BIGINT) AS exp_micro,
+        |  CAST(round((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e)
+        |    / e * 1000000.0) AS BIGINT) AS chi_term_micro
+        |FROM sp""".stripMargin,
+
+    // Cramér's V from the same micro-additive terms; V's double derives
+    // from the exact micro sum, like the Spark side.
+    "dq_cramers_v" ->
+      """WITH cells AS (SELECT l_returnflag AS va, l_linestatus AS vb,
+        |    count(*) AS n_obs FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT va, sum(n_obs) AS row_n FROM cells GROUP BY 1),
+        |cb AS (SELECT vb, sum(n_obs) AS col_n FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n_obs) AS n FROM cells),
+        |sp AS (SELECT va, vb, CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+        |    CAST(row_n AS DOUBLE) * col_n / n AS e
+        |  FROM ra CROSS JOIN cb LEFT JOIN cells USING (va, vb) CROSS JOIN tot),
+        |terms AS (SELECT va, vb, n_obs,
+        |  CAST(round((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e)
+        |    / e * 1000000.0) AS BIGINT) AS chi_term_micro FROM sp),
+        |a AS (SELECT sum(n_obs) AS n, count(DISTINCT va) AS n_rows,
+        |  count(DISTINCT vb) AS n_cols, sum(chi_term_micro) AS chi2_micro
+        |  FROM terms)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_cols AS BIGINT) AS n_cols,
+        |  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+        |  CAST(chi2_micro AS BIGINT) AS chi2_micro,
+        |  CAST(CASE WHEN least(n_rows, n_cols) - 1 < 1 THEN 0
+        |    ELSE round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+        |      / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1)))
+        |      * 1000000.0) END AS BIGINT) AS v_micro
+        |FROM a""".stripMargin
   )
 }

@@ -1791,6 +1791,28 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("sd"), 1L)
             .otherwise(0L)).as("n_outliers"))
-    })
+    }),
+
+    // Spearman rank correlation between quantity and discount — the
+    // monotone-association card. Ranks come from the DISTINCT-value
+    // spines (50 and 11 values), never a data sort; the tie-averaged
+    // doubled ranks broadcast back onto the scan; one exact decimal(38)
+    // moment pass. See StatsOps.spearman for the scale contract.
+    "profile_spearman" -> ((s, dir) =>
+      graft.ops.StatsOps.spearman(
+        table(s, dir, "lineitem"), "l_quantity", "l_discount")),
+
+    // χ² independence cells for returnflag × linestatus: the full
+    // margin-cross spine with expected counts and micro-additive χ²
+    // terms. One cell aggregation; margins derived from the cells.
+    "dq_chi_square" -> ((s, dir) =>
+      graft.ops.StatsOps.chiSquareCells(
+        table(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+
+    // Cramér's V effect size over the same pair — the normalized
+    // "how associated" single-row card the raw χ² statistic isn't.
+    "dq_cramers_v" -> ((s, dir) =>
+      graft.ops.StatsOps.cramersV(
+        table(s, dir, "lineitem"), "l_returnflag", "l_linestatus"))
   )
 }

@@ -4715,6 +4715,190 @@ object PipelineOracles {
          |  FROM nt)
          |SELECT doc_id, lang, tercile,
          |  CAST(row_number() OVER (ORDER BY ck, doc_id) AS BIGINT) AS pos
-         |FROM ky""".stripMargin
+         |FROM ky""".stripMargin,
+
+    // MI cells replayed: margins from the one cell aggregation, the
+    // same fixed-order (p·ln) term, e-12 rounded per cell.
+    "profile_mutual_info" ->
+      """WITH cells AS (SELECT lang AS va, source AS vb, count(*) AS n_xy
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT va, sum(n_xy) AS c_x FROM cells GROUP BY 1),
+        |cb AS (SELECT vb, sum(n_xy) AS c_y FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n_xy) AS n FROM cells)
+        |SELECT va, vb, CAST(n_xy AS BIGINT) AS n_xy,
+        |  CAST(round((CAST(n_xy AS DOUBLE) / n) *
+        |    ln(CAST(n_xy AS DOUBLE) * n / (CAST(c_x AS DOUBLE) * c_y)) *
+        |    1000000000000.0) AS BIGINT) AS mi_term_e12
+        |FROM cells JOIN ra USING (va) JOIN cb USING (vb) CROSS JOIN tot""".stripMargin,
+
+    // Gini replayed: the same ascending (count, token) rank over the
+    // vocab spine and the folded integer identity, HUGEINT-exact,
+    // micro-floored by integer division.
+    "profile_gini" ->
+      """WITH tc AS (SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |r AS (SELECT source, c,
+        |  row_number() OVER (PARTITION BY source ORDER BY c, tok) AS i FROM tc),
+        |a AS (SELECT source, count(*) AS n_items,
+        |  sum(CAST(c AS HUGEINT)) AS sc, sum(CAST(i AS HUGEINT) * c) AS sic
+        |  FROM r GROUP BY 1)
+        |SELECT source, CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(((2 * sic - (n_items + 1) * sc) * 1000000)
+        |    // (CAST(n_items AS HUGEINT) * sc) AS BIGINT) AS gini_micro
+        |FROM a""".stripMargin,
+
+    // Theil-Sen replayed as the per-user pair self-join (bounded by the
+    // events-per-key contract), identical slope op order, lower median
+    // by position.
+    "ts_theil_sen" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |n AS (SELECT user_id, count(*) AS n_pts FROM e GROUP BY 1),
+        |p AS (SELECT a.user_id, (b.v - a.v) / ((b.t - a.t) / 1000000.0) AS s
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND b.t > a.t),
+        |r AS (SELECT user_id, s,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_pairs FROM p)
+        |SELECT r.user_id, CAST(n.n_pts AS BIGINT) AS n_pts,
+        |  CAST(r.n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(round(r.s * 1000000.0) AS BIGINT) AS slope_micro
+        |FROM r JOIN n USING (user_id) WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    // SAX replayed: same row_number/count windows, 6dp-DECIMAL moments,
+    // fixed-order mean/σ/PAA-z, the standard 4-symbol breakpoints, word
+    // by ordered string_agg.
+    "ts_sax" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS tie, value AS v
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+         |b AS (SELECT user_id, CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS v6,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY t, tie) AS i,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM e),
+         |s AS (SELECT user_id, v6,
+         |  CAST(floor(CAST(i - 1 AS DOUBLE) * ${PipelineQueries.SaxSegments} / n)
+         |    AS INTEGER) AS seg FROM b),
+         |segs AS (SELECT user_id, seg, sum(v6) AS s1, count(*) AS c
+         |  FROM s GROUP BY 1, 2),
+         |mom AS (SELECT user_id, count(*) AS n_pts, sum(v6) AS m1,
+         |  sum(v6 * v6) AS m2 FROM s GROUP BY 1),
+         |st AS (SELECT user_id, n_pts, CAST(m1 AS DOUBLE) / n_pts AS mean,
+         |  CASE WHEN n_pts < 2 THEN 0.0 ELSE sqrt(
+         |    (n_pts * CAST(m2 AS DOUBLE) - CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE))
+         |    / (n_pts * (n_pts - 1))) END AS sd FROM mom),
+         |z AS (SELECT segs.user_id, st.n_pts, segs.seg,
+         |  CASE WHEN sd <= 0 THEN 0.0
+         |    ELSE (CAST(s1 AS DOUBLE) / c - mean) / sd END AS pz
+         |  FROM segs JOIN st ON segs.user_id = st.user_id),
+         |sym AS (SELECT user_id, n_pts, seg,
+         |  CASE WHEN pz < -0.6745 THEN 'a' WHEN pz < 0.0 THEN 'b'
+         |    WHEN pz < 0.6745 THEN 'c' ELSE 'd' END AS sym FROM z)
+         |SELECT user_id, CAST(n_pts AS BIGINT) AS n_pts,
+         |  string_agg(sym, '' ORDER BY seg) AS sax_word
+         |FROM sym GROUP BY user_id, n_pts""".stripMargin,
+
+    // ROUGE replayed: per-order TF tables, the (doc+1, gram) clipped
+    // join, identical P/R/F guards and micro rounding.
+    "eval_rouge" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS g FROM t),
+        |tf1 AS (SELECT doc_id, g, count(*) AS tf FROM u GROUP BY 1, 2),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |tf2 AS (SELECT doc_id, g, count(*) AS tf FROM bg GROUP BY 1, 2),
+        |o1 AS (SELECT c.doc_id AS cand_id, sum(least(c.tf, r.tf)) AS ov1
+        |  FROM tf1 c JOIN tf1 r ON c.doc_id + 1 = r.doc_id AND c.g = r.g
+        |  GROUP BY 1),
+        |o2 AS (SELECT c.doc_id AS cand_id, sum(least(c.tf, r.tf)) AS ov2
+        |  FROM tf2 c JOIN tf2 r ON c.doc_id + 1 = r.doc_id AND c.g = r.g
+        |  GROUP BY 1),
+        |sp AS (SELECT c.doc_id AS cand_id,
+        |    CAST(len(c.toks) AS BIGINT) AS tot1_c,
+        |    CAST(greatest(len(c.toks) - 1, 0) AS BIGINT) AS tot2_c,
+        |    CAST(len(r.toks) AS BIGINT) AS tot1_r,
+        |    CAST(greatest(len(r.toks) - 1, 0) AS BIGINT) AS tot2_r
+        |  FROM t c JOIN t r ON r.doc_id = c.doc_id + 1),
+        |j AS (SELECT cand_id, tot1_c, tot2_c, tot1_r, tot2_r,
+        |    CAST(coalesce(ov1, 0) AS BIGINT) AS ov1,
+        |    CAST(coalesce(ov2, 0) AS BIGINT) AS ov2
+        |  FROM sp LEFT JOIN o1 USING (cand_id) LEFT JOIN o2 USING (cand_id)),
+        |f AS (SELECT cand_id, ov1, ov2, tot2_c, tot2_r,
+        |    CASE WHEN tot1_c > 0 THEN CAST(ov1 AS DOUBLE) / tot1_c ELSE 0.0 END AS p1,
+        |    CASE WHEN tot1_r > 0 THEN CAST(ov1 AS DOUBLE) / tot1_r ELSE 0.0 END AS r1
+        |  FROM j)
+        |SELECT cand_id, cand_id + 1 AS ref_id, ov1,
+        |  CAST(round(p1 * 1000000.0) AS BIGINT) AS r1_p_micro,
+        |  CAST(round(r1 * 1000000.0) AS BIGINT) AS r1_r_micro,
+        |  CAST(round(CASE WHEN ov1 > 0 THEN 2.0 * p1 * r1 / (p1 + r1)
+        |    ELSE 0.0 END * 1000000.0) AS BIGINT) AS r1_f_micro,
+        |  ov2,
+        |  CAST(round(CASE WHEN ov2 > 0 THEN
+        |      2.0 * (CASE WHEN tot2_c > 0 THEN CAST(ov2 AS DOUBLE) / tot2_c ELSE 0.0 END)
+        |        * (CASE WHEN tot2_r > 0 THEN CAST(ov2 AS DOUBLE) / tot2_r ELSE 0.0 END)
+        |        / ((CASE WHEN tot2_c > 0 THEN CAST(ov2 AS DOUBLE) / tot2_c ELSE 0.0 END)
+        |          + (CASE WHEN tot2_r > 0 THEN CAST(ov2 AS DOUBLE) / tot2_r ELSE 0.0 END))
+        |    ELSE 0.0 END * 1000000.0) AS BIGINT) AS r2_f_micro
+        |FROM f""".stripMargin,
+
+    // distinct-n replayed over the same unfiltered token/bigram
+    // relations, identical ratio op order.
+    "text_distinct_n" ->
+      """WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |uc AS (SELECT source, tok, count(*) AS c FROM u GROUP BY 1, 2),
+        |ua AS (SELECT source, sum(c) AS n_uni, count(*) AS n_uni_distinct
+        |  FROM uc GROUP BY 1),
+        |t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT source, toks[i] || ' ' || toks[i + 1] AS g
+        |  FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |bc AS (SELECT source, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ba AS (SELECT source, sum(c) AS n_bi, count(*) AS n_bi_distinct
+        |  FROM bc GROUP BY 1)
+        |SELECT ua.source, CAST(n_uni AS BIGINT) AS n_uni,
+        |  CAST(n_uni_distinct AS BIGINT) AS n_uni_distinct,
+        |  CAST(CASE WHEN n_uni > 0 THEN
+        |    round(CAST(n_uni_distinct AS DOUBLE) / n_uni * 1000000.0)
+        |    ELSE 0.0 END AS BIGINT) AS d1_micro,
+        |  CAST(coalesce(n_bi, 0) AS BIGINT) AS n_bi,
+        |  CAST(coalesce(n_bi_distinct, 0) AS BIGINT) AS n_bi_distinct,
+        |  CAST(CASE WHEN coalesce(n_bi, 0) > 0 THEN
+        |    round(CAST(n_bi_distinct AS DOUBLE) / n_bi * 1000000.0)
+        |    ELSE 0.0 END AS BIGINT) AS d2_micro
+        |FROM ua LEFT JOIN ba ON ua.source = ba.source""".stripMargin,
+
+    // A-ES reservoir replayed: the same md5 draw (2h+1)/2·65536, the
+    // same ln(u)/w key, top-k per stratum by (score desc, key).
+    "sample_weighted_reservoir" ->
+      s"""WITH d AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+         |    ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+         |        * 2 + 1 AS DOUBLE) / 131072.0)
+         |      / CAST(n_chars AS DOUBLE) AS score
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT source AS stratum, doc_id AS key, w AS weight, score,
+         |  row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+         |    AS rk FROM d)
+         |SELECT stratum, key, weight,
+         |  CAST(round(score * 1000000000.0) AS BIGINT) AS score_e9,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= ${PipelineQueries.ReservoirK}""".stripMargin,
+
+    // proximity replayed: 1-based positions (offsets cancel in gaps),
+    // per-doc min gap + adjacency count, same (gap, id) top-k.
+    "ret_proximity" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(toks) AS tok,
+         |  generate_subscripts(toks, 1) AS p FROM t),
+         |pa AS (SELECT doc_id, p AS pa FROM p
+         |  WHERE tok = '${PipelineQueries.ProximityTermA}'),
+         |pb AS (SELECT doc_id, p AS pb FROM p
+         |  WHERE tok = '${PipelineQueries.ProximityTermB}'),
+         |g AS (SELECT pa.doc_id, min(abs(pa - pb)) AS min_gap,
+         |    sum(CASE WHEN pb - pa = 1 THEN 1 ELSE 0 END) AS phrase_hits
+         |  FROM pa JOIN pb USING (doc_id) GROUP BY 1)
+         |SELECT doc_id, CAST(min_gap AS BIGINT) AS min_gap,
+         |  CAST(phrase_hits AS BIGINT) AS phrase_hits,
+         |  CAST(row_number() OVER (ORDER BY min_gap, doc_id) AS BIGINT) AS rank
+         |FROM g ORDER BY min_gap, doc_id
+         |LIMIT ${PipelineQueries.ProximityK}""".stripMargin
   )
 }

@@ -56,6 +56,14 @@ object PipelineQueries {
   val KnDiscount = 0.75
   /** Paraphrase mining: embedding-near pairs below this lexical overlap. */
   val ParaJaccardMax = 0.2
+  /** SAX discretization: PAA segment count (alphabet is fixed at 4). */
+  val SaxSegments = 4
+  /** Weighted reservoir: docs kept per source. */
+  val ReservoirK = 3
+  /** Proximity search: the two query terms and result depth. */
+  val ProximityTermA = "data"
+  val ProximityTermB = "spark"
+  val ProximityK = 20
   /** Triangle counting: cosine edge threshold (denser than the 0.3
     * near-dup graph so triangles exist at every SF). */
   val TriangleCos = 0.25
@@ -2736,6 +2744,86 @@ object PipelineQueries {
     // equal checksum. One map-side-combined aggregation, zero joins.
     "profile_checksum" -> ((s, dir) =>
       ProfileOps.datasetChecksum(table(s, dir, "documents"), "source",
-        Seq("doc_id", "lang", "n_chars", "text")))
+        Seq("doc_id", "lang", "n_chars", "text"))),
+
+    // mutual information between language and source — the categorical
+    // dependence card ("does source determine language?") as per-cell
+    // e-12 terms; margins derive from the one cell aggregation.
+    "profile_mutual_info" -> ((s, dir) =>
+      StatsOps.mutualInfoCells(table(s, dir, "documents"), "lang", "source")),
+
+    // per-source Gini of the token-frequency distribution — the
+    // vocabulary-concentration card (templated sources skew high). Reads
+    // the shared (source, tok, c) materialization; the rank window runs
+    // over the vocab spine, never the corpus.
+    "profile_gini" -> ((s, dir) =>
+      StatsOps.giniCard(srcTokCounts(s, dir), "source", "tok", "c")),
+
+    // Theil-Sen robust slope per user — the outlier-proof drift
+    // estimator: one shuffle to sorted in-row point arrays, the O(m²)
+    // pair expansion and lower-median pick entirely in-row.
+    "ts_theil_sen" -> ((s, dir) =>
+      TimeSeriesOps.theilSen(
+        table(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value")),
+        "user_id", "ts_us", "value")),
+
+    // SAX symbolization per user — series → 4-segment, 4-symbol words
+    // (motif/dedup/anomaly lookup on series as plain strings). Two
+    // aligned shuffles on user_id, exact decimal moments, one word
+    // concat from an in-row sorted segment array.
+    "ts_sax" -> ((s, dir) =>
+      TimeSeriesOps.sax(
+        table(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value", SaxSegments)),
+
+    // ROUGE-1/2 over adjacent doc pairs — the clipped-n-gram-overlap
+    // summarization metric engine-side: per-order TF relations, one
+    // co-keyed (doc+1, gram) equi-join each, micro-rounded P/R/F.
+    "eval_rouge" -> ((s, dir) =>
+      TextOps.rougeAdjacent(docsTok(s, dir).select(col("doc_id"), col("toks")))),
+
+    // distinct-1/distinct-2 diversity card per source — the degenerate-
+    // generation screen (low distinct-n = repetitive/templated text).
+    // Unigrams read the shared (source, tok, c) materialization.
+    "text_distinct_n" -> ((s, dir) => {
+      val uni = srcTokCounts(s, dir).groupBy("source")
+        .agg(sum("c").as("n_uni"), count(lit(1)).as("n_uni_distinct"))
+      val bi = docsTok(s, dir)
+        .select(col("source"),
+          explode(TextOps.shingles(col("toks"), 2)).as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_bi"), count(lit(1)).as("n_bi_distinct"))
+      def micro(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        when(den > 0, round(num.cast("double") / den * lit(1000000.0)))
+          .otherwise(lit(0.0)).cast("long")
+      uni.join(bi, Seq("source"), "left")
+        .na.fill(0L, Seq("n_bi", "n_bi_distinct"))
+        .select(col("source"), col("n_uni"), col("n_uni_distinct"),
+          micro(col("n_uni_distinct"), col("n_uni")).as("d1_micro"),
+          col("n_bi"), col("n_bi_distinct"),
+          micro(col("n_bi_distinct"), col("n_bi")).as("d2_micro"))
+    }),
+
+    // weighted reservoir (A-ES): exactly ReservoirK docs per source,
+    // inclusion ∝ n_chars, deterministic from the doc_id hash — the
+    // audit-sample primitive ("show me k docs per source, longer docs
+    // more likely") with a replayable draw.
+    "sample_weighted_reservoir" -> ((s, dir) =>
+      SampleOps.weightedReservoir(table(s, dir, "documents"),
+        "doc_id", "source", col("n_chars").cast("double"), ReservoirK)),
+
+    // two-term positional proximity: min token gap + exact-phrase hits
+    // per doc containing both terms, top-ProximityK. The position
+    // relation prunes to the two terms at the scan; the pair expansion
+    // is per-doc tf×tf, never corpus-sized.
+    "ret_proximity" -> ((s, dir) =>
+      RetrievalOps.proximityPair(table(s, dir, "documents"),
+        ProximityTermA, ProximityTermB, ProximityK))
   )
 }

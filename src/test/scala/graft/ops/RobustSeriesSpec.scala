@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Theil-Sen and SAX — the round-9 robust-series additions. */
+class RobustSeriesSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  // timestamps in micros: i seconds apart so slopes read per-second
+  private def ts(i: Long) = i * 1000000L
+
+  test("theilSen: an exact line recovers its slope from every pair") {
+    val ev = (0L to 4L).map(i => (1L, ts(i), 2.0 * i + 5.0))
+      .toDF("k", "t", "v")
+    val r = TimeSeriesOps.theilSen(ev, "k", "t", "v").collect().head
+    assert(r.getAs[Long]("n_pts") == 5L)
+    assert(r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Long]("slope_micro") == 2000000L)
+  }
+
+  test("theilSen: one wild outlier cannot drag the median slope") {
+    // line of slope 1 with one point shot to 1000: OLS would explode;
+    // the pairwise-slope median stays 1
+    val ev = ((0L to 5L).map(i => (1L, ts(i), i.toDouble)) :+
+      ((1L, ts(6L), 1000.0))).toDF("k", "t", "v")
+    val r = TimeSeriesOps.theilSen(ev, "k", "t", "v").collect().head
+    assert(r.getAs[Long]("slope_micro") == 1000000L, s"robust median: $r")
+  }
+
+  test("theilSen: equal-timestamp pairs are excluded; a lone point drops") {
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(0), 9.0), (1L, ts(1), 2.0), // one dup ts
+      (2L, ts(0), 7.0) // single point: zero pairs → dropped
+    ).toDF("k", "t", "v")
+    val out = TimeSeriesOps.theilSen(ev, "k", "t", "v").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    // pairs: (1.0→2.0) slope 1, (9.0→2.0) slope −7; lower median = −7
+    assert(out.head.getAs[Long]("n_pairs") == 2L)
+    assert(out.head.getAs[Long]("slope_micro") == -7000000L)
+  }
+
+  test("sax: a rising line reads 'abcd'; a flat line reads all-'c'") {
+    val rising = (0L to 7L).map(i => (1L, ts(i), i, i.toDouble))
+      .toDF("k", "t", "tie", "v")
+    val r = TimeSeriesOps.sax(rising, "k", "t", "tie", "v").collect().head
+    assert(r.getAs[Long]("n_pts") == 8L)
+    assert(r.getAs[String]("sax_word") == "abcd", s"rising: $r")
+    val flat = (0L to 7L).map(i => (1L, ts(i), i, 3.5))
+      .toDF("k", "t", "tie", "v")
+    assert(TimeSeriesOps.sax(flat, "k", "t", "tie", "v").collect()
+      .head.getAs[String]("sax_word") == "cccc")
+  }
+
+  test("sax: word length tracks the segment count, not the series length") {
+    val ev = (0L to 30L).map(i => (1L, ts(i), i, math.sin(i * 0.7)))
+      .toDF("k", "t", "tie", "v")
+    val w = TimeSeriesOps.sax(ev, "k", "t", "tie", "v", segments = 6)
+      .collect().head.getAs[String]("sax_word")
+    assert(w.length == 6 && w.forall("abcd".contains(_)), s"word: $w")
+  }
+}
