@@ -258,6 +258,37 @@ object GraphOps {
     visited
   }
 
+  /** Degree-capped kNN graph from a scored undirected candidate-pair
+    * relation: both orientations of every pair rank per source node by
+    * (similarity desc, neighbor id) and only the top `k` arcs per node
+    * survive — the standard production fix for a THRESHOLD graph whose
+    * edge count is quadratic by construction (a fixed cosine threshold
+    * sits at a constant percentile of the background similarity
+    * distribution, so |E| ∝ n²·p; measured ×103 edges at ×10 vectors on
+    * the testdata's 0.25-threshold graph). The capped graph carries
+    * |E| ≤ k·n, restoring linear-in-corpus iteration cost for BFS /
+    * components / PageRank over similarity neighborhoods.
+    *
+    * Shape: one union of the two orientations, ONE per-node window
+    * (WindowGroupLimit prunes to k before the sort materializes a
+    * node's full candidate list). Returns directed arcs
+    * (src, dst, sim); downstream symmetrization (e.g. [[bfsHops]]'s
+    * internal union) yields the union-kNN graph.
+    */
+  def knnGraph(pairs: DataFrame, aCol: String, bCol: String,
+      simCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arcs = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"), col(simCol).as("sim"))
+      .unionAll(pairs
+        .select(col(bCol).as("src"), col(aCol).as("dst"), col(simCol).as("sim")))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    arcs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
   /** Onion decomposition at threshold k: [[kCore]]'s peel with the
     * REMOVAL ROUND recorded — layer(v) = the first round after which v
     * leaves the graph (deg < k, or all its edges died with its

@@ -142,6 +142,107 @@ object StatsOps {
         round(term * lit(1000000000000.0)).cast("long").as("mi_term_e12"))
   }
 
+  /** Mann-Whitney U / Wilcoxon rank-sum two-sample test between two
+    * slices of a numeric column — the nonparametric "did the
+    * distribution shift" test that needs no normality assumption
+    * (median-shift detection for length/quality/score columns between
+    * two sources or two pipeline runs). Complements the exact-KS
+    * distance ([[ProfileOps.ksTest]]): KS is sensitive anywhere in the
+    * CDF, rank-sum concentrates power on location shift.
+    *
+    * Exact-integer core, same machinery as [[spearman]]: the combined
+    * sample reduces to its distinct-value spine; tie-averaged DOUBLED
+    * ranks come from the spine's cumulative counts; 2·R_a = Σ c_a(v)·r2(v)
+    * and 2·U_a = 2·R_a − n_a(n_a+1) stay pure integers (DECIMAL(38,0)
+    * sums). The normal approximation with the standard tie correction
+    * σ² = n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1))) evaluates in one fixed
+    * double order. Returns ONE row:
+    * (n_a, n_b, u2_a, z_micro, reject) — u2_a = 2·U_a; reject at
+    * two-sided α = 0.05 (|z| > 1.96).
+    */
+  def mannWhitney(
+      df: DataFrame,
+      sliceCol: String,
+      a: String,
+      b: String,
+      valueCol: String): DataFrame = {
+    val spine = df.filter(col(sliceCol).isin(a, b))
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(sliceCol) === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(sliceCol) === b, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = spine
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("r2", col("cum") * 2 - col("t") + 1)
+    val agg = ranked.agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      sum(col("ca").cast("decimal(38,0)") * col("r2")).as("r2a"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .as("tie3"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val u2 = col("r2a").cast("decimal(38,0)") -
+      col("n_a").cast("decimal(38,0)") * (col("n_a") + 1)
+    val mu2 = col("n_a").cast("double") * col("n_b") // = 2·(n_a·n_b/2)
+    val sigma2 = col("n_a").cast("double") * col("n_b") / lit(12.0) *
+      ((n + 1) - col("tie3").cast("double") / (n * (n - 1)))
+    val z = (u2.cast("double") - mu2) / (lit(2.0) * sqrt(sigma2))
+    agg.select(col("n_a"), col("n_b"),
+      u2.cast("decimal(38,0)").cast("string").as("u2_a"),
+      round(z * lit(1000000.0)).cast("long").as("z_micro"))
+      .withColumn("reject", abs(col("z_micro")) > 1960000L)
+  }
+
+  /** Kendall's τ-b rank correlation between two BOUNDED-DOMAIN columns,
+    * computed entirely from the contingency cells — never from data
+    * pairs: concordant/discordant pair counts are Σ over ORDERED cell
+    * pairs of n_ij·n_i'j' (each unordered data pair with distinct `a`
+    * values appears under exactly one orientation), and the tie terms
+    * come from the margins. The O(n²)-pairs definition collapses to
+    * O(cells²) — the domains' product, independent of the data size —
+    * so the whole statistic is one cell aggregation plus a broadcast
+    * cell self-join.
+    *
+    * All counts are exact integers (DECIMAL(38,0) products); τ-b =
+    * (P − Q)/√((n₀−n₁)(n₀−n₂)) evaluates in one fixed double order,
+    * micro-rounded. Returns ONE row: (n, nc, nd, tau_micro).
+    */
+  def kendallTauB(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .select(col(aCol).as("va"), col(bCol).as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+      .groupBy("va", "vb").agg(count(lit(1)).as("c"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val pairs = cells.as("x").crossJoin(broadcast(cells.as("y")))
+      .filter(col("y.va") > col("x.va"))
+      .agg(
+        sum(when(col("y.vb") > col("x.vb"),
+          d38(col("x.c")) * col("y.c")).otherwise(lit(0))).as("nc"),
+        sum(when(col("y.vb") < col("x.vb"),
+          d38(col("x.c")) * col("y.c")).otherwise(lit(0))).as("nd"))
+    val margins = cells.agg(
+      sum("c").as("n"),
+      sum(d38(col("c")) * col("c")).as("sc2"))
+    val ta = cells.groupBy("va").agg(sum("c").as("m"))
+      .agg(sum(d38(col("m")) * col("m")).as("sa2"))
+    val tb = cells.groupBy("vb").agg(sum("c").as("m"))
+      .agg(sum(d38(col("m")) * col("m")).as("sb2"))
+    val j = pairs.crossJoin(broadcast(margins))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+    // n₀ = n(n−1)/2; n₁ = Σ_a t(t−1)/2; n₂ = Σ_b t(t−1)/2 — kept as
+    // DOUBLED integers (×2) so no halving floats anything
+    val n0x2 = d38(col("n")) * col("n") - col("n")
+    val n1x2 = col("sa2") - col("n")
+    val n2x2 = col("sb2") - col("n")
+    val tau = (col("nc").cast("double") - col("nd").cast("double")) /
+      sqrt((n0x2 - n1x2).cast("double") / lit(2.0) *
+        ((n0x2 - n2x2).cast("double") / lit(2.0)))
+    j.select(col("n"), col("nc").cast("decimal(38,0)").cast("string").as("nc"),
+      col("nd").cast("decimal(38,0)").cast("string").as("nd"),
+      round(tau * lit(1000000.0)).cast("long").as("tau_micro"))
+  }
+
   /** Gini concentration coefficient of a count distribution per group —
     * the inequality card for token/document frequency ("is this source's
     * vocabulary dominated by a handful of terms?"): G = Σᵢ(2i−n−1)·cᵢ /

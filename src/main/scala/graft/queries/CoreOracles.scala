@@ -1471,6 +1471,33 @@ object CoreOracles {
         |    ELSE round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
         |      / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1)))
         |      * 1000000.0) END AS BIGINT) AS v_micro
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Kendall τ-b replayed from the contingency cells: the same
+    // ordered-cell-pair concordance sums (HUGEINT-exact), margin tie
+    // terms, identical fixed double order for τ.
+    "profile_kendall" ->
+      """WITH cells AS (SELECT l_quantity AS va, l_discount AS vb,
+        |    count(*) AS c FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT
+        |  sum(CASE WHEN y.vb > x.vb THEN CAST(x.c AS HUGEINT) * y.c
+        |    ELSE 0 END) AS nc,
+        |  sum(CASE WHEN y.vb < x.vb THEN CAST(x.c AS HUGEINT) * y.c
+        |    ELSE 0 END) AS nd
+        |  FROM cells x JOIN cells y ON y.va > x.va),
+        |m AS (SELECT sum(c) AS n FROM cells),
+        |ta AS (SELECT sum(CAST(q AS HUGEINT) * q) AS sa2
+        |  FROM (SELECT sum(c) AS q FROM cells GROUP BY va)),
+        |tb AS (SELECT sum(CAST(q AS HUGEINT) * q) AS sb2
+        |  FROM (SELECT sum(c) AS q FROM cells GROUP BY vb))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(nc AS VARCHAR) AS nc, CAST(nd AS VARCHAR) AS nd,
+        |  CAST(round((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE)) /
+        |    sqrt(CAST((CAST(n AS HUGEINT) * n - n) - (sa2 - n) AS DOUBLE) / 2.0
+        |      * (CAST((CAST(n AS HUGEINT) * n - n) - (sb2 - n) AS DOUBLE) / 2.0))
+        |    * 1000000.0) AS BIGINT) AS tau_micro
+        |FROM p CROSS JOIN m CROSS JOIN ta CROSS JOIN tb""".stripMargin
   )
 }

@@ -1813,6 +1813,13 @@ object CoreQueries {
     // "how associated" single-row card the raw χ² statistic isn't.
     "dq_cramers_v" -> ((s, dir) =>
       graft.ops.StatsOps.cramersV(
-        table(s, dir, "lineitem"), "l_returnflag", "l_linestatus"))
+        table(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+
+    // Kendall's τ-b over the same pair as profile_spearman — pair
+    // concordance computed from the contingency CELLS (domains² cell
+    // pairs, broadcast), never from the O(n²) data pairs.
+    "profile_kendall" -> ((s, dir) =>
+      graft.ops.StatsOps.kendallTauB(
+        table(s, dir, "lineitem"), "l_quantity", "l_discount"))
   )
 }

@@ -4542,6 +4542,65 @@ object PipelineOracles {
          |SELECT node, CAST(min(hop) AS BIGINT) AS hop
          |FROM r GROUP BY node""".stripMargin,
 
+    // Mann-Whitney replayed: doubled tie-averaged ranks from the value
+    // spine, HUGEINT rank sums, the tie-corrected normal z in the same
+    // fixed double order.
+    "dq_mann_whitney" -> {
+      val sa = PipelineQueries.KmvSrcA
+      val sb = PipelineQueries.KmvSrcB
+      s"""WITH s AS (SELECT n_chars AS v,
+         |    sum(CASE WHEN source = '$sa' THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN source = '$sb' THEN 1 ELSE 0 END) AS cb
+         |  FROM documents WHERE source IN ('$sa', '$sb') GROUP BY 1),
+         |t AS (SELECT v, ca, cb, ca + cb AS t FROM s),
+         |r AS (SELECT ca, cb, t,
+         |  2 * sum(t) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 AS r2
+         |  FROM t),
+         |a AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b,
+         |  sum(CAST(ca AS HUGEINT) * r2) AS r2a,
+         |  sum(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM r),
+         |z AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS VARCHAR) AS u2_a,
+         |  CAST(round((CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+         |      - CAST(n_a AS DOUBLE) * n_b)
+         |    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+         |      ((CAST(n_a + n_b AS DOUBLE) + 1) - CAST(tie3 AS DOUBLE)
+         |        / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1)))))
+         |    * 1000000.0) AS BIGINT) AS z_micro
+         |  FROM a)
+         |SELECT n_a, n_b, u2_a, z_micro,
+         |  abs(z_micro) > 1960000 AS reject FROM z""".stripMargin
+    },
+
+    // the degree-capped twin: same label-blocked candidate pairs, both
+    // orientations ranked per source by (rounded cosine desc, dst) and
+    // cut at BfsKnnK, the kept arcs union-symmetrized (bfsHops'
+    // internal union), then the same recursive reach.
+    "graph_bfs_knn" ->
+      s"""WITH RECURSIVE $normCte,
+         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS c
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |arcs AS (SELECT a AS src, b AS dst, c FROM e0
+         |  UNION ALL SELECT b AS src, a AS dst, c FROM e0),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk
+         |  FROM arcs) WHERE rk <= ${PipelineQueries.BfsKnnK}),
+         |g AS (SELECT src, dst FROM knn
+         |  UNION SELECT dst AS src, src AS dst FROM knn),
+         |s AS (SELECT vec_id AS node FROM embeddings
+         |  WHERE vec_id % ${PipelineQueries.BfsSourceMod} = 0),
+         |r AS (SELECT node, 0 AS hop FROM s
+         |  UNION
+         |  SELECT g.dst AS node, r.hop + 1 AS hop
+         |  FROM r JOIN g ON g.src = r.node
+         |  WHERE r.hop < ${PipelineQueries.BfsMaxHops})
+         |SELECT node, CAST(min(hop) AS BIGINT) AS hop
+         |FROM r GROUP BY node""".stripMargin,
+
     // trained centroids replayed, then the FULL squared distance
     // (|x|² restored) with the (d2, cell) argmin.
     "sim_ood_distance" ->

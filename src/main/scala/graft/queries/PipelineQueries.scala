@@ -79,6 +79,8 @@ object PipelineQueries {
   /** BFS: source-set stride over vec_id and the hop bound. */
   val BfsSourceMod = 50
   val BfsMaxHops = 4
+  /** Degree cap for the linear-at-scale kNN-graph BFS twin. */
+  val BfsKnnK = 4
   /** DBSCAN: core threshold (neighbors at TriangleCos, self excluded). */
   val DbscanMinPts = 3L
   /** kNN classifier eval: query stride and neighborhood size. */
@@ -2824,6 +2826,30 @@ object PipelineQueries {
     // is per-doc tf×tf, never corpus-sized.
     "ret_proximity" -> ((s, dir) =>
       RetrievalOps.proximityPair(table(s, dir, "documents"),
-        ProximityTermA, ProximityTermB, ProximityK))
+        ProximityTermA, ProximityTermB, ProximityK)),
+
+    // Mann-Whitney rank-sum between two sources' length distributions —
+    // the nonparametric location-shift test beside dq_ks_test's
+    // anywhere-in-the-CDF distance; doubled tie-averaged ranks from the
+    // distinct-value spine keep the U statistic pure-integer.
+    "dq_mann_whitney" -> ((s, dir) =>
+      StatsOps.mannWhitney(table(s, dir, "documents"),
+        "source", KmvSrcA, KmvSrcB, "n_chars")),
+
+    // BFS over the DEGREE-CAPPED kNN graph — the linear-at-scale twin
+    // of graph_bfs_hops: the fixed-threshold cosine graph's edge count
+    // is quadratic by construction (measured ×103 edges at ×10
+    // vectors), so production BFS runs on the top-BfsKnnK-per-node
+    // graph instead: |E| ≤ k·n, per-hop cost linear in the corpus.
+    "graph_bfs_knn" -> ((s, dir) =>
+      GraphOps.bfsHops(
+        GraphOps.knnGraph(
+          SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+          "vec_a", "vec_b", "cos_sim", BfsKnnK),
+        "src", "dst",
+        table(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(BfsSourceMod)) === 0)
+          .select(col("vec_id")),
+        BfsMaxHops))
   )
 }

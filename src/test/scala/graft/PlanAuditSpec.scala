@@ -661,4 +661,48 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.take(25).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("graph_bfs_knn: returned plan is the same flat checkpointed scan") {
+    // the degree-capped twin rides the identical bfsHops cadence — the
+    // cap's window ran at build time like everything else
+    val p = plan("graph_bfs_knn")
+    assert(p.contains("Scan ExistingRDD"), p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("Join") && countOf(p, "\\(\\d+\\) Exchange") == 0,
+      p.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("ts_theil_sen: one shuffle to per-key arrays, zero joins") {
+    // the O(m²) pairwise-slope expansion happens INSIDE the row (the
+    // per-key bounded-events contract) — a join or a second exchange
+    // here would mean the pair expansion leaked into the plan
+    val p = plan("ts_theil_sen")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 1,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("Join"), p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("profile_spearman: rank dims broadcast back onto the scan, no SMJ") {
+    // ranks derive from the distinct-value spines and broadcast; the
+    // data itself is never globally sorted
+    val p = plan("profile_spearman")
+    assert(countOf(p, "\\(\\d+\\) BroadcastHashJoin") == 2,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("eval_rouge: co-keyed equi-joins only, never a gram cross product") {
+    val p = plan("eval_rouge")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("ret_proximity: term filter reaches the position explode input, no cartesian") {
+    val p = plan("ret_proximity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the pair expansion is the doc-keyed equi-join of the two
+    // term-position relations
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"))
+  }
 }

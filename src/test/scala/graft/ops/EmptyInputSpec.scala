@@ -155,4 +155,46 @@ class EmptyInputSpec extends AnyFunSuite {
       .toDF("query_id", "neighbor_id", "rank")
     assert(RetrievalOps.rankingMetrics(noRanked, noRanked).count() == 0)
   }
+
+  test("round-9 operators survive zero-row and degenerate inputs") {
+    val noNum = Seq.empty[(Double, Double)].toDF("x", "y")
+    val noCat = Seq.empty[(String, String)].toDF("u", "v")
+    // one-row aggregates over nothing: a single null/zero row, no throw
+    assert(StatsOps.spearman(noNum, "x", "y").count() == 1)
+    assert(StatsOps.chiSquareCells(noCat, "u", "v").count() == 0)
+    assert(StatsOps.cramersV(noCat, "u", "v").count() == 1)
+    assert(StatsOps.mutualInfoCells(noCat, "u", "v").count() == 0)
+    assert(StatsOps.mannWhitney(
+      Seq.empty[(String, Long)].toDF("s", "v"), "s", "a", "b", "v")
+      .count() == 1)
+    assert(StatsOps.kendallTauB(noNum, "x", "y").count() == 1)
+    assert(StatsOps.giniCard(
+      Seq.empty[(String, String, Long)].toDF("g", "i", "c"), "g", "i", "c")
+      .count() == 0)
+    // series ops: empty events → empty output; single point drops from
+    // theil-sen (no pairs) but sax still emits its word
+    val noEv = Seq.empty[(Long, Long, Long, Double)].toDF("k", "t", "tie", "v")
+    val oneEv = Seq((1L, 10L, 0L, 5.0)).toDF("k", "t", "tie", "v")
+    assert(TimeSeriesOps.theilSen(noEv, "k", "t", "v").count() == 0)
+    assert(TimeSeriesOps.theilSen(oneEv, "k", "t", "v").count() == 0)
+    assert(TimeSeriesOps.sax(noEv, "k", "t", "tie", "v").count() == 0)
+    assert(TimeSeriesOps.sax(oneEv, "k", "t", "tie", "v")
+      .collect().head.getAs[String]("sax_word") == "c")
+    // rouge over empty/degenerate docs: no pairs / zero-score pairs
+    val noToks = noDocs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    val degToks = degenerateDocs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    assert(TextOps.rougeAdjacent(noToks).count() == 0)
+    assert(TextOps.rougeAdjacent(degToks).count() == 2)
+    // reservoir and proximity over empty tables
+    assert(SampleOps.weightedReservoir(
+      Seq.empty[(Long, String, Double)].toDF("id", "src", "w"),
+      "id", "src", col("w"), 3).count() == 0)
+    assert(RetrievalOps.proximityPair(noDocs, "a", "b", 5).count() == 0)
+    // knn cap over an empty pair list
+    assert(GraphOps.knnGraph(
+      Seq.empty[(Long, Long, Double)].toDF("a", "b", "s"),
+      "a", "b", "s", 3).count() == 0)
+  }
 }

@@ -252,4 +252,27 @@ class GraphOpsSpec extends AnyFunSuite {
     // only candidate: (3,4) cn=2, deg3=deg4=2 -> 2/(2+2-2)=1.0
     assert(got2.toSeq == Seq((3L, 4L, 2L, 1000000L)))
   }
+
+  test("knnGraph: per-node cap keeps the highest-similarity arcs") {
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (1L, 4L, 0.7),
+      (2L, 3L, 0.6)).toDF("a", "b", "s")
+    val arcs = GraphOps.knnGraph(pairs, "a", "b", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // node 1 has three candidates — the weakest (→4) is cut; every
+    // other node is under the cap and keeps everything
+    assert(arcs == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (4L, 1L)), s"arcs: $arcs")
+  }
+
+  test("knnGraph: a cap at max degree leaves BFS reach unchanged") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.7))
+      .toDF("a", "b", "s")
+    val src = Seq(1L).toDF("node")
+    val full = GraphOps.bfsHops(pairs, "a", "b", src, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = GraphOps.bfsHops(
+      GraphOps.knnGraph(pairs, "a", "b", "s", 2), "src", "dst", src, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == capped && full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
 }

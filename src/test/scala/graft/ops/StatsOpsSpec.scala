@@ -74,6 +74,33 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(math.abs(mi - math.round(math.log(2.0) * 1e12)) <= 2L, s"mi: $mi")
   }
 
+  test("kendallTauB: perfect concordance is +1; ties discount the denominator") {
+    val perfect = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    assert(StatsOps.kendallTauB(perfect, "x", "y").collect().head
+      .getAs[Long]("tau_micro") == 1000000L)
+    // x = (1,1,2), y = (1,2,3): nc = 2, nd = 0; n₀×2 = 6, ties give
+    // n₁×2 = 2, n₂×2 = 0 → τ = 2/√((4/2)·(6/2)) = 2/√6 ≈ 0.816497
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val r = StatsOps.kendallTauB(tied, "x", "y").collect().head
+    assert(r.getAs[String]("nc") == "2" && r.getAs[String]("nd") == "0")
+    assert(r.getAs[Long]("tau_micro") == 816497L, s"tau: $r")
+  }
+
+  test("mannWhitney: a clean separation maximizes U and crosses the 5% bar") {
+    // A = {10,20,30} strictly above B = {1,2,3}: 2U_a = 18 (= 2·n_a·n_b),
+    // z = 9 / (2·√(9/12·7)) = 1.963961 — just over 1.96
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 1L), ("b", 2L), ("b", 3L)).toDF("s", "v")
+    val r = StatsOps.mannWhitney(df, "s", "a", "b", "v").collect().head
+    assert(r.getAs[String]("u2_a") == "18")
+    assert(r.getAs[Long]("z_micro") == 1963961L, s"z: $r")
+    assert(r.getAs[Boolean]("reject"))
+    // identical slices: U at its mean, z exactly 0
+    val same = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L)).toDF("s", "v")
+    val r2 = StatsOps.mannWhitney(same, "s", "a", "b", "v").collect().head
+    assert(r2.getAs[Long]("z_micro") == 0L && !r2.getAs[Boolean]("reject"))
+  }
+
   test("giniCard: uniform counts give 0; total concentration approaches 1−1/n") {
     val uniform = Seq(("s", "a", 5L), ("s", "b", 5L), ("s", "c", 5L), ("s", "d", 5L))
       .toDF("src", "item", "c")
