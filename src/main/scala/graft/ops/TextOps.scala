@@ -469,4 +469,51 @@ object TextOps {
       col("ov1"), micro(p1).as("r1_p_micro"), micro(r1).as("r1_r_micro"),
       micro(f1).as("r1_f_micro"), col("ov2"), micro(f2).as("r2_f_micro"))
   }
+
+  /** ROUGE-L (Lin 2004 §3) over the same adjacent (d, d+1) pairs as
+    * [[rougeAdjacent]]: longest-common-subsequence recall/precision/F —
+    * the order-sensitive complement to clipped n-gram overlap (n-grams
+    * reward local phrase matches; LCS rewards globally preserved
+    * ordering without requiring contiguity).
+    *
+    * The LCS runs INSIDE the row as the classic rolling-row DP
+    * (dp[j] over reference positions, folded across candidate tokens),
+    * the [[TokenizerOps.viterbiDp]] in-row-DP pattern: per pair the
+    * work is m·n integer ops in ONE whole-stage expression — no
+    * per-cell rows, no join, nothing data-sized shuffles. The doc-keyed
+    * pair join is the only exchange. Oracle-replayable: the DuckDB
+    * twin iterates the SAME rows via a recursive CTE using the
+    * prefix-max identity new[j] = max(prev[j], max_{j'≤j}(prev[j'−1] +
+    * eq(j'))) (valid because LCS rows are non-decreasing), so both
+    * engines produce identical integer LCS tables.
+    *
+    * Input (doc_id, toks); returns (cand_id, ref_id, lcs, rl_p_micro,
+    * rl_r_micro, rl_f_micro).
+    */
+  def rougeL(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id").as("cand_id"), col("toks").as("x"))
+      .join(docs.select((col("doc_id") - 1).as("cand_id"),
+        col("toks").as("y")), Seq("cand_id"))
+    val m = size(col("x"))
+    val n = size(col("y"))
+    val prev0 = array_repeat(lit(0), n + 1)
+    val folded = aggregate(col("x"), prev0, (prev, xt) =>
+      aggregate(sequence(lit(1), n), array(lit(0)), (cur, j) =>
+        concat(cur, array(
+          when(element_at(col("y"), j) === xt, element_at(prev, j) + 1)
+            .otherwise(greatest(
+              element_at(cur, size(cur)),
+              element_at(prev, j + 1)))))))
+    val lcs = when(m < 1 || n < 1, lit(0))
+      .otherwise(element_at(folded, -1)).cast("long")
+    val p = when(m > 0, lcs.cast("double") / m).otherwise(lit(0.0))
+    val r = when(n > 0, lcs.cast("double") / n).otherwise(lit(0.0))
+    val f = when(lcs > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))
+    def micro(c: org.apache.spark.sql.Column) =
+      round(c * lit(1000000.0)).cast("long")
+    pairs.select(col("cand_id"), (col("cand_id") + 1).as("ref_id"),
+      lcs.as("lcs"), micro(p).as("rl_p_micro"), micro(r).as("rl_r_micro"),
+      micro(f).as("rl_f_micro"))
+  }
 }

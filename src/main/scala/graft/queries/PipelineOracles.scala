@@ -4542,6 +4542,46 @@ object PipelineOracles {
          |SELECT node, CAST(min(hop) AS BIGINT) AS hop
          |FROM r GROUP BY node""".stripMargin,
 
+    // ROUGE-L replayed: the LCS rolling row iterated as a recursive CTE
+    // over candidate positions, each step one window pass using the
+    // prefix-max identity new[j] = max(prev[j], max_{j'≤j}(prev[j'−1] +
+    // eq(j'))) — valid because LCS rows are non-decreasing; verified
+    // cell-for-cell against a reference DP.
+    "eval_rouge_l" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pr AS (SELECT c.doc_id AS cand_id, c.toks AS x, r.toks AS y,
+        |    len(c.toks) AS m, len(r.toks) AS n
+        |  FROM t c JOIN t r ON r.doc_id = c.doc_id + 1),
+        |r AS (
+        |  SELECT cand_id, 0 AS t, unnest(range(0, n + 1)) AS j, 0 AS v FROM pr
+        |  UNION ALL
+        |  SELECT cand_id, t, j,
+        |    greatest(v, coalesce(max(cnd) OVER (PARTITION BY cand_id ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) AS v
+        |  FROM (
+        |    SELECT r.cand_id AS cand_id, r.t + 1 AS t, r.j AS j, r.v AS v,
+        |      CASE WHEN r.j >= 1 AND pr.y[r.j] = pr.x[r.t + 1]
+        |        THEN lag(r.v) OVER (PARTITION BY r.cand_id ORDER BY r.j) + 1
+        |        ELSE NULL END AS cnd
+        |    FROM r JOIN pr ON r.cand_id = pr.cand_id
+        |    WHERE r.t < pr.m)
+        |),
+        |fin AS (SELECT pr.cand_id AS cand_id, pr.m, pr.n,
+        |    CAST(r.v AS BIGINT) AS lcs
+        |  FROM r JOIN pr ON r.cand_id = pr.cand_id
+        |    AND r.t = pr.m AND r.j = pr.n),
+        |pf AS (SELECT cand_id, lcs,
+        |    CASE WHEN m > 0 THEN CAST(lcs AS DOUBLE) / m ELSE 0.0 END AS p,
+        |    CASE WHEN n > 0 THEN CAST(lcs AS DOUBLE) / n ELSE 0.0 END AS rr
+        |  FROM fin)
+        |SELECT cand_id, cand_id + 1 AS ref_id, lcs,
+        |  CAST(round(p * 1000000.0) AS BIGINT) AS rl_p_micro,
+        |  CAST(round(rr * 1000000.0) AS BIGINT) AS rl_r_micro,
+        |  CAST(round(CASE WHEN lcs > 0 THEN 2.0 * p * rr / (p + rr)
+        |    ELSE 0.0 END * 1000000.0) AS BIGINT) AS rl_f_micro
+        |FROM pf""".stripMargin,
+
     // Mann-Whitney replayed: doubled tie-averaged ranks from the value
     // spine, HUGEINT rank sums, the tie-corrected normal z in the same
     // fixed double order.

@@ -2828,6 +2828,12 @@ object PipelineQueries {
       RetrievalOps.proximityPair(table(s, dir, "documents"),
         ProximityTermA, ProximityTermB, ProximityK)),
 
+    // ROUGE-L over the same adjacent pairs — LCS P/R/F via the in-row
+    // rolling-row DP; the order-sensitive twin of eval_rouge's clipped
+    // n-gram overlap.
+    "eval_rouge_l" -> ((s, dir) =>
+      TextOps.rougeL(docsTok(s, dir).select(col("doc_id"), col("toks")))),
+
     // Mann-Whitney rank-sum between two sources' length distributions —
     // the nonparametric location-shift test beside dq_ks_test's
     // anywhere-in-the-CDF distance; doubled tie-averaged ranks from the

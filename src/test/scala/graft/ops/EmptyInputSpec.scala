@@ -187,6 +187,8 @@ class EmptyInputSpec extends AnyFunSuite {
       .select(col("doc_id"), col("toks"))
     assert(TextOps.rougeAdjacent(noToks).count() == 0)
     assert(TextOps.rougeAdjacent(degToks).count() == 2)
+    assert(TextOps.rougeL(noToks).count() == 0)
+    assert(TextOps.rougeL(degToks).count() == 2)
     // reservoir and proximity over empty tables
     assert(SampleOps.weightedReservoir(
       Seq.empty[(Long, String, Double)].toDF("id", "src", "w"),

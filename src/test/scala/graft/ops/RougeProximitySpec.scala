@@ -41,6 +41,24 @@ class RougeProximitySpec extends AnyFunSuite {
     assert(r.getAs[Long]("r2_f_micro") == 0L)
   }
 
+  test("rougeL: in-row LCS — identity, reordering, and interleaving") {
+    // identical → LCS = m, F = 1
+    val id = TextOps.rougeL(docs(1L -> "a b c d", 2L -> "a b c d"))
+      .collect().head
+    assert(id.getAs[Long]("lcs") == 4L && id.getAs[Long]("rl_f_micro") == 1000000L)
+    // full reversal of distinct tokens → LCS = 1 (any single token)
+    val rev = TextOps.rougeL(docs(1L -> "a b c d", 2L -> "d c b a"))
+      .collect().head
+    assert(rev.getAs[Long]("lcs") == 1L)
+    // classic interleave: X = "a b c b d a b", Y = "b d c a b a" → LCS 4
+    // ("b c a b" / "b d a b")
+    val mix = TextOps.rougeL(docs(1L -> "a b c b d a b", 2L -> "b d c a b a"))
+      .collect().head
+    assert(mix.getAs[Long]("lcs") == 4L, s"lcs: $mix")
+    // P = 4/7, R = 4/6, F = 2PR/(P+R) = 8/13 ≈ 0.615385
+    assert(mix.getAs[Long]("rl_f_micro") == 615385L, s"f: $mix")
+  }
+
   test("weightedReservoir: exactly k per stratum, heavier keys drawn more often") {
     val df = (1L to 200L).map(i => (i, "s", if (i <= 100) 1.0 else 50.0))
       .toDF("id", "src", "w")

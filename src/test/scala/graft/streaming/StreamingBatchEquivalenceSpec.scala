@@ -635,4 +635,54 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
         s"${fin.size} streaming registers vs ${batch.size} batch registers")
     } finally q.stop()
   }
+
+  test("StreamingReservoir ≡ batch sample_weighted_reservoir (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("sample_weighted_reservoir")(spark, SfDir)
+      .collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("key"),
+        r.getAs[Long]("score_e9"), r.getAs[Long]("rk")))
+      .toSet
+
+    // same rows, arrival order scrambled: the A-ES score is a pure
+    // function of (key, weight), and running top-k is order-insensitive
+    val rows = graft.etl.Ingest.table(spark, SfDir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect()
+      .map(r => StreamingReservoir.WeightedRow(
+        r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars").toDouble))
+      .toSeq
+      .sortBy(e => e.key % 13)
+
+    val input = MemoryStream[StreamingReservoir.WeightedRow]
+    val q = StreamingReservoir
+      .sampleStream(input.toDS(), graft.queries.PipelineQueries.ReservoirK)
+      .writeStream.format("memory").queryName("equiv_reservoir")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      chunks(rows).foreach { c => input.addData(c); q.processAllAvailable() }
+      // update mode emits every revision; every row ever held in state
+      // was emitted, so the global top-k per stratum over ALL emissions
+      // IS the final state
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("stratum").orderBy(col("score").desc, col("key"))
+      val fin = spark.table("equiv_reservoir")
+        .select("stratum", "key", "weight", "score").distinct()
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= graft.queries.PipelineQueries.ReservoirK)
+        .collect()
+        .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("key"),
+          // mirror Spark SQL round(double): BigDecimal HALF_UP, not
+          // math.round's floor(x+0.5) (they differ on negative .5s)
+          BigDecimal(r.getAs[Double]("score") * 1e9)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+          r.getAs[Int]("rk").toLong))
+        .toSet
+      assert(fin == batch, s"${fin.size} streaming rows vs ${batch.size} batch")
+    } finally q.stop()
+  }
 }
