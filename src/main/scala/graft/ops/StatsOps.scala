@@ -243,6 +243,108 @@ object StatsOps {
       round(tau * lit(1000000.0)).cast("long").as("tau_micro"))
   }
 
+  /** Robust outlier census per group: median/MAD in place of mean/σ
+    * (the modified z-score of Iglewicz & Hoaglin 1993, 0.6745·(v−med)/MAD
+    * with the 3.5 cut) — the outlier screen a10_zscore's moment form
+    * cannot give when the outliers THEMSELVES inflate σ (masking). One
+    * heavy value can arbitrarily corrupt mean±3σ; the median/MAD pair
+    * has a 50% breakdown point.
+    *
+    * EXACT medians, never approximate: both the median and the MAD are
+    * weighted lower medians read off cumulative counts over the
+    * DISTINCT-VALUE spine (two spine shuffles; per-group windows run
+    * over spine rows, never data rows — the ksTest/spearman contract).
+    * The outlier count also evaluates on the spine (Σ counts where the
+    * fixed-order double z exceeds the cut). A zero-MAD group (over half
+    * its mass on one value) counts every v ≠ median as an outlier
+    * (z = ∞ there, by convention). Values micro-rounded from exact
+    * 6dp decimals. Returns (key, n, med_micro, mad_micro, n_outliers).
+    */
+  def robustZscore(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      zCut: Double = 3.5): DataFrame = {
+    def v6(c: org.apache.spark.sql.Column) =
+      round(c.cast("double"), 6).cast("decimal(18,6)")
+    def lowerMedian(spine: DataFrame, vCol: String): DataFrame = {
+      val w = Window.partitionBy("key").orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(Window.partitionBy("key")))
+        .groupBy("key")
+        // lower weighted median: smallest v whose cumulative count
+        // reaches position ⌈n/2⌉ (cum·2 ≥ n) — the theilSen median rule
+        .agg(max("n").as("n"),
+          min(when(col("cum") * 2 >= col("n"), col(vCol))).as("med"))
+    }
+    val spine = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), v6(col(valCol)).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val med = lowerMedian(spine, "v")
+    val withMed = spine.join(med, "key")
+    val devSpine = withMed
+      .groupBy(col("key"), abs(col("v") - col("med")).as("v"))
+      .agg(sum("c").as("c"))
+    val mad = lowerMedian(devSpine, "v")
+      .select(col("key"), col("med").as("mad"))
+    val z = lit(0.6745) * abs(col("v") - col("med")).cast("double") /
+      col("mad").cast("double")
+    withMed.join(mad, "key")
+      .groupBy("key")
+      .agg(max("n").as("n"),
+        round(max(col("med")).cast("double") * lit(1000000.0)).cast("long")
+          .as("med_micro"),
+        round(max(col("mad")).cast("double") * lit(1000000.0)).cast("long")
+          .as("mad_micro"),
+        sum(when(
+          when(col("mad") > 0, z > zCut).otherwise(col("v") =!= col("med")),
+          col("c")).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Exact trimmed mean per group — the robust location estimate that
+    * drops the lowest and highest ⌊n/denom⌋ observations (denom 10 =
+    * the standard 10% trim) before averaging. No sort of the data: on
+    * the distinct-value spine, each value's SURVIVING multiplicity is a
+    * pure-integer window formula — kept(v) = max(0, min(cum, n−k) −
+    * max(cum−c, k)) — so the trimmed sum is one exact decimal
+    * aggregation over spine rows. The plain mean rides along for the
+    * robustness delta. Returns (key, n, k_trim, mean_micro,
+    * trimmed_mean_micro).
+    */
+  def trimmedMean(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      denom: Int = 10): DataFrame = {
+    val v6 = round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+    val spine = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), v6.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("key").orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = spine
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("key")))
+      .withColumn("k", expr(s"n div ${denom}L"))
+    val kept = greatest(lit(0L),
+      least(col("cum"), col("n") - col("k")) -
+        greatest(col("cum") - col("c"), col("k")))
+    cum.groupBy("key")
+      .agg(max("n").as("n"), max("k").as("k_trim"),
+        sum(col("v") * col("c")).as("s_all"),
+        sum(col("v") * kept).as("s_kept"),
+        sum(kept).as("n_kept"))
+      .select(col("key"), col("n"), col("k_trim"),
+        round(col("s_all").cast("double") / col("n") * lit(1000000.0))
+          .cast("long").as("mean_micro"),
+        round(col("s_kept").cast("double") / col("n_kept") * lit(1000000.0))
+          .cast("long").as("trimmed_mean_micro"))
+  }
+
   /** Gini concentration coefficient of a count distribution per group —
     * the inequality card for token/document frequency ("is this source's
     * vocabulary dominated by a handful of terms?"): G = Σᵢ(2i−n−1)·cᵢ /

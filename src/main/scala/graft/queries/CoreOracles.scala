@@ -1498,6 +1498,65 @@ object CoreOracles {
         |    sqrt(CAST((CAST(n AS HUGEINT) * n - n) - (sa2 - n) AS DOUBLE) / 2.0
         |      * (CAST((CAST(n AS HUGEINT) * n - n) - (sb2 - n) AS DOUBLE) / 2.0))
         |    * 1000000.0) AS BIGINT) AS tau_micro
-        |FROM p CROSS JOIN m CROSS JOIN ta CROSS JOIN tb""".stripMargin
+        |FROM p CROSS JOIN m CROSS JOIN ta CROSS JOIN tb""".stripMargin,
+
+    // median/MAD replayed: the same value-spine cumulative windows, the
+    // same lower-weighted-median rule (cum·2 ≥ n), zero-MAD convention
+    // v ≠ median, fixed double order for the 0.6745 modified z.
+    "dq_robust_zscore" ->
+      """WITH sp AS (SELECT event_type AS key,
+        |    CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
+        |    count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cu AS (SELECT key, v, c,
+        |    sum(c) OVER (PARTITION BY key ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY key) AS n FROM sp),
+        |md AS (SELECT key, max(n) AS n,
+        |    min(CASE WHEN cum * 2 >= n THEN v END) AS med
+        |  FROM cu GROUP BY key),
+        |dv AS (SELECT sp.key, abs(sp.v - md.med) AS v, sum(sp.c) AS c
+        |  FROM sp JOIN md ON sp.key = md.key GROUP BY 1, 2),
+        |dc AS (SELECT key, v, c,
+        |    sum(c) OVER (PARTITION BY key ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY key) AS n FROM dv),
+        |mad AS (SELECT key, min(CASE WHEN cum * 2 >= n THEN v END) AS mad
+        |  FROM dc GROUP BY key)
+        |SELECT sp.key, CAST(max(md.n) AS BIGINT) AS n,
+        |  CAST(round(CAST(max(md.med) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS med_micro,
+        |  CAST(round(CAST(max(mad.mad) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS mad_micro,
+        |  CAST(sum(CASE WHEN (CASE WHEN mad.mad > 0
+        |      THEN 0.6745 * CAST(abs(sp.v - md.med) AS DOUBLE)
+        |        / CAST(mad.mad AS DOUBLE) > 3.5
+        |      ELSE sp.v <> md.med END)
+        |    THEN sp.c ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM sp JOIN md ON sp.key = md.key JOIN mad ON sp.key = mad.key
+        |GROUP BY sp.key""".stripMargin,
+
+    // trimmed mean replayed: identical surviving-multiplicity window
+    // formula kept(v) = max(0, min(cum, n−k) − max(cum−c, k)).
+    "a24_trimmed_mean" ->
+      """WITH sp AS (SELECT event_type AS key,
+        |    CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
+        |    count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cu AS (SELECT key, v, c,
+        |    sum(c) OVER (PARTITION BY key ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY key) AS n FROM sp),
+        |kk AS (SELECT key, v, c, cum, n, n // 10 AS k FROM cu),
+        |kp AS (SELECT key, v, c, n, k,
+        |    greatest(0, least(cum, n - k) - greatest(cum - c, k)) AS kept
+        |  FROM kk)
+        |SELECT key, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(k) AS BIGINT) AS k_trim,
+        |  CAST(round(CAST(sum(v * c) AS DOUBLE) / max(n) * 1000000.0)
+        |    AS BIGINT) AS mean_micro,
+        |  CAST(round(CAST(sum(v * kept) AS DOUBLE) / sum(kept) * 1000000.0)
+        |    AS BIGINT) AS trimmed_mean_micro
+        |FROM kp GROUP BY key""".stripMargin
   )
 }

@@ -1820,6 +1820,20 @@ object CoreQueries {
     // pairs, broadcast), never from the O(n²) data pairs.
     "profile_kendall" -> ((s, dir) =>
       graft.ops.StatsOps.kendallTauB(
-        table(s, dir, "lineitem"), "l_quantity", "l_discount"))
+        table(s, dir, "lineitem"), "l_quantity", "l_discount")),
+
+    // robust outlier census: EXACT median/MAD per event type (spine
+    // cumulative counts, never a data sort) and the modified-z 3.5-cut
+    // count — the masking-proof twin of a10_zscore.
+    "dq_robust_zscore" -> ((s, dir) =>
+      graft.ops.StatsOps.robustZscore(
+        table(s, dir, "events"), "event_type", "value")),
+
+    // exact 10%-trimmed mean per event type beside the plain mean —
+    // surviving multiplicities are pure-integer window formulas on the
+    // value spine (no data sort, no percentile approximation).
+    "a24_trimmed_mean" -> ((s, dir) =>
+      graft.ops.StatsOps.trimmedMean(
+        table(s, dir, "events"), "event_type", "value"))
   )
 }

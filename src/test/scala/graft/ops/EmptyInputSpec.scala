@@ -171,6 +171,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(StatsOps.giniCard(
       Seq.empty[(String, String, Long)].toDF("g", "i", "c"), "g", "i", "c")
       .count() == 0)
+    val noKv = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(StatsOps.robustZscore(noKv, "k", "v").count() == 0)
+    assert(StatsOps.trimmedMean(noKv, "k", "v").count() == 0)
+    // single observation: its own median, MAD 0, no outliers, no trim
+    val one = Seq(("t", 3.0)).toDF("k", "v")
+    val rz = StatsOps.robustZscore(one, "k", "v").collect().head
+    assert(rz.getAs[Long]("mad_micro") == 0L && rz.getAs[Long]("n_outliers") == 0L)
+    assert(StatsOps.trimmedMean(one, "k", "v").collect().head
+      .getAs[Long]("trimmed_mean_micro") == 3000000L)
     // series ops: empty events → empty output; single point drops from
     // theil-sen (no pairs) but sax still emits its word
     val noEv = Seq.empty[(Long, Long, Long, Double)].toDF("k", "t", "tie", "v")

@@ -101,6 +101,33 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("z_micro") == 0L && !r2.getAs[Boolean]("reject"))
   }
 
+  test("robustZscore: one wild value can't mask itself — median/MAD catch it") {
+    // 1..9 plus 1000: med = 5, MAD = 2; z(1000) = 0.6745·995/2 ≫ 3.5,
+    // z(1) = z(9) = 1.349 — exactly one outlier
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("t", _)).toDF("k", "v")
+    val r = StatsOps.robustZscore(df, "k", "v").collect().head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("med_micro") == 5000000L)
+    assert(r.getAs[Long]("mad_micro") == 2000000L)
+    assert(r.getAs[Long]("n_outliers") == 1L, s"outliers: $r")
+  }
+
+  test("robustZscore: zero MAD counts every off-median value as an outlier") {
+    val df = Seq(("t", 5.0), ("t", 5.0), ("t", 5.0), ("t", 7.0)).toDF("k", "v")
+    val r = StatsOps.robustZscore(df, "k", "v").collect().head
+    assert(r.getAs[Long]("mad_micro") == 0L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("trimmedMean: the 10% trim drops exactly the extreme observations") {
+    // 1..9 + 1000: k = 1 each side → mean of 2..9 = 5.5; plain = 104.5
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("t", _)).toDF("k", "v")
+    val r = StatsOps.trimmedMean(df, "k", "v").collect().head
+    assert(r.getAs[Long]("k_trim") == 1L)
+    assert(r.getAs[Long]("mean_micro") == 104500000L)
+    assert(r.getAs[Long]("trimmed_mean_micro") == 5500000L, s"trim: $r")
+  }
+
   test("giniCard: uniform counts give 0; total concentration approaches 1−1/n") {
     val uniform = Seq(("s", "a", 5L), ("s", "b", 5L), ("s", "c", 5L), ("s", "d", 5L))
       .toDF("src", "item", "c")
