@@ -1007,4 +1007,67 @@ object DedupOps {
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Fellegi-Sunter record-linkage weights (Fellegi & Sunter, JASA
+    * 1969): per comparison field, m = P(agree | matched pair) and
+    * u = P(agree | unmatched pair), and the field's log-likelihood
+    * match weight ln(m/u) — the calibration layer between pair
+    * comparison (edit distance, blocking) and clustering/survivorship:
+    * it tells you how much EVIDENCE a field agreement actually carries
+    * (source agreement on a 20-source corpus ≈ nothing; exact length
+    * agreement ≈ a lot).
+    *
+    * Training pairs are self-labeled from the corpus, both sides
+    * linear: MATCHED pairs link each exact-duplicate doc to its group's
+    * canonical (one pair per non-canonical member — never the in-group
+    * quadratic expansion); UNMATCHED pairs link doc d to doc d+`offset`
+    * (a deterministic derangement — at any corpus size a fixed-shift
+    * pair is a non-duplicate with md5 probability). Laplace-smoothed
+    * ((agree+1)/(n+2)) so a never/always-agreeing field stays finite.
+    * One doc-keyed join per side; field agreements are scan-side
+    * expressions. Returns per field:
+    * (field, n_matched, n_unmatched, m_micro, u_micro, weight_milli).
+    */
+  def linkageWeights(
+      docs: DataFrame,
+      fields: Seq[(String, (Column, Column) => Column)],
+      offset: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val fieldNames = fields.map(_._1)
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("text_md5"),
+      struct(docs.columns.map(col): _*).as("row"))
+    val groups = exactGroups(docs)
+    val matchedPairs = keyed
+      .join(groups, Seq("text_md5"))
+      .filter(col("doc_id") =!= col("canonical_doc_id"))
+      .select(col("doc_id").as("a"), col("canonical_doc_id").as("b"))
+    val unmatchedPairs = docs.select(col("doc_id").as("a"),
+        (col("doc_id") + offset).as("b"))
+      .join(docs.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    def agreements(pairs: DataFrame, side: String): DataFrame = {
+      val withRows = pairs
+        .join(keyed.select(col("doc_id").as("a"), col("row").as("ra")), Seq("a"))
+        .join(keyed.select(col("doc_id").as("b"), col("row").as("rb")), Seq("b"))
+      val aggs = fields.flatMap { case (nm, f) => Seq(
+        count(lit(1)).as(s"n_$nm"),
+        sum(when(f(col("ra"), col("rb")), 1L).otherwise(0L)).as(s"ag_$nm"))
+      }
+      // one aggregation for every field; stack to (field, n, agree)
+      val one = withRows.agg(aggs.head, aggs.tail: _*)
+      val stacked = fieldNames
+        .map(nm => s"'$nm', n_$nm, ag_$nm").mkString(", ")
+      one.selectExpr(
+        s"stack(${fieldNames.length}, $stacked) AS (field, n_$side, ag_$side)")
+    }
+    val m = agreements(matchedPairs, "m")
+    val u = agreements(unmatchedPairs, "u")
+    val pm = (col("ag_m") + 1).cast("double") / (col("n_m") + 2)
+    val pu = (col("ag_u") + 1).cast("double") / (col("n_u") + 2)
+    m.join(u, "field")
+      .select(col("field"), col("n_m").as("n_matched"),
+        col("n_u").as("n_unmatched"),
+        round(pm * lit(1000000.0)).cast("long").as("m_micro"),
+        round(pu * lit(1000000.0)).cast("long").as("u_micro"),
+        round(log(pm / pu) * lit(1000.0)).cast("long").as("weight_milli"))
+  }
 }

@@ -4582,6 +4582,48 @@ object PipelineOracles {
         |    ELSE 0.0 END * 1000000.0) AS BIGINT) AS rl_f_micro
         |FROM pf""".stripMargin,
 
+    // Fellegi-Sunter replayed: same canonical-link matched pairs, same
+    // fixed-shift unmatched pairs, Laplace (agree+1)/(n+2), ln(m/u).
+    "dedup_fs_weights" -> {
+      val off = PipelineQueries.FsOffset
+      def fieldRow(nm: String, agree: String) =
+        s"""SELECT '$nm' AS field, n_m AS n_matched, n_u AS n_unmatched,
+           |  CAST(round(CAST(${agree}_m + 1 AS DOUBLE) / (n_m + 2)
+           |    * 1000000.0) AS BIGINT) AS m_micro,
+           |  CAST(round(CAST(${agree}_u + 1 AS DOUBLE) / (n_u + 2)
+           |    * 1000000.0) AS BIGINT) AS u_micro,
+           |  CAST(round(ln((CAST(${agree}_m + 1 AS DOUBLE) / (n_m + 2))
+           |    / (CAST(${agree}_u + 1 AS DOUBLE) / (n_u + 2))) * 1000.0)
+           |    AS BIGINT) AS weight_milli
+           |FROM ma CROSS JOIN ua""".stripMargin
+      s"""WITH k AS (SELECT doc_id, md5(text) AS h, lang, source, n_chars
+         |  FROM documents),
+         |g AS (SELECT h, min(doc_id) AS canon FROM k GROUP BY h),
+         |mp AS (SELECT k.doc_id AS a, g.canon AS b FROM k
+         |  JOIN g ON k.h = g.h WHERE k.doc_id <> g.canon),
+         |up AS (SELECT x.doc_id AS a, y.doc_id AS b FROM k x
+         |  JOIN k y ON y.doc_id = x.doc_id + $off),
+         |ma AS (SELECT count(*) AS n_m,
+         |    sum(CASE WHEN ka.lang = kb.lang THEN 1 ELSE 0 END) AS agl_m,
+         |    sum(CASE WHEN ka.source = kb.source THEN 1 ELSE 0 END) AS ags_m,
+         |    sum(CASE WHEN floor(CAST(ka.n_chars AS DOUBLE) / 100.0)
+         |      = floor(CAST(kb.n_chars AS DOUBLE) / 100.0)
+         |      THEN 1 ELSE 0 END) AS agb_m
+         |  FROM mp JOIN k ka ON mp.a = ka.doc_id JOIN k kb ON mp.b = kb.doc_id),
+         |ua AS (SELECT count(*) AS n_u,
+         |    sum(CASE WHEN ka.lang = kb.lang THEN 1 ELSE 0 END) AS agl_u,
+         |    sum(CASE WHEN ka.source = kb.source THEN 1 ELSE 0 END) AS ags_u,
+         |    sum(CASE WHEN floor(CAST(ka.n_chars AS DOUBLE) / 100.0)
+         |      = floor(CAST(kb.n_chars AS DOUBLE) / 100.0)
+         |      THEN 1 ELSE 0 END) AS agb_u
+         |  FROM up JOIN k ka ON up.a = ka.doc_id JOIN k kb ON up.b = kb.doc_id)
+         |${fieldRow("lang", "agl")}
+         |UNION ALL
+         |${fieldRow("source", "ags")}
+         |UNION ALL
+         |${fieldRow("len_bucket", "agb")}""".stripMargin
+    },
+
     // Mann-Whitney replayed: doubled tie-averaged ranks from the value
     // spine, HUGEINT rank sums, the tie-corrected normal z in the same
     // fixed double order.

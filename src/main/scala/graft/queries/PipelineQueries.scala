@@ -81,6 +81,8 @@ object PipelineQueries {
   val BfsMaxHops = 4
   /** Degree cap for the linear-at-scale kNN-graph BFS twin. */
   val BfsKnnK = 4
+  /** Fellegi-Sunter unmatched-pair derangement shift. */
+  val FsOffset = 37L
   /** DBSCAN: core threshold (neighbors at TriangleCos, self excluded). */
   val DbscanMinPts = 3L
   /** kNN classifier eval: query stride and neighborhood size. */
@@ -2833,6 +2835,22 @@ object PipelineQueries {
     // n-gram overlap.
     "eval_rouge_l" -> ((s, dir) =>
       TextOps.rougeL(docsTok(s, dir).select(col("doc_id"), col("toks")))),
+
+    // Fellegi-Sunter linkage weights — the calibration layer of the
+    // record-linkage stack (blocking → comparison → WEIGHTS →
+    // clustering → survivorship): per field, m/u agreement rates over
+    // self-labeled matched (exact-dup → canonical) and unmatched
+    // (fixed-shift derangement) pairs, and the ln(m/u) match weight.
+    "dedup_fs_weights" -> ((s, dir) =>
+      DedupOps.linkageWeights(table(s, dir, "documents"),
+        Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+            org.apache.spark.sql.Column)](
+          "lang" -> ((a, b) => a.getField("lang") === b.getField("lang")),
+          "source" -> ((a, b) => a.getField("source") === b.getField("source")),
+          "len_bucket" -> ((a, b) =>
+            floor(a.getField("n_chars").cast("double") / lit(100.0)) ===
+              floor(b.getField("n_chars").cast("double") / lit(100.0)))),
+        FsOffset)),
 
     // Mann-Whitney rank-sum between two sources' length distributions —
     // the nonparametric location-shift test beside dq_ks_test's
