@@ -341,6 +341,49 @@ object TimeSeriesOps {
         .cast("long").as("r_micro"))
   }
 
+  /** Ljung-Box portmanteau whiteness test per key (Ljung & Box,
+    * Biometrika 1978): Q = n(n+2)·Σ_{k≤h} ρ_k²/(n−k) over the [[acf]]
+    * autocorrelations — "is there ANY autocorrelation left", the
+    * residual-diagnostics gate a forecasting pipeline (Holt/
+    * Holt-Winters here) runs before trusting its model. Rejecting keys
+    * still carry structure the model missed.
+    *
+    * Shape: rides the acf relation (maxLag short unions + one
+    * aggregation) plus one per-key count — nothing new touches data
+    * rows. Each lag's term rounds to e-12 units from the already
+    * micro-rounded ρ (exact long sum, order-free); Q evaluates in one
+    * fixed double order, milli-rounded. The χ²(maxLag) 5% decision only
+    * applies when ALL maxLag lags exist (shorter keys report null —
+    * their dof differs). Returns (key, n_obs, n_lags, q_milli, reject).
+    */
+  def ljungBox(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      valCol: String,
+      maxLag: Int,
+      crit: Double): DataFrame = {
+    val rho = acf(events, keyCol, tsCol, seqCol, valCol, maxLag)
+    val nTab = events.groupBy(col(keyCol))
+      .agg(count(col(valCol)).as("n_obs"))
+    val r = col("r_micro").cast("double") / lit(1000000.0)
+    val term = round(r * r / (col("n_obs") - col("lag")) *
+      lit(1000000000000.0)).cast("long")
+    val critMilli = math.round(crit * 1000.0)
+    rho.join(nTab, keyCol)
+      .select(col(keyCol), col("n_obs"), col("lag"), term.as("t12"))
+      .groupBy(col(keyCol), col("n_obs"))
+      .agg(sum("t12").as("s12"), count(lit(1)).as("n_lags"))
+      .select(col(keyCol), col("n_obs"), col("n_lags"),
+        round(col("n_obs").cast("double") * (col("n_obs") + 2) *
+          (col("s12").cast("double") / lit(1000000000000.0)) * lit(1000.0))
+          .cast("long").as("q_milli"))
+      .withColumn("reject",
+        when(col("n_lags") === maxLag, col("q_milli") > critMilli)
+          .otherwise(lit(null).cast("boolean")))
+  }
+
   /** Day-of-week seasonality profile per key: the per-dow mean beside
     * the SEASONAL STRENGTH — the between-dow share of total variance
     * (the one-way ANOVA R²), which says whether the weekly pattern is

@@ -1912,6 +1912,55 @@ object PipelineOracles {
          |FROM m WHERE n >= 3""".stripMargin
     },
 
+    // Ljung-Box replayed: the acf CTEs verbatim, e-12 terms from the
+    // micro-rounded ρ, the same fixed-order Q and χ²(3) milli cut.
+    "ts_ljung_box" -> {
+      val lags = (1 to 3).map { l =>
+        s"""SELECT user_id, CAST($l AS BIGINT) AS lag, v,
+           |  lag(v, $l) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |    AS vl
+           |FROM b""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT user_id, ts, event_id,
+         |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+         |lg AS ($lags),
+         |p AS (SELECT user_id, lag, v, vl FROM lg WHERE vl IS NOT NULL),
+         |m AS (SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n,
+         |    sum(v) AS sx, sum(vl) AS sy,
+         |    sum(CAST(v AS DECIMAL(19,6)) * vl) AS sxy,
+         |    sum(CAST(v AS DECIMAL(19,6)) * v) AS sxx,
+         |    sum(CAST(vl AS DECIMAL(19,6)) * vl) AS syy
+         |  FROM p GROUP BY 1, 2),
+         |rho AS (SELECT user_id, lag,
+         |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |    * 1000000.0) AS BIGINT) AS r_micro
+         |  FROM m WHERE n >= 3),
+         |nt AS (SELECT user_id, count(value) AS n_obs FROM events GROUP BY 1),
+         |t AS (SELECT rho.user_id AS user_id, n_obs,
+         |    CAST(round((CAST(r_micro AS DOUBLE) / 1000000.0)
+         |      * (CAST(r_micro AS DOUBLE) / 1000000.0)
+         |      / (n_obs - lag) * 1000000000000.0) AS BIGINT) AS t12
+         |  FROM rho JOIN nt ON rho.user_id = nt.user_id),
+         |a AS (SELECT user_id, n_obs, sum(t12) AS s12, count(*) AS n_lags
+         |  FROM t GROUP BY 1, 2)
+         |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+         |  CAST(n_lags AS BIGINT) AS n_lags,
+         |  CAST(round(CAST(n_obs AS DOUBLE) * (n_obs + 2)
+         |    * (CAST(s12 AS DOUBLE) / 1000000000000.0) * 1000.0) AS BIGINT)
+         |    AS q_milli,
+         |  CASE WHEN n_lags = 3 THEN
+         |    CAST(round(CAST(n_obs AS DOUBLE) * (n_obs + 2)
+         |      * (CAST(s12 AS DOUBLE) / 1000000000000.0) * 1000.0) AS BIGINT)
+         |      > 7815
+         |    ELSE NULL END AS reject
+         |FROM a""".stripMargin
+    },
+
     // the integer sup-CDF distance over the merged value spine, the
     // identical fixed-order critical-value double.
     "dq_ks_test" -> {

@@ -83,6 +83,8 @@ object PipelineQueries {
   val BfsKnnK = 4
   /** Fellegi-Sunter unmatched-pair derangement shift. */
   val FsOffset = 37L
+  /** Ljung-Box: χ²(3) 5% critical value (acf's maxLag = 3). */
+  val LbCrit = 7.814728
   /** DBSCAN: core threshold (neighbors at TriangleCos, self excluded). */
   val DbscanMinPts = 3L
   /** kNN classifier eval: query stride and neighborhood size. */
@@ -2506,6 +2508,15 @@ object PipelineQueries {
         table(s, dir, "events").select(col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
         "user_id", "ts_us", "event_id", "value", maxLag = 3)),
+
+    // Ljung-Box whiteness test per user over the same acf lags — the
+    // residual-diagnostics gate for the smoothing family: Q from the
+    // micro-rounded ρ_k, χ²(3) 5% decision where all lags exist.
+    "ts_ljung_box" -> ((s, dir) =>
+      TimeSeriesOps.ljungBox(
+        table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value", maxLag = 3, crit = LbCrit)),
 
     // exact two-sample KS drift test between two sources' length
     // distributions: the sup-CDF distance as pure integers, the 5%

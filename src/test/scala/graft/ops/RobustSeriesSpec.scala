@@ -52,6 +52,20 @@ class RobustSeriesSpec extends AnyFunSuite {
       .head.getAs[String]("sax_word") == "cccc")
   }
 
+  test("ljungBox: a trending series rejects whiteness; short keys report null") {
+    // strong linear trend → lag-1..3 autocorrelations all near 1 →
+    // Q far above the χ²(3) 5% bar
+    val trend = (0L to 39L).map(i => (1L, ts(i), i, i.toDouble))
+    // 4 points: lag-3 leaves only 1 pair (< 3) → lag 3 missing → null
+    val short = (0L to 3L).map(i => (2L, ts(i), i, math.pow(-1.0, i.toDouble)))
+    val ev = (trend ++ short).toDF("k", "t", "tie", "v")
+    val out = TimeSeriesOps.ljungBox(ev, "k", "t", "tie", "v", 3, 7.814728)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("reject"), s"trend: ${out(1L)}")
+    assert(out(1L).getAs[Long]("n_lags") == 3L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("reject")), s"short: ${out(2L)}")
+  }
+
   test("sax: word length tracks the segment count, not the series length") {
     val ev = (0L to 30L).map(i => (1L, ts(i), i, math.sin(i * 0.7)))
       .toDF("k", "t", "tie", "v")
