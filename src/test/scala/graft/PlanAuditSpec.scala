@@ -705,4 +705,51 @@ class PlanAuditSpec extends AnyFunSuite {
     // term-position relations
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"))
   }
+
+  test("profile_kendall: cell-pair concordance never plans a cartesian over data") {
+    // the only nested-loop joins are the broadcast cell self-join and
+    // the 1-row margin crosses — bounded by the domains, not the data
+    val p = plan("profile_kendall")
+    assert(!p.contains("CartesianProduct"),
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dq_mann_whitney: one spine aggregation, no join at all") {
+    val p = plan("dq_mann_whitney")
+    assert(!p.contains("Join"), p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("dq_robust_zscore and a24_trimmed_mean never sort or join data rows") {
+    // medians/trims read off spine windows; the only joins are the
+    // per-key med/mad dims back onto the SPINE (robust_zscore); the
+    // trimmed mean has no join at all
+    val rz = plan("dq_robust_zscore")
+    assert(!rz.contains("CartesianProduct") && !rz.contains("SortMergeJoin"),
+      rz.linesIterator.take(25).mkString("\n"))
+    val tm = plan("a24_trimmed_mean")
+    assert(!tm.contains("Join"), tm.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("eval_rouge_l: the LCS DP stays in-row — exactly the pair join's shuffles") {
+    // one doc-keyed self-join builds the pairs; the DP itself adds no
+    // exchange, no extra scan of documents beyond the two pair sides
+    val p = plan("eval_rouge_l")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("dedup_fs_weights: both pair relations are linear equi-joins, no cartesian") {
+    val p = plan("dedup_fs_weights")
+    assert(!p.contains("CartesianProduct"),
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("ts_ljung_box: rides the acf shape — no data-sized join beyond the n_obs dim") {
+    val p = plan("ts_ljung_box")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(25).mkString("\n"))
+  }
 }
