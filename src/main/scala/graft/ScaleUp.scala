@@ -52,7 +52,9 @@ object ScaleUp {
     * dimensions by the copy index: within-copy dot products (hence all
     * cosines, distances, and cluster structure) are EXACTLY preserved,
     * while cross-copy alignment is destroyed — N× data, same per-copy
-    * similarity structure.
+    * similarity structure. CONTRACT: factor ≤ dim (the shift is only a
+    * distinct transform per copy below the dimension; the scan raises
+    * past it — testdata dim is 64, so ×64 is the tool's ceiling).
     */
   val vecCols: Map[String, Seq[String]] = Map("embeddings" -> Seq("embedding"))
 
@@ -78,10 +80,21 @@ object ScaleUp {
         vecCols.getOrElse(name, Seq.empty).foldLeft(texted)((d, v) =>
           if (c == 0) d
           else {
+            // the shift is only a DISTINCT transform per copy while
+            // c < dim: at c ≡ c' (mod dim) two copies would carry
+            // verbatim-identical vectors again (cosine 1.0, quadratic
+            // cross-copy edges — the exact artifact this transform
+            // exists to remove). Fail by name instead of silently
+            // corrupting the measurement.
             val sh = pmod(lit(c), size(col(v)))
-            d.withColumn(v, concat(
+            val shifted = concat(
               slice(col(v), sh + 1, size(col(v)) - sh),
-              slice(col(v), lit(1), sh)))
+              slice(col(v), lit(1), sh))
+            d.withColumn(v, when(lit(factor) <= size(col(v)), shifted)
+              .otherwise(raise_error(concat(
+                lit(s"ScaleUp: factor $factor exceeds embedding dim "),
+                size(col(v)).cast("string"),
+                lit(" — copies would repeat verbatim vectors")))))
           })
       }
       copies.reduce(_.unionAll(_))

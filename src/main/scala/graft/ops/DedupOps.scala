@@ -164,17 +164,25 @@ object DedupOps {
     * O(len²) and O(len·maxDist) per pair.
     *
     * Emits (doc_a, doc_b, dist), doc_a < doc_b, dist ≤ `maxDist`.
+    *
+    * A block past `maxPerBlock` members (a degenerate block key — an
+    * empty-string prefix, a null-ish bucket) raises by name instead of
+    * expanding quadratically: the [[SessionOps.hotKeyGuarded]] ceiling,
+    * counted on the SAME aggregation.
     */
   def editDistancePairs(
       docs: DataFrame,
       strCol: Column,
       blockCol: Column,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      maxPerBlock: Long = SessionOps.DefaultMaxQuadraticPerKey): DataFrame = {
     val members = docs
       .select(col("doc_id"), strCol.as("__s"), blockCol.as("__blk"))
       .groupBy("__blk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("__s"))))
-        .as("ms"))
+        .as("ms0"), count(lit(1)).as("__n"))
+      .select(SessionOps.hotKeyGuarded(col("ms0"), col("__n"), col("__blk"),
+        maxPerBlock, "editDistancePairs").as("ms"))
       .filter(size(col("ms")) > 1)
     members
       .select(explode(flatten(transform(col("ms"), (a, i) =>
@@ -206,7 +214,8 @@ object DedupOps {
       docs: DataFrame,
       strCol: Column,
       blockCol: Column,
-      minMicro: Long): DataFrame = {
+      minMicro: Long,
+      maxPerBlock: Long = SessionOps.DefaultMaxQuadraticPerKey): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     def jw(a: Column, b: Column): Column = ColumnBridge.column(
       graft.expressions.JaroWinkler(
@@ -215,7 +224,9 @@ object DedupOps {
       .select(col("doc_id"), strCol.as("__s"), blockCol.as("__blk"))
       .groupBy("__blk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("__s"))))
-        .as("ms"))
+        .as("ms0"), count(lit(1)).as("__n"))
+      .select(SessionOps.hotKeyGuarded(col("ms0"), col("__n"), col("__blk"),
+        maxPerBlock, "jaroPairs").as("ms"))
       .filter(size(col("ms")) > 1)
     members
       .select(explode(flatten(transform(col("ms"), (a, i) =>
@@ -299,6 +310,9 @@ object DedupOps {
             .over(cuts), lit(0L)).as("chunk_id"))
       .groupBy("doc_id", "chunk_id")
       .agg(
+        // bounded: per-(doc, chunk) gram list — the CDC cut rule caps a
+        // chunk at ~`divisor` grams in expectation, never a whole key's
+        // corpus, so the fold is chunk-sized by construction.
         md5(array_join(
           transform(sort_array(collect_list(struct(col("p"), col("h")))),
             s => s.getField("h").cast("string")), ",")).as("chunk_fp"),
@@ -760,6 +774,8 @@ object DedupOps {
     val perdoc = sh
       .join(df, Seq("shingle"))
       .groupBy("doc_id")
+      // bounded: per-doc distinct-shingle list — capped by the document's
+      // own length (a single row of the corpus), not by key cardinality.
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
         .as("ss"))
       .select(col("doc_id"),
@@ -1000,6 +1016,8 @@ object DedupOps {
       "left_anti")
     val rebuilt = kept
       .groupBy("doc_id")
+      // bounded: per-doc surviving-token list — capped by the document's
+      // own length, a single corpus row, not a skewable key.
       .agg(array_join(
         transform(sort_array(collect_list(struct(col("p"), col("tok")))),
           x => x.getField("tok")), " ").as("clean_text"))
@@ -1021,8 +1039,10 @@ object DedupOps {
     * linear: MATCHED pairs link each exact-duplicate doc to its group's
     * canonical (one pair per non-canonical member — never the in-group
     * quadratic expansion); UNMATCHED pairs link doc d to doc d+`offset`
-    * (a deterministic derangement — at any corpus size a fixed-shift
-    * pair is a non-duplicate with md5 probability). Laplace-smoothed
+    * (a deterministic derangement), EXCLUDING any pair that shares a
+    * text_md5 — a corpus whose duplicate groups sit at regular id
+    * strides would otherwise leak true matches into the u estimate.
+    * Laplace-smoothed
     * ((agree+1)/(n+2)) so a never/always-agreeing field stays finite.
     * One doc-keyed join per side; field agreements are scan-side
     * expressions. Returns per field:
@@ -1041,9 +1061,18 @@ object DedupOps {
       .join(groups, Seq("text_md5"))
       .filter(col("doc_id") =!= col("canonical_doc_id"))
       .select(col("doc_id").as("a"), col("canonical_doc_id").as("b"))
-    val unmatchedPairs = docs.select(col("doc_id").as("a"),
+    // exclude pairs that are GENUINE duplicates (same text_md5): a
+    // corpus with duplicate groups laid out at regular id strides
+    // (ScaleUp copies, batch re-ingestion) would otherwise count true
+    // matches as "unmatched", biasing every field's u rate upward
+    val ids = keyed.select(col("doc_id"), col("text_md5"))
+    val unmatchedPairs = ids
+      .select(col("doc_id").as("a"), col("text_md5").as("__ma"),
         (col("doc_id") + offset).as("b"))
-      .join(docs.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .join(ids.select(col("doc_id").as("b"), col("text_md5").as("__mb")),
+        Seq("b"))
+      .filter(col("__ma") =!= col("__mb"))
+      .select(col("a"), col("b"))
     def agreements(pairs: DataFrame, side: String): DataFrame = {
       val withRows = pairs
         .join(keyed.select(col("doc_id").as("a"), col("row").as("ra")), Seq("a"))

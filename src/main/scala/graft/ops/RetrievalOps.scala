@@ -458,6 +458,8 @@ object RetrievalOps {
       k: Int): DataFrame = {
     def packed(df: DataFrame, out: String) =
       df.groupBy("query_id").agg(
+        // bounded: per-query ranked list — rankings are k-bounded by the
+        // retriever that produced them, never corpus-sized.
         transform(
           sort_array(collect_list(struct(col("rank"), col("doc_id")))),
           x => x.getField("doc_id")).as(out))

@@ -24,6 +24,16 @@ object SessionOps {
     */
   val DefaultMaxEventsPerKey: Long = 10L * 1000L * 1000L
 
+  /** Hot-key ceiling for QUADRATIC in-row expansions (all-pairs folds:
+    * theilSen slopes, blocked edit-distance/Jaro pairs, SemDeDup cell
+    * members): m collected rows build m(m−1)/2 array elements inside
+    * ONE task, so the linear-fold 10⁷ default would mean ~5·10¹³
+    * elements. 10⁴ keeps the worst row's expansion ≈ 5·10⁷ elements —
+    * heavy but survivable; anything past it raises by key name instead
+    * of OOMing anonymously.
+    */
+  val DefaultMaxQuadraticPerKey: Long = 10L * 1000L
+
   /** The guard: `value` if the key's event count is within bound, else
     * raise_error naming the key — when()'s lazy branches keep the error
     * unevaluated on healthy keys.

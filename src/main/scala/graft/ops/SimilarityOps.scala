@@ -61,6 +61,9 @@ object SimilarityOps {
       .groupBy(keyCols :+ col("__b"): _*)
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(keyCols: _*)
+      // bounded: per-key bucket map — at most `dim` distinct hash
+      // buckets per key regardless of token volume (counts pre-reduced
+      // by the groupBy above).
       .agg(map_from_entries(collect_list(struct(col("__b"), col("__cnt"))))
         .as("__m"))
       .select(keyCols :+ transform(sequence(lit(0), lit(dim - 1)), i =>
@@ -843,9 +846,17 @@ object SimilarityOps {
       roundDp: Int = 6): DataFrame =
     semanticDedup(emb, kmeansCentroids(emb, k, iters, roundDp), threshold, roundDp)
 
-  /** [[semanticDedup]] against an already-trained centroid matrix. */
+  /** [[semanticDedup]] against an already-trained centroid matrix.
+    * `maxPerCell` is the quadratic hot-key ceiling: a degenerate cell
+    * (zero-vector collapse) raises by cell id instead of OOMing.
+    */
   def semanticDedup(emb: DataFrame, cents: Seq[(Long, Array[Double])],
-      threshold: Double, roundDp: Int): DataFrame = {
+      threshold: Double, roundDp: Int): DataFrame =
+    semanticDedup(emb, cents, threshold, roundDp,
+      SessionOps.DefaultMaxQuadraticPerKey)
+
+  def semanticDedup(emb: DataFrame, cents: Seq[(Long, Array[Double])],
+      threshold: Double, roundDp: Int, maxPerCell: Long): DataFrame = {
     val n = withNorm(emb)
     if (cents.isEmpty)
       return n.select(col("vec_id"), lit(-1L).as("cell"), lit(1L).as("kept"))
@@ -863,11 +874,18 @@ object SimilarityOps {
     // (earlier a, later b); b is dropped when cos(a,b) clears the
     // threshold. distinct() because b may near-dup several earlier
     // members.
+    // Trained cells bound the expansion in expectation, but a
+    // degenerate centroid (all-zero embeddings collapsing into one
+    // cell) would make one task's pair array quadratic — the same
+    // hotKeyGuarded ceiling as nearDupPairs, counted on this agg.
     val members = assigned
       .groupBy("cell")
       .agg(sort_array(collect_list(struct(
         (lit(0d) - col("cdist")).as("negd"), col("vec_id"),
-        col("embedding"), col("nrm")))).as("ms"))
+        col("embedding"), col("nrm")))).as("ms0"),
+        count(lit(1)).as("__n"))
+      .select(col("cell"), graft.ops.SessionOps.hotKeyGuarded(col("ms0"),
+        col("__n"), col("cell"), maxPerCell, "semanticDedup").as("ms"))
       .filter(size(col("ms")) > 1)
     val dropped = members
       .select(explode(flatten(transform(col("ms"), (a, i) =>

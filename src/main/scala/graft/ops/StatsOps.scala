@@ -74,7 +74,11 @@ object StatsOps {
     * the per-digit-term pattern of [[ProfileOps.benfordAudit]]).
     */
   def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // null categories drop BEFORE counting (as spearman/kendall do):
+    // a null-keyed cell would inflate n and the margins while the
+    // null-unsafe spine joins silently lost its row from the output
     val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("va"), col(bCol).as("vb"))
       .agg(count(lit(1)).as("n_obs"))
     val ra = cells.groupBy("va").agg(sum("n_obs").as("row_n"))
@@ -125,7 +129,10 @@ object StatsOps {
     * Returns (va, vb, n_xy, mi_term_e12); Σ mi_term_e12 ≈ I in nats·10¹².
     */
   def mutualInfoCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // null categories drop BEFORE counting — same contract as
+    // chiSquareCells/spearman: margins, n, and output must agree
     val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("va"), col(bCol).as("vb"))
       .agg(count(lit(1)).as("n_xy"))
     val ra = cells.groupBy("va").agg(sum("n_xy").as("c_x"))
@@ -319,6 +326,10 @@ object StatsOps {
       keyCol: String,
       valCol: String,
       denom: Int = 10): DataFrame = {
+    // denom ≤ 2 can trim EVERYTHING (even n, denom 2 → n_kept = 0 →
+    // null from 0/0) — reject the parameter instead of emitting nulls
+    require(denom > 2, s"trimmedMean: denom must be > 2 (got $denom) — " +
+      "denom <= 2 trims every observation on even-sized groups")
     val v6 = round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
     val spine = df
       .filter(col(valCol).isNotNull)

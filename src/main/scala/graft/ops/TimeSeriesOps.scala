@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
+  /** [[theilSen]]'s hot-key ceiling — the shared quadratic-fold bound
+    * (see [[SessionOps.DefaultMaxQuadraticPerKey]]): 10⁴ points ≈
+    * 5·10⁷ slope doubles ≈ 400 MB in the hot row's array.
+    */
+  val DefaultMaxPointsQuadratic: Long = SessionOps.DefaultMaxQuadraticPerKey
+
   /** Dense per-key bucket grid with aggregated values; missing buckets
     * surface with `fillValue`.
     *
@@ -556,20 +562,29 @@ object TimeSeriesOps {
     * median (a value that occurred, picked by position — no averaging),
     * micro-rounded once at the end.
     *
+    * Because the in-row expansion is QUADRATIC in the key's point
+    * count (m points → m(m−1)/2 slopes), the hot-key ceiling here is
+    * [[DefaultMaxPointsQuadratic]] (10⁴ points ≈ 5·10⁷ slopes ≈
+    * 400 MB in one task's array), not the linear-fold 10⁷ default —
+    * a key past the bound raises with its name instead of OOMing
+    * silently. The count rides the same aggregation: zero extra
+    * shuffles.
+    *
     * Returns (key, n_pts, n_pairs, slope_micro).
     */
   def theilSen(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
-      valCol: String): DataFrame = {
+      valCol: String,
+      maxEventsPerKey: Long = DefaultMaxPointsQuadratic): DataFrame = {
     val pts = sort_array(collect_list(struct(
       col(tsCol).cast("long").as("t"), col(valCol).cast("double").as("v"))))
     val arr = events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         col(valCol).isNotNull)
       .groupBy(col(keyCol))
-      .agg(pts.as("pts"))
+      .agg(pts.as("pts"), count(lit(1)).as("__n"))
     val slopes = filter(
       flatten(transform(col("pts"), (p, i) =>
         transform(slice(col("pts"), i + 2, size(col("pts"))), q =>
@@ -581,7 +596,8 @@ object TimeSeriesOps {
       s => s.isNotNull)
     arr
       .select(col(keyCol), size(col("pts")).cast("long").as("n_pts"),
-        array_sort(slopes).as("ss"))
+        SessionOps.hotKeyGuarded(array_sort(slopes), col("__n"),
+          col(keyCol), maxEventsPerKey, "theilSen").as("ss"))
       .filter(size(col("ss")) > 0)
       .select(col(keyCol), col("n_pts"),
         size(col("ss")).cast("long").as("n_pairs"),
@@ -646,6 +662,8 @@ object TimeSeriesOps {
       .select(col(keyCol), col("n_pts"),
         struct(col("__seg"), sym.as("sym")).as("p"))
       .groupBy(col(keyCol), col("n_pts"))
+      // bounded: per-key symbol list — exactly `segments` entries (the
+      // PAA frames), fixed by the parameter, independent of data volume.
       .agg(array_join(transform(
         sort_array(collect_list(col("p"))), x => x.getField("sym")), "")
         .as("sax_word"))

@@ -1433,7 +1433,9 @@ object CoreOracles {
     // identical expected-count op order.
     "dq_chi_square" ->
       """WITH cells AS (SELECT l_returnflag AS va, l_linestatus AS vb,
-        |    count(*) AS n_obs FROM lineitem GROUP BY 1, 2),
+        |    count(*) AS n_obs FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
         |ra AS (SELECT va, sum(n_obs) AS row_n FROM cells GROUP BY 1),
         |cb AS (SELECT vb, sum(n_obs) AS col_n FROM cells GROUP BY 1),
         |tot AS (SELECT sum(n_obs) AS n FROM cells),
@@ -1450,7 +1452,9 @@ object CoreOracles {
     // from the exact micro sum, like the Spark side.
     "dq_cramers_v" ->
       """WITH cells AS (SELECT l_returnflag AS va, l_linestatus AS vb,
-        |    count(*) AS n_obs FROM lineitem GROUP BY 1, 2),
+        |    count(*) AS n_obs FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
         |ra AS (SELECT va, sum(n_obs) AS row_n FROM cells GROUP BY 1),
         |cb AS (SELECT vb, sum(n_obs) AS col_n FROM cells GROUP BY 1),
         |tot AS (SELECT sum(n_obs) AS n FROM cells),

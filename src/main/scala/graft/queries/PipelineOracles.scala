@@ -4651,7 +4651,7 @@ object PipelineOracles {
          |mp AS (SELECT k.doc_id AS a, g.canon AS b FROM k
          |  JOIN g ON k.h = g.h WHERE k.doc_id <> g.canon),
          |up AS (SELECT x.doc_id AS a, y.doc_id AS b FROM k x
-         |  JOIN k y ON y.doc_id = x.doc_id + $off),
+         |  JOIN k y ON y.doc_id = x.doc_id + $off AND y.h <> x.h),
          |ma AS (SELECT count(*) AS n_m,
          |    sum(CASE WHEN ka.lang = kb.lang THEN 1 ELSE 0 END) AS agl_m,
          |    sum(CASE WHEN ka.source = kb.source THEN 1 ELSE 0 END) AS ags_m,
@@ -4911,7 +4911,8 @@ object PipelineOracles {
     // same fixed-order (p·ln) term, e-12 rounded per cell.
     "profile_mutual_info" ->
       """WITH cells AS (SELECT lang AS va, source AS vb, count(*) AS n_xy
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
         |ra AS (SELECT va, sum(n_xy) AS c_x FROM cells GROUP BY 1),
         |cb AS (SELECT vb, sum(n_xy) AS c_y FROM cells GROUP BY 1),
         |tot AS (SELECT sum(n_xy) AS n FROM cells)

@@ -20,6 +20,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * plain-JVM mirror of the SQL expressions (same md5-prefix uniform,
   * same ln(u)/w fixed order), so StreamingBatchEquivalenceSpec chains
   * the final state to `sample_weighted_reservoir`'s DuckDB oracle.
+  *
+  * CONTRACT — keys are unique within a stratum: the state merge
+  * `.distinct`s (score, key, weight) triples, which is what makes the
+  * operator IDEMPOTENT under at-least-once re-delivery (a replayed
+  * micro-batch merges to the same state). The cost of that choice is
+  * multiplicity: a stratum that legitimately contains the SAME
+  * (key, weight) row twice collapses to one candidate here, while the
+  * batch twin's row_number keeps both — dedupe upstream (or carry a
+  * uniquifying sub-key) before sampling if duplicate rows are
+  * meaningful. Idempotence was chosen deliberately: in a stream,
+  * re-delivery is routine and true duplicate-row strata are not.
   */
 object StreamingReservoir {
 

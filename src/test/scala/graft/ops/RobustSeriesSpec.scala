@@ -40,6 +40,19 @@ class RobustSeriesSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("slope_micro") == -7000000L)
   }
 
+  test("theilSen: the quadratic hot-key guard raises, naming the key") {
+    val ev = (0L to 4L).map(i => (7L, ts(i), i.toDouble)).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      TimeSeriesOps.theilSen(ev, "k", "t", "v", maxEventsPerKey = 4)
+        .collect()
+    }
+    assert(e.getMessage.contains("theilSen") && e.getMessage.contains("7"),
+      e.getMessage)
+    // and within the bound the same input still computes
+    assert(TimeSeriesOps.theilSen(ev, "k", "t", "v", maxEventsPerKey = 5)
+      .count() == 1)
+  }
+
   test("sax: a rising line reads 'abcd'; a flat line reads all-'c'") {
     val rising = (0L to 7L).map(i => (1L, ts(i), i, i.toDouble))
       .toDF("k", "t", "tie", "v")

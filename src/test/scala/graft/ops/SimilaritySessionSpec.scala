@@ -473,6 +473,14 @@ class SimilaritySessionSpec extends AnyFunSuite {
     // empty corpus: empty result, not a crash
     assert(SimilarityOps.semanticDedup(emb.filter(lit(false)), 2, 1, 0.9)
       .collect().isEmpty)
+    // a degenerate cell past the quadratic ceiling raises by cell id
+    val cents = Seq((0L, Array(1.0, 0.0, 0.0, 0.0)))
+    val e = intercept[Exception] {
+      SimilarityOps.semanticDedup(emb, cents, threshold = 0.95,
+        roundDp = 6, maxPerCell = 4).collect()
+    }
+    assert(e.getMessage.contains("semanticDedup") &&
+      e.getMessage.contains("0"), e.getMessage)
   }
 
   test("random projection: deterministic sparse ±1 matrix, exact dot products") {

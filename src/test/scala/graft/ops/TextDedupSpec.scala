@@ -414,6 +414,19 @@ class TextDedupSpec extends AnyFunSuite {
     // empty input: no groups, no pairs
     assert(DedupOps.editDistancePairs(
       docs.filter(lit(false)), col("s"), col("blk"), 4).count() == 0)
+    // a degenerate block past the quadratic ceiling raises by name
+    val e = intercept[Exception] {
+      DedupOps.editDistancePairs(docs, col("s"), col("blk"), 4,
+        maxPerBlock = 3).collect()
+    }
+    assert(e.getMessage.contains("editDistancePairs") &&
+      e.getMessage.contains("b1"), e.getMessage)
+    val ej = intercept[Exception] {
+      DedupOps.jaroPairs(docs, col("s"), col("blk"), 500000L,
+        maxPerBlock = 3).collect()
+    }
+    assert(ej.getMessage.contains("jaroPairs") &&
+      ej.getMessage.contains("b1"), ej.getMessage)
   }
 
   test("splitLeakage: threshold gate, cross-split filter, scan-side labels") {
