@@ -364,6 +364,117 @@ object SimilarityOps {
     topK(lshTableCandidates(corpus, queries)
       .select(col("query_id"), col("neighbor_id"), col("cos")), k)
 
+  // ─── Auto-sized LSH buckets: the scale-path candidate generator ─────
+  //
+  // The fixed-cardinality blockings (label cells in [[nearDupPairs]],
+  // the 6-bit tables above) are DEGENERATE at scale: the cell count is
+  // constant, so per-cell membership grows ∝ n and in-cell pairs grow
+  // ∝ n² — measured ×103 pairs at ×10 data in the round-9 scale run.
+  // The fix is to size the signature to the corpus: with
+  // bits = ⌈log₂(n / targetBucket)⌉, bucket count grows ∝ n while the
+  // EXPECTED bucket size stays pinned at targetBucket — candidates are
+  // then ∝ n·targetBucket/2 per table, linear. The bit count derives
+  // from n with pure integer arithmetic (length(bin(m−1)), no
+  // floating log whose last-ulp could differ across engines), rides
+  // the plan as a 1-row broadcast, and each vector takes the FIRST
+  // `bits` bits of a fixed maximum-width signature — so two corpora of
+  // different sizes still agree on shared prefixes.
+
+  /** Maximum signature width: 2²⁴ buckets per table ≈ enough for 10¹⁰
+    * vectors at the default target, while keeping the scan-side cost
+    * (tables × maxBits exact ±1-dots) a fixed constant per row.
+    */
+  val LshAutoMaxBits = 24
+
+  /** Expected members per auto-sized bucket. */
+  val LshAutoTargetBucket = 32
+
+  /** Independent plane sets for the auto-sized tables, deterministic
+    * from [[LshSeed]] (distinct stream from the fixed 6-bit tables).
+    */
+  lazy val autoTableHyperplanes: Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(LshSeed + 2)
+    Seq.fill(LshTables)(Seq.fill(LshAutoMaxBits)(
+      Array.fill(LshDim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** Full maximum-width sign signature of an embedding under auto
+    * table `t`'s planes; bucketing takes a prefix of this string.
+    */
+  def autoTableSignature(emb: Column, t: Int): Column =
+    concat(autoTableHyperplanes(t).map(p =>
+      when(dot(emb, typedlit(p.toSeq)) > 0, "1").otherwise("0")): _*)
+
+  /** Embedding-cosine near-dup pairs with LSH-BUCKET candidate
+    * generation — the scale path next to the pre-labeled
+    * [[nearDupPairs]]: a pair is a candidate iff the two vectors share
+    * an auto-sized signature-prefix bucket in at least one of
+    * `tables` tables (OR amplification), and survives iff its exact
+    * cosine clears `threshold`.
+    *
+    * Scale shape: ONE corpus scan computes all table signatures
+    * (tables × [[LshAutoMaxBits]] codegen'd ±1-dots per row) and the
+    * corpus count rides a 1-row broadcast into the prefix width; one
+    * shuffle on (table, sig) collects bucket members (hot-bucket
+    * ceiling — a degenerate bucket fails by name); the quadratic
+    * expansion happens only inside a bucket, whose EXPECTED size is
+    * `targetBucket` regardless of corpus size because the bucket
+    * count scales with n. The per-pair dedup (a pair can collide in
+    * several tables) is one aggregation on the candidate-sized — not
+    * corpus-sized — pair stream. Precision is exact (every emitted
+    * pair passed the true cosine); recall is the LSH trade, measured
+    * by the `dedup_embedding_lsh_recall` card rather than asserted.
+    *
+    * Returns (vec_a, vec_b, cos_sim), vec_a < vec_b, cos ≥ threshold.
+    */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+      targetBucket: Int = LshAutoTargetBucket,
+      tables: Int = LshTables,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    require(tables >= 1 && tables <= LshTables,
+      s"tables must be in [1, $LshTables], got $tables")
+    val cnt = corpus.agg(count(lit(1)).as("__n"))
+    var df = corpus.crossJoin(broadcast(cnt))
+      .withColumn("__bits", least(greatest(length(bin(
+        expr(s"(__n + ${targetBucket - 1}) div $targetBucket") - 1)),
+        lit(1)), lit(LshAutoMaxBits)))
+    (0 until tables).foreach { t =>
+      df = df.withColumn(s"__fs$t", autoTableSignature(col("embedding"), t))
+    }
+    val exploded = df
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            expr(s"substring(__fs$t, 1, __bits)").as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val members = exploded
+      .groupBy("t", "sig")
+      .agg(sort_array(collect_list(struct(
+        col("vec_id"), col("embedding"), col("nrm")))).as("ms0"),
+        count(lit(1)).as("__cnt"))
+      .select(graft.ops.SessionOps.hotKeyGuarded(col("ms0"), col("__cnt"),
+        concat(col("t").cast("string"), lit("/"), col("sig")),
+        maxBucket.toLong, "nearDupPairsLsh bucket").as("ms"))
+      .filter(size(col("ms")) > 1)
+    members
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
+          struct(a.getField("vec_id").as("vec_a"),
+            b.getField("vec_id").as("vec_b"),
+            a.getField("embedding").as("ea"),
+            b.getField("embedding").as("eb"),
+            a.getField("nrm").as("na"),
+            b.getField("nrm").as("nb")))))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        cosine(col("p.ea"), col("p.eb"), col("p.na"), col("p.nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      // same cosine double in every colliding table's row — max() is
+      // pure per-pair dedup, reproduced identically by any replay
+      .groupBy("vec_a", "vec_b")
+      .agg(round(max(col("cos")), 6).as("cos_sim"))
+  }
+
   /** Lloyd's k-means coarse-quantizer training — the step that turns
     * [[ivfTopK]]'s "given" cells into TRAINED cells (what a real IVF
     * index builds). Driver-iterated exactly like Spark MLlib's KMeans:

@@ -265,6 +265,35 @@ object PipelineOracles {
     s"""n AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
        |  sqrt(${dotExpr("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
 
+  /** Auto-sized LSH bucket CTEs over the `n` norm CTE (mirrors
+    * SimilarityOps.nearDupPairsLsh): `ab` computes the corpus-adaptive
+    * prefix width with the same pure-integer length(bin(m−1)) formula,
+    * `asgt` is the per-table signature-prefix explode, and `lp` the
+    * deduped candidate pairs that clear `threshold`.
+    */
+  private def lshAutoCtes(threshold: Double): String = {
+    def planeLit(p: Array[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")
+    def sigExpr(t: Int): String =
+      graft.ops.SimilarityOps.autoTableHyperplanes(t)
+        .map(p => s"CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+    val tgt = graft.ops.SimilarityOps.LshAutoTargetBucket
+    val branches = (0 until graft.ops.SimilarityOps.LshTables)
+      .map(t => s"SELECT vec_id, e, nrm, $t AS t, substr(${sigExpr(t)}, 1, ab.b) AS sig FROM n CROSS JOIN ab")
+      .mkString("\n  UNION ALL ")
+    s"""ab AS (SELECT CAST(least(greatest(length(bin(
+       |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1),
+       |    ${graft.ops.SimilarityOps.LshAutoMaxBits}) AS INT) AS b FROM n),
+       |asgt AS ($branches),
+       |lp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(max(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)), 6) AS cos_sim
+       |  FROM asgt a JOIN asgt b ON a.t = b.t AND a.sig = b.sig
+       |    AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $threshold
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Top-k CTE body over the `n` norm CTE: brute (joinCond = id-only) or
     * cell-restricted. `name` prefixes the internal CTE names so two
     * instances compose in one statement.
@@ -2951,6 +2980,36 @@ object PipelineOracles {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= ${PipelineQueries.NearDupThreshold}""".stripMargin,
 
+    // LSH-bucket near-dup pairs replayed: the same adaptive prefix
+    // width (integer bin-length), per-table signature buckets, in-bucket
+    // pairs, exact-cosine gate, per-pair dedup.
+    "dedup_embedding_lsh" ->
+      s"""WITH $normCte,
+         |${lshAutoCtes(PipelineQueries.NearDupThreshold)}
+         |SELECT vec_a, vec_b, cos_sim FROM lp""".stripMargin,
+
+    // recall of the LSH candidate generator vs exact truth on the
+    // query subset: per query, true ≥-threshold partners hit by the
+    // bucketed pairs (normalized to both directions).
+    "dedup_embedding_lsh_recall" ->
+      s"""WITH $normCte,
+         |${lshAutoCtes(PipelineQueries.NearDupThreshold)},
+         |truth AS (SELECT q.vec_id AS query_id, n.vec_id AS other_id
+         |  FROM n q JOIN n ON q.vec_id < ${PipelineQueries.LshQueryCount}
+         |    AND n.vec_id <> q.vec_id
+         |  WHERE list_dot_product(n.e, q.e) / (n.nrm * q.nrm)
+         |        >= ${PipelineQueries.NearDupThreshold}),
+         |lb AS (SELECT vec_a AS query_id, vec_b AS other_id FROM lp
+         |  UNION ALL SELECT vec_b, vec_a FROM lp)
+         |SELECT truth.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN lb.other_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN lb.other_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth LEFT JOIN lb USING (query_id, other_id)
+         |GROUP BY truth.query_id""".stripMargin,
+
     "text_chunks" ->
       s"""WITH $tokCte,
          |st AS (SELECT doc_id, toks,
@@ -4540,12 +4599,13 @@ object PipelineOracles {
     // DBSCAN replay: same threshold pairs, degree count, core cut,
     // core-component min-root flood (the dedup_clusters recursion),
     // border = min core-neighbor cluster, noise = the rest at −1.
+    // edges from the LSH-bucket candidate generator (mirrors the
+    // engine's re-point): LSH-approximate DBSCAN over the recall
+    // subgraph of the threshold graph.
     "sim_dbscan" ->
       s"""WITH RECURSIVE $normCte,
-         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
+         |${lshAutoCtes(PipelineQueries.TriangleCos)},
+         |e0 AS (SELECT vec_a AS a, vec_b AS b FROM lp),
          |g AS (SELECT a AS src, b AS dst FROM e0
          |  UNION ALL SELECT b, a FROM e0),
          |core AS (SELECT src AS node FROM g GROUP BY src
@@ -4575,10 +4635,8 @@ object PipelineOracles {
     // equal to the engine's expand-once frontier by induction on hops.
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE $normCte,
-         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
+         |${lshAutoCtes(PipelineQueries.TriangleCos)},
+         |e0 AS (SELECT vec_a AS a, vec_b AS b FROM lp),
          |g AS (SELECT a AS src, b AS dst FROM e0
          |  UNION SELECT b AS src, a AS dst FROM e0),
          |s AS (SELECT vec_id AS node FROM embeddings
@@ -4710,13 +4768,9 @@ object PipelineOracles {
     // internal union), then the same recursive reach.
     "graph_bfs_knn" ->
       s"""WITH RECURSIVE $normCte,
-         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b,
-         |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS c
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
-         |arcs AS (SELECT a AS src, b AS dst, c FROM e0
-         |  UNION ALL SELECT b AS src, a AS dst, c FROM e0),
+         |${lshAutoCtes(PipelineQueries.TriangleCos)},
+         |arcs AS (SELECT vec_a AS src, vec_b AS dst, cos_sim AS c FROM lp
+         |  UNION ALL SELECT vec_b, vec_a, cos_sim FROM lp),
          |knn AS (SELECT src, dst FROM (SELECT src, dst,
          |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk
          |  FROM arcs) WHERE rk <= ${PipelineQueries.BfsKnnK}),

@@ -1277,6 +1277,47 @@ object PipelineQueries {
     "dedup_embedding" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
 
+    // the SCALE-PATH twin of dedup_embedding: candidates from
+    // auto-sized LSH signature-prefix buckets (bucket count grows with
+    // the corpus, expected bucket size stays pinned) instead of the
+    // fixed label cells whose in-cell pairs grow quadratically.
+    // Precision is exact; recall is measured by the card below.
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      SimilarityOps.nearDupPairsLsh(normed(s, dir), NearDupThreshold)),
+
+    // recall card for the LSH candidate generator vs exact truth on
+    // the query subset — the dedup_lsh_recall pattern for embeddings:
+    // per query, how many of its true ≥-threshold partners did the
+    // bucketed generator find. Queries with no true partner drop
+    // (0/0 is not a recall).
+    "dedup_embedding_lsh_recall" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < LshQueryCount)
+      val truth = corpus
+        .join(broadcast(qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("nrm").as("qn"))),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("other_id"),
+          SimilarityOps.cosine(
+            col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
+        .filter(col("cos") >= NearDupThreshold)
+      val lsh = SimilarityOps.nearDupPairsLsh(corpus, NearDupThreshold)
+      val lshBoth = lsh
+        .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
+        .unionAll(lsh
+          .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
+        .filter(col("query_id") < LshQueryCount)
+      truth
+        .join(broadcast(lshBoth.withColumn("hit", lit(1L))),
+          Seq("query_id", "other_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_true"), col("n_hit"),
+          round(col("n_hit") / col("n_true").cast("double"), 6)
+            .as("recall"))
+    }),
+
     // blocked fuzzy matching: Levenshtein ≤ 4 over 24-char prefixes,
     // pairs expanded only within (lang, 8-char-prefix) blocks — the
     // order-sensitive record-linkage pass the shingle family can't
@@ -2621,10 +2662,14 @@ object PipelineQueries {
     // components via the shared size-switched resolution, border joins
     // its min core neighbor's cluster, noise gets −1. All dup-graph-
     // sized except the one corpus anti-join that finds the noise.
+    // edges come from the LSH-bucket candidate generator (the scale
+    // path — linear candidate volume), so this is LSH-approximate
+    // DBSCAN: a missed candidate edge can split a cluster, never
+    // invent one. The label-cell graph remains as dedup_embedding.
     "sim_dbscan" -> ((s, dir) =>
       SimilarityOps.dbscan(
         table(s, dir, "embeddings"),
-        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos),
         DbscanMinPts)),
 
     // bounded multi-source BFS over the same cosine graph — hop
@@ -2632,9 +2677,14 @@ object PipelineQueries {
     // steps-to-curated-seed): per hop one co-partitioned
     // edges⋈frontier join + a visited anti-join, each node expanded
     // exactly once; the oracle replays it as a recursive CTE.
+    // the cosine graph's edges now come from the LSH-bucket candidate
+    // generator: candidate volume is linear in the corpus (auto-sized
+    // buckets) where the label-cell graph's was measured quadratic at
+    // ×10 — the r9-verdict re-point. BFS semantics are unchanged;
+    // the graph is the LSH-recall subgraph of the threshold graph.
     "graph_bfs_hops" -> ((s, dir) =>
       GraphOps.bfsHops(
-        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos),
         "vec_a", "vec_b",
         table(s, dir, "embeddings")
           .filter(pmod(col("vec_id"), lit(BfsSourceMod)) === 0)
@@ -2871,15 +2921,15 @@ object PipelineQueries {
       StatsOps.mannWhitney(table(s, dir, "documents"),
         "source", KmvSrcA, KmvSrcB, "n_chars")),
 
-    // BFS over the DEGREE-CAPPED kNN graph — the linear-at-scale twin
-    // of graph_bfs_hops: the fixed-threshold cosine graph's edge count
-    // is quadratic by construction (measured ×103 edges at ×10
-    // vectors), so production BFS runs on the top-BfsKnnK-per-node
-    // graph instead: |E| ≤ k·n, per-hop cost linear in the corpus.
+    // BFS over the DEGREE-CAPPED kNN graph — the default production
+    // BFS surface: candidates from the LSH-bucket generator (linear
+    // candidate volume — r10), then top-BfsKnnK arcs per node
+    // (|E| ≤ k·n), so EVERY stage of the chain is linear in the
+    // corpus. graph_bfs_hops remains the threshold-graph diagnostic.
     "graph_bfs_knn" -> ((s, dir) =>
       GraphOps.bfsHops(
         GraphOps.knnGraph(
-          SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+          SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos),
           "vec_a", "vec_b", "cos_sim", BfsKnnK),
         "src", "dst",
         table(s, dir, "embeddings")

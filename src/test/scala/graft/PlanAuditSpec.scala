@@ -604,6 +604,23 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.take(15).mkString("\n"))
   }
 
+  test("dedup_embedding_lsh: one sig scan, 1-row count broadcast, three shuffles") {
+    // the scale-path candidate generator: corpus scanned once for
+    // signatures (plus one column-pruned count-only scan), the corpus
+    // COUNT rides a 1-row broadcast into the adaptive prefix width,
+    // and the only exchanges are count-agg + bucket-collect + per-pair
+    // dedup. A SortMergeJoin or a data-sized nested-loop here would
+    // mean the bucketing collapsed back into a corpus self-join.
+    val p = plan("dedup_embedding_lsh")
+    assert(countOf(p, "\\(\\d+\\) Exchange") == 3,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 2,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+    // the only nested-loop is the 1-row count broadcast (Cross BuildRight)
+    assert(countOf(p, "\\(\\d+\\) BroadcastNestedLoopJoin") == 1)
+  }
+
   test("profile_source_overlap: in-row pair expansion, zero joins, two shuffles") {
     // per-gram source sets collapse via ONE gram-keyed aggregation;
     // pairs explode in-row (Generate) bounded by |sources|²; the only
@@ -669,6 +686,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p.linesIterator.take(15).mkString("\n"))
     assert(!p.contains("Join") && countOf(p, "\\(\\d+\\) Exchange") == 0,
       p.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("knn graph build: degree cap rides WindowGroupLimit over LSH pairs") {
+    // the default BFS surface's graph build: top-k arcs per node must
+    // prune per-partition (WindowGroupLimit) BEFORE the sort
+    // materializes a node's full candidate list, and the candidate
+    // stage underneath is the LSH generator — no SortMergeJoin, no
+    // corpus self-join anywhere in the chain
+    val corpus = graft.ops.SimilarityOps.withNorm(
+      graft.etl.Ingest.table(spark, dir, "embeddings"))
+    val g = graft.ops.GraphOps.knnGraph(
+      graft.ops.SimilarityOps.nearDupPairsLsh(corpus, 0.25),
+      "vec_a", "vec_b", "cos_sim", 8)
+    val p = g.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("WindowGroupLimit"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
   }
 
   test("ts_theil_sen: one shuffle to per-key arrays, zero joins") {

@@ -260,6 +260,37 @@ class SimilaritySessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nearDupPairs cell"), e.getMessage)
   }
 
+  test("nearDupPairsLsh: exact dups always collide; precision is exact; guard raises") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 0f, 0f, 0f)),   // exact dup of 1 — same sig in every table
+      (3L, Array(0.95f, 0.05f, 0f, 0f)),
+      (4L, Array(0f, 1.0f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1.0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = SimilarityOps.withNorm(vecs)
+    val got = SimilarityOps.nearDupPairsLsh(corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical vectors share every table's signature: (1,2) MUST appear
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1.0, s"$got")
+    // precision: every emitted pair truly clears the threshold (exact cosine)
+    val brute = (for {
+      a <- 1L to 5L; b <- (a + 1) to 5L
+    } yield (a, b)).toSet
+    assert(got.keySet.subsetOf(brute))
+    got.foreach { case (_, c) => assert(c >= 0.9) }
+    // n ≤ targetBucket → 1-bit prefixes (2 buckets/table) — still runs
+    assert(SimilarityOps.nearDupPairsLsh(corpus, 1.1).count() == 0)
+    // a degenerate bucket (all-identical corpus) raises by bucket name
+    val clones = SimilarityOps.withNorm(
+      (1L to 6L).map(i => (i, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val e = intercept[Exception] {
+      SimilarityOps.nearDupPairsLsh(clones, 0.9, maxBucket = 5).collect()
+    }
+    assert(e.getMessage.contains("nearDupPairsLsh"), e.getMessage)
+  }
+
   test("sessionization: gap splits, stats per user") {
     val M = 60L * 1000000L
     val ev = Seq(

@@ -685,4 +685,68 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
       assert(fin == batch, s"${fin.size} streaming rows vs ${batch.size} batch")
     } finally q.stop()
   }
+
+  test("StreamingTheilSen ≡ batch ts_theil_sen (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("ts_theil_sen")(spark, SfDir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_pts"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("slope_micro")))
+      .toMap
+
+    // same rows, arrival order scrambled: the buffered recompute is
+    // order-insensitive because the slope derives from the SORTED buffer
+    val rows = events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .collect()
+      .map(r => StreamingTheilSen.Pt(r.getAs[Long]("user_id"),
+        r.getAs[Long]("ts_us"), r.getAs[Double]("value")))
+      .toSeq
+      .sortBy(p => p.tsUs % 7)
+
+    val input = MemoryStream[StreamingTheilSen.Pt]
+    val q = StreamingTheilSen.slopeStream(input.toDS())
+      .writeStream.format("memory").queryName("equiv_theilsen")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      chunks(rows).foreach { c => input.addData(c); q.processAllAvailable() }
+      // update mode re-emits a key on every batch that touched it; the
+      // buffer only grows, so the row with the key's max n_pts IS its
+      // final state
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("nPts").desc)
+      val fin = spark.table("equiv_theilsen")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .collect()
+        .map(r => r.getAs[Long]("key") ->
+          (r.getAs[Long]("nPts"), r.getAs[Long]("nPairs"),
+            r.getAs[Long]("slopeMicro")))
+        .toMap
+      assert(fin == batch, s"${fin.size} streaming keys vs ${batch.size} batch")
+    } finally q.stop()
+  }
+
+  test("StreamingTheilSen: buffer past maxPoints fails by key name") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingTheilSen.Pt]
+    val q = StreamingTheilSen.slopeStream(input.toDS(), maxPoints = 3)
+      .writeStream.format("memory").queryName("theilsen_guard")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData((1L to 4L).map(i =>
+        StreamingTheilSen.Pt(9L, i * 1000000L, i.toDouble)))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("StreamingTheilSen") ||
+        Option(e.getCause).exists(_.getMessage.contains("StreamingTheilSen")),
+        e.getMessage)
+    } finally q.stop()
+  }
 }
