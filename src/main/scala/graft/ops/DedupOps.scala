@@ -1099,4 +1099,131 @@ object DedupOps {
         round(pu * lit(1000000.0)).cast("long").as("u_micro"),
         round(log(pm / pu) * lit(1000.0)).cast("long").as("weight_milli"))
   }
+
+  /** UNSUPERVISED Fellegi-Sunter parameter estimation via EM (Winkler
+    * 1988; the jellyfish/Splink estimation step): where
+    * [[linkageWeights]] self-labels its pairs, this fits the two-class
+    * mixture over AGREEMENT PATTERNS with no labels at all — the
+    * estimator a real linkage run uses when no ground truth exists.
+    *
+    * The candidate pairs are the union of the same two relations
+    * (exact-dup→canonical and fixed-shift derangement — a mix known to
+    * contain both classes); each pair reduces to its γ ∈ {0,1}^F
+    * agreement pattern, patterns aggregate to ≤ 2^F counted rows (ONE
+    * aggregation — the only corpus-scale work), and EM iterates
+    * driver-side on that bounded table (the kmeansCentroids bounded-
+    * model-pull pattern; 2^F rows, never data).
+    *
+    * Determinism contract: every derived scalar (w_γ, p, m_i, u_i)
+    * rounds to 12dp (HALF_UP — Spark SQL round semantics) before use —
+    * and p/m/u additionally clamp to [1e-6, 0.999999] (the
+    * Splink/fastLink convention) so a saturating run cannot freeze in
+    * a degenerate corner or emit an infinite ln(m/u) —
+    * pattern-weighted sums run over the 12dp values exactly (BigDecimal
+    * here, DECIMAL(38,12) in the oracle), products evaluate
+    * left-to-right in field order — so a SQL replay of the same
+    * iteration count reproduces every parameter bit-for-bit.
+    *
+    * Fixed init p=0.1, m=0.9, u=0.1 (the standard orientation anchor:
+    * matches agree more than chance). Returns one row per field:
+    * (field, n_pairs, p_micro, m_micro, u_micro, weight_milli).
+    */
+  def linkageWeightsEm(
+      docs: DataFrame,
+      fields: Seq[(String, (Column, Column) => Column)],
+      offset: Long,
+      iters: Int): DataFrame = {
+    val keyed0 = docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val groups = exactGroups(docs)
+    val matchedPairs = keyed0
+      .join(groups, Seq("text_md5"))
+      .filter(col("doc_id") =!= col("canonical_doc_id"))
+      .select(col("doc_id").as("a"), col("canonical_doc_id").as("b"))
+    val unmatchedPairs = keyed0
+      .select(col("doc_id").as("a"), col("text_md5").as("__ma"),
+        (col("doc_id") + offset).as("b"))
+      .join(keyed0.select(col("doc_id").as("b"), col("text_md5").as("__mb")),
+        Seq("b"))
+      .filter(col("__ma") =!= col("__mb"))
+      .select(col("a"), col("b"))
+    linkageWeightsEm(docs, fields, matchedPairs.unionAll(unmatchedPairs),
+      iters)
+  }
+
+  /** [[linkageWeightsEm]] over a CALLER-CHOSEN candidate-pair mix
+    * (a, b) — the production form: feed it the blocked candidates a
+    * real linkage run generates (MinHash/LSH candidates plus a
+    * background derangement), and EM separates the match class inside
+    * that mix with no labels.
+    */
+  def linkageWeightsEm(
+      docs: DataFrame,
+      fields: Seq[(String, (Column, Column) => Column)],
+      pairs: DataFrame,
+      iters: Int): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val spark = docs.sparkSession
+    val nf = fields.length
+    val keyed = docs.select(col("doc_id"),
+      struct(docs.columns.map(col): _*).as("row"))
+    val withRows = pairs
+      .join(keyed.select(col("doc_id").as("a"), col("row").as("ra")), Seq("a"))
+      .join(keyed.select(col("doc_id").as("b"), col("row").as("rb")), Seq("b"))
+    val gammaCols = fields.zipWithIndex.map { case ((_, f), i) =>
+      when(f(col("ra"), col("rb")), 1).otherwise(0).as(s"g$i")
+    }
+    // the ONLY corpus-scale aggregation: ≤ 2^F pattern rows out
+    val patterns = withRows
+      .select(gammaCols: _*)
+      .groupBy((0 until nf).map(i => col(s"g$i")): _*)
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((0 until nf).map(r.getInt), r.getAs[Long]("n")))
+      .toSeq
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // probability clamp (the Splink/fastLink convention): a saturated
+    // m→1 or u→0 freezes EM in a degenerate corner and makes the final
+    // ln(m/u) infinite — clamp every parameter to [1e-6, 0.999999]
+    // (micro resolution, the output's own granularity) after rounding
+    def c12(x: Double): Double =
+      math.min(math.max(r12(x), 0.000001), 0.999999)
+    val bigN = patterns.map(_._2).sum
+    var p = 0.1
+    var m = Array.fill(nf)(0.9)
+    var u = Array.fill(nf)(0.1)
+    for (_ <- 1 to iters) {
+      val weighted = patterns.map { case (g, n) =>
+        var a = p
+        var b = 1.0 - p
+        for (i <- 0 until nf) {
+          a = a * (if (g(i) == 1) m(i) else 1.0 - m(i))
+          b = b * (if (g(i) == 1) u(i) else 1.0 - u(i))
+        }
+        (g, n, r12(a / (a + b)))
+      }
+      val sw = weighted.map { case (_, n, w) => BigDecimal(w) * n }.sum
+      p = c12(sw.toDouble / bigN.toDouble)
+      m = Array.tabulate(nf) { i =>
+        val swi = weighted.collect { case (g, n, w) if g(i) == 1 =>
+          BigDecimal(w) * n }.sum
+        c12(swi.toDouble / sw.toDouble)
+      }
+      u = Array.tabulate(nf) { i =>
+        val sui = weighted.collect { case (g, n, w) if g(i) == 1 =>
+          BigDecimal(r12(1.0 - w)) * n }.sum
+        c12(sui.toDouble / (bigN.toDouble - sw.toDouble))
+      }
+    }
+    import spark.implicits._
+    fields.map(_._1).zipWithIndex.map { case (nm, i) =>
+      (nm, bigN,
+        math.round(p * 1000000.0),
+        math.round(m(i) * 1000000.0),
+        math.round(u(i) * 1000000.0),
+        BigDecimal(math.log(m(i) / u(i)) * 1000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toDF("field", "n_pairs", "p_micro", "m_micro", "u_micro",
+      "weight_milli")
+  }
 }

@@ -112,6 +112,72 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the seed-restart
+    * random walk): identical to [[pagerankDirected]] except ALL
+    * teleport mass — the (1−d) restart AND the dangling-node
+    * redistribution — returns to the SEED set instead of the uniform
+    * distribution. The stationary mass then measures proximity to the
+    * seeds: the seed-expansion / contamination-affinity score over a
+    * similarity graph (given curated seed docs, PPR ranks the corpus
+    * by graph-proximity to curation — the label-propagation
+    * alternative that needs no threshold).
+    *
+    * Same shapes and numeric contract as [[pagerankDirected]]: per
+    * iteration one edges⋈ranks join + contribution aggregation
+    * (6dp-rounded contributions summed in DECIMAL), a 1-row dangling
+    * mass, a 1-row seed count — nothing corpus-sized beyond the
+    * co-keyed joins. Seeds outside the graph's node set drop (the node
+    * universe is edge endpoints, as in every sibling). Non-seed nodes
+    * with no in-edges converge to 0 — they are unreachable from the
+    * restart distribution.
+    *
+    * Returns (node, is_seed, rank); Σ rank ≈ 1 up to rounding.
+    */
+  def personalizedPagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, damping: Double = DefaultDamping,
+      iters: Int = DefaultIters): DataFrame = {
+    val directed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val seedIds = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    val nodes = directed.select(col("src").as("node"))
+      .unionAll(directed.select(col("dst").as("node")))
+      .distinct()
+      .join(seedIds.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))
+      .cache()
+    val nSeeds = nodes.agg(sum("is_seed").cast("double").as("n_seeds"))
+    val outdeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val g = directed.join(outdeg, Seq("src")).cache()
+    val dangling = nodes.select("node")
+      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .cache()
+    val zero = lit(0).cast("decimal(28,12)")
+    var ranks = nodes.crossJoin(broadcast(nSeeds))
+      .select(col("node"),
+        round(col("is_seed").cast("double") / col("n_seeds"), 6).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = g
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("rank") / col("outdeg").cast("double"), 6)
+            .cast("decimal(28,12)").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("s"))
+      val dangMass = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank").cast("decimal(28,12)")), zero).as("dm"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(nSeeds)).crossJoin(broadcast(dangMass))
+        .select(col("node"),
+          round(col("is_seed").cast("double") *
+            (lit(1.0 - damping) / col("n_seeds") +
+              lit(damping) * col("dm").cast("double") / col("n_seeds")) +
+            lit(damping) * coalesce(col("s"), zero).cast("double"),
+            6).as("rank"))
+    }
+    nodes.join(ranks, Seq("node"))
+      .select(col("node"), col("is_seed"), col("rank"))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal (dup-graph cliqueness, community density) next
     * to the global structure PageRank reads.

@@ -241,6 +241,107 @@ object ProfileOps {
           .as("zipf_slope_micro"))
   }
 
+  /** Heaps-law vocabulary-growth fit V(N) = K·N^β (Heaps 1978) — the
+    * companion card to [[zipfSlope]]: how fast does the vocabulary grow
+    * as the corpus grows? β far from the ~0.4–0.6 natural-text band
+    * flags synthetic/templated corpora (β→0: fixed vocab, β→1: id-like
+    * churn), and the fit extrapolates tokenizer-vocab coverage to a
+    * planned corpus size.
+    *
+    * Scale shape: growth is measured at `buckets` doc-id checkpoints,
+    * NEVER per document — per-bucket token counts and per-bucket
+    * first-occurrence vocabulary counts (min bucket per word — one
+    * word-keyed aggregation) reduce the corpus to a ≤`buckets`-row
+    * frame, whose cumulative sums run in a single tiny partition (the
+    * w6_global_cumsum bin-summary pattern). OLS runs over
+    * (ln N_j, ln V_j) in the [[zipfSlope]] exact-integer contract
+    * (micro-rounded logs, DECIMAL sums, one fixed double order).
+    *
+    * Returns one row: (n_points, beta_micro, lnk_micro).
+    */
+  def heapsLaw(docs: DataFrame, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = docs.agg(max("doc_id").as("mx"))
+    val base = docs.crossJoin(broadcast(mx))
+      .withColumn("__bkt", expr(s"(doc_id * $buckets) div (mx + 1)"))
+    val tokPer = base
+      .groupBy("__bkt")
+      .agg(sum(TextOps.tokenCount(col("text"))).as("tk"))
+    val vocPer = base
+      .select(col("__bkt"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min("__bkt").as("__bkt"))
+      .groupBy("__bkt").agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = tokPer
+      .join(vocPer, Seq("__bkt"), "full_outer")
+      .na.fill(0L, Seq("tk", "nv"))
+      .withColumn("nn", sum("tk").over(w))
+      .withColumn("vv", sum("nv").over(w))
+      .filter(col("nn") > 0 && col("vv") > 0)
+      .select(
+        round(log(col("nn").cast("double")) * lit(1000000.0)).cast("long")
+          .as("x"),
+        round(log(col("vv").cast("double")) * lit(1000000.0)).cast("long")
+          .as("y"))
+    val n = col("n_points").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val beta = num / den
+    pts.agg(
+      count(lit(1)).as("n_points"),
+      sum(col("x").cast("decimal(28,0)")).as("sx"),
+      sum(col("y").cast("decimal(28,0)")).as("sy"),
+      sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+        .as("sxy"),
+      sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+        .as("sxx"))
+      .select(col("n_points"),
+        when(col("n_points") < 2, 0L)
+          .otherwise(floor(beta * lit(1000000.0)).cast("long"))
+          .as("beta_micro"),
+        when(col("n_points") < 2, 0L)
+          .otherwise(floor((col("sy").cast("double") -
+            beta * col("sx").cast("double")) / n).cast("long"))
+          .as("lnk_micro"))
+  }
+
+  /** Differentially-private group-count release (Dwork et al. 2006:
+    * the Laplace mechanism at sensitivity 1): each group's count is
+    * published with Laplace(1/ε) noise via inverse-CDF over a
+    * 16-bit md5 uniform — noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|).
+    *
+    * DETERMINISM CAVEAT, stated loudly: the draw is SEEDED from the
+    * group key (+ `salt`) so the release hash-replays in the oracle
+    * gate; a production release MUST use a secret nonce as the salt
+    * (a key-derivable draw lets an adversary subtract the noise —
+    * calibration is real, unpredictability comes from the salt).
+    * u = (2h+1)/2¹⁷ is strictly inside (0,1) (odd numerator), so the
+    * log never sees 0 and sgn never sees ½ exactly.
+    *
+    * One aggregation, scan-side noise — a data-card release costs one
+    * pass at any scale. Returns keys :+ (n, noise_micro, n_dp_micro).
+    */
+  def dpCounts(df: DataFrame, keys: Seq[String], epsilon: Double = 1.0,
+      salt: String = "dp"): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val keyStr = concat_ws("|", keys.map(col(_).cast("string")): _*)
+    val h = conv(substring(md5(concat(lit(salt + ":"), keyStr)), 1, 4),
+      16, 10).cast("long")
+    val u = (h.cast("double") * 2 + 1) / lit(131072.0)
+    val cen = u - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(cen) *
+      log(lit(1.0) - lit(2.0) * abs(cen))
+    counts.select(keys.map(col) ++ Seq(
+      col("n"),
+      round(noise * lit(1000000.0)).cast("long").as("noise_micro"),
+      round((col("n").cast("double") + noise) * lit(1000000.0)).cast("long")
+        .as("n_dp_micro")): _*)
+  }
+
   /** Order- and partitioning-invariant dataset fingerprint per group:
     * Σ over rows of the 48-bit md5 slice of the '|'-joined canonical
     * row string, mod 2^48. The sum is DECIMAL (exact at any row

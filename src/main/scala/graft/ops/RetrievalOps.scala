@@ -79,6 +79,72 @@ object RetrievalOps {
       .select(col("doc_id"), col("rank"), col("score"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty, SIGIR 2001) — the language-modeling ranker next to
+    * [[bm25TopK]]'s tf-idf family:
+    *
+    *   score(d) = Σ_{t∈q} ln( (tf_{t,d} + μ·p(t|C)) / (dl_d + μ) )
+    *   p(t|C)   = cf_t / |C|   (collection term frequency over total tokens)
+    *
+    * μ is the Dirichlet prior mass (2000 is the standard ad-hoc value):
+    * short documents are smoothed toward the collection model, which is
+    * the length normalization BM25 gets from its b knob.
+    *
+    * Scale shape: the token explode FILTERS to the query's terms at the
+    * scan (posting lists only — the bm25TopK contract); candidates are
+    * docs matching ≥1 term (the standard candidate rule — a doc
+    * matching nothing ranks purely by its length prior and cannot beat
+    * a matching doc at ad-hoc μ); zero-tf terms of candidate docs DO
+    * contribute their smoothing mass via one broadcast terms×candidates
+    * completion, so the score is the full formula, not the
+    * matched-terms truncation. cf (≤|terms| rows) and the 1-row |C|
+    * broadcast back; per-term contributions round to 6dp and sum in
+    * DECIMAL; top-k is TakeOrderedAndProject.
+    *
+    * Returns (doc_id, rank, score_micro), rank 1-based, ties by doc_id.
+    */
+  def qlDirichletTopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "qlDirichletTopK needs a query term")
+    val toks = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("dl"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val totals = docs.agg(
+      sum(TextOps.tokenCount(col("text"))).cast("double").as("c_total"))
+    val cf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("tok").agg(count(lit(1)).cast("double").as("cf"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val cand = tf.select("doc_id", "dl").distinct()
+    // complete the (candidate × query-term) grid so zero-tf terms
+    // contribute their smoothing mass: a broadcast of ≤|terms| rows
+    val grid = cand.crossJoin(
+      broadcast(cf.crossJoin(broadcast(totals))
+        .select(col("tok"), (col("cf") / col("c_total")).as("ptc"))))
+    val term = log((coalesce(col("tf"), lit(0L)).cast("double") +
+      lit(mu) * col("ptc")) / (col("dl").cast("double") + lit(mu)))
+    grid
+      .join(tf, Seq("doc_id", "dl", "tok"), "left")
+      .select(col("doc_id"),
+        round(term, 6).cast("decimal(28,6)").as("term"))
+      .groupBy("doc_id")
+      .agg(sum("term").cast("decimal(38,6)").as("s"))
+      .select(col("doc_id"),
+        round(col("s").cast("double") * lit(1000000.0)).cast("long")
+          .as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("rank"), col("score_micro"))
+  }
+
   /** BM25 top-k with MaxScore pruning (Turtle & Flood 1995) — SAME
     * RESULTS as [[bm25TopK]], provably, with non-essential posting
     * lists pruned before the per-doc aggregation:

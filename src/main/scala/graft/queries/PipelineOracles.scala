@@ -4731,6 +4731,225 @@ object PipelineOracles {
          |${fieldRow("len_bucket", "agb")}""".stripMargin
     },
 
+    // unsupervised Fellegi-Sunter EM replayed: the same pattern-count
+    // reduction (matched ∪ derangement pairs → ≤2^3 γ rows), then the
+    // EM recurrence as one generated CTE per iteration — every derived
+    // scalar rounded to 12dp before use, pattern-weighted sums in
+    // DECIMAL(38,12), products left-assoc in field order, exactly the
+    // driver-side arithmetic.
+    "dedup_fs_em" -> {
+      val off = PipelineQueries.FsOffset
+      val iters = 20
+      def tprod(p: String, ms: Seq[String]): String =
+        ms.zipWithIndex.map { case (m, i) =>
+          s"(CASE WHEN g$i = 1 THEN $m ELSE 1.0 - $m END)"
+        }.mkString(s"$p * ", " * ", "")
+      val steps = (1 to iters).map { i =>
+        val pv = s"p${i - 1}"
+        val sw = "sum(CAST(w AS DECIMAL(38,12)) * n)"
+        def swg(g: Int) =
+          s"sum(CASE WHEN g$g = 1 THEN CAST(w AS DECIMAL(38,12)) * n ELSE CAST(0 AS DECIMAL(38,12)) END)"
+        def sug(g: Int) =
+          s"sum(CASE WHEN g$g = 1 THEN CAST(round(1.0 - w, 12) AS DECIMAL(38,12)) * n ELSE CAST(0 AS DECIMAL(38,12)) END)"
+        // the c12 clamp: round to 12dp, then pin into [1e-6, 0.999999]
+        def cl(e: String) = s"least(greatest($e, 0.000001), 0.999999)"
+        val ms = (0 to 2).map(g => cl(
+          s"round(CAST(${swg(g)} AS DOUBLE) / CAST($sw AS DOUBLE), 12)") +
+          s" AS m$g")
+        val us = (0 to 2).map(g => cl(
+          s"""round(CAST(${sug(g)} AS DOUBLE) /
+             |      (CAST((SELECT bn FROM nn) AS DOUBLE) - CAST($sw AS DOUBLE)), 12)""".stripMargin) +
+          s" AS u$g")
+        s"""e$i AS MATERIALIZED (SELECT g0, g1, g2, n, round(a / (a + b), 12) AS w FROM (
+           |  SELECT pat.*, ${tprod("p", Seq("m0", "m1", "m2"))} AS a,
+           |    ${tprod("(1.0 - p)", Seq("u0", "u1", "u2"))} AS b
+           |  FROM pat CROSS JOIN $pv)),
+           |p$i AS MATERIALIZED (SELECT
+           |  least(greatest(round(CAST($sw AS DOUBLE) / CAST((SELECT bn FROM nn) AS DOUBLE), 12), 0.000001), 0.999999) AS p,
+           |  ${ms.mkString(",\n  ")},
+           |  ${us.mkString(",\n  ")}
+           |  FROM e$i)""".stripMargin
+      }.mkString(",\n")
+      def out(nm: String, g: Int) =
+        s"""SELECT '$nm' AS field,
+           |  CAST((SELECT bn FROM nn) AS BIGINT) AS n_pairs,
+           |  CAST(round(p * 1000000.0) AS BIGINT) AS p_micro,
+           |  CAST(round(m$g * 1000000.0) AS BIGINT) AS m_micro,
+           |  CAST(round(u$g * 1000000.0) AS BIGINT) AS u_micro,
+           |  CAST(round(ln(m$g / u$g) * 1000.0) AS BIGINT) AS weight_milli
+           |FROM p$iters""".stripMargin
+      s"""WITH $bandsCte,
+         |mhp AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |k AS (SELECT doc_id, md5(text) AS hh, lang, source, n_chars
+         |  FROM documents),
+         |up AS (SELECT x.doc_id AS a, y.doc_id AS b FROM k x
+         |  JOIN k y ON y.doc_id = x.doc_id + $off AND y.hh <> x.hh),
+         |pr AS (SELECT a, b FROM mhp UNION ALL SELECT a, b FROM up),
+         |pat AS MATERIALIZED (SELECT
+         |    CASE WHEN ka.lang = kb.lang THEN 1 ELSE 0 END AS g0,
+         |    CASE WHEN ka.source = kb.source THEN 1 ELSE 0 END AS g1,
+         |    CASE WHEN floor(CAST(ka.n_chars AS DOUBLE) / 100.0)
+         |      = floor(CAST(kb.n_chars AS DOUBLE) / 100.0)
+         |      THEN 1 ELSE 0 END AS g2,
+         |    count(*) AS n
+         |  FROM pr JOIN k ka ON pr.a = ka.doc_id JOIN k kb ON pr.b = kb.doc_id
+         |  GROUP BY 1, 2, 3),
+         |nn AS MATERIALIZED (SELECT sum(n) AS bn FROM pat),
+         |p0 AS (SELECT 0.1 AS p, 0.9 AS m0, 0.9 AS m1, 0.9 AS m2,
+         |  0.1 AS u0, 0.1 AS u1, 0.1 AS u2),
+         |$steps
+         |${out("lang", 0)}
+         |UNION ALL
+         |${out("source", 1)}
+         |UNION ALL
+         |${out("len_bucket", 2)}""".stripMargin
+    },
+
+    // query-likelihood Dirichlet replay: same posting-list reduction as
+    // the BM25 CTEs, the candidate×term grid completed so zero-tf terms
+    // contribute their smoothing mass, 6dp-rounded ln terms summed in
+    // DECIMAL.
+    "ret_ql_dirichlet" -> {
+      val terms = PipelineQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val mu = 2000.0
+      s"""WITH qex AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |qct AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS ct
+         |  FROM documents),
+         |qcf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cf FROM qex
+         |  WHERE tok IN ($terms) GROUP BY 1),
+         |qtf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM qex WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+         |qcand AS (SELECT DISTINCT doc_id, dl FROM qtf),
+         |qgrid AS (SELECT qcand.doc_id, qcand.dl, qcf.tok,
+         |    qcf.cf / (SELECT ct FROM qct) AS ptc
+         |  FROM qcand CROSS JOIN qcf),
+         |qsc AS (SELECT g.doc_id,
+         |    CAST(round(ln((CAST(coalesce(t.tf, 0) AS DOUBLE) + $mu * g.ptc)
+         |      / (CAST(g.dl AS DOUBLE) + $mu)), 6) AS DECIMAL(28,6)) AS term
+         |  FROM qgrid g LEFT JOIN qtf t
+         |    ON t.doc_id = g.doc_id AND t.tok = g.tok),
+         |qagg AS (SELECT doc_id,
+         |    CAST(round(CAST(CAST(sum(term) AS DECIMAL(38,6)) AS DOUBLE)
+         |      * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM qsc GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+         |  score_micro
+         |FROM qagg ORDER BY score_micro DESC, doc_id
+         |LIMIT ${PipelineQueries.Bm25K}""".stripMargin
+    },
+
+    // DP Laplace release replayed: identical seeded 16-bit md5 uniform,
+    // identical inverse-CDF arithmetic order.
+    "privacy_dp_counts" ->
+      s"""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |z AS (SELECT lang, source, n,
+         |    (CAST(('0x' || substr(md5('dp:' || lang || '|' || source), 1, 4))::BIGINT
+         |      AS DOUBLE) * 2 + 1) / 131072.0 - 0.5 AS cen
+         |  FROM c)
+         |SELECT lang, source, n,
+         |  CAST(round((-1.0) * sign(cen) * ln(1.0 - 2.0 * abs(cen))
+         |    * 1000000.0) AS BIGINT) AS noise_micro,
+         |  CAST(round((CAST(n AS DOUBLE)
+         |    + (-1.0) * sign(cen) * ln(1.0 - 2.0 * abs(cen)))
+         |    * 1000000.0) AS BIGINT) AS n_dp_micro
+         |FROM z""".stripMargin,
+
+    // personalized PageRank replay over the LSH→kNN graph: per
+    // iteration a seed-directed dangling CTE and the seed-restart
+    // update in the same fixed double order.
+    "graph_ppr" -> {
+      val d = graft.ops.GraphOps.DefaultDamping
+      val iters = graft.ops.GraphOps.DefaultIters
+      val steps = (1 to iters).map { i =>
+        s"""pdm$i AS (SELECT CAST(coalesce(sum(CAST(r.rank AS DECIMAL(28,12))), 0)
+           |    AS DECIMAL(28,12)) AS dm
+           |  FROM pr${i - 1} r LEFT JOIN pod ON pod.src = r.node
+           |  WHERE pod.src IS NULL),
+           |pc$i AS (SELECT pdir.dst AS node,
+           |    sum(CAST(round(r.rank / pod.outdeg, 6) AS DECIMAL(28,12))) AS s
+           |  FROM pdir JOIN pod ON pod.src = pdir.src
+           |  JOIN pr${i - 1} r ON r.node = pdir.src
+           |  GROUP BY pdir.dst),
+           |pr$i AS (SELECT n.node, n.is_seed,
+           |    round(CAST(n.is_seed AS DOUBLE) * ((1.0 - $d) / (SELECT ns FROM pns)
+           |        + $d * CAST((SELECT dm FROM pdm$i) AS DOUBLE) / (SELECT ns FROM pns))
+           |      + $d * CAST(coalesce(pc$i.s, 0) AS DOUBLE), 6) AS rank
+           |  FROM pnodes n LEFT JOIN pc$i ON pc$i.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $normCte,
+         |${lshAutoCtes(PipelineQueries.TriangleCos)},
+         |parcs AS (SELECT vec_a AS src, vec_b AS dst, cos_sim AS c FROM lp
+         |  UNION ALL SELECT vec_b, vec_a, cos_sim FROM lp),
+         |pknn AS (SELECT src, dst FROM (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk
+         |  FROM parcs) WHERE rk <= ${PipelineQueries.BfsKnnK}),
+         |pdir AS (SELECT DISTINCT src, dst FROM pknn),
+         |pnodes AS (SELECT node,
+         |    CASE WHEN node % ${PipelineQueries.BfsSourceMod} = 0
+         |      THEN 1 ELSE 0 END AS is_seed
+         |  FROM (SELECT src AS node FROM pdir
+         |        UNION SELECT dst AS node FROM pdir)),
+         |pns AS (SELECT CAST(sum(is_seed) AS DOUBLE) AS ns FROM pnodes),
+         |pod AS (SELECT src, count(*) AS outdeg FROM pdir GROUP BY src),
+         |pr0 AS (SELECT node, is_seed,
+         |    round(CAST(is_seed AS DOUBLE) / (SELECT ns FROM pns), 6) AS rank
+         |  FROM pnodes),
+         |$steps
+         |SELECT node, CAST(is_seed AS BIGINT) AS is_seed, rank
+         |FROM pr$iters""".stripMargin
+    },
+
+    // Heaps-law replay: the same 32-checkpoint reduction (per-bucket
+    // token sums + first-occurrence vocabulary counts), ROWS-frame
+    // cumulatives over the bucket frame, micro-rounded logs, HUGEINT
+    // sums, one fixed double order for slope and intercept.
+    "text_heaps_law" ->
+      s"""WITH hm AS (SELECT max(doc_id) AS mx FROM documents),
+         |hb AS (SELECT doc_id, text,
+         |    (doc_id * 32) // ((SELECT mx FROM hm) + 1) AS bkt FROM documents),
+         |htk AS (SELECT bkt, sum(len(string_split(text, ' '))) AS tk
+         |  FROM hb GROUP BY 1),
+         |hfv AS (SELECT tok, min(bkt) AS bkt FROM
+         |    (SELECT bkt, unnest(string_split(text, ' ')) AS tok FROM hb)
+         |  GROUP BY tok),
+         |hnv AS (SELECT bkt, count(*) AS nv FROM hfv GROUP BY 1),
+         |hcum AS (SELECT bkt,
+         |    sum(coalesce(tk, 0)) OVER (ORDER BY bkt
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+         |    sum(coalesce(nv, 0)) OVER (ORDER BY bkt
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+         |  FROM htk FULL OUTER JOIN hnv USING (bkt)),
+         |hpts AS (SELECT
+         |    CAST(round(ln(CAST(nn AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(round(ln(CAST(vv AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+         |  FROM hcum WHERE nn > 0 AND vv > 0),
+         |hagg AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM hpts)
+         |SELECT n_points,
+         |  CASE WHEN n_points < 2 THEN 0 ELSE
+         |    CAST(floor((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) END AS beta_micro,
+         |  CASE WHEN n_points < 2 THEN 0 ELSE
+         |    CAST(floor((CAST(sy AS DOUBLE)
+         |      - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * CAST(sx AS DOUBLE))
+         |      / CAST(n_points AS DOUBLE)) AS BIGINT) END AS lnk_micro
+         |FROM hagg""".stripMargin,
+
     // Mann-Whitney replayed: doubled tie-averaged ranks from the value
     // spine, HUGEINT rank sums, the tie-corrected normal z in the same
     // fixed double order.

@@ -2935,6 +2935,73 @@ object PipelineQueries {
         table(s, dir, "embeddings")
           .filter(pmod(col("vec_id"), lit(BfsSourceMod)) === 0)
           .select(col("vec_id")),
-        BfsMaxHops))
+        BfsMaxHops)),
+
+    // query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    // Lafferty 2001) — the language-modeling ranker beside BM25's
+    // tf-idf family; same posting-list scan shape, same query terms,
+    // so the two rankers are directly comparable.
+    "ret_ql_dirichlet" -> ((s, dir) =>
+      RetrievalOps.qlDirichletTopK(
+        table(s, dir, "documents"), Bm25Terms, Bm25K)),
+
+    // UNSUPERVISED Fellegi-Sunter fit: EM over agreement-pattern
+    // counts (Winkler 1988) — the estimator used when no labels exist,
+    // beside dedup_fs_weights' self-labeled rates. The candidate mix
+    // is what a real linkage run generates: MinHash candidate pairs
+    // (the match-class carrier) plus the fixed-shift derangement (the
+    // background). The corpus reduces to ≤2^F pattern rows in one
+    // aggregation; EM iterates on that bounded table with
+    // 12dp-rounded clamped arithmetic the oracle replays iteration
+    // for iteration.
+    "dedup_fs_em" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val mh = DedupOps.candidatePairs(dedupBands(s, dir))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val ids = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val shift = ids
+        .select(col("doc_id").as("a"), col("h").as("__ma"),
+          (col("doc_id") + FsOffset).as("b"))
+        .join(ids.select(col("doc_id").as("b"), col("h").as("__mb")),
+          Seq("b"))
+        .filter(col("__ma") =!= col("__mb"))
+        .select(col("a"), col("b"))
+      DedupOps.linkageWeightsEm(docs,
+        Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+            org.apache.spark.sql.Column)](
+          "lang" -> ((a, b) => a.getField("lang") === b.getField("lang")),
+          "source" -> ((a, b) => a.getField("source") === b.getField("source")),
+          "len_bucket" -> ((a, b) =>
+            floor(a.getField("n_chars").cast("double") / lit(100.0)) ===
+              floor(b.getField("n_chars").cast("double") / lit(100.0)))),
+        mh.unionAll(shift), 20)
+    }),
+
+    // DP Laplace release of the (lang, source) count card — seeded
+    // inverse-CDF noise at sensitivity 1 (see ProfileOps.dpCounts'
+    // loud determinism caveat: the seed is the replayability contract,
+    // production uses a secret salt).
+    "privacy_dp_counts" -> ((s, dir) =>
+      ProfileOps.dpCounts(table(s, dir, "documents"),
+        Seq("lang", "source"))),
+
+    // personalized PageRank over the default graph surface (LSH
+    // candidates → degree-capped kNN arcs): graph-proximity to the
+    // curated seed set — the seed-expansion score. Same seeds as BFS.
+    "graph_ppr" -> ((s, dir) =>
+      GraphOps.personalizedPagerank(
+        GraphOps.knnGraph(
+          SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos),
+          "vec_a", "vec_b", "cos_sim", BfsKnnK),
+        "src", "dst",
+        table(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(BfsSourceMod)) === 0)
+          .select(col("vec_id")))),
+
+    // Heaps-law vocabulary growth V(N) = K·N^β fitted at 32 doc-id
+    // checkpoints — the synthetic-corpus detector and tokenizer-vocab
+    // extrapolator next to profile_zipf_slope.
+    "text_heaps_law" -> ((s, dir) =>
+      ProfileOps.heapsLaw(table(s, dir, "documents")))
   )
 }
