@@ -195,4 +195,64 @@ object MixOps {
       .withColumn("fill_ppm",
         expr("total_tok * 1000000 div (n_seqs * seq_len)"))
   }
+
+  /** Quantile normalization across sources (Bolstad et al. 2003, the
+    * microarray-normalization classic, applied to corpus quality
+    * scores): each source's score distribution maps onto the POOLED
+    * distribution by rank, so a threshold like "top 30% quality" means
+    * the same thing in every source even when their raw score scales
+    * disagree — the harmonization step before any cross-source mixing
+    * rule reads a score column.
+    *
+    * Resolution is `q` quantile buckets (the sketch-resolution trade
+    * stated honestly — row-exact normalization needs a rank-range join
+    * against the pooled spine, a nested-loop at scale): a row's
+    * within-source midrank bucket b = ⌊(2r−1)·q / (2n)⌋ maps to the
+    * pooled order statistic at the bucket's midpoint rank
+    * t_b = ⌈(2b+1)·N / (2q)⌉ — ALL pure integer arithmetic, no
+    * floating quantile math to disagree across engines.
+    *
+    * Plan shape: one per-source rank window; the pooled value spine
+    * (distinct scores + cumulative counts — the spearman spine
+    * contract) joins q bucket targets in a broadcast, reduces to a
+    * q-row bucket→value dim, and that dim broadcasts back onto the
+    * row stream. Returns (idCol, grpCol, valCol, q_bucket, norm),
+    * where norm is the pooled score at the bucket midpoint.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      grpCol: String,
+      valCol: String,
+      idCol: String,
+      q: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q >= 2, s"need at least 2 quantile buckets, got $q")
+    val rows = df
+      .filter(col(valCol).isNotNull && col(grpCol).isNotNull)
+      .select(col(idCol), col(grpCol), col(valCol).cast("long").as("__v"))
+    val wG = Window.partitionBy(grpCol).orderBy(col("__v"), col(idCol))
+    val ranked = rows
+      .withColumn("__r", row_number().over(wG))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(grpCol)))
+      .withColumn("q_bucket",
+        expr(s"((2 * __r - 1) * $q) div (2 * __n)"))
+    // pooled spine: distinct values with cumulative counts
+    val spine = rows.groupBy("__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(
+        Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)))
+    val nTot = rows.agg(count(lit(1)).as("__nt"))
+    val buckets = spine.sparkSession.range(q.toLong)
+      .select(col("id").cast("long").as("q_bucket"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__t", expr(s"((2 * q_bucket + 1) * __nt + 2 * $q - 1) div (2 * $q)"))
+    // bucket -> pooled order statistic: min value whose cum reaches t
+    val dim = buckets
+      .join(broadcast(spine), col("__cum") >= col("__t"))
+      .groupBy("q_bucket")
+      .agg(min("__v").as("norm"))
+    ranked
+      .join(broadcast(dim), Seq("q_bucket"))
+      .select(col(idCol), col(grpCol), col("__v").as(valCol),
+        col("q_bucket"), col("norm"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -382,5 +382,67 @@ object StatsOps {
         expr("CAST(((2 * sic - (n_items + 1) * sc) * 1000000) div " +
           "(CAST(n_items AS DECIMAL(38,0)) * sc) AS BIGINT)")
           .as("gini_micro"))
+  }
+
+  /** Simpson's-paradox card (Simpson 1951): does the POOLED comparison
+    * of a binary treatment's outcome means reverse inside the strata?
+    * The aggregation trap every cross-source comparison risks — "source
+    * A looks better overall" can be pure composition (A has more of the
+    * easy stratum), which this card surfaces instead of leaving it to a
+    * reader's vigilance.
+    *
+    * Per stratum (plus one '__pooled' row): group counts, exact-decimal
+    * outcome means (micro), the A−B difference, and `reversed` — 1 when
+    * the stratum's difference sign CONTRADICTS the pooled sign. One
+    * aggregation (strata × 2 cells), the pooled row derived from the
+    * same cells, the pooled sign broadcast back — nothing data-sized
+    * moves twice. Strata where either group is empty carry
+    * reversed = 0 (no comparison exists).
+    *
+    * Returns (stratum, n_a, n_b, mean_a_micro, mean_b_micro,
+    * diff_micro, reversed).
+    */
+  def simpsonCard(
+      df: DataFrame,
+      stratumCol: String,
+      grpCol: String,
+      grpA: String,
+      grpB: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("decimal(38,0)")
+    val cells = df
+      .filter(col(stratumCol).isNotNull &&
+        (col(grpCol) === grpA || col(grpCol) === grpB) &&
+        col(valCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        sum(when(col(grpCol) === grpA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(grpCol) === grpB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(grpCol) === grpA, v).otherwise(lit(0).cast("decimal(38,0)"))).as("s_a"),
+        sum(when(col(grpCol) === grpB, v).otherwise(lit(0).cast("decimal(38,0)"))).as("s_b"))
+    val pooled = cells.agg(
+      sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+      sum("s_a").as("s_a"), sum("s_b").as("s_b"))
+      .withColumn("stratum", lit("__pooled"))
+      .select("stratum", "n_a", "n_b", "s_a", "s_b")
+    def meanMicro(s: Column, n: Column): Column =
+      when(n > 0, round(s.cast("double") / n.cast("double") * lit(1000000.0))
+        .cast("long")).otherwise(lit(null).cast("long"))
+    val scored = cells.unionAll(pooled)
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        meanMicro(col("s_a"), col("n_a")).as("mean_a_micro"),
+        meanMicro(col("s_b"), col("n_b")).as("mean_b_micro"))
+      .withColumn("diff_micro",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("mean_a_micro") - col("mean_b_micro"))
+          .otherwise(lit(null).cast("long")))
+    val pSign = scored.filter(col("stratum") === "__pooled")
+      .select(signum(col("diff_micro").cast("double")).as("__ps"))
+    scored.crossJoin(broadcast(pSign))
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        col("mean_a_micro"), col("mean_b_micro"), col("diff_micro"),
+        when(col("stratum") =!= "__pooled" && col("diff_micro").isNotNull &&
+          signum(col("diff_micro").cast("double")) * col("__ps") < 0, 1L)
+          .otherwise(0L).as("reversed"))
   }
 }

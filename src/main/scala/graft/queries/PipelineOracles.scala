@@ -4950,6 +4950,110 @@ object PipelineOracles {
          |      / CAST(n_points AS DOUBLE)) AS BIGINT) END AS lnk_micro
          |FROM hagg""".stripMargin,
 
+    // quantile normalization replayed: per-source midrank bucket and
+    // pooled order-statistic targets in the same pure-integer formulas.
+    "mix_quantile_norm" ->
+      s"""WITH r AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rr,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         |sp AS (SELECT v, count(*) AS c FROM r GROUP BY 1),
+         |spc AS (SELECT v, sum(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sp),
+         |nt AS (SELECT count(*) AS n FROM r),
+         |bk AS (SELECT b, ((2 * b + 1) * (SELECT n FROM nt) + 199) // 200 AS t
+         |  FROM (SELECT unnest(range(0, 100)) AS b)),
+         |dim AS (SELECT bk.b AS q_bucket, min(spc.v) AS norm
+         |  FROM bk JOIN spc ON spc.cum >= bk.t GROUP BY 1)
+         |SELECT r.doc_id, r.source, r.v AS n_chars,
+         |  ((2 * rr - 1) * 100) // (2 * n) AS q_bucket, dim.norm
+         |FROM r JOIN dim ON dim.q_bucket = ((2 * rr - 1) * 100) // (2 * n)""".stripMargin,
+
+    // Simpson card replayed: the same cells + pooled union, exact sums
+    // cast to DOUBLE for the micro means, pooled sign via subquery.
+    "dq_simpson" -> {
+      val a = PipelineQueries.KmvSrcA
+      val b = PipelineQueries.KmvSrcB
+      s"""WITH cells AS (SELECT lang AS stratum,
+         |    sum(CASE WHEN source = '$a' THEN 1 ELSE 0 END) AS n_a,
+         |    sum(CASE WHEN source = '$b' THEN 1 ELSE 0 END) AS n_b,
+         |    sum(CASE WHEN source = '$a' THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS s_a,
+         |    sum(CASE WHEN source = '$b' THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS s_b
+         |  FROM documents
+         |  WHERE lang IS NOT NULL AND source IN ('$a', '$b')
+         |    AND n_chars IS NOT NULL
+         |  GROUP BY 1),
+         |allr AS (SELECT stratum, n_a, n_b, s_a, s_b FROM cells
+         |  UNION ALL SELECT '__pooled', sum(n_a), sum(n_b), sum(s_a), sum(s_b)
+         |  FROM cells),
+         |sc AS (SELECT stratum, CAST(n_a AS BIGINT) AS n_a,
+         |    CAST(n_b AS BIGINT) AS n_b,
+         |    CASE WHEN n_a > 0 THEN CAST(round(CAST(s_a AS DOUBLE)
+         |      / CAST(n_a AS DOUBLE) * 1000000.0) AS BIGINT) END AS mean_a_micro,
+         |    CASE WHEN n_b > 0 THEN CAST(round(CAST(s_b AS DOUBLE)
+         |      / CAST(n_b AS DOUBLE) * 1000000.0) AS BIGINT) END AS mean_b_micro
+         |  FROM allr),
+         |sd AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0
+         |    THEN mean_a_micro - mean_b_micro END AS diff_micro FROM sc),
+         |ps AS (SELECT sign(CAST(diff_micro AS DOUBLE)) AS s FROM sd
+         |  WHERE stratum = '__pooled')
+         |SELECT stratum, n_a, n_b, mean_a_micro, mean_b_micro, diff_micro,
+         |  CAST(CASE WHEN stratum <> '__pooled' AND diff_micro IS NOT NULL
+         |    AND sign(CAST(diff_micro AS DOUBLE)) * (SELECT s FROM ps) < 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS reversed
+         |FROM sd""".stripMargin
+    },
+
+    // ECE bins replayed: the trained-LR chain (same CTEs as the
+    // calibration oracle), per-row 6dp-rounded sigmoid summed in
+    // DECIMAL, integer gap per bin.
+    "quality_ece" -> {
+      val iters = graft.ops.ClassifierOps.DefaultIters
+      s"""WITH $lrChainCtes,
+         |sc AS (SELECT f.doc_id, $lrLogitExpr AS logit_fp, CAST(f.y AS BIGINT) AS yy
+         |  FROM f CROSS JOIN w$iters w),
+         |eprob AS (SELECT logit_fp, yy,
+         |    CAST(round(1.0 / (1.0 + exp(CAST(logit_fp AS DOUBLE)
+         |      / (-1000000.0))), 6) AS DECIMAL(18,6)) AS p6
+         |  FROM sc),
+         |erange AS (SELECT min(logit_fp) AS mn, max(logit_fp) AS mx FROM eprob),
+         |ebin AS (SELECT
+         |    CAST(CASE WHEN rg.mx > rg.mn THEN
+         |      least(floor(round(CAST(e.logit_fp - rg.mn AS DOUBLE)
+         |        / CAST(rg.mx - rg.mn AS DOUBLE), 6) * 10), 9.0)
+         |      ELSE 0.0 END AS BIGINT) AS bin,
+         |    e.yy, e.p6
+         |  FROM eprob e CROSS JOIN erange rg)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(round(CAST(sum(yy) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT)
+         |    AS frac_pos_micro,
+         |  CAST(round(CAST(sum(p6) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT)
+         |    AS conf_micro,
+         |  abs(CAST(round(CAST(sum(yy) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT)
+         |    - CAST(round(CAST(sum(p6) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT))
+         |    AS gap_micro
+         |FROM ebin GROUP BY bin""".stripMargin
+    },
+
+    // vocab coverage replayed: global top-K vocab by (count DESC, tok),
+    // left-join flag, integer ppm.
+    "text_vocab_coverage" ->
+      s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |vb AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1)
+         |  ORDER BY c DESC, tok LIMIT ${PipelineQueries.VocabCoverageK}),
+         |fl AS (SELECT tk.source, tk.tok,
+         |    CASE WHEN vb.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tk LEFT JOIN vb ON tk.tok = vb.tok)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+         |  CAST(count(DISTINCT CASE WHEN oov = 1 THEN tok END) AS BIGINT)
+         |    AS n_oov_types,
+         |  CAST(sum(oov) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+         |    AS oov_ppm
+         |FROM fl GROUP BY source""".stripMargin,
+
     // Mann-Whitney replayed: doubled tie-averaged ranks from the value
     // spine, HUGEINT rank sums, the tie-corrected normal z in the same
     // fixed double order.

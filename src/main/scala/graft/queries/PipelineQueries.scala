@@ -94,6 +94,8 @@ object PipelineQueries {
   val KAnonK = 10L
   /** KMV set-overlap synopsis size and the two compared sources. */
   val KmvOverlapK = 128
+  /** Vocabulary size for the coverage card. */
+  val VocabCoverageK = 256
   val KmvSrcA = "src0"
   val KmvSrcB = "src1"
   /** Link-prediction candidates returned. */
@@ -3002,6 +3004,80 @@ object PipelineQueries {
     // checkpoints — the synthetic-corpus detector and tokenizer-vocab
     // extrapolator next to profile_zipf_slope.
     "text_heaps_law" -> ((s, dir) =>
-      ProfileOps.heapsLaw(table(s, dir, "documents")))
+      ProfileOps.heapsLaw(table(s, dir, "documents"))),
+
+    // quantile normalization of per-source quality scores onto the
+    // pooled distribution (Bolstad et al. 2003) — "top 30% quality"
+    // means the same thing in every source even when raw scales
+    // disagree; the harmonization step before any cross-source mixing
+    // rule reads a score column. 100-bucket resolution, pure integer
+    // rank arithmetic.
+    "mix_quantile_norm" -> ((s, dir) =>
+      MixOps.quantileNormalize(table(s, dir, "documents"),
+        "source", "n_chars", "doc_id")),
+
+    // Simpson's-paradox card: does the pooled src0-vs-src1 length
+    // comparison reverse inside any language stratum? The aggregation
+    // trap every cross-source data card risks, surfaced as a flag.
+    "dq_simpson" -> ((s, dir) =>
+      StatsOps.simpsonCard(table(s, dir, "documents"),
+        "lang", "source", KmvSrcA, KmvSrcB, "n_chars")),
+
+    // expected-calibration-error bins for the in-engine LR classifier:
+    // the same logit-range bins as quality_lr_calibration, plus the
+    // model's own probability (sigmoid of the fixed-point logit,
+    // rounded per row and summed in DECIMAL — order-independent), so
+    // gap_micro = |observed − predicted| per bin and
+    // Σ gap·n / N IS the ECE. frac_pos tells calibration DIRECTION;
+    // this card prices it.
+    "quality_ece" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
+        ClassifierOps.trainLogistic(d, ClassifierOps.features(col("toks")),
+          col("lang") === "en")
+      }
+      val mxs = ClassifierOps.microFeatures(col("toks"))
+      val scored = d.filter(ClassifierOps.featurable(col("toks")))
+        .select(ClassifierOps.marginFixed(w, mxs).as("logit_fp"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val prob = round(lit(1.0) / (lit(1.0) +
+        exp(col("logit_fp").cast("double") / lit(-1000000.0))), 6)
+      val range = scored.agg(min(col("logit_fp")).as("mn"),
+        max(col("logit_fp")).as("mx"))
+      scored.crossJoin(broadcast(range))
+        .select(
+          when(col("mx") > col("mn"),
+            least(floor(round((col("logit_fp") - col("mn")).cast("double") /
+              (col("mx") - col("mn")).cast("double"), 6) * 10), lit(9.0)))
+            .otherwise(lit(0.0)).cast("long").as("bin"),
+          col("y"), prob.cast("decimal(18,6)").as("p6"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("y")) / count(lit(1)).cast("double") * lit(1000000.0))
+            .cast("long").as("frac_pos_micro"),
+          round(sum(col("p6")).cast("double") / count(lit(1)).cast("double")
+            * lit(1000000.0)).cast("long").as("conf_micro"))
+        .withColumn("gap_micro",
+          abs(col("frac_pos_micro") - col("conf_micro")))
+    }),
+
+    // top-K vocabulary coverage per source — the vocab-size planning
+    // card: what fraction of token occurrences (and of distinct
+    // types) would a K-entry vocabulary cover, per source. Token
+    // spine + one broadcast vocab semi-flag, exact integer ppm.
+    "text_vocab_coverage" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(VocabCoverageK)
+        .select(col("tok"), lit(1L).as("__in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"),
+          count_distinct(col("tok")).as("n_types"),
+          count_distinct(when(col("__in").isNull, col("tok"))).as("n_oov_types"))
+        .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+    })
   )
 }

@@ -99,6 +99,49 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(math.abs(r.values.map(_._2).sum - 1.0) < 0.01, r.toString)
   }
 
+  test("quantileNormalize: two sources with shifted scales align by rank") {
+    // source b = source a's values + 1000: after normalization, equal
+    // ranks map to the SAME pooled value in both sources
+    val docs = ((1L to 50L).map(i => (i, "a", i * 2)) ++
+      (1L to 50L).map(i => (100 + i, "b", i * 2 + 1000)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = MixOps.quantileNormalize(docs, "source", "n_chars", "doc_id",
+      q = 10).collect()
+      .map(r => (r.getString(1), r.getLong(3)) -> r.getLong(4)).toMap
+    // same bucket -> same normalized value regardless of source
+    (0L until 10L).foreach { b =>
+      assert(out(("a", b)) == out(("b", b)), s"bucket $b: $out")
+    }
+    // normalization is monotone in the bucket
+    val norms = (0L until 10L).map(b => out(("a", b)))
+    assert(norms == norms.sorted, norms.toString)
+  }
+
+  test("simpsonCard: a textbook reversal is flagged in every stratum") {
+    // stratum s1: A={10,10}, B={8}; stratum s2: A={2}, B={1,1}:
+    // within both strata A > B; pooled: A=(10+10+2)/3=7.33 < B=(8+1+1)/3=3.33
+    // — wait, pooled A is larger here; build the classic flip instead:
+    // s1: A mean 10 > B mean 9 (A: one row, B: many rows at 9)
+    // s2: A mean 2 > B mean 1 (A: many rows at 2, B: one row)
+    // pooled: A = (10 + 2*9)/10 ... construct explicitly:
+    val rows =
+      Seq((1L, "s1", "A", 10L), (2L, "s1", "B", 9L), (3L, "s1", "B", 9L),
+        (4L, "s1", "B", 9L), (5L, "s1", "B", 9L), (6L, "s1", "B", 9L),
+        (7L, "s2", "A", 2L), (8L, "s2", "A", 2L), (9L, "s2", "A", 2L),
+        (10L, "s2", "A", 2L), (11L, "s2", "A", 2L), (12L, "s2", "B", 1L))
+    val df = rows.toDF("id", "lang", "source", "v")
+    val out = StatsOps.simpsonCard(df, "lang", "source", "A", "B", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(5), r.getLong(6))).toMap
+    // per-stratum: A wins both
+    assert(out("s1")._1 > 0 && out("s2")._1 > 0, out.toString)
+    // pooled: A = (10 + 5*2)/6 = 3.33; B = (5*9 + 1)/6 = 7.67 — B wins
+    assert(out("__pooled")._1 < 0, out.toString)
+    // both strata contradict the pooled sign -> flagged
+    assert(out("s1")._2 == 1L && out("s2")._2 == 1L &&
+      out("__pooled")._2 == 0L, out.toString)
+  }
+
   test("heapsLaw: a two-point power law is recovered exactly") {
     // doc ids 0..31 -> buckets 0..31 (max 31, (id*32) div 32 = id).
     // tokens per doc: 10 each => N_j = 10(j+1); new vocab per doc:
