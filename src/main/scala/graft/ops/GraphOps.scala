@@ -108,6 +108,10 @@ object GraphOps {
           round(lit(1.0 - damping) / col("n_nodes") +
             lit(damping) * (coalesce(col("s"), zero).cast("double") +
               col("dm").cast("double") / col("n_nodes")), 6).as("rank"))
+        // contribs AND the dangling mass both read each iterate: the
+        // eager checkpoint stops the 2-way reference from doubling
+        // evaluation per iteration (2^iters)
+        .localCheckpoint(true)
     }
     ranks
   }
@@ -136,8 +140,11 @@ object GraphOps {
   def personalizedPagerank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, damping: Double = DefaultDamping,
       iters: Int = DefaultIters): DataFrame = {
+    // the edge builder can be expensive (the default input is the LSH
+    // candidate chain): materialize it ONCE — nodes/outdeg/dangling all
+    // derive from this snapshot instead of re-running the chain
     val directed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val seedIds = seeds.select(col(seeds.columns.head).as("node")).distinct()
     val nodes = directed.select(col("src").as("node"))
       .unionAll(directed.select(col("dst").as("node")))
@@ -173,6 +180,10 @@ object GraphOps {
               lit(damping) * col("dm").cast("double") / col("n_seeds")) +
             lit(damping) * coalesce(col("s"), zero).cast("double"),
             6).as("rank"))
+        // each iterate feeds BOTH the next contribution join and the
+        // next dangling mass — without the eager checkpoint the 2-way
+        // reference doubles evaluation per iteration (2^iters)
+        .localCheckpoint(true)
     }
     nodes.join(ranks, Seq("node"))
       .select(col("node"), col("is_seed"), col("rank"))

@@ -668,15 +668,15 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.take(30).mkString("\n"))
   }
 
-  test("graph_pagerank_directed: dangling mass rides broadcast, no cartesian") {
-    // the dangling-node mass and the damping normalizer are 1-row
-    // aggregates crossed in as BroadcastNestedLoopJoin over single
-    // rows — never a CartesianProduct; the rank join over node-sized
-    // relations may SMJ (big-big at scale, correct choice)
+  test("graph_pagerank_directed: returned plan is a flat checkpointed scan") {
+    // r10: each iterate localCheckpoints (contribs AND the dangling
+    // mass both read it — the eager checkpoint stops the 2-way
+    // reference doubling evaluation per iteration), so the returned
+    // plan is the materialized final vector — no join chain retained
     val p = plan("graph_pagerank_directed")
-    assert(p.contains("BroadcastNestedLoopJoin Cross"),
-      p.linesIterator.take(25).mkString("\n"))
-    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Scan ExistingRDD"),
+      p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
   test("graph_bfs_knn: returned plan is the same flat checkpointed scan") {
@@ -686,6 +686,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p.linesIterator.take(15).mkString("\n"))
     assert(!p.contains("Join") && countOf(p, "\\(\\d+\\) Exchange") == 0,
       p.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("mix_quantile_norm: row stream joins only broadcast dims, no SMJ") {
+    // the q-row bucket dim and the value spine are the only join
+    // inputs; a SortMergeJoin here would mean the normalization
+    // degenerated into a data-sized rank-range join
+    val p = plan("mix_quantile_norm")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ret_ql_dirichlet: top-k via per-partition heaps, no SMJ") {
+    val p = plan("ret_ql_dirichlet")
+    assert(p.contains("TakeOrderedAndProject"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("graph_ppr: final vector is checkpointed — one node-keyed join left") {
+    // the iteration loop checkpointed every iterate (and the edge
+    // snapshot), so only the final nodes⋈ranks seed-flag join remains
+    // in the returned plan — no iteration chain, no cartesian, no SMJ
+    val p = plan("graph_ppr")
+    assert(p.contains("Scan ExistingRDD"),
+      p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
   }
 
   test("knn graph build: degree cap rides WindowGroupLimit over LSH pairs") {
