@@ -470,6 +470,63 @@ object TextOps {
       micro(f1).as("r1_f_micro"), col("ov2"), micro(f2).as("r2_f_micro"))
   }
 
+  /** BLEU-4 (Papineni et al., ACL 2002) over the same adjacent
+    * (candidate d, reference d+1) pairs as [[rougeAdjacent]]: the
+    * geometric mean of clipped 1..4-gram precisions times the brevity
+    * penalty — the reference MT/generation metric next to ROUGE's
+    * recall orientation.
+    *
+    *   p_n  = Σ_g min(tf_cand, tf_ref) / (cand n-gram count)
+    *   BP   = 1 if |c| ≥ |r|, else e^(1 − |r|/|c|)
+    *   BLEU = BP · exp(¼ Σ_{n=1..4} ln p_n)   (0 if any p_n = 0 — the
+    *          unsmoothed corpus definition; zero-match pairs surface
+    *          with bleu_micro = 0 rather than an −∞ log)
+    *
+    * Shape: one per-doc TF relation per order (explode + map-side
+    * combine), one co-keyed (doc_id+1, gram) equi-join per order —
+    * exactly the rougeAdjacent plan, twice as many orders. The ln sum
+    * evaluates left-to-right in one fixed expression; micro-rounded at
+    * the end.
+    *
+    * Input (doc_id, toks); returns (cand_id, ref_id, ov1..ov4,
+    * bp_micro, bleu_micro).
+    */
+  def bleuAdjacent(docs: DataFrame): DataFrame = {
+    def tf(n: Int) = docs
+      .select(col("doc_id"),
+        explode(if (n == 1) col("toks") else shingles(col("toks"), n))
+          .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    def overlap(n: Int) = tf(n).as("c")
+      .join(tf(n).as("r"),
+        col("c.doc_id") + 1 === col("r.doc_id") && col("c.g") === col("r.g"))
+      .groupBy(col("c.doc_id").as("cand_id"))
+      .agg(sum(least(col("c.tf"), col("r.tf"))).as(s"ov$n"))
+    val spine = docs
+      .select(col("doc_id").as("cand_id"),
+        size(col("toks")).cast("long").as("clen"))
+      .join(docs.select((col("doc_id") - 1).as("cand_id"),
+        size(col("toks")).cast("long").as("rlen")), Seq("cand_id"))
+    val joined = (1 to 4).foldLeft(spine)((d, n) =>
+      d.join(overlap(n), Seq("cand_id"), "left"))
+      .na.fill(0L, (1 to 4).map(n => s"ov$n"))
+    def tot(n: Int) = greatest(col("clen") - (n - 1), lit(0L))
+    def p(n: Int) = col(s"ov$n").cast("double") / tot(n).cast("double")
+    val allPos = (1 to 4).map(n => col(s"ov$n") > 0 && tot(n) > 0)
+      .reduce(_ && _)
+    val bp = when(col("clen") >= col("rlen"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("rlen").cast("double") / col("clen").cast("double")))
+    val bleu = when(allPos,
+      bp * exp(((log(p(1)) + log(p(2))) + log(p(3)) + log(p(4))) *
+        lit(0.25))).otherwise(lit(0.0))
+    joined.select(
+      (Seq(col("cand_id"), (col("cand_id") + 1).as("ref_id")) ++
+        (1 to 4).map(n => col(s"ov$n")) ++ Seq(
+        round(bp * lit(1000000.0)).cast("long").as("bp_micro"),
+        round(bleu * lit(1000000.0)).cast("long").as("bleu_micro"))): _*)
+  }
+
   /** ROUGE-L (Lin 2004 §3) over the same adjacent (d, d+1) pairs as
     * [[rougeAdjacent]]: longest-common-subsequence recall/precision/F —
     * the order-sensitive complement to clipped n-gram overlap (n-grams

@@ -5367,6 +5367,46 @@ object PipelineOracles {
 
     // ROUGE replayed: per-order TF tables, the (doc+1, gram) clipped
     // join, identical P/R/F guards and micro rounding.
+    // BLEU-4 replayed: four clipped-overlap joins, the same left-assoc
+    // ln sum, the same BP branch.
+    "eval_bleu" -> {
+      def gram(n: Int): String =
+        if (n == 1) "SELECT doc_id, unnest(toks) AS g FROM t"
+        else {
+          val parts = (0 until n).map(k => s"toks[i + $k]").mkString(" || ' ' || ")
+          s"""SELECT doc_id, $parts AS g
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${n - 2})) AS i FROM t)""".stripMargin
+        }
+      val tfo = (1 to 4).map(n =>
+        s"""g$n AS (${gram(n)}),
+           |tf$n AS (SELECT doc_id, g, count(*) AS tf FROM g$n GROUP BY 1, 2),
+           |o$n AS (SELECT c.doc_id AS cand_id, sum(least(c.tf, r.tf)) AS ov$n
+           |  FROM tf$n c JOIN tf$n r ON c.doc_id + 1 = r.doc_id AND c.g = r.g
+           |  GROUP BY 1)""".stripMargin).mkString(",\n")
+      def tot(n: Int) = s"greatest(clen - ${n - 1}, 0)"
+      def p(n: Int) = s"(CAST(ov$n AS DOUBLE) / CAST(${tot(n)} AS DOUBLE))"
+      val allPos = (1 to 4).map(n => s"ov$n > 0 AND ${tot(n)} > 0").mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |$tfo,
+         |sp AS (SELECT c.doc_id AS cand_id,
+         |    CAST(len(c.toks) AS BIGINT) AS clen,
+         |    CAST(len(r.toks) AS BIGINT) AS rlen
+         |  FROM t c JOIN t r ON r.doc_id = c.doc_id + 1),
+         |j AS (SELECT cand_id, clen, rlen,
+         |    ${(1 to 4).map(n => s"CAST(coalesce(ov$n, 0) AS BIGINT) AS ov$n").mkString(", ")}
+         |  FROM sp ${(1 to 4).map(n => s"LEFT JOIN o$n USING (cand_id)").mkString(" ")}),
+         |f AS (SELECT *,
+         |    CASE WHEN clen >= rlen THEN 1.0
+         |      ELSE exp(1.0 - CAST(rlen AS DOUBLE) / CAST(clen AS DOUBLE)) END AS bp
+         |  FROM j)
+         |SELECT cand_id, cand_id + 1 AS ref_id, ov1, ov2, ov3, ov4,
+         |  CAST(round(bp * 1000000.0) AS BIGINT) AS bp_micro,
+         |  CAST(round(CASE WHEN $allPos
+         |    THEN bp * exp((ln(${p(1)}) + ln(${p(2)}) + ln(${p(3)}) + ln(${p(4)})) * 0.25)
+         |    ELSE 0.0 END * 1000000.0) AS BIGINT) AS bleu_micro
+         |FROM f""".stripMargin
+    },
+
     "eval_rouge" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |u AS (SELECT doc_id, unnest(toks) AS g FROM t),

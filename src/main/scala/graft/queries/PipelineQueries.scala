@@ -221,6 +221,15 @@ object PipelineQueries {
   private def normed(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.withNorm(table(s, dir, "embeddings"))
 
+  /** Shared LSH-bucket candidate pairs at the threshold-graph cut —
+    * ONE materialization read by sim_dbscan / graph_bfs_hops /
+    * graph_bfs_knn / graph_ppr (the r9 materialize-once pattern: the
+    * signature+bucket+cosine work runs once per JVM per dir, every
+    * graph query downstream starts from the cached pair list).
+    */
+  private def lshPairsTri(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos).cache()
+
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
@@ -2671,7 +2680,7 @@ object PipelineQueries {
     "sim_dbscan" -> ((s, dir) =>
       SimilarityOps.dbscan(
         table(s, dir, "embeddings"),
-        SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos),
+        lshPairsTri(s, dir),
         DbscanMinPts)),
 
     // bounded multi-source BFS over the same cosine graph — hop
@@ -2686,7 +2695,7 @@ object PipelineQueries {
     // the graph is the LSH-recall subgraph of the threshold graph.
     "graph_bfs_hops" -> ((s, dir) =>
       GraphOps.bfsHops(
-        SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos),
+        lshPairsTri(s, dir),
         "vec_a", "vec_b",
         table(s, dir, "embeddings")
           .filter(pmod(col("vec_id"), lit(BfsSourceMod)) === 0)
@@ -2853,6 +2862,13 @@ object PipelineQueries {
     "eval_rouge" -> ((s, dir) =>
       TextOps.rougeAdjacent(docsTok(s, dir).select(col("doc_id"), col("toks")))),
 
+    // BLEU-4 over the same adjacent (cand, ref) pairs — the clipped
+    // n-gram PRECISION metric with brevity penalty, beside ROUGE's
+    // recall orientation; zero-match pairs surface as bleu 0 (the
+    // unsmoothed corpus definition).
+    "eval_bleu" -> ((s, dir) =>
+      TextOps.bleuAdjacent(docsTok(s, dir).select(col("doc_id"), col("toks")))),
+
     // distinct-1/distinct-2 diversity card per source — the degenerate-
     // generation screen (low distinct-n = repetitive/templated text).
     // Unigrams read the shared (source, tok, c) materialization.
@@ -2931,7 +2947,7 @@ object PipelineQueries {
     "graph_bfs_knn" -> ((s, dir) =>
       GraphOps.bfsHops(
         GraphOps.knnGraph(
-          SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos),
+          lshPairsTri(s, dir),
           "vec_a", "vec_b", "cos_sim", BfsKnnK),
         "src", "dst",
         table(s, dir, "embeddings")
@@ -2993,7 +3009,7 @@ object PipelineQueries {
     "graph_ppr" -> ((s, dir) =>
       GraphOps.personalizedPagerank(
         GraphOps.knnGraph(
-          SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos),
+          lshPairsTri(s, dir),
           "vec_a", "vec_b", "cos_sim", BfsKnnK),
         "src", "dst",
         table(s, dir, "embeddings")

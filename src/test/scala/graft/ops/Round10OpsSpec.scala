@@ -142,6 +142,23 @@ class Round10OpsSpec extends AnyFunSuite {
       out("__pooled")._2 == 0L, out.toString)
   }
 
+  test("bleuAdjacent: identical pair scores 1, disjoint pair 0, BP penalizes short") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),  // cand 1 vs ref 2: identical
+      (2L, Seq("a", "b", "c", "d", "e")),  // cand 2 vs ref 3: disjoint
+      (3L, Seq("x", "y", "z", "w", "v")),  // cand 3 vs ref 4: short cand
+      (4L, Seq("x", "y", "z", "w", "v", "q", "r", "s", "t", "u"))
+    ).toDF("doc_id", "toks")
+    val out = TextOps.bleuAdjacent(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(6), r.getLong(7))).toMap
+    assert(out(1L) == (1000000L, 1000000L), out.toString) // perfect match
+    assert(out(2L)._2 == 0L, out.toString)                // no overlap
+    // cand 3 = the first half of ref 4: all p_n = 1, BP = e^(1-10/5)
+    val bp = BigDecimal(math.exp(1.0 - 2.0) * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(out(3L)._1 == bp && out(3L)._2 == bp, out.toString)
+  }
+
   test("heapsLaw: a two-point power law is recovered exactly") {
     // doc ids 0..31 -> buckets 0..31 (max 31, (id*32) div 32 = id).
     // tokens per doc: 10 each => N_j = 10(j+1); new vocab per doc:
