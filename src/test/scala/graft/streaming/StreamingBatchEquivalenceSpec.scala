@@ -732,6 +732,46 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingDpCounts ≡ batch privacy_dp_counts (oracle-checked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = graft.SparkEntry.queries("privacy_dp_counts")(spark, SfDir)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("noise_micro"),
+          r.getAs[Long]("n_dp_micro")))
+      .toMap
+
+    val rows = graft.etl.Ingest.table(spark, SfDir, "documents")
+      .select(col("lang"), col("source"))
+      .collect()
+      .map(r => StreamingDpCounts.KeyedRow(
+        r.getAs[String]("lang"), r.getAs[String]("source")))
+      .toSeq
+
+    val input = MemoryStream[StreamingDpCounts.KeyedRow]
+    val q = StreamingDpCounts.releaseStream(input.toDS())
+      .writeStream.format("memory").queryName("equiv_dp")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      chunks(rows).foreach { c => input.addData(c); q.processAllAvailable() }
+      // counts only grow: the row with a group's max n is its final state
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source").orderBy(col("n").desc)
+      val fin = spark.table("equiv_dp")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("noiseMicro"),
+            r.getAs[Long]("nDpMicro")))
+        .toMap
+      assert(fin == batch, s"${fin.size} streaming groups vs ${batch.size} batch")
+    } finally q.stop()
+  }
+
   test("StreamingTheilSen: buffer past maxPoints fails by key name") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
