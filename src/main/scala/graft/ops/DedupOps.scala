@@ -1189,6 +1189,13 @@ object DedupOps {
     def c12(x: Double): Double =
       math.min(math.max(r12(x), 0.000001), 0.999999)
     val bigN = patterns.map(_._2).sum
+    // no candidate pairs -> no estimate (an empty frame, not a NaN EM)
+    if (bigN == 0L) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("field", "n_pairs", "p_micro", "m_micro", "u_micro",
+          "weight_milli")
+    }
     var p = 0.1
     var m = Array.fill(nf)(0.9)
     var u = Array.fill(nf)(0.1)

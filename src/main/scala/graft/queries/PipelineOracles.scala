@@ -271,16 +271,22 @@ object PipelineOracles {
     * `asgt` is the per-table signature-prefix explode, and `lp` the
     * deduped candidate pairs that clear `threshold`.
     */
-  private def lshAutoCtes(threshold: Double): String = {
+  /** Full-width sign signature of the norm CTE's `e` under auto table
+    * `t`'s planes — shared by the single-target CTE block below and
+    * the multi-target frontier oracle.
+    */
+  private def lshAutoSigSql(t: Int): String = {
     def planeLit(p: Array[Double]): String =
       p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")
-    def sigExpr(t: Int): String =
-      graft.ops.SimilarityOps.autoTableHyperplanes(t)
-        .map(p => s"CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
+    graft.ops.SimilarityOps.autoTableHyperplanes(t)
+      .map(p => s"CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+  }
+
+  private def lshAutoCtes(threshold: Double): String = {
     val tgt = graft.ops.SimilarityOps.LshAutoTargetBucket
     val branches = (0 until graft.ops.SimilarityOps.LshTables)
-      .map(t => s"SELECT vec_id, e, nrm, $t AS t, substr(${sigExpr(t)}, 1, ab.b) AS sig FROM n CROSS JOIN ab")
+      .map(t => s"SELECT vec_id, e, nrm, $t AS t, substr(${lshAutoSigSql(t)}, 1, ab.b) AS sig FROM n CROSS JOIN ab")
       .mkString("\n  UNION ALL ")
     s"""ab AS (SELECT CAST(least(greatest(length(bin(
        |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1),
@@ -2988,6 +2994,48 @@ object PipelineOracles {
          |${lshAutoCtes(PipelineQueries.NearDupThreshold)}
          |SELECT vec_a, vec_b, cos_sim FROM lp""".stripMargin,
 
+    // the targetBucket frontier replayed: ONE materialized full-width
+    // signature table, three prefix widths derived from it, per-target
+    // recall and pair volume.
+    "dedup_lsh_frontier" -> {
+      val thr = PipelineQueries.NearDupThreshold
+      val q = PipelineQueries.LshQueryCount
+      val mb = graft.ops.SimilarityOps.LshAutoMaxBits
+      val branches = (0 until graft.ops.SimilarityOps.LshTables)
+        .map(t => s"SELECT vec_id, e, nrm, $t AS t, ${lshAutoSigSql(t)} AS fs FROM n")
+        .mkString("\n  UNION ALL ")
+      def per(tgt: Int): String =
+        s"""ab$tgt AS (SELECT CAST(least(greatest(length(bin(
+           |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1), $mb) AS INT) AS b FROM n),
+           |lp$tgt AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM (SELECT vec_id, e, nrm, t, substr(fs, 1, (SELECT b FROM ab$tgt)) AS sig FROM fsgt) a
+           |  JOIN (SELECT vec_id, e, nrm, t, substr(fs, 1, (SELECT b FROM ab$tgt)) AS sig FROM fsgt) b
+           |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+           |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $thr
+           |  GROUP BY 1, 2),
+           |h$tgt AS (SELECT count(*) AS n_hit FROM truth
+           |  JOIN (SELECT query_id, other_id FROM (
+           |      SELECT vec_a AS query_id, vec_b AS other_id FROM lp$tgt
+           |      UNION ALL SELECT vec_b, vec_a FROM lp$tgt)
+           |    WHERE query_id < $q) b USING (query_id, other_id)),
+           |np$tgt AS (SELECT count(*) AS n_pairs FROM lp$tgt)""".stripMargin
+      def row(tgt: Int): String =
+        s"""SELECT CAST($tgt AS BIGINT) AS target_bucket,
+           |  (SELECT n FROM ntr) AS n_true,
+           |  CAST((SELECT n_hit FROM h$tgt) AS BIGINT) AS n_hit,
+           |  round(CAST((SELECT n_hit FROM h$tgt) AS DOUBLE)
+           |    / CAST((SELECT n FROM ntr) AS DOUBLE), 6) AS recall,
+           |  CAST((SELECT n_pairs FROM np$tgt) AS BIGINT) AS n_pairs""".stripMargin
+      s"""WITH $normCte,
+         |fsgt AS MATERIALIZED ($branches),
+         |truth AS MATERIALIZED (SELECT q.vec_id AS query_id, n.vec_id AS other_id
+         |  FROM n q JOIN n ON q.vec_id < $q AND n.vec_id <> q.vec_id
+         |  WHERE list_dot_product(n.e, q.e) / (n.nrm * q.nrm) >= $thr),
+         |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+         |${Seq(8, 32, 128).map(per).mkString(",\n")}
+         |${Seq(8, 32, 128).map(row).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     // recall of the LSH candidate generator vs exact truth on the
     // query subset: per query, true ≥-threshold partners hit by the
     // bucketed pairs (normalized to both directions).
@@ -5033,6 +5081,30 @@ object PipelineOracles {
          |    - CAST(round(CAST(sum(p6) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT))
          |    AS gap_micro
          |FROM ebin GROUP BY bin""".stripMargin
+    },
+
+    // Brier + log-loss replayed: same LR chain and sigmoid, per-row
+    // 12dp-rounded terms summed in DECIMAL, clamped probabilities.
+    "quality_brier" -> {
+      val iters = graft.ops.ClassifierOps.DefaultIters
+      s"""WITH $lrChainCtes,
+         |sc AS (SELECT f.doc_id, $lrLogitExpr AS logit_fp, CAST(f.y AS BIGINT) AS yy
+         |  FROM f CROSS JOIN w$iters w),
+         |e AS (SELECT yy, round(1.0 / (1.0 + exp(CAST(logit_fp AS DOUBLE)
+         |    / (-1000000.0))), 6) AS p FROM sc),
+         |t AS (SELECT yy, p,
+         |    least(greatest(p, 0.000001), 0.999999) AS pc FROM e),
+         |terms AS (SELECT
+         |    CAST(round((p - yy) * (p - yy), 12) AS DECIMAL(28,12)) AS bt,
+         |    CAST(round(0.0 - (yy * ln(pc) + (1.0 - yy) * ln(1.0 - pc)), 12)
+         |      AS DECIMAL(28,12)) AS lt
+         |  FROM t)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(round(CAST(sum(bt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    * 1000000.0) AS BIGINT) AS brier_micro,
+         |  CAST(round(CAST(sum(lt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    * 1000000.0) AS BIGINT) AS log_loss_micro
+         |FROM terms""".stripMargin
     },
 
     // vocab coverage replayed: global top-K vocab by (count DESC, tok),

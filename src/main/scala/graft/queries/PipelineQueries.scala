@@ -1296,6 +1296,42 @@ object PipelineQueries {
     "dedup_embedding_lsh" -> ((s, dir) =>
       SimilarityOps.nearDupPairsLsh(normed(s, dir), NearDupThreshold)),
 
+    // the targetBucket knob's recall/cost frontier: for three bucket
+    // sizes, total recall on the query subset AND the generator's
+    // total pair output — the "recall bought per candidate inspected"
+    // evidence for sizing the knob at a new scale. One row per target.
+    "dedup_lsh_frontier" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < LshQueryCount)
+      val truth = corpus
+        .join(broadcast(qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("nrm").as("qn"))),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("other_id"),
+          SimilarityOps.cosine(
+            col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
+        .filter(col("cos") >= NearDupThreshold)
+      Seq(8, 32, 128).map { t =>
+        val lsh = SimilarityOps.nearDupPairsLsh(corpus, NearDupThreshold,
+          targetBucket = t)
+        val both = lsh
+          .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
+          .unionAll(lsh
+            .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
+          .filter(col("query_id") < LshQueryCount)
+        truth
+          .join(broadcast(both.withColumn("hit", lit(1L))),
+            Seq("query_id", "other_id"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_pairs"))))
+          .select(lit(t.toLong).as("target_bucket"), col("n_true"),
+            col("n_hit"),
+            round(col("n_hit") / col("n_true").cast("double"), 6)
+              .as("recall"), col("n_pairs"))
+      }.reduce(_ unionAll _)
+    }),
+
     // recall card for the LSH candidate generator vs exact truth on
     // the query subset — the dedup_lsh_recall pattern for embeddings:
     // per query, how many of its true ≥-threshold partners did the
@@ -3075,6 +3111,37 @@ object PipelineQueries {
             * lit(1000000.0)).cast("long").as("conf_micro"))
         .withColumn("gap_micro",
           abs(col("frac_pos_micro") - col("conf_micro")))
+    }),
+
+    // proper scoring rules for the LR classifier: Brier (mean squared
+    // probability error) and log-loss (mean negative log-likelihood,
+    // nats) — the single-number calibration+sharpness prices next to
+    // quality_ece's per-bin diagram. Per-row terms round to 12dp and
+    // sum in DECIMAL (order-independent); probabilities clamp to
+    // [1e-6, 1-1e-6] so a saturated sigmoid cannot emit ln(0).
+    "quality_brier" -> ((s, dir) => {
+      val d = docsTok(s, dir)
+      val w = ModelCache.cached(s"$dir|lr|en|i=${ClassifierOps.DefaultIters}") {
+        ClassifierOps.trainLogistic(d, ClassifierOps.features(col("toks")),
+          col("lang") === "en")
+      }
+      val mxs = ClassifierOps.microFeatures(col("toks"))
+      val scored = d.filter(ClassifierOps.featurable(col("toks")))
+        .select(ClassifierOps.marginFixed(w, mxs).as("logit_fp"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val p = round(lit(1.0) / (lit(1.0) +
+        exp(col("logit_fp").cast("double") / lit(-1000000.0))), 6)
+      val pc = least(greatest(p, lit(0.000001)), lit(0.999999))
+      val yd = col("y").cast("double")
+      val bt = round((p - yd) * (p - yd), 12).cast("decimal(28,12)")
+      val lt = round(lit(0.0) - (yd * log(pc) +
+        (lit(1.0) - yd) * log(lit(1.0) - pc)), 12).cast("decimal(28,12)")
+      scored.select(bt.as("bt"), lt.as("lt"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bt")).cast("double") / count(lit(1)).cast("double")
+            * lit(1000000.0)).cast("long").as("brier_micro"),
+          round(sum(col("lt")).cast("double") / count(lit(1)).cast("double")
+            * lit(1000000.0)).cast("long").as("log_loss_micro"))
     }),
 
     // top-K vocabulary coverage per source — the vocab-size planning

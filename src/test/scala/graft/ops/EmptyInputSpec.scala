@@ -208,4 +208,49 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Long, Double)].toDF("a", "b", "s"),
       "a", "b", "s", 3).count() == 0)
   }
+
+  test("round-10 operators survive zero-row and degenerate inputs") {
+    val noEmb = SimilarityOps.withNorm(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+    // LSH near-dup pairs: empty corpus -> empty pairs, no bin() crash
+    // on the 1-row count of zero
+    assert(SimilarityOps.nearDupPairsLsh(noEmb, 0.5).count() == 0)
+    // PPR over an empty edge list: empty vector, not a 0/0 teleport
+    assert(GraphOps.personalizedPagerank(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b",
+      Seq(Tuple1(1L)).toDF("node")).count() == 0)
+    // QL retrieval: no candidate docs -> empty ranking
+    assert(RetrievalOps.qlDirichletTopK(noDocs, Seq("x"), 5).count() == 0)
+    assert(RetrievalOps.qlDirichletTopK(degenerateDocs, Seq("zzz"), 5)
+      .count() == 0)
+    // Heaps law: empty corpus -> the single summary row with 0 points
+    val h = ProfileOps.heapsLaw(noDocs).collect()
+    assert(h.length == 1 && h.head.getLong(0) == 0L)
+    // DP counts / quantile norm / Simpson over empty tables
+    assert(ProfileOps.dpCounts(
+      Seq.empty[(String, String)].toDF("lang", "source"),
+      Seq("lang", "source")).count() == 0)
+    assert(MixOps.quantileNormalize(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars"),
+      "source", "n_chars", "doc_id").count() == 0)
+    assert(StatsOps.simpsonCard(
+      Seq.empty[(Long, String, String, Long)].toDF("id", "lang", "source", "v"),
+      "lang", "source", "A", "B", "v").count() == 1) // the pooled row
+    // BLEU over empty/degenerate docs
+    val noToks = noDocs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    val degToks = degenerateDocs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    assert(TextOps.bleuAdjacent(noToks).count() == 0)
+    assert(TextOps.bleuAdjacent(degToks).count() == 2)
+    // EM linkage: no candidate pairs -> an empty frame, not a NaN EM
+    val emptyEm = DedupOps.linkageWeightsEm(noDocs
+      .withColumn("lang", lit("x")).withColumn("source", lit("y"))
+      .withColumn("n_chars", lit(1L)),
+      Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column)](
+        "lang" -> ((a, b) => a.getField("lang") === b.getField("lang"))),
+      offset = 1L, iters = 3)
+    assert(emptyEm.count() == 0)
+  }
 }
