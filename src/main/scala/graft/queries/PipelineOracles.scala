@@ -288,11 +288,11 @@ object PipelineOracles {
     val branches = (0 until graft.ops.SimilarityOps.LshTables)
       .map(t => s"SELECT vec_id, e, nrm, $t AS t, substr(${lshAutoSigSql(t)}, 1, ab.b) AS sig FROM n CROSS JOIN ab")
       .mkString("\n  UNION ALL ")
-    s"""ab AS (SELECT CAST(least(greatest(length(bin(
+    s"""ab AS MATERIALIZED (SELECT CAST(least(greatest(length(bin(
        |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1),
        |    ${graft.ops.SimilarityOps.LshAutoMaxBits}) AS INT) AS b FROM n),
-       |asgt AS ($branches),
-       |lp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |asgt AS MATERIALIZED ($branches),
+       |lp AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    round(max(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)), 6) AS cos_sim
        |  FROM asgt a JOIN asgt b ON a.t = b.t AND a.sig = b.sig
        |    AND a.vec_id < b.vec_id
@@ -4653,14 +4653,14 @@ object PipelineOracles {
     "sim_dbscan" ->
       s"""WITH RECURSIVE $normCte,
          |${lshAutoCtes(PipelineQueries.TriangleCos)},
-         |e0 AS (SELECT vec_a AS a, vec_b AS b FROM lp),
-         |g AS (SELECT a AS src, b AS dst FROM e0
+         |e0 AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM lp),
+         |g AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
          |  UNION ALL SELECT b, a FROM e0),
-         |core AS (SELECT src AS node FROM g GROUP BY src
+         |core AS MATERIALIZED (SELECT src AS node FROM g GROUP BY src
          |  HAVING count(*) >= ${PipelineQueries.DbscanMinPts}),
-         |ce AS (SELECT e0.a AS src, e0.b AS dst FROM e0
+         |ce AS MATERIALIZED (SELECT e0.a AS src, e0.b AS dst FROM e0
          |  JOIN core ca ON e0.a = ca.node JOIN core cb ON e0.b = cb.node),
-         |ce2 AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+         |ce2 AS MATERIALIZED (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
          |reach(node, root) AS (
          |  SELECT node, node FROM core
          |  UNION
@@ -4684,8 +4684,8 @@ object PipelineOracles {
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE $normCte,
          |${lshAutoCtes(PipelineQueries.TriangleCos)},
-         |e0 AS (SELECT vec_a AS a, vec_b AS b FROM lp),
-         |g AS (SELECT a AS src, b AS dst FROM e0
+         |e0 AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM lp),
+         |g AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
          |  UNION SELECT b AS src, a AS dst FROM e0),
          |s AS (SELECT vec_id AS node FROM embeddings
          |  WHERE vec_id % ${PipelineQueries.BfsSourceMod} = 0),
@@ -4914,16 +4914,16 @@ object PipelineOracles {
       val d = graft.ops.GraphOps.DefaultDamping
       val iters = graft.ops.GraphOps.DefaultIters
       val steps = (1 to iters).map { i =>
-        s"""pdm$i AS (SELECT CAST(coalesce(sum(CAST(r.rank AS DECIMAL(28,12))), 0)
+        s"""pdm$i AS MATERIALIZED (SELECT CAST(coalesce(sum(CAST(r.rank AS DECIMAL(28,12))), 0)
            |    AS DECIMAL(28,12)) AS dm
            |  FROM pr${i - 1} r LEFT JOIN pod ON pod.src = r.node
            |  WHERE pod.src IS NULL),
-           |pc$i AS (SELECT pdir.dst AS node,
+           |pc$i AS MATERIALIZED (SELECT pdir.dst AS node,
            |    sum(CAST(round(r.rank / pod.outdeg, 6) AS DECIMAL(28,12))) AS s
            |  FROM pdir JOIN pod ON pod.src = pdir.src
            |  JOIN pr${i - 1} r ON r.node = pdir.src
            |  GROUP BY pdir.dst),
-           |pr$i AS (SELECT n.node, n.is_seed,
+           |pr$i AS MATERIALIZED (SELECT n.node, n.is_seed,
            |    round(CAST(n.is_seed AS DOUBLE) * ((1.0 - $d) / (SELECT ns FROM pns)
            |        + $d * CAST((SELECT dm FROM pdm$i) AS DOUBLE) / (SELECT ns FROM pns))
            |      + $d * CAST(coalesce(pc$i.s, 0) AS DOUBLE), 6) AS rank
@@ -4933,18 +4933,18 @@ object PipelineOracles {
          |${lshAutoCtes(PipelineQueries.TriangleCos)},
          |parcs AS (SELECT vec_a AS src, vec_b AS dst, cos_sim AS c FROM lp
          |  UNION ALL SELECT vec_b, vec_a, cos_sim FROM lp),
-         |pknn AS (SELECT src, dst FROM (SELECT src, dst,
+         |pknn AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
          |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk
          |  FROM parcs) WHERE rk <= ${PipelineQueries.BfsKnnK}),
-         |pdir AS (SELECT DISTINCT src, dst FROM pknn),
-         |pnodes AS (SELECT node,
+         |pdir AS MATERIALIZED (SELECT DISTINCT src, dst FROM pknn),
+         |pnodes AS MATERIALIZED (SELECT node,
          |    CASE WHEN node % ${PipelineQueries.BfsSourceMod} = 0
          |      THEN 1 ELSE 0 END AS is_seed
          |  FROM (SELECT src AS node FROM pdir
          |        UNION SELECT dst AS node FROM pdir)),
          |pns AS (SELECT CAST(sum(is_seed) AS DOUBLE) AS ns FROM pnodes),
-         |pod AS (SELECT src, count(*) AS outdeg FROM pdir GROUP BY src),
-         |pr0 AS (SELECT node, is_seed,
+         |pod AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM pdir GROUP BY src),
+         |pr0 AS MATERIALIZED (SELECT node, is_seed,
          |    round(CAST(is_seed AS DOUBLE) / (SELECT ns FROM pns), 6) AS rank
          |  FROM pnodes),
          |$steps
@@ -5164,12 +5164,12 @@ object PipelineOracles {
     "graph_bfs_knn" ->
       s"""WITH RECURSIVE $normCte,
          |${lshAutoCtes(PipelineQueries.TriangleCos)},
-         |arcs AS (SELECT vec_a AS src, vec_b AS dst, cos_sim AS c FROM lp
+         |arcs AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst, cos_sim AS c FROM lp
          |  UNION ALL SELECT vec_b, vec_a, cos_sim FROM lp),
-         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |knn AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
          |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk
          |  FROM arcs) WHERE rk <= ${PipelineQueries.BfsKnnK}),
-         |g AS (SELECT src, dst FROM knn
+         |g AS MATERIALIZED (SELECT src, dst FROM knn
          |  UNION SELECT dst AS src, src AS dst FROM knn),
          |s AS (SELECT vec_id AS node FROM embeddings
          |  WHERE vec_id % ${PipelineQueries.BfsSourceMod} = 0),
