@@ -135,6 +135,12 @@ object GraphOps {
     * with no in-edges converge to 0 — they are unreachable from the
     * restart distribution.
     *
+    * CONTRACT: at least one seed id must intersect the graph's node
+    * universe on a non-empty graph — with zero in-graph seeds the
+    * restart distribution does not exist (every rank would be the
+    * silent NULL of 0/0), so the op RAISES by name instead. An empty
+    * edge set returns an empty frame (there is no graph to rank).
+    *
     * Returns (node, is_seed, rank); Σ rank ≈ 1 up to rounding.
     */
   def personalizedPagerank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -152,6 +158,16 @@ object GraphOps {
       .join(seedIds.withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))
       .cache()
+    // the op is already eager (per-iteration localCheckpoint), so the
+    // 2-long seed census costs one extra tiny job, not a new shuffle —
+    // and turns the silent all-NULL 0/0 result into a named failure
+    val census = nodes
+      .agg(count(lit(1)).as("nn"), coalesce(sum("is_seed"), lit(0L)).as("ns"))
+      .head()
+    if (census.getLong(0) > 0 && census.getLong(1) == 0L)
+      throw new IllegalArgumentException(
+        "personalizedPagerank: no seed id intersects the graph's node " +
+          "universe — the seed-restart distribution does not exist")
     val nSeeds = nodes.agg(sum("is_seed").cast("double").as("n_seeds"))
     val outdeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val g = directed.join(outdeg, Seq("src")).cache()

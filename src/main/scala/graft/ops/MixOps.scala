@@ -210,7 +210,11 @@ object MixOps {
     * within-source midrank bucket b = ⌊(2r−1)·q / (2n)⌋ maps to the
     * pooled order statistic at the bucket's midpoint rank
     * t_b = ⌈(2b+1)·N / (2q)⌉ — ALL pure integer arithmetic, no
-    * floating quantile math to disagree across engines.
+    * floating quantile math to disagree across engines. The SCORE
+    * column is never arithmetic'd at all — only ordered, grouped, and
+    * min'd — so fractional scores normalize exactly as integers do
+    * (doubles read from the same storage order and compare
+    * identically on both engines).
     *
     * Plan shape: one per-source rank window; the pooled value spine
     * (distinct scores + cumulative counts — the spearman spine
@@ -229,7 +233,7 @@ object MixOps {
     require(q >= 2, s"need at least 2 quantile buckets, got $q")
     val rows = df
       .filter(col(valCol).isNotNull && col(grpCol).isNotNull)
-      .select(col(idCol), col(grpCol), col(valCol).cast("long").as("__v"))
+      .select(col(idCol), col(grpCol), col(valCol).as("__v"))
     val wG = Window.partitionBy(grpCol).orderBy(col("__v"), col(idCol))
     val ranked = rows
       .withColumn("__r", row_number().over(wG))

@@ -323,12 +323,19 @@ object ProfileOps {
     *
     * One aggregation, scan-side noise — a data-card release costs one
     * pass at any scale. Returns keys :+ (n, noise_micro, n_dp_micro).
+    *
+    * NULL key values are sentinel-encoded (U+0000) before hashing, so
+    * the groups ('a', NULL) and a single-key 'a' seed DIFFERENT draws
+    * (concat_ws alone would silently drop the NULL part and collide
+    * them). A key value that itself contains U+0000 would alias the
+    * sentinel — don't put NUL bytes in group keys.
     */
   def dpCounts(df: DataFrame, keys: Seq[String], epsilon: Double = 1.0,
       salt: String = "dp"): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-    val keyStr = concat_ws("|", keys.map(col(_).cast("string")): _*)
+    val keyStr = concat_ws("|",
+      keys.map(k => coalesce(col(k).cast("string"), lit("\u0000"))): _*)
     val h = conv(substring(md5(concat(lit(salt + ":"), keyStr)), 1, 4),
       16, 10).cast("long")
     val u = (h.cast("double") * 2 + 1) / lit(131072.0)

@@ -514,7 +514,12 @@ object TextOps {
     def p(n: Int) = col(s"ov$n").cast("double") / tot(n).cast("double")
     val allPos = (1 to 4).map(n => col(s"ov$n") > 0 && tot(n) > 0)
       .reduce(_ && _)
+    // clen = 0 with a non-empty reference is bp = 0 by the limit of
+    // e^(1 − |r|/|c|): guarded explicitly because Spark's division
+    // yields NULL at 0 while IEEE engines give e^(−∞) = 0 — without
+    // the guard the two engines diverge on an empty candidate.
     val bp = when(col("clen") >= col("rlen"), lit(1.0))
+      .when(col("clen") === 0, lit(0.0))
       .otherwise(exp(lit(1.0) -
         col("rlen").cast("double") / col("clen").cast("double")))
     val bleu = when(allPos,

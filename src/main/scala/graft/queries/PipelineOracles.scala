@@ -4896,7 +4896,8 @@ object PipelineOracles {
       s"""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
          |  FROM documents GROUP BY 1, 2),
          |z AS (SELECT lang, source, n,
-         |    (CAST(('0x' || substr(md5('dp:' || lang || '|' || source), 1, 4))::BIGINT
+         |    (CAST(('0x' || substr(md5('dp:' || coalesce(lang, chr(0))
+         |        || '|' || coalesce(source, chr(0))), 1, 4))::BIGINT
          |      AS DOUBLE) * 2 + 1) / 131072.0 - 0.5 AS cen
          |  FROM c)
          |SELECT lang, source, n,
@@ -5469,6 +5470,7 @@ object PipelineOracles {
          |  FROM sp ${(1 to 4).map(n => s"LEFT JOIN o$n USING (cand_id)").mkString(" ")}),
          |f AS (SELECT *,
          |    CASE WHEN clen >= rlen THEN 1.0
+         |      WHEN clen = 0 THEN 0.0
          |      ELSE exp(1.0 - CAST(rlen AS DOUBLE) / CAST(clen AS DOUBLE)) END AS bp
          |  FROM j)
          |SELECT cand_id, cand_id + 1 AS ref_id, ov1, ov2, ov3, ov4,

@@ -42,25 +42,32 @@ object StreamingDpCounts {
     -1.0 / epsilon * math.signum(cen) * math.log(1.0 - 2.0 * math.abs(cen))
   }
 
+  /** The batch op's seed-string contract (ProfileOps.dpCounts keyStr):
+    * '|' between parts, NULL parts sentinel-encoded as U+0000 — built
+    * from the TYPED key parts, never re-parsed out of a joined string
+    * (a lang containing '|' or a literal "null" would mis-split).
+    */
+  def seedKey(lang: String, source: String): String =
+    Seq(lang, source).map(v => if (v == null) "\u0000" else v).mkString("|")
+
   def releaseStream(rows: Dataset[KeyedRow], epsilon: Double = 1.0,
       salt: String = "dp"): Dataset[DpOut] = {
     implicit val outEnc = Encoders.product[DpOut]
     implicit val stateEnc = Encoders.scalaLong
-    implicit val keyEnc = Encoders.STRING
+    implicit val keyEnc = Encoders.product[KeyedRow]
 
     rows
-      .groupByKey(r => r.lang + "|" + r.source)
+      .groupByKey(r => r)
       .flatMapGroupsWithState[Long, DpOut](
         org.apache.spark.sql.streaming.OutputMode.Update(),
         GroupStateTimeout.NoTimeout) {
-        (key: String, batch: Iterator[KeyedRow], state: GroupState[Long]) =>
+        (key: KeyedRow, batch: Iterator[KeyedRow], state: GroupState[Long]) =>
           val n = state.getOption.getOrElse(0L) + batch.size
           state.update(n)
-          val Array(lang, source) = key.split("\\|", 2)
-          val noise = noiseOf(key, epsilon, salt)
+          val noise = noiseOf(seedKey(key.lang, key.source), epsilon, salt)
           def micro(x: Double): Long = BigDecimal(x * 1000000.0)
             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-          Iterator(DpOut(lang, source, n, micro(noise),
+          Iterator(DpOut(key.lang, key.source, n, micro(noise),
             micro(n.toDouble + noise)))
       }
   }

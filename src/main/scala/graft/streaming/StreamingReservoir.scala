@@ -21,16 +21,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * same ln(u)/w fixed order), so StreamingBatchEquivalenceSpec chains
   * the final state to `sample_weighted_reservoir`'s DuckDB oracle.
   *
-  * CONTRACT — keys are unique within a stratum: the state merge
-  * `.distinct`s (score, key, weight) triples, which is what makes the
-  * operator IDEMPOTENT under at-least-once re-delivery (a replayed
-  * micro-batch merges to the same state). The cost of that choice is
-  * multiplicity: a stratum that legitimately contains the SAME
-  * (key, weight) row twice collapses to one candidate here, while the
-  * batch twin's row_number keeps both — dedupe upstream (or carry a
-  * uniquifying sub-key) before sampling if duplicate rows are
-  * meaningful. Idempotence was chosen deliberately: in a stream,
-  * re-delivery is routine and true duplicate-row strata are not.
+  * MULTIPLICITY is tracked: state entries are (score, key, weight)
+  * triples WITH A COUNT, so a stratum that legitimately contains the
+  * same (key, weight) row twice keeps both copies — exactly like the
+  * batch twin's row_number — and the state stays bounded (counts are
+  * capped at k; a copy beyond k rows of equal-or-higher score can
+  * never re-enter the sample, because rows only ever get ADDED above
+  * it). Exactly-once state semantics come from Structured Streaming's
+  * per-batch state versioning (a recovered batch replays against the
+  * PRE-batch state), not from merge idempotence — so counting is both
+  * safe under recovery and faithful to duplicate rows.
   */
 object StreamingReservoir {
 
@@ -49,30 +49,46 @@ object StreamingReservoir {
   }
 
   /** Per-stratum running top-k; every update emits the stratum's
-    * current sample (rk 1..k by score desc, key asc).
+    * current sample (rk 1..k by score desc, key asc; duplicate rows
+    * occupy consecutive ranks, as in the batch twin).
+    *
+    * State entries are ((score, key, weight), count): merging sums
+    * counts per distinct triple, sorts, and keeps only the entries
+    * needed to cover k rows (each count additionally capped at k) —
+    * the state stays ≤ k rows-worth regardless of stream length.
     */
   def sampleStream(rows: Dataset[WeightedRow], k: Int): Dataset[SampleOut] = {
     implicit val outEnc = Encoders.product[SampleOut]
-    implicit val stateEnc = Encoders.kryo[List[(Double, Long, Double)]]
+    implicit val stateEnc = Encoders.kryo[List[((Double, Long, Double), Long)]]
     implicit val keyEnc = Encoders.STRING
 
     rows
       .filter(_.weight > 0)
       .groupByKey(_.stratum)
-      .flatMapGroupsWithState[List[(Double, Long, Double)], SampleOut](
+      .flatMapGroupsWithState[List[((Double, Long, Double), Long)], SampleOut](
         org.apache.spark.sql.streaming.OutputMode.Update(),
         GroupStateTimeout.NoTimeout) {
         (stratum: String, batch: Iterator[WeightedRow],
-            state: GroupState[List[(Double, Long, Double)]]) =>
-          val merged = (state.getOption.getOrElse(Nil) ++
-            batch.map(r => (scoreOf(r.key, r.weight), r.key, r.weight)))
-            .distinct
-            .sortBy { case (s, key, _) => (-s, key) }
-            .take(k)
-          state.update(merged)
-          merged.zipWithIndex.iterator.map { case ((s, key, w), i) =>
-            SampleOut(stratum, key, w, s, i + 1L)
+            state: GroupState[List[((Double, Long, Double), Long)]]) =>
+          val incoming = batch
+            .map(r => (scoreOf(r.key, r.weight), r.key, r.weight))
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+          val merged0 = (state.getOption.getOrElse(Nil) ++ incoming)
+            .groupBy(_._1).view
+            .mapValues(_.map(_._2).sum)
+            .toList
+            .sortBy { case ((s, key, _), _) => (-s, key) }
+          // keep entries until k rows are covered; cap each count at k
+          val (merged, _) = merged0.foldLeft(
+            (List.empty[((Double, Long, Double), Long)], 0L)) {
+            case ((acc, seen), (t, c)) =>
+              if (seen >= k) (acc, seen)
+              else (acc :+ (t, math.min(c, k.toLong)), seen + c)
           }
+          state.update(merged)
+          merged.iterator.flatMap { case ((s, key, w), c) =>
+            Iterator.fill(math.min(c, k.toLong).toInt)(SampleOut(stratum, key, w, s, 0L))
+          }.take(k).zipWithIndex.map { case (o, i) => o.copy(rk = i + 1L) }
       }
   }
 }

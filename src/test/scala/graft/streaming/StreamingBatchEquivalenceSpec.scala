@@ -686,6 +686,62 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingReservoir ≡ batch on duplicate rows within a stratum") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+
+    // stratum "a" holds key 1 TWICE (weight 1e6 ⇒ score ≈ 0, the
+    // stratum's certain top) and key 3 twice — legitimate duplicate
+    // (key, weight) rows the counted state must keep, where the old
+    // `.distinct` merge collapsed them to one candidate each
+    val rows = Seq(
+      StreamingReservoir.WeightedRow("a", 1L, 1e6),
+      StreamingReservoir.WeightedRow("a", 1L, 1e6),
+      StreamingReservoir.WeightedRow("a", 2L, 3.0),
+      StreamingReservoir.WeightedRow("a", 3L, 9.0),
+      StreamingReservoir.WeightedRow("a", 3L, 9.0),
+      StreamingReservoir.WeightedRow("b", 7L, 2.0),
+      StreamingReservoir.WeightedRow("b", 8L, 4.0),
+      // final micro-batch touches BOTH strata with near-zero-weight
+      // rows (score ≪ everything, never sampled), so each stratum's
+      // last emission (the rows past the pre-final table size) IS its
+      // final state — no distinct-based reconstruction needed
+      StreamingReservoir.WeightedRow("a", 4L, 0.001),
+      StreamingReservoir.WeightedRow("b", 9L, 0.001))
+
+    val batch = graft.ops.SampleOps.weightedReservoir(
+      rows.toDF("stratum", "key", "weight"),
+      "key", "stratum", col("weight"), k)
+      .collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("key"),
+        r.getAs[Long]("score_e9"), r.getAs[Long]("rk")))
+      .toSet
+
+    val input = MemoryStream[StreamingReservoir.WeightedRow]
+    val q = StreamingReservoir.sampleStream(input.toDS(), k)
+      .writeStream.format("memory").queryName("equiv_reservoir_dup")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(rows.take(4)); q.processAllAvailable()
+      input.addData(rows.slice(4, 7)); q.processAllAvailable()
+      val before = spark.table("equiv_reservoir_dup").count()
+      input.addData(rows.drop(7)); q.processAllAvailable()
+      val fin = spark.table("equiv_reservoir_dup")
+        .collect().drop(before.toInt)
+        .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("key"),
+          BigDecimal(r.getAs[Double]("score") * 1e9)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+          r.getAs[Long]("rk")))
+        .toSet
+      assert(fin == batch, s"stream $fin vs batch $batch")
+      // the duplicate key must occupy MULTIPLE ranks in stratum a
+      assert(batch.count(t => t._1 == "a" && t._2 == 1L) == 2,
+        s"test setup: expected key 1 at two ranks of the batch sample: $batch")
+    } finally q.stop()
+  }
+
   test("StreamingTheilSen ≡ batch ts_theil_sen (oracle-checked)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
