@@ -405,53 +405,126 @@ object SimilarityOps {
     concat(autoTableHyperplanes(t).map(p =>
       when(dot(emb, typedlit(p.toSeq)) > 0, "1").otherwise("0")): _*)
 
+  /** Default probe count per table for [[nearDupPairsLsh]]: each vector
+    * additionally enters, per table, the `LshAutoProbes` buckets reached
+    * by flipping its lowest-|margin| prefix bits — the Lv et al. 2007
+    * directed multi-probe applied to the BUCKETING (not just query)
+    * side. A true near-dup pair that disagrees on exactly one prefix
+    * plane almost always disagrees on a LOW-MARGIN plane (the plane
+    * passes between two nearby points, so both sit close to it), so
+    * probing those specific buckets buys most of the Hamming-1 recall
+    * at `probes×` extra bucket rows instead of the ~3× targetBucket
+    * raise the recall frontier prices for the same gain.
+    */
+  val LshAutoProbes = 2
+
+  /** The shared signature stage of [[nearDupPairsLsh]]: ONE corpus scan
+    * computing, per table, the full maximum-width plane-dot vector
+    * `__ds$t` (both the sign signature and the probe margins derive
+    * from it), plus the corpus count as a 1-row broadcast. Factored out
+    * so multi-setting evaluations (the `dedup_lsh_frontier` card) can
+    * cache THIS frame and derive every targetBucket's buckets from one
+    * signature pass — only the prefix width differs per setting.
+    */
+  def lshAutoSignatureStage(corpus: DataFrame,
+      tables: Int = LshTables): DataFrame = {
+    require(tables >= 1 && tables <= LshTables,
+      s"tables must be in [1, $LshTables], got $tables")
+    val cnt = corpus.agg(count(lit(1)).as("__n"))
+    (0 until tables).foldLeft(corpus.crossJoin(broadcast(cnt))) { (d, t) =>
+      d.withColumn(s"__ds$t", array(autoTableHyperplanes(t).map(p =>
+        dot(col("embedding"), typedlit(p.toSeq))): _*))
+    }
+  }
+
   /** Embedding-cosine near-dup pairs with LSH-BUCKET candidate
     * generation — the scale path next to the pre-labeled
     * [[nearDupPairs]]: a pair is a candidate iff the two vectors share
     * an auto-sized signature-prefix bucket in at least one of
-    * `tables` tables (OR amplification), and survives iff its exact
-    * cosine clears `threshold`.
+    * `tables` tables (OR amplification) — where a vector occupies its
+    * own bucket PLUS, per table, the `probes` buckets reached by
+    * flipping its lowest-|margin| prefix bits (directed multi-probe;
+    * probe×probe co-occupancy does NOT make a candidate, so the match
+    * relation is exactly Hamming ≤ 1 on flipped-by-either bits) — and
+    * survives iff its exact cosine clears `threshold`.
     *
-    * Scale shape: ONE corpus scan computes all table signatures
-    * (tables × [[LshAutoMaxBits]] codegen'd ±1-dots per row) and the
-    * corpus count rides a 1-row broadcast into the prefix width; one
-    * shuffle on (table, sig) collects bucket members (hot-bucket
-    * ceiling — a degenerate bucket fails by name); the quadratic
-    * expansion happens only inside a bucket, whose EXPECTED size is
-    * `targetBucket` regardless of corpus size because the bucket
-    * count scales with n. The per-pair dedup (a pair can collide in
-    * several tables) is one aggregation on the candidate-sized — not
-    * corpus-sized — pair stream. Precision is exact (every emitted
-    * pair passed the true cosine); recall is the LSH trade, measured
-    * by the `dedup_embedding_lsh_recall` card rather than asserted.
+    * Scale shape: ONE corpus scan computes all table plane-dots
+    * (tables × [[LshAutoMaxBits]] codegen'd ±1-dots per row; signature
+    * AND margins read the same dots) and the corpus count rides a
+    * 1-row broadcast into the prefix width; one shuffle on (table,
+    * sig) collects bucket members — home and probe rows alike, so
+    * multi-probe adds NO join, only (1+probes)× bucket rows — with a
+    * hot-bucket ceiling (a degenerate bucket fails by name); the
+    * quadratic expansion happens only inside a bucket, whose EXPECTED
+    * size is (1+probes)·targetBucket regardless of corpus size because
+    * the bucket count scales with n. The per-pair dedup (a pair can
+    * collide in several tables) is one aggregation on the
+    * candidate-sized — not corpus-sized — pair stream. Precision is
+    * exact (every emitted pair passed the true cosine); recall is the
+    * LSH trade, measured by the `dedup_embedding_lsh_recall` card
+    * rather than asserted.
     *
     * Returns (vec_a, vec_b, cos_sim), vec_a < vec_b, cos ≥ threshold.
     */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
       targetBucket: Int = LshAutoTargetBucket,
       tables: Int = LshTables,
-      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      probes: Int = LshAutoProbes): DataFrame =
+    nearDupPairsLshFrom(lshAutoSignatureStage(corpus, tables), threshold,
+      targetBucket, tables, maxBucket, probes)
+
+  /** [[nearDupPairsLsh]] from a precomputed [[lshAutoSignatureStage]]
+    * frame — everything downstream of the (cacheable) signature scan.
+    */
+  def nearDupPairsLshFrom(sigs: DataFrame, threshold: Double,
+      targetBucket: Int = LshAutoTargetBucket,
+      tables: Int = LshTables,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      probes: Int = LshAutoProbes): DataFrame = {
     require(tables >= 1 && tables <= LshTables,
       s"tables must be in [1, $LshTables], got $tables")
-    val cnt = corpus.agg(count(lit(1)).as("__n"))
-    var df = corpus.crossJoin(broadcast(cnt))
+    require(probes >= 0 && probes <= LshAutoMaxBits,
+      s"probes must be in [0, $LshAutoMaxBits], got $probes")
+    var df = sigs
       .withColumn("__bits", least(greatest(length(bin(
         expr(s"(__n + ${targetBucket - 1}) div $targetBucket") - 1)),
         lit(1)), lit(LshAutoMaxBits)))
     (0 until tables).foreach { t =>
-      df = df.withColumn(s"__fs$t", autoTableSignature(col("embedding"), t))
+      df = df.withColumn(s"__sig$t",
+        array_join(transform(slice(col(s"__ds$t"), lit(1), col("__bits")),
+          d => when(d > 0, "1").otherwise("0")), ""))
+    }
+    // per table: the home entry plus `probes` flipped-bit probe entries
+    // (pk marks probes; flip indices are the 1-based positions of the
+    // lowest (|dot|, idx) margins within the prefix — deterministic,
+    // oracle-replayable ordering)
+    def flipAt(sig: Column, i: Column): Column = concat(
+      sig.substr(lit(1), i - 1),
+      when(sig.substr(i, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+      sig.substr(i + 1, col("__bits")))
+    def entries(t: Int): Column = {
+      val sig = col(s"__sig$t")
+      val home = array(struct(lit(t).as("t"), sig.as("sig"), lit(0).as("pk")))
+      if (probes == 0) home
+      else {
+        val flips = transform(
+          slice(array_sort(transform(slice(col(s"__ds$t"), lit(1), col("__bits")),
+            (d, i) => struct(abs(d).as("am"), (i + 1).as("i")))), 1, probes),
+          m => struct(lit(t).as("t"),
+            flipAt(sig, m.getField("i")).as("sig"), lit(1).as("pk")))
+        concat(home, flips)
+      }
     }
     val exploded = df
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"),
-            expr(s"substring(__fs$t, 1, __bits)").as("sig"))): _*)).as("ts"))
+        explode(concat((0 until tables).map(entries): _*)).as("ts"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("ts.t").as("t"), col("ts.sig").as("sig"))
+        col("ts.t").as("t"), col("ts.sig").as("sig"), col("ts.pk").as("pk"))
     val members = exploded
       .groupBy("t", "sig")
       .agg(sort_array(collect_list(struct(
-        col("vec_id"), col("embedding"), col("nrm")))).as("ms0"),
+        col("vec_id"), col("pk"), col("embedding"), col("nrm")))).as("ms0"),
         count(lit(1)).as("__cnt"))
       .select(graft.ops.SessionOps.hotKeyGuarded(col("ms0"), col("__cnt"),
         concat(col("t").cast("string"), lit("/"), col("sig")),
@@ -459,13 +532,16 @@ object SimilarityOps {
       .filter(size(col("ms")) > 1)
     members
       .select(explode(flatten(transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
-          struct(a.getField("vec_id").as("vec_a"),
-            b.getField("vec_id").as("vec_b"),
-            a.getField("embedding").as("ea"),
-            b.getField("embedding").as("eb"),
-            a.getField("nrm").as("na"),
-            b.getField("nrm").as("nb")))))).as("p"))
+        transform(
+          filter(slice(col("ms"), i + 2, size(col("ms"))), b =>
+            !(a.getField("pk") === 1 && b.getField("pk") === 1)),
+          b =>
+            struct(a.getField("vec_id").as("vec_a"),
+              b.getField("vec_id").as("vec_b"),
+              a.getField("embedding").as("ea"),
+              b.getField("embedding").as("eb"),
+              a.getField("nrm").as("na"),
+              b.getField("nrm").as("nb")))))).as("p"))
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
         cosine(col("p.ea"), col("p.eb"), col("p.na"), col("p.nb")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -473,6 +549,37 @@ object SimilarityOps {
       // pure per-pair dedup, reproduced identically by any replay
       .groupBy("vec_a", "vec_b")
       .agg(round(max(col("cos")), 6).as("cos_sim"))
+  }
+
+  /** Per-vector top-k cap over a near-dup pair surface: keep a pair iff
+    * it is among EITHER endpoint's `k` best partners (cosine desc,
+    * partner-id tiebreak) — the knnGraph arc-cap pattern applied to the
+    * pair dump, making the OUTPUT linear in the corpus (≤ n·k pairs) no
+    * matter how dense the ≥-threshold pair set is. At a fixed threshold
+    * the true pair count is a DATA property that can grow superlinearly
+    * (every exact generator returns the same superlinear set); this cap
+    * is the output-bounded contract a 100 TB dedup pass wants — each
+    * vector still surfaces its k strongest near-dups, but a degenerate
+    * clique of m near-identical vectors costs m·k, not m².
+    *
+    * The rank filter compiles to WindowGroupLimit (per-partition
+    * top-k pruning before the sort materializes a vector's full
+    * partner list). Returns (vec_a, vec_b, cos_sim), vec_a < vec_b.
+    */
+  def topKPerVector(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val both = pairs
+      .select(col("vec_a").as("q"), col("vec_b").as("o"), col("cos_sim"))
+      .unionAll(pairs
+        .select(col("vec_b").as("q"), col("vec_a").as("o"), col("cos_sim")))
+    val w = Window.partitionBy("q").orderBy(col("cos_sim").desc, col("o"))
+    both
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(least(col("q"), col("o")).as("vec_a"),
+        greatest(col("q"), col("o")).as("vec_b"), col("cos_sim"))
+      .distinct()
   }
 
   /** Lloyd's k-means coarse-quantizer training — the step that turns

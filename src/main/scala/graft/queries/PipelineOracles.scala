@@ -266,39 +266,72 @@ object PipelineOracles {
        |  sqrt(${dotExpr("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
 
   /** Auto-sized LSH bucket CTEs over the `n` norm CTE (mirrors
-    * SimilarityOps.nearDupPairsLsh): `ab` computes the corpus-adaptive
-    * prefix width with the same pure-integer length(bin(m−1)) formula,
-    * `asgt` is the per-table signature-prefix explode, and `lp` the
-    * deduped candidate pairs that clear `threshold`.
+    * SimilarityOps.nearDupPairsLsh, multi-probe form): `dsgt` holds
+    * each (vector, table)'s full-width plane-dot list — signature bits
+    * AND probe margins both derive from it, exactly as the Spark
+    * `__ds$$t` columns; `ab$$tgt` computes a target's corpus-adaptive
+    * prefix width with the same pure-integer length(bin(m−1)) formula;
+    * `asgt$$tgt` is the per-table bucket-entry explode (home rows
+    * pk=0 plus, per table, the `probes` lowest-|margin| single-bit
+    * flips pk=1); and `lp$$tgt` the deduped candidate pairs that clear
+    * `threshold` — probe×probe co-occupancy excluded, as in the
+    * engine. The `tgt` suffix lets the frontier oracle derive three
+    * targets from ONE materialized dot table.
     */
-  /** Full-width sign signature of the norm CTE's `e` under auto table
-    * `t`'s planes — shared by the single-target CTE block below and
-    * the multi-target frontier oracle.
-    */
-  private def lshAutoSigSql(t: Int): String = {
+  private def lshDotsSql(t: Int): String = {
     def planeLit(p: Array[Double]): String =
       p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")
     graft.ops.SimilarityOps.autoTableHyperplanes(t)
-      .map(p => s"CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN '1' ELSE '0' END")
-      .mkString(" || ")
+      .map(p => s"list_dot_product(e, ${planeLit(p)})")
+      .mkString("[", ",\n      ", "]")
   }
 
-  private def lshAutoCtes(threshold: Double): String = {
-    val tgt = graft.ops.SimilarityOps.LshAutoTargetBucket
+  /** The shared full-width dot CTE: one row per (vector, table). */
+  private lazy val lshDsgtCte: String = {
     val branches = (0 until graft.ops.SimilarityOps.LshTables)
-      .map(t => s"SELECT vec_id, e, nrm, $t AS t, substr(${lshAutoSigSql(t)}, 1, ab.b) AS sig FROM n CROSS JOIN ab")
+      .map(t => s"SELECT vec_id, e, nrm, $t AS t, ${lshDotsSql(t)} AS ds FROM n")
       .mkString("\n  UNION ALL ")
-    s"""ab AS MATERIALIZED (SELECT CAST(least(greatest(length(bin(
+    s"dsgt AS MATERIALIZED ($branches)"
+  }
+
+  /** Per-targetBucket CTE block over `dsgt`: prefix width, bucket
+    * entries (home + probes), candidate pairs. CTE names are suffixed
+    * with `sfx` so several targets compose in one statement.
+    */
+  private def lshBucketCtes(threshold: Double, tgt: Int, sfx: String = ""): String = {
+    val probes = graft.ops.SimilarityOps.LshAutoProbes
+    s"""ab$sfx AS MATERIALIZED (SELECT CAST(least(greatest(length(bin(
        |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1),
        |    ${graft.ops.SimilarityOps.LshAutoMaxBits}) AS INT) AS b FROM n),
-       |asgt AS MATERIALIZED ($branches),
-       |lp AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |sgt$sfx AS MATERIALIZED (SELECT vec_id, e, nrm, t, ds,
+       |    substr(array_to_string(list_transform(ds,
+       |      d -> CASE WHEN d > 0 THEN '1' ELSE '0' END), ''), 1, ab$sfx.b) AS sig
+       |  FROM dsgt CROSS JOIN ab$sfx),
+       |pidx$sfx AS (SELECT vec_id, t, i FROM (
+       |    SELECT vec_id, t, i,
+       |      row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(ds[i]), i) AS rn
+       |    FROM (SELECT vec_id, t, ds,
+       |        unnest(range(1, (SELECT b FROM ab$sfx) + 1)) AS i FROM dsgt))
+       |  WHERE rn <= $probes),
+       |asgt$sfx AS MATERIALIZED (
+       |  SELECT vec_id, e, nrm, t, sig, 0 AS pk FROM sgt$sfx
+       |  UNION ALL
+       |  SELECT s.vec_id, s.e, s.nrm, s.t,
+       |    substr(s.sig, 1, p.i - 1) ||
+       |      (CASE WHEN substr(s.sig, p.i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |      substr(s.sig, p.i + 1) AS sig, 1 AS pk
+       |  FROM sgt$sfx s JOIN pidx$sfx p ON s.vec_id = p.vec_id AND s.t = p.t),
+       |lp$sfx AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    round(max(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)), 6) AS cos_sim
-       |  FROM asgt a JOIN asgt b ON a.t = b.t AND a.sig = b.sig
-       |    AND a.vec_id < b.vec_id
+       |  FROM asgt$sfx a JOIN asgt$sfx b ON a.t = b.t AND a.sig = b.sig
+       |    AND a.vec_id < b.vec_id AND NOT (a.pk = 1 AND b.pk = 1)
        |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $threshold
        |  GROUP BY 1, 2)""".stripMargin
   }
+
+  private def lshAutoCtes(threshold: Double): String =
+    s"""$lshDsgtCte,
+       |${lshBucketCtes(threshold, graft.ops.SimilarityOps.LshAutoTargetBucket)}""".stripMargin
 
   /** Top-k CTE body over the `n` norm CTE: brute (joinCond = id-only) or
     * cell-restricted. `name` prefixes the internal CTE names so two
@@ -2995,24 +3028,14 @@ object PipelineOracles {
          |SELECT vec_a, vec_b, cos_sim FROM lp""".stripMargin,
 
     // the targetBucket frontier replayed: ONE materialized full-width
-    // signature table, three prefix widths derived from it, per-target
-    // recall and pair volume.
+    // plane-dot table, three targets' bucket chains (each with its own
+    // prefix width and probe flips) derived from it, per-target recall
+    // and pair volume.
     "dedup_lsh_frontier" -> {
       val thr = PipelineQueries.NearDupThreshold
       val q = PipelineQueries.LshQueryCount
-      val mb = graft.ops.SimilarityOps.LshAutoMaxBits
-      val branches = (0 until graft.ops.SimilarityOps.LshTables)
-        .map(t => s"SELECT vec_id, e, nrm, $t AS t, ${lshAutoSigSql(t)} AS fs FROM n")
-        .mkString("\n  UNION ALL ")
       def per(tgt: Int): String =
-        s"""ab$tgt AS (SELECT CAST(least(greatest(length(bin(
-           |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1), $mb) AS INT) AS b FROM n),
-           |lp$tgt AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |  FROM (SELECT vec_id, e, nrm, t, substr(fs, 1, (SELECT b FROM ab$tgt)) AS sig FROM fsgt) a
-           |  JOIN (SELECT vec_id, e, nrm, t, substr(fs, 1, (SELECT b FROM ab$tgt)) AS sig FROM fsgt) b
-           |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
-           |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $thr
-           |  GROUP BY 1, 2),
+        s"""${lshBucketCtes(thr, tgt, tgt.toString)},
            |h$tgt AS (SELECT count(*) AS n_hit FROM truth
            |  JOIN (SELECT query_id, other_id FROM (
            |      SELECT vec_a AS query_id, vec_b AS other_id FROM lp$tgt
@@ -3027,14 +3050,28 @@ object PipelineOracles {
            |    / CAST((SELECT n FROM ntr) AS DOUBLE), 6) AS recall,
            |  CAST((SELECT n_pairs FROM np$tgt) AS BIGINT) AS n_pairs""".stripMargin
       s"""WITH $normCte,
-         |fsgt AS MATERIALIZED ($branches),
+         |$lshDsgtCte,
          |truth AS MATERIALIZED (SELECT q.vec_id AS query_id, n.vec_id AS other_id
          |  FROM n q JOIN n ON q.vec_id < $q AND n.vec_id <> q.vec_id
          |  WHERE list_dot_product(n.e, q.e) / (n.nrm * q.nrm) >= $thr),
          |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
-         |${Seq(8, 32, 128).map(per).mkString(",\n")}
-         |${Seq(8, 32, 128).map(row).mkString("\nUNION ALL\n")}""".stripMargin
+         |${PipelineQueries.LshFrontierTargets.map(per).mkString(",\n")}
+         |${PipelineQueries.LshFrontierTargets.map(row).mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    // the top-k-capped LSH pair surface: same candidate chain, then
+    // each pair survives iff it ranks within k of EITHER endpoint —
+    // the output-bounded (≤ n·k) dedup dump.
+    "dedup_embedding_lsh_topk" ->
+      s"""WITH $normCte,
+         |${lshAutoCtes(PipelineQueries.NearDupThreshold)},
+         |bb AS (SELECT vec_a AS q, vec_b AS o, cos_sim FROM lp
+         |  UNION ALL SELECT vec_b, vec_a, cos_sim FROM lp),
+         |rk AS (SELECT q, o, cos_sim,
+         |    row_number() OVER (PARTITION BY q ORDER BY cos_sim DESC, o) AS rn
+         |  FROM bb)
+         |SELECT DISTINCT least(q, o) AS vec_a, greatest(q, o) AS vec_b, cos_sim
+         |FROM rk WHERE rn <= ${PipelineQueries.LshTopKPerVector}""".stripMargin,
 
     // recall of the LSH candidate generator vs exact truth on the
     // query subset: per query, true ≥-threshold partners hit by the

@@ -67,6 +67,10 @@ object PipelineQueries {
   /** Triangle counting: cosine edge threshold (denser than the 0.3
     * near-dup graph so triangles exist at every SF). */
   val TriangleCos = 0.25
+  /** LSH recall/cost frontier: the targetBucket settings measured. */
+  val LshFrontierTargets = Seq(8, 32, 128)
+  /** Per-vector pair cap for the output-bounded LSH dedup surface. */
+  val LshTopKPerVector = 8
   /** PRF expansion: feedback-doc count and appended-term count. */
   val PrfFeedbackDocs = 5
   val PrfExpandTerms = 3
@@ -1300,8 +1304,12 @@ object PipelineQueries {
     // sizes, total recall on the query subset AND the generator's
     // total pair output — the "recall bought per candidate inspected"
     // evidence for sizing the knob at a new scale. One row per target.
+    // The (cached) signature stage — tables × 24 plane-dots per vector
+    // — is computed ONCE and shared by all three settings: only the
+    // prefix width (and the probe flips within it) varies per target.
     "dedup_lsh_frontier" -> ((s, dir) => {
       val corpus = normed(s, dir)
+      val sigs = SimilarityOps.lshAutoSignatureStage(corpus).cache()
       val qs = corpus.filter(col("vec_id") < LshQueryCount)
       val truth = corpus
         .join(broadcast(qs.select(col("vec_id").as("query_id"),
@@ -1311,8 +1319,8 @@ object PipelineQueries {
           SimilarityOps.cosine(
             col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
         .filter(col("cos") >= NearDupThreshold)
-      Seq(8, 32, 128).map { t =>
-        val lsh = SimilarityOps.nearDupPairsLsh(corpus, NearDupThreshold,
+      LshFrontierTargets.map { t =>
+        val lsh = SimilarityOps.nearDupPairsLshFrom(sigs, NearDupThreshold,
           targetBucket = t)
         val both = lsh
           .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
@@ -1331,6 +1339,15 @@ object PipelineQueries {
               .as("recall"), col("n_pairs"))
       }.reduce(_ unionAll _)
     }),
+
+    // the OUTPUT-BOUNDED near-dup surface: the same LSH candidate
+    // chain, capped to each vector's k best partners — ≤ n·k pairs at
+    // any scale, where the uncapped dump grows with the data's true
+    // ≥-threshold pair density (superlinear on clumpy corpora).
+    "dedup_embedding_lsh_topk" -> ((s, dir) =>
+      SimilarityOps.topKPerVector(
+        SimilarityOps.nearDupPairsLsh(normed(s, dir), NearDupThreshold),
+        LshTopKPerVector)),
 
     // recall card for the LSH candidate generator vs exact truth on
     // the query subset — the dedup_lsh_recall pattern for embeddings:
