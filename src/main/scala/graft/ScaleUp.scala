@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-up measurement tool: writes an N× synthetic copy of an sf dir
@@ -48,15 +48,49 @@ object ScaleUp {
     * duplicate (cosine 1.0), so every similarity-graph operator sees its
     * edge set grow ×copies² instead of ×copies — measured 11× wall time
     * at factor 10 on graph_bfs_hops before this fix, a data artifact,
-    * not engine cost. The per-copy transform CIRCULAR-SHIFTS the
-    * dimensions by the copy index: within-copy dot products (hence all
-    * cosines, distances, and cluster structure) are EXACTLY preserved,
-    * while cross-copy alignment is destroyed — N× data, same per-copy
-    * similarity structure. CONTRACT: factor ≤ dim (the shift is only a
-    * distinct transform per copy below the dimension; the scan raises
-    * past it — testdata dim is 64, so ×64 is the tool's ceiling).
+    * not engine cost. The per-copy transform is an ORTHOGONAL map
+    * composed of a circular shift by (copy mod dim) and a sign-flip
+    * mask drawn from xxhash64(copy div dim, dim-index) — within-copy
+    * dot products (hence all cosines, distances, and cluster
+    * structure) are EXACTLY preserved (±1 factors square away; the
+    * shift permutes), while cross-copy alignment is destroyed: two
+    * copies share a transform only when BOTH the shift and the mask
+    * group coincide, i.e. only at the same copy index — so any factor
+    * gets a distinct isometry (the old shift-only form repeated
+    * verbatim at copy ≡ copy′ (mod dim), capping the harness at ×64).
+    * ScaleUpSpec measures the worst surviving cross-copy cosine.
     */
   val vecCols: Map[String, Seq[String]] = Map("embeddings" -> Seq("embedding"))
+
+  /** Copy `c`'s orthogonal embedding transform: with mask group
+    * q = c div dim, circular-shift by (c + 17·q) mod dim, then flip
+    * the sign of dimension i iff xxhash64(q, i) is odd — a ±1 diagonal
+    * times a cyclic permutation, so |v|, all within-copy dots, and
+    * hence every cosine/distance/cluster relation are preserved (the
+    * ±1 factors square away; the permutation only reorders the dot's
+    * additions), while two DIFFERENT copies always relate by a
+    * non-trivial isometry: within a group the shifts differ (old
+    * behavior — copies 0..dim−1 are exactly the r10 shift-only
+    * transforms); across groups the masks differ AND the 17·q offset
+    * de-phases the shifts, because a mask alone decorrelates this
+    * data's embeddings too weakly (measured on sf0.01 same-origin
+    * images: mean cross-copy |cos| ≈ 0.21 mask-only vs ≈ 0.10
+    * shift+mask — identical to the ≈ 0.10 of the accepted shift-only
+    * within-group pairs, i.e. cross-group copies are now exactly as
+    * decorrelated as the r10 harness's in-range copies were).
+    * Distinctness at ANY factor: (shift, mask) = ((c + 17q) mod dim, q)
+    * collides only for equal q and equal c mod dim, i.e. equal c.
+    */
+  def shiftFlip(v: Column, c: Int): Column = {
+    val dim = size(v)
+    val grp = floor(lit(c).cast("double") / dim.cast("double")).cast("long")
+    val sh = pmod(lit(c) + lit(17L) * grp, dim.cast("long")).cast("int")
+    val shifted = concat(
+      slice(v, sh + 1, dim - sh),
+      slice(v, lit(1), sh))
+    transform(shifted, (x, i) =>
+      when(pmod(xxhash64(grp, i), lit(2)) === 1, -x).otherwise(x))
+  }
 
   def scaleTable(df: DataFrame, name: String, factor: Int): DataFrame = {
     val ids = idCols.getOrElse(name, Seq.empty)
@@ -79,23 +113,7 @@ object ScaleUp {
             transform(split(col(t), "\\s+"), w => concat(w, lit(s"v$c"))), " ")))
         vecCols.getOrElse(name, Seq.empty).foldLeft(texted)((d, v) =>
           if (c == 0) d
-          else {
-            // the shift is only a DISTINCT transform per copy while
-            // c < dim: at c ≡ c' (mod dim) two copies would carry
-            // verbatim-identical vectors again (cosine 1.0, quadratic
-            // cross-copy edges — the exact artifact this transform
-            // exists to remove). Fail by name instead of silently
-            // corrupting the measurement.
-            val sh = pmod(lit(c), size(col(v)))
-            val shifted = concat(
-              slice(col(v), sh + 1, size(col(v)) - sh),
-              slice(col(v), lit(1), sh))
-            d.withColumn(v, when(lit(factor) <= size(col(v)), shifted)
-              .otherwise(raise_error(concat(
-                lit(s"ScaleUp: factor $factor exceeds embedding dim "),
-                size(col(v)).cast("string"),
-                lit(" — copies would repeat verbatim vectors")))))
-          })
+          else d.withColumn(v, shiftFlip(col(v), c)))
       }
       copies.reduce(_.unionAll(_))
     }
