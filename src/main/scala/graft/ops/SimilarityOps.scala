@@ -386,15 +386,45 @@ object SimilarityOps {
     */
   val LshAutoMaxBits = 24
 
-  /** Expected members per auto-sized bucket. */
+  /** Expected members per auto-sized bucket — the default sits ON the
+    * measured knee of the recall/cost frontier (`dedup_lsh_frontier`)
+    * at oracle scale: with directed multi-probe, recall at threshold
+    * 0.3 is 0.80 at targetBucket 8, 0.99 at 32, 1.00 at 128 (sf0.01).
+    * What IS scale-free about this knob is COST: the adaptive prefix
+    * width pins expected bucket OCCUPANCY at this value whatever the
+    * corpus count, so candidates stay ∝ n·targetBucket per table.
+    * What is NOT scale-free is absolute-threshold recall: the prefix
+    * widens as n grows, so per-table collision for a FIXED angle θ
+    * decays as (n/targetBucket)^log₂p(θ) — measured 0.99 at n = 500 →
+    * 0.22 at n = 20 000 for the 0.3-threshold truth set (PLANS.md
+    * round 11). That is LSH geometry, not a tuning miss: holding a
+    * fixed low-cosine threshold at growing n costs L ∝ n^ρ tables
+    * (ρ = −log₂ p(θ) ≈ 0.74 at cos 0.3), which
+    * `dedup_lsh_tables_frontier` prices, while scale consumers that
+    * need a bounded-cost graph ride the TOP-OF-RANKING surface
+    * (`topKPerVector`, knnGraph arcs) whose quality card is
+    * `dedup_embedding_lsh_topk_recall`. Override per call for a
+    * different recall/cost point — the two frontier cards price both
+    * axes at whatever scale they are run.
+    */
   val LshAutoTargetBucket = 32
+
+  /** Maximum table count the auto family can draw on. The DEFAULT
+    * stays [[LshTables]] (8): tables is the RECALL knob whose price is
+    * linear in candidates, and LSH theory says holding a fixed
+    * absolute-threshold recall as the corpus grows requires
+    * L ∝ n^ρ, ρ = −log₂ p(θ) (≈ 0.74 at cos 0.3) — the
+    * `dedup_lsh_tables_frontier` card measures that axis so a user
+    * scaling up can price it; 32 sets bound what the card can probe.
+    */
+  val LshAutoMaxTables = 32
 
   /** Independent plane sets for the auto-sized tables, deterministic
     * from [[LshSeed]] (distinct stream from the fixed 6-bit tables).
     */
   lazy val autoTableHyperplanes: Seq[Seq[Array[Double]]] = {
     val rnd = new scala.util.Random(LshSeed + 2)
-    Seq.fill(LshTables)(Seq.fill(LshAutoMaxBits)(
+    Seq.fill(LshAutoMaxTables)(Seq.fill(LshAutoMaxBits)(
       Array.fill(LshDim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
   }
 
@@ -428,8 +458,8 @@ object SimilarityOps {
     */
   def lshAutoSignatureStage(corpus: DataFrame,
       tables: Int = LshTables): DataFrame = {
-    require(tables >= 1 && tables <= LshTables,
-      s"tables must be in [1, $LshTables], got $tables")
+    require(tables >= 1 && tables <= LshAutoMaxTables,
+      s"tables must be in [1, $LshAutoMaxTables], got $tables")
     val cnt = corpus.agg(count(lit(1)).as("__n"))
     (0 until tables).foldLeft(corpus.crossJoin(broadcast(cnt))) { (d, t) =>
       d.withColumn(s"__ds$t", array(autoTableHyperplanes(t).map(p =>
@@ -481,9 +511,34 @@ object SimilarityOps {
       targetBucket: Int = LshAutoTargetBucket,
       tables: Int = LshTables,
       maxBucket: Int = DedupOps.DefaultMaxBucket,
-      probes: Int = LshAutoProbes): DataFrame = {
-    require(tables >= 1 && tables <= LshTables,
-      s"tables must be in [1, $LshTables], got $tables")
+      probes: Int = LshAutoProbes): DataFrame =
+    lshPairsCore(sigs, threshold, targetBucket, tables, maxBucket, probes,
+      withMinT = false)
+
+  /** [[nearDupPairsLshFrom]] additionally emitting `min_t` — the LOWEST
+    * table index in which the pair collided. `min_t < L` selects
+    * exactly the pairs an L-table run would return, so one pass at
+    * [[LshAutoMaxTables]] prices every table count at once — the
+    * tables-axis frontier card's engine (LSH theory: holding a fixed
+    * absolute-threshold recall as n grows costs L ∝ n^ρ tables; this
+    * is the measured version of that statement).
+    */
+  def nearDupPairsLshByTable(sigs: DataFrame, threshold: Double,
+      targetBucket: Int = LshAutoTargetBucket,
+      tables: Int = LshAutoMaxTables,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      probes: Int = LshAutoProbes): DataFrame =
+    lshPairsCore(sigs, threshold, targetBucket, tables, maxBucket, probes,
+      withMinT = true)
+
+  private def lshPairsCore(sigs: DataFrame, threshold: Double,
+      targetBucket: Int,
+      tables: Int,
+      maxBucket: Int,
+      probes: Int,
+      withMinT: Boolean): DataFrame = {
+    require(tables >= 1 && tables <= LshAutoMaxTables,
+      s"tables must be in [1, $LshAutoMaxTables], got $tables")
     require(probes >= 0 && probes <= LshAutoMaxBits,
       s"probes must be in [0, $LshAutoMaxBits], got $probes")
     var df = sigs
@@ -526,12 +581,13 @@ object SimilarityOps {
       .agg(sort_array(collect_list(struct(
         col("vec_id"), col("pk"), col("embedding"), col("nrm")))).as("ms0"),
         count(lit(1)).as("__cnt"))
-      .select(graft.ops.SessionOps.hotKeyGuarded(col("ms0"), col("__cnt"),
-        concat(col("t").cast("string"), lit("/"), col("sig")),
-        maxBucket.toLong, "nearDupPairsLsh bucket").as("ms"))
+      .select(col("t"),
+        graft.ops.SessionOps.hotKeyGuarded(col("ms0"), col("__cnt"),
+          concat(col("t").cast("string"), lit("/"), col("sig")),
+          maxBucket.toLong, "nearDupPairsLsh bucket").as("ms"))
       .filter(size(col("ms")) > 1)
-    members
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
+    val scored = members
+      .select(col("t"), explode(flatten(transform(col("ms"), (a, i) =>
         transform(
           filter(slice(col("ms"), i + 2, size(col("ms"))), b =>
             !(a.getField("pk") === 1 && b.getField("pk") === 1)),
@@ -542,13 +598,17 @@ object SimilarityOps {
               b.getField("embedding").as("eb"),
               a.getField("nrm").as("na"),
               b.getField("nrm").as("nb")))))).as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+      .select(col("t"), col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
         cosine(col("p.ea"), col("p.eb"), col("p.na"), col("p.nb")).as("cos"))
       .filter(col("cos") >= threshold)
-      // same cosine double in every colliding table's row — max() is
-      // pure per-pair dedup, reproduced identically by any replay
-      .groupBy("vec_a", "vec_b")
-      .agg(round(max(col("cos")), 6).as("cos_sim"))
+    // same cosine double in every colliding table's row — max() is
+    // pure per-pair dedup, reproduced identically by any replay
+    if (withMinT)
+      scored.groupBy("vec_a", "vec_b")
+        .agg(round(max(col("cos")), 6).as("cos_sim"), min(col("t")).as("min_t"))
+    else
+      scored.groupBy("vec_a", "vec_b")
+        .agg(round(max(col("cos")), 6).as("cos_sim"))
   }
 
   /** Per-vector top-k cap over a near-dup pair surface: keep a pair iff

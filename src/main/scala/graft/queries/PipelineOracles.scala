@@ -3073,6 +3073,97 @@ object PipelineOracles {
          |SELECT DISTINCT least(q, o) AS vec_a, greatest(q, o) AS vec_b, cos_sim
          |FROM rk WHERE rn <= ${PipelineQueries.LshTopKPerVector}""".stripMargin,
 
+    // the tables-axis frontier replayed: ONE 32-table dot CTE, one
+    // bucket chain, one min_t pair join; each L's result is the
+    // min_t < L slice.
+    "dedup_lsh_tables_frontier" -> {
+      val thr = PipelineQueries.NearDupThreshold
+      val q = PipelineQueries.LshQueryCount
+      val maxT = graft.ops.SimilarityOps.LshAutoMaxTables
+      val tgt = graft.ops.SimilarityOps.LshAutoTargetBucket
+      val probes = graft.ops.SimilarityOps.LshAutoProbes
+      val branches = (0 until maxT)
+        .map(t => s"SELECT vec_id, e, nrm, $t AS t, ${lshDotsSql(t)} AS ds FROM n")
+        .mkString("\n  UNION ALL ")
+      def per(l: Int): String =
+        s"""h$l AS (SELECT count(*) AS n_hit FROM truth
+           |  JOIN (SELECT query_id, other_id FROM (
+           |      SELECT vec_a AS query_id, vec_b AS other_id FROM lpmt WHERE min_t < $l
+           |      UNION ALL SELECT vec_b, vec_a FROM lpmt WHERE min_t < $l)
+           |    WHERE query_id < $q) b USING (query_id, other_id)),
+           |np$l AS (SELECT count(*) AS n_pairs FROM lpmt WHERE min_t < $l)""".stripMargin
+      def row(l: Int): String =
+        s"""SELECT CAST($l AS BIGINT) AS n_tables,
+           |  (SELECT n FROM ntr) AS n_true,
+           |  CAST((SELECT n_hit FROM h$l) AS BIGINT) AS n_hit,
+           |  round(CAST((SELECT n_hit FROM h$l) AS DOUBLE)
+           |    / CAST((SELECT n FROM ntr) AS DOUBLE), 6) AS recall,
+           |  CAST((SELECT n_pairs FROM np$l) AS BIGINT) AS n_pairs""".stripMargin
+      s"""WITH $normCte,
+         |tdsg AS MATERIALIZED ($branches),
+         |tab AS MATERIALIZED (SELECT CAST(least(greatest(length(bin(
+         |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1),
+         |    ${graft.ops.SimilarityOps.LshAutoMaxBits}) AS INT) AS b FROM n),
+         |tsgt AS MATERIALIZED (SELECT vec_id, e, nrm, t, ds,
+         |    substr(array_to_string(list_transform(ds,
+         |      d -> CASE WHEN d > 0 THEN '1' ELSE '0' END), ''), 1, tab.b) AS sig
+         |  FROM tdsg CROSS JOIN tab),
+         |tpidx AS (SELECT vec_id, t, i FROM (
+         |    SELECT vec_id, t, i,
+         |      row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(ds[i]), i) AS rn
+         |    FROM (SELECT vec_id, t, ds,
+         |        unnest(range(1, (SELECT b FROM tab) + 1)) AS i FROM tdsg))
+         |  WHERE rn <= $probes),
+         |tasg AS MATERIALIZED (
+         |  SELECT vec_id, e, nrm, t, sig, 0 AS pk FROM tsgt
+         |  UNION ALL
+         |  SELECT s.vec_id, s.e, s.nrm, s.t,
+         |    substr(s.sig, 1, p.i - 1) ||
+         |      (CASE WHEN substr(s.sig, p.i, 1) = '1' THEN '0' ELSE '1' END) ||
+         |      substr(s.sig, p.i + 1) AS sig, 1 AS pk
+         |  FROM tsgt s JOIN tpidx p ON s.vec_id = p.vec_id AND s.t = p.t),
+         |lpmt AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    min(a.t) AS min_t
+         |  FROM tasg a JOIN tasg b ON a.t = b.t AND a.sig = b.sig
+         |    AND a.vec_id < b.vec_id AND NOT (a.pk = 1 AND b.pk = 1)
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $thr
+         |  GROUP BY 1, 2),
+         |truth AS MATERIALIZED (SELECT qq.vec_id AS query_id, n.vec_id AS other_id
+         |  FROM n qq JOIN n ON qq.vec_id < $q AND n.vec_id <> qq.vec_id
+         |  WHERE list_dot_product(n.e, qq.e) / (n.nrm * qq.nrm) >= $thr),
+         |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+         |${PipelineQueries.LshTablesFrontier.map(per).mkString(",\n")}
+         |${PipelineQueries.LshTablesFrontier.map(row).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // top-of-ranking recall replayed: exact top-k truth per query
+    // (among >= TriangleCos partners), hits from the TriangleCos LSH
+    // pair chain (the same lp the graph consumers read).
+    "dedup_embedding_lsh_topk_recall" ->
+      s"""WITH $normCte,
+         |${lshAutoCtes(PipelineQueries.TriangleCos)},
+         |truthall AS (SELECT qq.vec_id AS query_id, n.vec_id AS other_id,
+         |    list_dot_product(n.e, qq.e) / (n.nrm * qq.nrm) AS cos
+         |  FROM n qq JOIN n ON qq.vec_id < ${PipelineQueries.LshQueryCount}
+         |    AND n.vec_id <> qq.vec_id
+         |  WHERE list_dot_product(n.e, qq.e) / (n.nrm * qq.nrm)
+         |        >= ${PipelineQueries.TriangleCos}),
+         |topk AS (SELECT query_id, other_id FROM (
+         |    SELECT query_id, other_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, other_id) AS rn
+         |    FROM truthall) WHERE rn <= ${PipelineQueries.LshTopKPerVector}),
+         |lb AS (SELECT vec_a AS query_id, vec_b AS other_id FROM lp
+         |  UNION ALL SELECT vec_b, vec_a FROM lp)
+         |SELECT topk.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN lb.other_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN lb.other_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS recall
+         |FROM topk LEFT JOIN lb USING (query_id, other_id)
+         |GROUP BY topk.query_id""".stripMargin,
+
     // recall of the LSH candidate generator vs exact truth on the
     // query subset: per query, true ≥-threshold partners hit by the
     // bucketed pairs (normalized to both directions).

@@ -69,6 +69,10 @@ object PipelineQueries {
   val TriangleCos = 0.25
   /** LSH recall/cost frontier: the targetBucket settings measured. */
   val LshFrontierTargets = Seq(8, 32, 128)
+  /** LSH tables-axis frontier: the table counts measured (theory: at a
+    * FIXED absolute threshold, recall at growing corpus size is held
+    * by growing L ∝ n^ρ — this card prices that axis). */
+  val LshTablesFrontier = Seq(8, 16, 32)
   /** Per-vector pair cap for the output-bounded LSH dedup surface. */
   val LshTopKPerVector = 8
   /** PRF expansion: feedback-doc count and appended-term count. */
@@ -1348,6 +1352,88 @@ object PipelineQueries {
       SimilarityOps.topKPerVector(
         SimilarityOps.nearDupPairsLsh(normed(s, dir), NearDupThreshold),
         LshTopKPerVector)),
+
+    // the TABLES-axis recall/cost frontier: recall and pair volume at
+    // L ∈ {8, 16, 32} tables, all priced from ONE pair pass (min_t < L
+    // selects exactly the L-table result). This is the knob LSH theory
+    // says holds recall as the corpus grows (L ∝ n^ρ at a fixed
+    // absolute threshold — the prefix width grows with n, so per-table
+    // collision for a FIXED angle decays; occupancy pinning keeps COST
+    // flat per table, not recall). One row per L.
+    "dedup_lsh_tables_frontier" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      val sigs = SimilarityOps.lshAutoSignatureStage(
+        corpus, SimilarityOps.LshAutoMaxTables).cache()
+      val pairs = SimilarityOps.nearDupPairsLshByTable(
+        sigs, NearDupThreshold).cache()
+      val qs = corpus.filter(col("vec_id") < LshQueryCount)
+      val truth = corpus
+        .join(broadcast(qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("nrm").as("qn"))),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("other_id"),
+          SimilarityOps.cosine(
+            col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
+        .filter(col("cos") >= NearDupThreshold)
+      LshTablesFrontier.map { l =>
+        val lsh = pairs.filter(col("min_t") < l)
+        val both = lsh
+          .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
+          .unionAll(lsh
+            .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
+          .filter(col("query_id") < LshQueryCount)
+        truth
+          .join(broadcast(both.withColumn("hit", lit(1L))),
+            Seq("query_id", "other_id"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_pairs"))))
+          .select(lit(l.toLong).as("n_tables"), col("n_true"), col("n_hit"),
+            round(col("n_hit") / col("n_true").cast("double"), 6)
+              .as("recall"), col("n_pairs"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // top-of-ranking recall — what the kNN-graph consumers actually
+    // need from the generator: of each query's true TOP-k partners
+    // (among those clearing the consumers' edge threshold), how many
+    // did the bucketed pairs surface. Absolute-threshold recall decays
+    // with corpus size by LSH geometry (the prefix widens with n);
+    // this card measures the ranking-head quality the arc-capped
+    // graph build rides instead.
+    "dedup_embedding_lsh_topk_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = normed(s, dir)
+      val qs = corpus.filter(col("vec_id") < LshQueryCount)
+      val truthAll = corpus
+        .join(broadcast(qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("nrm").as("qn"))),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("other_id"),
+          SimilarityOps.cosine(
+            col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
+        .filter(col("cos") >= TriangleCos)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("other_id"))
+      val topk = truthAll
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= LshTopKPerVector)
+      val lsh = lshPairsTri(s, dir)
+      val both = lsh
+        .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
+        .unionAll(lsh
+          .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
+        .filter(col("query_id") < LshQueryCount)
+      topk
+        .join(broadcast(both.withColumn("hit", lit(1L))),
+          Seq("query_id", "other_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_true"), col("n_hit"),
+          round(col("n_hit") / col("n_true").cast("double"), 6)
+            .as("recall"))
+    }),
 
     // recall card for the LSH candidate generator vs exact truth on
     // the query subset — the dedup_lsh_recall pattern for embeddings:
