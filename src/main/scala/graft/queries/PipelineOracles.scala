@@ -2228,12 +2228,18 @@ object PipelineOracles {
     "graph_pagerank_directed" -> {
       val d = graft.ops.GraphOps.DefaultDamping
       val iters = graft.ops.GraphOps.DefaultIters
+      // every CTE each iterate reads twice (r$i feeds both the next
+      // dangling mass AND the next contribution join) is MATERIALIZED
+      // — without it DuckDB inlines the references and re-evaluates
+      // the whole bands join 2^iters times (measured: a >76 GB temp
+      // spill at sf0.1; the engine-side localCheckpoint is the same
+      // fix in Spark)
       val steps = (1 to iters).map { i =>
-        s"""dm$i AS (SELECT CAST(coalesce(sum(CAST(r.rank AS DECIMAL(28,12))), 0)
+        s"""dm$i AS MATERIALIZED (SELECT CAST(coalesce(sum(CAST(r.rank AS DECIMAL(28,12))), 0)
            |    AS DECIMAL(28,12)) AS dm
            |  FROM r${i - 1} r LEFT JOIN od ON od.src = r.node
            |  WHERE od.src IS NULL),
-           |r$i AS (SELECT n.node,
+           |r$i AS MATERIALIZED (SELECT n.node,
            |    round((1.0 - $d) / (SELECT nv FROM nn) +
            |      $d * (CAST(coalesce(c.s, 0) AS DOUBLE) +
            |        CAST((SELECT dm FROM dm$i) AS DOUBLE) / (SELECT nv FROM nn)),
@@ -2250,12 +2256,12 @@ object PipelineOracles {
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
-         |directed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
-         |nodes AS (SELECT src AS node FROM directed
+         |directed AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM directed
          |          UNION SELECT dst FROM directed),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM nodes),
-         |od AS (SELECT src, count(*) AS outdeg FROM directed GROUP BY src),
-         |r0 AS (SELECT node, round(1.0 / (SELECT nv FROM nn), 6) AS rank
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nv FROM nodes),
+         |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM directed GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT node, round(1.0 / (SELECT nv FROM nn), 6) AS rank
          |  FROM nodes),
          |$steps
          |SELECT node, rank FROM r$iters""".stripMargin
