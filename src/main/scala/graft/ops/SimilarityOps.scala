@@ -525,7 +525,7 @@ object SimilarityOps {
     */
   def nearDupPairsLshByTable(sigs: DataFrame, threshold: Double,
       targetBucket: Int = LshAutoTargetBucket,
-      tables: Int = LshAutoMaxTables,
+      tables: Int = LshTables,
       maxBucket: Int = DedupOps.DefaultMaxBucket,
       probes: Int = LshAutoProbes): DataFrame =
     lshPairsCore(sigs, threshold, targetBucket, tables, maxBucket, probes,

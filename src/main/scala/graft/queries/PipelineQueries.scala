@@ -1365,7 +1365,8 @@ object PipelineQueries {
       val sigs = SimilarityOps.lshAutoSignatureStage(
         corpus, SimilarityOps.LshAutoMaxTables).cache()
       val pairs = SimilarityOps.nearDupPairsLshByTable(
-        sigs, NearDupThreshold).cache()
+        sigs, NearDupThreshold,
+        tables = SimilarityOps.LshAutoMaxTables).cache()
       val qs = corpus.filter(col("vec_id") < LshQueryCount)
       val truth = corpus
         .join(broadcast(qs.select(col("vec_id").as("query_id"),

@@ -253,4 +253,17 @@ class EmptyInputSpec extends AnyFunSuite {
       offset = 1L, iters = 3)
     assert(emptyEm.count() == 0)
   }
+
+  test("round-11 operators survive zero-row inputs") {
+    val noEmb = SimilarityOps.withNorm(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+    // the min_t-tagged generator and the top-k cap over empty inputs
+    assert(SimilarityOps.nearDupPairsLshByTable(
+      SimilarityOps.lshAutoSignatureStage(noEmb), 0.5).count() == 0)
+    assert(SimilarityOps.topKPerVector(
+      Seq.empty[(Long, Long, Double)].toDF("vec_a", "vec_b", "cos_sim"),
+      3).count() == 0)
+    // probes = 0 degenerates to the home-bucket-only generator
+    assert(SimilarityOps.nearDupPairsLsh(noEmb, 0.5, probes = 0).count() == 0)
+  }
 }

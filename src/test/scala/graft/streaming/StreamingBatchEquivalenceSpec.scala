@@ -828,6 +828,58 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingDpCounts ≡ batch on NULL and '|'-containing keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the r10-advice cases: a NULL lang (old batch concat_ws dropped
+    // it; old stream rendered "null"), and values containing the '|'
+    // separator (the old stream key-split mis-parsed them). Parity,
+    // not seed uniqueness, is the contract under test.
+    val rows = Seq(
+      StreamingDpCounts.KeyedRow(null, "s"),
+      StreamingDpCounts.KeyedRow(null, "s"),
+      StreamingDpCounts.KeyedRow(null, "s"),
+      StreamingDpCounts.KeyedRow("a|b", "s"),
+      StreamingDpCounts.KeyedRow("a|b", "s"),
+      StreamingDpCounts.KeyedRow("a", "b|s"))
+
+    val batch = graft.ops.ProfileOps.dpCounts(
+      rows.map(r => (Option(r.lang), Option(r.source)))
+        .toDF("lang", "source")
+        .select(col("lang"), col("source")),
+      Seq("lang", "source"))
+      .collect()
+      .map(r => (Option(r.getAs[String]("lang")),
+        Option(r.getAs[String]("source"))) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("noise_micro"),
+          r.getAs[Long]("n_dp_micro")))
+      .toMap
+
+    val input = MemoryStream[StreamingDpCounts.KeyedRow]
+    val q = StreamingDpCounts.releaseStream(input.toDS())
+      .writeStream.format("memory").queryName("equiv_dp_nullkeys")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(rows.take(3)); q.processAllAvailable()
+      input.addData(rows.drop(3)); q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source").orderBy(col("n").desc)
+      val fin = spark.table("equiv_dp_nullkeys")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .collect()
+        .map(r => (Option(r.getAs[String]("lang")),
+          Option(r.getAs[String]("source"))) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("noiseMicro"),
+            r.getAs[Long]("nDpMicro")))
+        .toMap
+      assert(fin == batch, s"stream $fin vs batch $batch")
+      assert(batch.size == 3, s"expected 3 distinct groups: $batch")
+    } finally q.stop()
+  }
+
   test("StreamingTheilSen: buffer past maxPoints fails by key name") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
