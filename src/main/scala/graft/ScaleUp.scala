@@ -69,19 +69,24 @@ object ScaleUp {
     * hence every cosine/distance/cluster relation are preserved (the
     * ±1 factors square away; the permutation only reorders the dot's
     * additions), while two DIFFERENT copies always relate by a
-    * non-trivial isometry: within a group the shifts differ (old
-    * behavior — copies 0..dim−1 are exactly the r10 shift-only
-    * transforms); across groups the masks differ AND the 17·q offset
-    * de-phases the shifts, because a mask alone decorrelates this
-    * data's embeddings too weakly (measured on sf0.01 same-origin
-    * images: mean cross-copy |cos| ≈ 0.21 mask-only vs ≈ 0.10
-    * shift+mask — identical to the ≈ 0.10 of the accepted shift-only
-    * within-group pairs, i.e. cross-group copies are now exactly as
-    * decorrelated as the r10 harness's in-range copies were).
-    * Distinctness at ANY factor: (shift, mask) = ((c + 17q) mod dim, q)
-    * collides only for equal q and equal c mod dim, i.e. equal c.
+    * non-trivial isometry: within a group the shifts differ (copies
+    * 1..dim−1 are the r10 shift-only transforms COMPOSED with the one
+    * fixed group-0 mask — the mask is applied in every group, group 0
+    * included, so no copy is shift-only); across groups the masks
+    * differ AND the 17·q offset de-phases the shifts, because a mask
+    * alone decorrelates this data's embeddings too weakly (measured on
+    * sf0.01 same-origin images: mean cross-copy |cos| ≈ 0.21 mask-only
+    * vs ≈ 0.10 shift+mask — identical to the ≈ 0.10 of the accepted
+    * shift-only within-group pairs, i.e. cross-group copies are now
+    * exactly as decorrelated as the r10 harness's in-range copies
+    * were). Copy 0 is the IDENTITY, matching [[scaleTable]], which
+    * leaves the c = 0 copy untransformed — so identity-vs-copy is the
+    * relation any (0, b) comparison exercises. Distinctness at ANY
+    * factor: (shift, mask) = ((c + 17q) mod dim, q) collides only for
+    * equal q and equal c mod dim, i.e. equal c.
     */
   def shiftFlip(v: Column, c: Int): Column = {
+    if (c == 0) return v
     val dim = size(v)
     val grp = floor(lit(c).cast("double") / dim.cast("double")).cast("long")
     val sh = pmod(lit(c) + lit(17L) * grp, dim.cast("long")).cast("int")

@@ -327,15 +327,23 @@ object ProfileOps {
     * NULL key values are sentinel-encoded (U+0000) before hashing, so
     * the groups ('a', NULL) and a single-key 'a' seed DIFFERENT draws
     * (concat_ws alone would silently drop the NULL part and collide
-    * them). A key value that itself contains U+0000 would alias the
-    * sentinel — don't put NUL bytes in group keys.
+    * them). Each part is additionally LENGTH-PREFIXED
+    * (`<char_count>:<part>`) before the '|' join, so
+    * separator-containing keys cannot alias either: ('a|b', 's')
+    * seeds from "3:a|b|1:s" and ('a', 'b|s') from "1:a|3:b|s" —
+    * distinct groups always draw independent noise. The one remaining
+    * alias: a key value that IS the single character U+0000 encodes
+    * like NULL — don't put NUL bytes in group keys.
     */
   def dpCounts(df: DataFrame, keys: Seq[String], epsilon: Double = 1.0,
       salt: String = "dp"): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
     val keyStr = concat_ws("|",
-      keys.map(k => coalesce(col(k).cast("string"), lit("\u0000"))): _*)
+      keys.map { k =>
+        val part = coalesce(col(k).cast("string"), lit("\u0000"))
+        concat(length(part).cast("string"), lit(":"), part)
+      }: _*)
     val h = conv(substring(md5(concat(lit(salt + ":"), keyStr)), 1, 4),
       16, 10).cast("long")
     val u = (h.cast("double") * 2 + 1) / lit(131072.0)

@@ -541,6 +541,13 @@ object SimilarityOps {
       s"tables must be in [1, $LshAutoMaxTables], got $tables")
     require(probes >= 0 && probes <= LshAutoMaxBits,
       s"probes must be in [0, $LshAutoMaxBits], got $probes")
+    // fail by name (not an unresolved-__dsN AnalysisException deep in
+    // the plan) when the sigs frame was built with fewer tables than
+    // this call reads
+    require(sigs.columns.contains(s"__ds${tables - 1}"),
+      s"sigs frame has no __ds${tables - 1}: it was built by " +
+        s"lshAutoSignatureStage with fewer than $tables tables — " +
+        "rebuild the signature stage with tables >= the pair pass's")
     var df = sigs
       .withColumn("__bits", least(greatest(length(bin(
         expr(s"(__n + ${targetBucket - 1}) div $targetBucket") - 1)),
@@ -582,9 +589,13 @@ object SimilarityOps {
         col("vec_id"), col("pk"), col("embedding"), col("nrm")))).as("ms0"),
         count(lit(1)).as("__cnt"))
       .select(col("t"),
+        // the ceiling is stated in HOME members; multi-probe multiplies
+        // expected bucket ENTRIES by (1+probes), so the guard scales
+        // with it — a corpus that sat under the guard at probes=0 keeps
+        // the same headroom at any probe count (r11-advice)
         graft.ops.SessionOps.hotKeyGuarded(col("ms0"), col("__cnt"),
           concat(col("t").cast("string"), lit("/"), col("sig")),
-          maxBucket.toLong, "nearDupPairsLsh bucket").as("ms"))
+          maxBucket.toLong * (1 + probes), "nearDupPairsLsh bucket").as("ms"))
       .filter(size(col("ms")) > 1)
     val scored = members
       .select(col("t"), explode(flatten(transform(col("ms"), (a, i) =>

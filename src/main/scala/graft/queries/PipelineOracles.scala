@@ -333,6 +333,25 @@ object PipelineOracles {
     s"""$lshDsgtCte,
        |${lshBucketCtes(threshold, graft.ops.SimilarityOps.LshAutoTargetBucket)}""".stripMargin
 
+  /** The degree-capped undirected kNN edge chain (mirrors
+    * PipelineQueries.knnEdgesTri): LSH candidate pairs `lp` at
+    * TriangleCos from [[lshAutoCtes]], both orientations ranked per
+    * source, top-BfsKnnK arcs kept, symmetrized to the DISTINCT
+    * undirected edge set `ke(a, b)`, a < b. Every CTE MATERIALIZED:
+    * the graph oracles join against the edges repeatedly (label
+    * propagation once per iteration), and an inlined CTE would replay
+    * the whole LSH chain per reference (the 76 GB-spill trap).
+    */
+  private def knnEdgeCtes: String =
+    s"""${lshAutoCtes(PipelineQueries.TriangleCos)},
+       |karcs AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst, cos_sim AS c
+       |  FROM lp UNION ALL SELECT vec_b, vec_a, cos_sim FROM lp),
+       |kknn AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk
+       |  FROM karcs) WHERE rk <= ${PipelineQueries.BfsKnnK}),
+       |ke AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |    greatest(src, dst) AS b FROM kknn)""".stripMargin
+
   /** Top-k CTE body over the `n` norm CTE: brute (joinCond = id-only) or
     * cell-restricted. `name` prefixes the internal CTE names so two
     * instances compose in one statement.
@@ -1646,17 +1665,16 @@ object PipelineOracles {
          |FROM rt LEFT JOIN ts USING (query_id)""".stripMargin
     },
 
-    // GraphOps.linkPrediction replayed: the same thresholded cosine
-    // edge list as graph_triangles, wedge pairs through the center
+    // GraphOps.linkPrediction replayed: the same capped-kNN edge list
+    // as graph_triangles (LSH candidates → top-BfsKnnK arcs per node,
+    // symmetrized — the r12 re-point), wedge pairs through the center
     // node, NOT EXISTS against the edges, Jaccard in integer ppm,
     // deterministic top-50.
     "graph_linkpred" -> {
       val kk = PipelineQueries.LinkPredK
       s"""WITH $normCte,
-         |e0 AS (SELECT a.vec_id AS u, b.vec_id AS v
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
+         |$knnEdgeCtes,
+         |e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM ke),
          |adjacency AS (SELECT u AS nn, v AS nbr FROM e0
          |  UNION ALL SELECT v, u FROM e0),
          |deg AS (SELECT nn, count(*) AS d FROM adjacency GROUP BY 1),
@@ -4298,10 +4316,8 @@ object PipelineOracles {
     // corner, then exploded back to all three.
     "graph_triangles" ->
       s"""WITH $normCte,
-         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
+         |$knnEdgeCtes,
+         |e0 AS (SELECT a, b FROM ke),
          |deg AS (SELECT node, count(*) AS d FROM (
          |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
          |o AS (SELECT
@@ -4643,9 +4659,9 @@ object PipelineOracles {
         |    AS BIGINT) AS is_anomaly
         |FROM z""".stripMargin,
 
-    // three synchronous rounds unrolled: per round a (node, label)
-    // count over the bidirectional edge list and the
-    // (count DESC, label ASC) argmax.
+    // three synchronous rounds unrolled over the capped-kNN edge list
+    // (r12 re-point): per round a (node, label) count over the
+    // bidirectional edges and the (count DESC, label ASC) argmax.
     "graph_label_prop" -> {
       val steps = (1 to PipelineQueries.LabelPropIters).map { i =>
         s"""c$i AS (SELECT g.src AS node, l.label, count(*) AS c
@@ -4655,11 +4671,9 @@ object PipelineOracles {
            |      AS rk FROM c$i) WHERE rk = 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH $normCte,
-         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
-         |g AS (SELECT a AS src, b AS dst FROM e0
+         |$knnEdgeCtes,
+         |e0 AS MATERIALIZED (SELECT a, b FROM ke),
+         |g AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
          |  UNION SELECT b AS src, a AS dst FROM e0),
          |l0 AS (SELECT DISTINCT src AS node, src AS label FROM g),
          |$steps
@@ -4696,9 +4710,9 @@ object PipelineOracles {
          |    * 1000000.0) AS BIGINT) AS r_micro
          |FROM m""".stripMargin,
 
-    // the label-prop chain re-derived, then the modularity rollup:
-    // intra-edge counts + degree sums per final community, exact
-    // integer q_num/q_den pair.
+    // the label-prop chain re-derived over the capped-kNN edge list
+    // (r12 re-point), then the modularity rollup: intra-edge counts +
+    // degree sums per final community, exact integer q_num/q_den pair.
     "graph_modularity" -> {
       val steps = (1 to PipelineQueries.LabelPropIters).map { i =>
         s"""c$i AS (SELECT g.src AS node, l.label, count(*) AS c
@@ -4708,11 +4722,9 @@ object PipelineOracles {
            |      AS rk FROM c$i) WHERE rk = 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH $normCte,
-         |e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
-         |g AS (SELECT a AS src, b AS dst FROM e0
+         |$knnEdgeCtes,
+         |e0 AS MATERIALIZED (SELECT a, b FROM ke),
+         |g AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
          |  UNION SELECT b AS src, a AS dst FROM e0),
          |l0 AS (SELECT DISTINCT src AS node, src AS label FROM g),
          |$steps,
@@ -4757,7 +4769,7 @@ object PipelineOracles {
     "quality_knn_confusion" ->
       s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
-         |  WHERE vec_id % ${PipelineQueries.KnnQueryMod} = 0),
+         |  WHERE vec_id < ${PipelineQueries.KnnQueryCount}),
          |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
          |    n.label AS nl,
          |    list_dot_product(n.e, q.qe) / (n.nrm * q.qn) AS cos
@@ -5030,8 +5042,11 @@ object PipelineOracles {
       s"""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
          |  FROM documents GROUP BY 1, 2),
          |z AS (SELECT lang, source, n,
-         |    (CAST(('0x' || substr(md5('dp:' || coalesce(lang, chr(0))
-         |        || '|' || coalesce(source, chr(0))), 1, 4))::BIGINT
+         |    (CAST(('0x' || substr(md5('dp:'
+         |        || length(coalesce(lang, chr(0)))::VARCHAR || ':'
+         |        || coalesce(lang, chr(0))
+         |        || '|' || length(coalesce(source, chr(0)))::VARCHAR || ':'
+         |        || coalesce(source, chr(0))), 1, 4))::BIGINT
          |      AS DOUBLE) * 2 + 1) / 131072.0 - 0.5 AS cen
          |  FROM c)
          |SELECT lang, source, n,

@@ -95,8 +95,13 @@ object PipelineQueries {
   val LbCrit = 7.814728
   /** DBSCAN: core threshold (neighbors at TriangleCos, self excluded). */
   val DbscanMinPts = 3L
-  /** kNN classifier eval: query stride and neighborhood size. */
-  val KnnQueryMod = 10
+  /** kNN classifier eval: FIXED query count and neighborhood size. A
+    * fixed count (not a stride) keeps the eval LINEAR in the corpus:
+    * queries stay constant as n grows, so cosines ∝ n — the stride
+    * form was the suite's designed quadratic (queries ∝ n ⇒ cosines
+    * ∝ n²/mod, measured 4.9× at ×10; r11 verdict item 3).
+    */
+  val KnnQueryCount = 200
   val KnnK = 5
   /** k-anonymity release threshold. */
   val KAnonK = 10L
@@ -237,6 +242,23 @@ object PipelineQueries {
     */
   private def lshPairsTri(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos).cache()
+
+  /** The DEGREE-CAPPED undirected kNN edge set over [[lshPairsTri]] —
+    * the default graph surface every scale-facing graph analytic rides
+    * (BFS and PPR since r10; triangles / link-pred / label-prop /
+    * modularity since r12): LSH candidates (linear volume) cut to each
+    * node's top-[[BfsKnnK]] arcs, symmetrized to distinct undirected
+    * edges, so |E| ≤ k·n at ANY corpus size where the raw threshold
+    * graph's |E| is a data property measured growing superlinearly
+    * (5.9× pairs for 3× data at ×30 — PLANS round 11). Cached: four
+    * queries read it, and label propagation iterates over it.
+    */
+  private def knnEdgesTri(s: SparkSession, dir: String): DataFrame =
+    GraphOps.knnGraph(lshPairsTri(s, dir), "vec_a", "vec_b", "cos_sim", BfsKnnK)
+      .select(least(col("src"), col("dst")).as("vec_a"),
+        greatest(col("src"), col("dst")).as("vec_b"))
+      .distinct()
+      .cache()
 
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -588,14 +610,15 @@ object PipelineQueries {
       RetrievalOps.apMetric(exact, approx)
     }),
 
-    // common-neighbor link prediction over the cosine near-dup graph:
+    // common-neighbor link prediction over the capped kNN dup graph:
     // which non-adjacent doc pairs share the most dup-neighbors — the
     // graph-completion answer to "these two docs are probably dups the
-    // threshold missed" (a recall repair for the LSH layer), top-50 by
-    // shared count then neighborhood Jaccard.
+    // generator missed" (a recall repair for the LSH layer), top-50 by
+    // shared count then neighborhood Jaccard. On the capped edge set
+    // (r12 re-point) the wedge join is bounded by k·|E| ≤ k²·n.
     "graph_linkpred" -> ((s, dir) =>
       GraphOps.linkPrediction(
-        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        knnEdgesTri(s, dir),
         "vec_a", "vec_b", LinkPredK)),
 
     // k-core peeling over the cosine graph: the dense dup nucleus after
@@ -2438,13 +2461,16 @@ object PipelineQueries {
     "quality_nb_confusion" -> ((s, dir) =>
       ClassifierOps.naiveBayesConfusion(table(s, dir, "documents"))),
 
-    // per-node triangle counts over the cosine near-dup graph — local
+    // per-node triangle counts over the capped kNN dup graph — local
     // clustering density (how clique-like each doc's dup neighborhood
     // is). Degree-ordered orientation bounds the wedge join by the
-    // oriented out-degree (O(√m)), the MapReduce triangle shape.
+    // oriented out-degree (O(√m)), the MapReduce triangle shape; the
+    // capped edge set (r12 re-point) makes m itself ≤ k·n, so the
+    // whole count is linear in the corpus where the raw threshold
+    // graph's m grew superlinearly.
     "graph_triangles" -> ((s, dir) =>
       GraphOps.triangleCounts(
-        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        knnEdgesTri(s, dir),
         "vec_a", "vec_b")),
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-lang
@@ -2767,13 +2793,14 @@ object PipelineQueries {
         table(s, dir, "events"), "user_id", "ts", "event_id", "value")),
 
     // community detection by deterministic SYNCHRONOUS label
-    // propagation over the cosine near-dup graph — the coarse community
+    // propagation over the capped kNN dup graph — the coarse community
     // layer above exact connected components: every round one
     // co-partitioned edges⋈labels join + per-node majority argmax
-    // (count DESC, label ASC).
+    // (count DESC, label ASC). Per-round cost is linear in |E| ≤ k·n
+    // on the capped edge set (r12 re-point).
     "graph_label_prop" -> ((s, dir) =>
       GraphOps.labelPropagation(
-        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        knnEdgesTri(s, dir),
         "vec_a", "vec_b", LabelPropIters)),
 
     // hubs-link-hubs or hubs-link-leaves? degree assortativity of the
@@ -2787,10 +2814,11 @@ object PipelineQueries {
     // are the propagated communities real? Newman-Girvan modularity
     // terms per community as EXACT integer rationals (q_num/q_den —
     // signed division left to the consumer; the trunc-vs-floor
-    // division trap stays out of the hash surface).
+    // division trap stays out of the hash surface). Rides the shared
+    // capped kNN edge set (r12 re-point) — already cached, and the
+    // label source is the SAME graph graph_label_prop reads.
     "graph_modularity" -> ((s, dir) => {
-      val edges = SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos)
-        .cache()
+      val edges = knnEdgesTri(s, dir)
       val labels = GraphOps.labelPropagation(
         edges, "vec_a", "vec_b", LabelPropIters)
       GraphOps.modularityTerms(edges, "vec_a", "vec_b", labels)
@@ -2798,14 +2826,16 @@ object PipelineQueries {
 
     // kNN classifier evaluation — the non-parametric member of the
     // model family (LR / NB / Rocchio / kNN): leave-one-out top-k
-    // cosine neighbors for a query stripe, majority label vote
-    // (count DESC, label ASC), rolled to the labels² confusion matrix.
-    // One corpus pass against the broadcast query stripe; the vote and
-    // confusion are query-bounded aggregations.
+    // cosine neighbors for a FIXED-COUNT query stripe, majority label
+    // vote (count DESC, label ASC), rolled to the labels² confusion
+    // matrix. One corpus pass against the broadcast query stripe; the
+    // vote and confusion are query-bounded aggregations. The fixed
+    // count makes the whole eval linear in the corpus (queries do not
+    // grow with n — the id-stride form was quadratic by design).
     "quality_knn_confusion" -> ((s, dir) => {
       val corpus = normed(s, dir)
       ClassifierOps.knnConfusion(corpus,
-        corpus.filter(pmod(col("vec_id"), lit(KnnQueryMod)) === 0), KnnK)
+        corpus.filter(col("vec_id") < KnnQueryCount), KnnK)
     }),
 
     // DBSCAN over the cosine neighbor graph — the density layer next to

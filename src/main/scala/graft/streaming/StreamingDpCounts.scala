@@ -43,12 +43,18 @@ object StreamingDpCounts {
   }
 
   /** The batch op's seed-string contract (ProfileOps.dpCounts keyStr):
-    * '|' between parts, NULL parts sentinel-encoded as U+0000 — built
-    * from the TYPED key parts, never re-parsed out of a joined string
-    * (a lang containing '|' or a literal "null" would mis-split).
+    * each part length-prefixed (`<char_count>:<part>`, counting CODE
+    * POINTS to match Spark's `length`), '|' between parts, NULL parts
+    * sentinel-encoded as U+0000 — built from the TYPED key parts,
+    * never re-parsed out of a joined string, and unambiguous even for
+    * parts containing the separator (('a|b','s') and ('a','b|s') seed
+    * differently).
     */
   def seedKey(lang: String, source: String): String =
-    Seq(lang, source).map(v => if (v == null) "\u0000" else v).mkString("|")
+    Seq(lang, source).map { v =>
+      val p = if (v == null) "\u0000" else v
+      s"${p.codePointCount(0, p.length)}:$p"
+    }.mkString("|")
 
   def releaseStream(rows: Dataset[KeyedRow], epsilon: Double = 1.0,
       salt: String = "dp"): Dataset[DpOut] = {

@@ -64,9 +64,12 @@ class ScaleUpSpec extends AnyFunSuite {
   }
 
   test("cross-copy alignment is destroyed past the old x64 ceiling") {
-    // (0, 64): same shift, masks differ — the case the shift-only
-    // transform left VERBATIM-IDENTICAL (cosine 1.0). (64, 128): two
-    // distinct non-identity masks. (1, 65): shift+mask both in play.
+    // (0, 64): the IDENTITY (copy 0 is untransformed, exactly as
+    // scaleTable writes it) vs a shifted+masked copy — the actual
+    // original-vs-copy relation, which the shift-only transform left
+    // VERBATIM-IDENTICAL (cosine 1.0) at c ≡ 0 (mod dim). (64, 128):
+    // two distinct non-identity masks. (1, 65): shift+mask both in
+    // play.
     for ((a, b) <- Seq((0, 64), (64, 128), (1, 65), (0, 6400))) {
       val worst = crossCos(a, b).agg(max(abs(col("cos")))).head().getDouble(0)
       assert(worst < 0.85,

@@ -80,7 +80,7 @@ class Round10OpsSpec extends AnyFunSuite {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
     val en = out.find(_._1 == "en").get
-    assert(en._2 == 3L && en._3 == expectedNoise("en|web"), en.toString)
+    assert(en._2 == 3L && en._3 == expectedNoise("2:en|3:web"), en.toString)
     // release = count + noise, in micro
     assert(math.abs(en._4 - (en._2 * 1000000L + en._3)) <= 1, en.toString)
   }

@@ -877,6 +877,13 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
         .toMap
       assert(fin == batch, s"stream $fin vs batch $batch")
       assert(batch.size == 3, s"expected 3 distinct groups: $batch")
+      // seed UNIQUENESS (the r11-advice '|' aliasing): ('a|b','s') and
+      // ('a','b|s') joined ambiguously under the plain '|' seed — the
+      // length-prefixed contract must draw them DIFFERENT noise
+      val n1 = batch((Some("a|b"), Some("s")))._2
+      val n2 = batch((Some("a"), Some("b|s")))._2
+      assert(n1 != n2,
+        s"separator-straddling keys drew identical noise: $n1")
     } finally q.stop()
   }
 
