@@ -622,6 +622,150 @@ object SimilarityOps {
         .agg(round(max(col("cos")), 6).as("cos_sim"))
   }
 
+  /** [[nearDupPairsLshAtRecall]]'s result: the pair surface plus every
+    * number on the achieved-recall card the decision was made from.
+    * All recalls are integer micro (floor(hit·10⁶/n_true)) — the exact
+    * arithmetic the oracle replays.
+    */
+  final case class LshAtRecall(
+      pairs: DataFrame,
+      tables: Int,
+      targetMicro: Long,
+      nTrue: Long,
+      calibTables: Int,
+      calibRecallMicro: Long,
+      achievedRecallMicro: Long)
+
+  /** RECALL-TARGETING LSH near-dup pairs — the operator that closes the
+    * loop the r11 frontier cards opened: fixed-absolute-threshold LSH
+    * recall decays with corpus size by ρ-geometry (per-table collision
+    * for a fixed angle is p(θ)^bits and bits grows with n — measured
+    * 0.99 at n = 500 → 0.14 at 60 000, PLANS round 11), and holding a
+    * recall target needs L ∝ n^ρ tables. Instead of making the caller
+    * hand-compute L from the `dedup_lsh_tables_frontier` card, this
+    * operator measures per-table collision ON THIS CORPUS AT THIS
+    * SCALE and grows L itself:
+    *
+    *   1. CALIBRATE: one pair pass at `calibTables` tables; measured
+    *      recall r₁ on the exact ≥-threshold truth of a fixed
+    *      `calibQueries`-vector stripe (truth costs one corpus scan
+    *      against the broadcast stripe — stripe size is FIXED, so the
+    *      calibration is linear in the corpus at any scale).
+    *   2. SOLVE: per-table miss is (1−r₁)^(1/calibTables) under the
+    *      OR-amplification model 1−(1−x)^L that the r11 frontier
+    *      measurements ride to three decimals (×10 AND ×30) — so the
+    *      predicted miss at k·calibTables tables is (1−r₁)^k, an
+    *      INTEGER power computed in micro space with per-step floor
+    *      (m_k = ⌊m_{k−1}·m₁/10⁶⌋): no fractional pow/ln whose last
+    *      ulp could differ across engines — the whole decision
+    *      replays exactly in the DuckDB oracle. L is quantized to
+    *      multiples of calibTables (the granularity the calibration
+    *      actually priced; cost is linear in L, so the ≤ calibTables−1
+    *      overshoot is bounded).
+    *   3. BUILD: if the calibration pass already meets the target it
+    *      IS the answer; else one more pass at the solved L, whose
+    *      achieved recall is re-MEASURED on the same stripe (the card
+    *      reports measurement, never prediction). If even the
+    *      `maxTables` ceiling cannot reach the target, raise BY NAME
+    *      with the measured geometry and the L the theory says would
+    *      be needed — a 100 TB run learns the target is infeasible at
+    *      calibration cost, not after a full pass.
+    *
+    * Scale shape: everything is the audited [[nearDupPairsLsh]] chain
+    * (one scan per pass + one bucket shuffle, candidates ∝ n per
+    * table) run at most twice, plus two stripe-bounded recall
+    * aggregations; the driver pulls only counts.
+    */
+  def nearDupPairsLshAtRecall(corpus: DataFrame, threshold: Double,
+      targetRecall: Double,
+      calibQueries: Int = 64,
+      targetBucket: Int = LshAutoTargetBucket,
+      calibTables: Int = LshTables,
+      maxTables: Int = LshAutoMaxTables,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      probes: Int = LshAutoProbes): LshAtRecall = {
+    require(targetRecall >= 0.5 && targetRecall <= 0.999999,
+      s"targetRecall must be in [0.5, 0.999999] (1.0 needs an exact " +
+        s"generator, not LSH), got $targetRecall")
+    require(calibQueries >= 1, s"calibQueries must be >= 1, got $calibQueries")
+    require(calibTables >= 1 && calibTables <= maxTables &&
+        maxTables <= LshAutoMaxTables,
+      s"need 1 <= calibTables ($calibTables) <= maxTables ($maxTables) " +
+        s"<= $LshAutoMaxTables")
+    val targetMicro = math.ceil(targetRecall * 1000000.0).toLong
+
+    // the stripe's exact ≥-threshold truth: one corpus scan vs the
+    // broadcast stripe (same shape as the recall cards)
+    val qs = corpus.filter(col("vec_id") < calibQueries)
+    val truth = corpus
+      .join(broadcast(qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))),
+        col("vec_id") =!= col("query_id"))
+      .filter(cosine(col("embedding"), col("qe"), col("nrm"), col("qn"))
+        >= threshold)
+      .select(col("query_id"), col("vec_id").as("other_id"))
+      .cache()
+    val nTrue = truth.count()
+    if (nTrue == 0) {
+      truth.unpersist()
+      throw new IllegalArgumentException(
+        s"nearDupPairsLshAtRecall: the calibration stripe (vec_id < " +
+          s"$calibQueries) has NO true >= $threshold partner — recall is " +
+          "undefined; widen calibQueries or lower the threshold")
+    }
+    // floor(hit·10⁶ / n_true): pure integer, oracle-identical
+    def recallMicroOf(pairs: DataFrame): Long = {
+      val both = pairs
+        .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
+        .unionAll(pairs
+          .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
+        .filter(col("query_id") < calibQueries)
+      truth.join(both, Seq("query_id", "other_id"), "left_semi").count() *
+        1000000L / nTrue
+    }
+
+    val pairs1 = nearDupPairsLshFrom(
+      lshAutoSignatureStage(corpus, calibTables), threshold,
+      targetBucket, calibTables, maxBucket, probes).cache()
+    val r1 = recallMicroOf(pairs1)
+
+    // predicted micro MISS at k·calibTables tables: m_k = ⌊m_{k−1}·m₁/10⁶⌋
+    // (longs stay ≤ 10¹²; floor division is the cross-engine contract)
+    val m1 = 1000000L - r1
+    val ks = (1 to maxTables / calibTables).toList
+    val missAt = ks.scanLeft(1000000L)((m, _) => m * m1 / 1000000L).drop(1)
+    ks.find(k => 1000000L - missAt(k - 1) >= targetMicro) match {
+      case None =>
+        truth.unpersist(); pairs1.unpersist()
+        val needL =
+          if (r1 <= 0) "unbounded (the calibration pass caught NOTHING)"
+          else math.ceil(calibTables *
+            math.log(1.0 - targetMicro / 1e6) / math.log(m1 / 1e6))
+            .toLong.toString
+        throw new IllegalArgumentException(
+          s"nearDupPairsLshAtRecall: target recall $targetRecall is " +
+            s"UNREACHABLE at the $maxTables-table ceiling for threshold " +
+            s"$threshold on this corpus: measured calibration recall " +
+            s"${r1 / 1e6} at $calibTables tables predicts " +
+            s"${(1000000L - missAt.last) / 1e6} at $maxTables " +
+            s"(1-(1-x)^L geometry says L ≈ $needL tables) — raise " +
+            "maxTables, lower the threshold, or consume the top-k " +
+            "surface (topKPerVector / knnGraph) instead")
+      case Some(1) =>
+        truth.unpersist()
+        LshAtRecall(pairs1, calibTables, targetMicro, nTrue,
+          calibTables, r1, r1)
+      case Some(k) =>
+        val l = k * calibTables
+        val pairs2 = nearDupPairsLshFrom(
+          lshAutoSignatureStage(corpus, l), threshold,
+          targetBucket, l, maxBucket, probes).cache()
+        val r2 = recallMicroOf(pairs2)
+        truth.unpersist(); pairs1.unpersist()
+        LshAtRecall(pairs2, l, targetMicro, nTrue, calibTables, r1, r2)
+    }
+  }
+
   /** Per-vector top-k cap over a near-dup pair surface: keep a pair iff
     * it is among EITHER endpoint's `k` best partners (cosine desc,
     * partner-id tiebreak) — the knnGraph arc-cap pattern applied to the

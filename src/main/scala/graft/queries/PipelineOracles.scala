@@ -333,6 +333,53 @@ object PipelineOracles {
     s"""$lshDsgtCte,
        |${lshBucketCtes(threshold, graft.ops.SimilarityOps.LshAutoTargetBucket)}""".stripMargin
 
+  /** The FULL-CEILING ([[graft.ops.SimilarityOps.LshAutoMaxTables]])
+    * min_t pair chain plus the query-stripe truth: `lpmt(vec_a, vec_b,
+    * min_t)` — min_t < L selects exactly an L-table run's pairs (the
+    * prefix property) — `truth(query_id, other_id)` and `ntr(n)`.
+    * Shared by the tables-frontier card and the auto-L recall card.
+    */
+  private def lshMinTCtes(thr: Double, q: Int): String = {
+    val maxT = graft.ops.SimilarityOps.LshAutoMaxTables
+    val tgt = graft.ops.SimilarityOps.LshAutoTargetBucket
+    val probes = graft.ops.SimilarityOps.LshAutoProbes
+    val branches = (0 until maxT)
+      .map(t => s"SELECT vec_id, e, nrm, $t AS t, ${lshDotsSql(t)} AS ds FROM n")
+      .mkString("\n  UNION ALL ")
+    s"""tdsg AS MATERIALIZED ($branches),
+       |tab AS MATERIALIZED (SELECT CAST(least(greatest(length(bin(
+       |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1),
+       |    ${graft.ops.SimilarityOps.LshAutoMaxBits}) AS INT) AS b FROM n),
+       |tsgt AS MATERIALIZED (SELECT vec_id, e, nrm, t, ds,
+       |    substr(array_to_string(list_transform(ds,
+       |      d -> CASE WHEN d > 0 THEN '1' ELSE '0' END), ''), 1, tab.b) AS sig
+       |  FROM tdsg CROSS JOIN tab),
+       |tpidx AS (SELECT vec_id, t, i FROM (
+       |    SELECT vec_id, t, i,
+       |      row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(ds[i]), i) AS rn
+       |    FROM (SELECT vec_id, t, ds,
+       |        unnest(range(1, (SELECT b FROM tab) + 1)) AS i FROM tdsg))
+       |  WHERE rn <= $probes),
+       |tasg AS MATERIALIZED (
+       |  SELECT vec_id, e, nrm, t, sig, 0 AS pk FROM tsgt
+       |  UNION ALL
+       |  SELECT s.vec_id, s.e, s.nrm, s.t,
+       |    substr(s.sig, 1, p.i - 1) ||
+       |      (CASE WHEN substr(s.sig, p.i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |      substr(s.sig, p.i + 1) AS sig, 1 AS pk
+       |  FROM tsgt s JOIN tpidx p ON s.vec_id = p.vec_id AND s.t = p.t),
+       |lpmt AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    min(a.t) AS min_t
+       |  FROM tasg a JOIN tasg b ON a.t = b.t AND a.sig = b.sig
+       |    AND a.vec_id < b.vec_id AND NOT (a.pk = 1 AND b.pk = 1)
+       |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $thr
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (SELECT qq.vec_id AS query_id, n.vec_id AS other_id
+       |  FROM n qq JOIN n ON qq.vec_id < $q AND n.vec_id <> qq.vec_id
+       |  WHERE list_dot_product(n.e, qq.e) / (n.nrm * qq.nrm) >= $thr),
+       |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth)""".stripMargin
+  }
+
   /** The degree-capped undirected kNN edge chain (mirrors
     * PipelineQueries.knnEdgesTri): LSH candidate pairs `lp` at
     * TriangleCos from [[lshAutoCtes]], both orientations ranked per
@@ -3101,14 +3148,7 @@ object PipelineOracles {
     // bucket chain, one min_t pair join; each L's result is the
     // min_t < L slice.
     "dedup_lsh_tables_frontier" -> {
-      val thr = PipelineQueries.NearDupThreshold
       val q = PipelineQueries.LshQueryCount
-      val maxT = graft.ops.SimilarityOps.LshAutoMaxTables
-      val tgt = graft.ops.SimilarityOps.LshAutoTargetBucket
-      val probes = graft.ops.SimilarityOps.LshAutoProbes
-      val branches = (0 until maxT)
-        .map(t => s"SELECT vec_id, e, nrm, $t AS t, ${lshDotsSql(t)} AS ds FROM n")
-        .mkString("\n  UNION ALL ")
       def per(l: Int): String =
         s"""h$l AS (SELECT count(*) AS n_hit FROM truth
            |  JOIN (SELECT query_id, other_id FROM (
@@ -3124,40 +3164,57 @@ object PipelineOracles {
            |    / CAST((SELECT n FROM ntr) AS DOUBLE), 6) AS recall,
            |  CAST((SELECT n_pairs FROM np$l) AS BIGINT) AS n_pairs""".stripMargin
       s"""WITH $normCte,
-         |tdsg AS MATERIALIZED ($branches),
-         |tab AS MATERIALIZED (SELECT CAST(least(greatest(length(bin(
-         |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1),
-         |    ${graft.ops.SimilarityOps.LshAutoMaxBits}) AS INT) AS b FROM n),
-         |tsgt AS MATERIALIZED (SELECT vec_id, e, nrm, t, ds,
-         |    substr(array_to_string(list_transform(ds,
-         |      d -> CASE WHEN d > 0 THEN '1' ELSE '0' END), ''), 1, tab.b) AS sig
-         |  FROM tdsg CROSS JOIN tab),
-         |tpidx AS (SELECT vec_id, t, i FROM (
-         |    SELECT vec_id, t, i,
-         |      row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(ds[i]), i) AS rn
-         |    FROM (SELECT vec_id, t, ds,
-         |        unnest(range(1, (SELECT b FROM tab) + 1)) AS i FROM tdsg))
-         |  WHERE rn <= $probes),
-         |tasg AS MATERIALIZED (
-         |  SELECT vec_id, e, nrm, t, sig, 0 AS pk FROM tsgt
-         |  UNION ALL
-         |  SELECT s.vec_id, s.e, s.nrm, s.t,
-         |    substr(s.sig, 1, p.i - 1) ||
-         |      (CASE WHEN substr(s.sig, p.i, 1) = '1' THEN '0' ELSE '1' END) ||
-         |      substr(s.sig, p.i + 1) AS sig, 1 AS pk
-         |  FROM tsgt s JOIN tpidx p ON s.vec_id = p.vec_id AND s.t = p.t),
-         |lpmt AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    min(a.t) AS min_t
-         |  FROM tasg a JOIN tasg b ON a.t = b.t AND a.sig = b.sig
-         |    AND a.vec_id < b.vec_id AND NOT (a.pk = 1 AND b.pk = 1)
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $thr
-         |  GROUP BY 1, 2),
-         |truth AS MATERIALIZED (SELECT qq.vec_id AS query_id, n.vec_id AS other_id
-         |  FROM n qq JOIN n ON qq.vec_id < $q AND n.vec_id <> qq.vec_id
-         |  WHERE list_dot_product(n.e, qq.e) / (n.nrm * qq.nrm) >= $thr),
-         |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+         |${lshMinTCtes(PipelineQueries.NearDupThreshold, q)},
          |${PipelineQueries.LshTablesFrontier.map(per).mkString(",\n")}
          |${PipelineQueries.LshTablesFrontier.map(row).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // the auto-L operator's card replayed, DECISION INCLUDED: the same
+    // full-ceiling min_t chain, measured calibration recall at the
+    // min_t < calibTables slice (floor micro — integer division), the
+    // identical m_k = floor(m_{k-1}*m1/1e6) predicted-miss chain, the
+    // same first-k-meeting-target pick, and achieved recall + pair
+    // volume at the picked L's slice (a fresh L-table run returns
+    // exactly the min_t < L pairs — the prefix property the frontier
+    // card is built on).
+    "dedup_lsh_auto_recall" -> {
+      val q = PipelineQueries.LshQueryCount
+      val c = graft.ops.SimilarityOps.LshTables
+      val kmax = graft.ops.SimilarityOps.LshAutoMaxTables / c
+      val tMicro =
+        math.ceil(PipelineQueries.LshAutoRecallTarget * 1000000.0).toLong
+      val missExprs = (1 to kmax)
+        .scanLeft("1000000")((e, _) => s"($e * m1) // 1000000").drop(1)
+      val arms = (1 to kmax)
+        .map(k => s"WHEN 1000000 - ${missExprs(k - 1)} >= $tMicro THEN ${k * c}")
+        .mkString("\n    ")
+      s"""WITH $normCte,
+         |${lshMinTCtes(PipelineQueries.NearDupThreshold, q)},
+         |h1 AS (SELECT count(*) AS n_hit FROM truth
+         |  JOIN (SELECT query_id, other_id FROM (
+         |      SELECT vec_a AS query_id, vec_b AS other_id FROM lpmt WHERE min_t < $c
+         |      UNION ALL SELECT vec_b, vec_a FROM lpmt WHERE min_t < $c)
+         |    WHERE query_id < $q) b USING (query_id, other_id)),
+         |dec AS (SELECT 1000000
+         |    - (SELECT n_hit FROM h1) * 1000000 // (SELECT n FROM ntr) AS m1),
+         |pick AS (SELECT 1000000 - m1 AS r1, CASE
+         |    $arms END AS l FROM dec),
+         |ach AS (SELECT count(*) AS n_hit FROM truth
+         |  JOIN (SELECT query_id, other_id FROM (
+         |      SELECT vec_a AS query_id, vec_b AS other_id FROM lpmt
+         |        WHERE min_t < (SELECT l FROM pick)
+         |      UNION ALL SELECT vec_b, vec_a FROM lpmt
+         |        WHERE min_t < (SELECT l FROM pick))
+         |    WHERE query_id < $q) b USING (query_id, other_id))
+         |SELECT CAST($tMicro AS BIGINT) AS target_micro,
+         |  (SELECT n FROM ntr) AS n_true,
+         |  CAST($c AS BIGINT) AS calib_tables,
+         |  CAST((SELECT r1 FROM pick) AS BIGINT) AS calib_recall_micro,
+         |  CAST((SELECT l FROM pick) AS BIGINT) AS n_tables,
+         |  CAST((SELECT n_hit FROM ach) * 1000000 // (SELECT n FROM ntr)
+         |    AS BIGINT) AS achieved_recall_micro,
+         |  CAST((SELECT count(*) FROM lpmt WHERE min_t < (SELECT l FROM pick))
+         |    AS BIGINT) AS n_pairs""".stripMargin
     },
 
     // top-of-ranking recall replayed: exact top-k truth per query

@@ -75,6 +75,11 @@ object PipelineQueries {
   val LshTablesFrontier = Seq(8, 16, 32)
   /** Per-vector pair cap for the output-bounded LSH dedup surface. */
   val LshTopKPerVector = 8
+  /** Recall target for the auto-L operator's oracle row — above the
+    * measured 8-table calibration recall at sf0.01 (≈ 0.9875), so the
+    * oracle exercises the SOLVE→BUILD escalation path, not just the
+    * calibration-suffices short-circuit. */
+  val LshAutoRecallTarget = 0.99
   /** PRF expansion: feedback-doc count and appended-term count. */
   val PrfFeedbackDocs = 5
   val PrfExpandTerms = 3
@@ -1416,6 +1421,24 @@ object PipelineQueries {
             round(col("n_hit") / col("n_true").cast("double"), 6)
               .as("recall"), col("n_pairs"))
       }.reduce(_ unionAll _)
+    }),
+
+    // the RECALL-TARGETING auto-L operator's card (r11 verdict item 1):
+    // calibrate at 8 tables on the query stripe, solve 1-(1-x)^L >=
+    // target with integer-exact micro arithmetic, rebuild at the
+    // solved L, report MEASURED achieved recall — every number on the
+    // card replays in the oracle, decision included. One row.
+    "dedup_lsh_auto_recall" -> ((s, dir) => {
+      import s.implicits._
+      val r = SimilarityOps.nearDupPairsLshAtRecall(
+        normed(s, dir), NearDupThreshold, LshAutoRecallTarget,
+        LshQueryCount)
+      val nPairs = r.pairs.count()
+      Seq((r.targetMicro, r.nTrue, r.calibTables.toLong,
+        r.calibRecallMicro, r.tables.toLong, r.achievedRecallMicro, nPairs))
+        .toDF("target_micro", "n_true", "calib_tables",
+          "calib_recall_micro", "n_tables", "achieved_recall_micro",
+          "n_pairs")
     }),
 
     // top-of-ranking recall — what the kNN-graph consumers actually

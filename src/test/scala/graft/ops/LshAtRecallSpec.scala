@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The recall-targeting auto-L LSH operator: calibrate → solve
+  * 1−(1−x)^L ≥ target with integer micro arithmetic → rebuild at the
+  * solved L → report MEASURED recall; raise by name when the ceiling
+  * cannot reach the target or when the stripe has no truth. The oracle
+  * row (`dedup_lsh_auto_recall`) pins the cross-engine decision replay;
+  * this spec pins the operator's contract on corpora the oracle corpus
+  * does not exercise.
+  */
+class LshAtRecallSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def sfEmb(sf: String): DataFrame =
+    SimilarityOps.withNorm(graft.etl.Ingest
+      .table(spark, s"/root/testdata/$sf", "embeddings")
+      .select(col("vec_id"), col("embedding")))
+
+  /** Deterministic pseudo-random corpus with NO real cluster structure:
+    * component (i, d) = frac(sin-free integer hash)/scale − 0.5, so at a
+    * very low threshold the truth set is dominated by near-orthogonal
+    * pairs — sign-LSH's hardest regime, where the 32-table ceiling
+    * genuinely cannot hold a high recall target.
+    */
+  private def randomEmb(n: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    // splitmix64 finalizer: a LINEAR formula mod k would make every
+    // pair differ by a constant component shift (near-dups everywhere)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val rows = (0 until n).map { i =>
+      (i.toLong, (0 until dim).map { d =>
+        (Math.floorMod(mix(i.toLong * 4099L + d), 1000L).toDouble
+          / 1000.0) - 0.5
+      }.toArray)
+    }
+    SimilarityOps.withNorm(rows.toDF("vec_id", "embedding"))
+  }
+
+  test("calibration pass meeting the target IS the answer (L = calibTables)") {
+    val r = SimilarityOps.nearDupPairsLshAtRecall(
+      sfEmb("sf0.001"), 0.3, targetRecall = 0.5, calibQueries = 20)
+    assert(r.tables == SimilarityOps.LshTables, r.toString)
+    assert(r.calibRecallMicro == r.achievedRecallMicro, r.toString)
+    assert(r.achievedRecallMicro >= r.targetMicro, r.toString)
+    assert(r.pairs.count() > 0)
+  }
+
+  test("escalation: solved L is a multiple of calibTables and achieves the target") {
+    // sf0.01 at threshold 0.3: measured calibration recall ≈ 0.9887 at
+    // 8 tables, so a 0.99 target must escalate — the oracle-pinned path
+    val r = SimilarityOps.nearDupPairsLshAtRecall(
+      sfEmb("sf0.01"), 0.3, targetRecall = 0.99, calibQueries = 20)
+    assert(r.tables > r.calibTables && r.tables % r.calibTables == 0,
+      r.toString)
+    assert(r.calibRecallMicro < r.targetMicro,
+      s"expected the calibration pass to MISS the target: $r")
+    assert(r.achievedRecallMicro >= r.targetMicro,
+      s"solved L did not achieve the target: $r")
+    // the escalated surface is a superset-or-equal pair count of any
+    // smaller-L slice — sanity that more tables only ADD pairs
+    assert(r.pairs.count() > 0)
+  }
+
+  test("unreachable target raises BY NAME with the measured geometry") {
+    // n = 2000 → a 6-bit prefix; threshold 0.0 on structureless data
+    // makes the truth set mostly near-orthogonal pairs, whose per-table
+    // collision is far too low for 32 tables to reach 0.999
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.nearDupPairsLshAtRecall(
+        randomEmb(2000, 32), threshold = 0.0, targetRecall = 0.999,
+        calibQueries = 30)
+    }
+    assert(e.getMessage.contains("UNREACHABLE"), e.getMessage)
+    assert(e.getMessage.contains("32-table ceiling"), e.getMessage)
+  }
+
+  test("a truthless calibration stripe raises BY NAME, not 0/0") {
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.nearDupPairsLshAtRecall(
+        randomEmb(200, 32), threshold = 0.999999, targetRecall = 0.9,
+        calibQueries = 10)
+    }
+    assert(e.getMessage.contains("NO true"), e.getMessage)
+  }
+
+  test("target 1.0 and over-ceiling table counts are rejected by require") {
+    val emb = randomEmb(50, 8)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.nearDupPairsLshAtRecall(emb, 0.3, targetRecall = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.nearDupPairsLshAtRecall(emb, 0.3, 0.9,
+        maxTables = SimilarityOps.LshAutoMaxTables + 1)
+    }
+  }
+}
