@@ -766,6 +766,107 @@ object SimilarityOps {
     }
   }
 
+  /** [[graft.ops.GraphOps.knnGraph]] over the LSH candidate pairs WITH
+    * a minimum head-recall CONTRACT — the enforcement form of the
+    * `dedup_embedding_lsh_topk_recall` card (r11 verdict item 7: the
+    * consumers had instruments but no automatic response to a bad
+    * reading). Before returning the arcs, the operator measures
+    * top-of-ranking recall on a fixed `calibQueries` stripe: of each
+    * stripe vector's true top-`k` ≥-threshold partners (exact cosine,
+    * one corpus scan against the broadcast stripe), the fraction the
+    * bucketed generator surfaced, pooled over the stripe in floor-micro
+    * integers. If the reading is below `minHeadRecall`, the build FAILS
+    * BY NAME instead of silently handing downstream analytics (BFS,
+    * PPR, triangles, communities) a graph missing its strongest edges —
+    * and the message carries the fix: the table count L the validated
+    * 1−(1−x)^L frontier geometry says would lift the head recall over
+    * the contract (pass it as `tables`), or the named fact that no
+    * L ≤ [[LshAutoMaxTables]] can.
+    *
+    * Ranking-head recall is the right contract for a kNN-graph build:
+    * absolute-threshold recall decays with corpus size by LSH geometry
+    * (the r11 finding), but the arc-capped graph only consumes each
+    * vector's k STRONGEST partners — measured 0.99 at sf0.01 yet 0.31
+    * at ×10 on the synthetic corpus whose whole top-8 sits at
+    * cos 0.39–0.43, sign-LSH's hardest regime. This operator is how a
+    * build at the bad end of that spectrum stops being a silent
+    * quality loss. Scale shape: the pair chain is [[nearDupPairsLsh]]
+    * unchanged; the contract costs one stripe-bounded truth scan and
+    * one count.
+    */
+  def knnGraphAtHeadRecall(corpus: DataFrame, threshold: Double, k: Int,
+      minHeadRecall: Double,
+      calibQueries: Int = 64,
+      targetBucket: Int = LshAutoTargetBucket,
+      tables: Int = LshTables,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      probes: Int = LshAutoProbes): DataFrame = {
+    require(minHeadRecall > 0 && minHeadRecall <= 0.999999,
+      s"minHeadRecall must be in (0, 0.999999], got $minHeadRecall")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(calibQueries >= 1, s"calibQueries must be >= 1, got $calibQueries")
+    val minMicro = math.ceil(minHeadRecall * 1000000.0).toLong
+    val pairs = nearDupPairsLsh(corpus, threshold, targetBucket, tables,
+      maxBucket, probes).cache()
+
+    import org.apache.spark.sql.expressions.Window
+    val qs = corpus.filter(col("vec_id") < calibQueries)
+    val truthAll = corpus
+      .join(broadcast(qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("other_id"),
+        cosine(col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("other_id"))
+    val topk = truthAll
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "other_id")
+      .cache()
+    val nTrue = topk.count()
+    if (nTrue == 0) {
+      topk.unpersist(); pairs.unpersist()
+      throw new IllegalArgumentException(
+        s"knnGraphAtHeadRecall: the calibration stripe (vec_id < " +
+          s"$calibQueries) has NO true >= $threshold partner — the head " +
+          "recall contract cannot be checked; widen calibQueries or " +
+          "lower the threshold")
+    }
+    val both = pairs
+      .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
+      .unionAll(pairs
+        .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
+      .filter(col("query_id") < calibQueries)
+    val rMicro =
+      topk.join(both, Seq("query_id", "other_id"), "left_semi").count() *
+        1000000L / nTrue
+    topk.unpersist()
+    if (rMicro < minMicro) {
+      pairs.unpersist()
+      // the frontier fix: head miss shrinks ∝ (1−x)^L like threshold
+      // miss — solve the smallest multiple of `tables` whose predicted
+      // head recall clears the contract (same integer chain as
+      // nearDupPairsLshAtRecall), or name the ceiling as insufficient
+      val m1 = 1000000L - rMicro
+      val ks = (1 to LshAutoMaxTables / tables).toList
+      val missAt = ks.scanLeft(1000000L)((m, _) => m * m1 / 1000000L).drop(1)
+      val fix = ks.find(kk => 1000000L - missAt(kk - 1) >= minMicro)
+        .map(kk => s"rebuild with tables = ${kk * tables} (the " +
+          s"1-(1-x)^L frontier geometry's fix for this reading)")
+        .getOrElse(s"NO table count <= $LshAutoMaxTables reaches the " +
+          "contract at this threshold — lower minHeadRecall, lower the " +
+          "threshold, or use an exact generator")
+      throw new IllegalArgumentException(
+        s"knnGraphAtHeadRecall: measured head recall ${rMicro / 1e6} " +
+          s"(top-$k, $tables tables, stripe vec_id < $calibQueries) is " +
+          s"BELOW the $minHeadRecall contract — the kNN graph would be " +
+          s"missing its strongest edges; $fix")
+    }
+    GraphOps.knnGraph(pairs, "vec_a", "vec_b", "cos_sim", k)
+  }
+
   /** Per-vector top-k cap over a near-dup pair surface: keep a pair iff
     * it is among EITHER endpoint's `k` best partners (cosine desc,
     * partner-id tiebreak) — the knnGraph arc-cap pattern applied to the
