@@ -89,6 +89,23 @@ object Bench {
     }
     val ordered = selected.toSeq.sortBy(_._1)
 
+    // SPARK_GRAFT_BENCH_EVICT=N clears the plan-canonical cache registry
+    // every N queries (same positions in warm-up and every timed pass).
+    // This is the SCALE-RUN memory bound (r11 verdict item 4): the suite
+    // holds ~all family caches simultaneously by design — the modeled
+    // train-once/serve-many workflow — which at ×10 data exceeds the
+    // 16 GiB default heap, previously forcing SPARK_DRIVER_MEM=64g.
+    // Periodic eviction caps simultaneous cache volume at one window's
+    // worth. The cost model: queries right after an eviction boundary
+    // rebuild their family's shared cache IN EVERY PASS, inflating their
+    // min — so the knob stays UNSET for the driver's headline artifact
+    // (numbers stay comparable across rounds) and is set by the ×10/×100
+    // harness where fitting in the default heap is the requirement.
+    val evictEvery = sys.env.get("SPARK_GRAFT_BENCH_EVICT").map(_.toInt)
+    def maybeEvict(i: Int): Unit = evictEvery.foreach { n =>
+      if ((i + 1) % n == 0) spark.catalog.clearCache()
+    }
+
     // JIT the probe itself before trusting its first reading.
     calibrate()
 
@@ -97,10 +114,11 @@ object Bench {
     // so every timed pass below measures steady-state serving, the
     // cluster-relevant number. A warm-up failure is logged (not
     // swallowed): it predicts timed failures below.
-    ordered.foreach { case (name, fn) =>
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
         System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
       }
+      maybeEvict(i)
     }
 
     val passes = 3
@@ -111,7 +129,7 @@ object Bench {
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (p <- 0 until passes) {
       calibs += calibrate()
-      ordered.foreach { case (name, fn) =>
+      ordered.zipWithIndex.foreach { case ((name, fn), i) =>
         val t0 = System.nanoTime()
         val dt =
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -120,6 +138,7 @@ object Bench {
           }
         times.updateWith(name)(prev => Some(dt :: prev.getOrElse(Nil)))
         if (dt >= 0) passTotals(p) += dt
+        maybeEvict(i)
       }
     }
     calibs += calibrate()

@@ -4738,14 +4738,13 @@ object PipelineOracles {
         .stripMargin
     },
 
-    // the cosine edge list in both orientations, degree joins, exact
-    // moment sums, the identical fixed-order Pearson expression.
+    // the capped-kNN edge list (r12 re-point) in both orientations,
+    // degree joins, exact moment sums, the identical fixed-order
+    // Pearson expression.
     "graph_assortativity" ->
       s"""WITH $normCte,
-         |e0 AS (SELECT a.vec_id AS u, b.vec_id AS v
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
+         |$knnEdgeCtes,
+         |e0 AS (SELECT a AS u, b AS v FROM ke),
          |dr AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
          |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
          |  FROM dr GROUP BY 1),

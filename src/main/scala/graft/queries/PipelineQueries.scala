@@ -1341,7 +1341,13 @@ object PipelineQueries {
     // prefix width (and the probe flips within it) varies per target.
     "dedup_lsh_frontier" -> ((s, dir) => {
       val corpus = normed(s, dir)
-      val sigs = SimilarityOps.lshAutoSignatureStage(corpus).cache()
+      // built at the FULL ceiling although this card only reads the
+      // first LshTables dot columns: the plan is then canonical-equal
+      // to the tables-frontier card's signature stage, so ONE cached
+      // scan serves both instruments in a shared session (r11 verdict
+      // item 8 — the two cards' costs fold)
+      val sigs = SimilarityOps.lshAutoSignatureStage(
+        corpus, SimilarityOps.LshAutoMaxTables).cache()
       val qs = corpus.filter(col("vec_id") < LshQueryCount)
       val truth = corpus
         .join(broadcast(qs.select(col("vec_id").as("query_id"),
@@ -2827,11 +2833,15 @@ object PipelineQueries {
         "vec_a", "vec_b", LabelPropIters)),
 
     // hubs-link-hubs or hubs-link-leaves? degree assortativity of the
-    // cosine dup graph — negative r is the canonical-center star shape
-    // near-dup clusters produce.
+    // capped kNN dup graph — negative r is the canonical-center star
+    // shape near-dup clusters produce (out-arcs are capped at k but
+    // in-degree is not, so hub structure still shows). Re-pointed with
+    // the rest of the graph family in r12: the label-cell pair surface
+    // it rode OOM'd a 16 GiB ×10 run inside the pair explode — the
+    // measured form of "fixed cells go quadratic".
     "graph_assortativity" -> ((s, dir) =>
       GraphOps.degreeAssortativity(
-        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+        knnEdgesTri(s, dir),
         "vec_a", "vec_b")),
 
     // are the propagated communities real? Newman-Girvan modularity

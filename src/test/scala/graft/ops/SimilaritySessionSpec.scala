@@ -282,11 +282,17 @@ class SimilaritySessionSpec extends AnyFunSuite {
     got.foreach { case (_, c) => assert(c >= 0.9) }
     // n ≤ targetBucket → 1-bit prefixes (2 buckets/table) — still runs
     assert(SimilarityOps.nearDupPairsLsh(corpus, 1.1).count() == 0)
-    // a degenerate bucket (all-identical corpus) raises by bucket name
+    // a degenerate bucket (all-identical corpus) raises by bucket name;
+    // the ceiling is stated in HOME members and scaled by (1+probes)
+    // inside the core (r11 advice), so 6 clones vs maxBucket=5 now sit
+    // UNDER the effective 15-entry guard — maxBucket=1 (effective 3)
+    // still trips on the 6-clone home bucket
     val clones = SimilarityOps.withNorm(
       (1L to 6L).map(i => (i, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    assert(SimilarityOps.nearDupPairsLsh(clones, 0.9, maxBucket = 5)
+      .count() == 15L, "6 clones fit under the probe-scaled ceiling")
     val e = intercept[Exception] {
-      SimilarityOps.nearDupPairsLsh(clones, 0.9, maxBucket = 5).collect()
+      SimilarityOps.nearDupPairsLsh(clones, 0.9, maxBucket = 1).collect()
     }
     assert(e.getMessage.contains("nearDupPairsLsh"), e.getMessage)
   }
