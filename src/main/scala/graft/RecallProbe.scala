@@ -3,27 +3,40 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Diagnostic main for the kNN-graph head-recall CONTRACT at a chosen
-  * scale: builds the default graph surface's arcs through
-  * [[graft.ops.SimilarityOps.knnGraphAtHeadRecall]] and prints either
-  * the arc count (contract met) or the named raise (contract failed,
-  * with the frontier's table-count fix). This is how a user prices the
-  * r11 recall-decay finding AT THEIR OPERATING SCALE before wiring the
-  * graph into downstream analytics:
+/** Diagnostic main that prices the three recall CONTRACTS at a chosen
+  * scale — how a user answers "will my recall setting survive my n?"
+  * BEFORE wiring a generator into downstream analytics:
   *
-  *   runMain graft.RecallProbe <sfDir> [threshold] [k] [minHeadRecall]
+  *   runMain graft.RecallProbe [mode] <sfDir> [args...]
   *
-  * e.g. the round-12 PLANS demonstration: contract 0.9 at sf0.01
-  * (passes, head recall ≈ 0.99) vs the same contract on a ×10 copy
-  * (fails by name — the synthetic corpus's whole top-8 sits at
-  * cos 0.39–0.43, sign-LSH's hardest regime).
+  *   mode knn     <sfDir> [threshold] [k] [minHeadRecall]
+  *     the kNN-graph head-recall contract
+  *     ([[graft.ops.SimilarityOps.knnGraphAtHeadRecall]]) — arcs or the
+  *     named raise with the frontier's table-count fix
+  *   mode lsh     <sfDir> [cosThreshold] [targetRecall]
+  *     the auto-L pair generator
+  *     ([[graft.ops.SimilarityOps.nearDupPairsLshAtRecall]]) — the
+  *     achieved-recall card or the named UNREACHABLE raise with the
+  *     geometry's needed table count
+  *   mode minhash <sfDir> [jaccardThreshold] [targetRecall]
+  *     the band-axis twin ([[graft.ops.DedupOps.minhashPairsAtRecall]])
+  *     — same card shape on the MinHash axis
+  *
+  * A bare first argument that looks like a path keeps the original
+  * knn-probe calling convention. The round-12 PLANS demonstrations:
+  * knn 0.9 passes at sf0.01 (head recall ≈ 0.99) and fails by name at
+  * ×10; lsh 0.99 escalates 8→16 tables at sf0.01 and raises UNREACHABLE
+  * (needed L ≈ 74 > the 32 ceiling) at ×10; minhash solves the SAME
+  * band count at both scales — band recall is a function of the pair's
+  * Jaccard alone, so that decision transfers across n.
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val threshold = args.lift(1).map(_.toDouble).getOrElse(0.25)
-    val k = args.lift(2).map(_.toInt).getOrElse(8)
-    val contract = args.lift(3).map(_.toDouble).getOrElse(0.9)
+    val (mode, rest) =
+      if (args.nonEmpty && Set("knn", "lsh", "minhash", "ivf")(args.head))
+        (args.head, args.tail)
+      else ("knn", args)
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,18 +45,67 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = ops.SimilarityOps.withNorm(
+    def emb = ops.SimilarityOps.withNorm(
       etl.Ingest.table(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding")))
+    val t0 = System.nanoTime()
+    def secs = f"${(System.nanoTime() - t0) / 1e9}%.2f s"
     try {
-      val arcs = ops.SimilarityOps.knnGraphAtHeadRecall(
-        emb, threshold, k, contract, calibQueries = 20)
-      println(s"[recall-probe] CONTRACT MET at $dir " +
-        s"(threshold=$threshold, k=$k, min=$contract): " +
-        s"${arcs.count()} arcs")
+      mode match {
+        case "knn" =>
+          val threshold = rest.lift(1).map(_.toDouble).getOrElse(0.25)
+          val k = rest.lift(2).map(_.toInt).getOrElse(8)
+          val contract = rest.lift(3).map(_.toDouble).getOrElse(0.9)
+          val arcs = ops.SimilarityOps.knnGraphAtHeadRecall(
+            emb, threshold, k, contract, calibQueries = 20)
+          println(s"[recall-probe] knn CONTRACT MET at $dir " +
+            s"(threshold=$threshold, k=$k, min=$contract): " +
+            s"${arcs.count()} arcs in $secs")
+        case "lsh" =>
+          val threshold = rest.lift(1).map(_.toDouble).getOrElse(0.3)
+          val target = rest.lift(2).map(_.toDouble).getOrElse(0.99)
+          val r = ops.SimilarityOps.nearDupPairsLshAtRecall(
+            emb, threshold, target, calibQueries = 20)
+          println(s"[recall-probe] lsh SOLVED at $dir " +
+            s"(threshold=$threshold, target=$target): calib " +
+            s"${r.calibRecallMicro / 1e6} @ ${r.calibTables} tables -> " +
+            s"L=${r.tables}, achieved ${r.achievedRecallMicro / 1e6} " +
+            s"(${r.pairs.count()} pairs, n_true=${r.nTrue}) in $secs")
+        case "ivf" =>
+          val target = rest.lift(1).map(_.toDouble).getOrElse(0.95)
+          val maxProbe = rest.lift(2).map(_.toInt)
+            .getOrElse(queries.PipelineQueries.KmeansK)
+          val e = emb
+          val cents = ops.SimilarityOps.kmeansCentroids(
+            etl.Ingest.table(spark, dir, "embeddings"),
+            queries.PipelineQueries.KmeansK,
+            queries.PipelineQueries.KmeansIters)
+          val r = ops.SimilarityOps.ivfTopKAtRecall(
+            e, e.filter(col("vec_id") < queries.PipelineQueries.IvfQueryCount),
+            cents, queries.PipelineQueries.IvfK, target, maxProbe)
+          println(s"[recall-probe] ivf SOLVED at $dir (target=$target, " +
+            s"maxProbe=$maxProbe): frontier " +
+            r.recallAtMicro.map(_ / 1e6).mkString("[", ", ", "]") +
+            s" -> nprobe=${r.nprobe} (${r.results.count()} rows, " +
+            s"n_true=${r.nTrue}) in $secs")
+        case "minhash" =>
+          val threshold = rest.lift(1).map(_.toDouble).getOrElse(
+            queries.PipelineQueries.MinhashRecallJaccard)
+          val target = rest.lift(2).map(_.toDouble).getOrElse(
+            queries.PipelineQueries.MinhashRecallTarget)
+          val r = ops.DedupOps.minhashPairsAtRecall(
+            etl.Ingest.table(spark, dir, "documents"), threshold, target,
+            queries.PipelineQueries.MinhashQueryCount)
+          println(s"[recall-probe] minhash SOLVED at $dir " +
+            s"(jaccard=$threshold, target=$target): calib " +
+            s"${r.calibRecallMicro / 1e6} @ ${r.calibBands} bands -> " +
+            s"b=${r.bands}, achieved ${r.achievedRecallMicro / 1e6} " +
+            s"(${r.pairs.count()} pairs, n_true=${r.nTrue}) in $secs")
+      }
     } catch {
       case e: IllegalArgumentException =>
-        println(s"[recall-probe] CONTRACT RAISED at $dir: ${e.getMessage}")
+        println(s"[recall-probe] $mode CONTRACT RAISED at $dir " +
+          s"in $secs: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -76,17 +76,31 @@ object DedupOps {
     * materializes the per-row digests once. Each band's `RowsPerBand`
     * lane-minima then collapse to a single band key via md5(concat).
     */
-  def minhashSignature(sh: DataFrame): DataFrame = {
-    val digests = (0 until DigestsPerRow).map(d =>
+  def minhashSignature(sh: DataFrame): DataFrame =
+    minhashSignatureAt(sh, Bands)
+
+  /** [[minhashSignature]] at an arbitrary band count — the recall knob
+    * [[minhashPairsAtRecall]] turns. Lane i's hash depends only on i
+    * (digest i/4, slice i%4), so band j's key is BIT-IDENTICAL at every
+    * band count ≥ j+1: growing the signature ADDS bands, it never
+    * reshuffles the ones already priced — the property the calibration
+    * logic (and the oracle's min-band replay) relies on.
+    */
+  def minhashSignatureAt(sh: DataFrame, bands: Int): DataFrame = {
+    val minHashes = bands * RowsPerBand
+    require(bands >= 1 && minHashes % 4 == 0,
+      s"bands·$RowsPerBand lanes must pack into 4-lane md5 digests, " +
+        s"got $bands bands")
+    val digests = (0 until minHashes / 4).map(d =>
       md5(concat(lit(s"$d:"), col("shingle"))).as(s"m$d"))
     val projected = sh.select(col("doc_id") +: digests: _*)
-    val aggs = (0 until MinHashes).map { i =>
+    val aggs = (0 until minHashes).map { i =>
       val digest = i / 4
       val pos = (i % 4) * 8 + 1
       min(substring(col(s"m$digest"), pos, 8)).as(s"h$i")
     }
     val sig = projected.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until Bands).map { b =>
+    val bandCols = (0 until bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       md5(concat(parts: _*)).as(s"b$b")
     }
@@ -94,9 +108,12 @@ object DedupOps {
   }
 
   /** Signature → long (doc_id, band, h) table. */
-  def lshBands(sig: DataFrame): DataFrame = {
-    val stackArgs = (0 until Bands)
-      .map(b => s"$b, b$b").mkString(s"stack($Bands, ", ", ", ") as (band, h)")
+  def lshBands(sig: DataFrame): DataFrame = lshBandsAt(sig, Bands)
+
+  /** [[lshBands]] for a signature built at `bands` bands. */
+  def lshBandsAt(sig: DataFrame, bands: Int): DataFrame = {
+    val stackArgs = (0 until bands)
+      .map(b => s"$b, b$b").mkString(s"stack($bands, ", ", ", ") as (band, h)")
     sig.select(col("doc_id"), expr(stackArgs))
   }
 
@@ -146,6 +163,151 @@ object DedupOps {
           struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+
+  /** [[minhashPairsAtRecall]]'s result: the candidate-pair surface plus
+    * every number on the achieved-recall card the decision was made
+    * from. All recalls are integer micro (floor(hit·10⁶/n_true)) — the
+    * exact arithmetic the DuckDB oracle replays.
+    */
+  final case class MinhashAtRecall(
+      pairs: DataFrame,
+      bands: Int,
+      targetMicro: Long,
+      nTrue: Long,
+      calibBands: Int,
+      calibRecallMicro: Long,
+      achievedRecallMicro: Long)
+
+  /** RECALL-TARGETING MinHash candidate generation — the band-axis twin
+    * of [[SimilarityOps.nearDupPairsLshAtRecall]]. MinHash-LSH's two
+    * knobs split cleanly: `RowsPerBand` is the PRECISION knob (a false
+    * candidate's per-band collision falls as s^r), the band count is
+    * the RECALL knob (a true pair at Jaccard s is caught with
+    * 1−(1−s^r)^b). Instead of the caller hand-picking b from the
+    * S-curve, this operator measures per-band-group collision ON THIS
+    * CORPUS and solves b itself, with the same three-step contract as
+    * the embedding twin:
+    *
+    *   1. CALIBRATE: candidate pairs at `calibBands` bands; measured
+    *      recall r₁ against the exact ≥-`threshold` Jaccard truth of a
+    *      fixed `calibQueries`-doc stripe. The truth pass is the
+    *      shingle-join Jaccard (stripe shingles ⋈ corpus shingles) —
+    *      stripe size is FIXED, so truth stays linear in the corpus at
+    *      any scale.
+    *   2. SOLVE: [[RecallMath]]'s floor-micro OR-amplification
+    *      schedule — the solved b is a multiple of `calibBands`; the
+    *      whole decision replays exactly in the DuckDB oracle.
+    *   3. BUILD: if calibration already meets the target it IS the
+    *      answer; else one more pass at the solved b, re-MEASURED on
+    *      the same stripe. Unreachable at `maxBands` raises BY NAME
+    *      with the geometry's needed band count.
+    *
+    * Unlike the hyperplane twin, whose corpus-ADAPTIVE prefix makes
+    * recall decay with n at a fixed threshold (the r11 finding), a
+    * band key here is exact minhash equality — per-pair recall depends
+    * on the pair's Jaccard ALONE, so the calibration transfers across
+    * corpus scale and the solved b is a property of the dup-similarity
+    * profile, not of n. What grows with n is bucket occupancy (false-
+    * candidate cost), which the [[DefaultMaxBucket]] ceiling and
+    * `RowsPerBand` bound.
+    *
+    * Scale shape: ONE tokenize+distinct pass feeds truth sizes, the
+    * truth join, and both signature passes (the cached distinct
+    * shingle set; minhash lane-minima are duplicate-insensitive, so
+    * distinct input is signature-identical); each pair pass is the
+    * audited one-scan bucket-collect of [[candidatePairs]]; the driver
+    * pulls only counts.
+    */
+  def minhashPairsAtRecall(docs: DataFrame, threshold: Double,
+      targetRecall: Double,
+      calibQueries: Int = 64,
+      calibBands: Int = Bands,
+      maxBands: Int = 32,
+      maxBucket: Int = DefaultMaxBucket): MinhashAtRecall = {
+    require(targetRecall >= 0.5 && targetRecall <= 0.999999,
+      s"targetRecall must be in [0.5, 0.999999] (1.0 needs the exact " +
+        s"shingle join, not MinHash), got $targetRecall")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be a Jaccard in (0,1], got $threshold")
+    require(calibQueries >= 1, s"calibQueries must be >= 1, got $calibQueries")
+    require(calibBands >= 1 && calibBands <= maxBands,
+      s"need 1 <= calibBands ($calibBands) <= maxBands ($maxBands)")
+    val targetMicro = math.ceil(targetRecall * 1000000.0).toLong
+
+    val sh = shingled(docs).cache()
+    // the stripe's exact ≥-threshold Jaccard truth: stripe shingles ⋈
+    // corpus shingles (one pass, stripe-bounded fan-out), set sizes
+    // from the same cached distinct relation
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val qsh = sh.filter(col("doc_id") < calibQueries)
+      .select(col("doc_id").as("query_id"), col("shingle"))
+    val truth = sh
+      .join(broadcast(qsh), Seq("shingle"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("other_id"))
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(cnt.filter(col("doc_id") < calibQueries)
+        .withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("__n", "__na")), Seq("query_id"))
+      .join(cnt.withColumnRenamed("doc_id", "other_id")
+        .withColumnRenamed("__n", "__nb"), Seq("other_id"))
+      .filter(col("__c").cast("double") /
+        (col("__na") + col("__nb") - col("__c")) >= threshold)
+      .select(col("query_id"), col("other_id"))
+      .cache()
+    val nTrue = truth.count()
+    if (nTrue == 0) {
+      truth.unpersist(); sh.unpersist()
+      throw new IllegalArgumentException(
+        s"minhashPairsAtRecall: the calibration stripe (doc_id < " +
+          s"$calibQueries) has NO true >= $threshold Jaccard partner — " +
+          "recall is undefined; widen calibQueries or lower the threshold")
+    }
+    // floor(hit·10⁶ / n_true): pure integer, oracle-identical
+    def recallMicroOf(pairs: DataFrame): Long = {
+      val both = pairs
+        .select(col("doc_a").as("query_id"), col("doc_b").as("other_id"))
+        .unionAll(pairs
+          .select(col("doc_b").as("query_id"), col("doc_a").as("other_id")))
+        .filter(col("query_id") < calibQueries)
+      truth.join(both, Seq("query_id", "other_id"), "left_semi").count() *
+        1000000L / nTrue
+    }
+
+    val pairs1 =
+      candidatePairs(lshBandsAt(minhashSignatureAt(sh, calibBands),
+        calibBands), maxBucket).cache()
+    val r1 = recallMicroOf(pairs1)
+
+    val m1 = 1000000L - r1
+    val kmax = maxBands / calibBands
+    RecallMath.solveUnits(m1, targetMicro, kmax) match {
+      case None =>
+        truth.unpersist(); pairs1.unpersist(); sh.unpersist()
+        val needB = RecallMath.adviseUnits(m1, targetMicro, calibBands)
+        throw new IllegalArgumentException(
+          s"minhashPairsAtRecall: target recall $targetRecall is " +
+            s"UNREACHABLE at the $maxBands-band ceiling for Jaccard " +
+            s"$threshold on this corpus: measured calibration recall " +
+            s"${r1 / 1e6} at $calibBands bands predicts " +
+            s"${(1000000L - RecallMath.missSchedule(m1, kmax).last) / 1e6} " +
+            s"at $maxBands (1-(1-x)^b geometry says b ≈ $needB bands) — " +
+            "raise maxBands, lower the threshold, or verify candidates " +
+            "with the exact shingle join (ngramJaccardSets) instead")
+      case Some(1) =>
+        truth.unpersist(); sh.unpersist()
+        MinhashAtRecall(pairs1, calibBands, targetMicro, nTrue,
+          calibBands, r1, r1)
+      case Some(k) =>
+        val b = k * calibBands
+        val pairs2 =
+          candidatePairs(lshBandsAt(minhashSignatureAt(sh, b), b),
+            maxBucket).cache()
+        val r2 = recallMicroOf(pairs2)
+        truth.unpersist(); pairs1.unpersist(); sh.unpersist()
+        MinhashAtRecall(pairs2, b, targetMicro, nTrue, calibBands, r1, r2)
+    }
+  }
 
   /** Blocked edit-distance pairs — the record-linkage primitive (fuzzy
     * key matching: titles, names, URLs) the shingle/minhash family

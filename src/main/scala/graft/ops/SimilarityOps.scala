@@ -683,7 +683,8 @@ object SimilarityOps {
       calibTables: Int = LshTables,
       maxTables: Int = LshAutoMaxTables,
       maxBucket: Int = DedupOps.DefaultMaxBucket,
-      probes: Int = LshAutoProbes): LshAtRecall = {
+      probes: Int = LshAutoProbes,
+      sigs: Option[DataFrame] = None): LshAtRecall = {
     require(targetRecall >= 0.5 && targetRecall <= 0.999999,
       s"targetRecall must be in [0.5, 0.999999] (1.0 needs an exact " +
         s"generator, not LSH), got $targetRecall")
@@ -692,6 +693,12 @@ object SimilarityOps {
         maxTables <= LshAutoMaxTables,
       s"need 1 <= calibTables ($calibTables) <= maxTables ($maxTables) " +
         s"<= $LshAutoMaxTables")
+    // a caller-shared signature stage (built at >= maxTables width, e.g.
+    // one cached 32-table frame serving the whole session's LSH family)
+    // replaces BOTH per-pass builds: table t's bits are bit-identical at
+    // every signature width, so slicing a wider frame is the same run
+    def sigStage(t: Int): DataFrame =
+      sigs.getOrElse(lshAutoSignatureStage(corpus, t))
     val targetMicro = math.ceil(targetRecall * 1000000.0).toLong
 
     // the stripe's exact ≥-threshold truth: one corpus scan vs the
@@ -725,32 +732,27 @@ object SimilarityOps {
     }
 
     val pairs1 = nearDupPairsLshFrom(
-      lshAutoSignatureStage(corpus, calibTables), threshold,
+      sigStage(calibTables), threshold,
       targetBucket, calibTables, maxBucket, probes).cache()
     val r1 = recallMicroOf(pairs1)
 
-    // predicted micro MISS at k·calibTables tables: m_k = ⌊m_{k−1}·m₁/10⁶⌋
-    // (longs stay ≤ 10¹²; floor division is the cross-engine contract)
+    // predicted micro MISS at k·calibTables tables (RecallMath: per-step
+    // floor, the cross-engine contract shared with the MinHash twin)
     val m1 = 1000000L - r1
-    val ks = (1 to maxTables / calibTables).toList
-    val missAt = ks.scanLeft(1000000L)((m, _) => m * m1 / 1000000L).drop(1)
-    ks.find(k => 1000000L - missAt(k - 1) >= targetMicro) match {
+    val kmax = maxTables / calibTables
+    RecallMath.solveUnits(m1, targetMicro, kmax) match {
       case None =>
         truth.unpersist(); pairs1.unpersist()
-        val needL =
-          if (r1 <= 0) "unbounded (the calibration pass caught NOTHING)"
-          else math.ceil(calibTables *
-            math.log(1.0 - targetMicro / 1e6) / math.log(m1 / 1e6))
-            .toLong.toString
+        val needL = RecallMath.adviseUnits(m1, targetMicro, calibTables)
         throw new IllegalArgumentException(
           s"nearDupPairsLshAtRecall: target recall $targetRecall is " +
             s"UNREACHABLE at the $maxTables-table ceiling for threshold " +
             s"$threshold on this corpus: measured calibration recall " +
             s"${r1 / 1e6} at $calibTables tables predicts " +
-            s"${(1000000L - missAt.last) / 1e6} at $maxTables " +
-            s"(1-(1-x)^L geometry says L ≈ $needL tables) — raise " +
-            "maxTables, lower the threshold, or consume the top-k " +
-            "surface (topKPerVector / knnGraph) instead")
+            s"${(1000000L - RecallMath.missSchedule(m1, kmax).last) / 1e6} " +
+            s"at $maxTables (1-(1-x)^L geometry says L ≈ $needL tables) " +
+            "— raise maxTables, lower the threshold, or consume the " +
+            "top-k surface (topKPerVector / knnGraph) instead")
       case Some(1) =>
         truth.unpersist()
         LshAtRecall(pairs1, calibTables, targetMicro, nTrue,
@@ -758,7 +760,7 @@ object SimilarityOps {
       case Some(k) =>
         val l = k * calibTables
         val pairs2 = nearDupPairsLshFrom(
-          lshAutoSignatureStage(corpus, l), threshold,
+          sigStage(l), threshold,
           targetBucket, l, maxBucket, probes).cache()
         val r2 = recallMicroOf(pairs2)
         truth.unpersist(); pairs1.unpersist()
@@ -1072,6 +1074,115 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
     topK(scored, k)
+  }
+
+  /** [[ivfTopKAtRecall]]'s result: the served top-k at the solved
+    * nprobe plus the ENTIRE measured recall frontier the decision was
+    * made from (index p−1 → recall at nprobe = p, floor-micro).
+    */
+  final case class IvfAtRecall(
+      results: DataFrame,
+      nprobe: Int,
+      targetMicro: Long,
+      nTrue: Long,
+      maxProbe: Int,
+      recallAtMicro: IndexedSeq[Long])
+
+  /** RECALL-TARGETING IVF top-k — the third leg of the enforcement
+    * family after [[nearDupPairsLshAtRecall]] (hyperplane-table axis)
+    * and [[DedupOps.minhashPairsAtRecall]] (MinHash-band axis). The
+    * nprobe axis needs NO amplification model at all: a corpus vector
+    * lives in exactly one cell, and that cell has exactly one rank in a
+    * query's centroid ordering — so ONE candidate pass at `maxProbe`,
+    * with each candidate tagged by its cell's probe rank, contains the
+    * ENTIRE recall-vs-nprobe frontier (recall at p = the fraction of
+    * true top-k pairs whose tag < p — the min_t trick with an exact
+    * rank instead of a min). The operator:
+    *
+    *   1. TRUTH: brute-force top-`k` of the query set (one corpus scan
+    *      against the broadcast queries — the queries are the bounded
+    *      calibration stripe AND the serving set here).
+    *   2. SCAN ONCE at `maxProbe`, tag candidates with the probe rank,
+    *      pull the ≤ `maxProbe`-row rank histogram of the truth hits.
+    *   3. SOLVE: the smallest p whose MEASURED floor-micro recall meets
+    *      the target; the served result is the already-scanned
+    *      candidate slice (tag < p) — no rebuild pass exists on this
+    *      axis. Unreachable at `maxProbe` raises BY NAME with the
+    *      measured frontier top and the guaranteed closer (recall is
+    *      1.0 by construction at nprobe = the cell count).
+    *
+    * A true top-k member that is scanned is always returned: its exact
+    * cosine ranks it within any scanned superset at least as high as in
+    * the full corpus. So scanned-at-p recall IS retrieved-at-p recall.
+    *
+    * Scale shape: two corpus scans total (truth + candidates), both
+    * against broadcast query relations; the driver pulls one histogram
+    * of at most `maxProbe` rows. Serving a LARGER query set at the
+    * solved p is [[ivfTopKMultiProbe]] with nprobe = the solved value.
+    */
+  def ivfTopKAtRecall(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Long, Array[Double])], k: Int, targetRecall: Double,
+      maxProbe: Int, roundDp: Int = 6): IvfAtRecall = {
+    require(targetRecall >= 0.5 && targetRecall <= 1.0,
+      s"targetRecall must be in [0.5, 1.0] (1.0 IS reachable on this " +
+        s"axis: probe every cell), got $targetRecall")
+    require(maxProbe >= 1 && maxProbe <= centroids.size,
+      s"need 1 <= maxProbe ($maxProbe) <= cell count (${centroids.size})")
+    val targetMicro = math.ceil(targetRecall * 1000000.0).toLong
+
+    val truth = bruteTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nTrue = truth.count()
+    if (nTrue == 0) {
+      truth.unpersist()
+      throw new IllegalArgumentException(
+        "ivfTopKAtRecall: the query set produced NO brute-force truth " +
+          "rows — recall is undefined; pass a non-empty query set " +
+          "against a corpus with at least 2 vectors")
+    }
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        posexplode(slice(
+          array_sort(array(cellCandidates(centroids, col("q_emb"), roundDp): _*)),
+          1, maxProbe)))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("pos"), col("col").getField("cell").as("cell"))
+    val scanned = corpus
+      .withColumn("cell", assignCell(centroids, roundDp))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"),
+        col("pos"))
+      .cache()
+    // the probe-rank histogram of the truth hits: ≤ maxProbe rows
+    val hist = truth
+      .join(scanned.select(col("query_id"), col("neighbor_id"), col("pos")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("pos").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val recallAt = (1 to maxProbe).map { p =>
+      (0 until p).map(hist.getOrElse(_, 0L)).sum * 1000000L / nTrue
+    }.toIndexedSeq
+    recallAt.indexWhere(_ >= targetMicro) match {
+      case -1 =>
+        truth.unpersist(); scanned.unpersist()
+        throw new IllegalArgumentException(
+          s"ivfTopKAtRecall: target recall $targetRecall is UNREACHABLE " +
+            s"at the $maxProbe-probe ceiling on this corpus: the measured " +
+            s"frontier tops out at ${recallAt.last / 1e6} — raise maxProbe " +
+            s"(recall is 1.0 by construction at nprobe = ${centroids.size}, " +
+            "the cell count)")
+      case i =>
+        val p = i + 1
+        val res = topK(scanned.filter(col("pos") < p).drop("pos"), k)
+        truth.unpersist()
+        IvfAtRecall(res, p, targetMicro, nTrue, maxProbe, recallAt)
+    }
   }
 
   /** SPANN-style boundary replication (Chen et al., NeurIPS 2021): the

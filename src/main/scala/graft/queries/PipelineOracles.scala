@@ -226,6 +226,38 @@ object PipelineOracles {
        |bands AS ($bandRows)""".stripMargin
   }
 
+  /** Full-ceiling MinHash band CTEs with a per-pair MIN-BAND tag
+    * (mirrors DedupOps.minhashSignatureAt at MinhashMaxBands): band j's
+    * key is bit-identical at every band count ≥ j+1 (lane hashes depend
+    * only on the lane index), so `min_b < b` IS the b-band candidate
+    * surface — the min_t trick applied to the band axis. Feeds the
+    * dedup_minhash_auto_recall decision replay.
+    */
+  private val minBandCtes = {
+    val bmax = PipelineQueries.MinhashMaxBands
+    def lane(i: Int): String = {
+      val digest = i / 4
+      val pos = (i % 4) * 8 + 1
+      s"min(substr(md5('$digest:' || shingle), $pos, 8))"
+    }
+    val sigCols = (0 until bmax).map { b =>
+      val parts = (0 until DedupOps.RowsPerBand)
+        .map(r => lane(b * DedupOps.RowsPerBand + r))
+        .mkString(" || ")
+      s"md5($parts) AS b$b"
+    }.mkString(", ")
+    val bandRows = (0 until bmax)
+      .map(b => s"SELECT doc_id, $b AS band, b$b AS h FROM mhsig")
+      .mkString(" UNION ALL ")
+    s"""mhsig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |mhbands AS ($bandRows),
+       |mhmt AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    min(a.band) AS min_b
+       |  FROM mhbands a JOIN mhbands b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Prefixed shingle + band CTEs over an arbitrary source CTE — the
     * two-corpus (existing vs batch) form [[shCte]]/[[bandsCte]] can't
     * express, used by the incremental-dedup oracle.
@@ -3019,6 +3051,63 @@ object PipelineOracles {
          |FROM hits LEFT JOIN counts USING (query_id)""".stripMargin
     },
 
+    // the auto-nprobe decision replayed: the SAME k-means chain, each
+    // query's centroid ranking (the (d, cell) struct order), ONE tagged
+    // candidate relation at maxProbe, brute truth, the probe-rank
+    // histogram, the floor-micro frontier, and the min-p pick — the
+    // served rows' count comes from the picked slice's top-k.
+    "sim_ivf_auto_recall" -> {
+      val q = PipelineQueries.IvfQueryCount
+      val k = PipelineQueries.IvfK
+      val maxProbe = PipelineQueries.KmeansK
+      val iters = PipelineQueries.KmeansIters
+      val tMicro =
+        math.ceil(PipelineQueries.IvfAutoRecallTarget * 1000000.0).toLong
+      s"""WITH $kmeansCtes,
+         |nv AS (SELECT emb.vec_id, emb.e,
+         |    sqrt(list_dot_product(emb.e, emb.e)) AS nrm, af.cell
+         |  FROM emb JOIN af USING (vec_id)),
+         |nq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cell
+         |  FROM nv WHERE vec_id < $q),
+         |pr AS (SELECT nq.query_id, cf.cell,
+         |    CAST(row_number() OVER (PARTITION BY nq.query_id
+         |      ORDER BY round(list_dot_product(cf.c, cf.c)
+         |                     - 2.0 * list_dot_product(nq.qe, cf.c), 6),
+         |               cf.cell) AS INT) - 1 AS pos
+         |  FROM nq CROSS JOIN c$iters cf),
+         |cand AS MATERIALIZED (SELECT p.query_id, nv.vec_id AS neighbor_id,
+         |    list_dot_product(nv.e, nq.qe) / (nv.nrm * nq.qn) AS cos, p.pos
+         |  FROM pr p JOIN nv ON nv.cell = p.cell
+         |  JOIN nq ON nq.query_id = p.query_id
+         |  WHERE nv.vec_id <> p.query_id AND p.pos < $maxProbe),
+         |ivtr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |    SELECT nq.query_id, nv.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY nq.query_id
+         |        ORDER BY list_dot_product(nv.e, nq.qe) / (nv.nrm * nq.qn)
+         |          DESC, nv.vec_id) AS rk
+         |    FROM nq JOIN nv ON nv.vec_id <> nq.query_id) WHERE rk <= $k),
+         |ivntr AS (SELECT count(*) AS n FROM ivtr),
+         |ivhist AS (SELECT c.pos, count(*) AS n FROM ivtr t
+         |  JOIN cand c USING (query_id, neighbor_id) GROUP BY 1),
+         |ivrec AS (SELECT ps.p,
+         |    coalesce((SELECT sum(h.n) FROM ivhist h WHERE h.pos < ps.p), 0)
+         |    * 1000000 // (SELECT n FROM ivntr) AS r
+         |  FROM (SELECT unnest(range(1, $maxProbe + 1)) AS p) ps),
+         |ivpick AS (SELECT min(p) AS np FROM ivrec WHERE r >= $tMicro),
+         |ivres AS (SELECT count(*) AS n FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM cand WHERE pos < (SELECT np FROM ivpick)) WHERE rk <= $k)
+         |SELECT CAST($tMicro AS BIGINT) AS target_micro,
+         |  (SELECT n FROM ivntr) AS n_true,
+         |  CAST($maxProbe AS BIGINT) AS max_probe,
+         |  CAST((SELECT np FROM ivpick) AS BIGINT) AS n_probe,
+         |  CAST((SELECT r FROM ivrec WHERE p = (SELECT np FROM ivpick))
+         |    AS BIGINT) AS achieved_recall_micro,
+         |  (SELECT n FROM ivres) AS n_results""".stripMargin
+    },
+
     "sim_ivf_topk" ->
       s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, label, e AS qe, nrm AS qn FROM n
@@ -3214,6 +3303,66 @@ object PipelineOracles {
          |  CAST((SELECT n_hit FROM ach) * 1000000 // (SELECT n FROM ntr)
          |    AS BIGINT) AS achieved_recall_micro,
          |  CAST((SELECT count(*) FROM lpmt WHERE min_t < (SELECT l FROM pick))
+         |    AS BIGINT) AS n_pairs""".stripMargin
+    },
+
+    // the band-axis twin's decision replayed: exact stripe Jaccard truth
+    // (shingle join), calibration recall from the min_b < calibBands
+    // slice, the SAME floor-micro CASE escalation, achieved recall and
+    // pair count from the solved slice. All slices come from ONE
+    // materialized min-band pair table (band keys are bit-identical at
+    // every band count, so min_b < b IS the b-band surface).
+    "dedup_minhash_auto_recall" -> {
+      val q = PipelineQueries.MinhashQueryCount
+      val c = graft.ops.DedupOps.Bands
+      val kmax = PipelineQueries.MinhashMaxBands / c
+      val thr = PipelineQueries.MinhashRecallJaccard
+      val tMicro =
+        math.ceil(PipelineQueries.MinhashRecallTarget * 1000000.0).toLong
+      val missExprs = (1 to kmax)
+        .scanLeft("1000000")((e, _) => s"($e * m1) // 1000000").drop(1)
+      val arms = (1 to kmax)
+        .map(k => s"WHEN 1000000 - ${missExprs(k - 1)} >= $tMicro THEN ${k * c}")
+        .mkString("\n    ")
+      s"""WITH $shCte,
+         |$minBandCtes,
+         |mhcnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |mhq AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id < $q),
+         |mhint AS (SELECT q.query_id, s.doc_id AS other_id, count(*) AS c
+         |  FROM mhq q JOIN sh s
+         |    ON s.shingle = q.shingle AND s.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |mhtruth AS MATERIALIZED (SELECT query_id, other_id FROM mhint i
+         |  JOIN mhcnt ca ON ca.doc_id = i.query_id
+         |  JOIN mhcnt cb ON cb.doc_id = i.other_id
+         |  WHERE i.c / CAST(ca.n + cb.n - i.c AS DOUBLE) >= $thr),
+         |mhntr AS (SELECT count(*) AS n FROM mhtruth),
+         |mh1 AS (SELECT count(*) AS n_hit FROM mhtruth
+         |  JOIN (SELECT query_id, other_id FROM (
+         |      SELECT doc_a AS query_id, doc_b AS other_id FROM mhmt
+         |        WHERE min_b < $c
+         |      UNION ALL SELECT doc_b, doc_a FROM mhmt WHERE min_b < $c)
+         |    WHERE query_id < $q) b USING (query_id, other_id)),
+         |mdec AS (SELECT 1000000
+         |    - (SELECT n_hit FROM mh1) * 1000000 // (SELECT n FROM mhntr)
+         |    AS m1),
+         |mpick AS (SELECT 1000000 - m1 AS r1, CASE
+         |    $arms END AS l FROM mdec),
+         |mach AS (SELECT count(*) AS n_hit FROM mhtruth
+         |  JOIN (SELECT query_id, other_id FROM (
+         |      SELECT doc_a AS query_id, doc_b AS other_id FROM mhmt
+         |        WHERE min_b < (SELECT l FROM mpick)
+         |      UNION ALL SELECT doc_b, doc_a FROM mhmt
+         |        WHERE min_b < (SELECT l FROM mpick))
+         |    WHERE query_id < $q) b USING (query_id, other_id))
+         |SELECT CAST($tMicro AS BIGINT) AS target_micro,
+         |  (SELECT n FROM mhntr) AS n_true,
+         |  CAST($c AS BIGINT) AS calib_bands,
+         |  CAST((SELECT r1 FROM mpick) AS BIGINT) AS calib_recall_micro,
+         |  CAST((SELECT l FROM mpick) AS BIGINT) AS n_bands,
+         |  CAST((SELECT n_hit FROM mach) * 1000000 // (SELECT n FROM mhntr)
+         |    AS BIGINT) AS achieved_recall_micro,
+         |  CAST((SELECT count(*) FROM mhmt WHERE min_b < (SELECT l FROM mpick))
          |    AS BIGINT) AS n_pairs""".stripMargin
     },
 

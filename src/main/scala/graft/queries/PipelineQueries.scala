@@ -80,6 +80,26 @@ object PipelineQueries {
     * oracle exercises the SOLVE→BUILD escalation path, not just the
     * calibration-suffices short-circuit. */
   val LshAutoRecallTarget = 0.99
+  /** MinHash at-recall twin: the Jaccard truth threshold, recall
+    * target, calibration stripe, and band ceiling its oracle row runs
+    * at. Unlike the hyperplane twin, a band key is exact minhash
+    * equality, so per-pair recall is a function of the pair's Jaccard
+    * ALONE (scale-free); this corpus's dup profile is near-exact
+    * (stripe truth all ≥ 0.9 Jaccard), so the row exercises the
+    * calibration-suffices short-circuit — the escalation and the
+    * by-name raises are deterministic spec territory
+    * (MinhashAtRecallSpec's controlled mid-Jaccard corpora). */
+  val MinhashRecallJaccard = 0.5
+  val MinhashRecallTarget = 0.9
+  val MinhashQueryCount = 64
+  val MinhashMaxBands = 32
+  /** IVF auto-nprobe: a 0.9 target sits above the fixed default's
+    * measured reading (nprobe=3 → 0.74 at sf0.01), so the oracle row
+    * shows the solver doing what no fixed setting can — the measured
+    * frontier at sf0.01 is [0.49, 0.62, 0.74, 0.86, 0.91, …] and the
+    * pick lands at nprobe=5. maxProbe = the cell count, where recall
+    * is 1.0 by construction (so this row can never raise). */
+  val IvfAutoRecallTarget = 0.9
   /** PRF expansion: feedback-doc count and appended-term count. */
   val PrfFeedbackDocs = 5
   val PrfExpandTerms = 3
@@ -239,6 +259,21 @@ object PipelineQueries {
   private def normed(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.withNorm(table(s, dir, "embeddings"))
 
+  /** The session-shared LSH signature stage, built ONCE at the full
+    * 32-table ceiling and sliced by every consumer (r12): table t's
+    * bits are bit-identical at every signature width, and the
+    * signature is threshold-INDEPENDENT, so one cached scan serves
+    * dedup_embedding_lsh (+topk), both frontier cards, the auto-L
+    * operator's two passes, and the TriangleCos graph chain. (r11
+    * cached only the frontier's stage at 8 tables; widening it to 32
+    * for the tables card silently cost dedup_embedding_lsh its cache
+    * hit — measured 1.30 → 3.57 s — which this helper repairs for the
+    * whole family at once.)
+    */
+  private def cachedLshSigs(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.lshAutoSignatureStage(
+      normed(s, dir), SimilarityOps.LshAutoMaxTables).cache()
+
   /** Shared LSH-bucket candidate pairs at the threshold-graph cut —
     * ONE materialization read by sim_dbscan / graph_bfs_hops /
     * graph_bfs_knn / graph_ppr (the r9 materialize-once pattern: the
@@ -246,7 +281,8 @@ object PipelineQueries {
     * graph query downstream starts from the cached pair list).
     */
   private def lshPairsTri(s: SparkSession, dir: String): DataFrame =
-    SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos).cache()
+    SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir), TriangleCos)
+      .cache()
 
   /** The DEGREE-CAPPED undirected kNN edge set over [[lshPairsTri]] —
     * the default graph surface every scale-facing graph analytic rides
@@ -1052,6 +1088,25 @@ object PipelineQueries {
             .as("recall_nprobe"))
     }),
 
+    // the nprobe axis CLOSED: recall-targeting IVF serving. One tagged
+    // candidate pass at maxProbe contains the whole recall-vs-nprobe
+    // frontier (a corpus vector is in exactly one cell; its cell has
+    // exactly one rank per query), so the operator measures the
+    // frontier, picks the smallest nprobe meeting the target, and the
+    // served top-k is the already-scanned slice — no model, no rebuild.
+    "sim_ivf_auto_recall" -> ((s, dir) => {
+      import s.implicits._
+      val base = normed(s, dir)
+      val r = SimilarityOps.ivfTopKAtRecall(
+        base, base.filter(col("vec_id") < IvfQueryCount),
+        cachedCentroids(s, dir), IvfK, IvfAutoRecallTarget, KmeansK)
+      val nRes = r.results.count()
+      Seq((r.targetMicro, r.nTrue, r.maxProbe.toLong, r.nprobe.toLong,
+        r.recallAtMicro(r.nprobe - 1), nRes))
+        .toDF("target_micro", "n_true", "max_probe", "n_probe",
+          "achieved_recall_micro", "n_results")
+    }),
+
     // LSH-bucketed ANN: data-independent sign-signature cells instead of
     // the IVF labels — the scale path when no trained quantizer exists.
     "sim_lsh_topk" -> ((s, dir) => {
@@ -1330,7 +1385,8 @@ object PipelineQueries {
     // fixed label cells whose in-cell pairs grow quadratically.
     // Precision is exact; recall is measured by the card below.
     "dedup_embedding_lsh" -> ((s, dir) =>
-      SimilarityOps.nearDupPairsLsh(normed(s, dir), NearDupThreshold)),
+      SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir),
+        NearDupThreshold)),
 
     // the targetBucket knob's recall/cost frontier: for three bucket
     // sizes, total recall on the query subset AND the generator's
@@ -1341,13 +1397,11 @@ object PipelineQueries {
     // prefix width (and the probe flips within it) varies per target.
     "dedup_lsh_frontier" -> ((s, dir) => {
       val corpus = normed(s, dir)
-      // built at the FULL ceiling although this card only reads the
-      // first LshTables dot columns: the plan is then canonical-equal
-      // to the tables-frontier card's signature stage, so ONE cached
-      // scan serves both instruments in a shared session (r11 verdict
-      // item 8 — the two cards' costs fold)
-      val sigs = SimilarityOps.lshAutoSignatureStage(
-        corpus, SimilarityOps.LshAutoMaxTables).cache()
+      // the shared 32-table stage: one cached scan serves this card,
+      // the tables frontier, dedup_embedding_lsh(+topk), the auto-L
+      // operator, and the TriangleCos graph chain (this card reads
+      // only the first LshTables dot columns of it)
+      val sigs = cachedLshSigs(s, dir)
       val qs = corpus.filter(col("vec_id") < LshQueryCount)
       val truth = corpus
         .join(broadcast(qs.select(col("vec_id").as("query_id"),
@@ -1384,7 +1438,8 @@ object PipelineQueries {
     // ≥-threshold pair density (superlinear on clumpy corpora).
     "dedup_embedding_lsh_topk" -> ((s, dir) =>
       SimilarityOps.topKPerVector(
-        SimilarityOps.nearDupPairsLsh(normed(s, dir), NearDupThreshold),
+        SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir),
+          NearDupThreshold),
         LshTopKPerVector)),
 
     // the TABLES-axis recall/cost frontier: recall and pair volume at
@@ -1396,8 +1451,7 @@ object PipelineQueries {
     // flat per table, not recall). One row per L.
     "dedup_lsh_tables_frontier" -> ((s, dir) => {
       val corpus = normed(s, dir)
-      val sigs = SimilarityOps.lshAutoSignatureStage(
-        corpus, SimilarityOps.LshAutoMaxTables).cache()
+      val sigs = cachedLshSigs(s, dir)
       val pairs = SimilarityOps.nearDupPairsLshByTable(
         sigs, NearDupThreshold,
         tables = SimilarityOps.LshAutoMaxTables).cache()
@@ -1438,12 +1492,31 @@ object PipelineQueries {
       import s.implicits._
       val r = SimilarityOps.nearDupPairsLshAtRecall(
         normed(s, dir), NearDupThreshold, LshAutoRecallTarget,
-        LshQueryCount)
+        LshQueryCount, sigs = Some(cachedLshSigs(s, dir)))
       val nPairs = r.pairs.count()
       Seq((r.targetMicro, r.nTrue, r.calibTables.toLong,
         r.calibRecallMicro, r.tables.toLong, r.achievedRecallMicro, nPairs))
         .toDF("target_micro", "n_true", "calib_tables",
           "calib_recall_micro", "n_tables", "achieved_recall_micro",
+          "n_pairs")
+    }),
+
+    // the band-axis twin: recall-targeting MinHash candidate generation.
+    // Same card shape as dedup_lsh_auto_recall; the solved band count is
+    // a property of the dup-similarity profile (per-pair recall is
+    // 1-(1-s^r)^b — Jaccard alone, no corpus-size term), so unlike the
+    // hyperplane twin this decision TRANSFERS across scale.
+    "dedup_minhash_auto_recall" -> ((s, dir) => {
+      import s.implicits._
+      val r = DedupOps.minhashPairsAtRecall(
+        table(s, dir, "documents"), MinhashRecallJaccard,
+        MinhashRecallTarget, MinhashQueryCount,
+        maxBands = MinhashMaxBands)
+      val nPairs = r.pairs.count()
+      Seq((r.targetMicro, r.nTrue, r.calibBands.toLong,
+        r.calibRecallMicro, r.bands.toLong, r.achievedRecallMicro, nPairs))
+        .toDF("target_micro", "n_true", "calib_bands",
+          "calib_recall_micro", "n_bands", "achieved_recall_micro",
           "n_pairs")
     }),
 
@@ -1504,7 +1577,8 @@ object PipelineQueries {
           SimilarityOps.cosine(
             col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
         .filter(col("cos") >= NearDupThreshold)
-      val lsh = SimilarityOps.nearDupPairsLsh(corpus, NearDupThreshold)
+      val lsh = SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir),
+        NearDupThreshold)
       val lshBoth = lsh
         .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
         .unionAll(lsh

@@ -611,14 +611,37 @@ class PlanAuditSpec extends AnyFunSuite {
     // and the only exchanges are count-agg + bucket-collect + per-pair
     // dedup. A SortMergeJoin or a data-sized nested-loop here would
     // mean the bucketing collapsed back into a corpus self-join.
+    // Since r12 the signature stage is the session-shared CACHED
+    // 32-table frame (this query slices its first 8 dot columns), so
+    // the sig scan appears as an InMemoryTableScan whose build plan
+    // holds the one parquet scan.
     val p = plan("dedup_embedding_lsh")
-    assert(countOf(p, "\\(\\d+\\) Exchange") == 3,
+    // 3 exchanges cold (count-agg + bucket-collect + pair-dedup); a 4th
+    // appears once the shared sig cache is materialized (the corpus
+    // count then aggregates over the InMemoryTableScan in two steps
+    // instead of riding the parquet count scan). Anything beyond 4
+    // means the bucketing collapsed back into a corpus self-join.
+    val exchanges = countOf(p, "\\(\\d+\\) Exchange")
+    assert(exchanges >= 3 && exchanges <= 4,
       p.linesIterator.take(30).mkString("\n"))
-    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 2,
+    // 2 parquet scans when the shared cache is cold (sig build + the
+    // column-pruned count scan), fewer once another family member
+    // already materialized it — never 3+ (that would be a corpus
+    // re-scan)
+    val scans = countOf(p, "\\(\\d+\\) Scan parquet")
+    assert(scans <= 2,
       p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "expected the shared cached signature stage in the plan")
     assert(!p.contains("SortMergeJoin"))
-    // the only nested-loop is the 1-row count broadcast (Cross BuildRight)
-    assert(countOf(p, "\\(\\d+\\) BroadcastNestedLoopJoin") == 1)
+    // the only nested-loops are 1-row count broadcasts (Cross
+    // BuildRight): one cold; warm-cache plans may keep a second copy
+    // of the same 1-row count instead of reusing the exchange. Both
+    // are constant-size — a data-sized NLJ would fail the SMJ/count
+    // assertions around it.
+    val nlj = countOf(p, "\\(\\d+\\) BroadcastNestedLoopJoin")
+    assert(nlj >= 1 && nlj <= 2,
+      p.linesIterator.take(30).mkString("\n"))
   }
 
   test("profile_source_overlap: in-row pair expansion, zero joins, two shuffles") {
