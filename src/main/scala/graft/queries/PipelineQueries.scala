@@ -281,8 +281,7 @@ object PipelineQueries {
     * graph query downstream starts from the cached pair list).
     */
   private def lshPairsTri(s: SparkSession, dir: String): DataFrame =
-    SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir), TriangleCos)
-      .cache()
+    SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos).cache()
 
   /** The DEGREE-CAPPED undirected kNN edge set over [[lshPairsTri]] —
     * the default graph surface every scale-facing graph analytic rides
@@ -294,12 +293,35 @@ object PipelineQueries {
     * (5.9× pairs for 3× data at ×30 — PLANS round 11). Cached: four
     * queries read it, and label propagation iterates over it.
     */
+  /** The DIRECTED top-[[BfsKnnK]] arc set over [[lshPairsTri]] — what
+    * BFS-kNN and personalized PageRank traverse (each node's k best
+    * partners as out-arcs). Same memo rationale as [[knnEdgesTri]]:
+    * two queries re-ran this window per bench pass through the plan
+    * registry; the memo hands both the one materialized frame.
+    */
+  private def knnArcsTri(s: SparkSession, dir: String): DataFrame =
+    ModelCache.cached(s"${System.identityHashCode(s)}|$dir|knnArcsTri") {
+      GraphOps.knnGraph(lshPairsTri(s, dir), "vec_a", "vec_b", "cos_sim",
+        BfsKnnK).localCheckpoint()
+    }
+
   private def knnEdgesTri(s: SparkSession, dir: String): DataFrame =
-    GraphOps.knnGraph(lshPairsTri(s, dir), "vec_a", "vec_b", "cos_sim", BfsKnnK)
-      .select(least(col("src"), col("dst")).as("vec_a"),
-        greatest(col("src"), col("dst")).as("vec_b"))
-      .distinct()
-      .cache()
+    ModelCache.cached(s"${System.identityHashCode(s)}|$dir|knnEdgesTri") {
+      // localCheckpoint + driver-side memo instead of .cache(): six
+      // queries read this edge set and label propagation ITERATES over
+      // it, and the plan-registry route proved fragile for plans this
+      // nested (measured: every graph consumer silently re-ran the
+      // window+distinct per bench pass, ~+1-2 s each). The memo returns
+      // the SAME materialized-RDD-backed frame every call — no plan
+      // matching involved; the edge set is ≤ k·n rows of two longs, so
+      // pinning it is cheap at any scale. Symmetrized from the shared
+      // [[knnArcsTri]] so the arc window itself also runs once.
+      knnArcsTri(s, dir)
+        .select(least(col("src"), col("dst")).as("vec_a"),
+          greatest(col("src"), col("dst")).as("vec_b"))
+        .distinct()
+        .localCheckpoint()
+    }
 
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -3223,9 +3245,7 @@ object PipelineQueries {
     // corpus. graph_bfs_hops remains the threshold-graph diagnostic.
     "graph_bfs_knn" -> ((s, dir) =>
       GraphOps.bfsHops(
-        GraphOps.knnGraph(
-          lshPairsTri(s, dir),
-          "vec_a", "vec_b", "cos_sim", BfsKnnK),
+        knnArcsTri(s, dir),
         "src", "dst",
         table(s, dir, "embeddings")
           .filter(pmod(col("vec_id"), lit(BfsSourceMod)) === 0)
@@ -3285,9 +3305,7 @@ object PipelineQueries {
     // curated seed set — the seed-expansion score. Same seeds as BFS.
     "graph_ppr" -> ((s, dir) =>
       GraphOps.personalizedPagerank(
-        GraphOps.knnGraph(
-          lshPairsTri(s, dir),
-          "vec_a", "vec_b", "cos_sim", BfsKnnK),
+        knnArcsTri(s, dir),
         "src", "dst",
         table(s, dir, "embeddings")
           .filter(pmod(col("vec_id"), lit(BfsSourceMod)) === 0)
