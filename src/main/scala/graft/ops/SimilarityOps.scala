@@ -531,12 +531,96 @@ object SimilarityOps {
     lshPairsCore(sigs, threshold, targetBucket, tables, maxBucket, probes,
       withMinT = true)
 
-  private def lshPairsCore(sigs: DataFrame, threshold: Double,
-      targetBucket: Int,
-      tables: Int,
-      maxBucket: Int,
-      probes: Int,
-      withMinT: Boolean): DataFrame = {
+  /** CROSS-CORPUS LSH near-dup pairs — the production daily-increment
+    * shape for embeddings (the vector twin of the MinHash
+    * `dedup_incremental` and of `sim_ivf_append`'s frozen quantizer):
+    * which vectors of a NEW batch near-duplicate something already in
+    * the EXISTING corpus. Candidates are (existing × batch) vectors
+    * sharing any (table, signature) bucket of a FROZEN index geometry:
+    * the adaptive prefix width derives from the EXISTING corpus's
+    * count ALONE — the index was sized when it was built; a probe
+    * batch reads it, it does not reshape it (and so the same batch
+    * probed against the same index always lands in the same buckets,
+    * no matter how large the batch is). Directed multi-probe applies
+    * on BOTH sides — the index stores probe entries, the batch also
+    * flips its lowest-|margin| bits — with probe×probe co-occupancy
+    * excluded, exactly as in the in-corpus generator.
+    *
+    * Scale shape: both sides ride ONE shared bucket-collect shuffle
+    * (the entries union on (table, sig) — no join), the in-bucket
+    * expansion keeps only cross-side pairs, and the hot-bucket
+    * ceiling (stated in per-corpus home members, scaled by the probe
+    * multiplier and the two sides) fails by name on a degenerate key.
+    * Precision is exact: every emitted pair passed the true cosine.
+    *
+    * Returns (existing_id, batch_id, cos_sim), cos ≥ threshold.
+    */
+  def nearDupPairsLshCross(existing: DataFrame, batch: DataFrame,
+      threshold: Double,
+      targetBucket: Int = LshAutoTargetBucket,
+      tables: Int = LshTables,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      probes: Int = LshAutoProbes): DataFrame = {
+    // the index's geometry: width from the EXISTING corpus only,
+    // injected into BOTH signature stages
+    val cnt = existing.agg(count(lit(1)).as("__n"))
+    def stage(corpus: DataFrame): DataFrame =
+      (0 until tables).foldLeft(
+        corpus.select(col("vec_id"), col("embedding"), col("nrm"))
+          .crossJoin(broadcast(cnt))) { (d, t) =>
+        d.withColumn(s"__ds$t", array(autoTableHyperplanes(t).map(p =>
+          dot(col("embedding"), typedlit(p.toSeq))): _*))
+      }
+    val ent = lshBucketEntries(stage(existing), targetBucket, tables, probes)
+      .withColumn("side", lit(0))
+      .unionAll(
+        lshBucketEntries(stage(batch), targetBucket, tables, probes)
+          .withColumn("side", lit(1)))
+    val members = ent
+      .groupBy("t", "sig")
+      .agg(sort_array(collect_list(struct(
+        col("side"), col("vec_id"), col("pk"), col("embedding"),
+        col("nrm")))).as("ms0"),
+        count(lit(1)).as("__cnt"))
+      .select(col("t"),
+        graft.ops.SessionOps.hotKeyGuarded(col("ms0"), col("__cnt"),
+          concat(col("t").cast("string"), lit("/"), col("sig")),
+          maxBucket.toLong * (1 + probes) * 2,
+          "nearDupPairsLshCross bucket").as("ms"))
+      .filter(size(col("ms")) > 1)
+    // members sort (side, vec_id, …): cross pairs always read
+    // (existing a, batch b); same-side and probe×probe pairs drop
+    val scored = members
+      .select(col("t"), explode(flatten(transform(col("ms"), (a, i) =>
+        transform(
+          filter(slice(col("ms"), i + 2, size(col("ms"))), b =>
+            a.getField("side") < b.getField("side") &&
+              !(a.getField("pk") === 1 && b.getField("pk") === 1)),
+          b =>
+            struct(a.getField("vec_id").as("va"),
+              b.getField("vec_id").as("vb"),
+              a.getField("embedding").as("ea"),
+              b.getField("embedding").as("eb"),
+              a.getField("nrm").as("na"),
+              b.getField("nrm").as("nb")))))).as("p"))
+      .select(col("p.va").as("existing_id"), col("p.vb").as("batch_id"),
+        cosine(col("p.ea"), col("p.eb"), col("p.na"), col("p.nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+    scored.groupBy("existing_id", "batch_id")
+      .agg(round(max(col("cos")), 6).as("cos_sim"))
+  }
+
+  /** The shared bucket-ENTRY stage of the LSH pair family: from a
+    * [[lshAutoSignatureStage]] frame, the per-(vector, table) home
+    * entry plus `probes` flipped-bit probe entries (pk marks probes;
+    * flip indices are the 1-based positions of the lowest (|dot|, idx)
+    * margins within the prefix — deterministic, oracle-replayable
+    * ordering). Returns (vec_id, embedding, nrm, t, sig, pk). Used by
+    * the in-corpus collect-expand ([[lshPairsCore]]) and the
+    * cross-corpus probe ([[nearDupPairsLshCross]]).
+    */
+  private def lshBucketEntries(sigs: DataFrame, targetBucket: Int,
+      tables: Int, probes: Int): DataFrame = {
     require(tables >= 1 && tables <= LshAutoMaxTables,
       s"tables must be in [1, $LshAutoMaxTables], got $tables")
     require(probes >= 0 && probes <= LshAutoMaxBits,
@@ -557,10 +641,6 @@ object SimilarityOps {
         array_join(transform(slice(col(s"__ds$t"), lit(1), col("__bits")),
           d => when(d > 0, "1").otherwise("0")), ""))
     }
-    // per table: the home entry plus `probes` flipped-bit probe entries
-    // (pk marks probes; flip indices are the 1-based positions of the
-    // lowest (|dot|, idx) margins within the prefix — deterministic,
-    // oracle-replayable ordering)
     def flipAt(sig: Column, i: Column): Column = concat(
       sig.substr(lit(1), i - 1),
       when(sig.substr(i, lit(1)) === "1", lit("0")).otherwise(lit("1")),
@@ -578,11 +658,20 @@ object SimilarityOps {
         concat(home, flips)
       }
     }
-    val exploded = df
+    df
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(concat((0 until tables).map(entries): _*)).as("ts"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("ts.t").as("t"), col("ts.sig").as("sig"), col("ts.pk").as("pk"))
+  }
+
+  private def lshPairsCore(sigs: DataFrame, threshold: Double,
+      targetBucket: Int,
+      tables: Int,
+      maxBucket: Int,
+      probes: Int,
+      withMinT: Boolean): DataFrame = {
+    val exploded = lshBucketEntries(sigs, targetBucket, tables, probes)
     val members = exploded
       .groupBy("t", "sig")
       .agg(sort_array(collect_list(struct(

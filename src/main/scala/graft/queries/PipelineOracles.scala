@@ -412,6 +412,58 @@ object PipelineOracles {
        |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth)""".stripMargin
   }
 
+  /** The cross-corpus LSH probe replayed (mirrors
+    * SimilarityOps.nearDupPairsLshCross over the even/odd vec_id
+    * split): the prefix width comes from the EXISTING side's count
+    * ALONE (`xtab`), each side gets its own dot/signature/probe-entry
+    * chain with the SAME planes, and the pair join crosses sides with
+    * probe×probe co-occupancy excluded.
+    */
+  private def lshCrossCtes(thr: Double): String = {
+    val tables = graft.ops.SimilarityOps.LshTables
+    val tgt = graft.ops.SimilarityOps.LshAutoTargetBucket
+    val probes = graft.ops.SimilarityOps.LshAutoProbes
+    val maxBits = graft.ops.SimilarityOps.LshAutoMaxBits
+    def sideChain(p: String, src: String): String = {
+      val branches = (0 until tables)
+        .map(t => s"SELECT vec_id, e, nrm, $t AS t, ${lshDotsSql(t)} AS ds FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""${p}d AS MATERIALIZED ($branches),
+         |${p}s AS (SELECT vec_id, e, nrm, t, ds,
+         |    substr(array_to_string(list_transform(ds,
+         |      d -> CASE WHEN d > 0 THEN '1' ELSE '0' END), ''), 1, xtab.b) AS sig
+         |  FROM ${p}d CROSS JOIN xtab),
+         |${p}i AS (SELECT vec_id, t, i FROM (
+         |    SELECT vec_id, t, i,
+         |      row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(ds[i]), i) AS rn
+         |    FROM (SELECT vec_id, t, ds,
+         |        unnest(range(1, (SELECT b FROM xtab) + 1)) AS i FROM ${p}d))
+         |  WHERE rn <= $probes),
+         |${p}a AS MATERIALIZED (
+         |  SELECT vec_id, e, nrm, t, sig, 0 AS pk FROM ${p}s
+         |  UNION ALL
+         |  SELECT s.vec_id, s.e, s.nrm, s.t,
+         |    substr(s.sig, 1, p.i - 1) ||
+         |      (CASE WHEN substr(s.sig, p.i, 1) = '1' THEN '0' ELSE '1' END) ||
+         |      substr(s.sig, p.i + 1) AS sig, 1 AS pk
+         |  FROM ${p}s s JOIN ${p}i p ON s.vec_id = p.vec_id AND s.t = p.t)""".stripMargin
+    }
+    s"""ne AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+       |nb AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+       |xtab AS MATERIALIZED (SELECT CAST(least(greatest(length(bin(
+       |    (count(*) + ${tgt - 1}) // $tgt - 1)), 1), $maxBits) AS INT) AS b
+       |  FROM ne),
+       |${sideChain("xe", "ne")},
+       |${sideChain("xb", "nb")},
+       |xp AS (SELECT a.vec_id AS existing_id, b.vec_id AS batch_id,
+       |    round(max(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)), 6)
+       |      AS cos_sim
+       |  FROM xea a JOIN xba b ON a.t = b.t AND a.sig = b.sig
+       |    AND NOT (a.pk = 1 AND b.pk = 1)
+       |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $thr
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** The degree-capped undirected kNN edge chain (mirrors
     * PipelineQueries.knnEdgesTri): LSH candidate pairs `lp` at
     * TriangleCos from [[lshAutoCtes]], both orientations ranked per
@@ -3312,6 +3364,15 @@ object PipelineOracles {
     // pair count from the solved slice. All slices come from ONE
     // materialized min-band pair table (band keys are bit-identical at
     // every band count, so min_b < b IS the b-band surface).
+    // cross-corpus probe replay: even/odd split, width frozen by the
+    // even (existing) side, per-side entry chains, cross join on
+    // (table, sig) minus probe×probe — same cosine surface as the
+    // in-corpus generator.
+    "dedup_embedding_incremental" ->
+      s"""WITH $normCte,
+         |${lshCrossCtes(PipelineQueries.NearDupThreshold)}
+         |SELECT existing_id, batch_id, cos_sim FROM xp""".stripMargin,
+
     "dedup_minhash_auto_recall" -> {
       val q = PipelineQueries.MinhashQueryCount
       val c = graft.ops.DedupOps.Bands

@@ -1410,6 +1410,20 @@ object PipelineQueries {
       SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir),
         NearDupThreshold)),
 
+    // cross-corpus near-dup probe — the embedding daily-increment
+    // (vector twin of dedup_incremental / sim_ivf_append): the batch
+    // (odd vec_ids) probes the FROZEN index geometry of the existing
+    // corpus (even vec_ids — the prefix width derives from ITS count
+    // alone), one shared bucket-collect shuffle, cross-side pairs
+    // only, exact-cosine verified.
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val corpus = normed(s, dir)
+      SimilarityOps.nearDupPairsLshCross(
+        corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+        corpus.filter(pmod(col("vec_id"), lit(2)) === 1),
+        NearDupThreshold)
+    }),
+
     // the targetBucket knob's recall/cost frontier: for three bucket
     // sizes, total recall on the query subset AND the generator's
     // total pair output — the "recall bought per candidate inspected"
