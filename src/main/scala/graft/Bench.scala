@@ -101,9 +101,18 @@ object Bench {
     // min — so the knob stays UNSET for the driver's headline artifact
     // (numbers stay comparable across rounds) and is set by the ×10/×100
     // harness where fitting in the default heap is the requirement.
+    // ModelCache.clear() rides the same boundary (r12 verdict item 7):
+    // the driver memos — trained models AND the localCheckpoint'd
+    // edge/arc/index artifacts — are part of the cache volume the knob
+    // exists to bound, not an exemption from it. Dropping the memo
+    // reference is the release mechanism for checkpointed frames (the
+    // ContextCleaner reclaims the backing blocks once unreferenced).
     val evictEvery = sys.env.get("SPARK_GRAFT_BENCH_EVICT").map(_.toInt)
     def maybeEvict(i: Int): Unit = evictEvery.foreach { n =>
-      if ((i + 1) % n == 0) spark.catalog.clearCache()
+      if ((i + 1) % n == 0) {
+        spark.catalog.clearCache()
+        graft.ops.ModelCache.clear()
+      }
     }
 
     // JIT the probe itself before trusting its first reading.

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   *   mode minhash <sfDir> [jaccardThreshold] [targetRecall]
   *     the band-axis twin ([[graft.ops.DedupOps.minhashPairsAtRecall]])
   *     — same card shape on the MinHash axis
+  *   mode ivf     <sfDir> [targetRecall] [maxProbe]
+  *     the nprobe axis ([[graft.ops.SimilarityOps.ivfTopKAtRecall]]) —
+  *     the measured frontier and the solved nprobe, or the named raise
+  *     with the guaranteed closer
+  *   mode cross   <sfDir> [cosThreshold] [batchSize]
+  *     the frozen-index probe economics
+  *     ([[graft.ops.SimilarityOps.lshIndexEntries]] +
+  *     [[graft.ops.SimilarityOps.nearDupPairsLshCrossIndexed]]): build
+  *     + materialize the even-half index ONCE, then time a fixed-size
+  *     batch probe against it — run at two sf dirs to see the probe
+  *     wall stay ~flat while the index grows 10×
   *
   * A bare first argument that looks like a path keeps the original
   * knn-probe calling convention. The round-12 PLANS demonstrations:
@@ -33,7 +44,7 @@ import org.apache.spark.sql.functions._
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val (mode, rest) =
-      if (args.nonEmpty && Set("knn", "lsh", "minhash", "ivf")(args.head))
+      if (args.nonEmpty && Set("knn", "lsh", "minhash", "ivf", "cross")(args.head))
         (args.head, args.tail)
       else ("knn", args)
     val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
@@ -88,6 +99,28 @@ object RecallProbe {
             r.recallAtMicro.map(_ / 1e6).mkString("[", ", ", "]") +
             s" -> nprobe=${r.nprobe} (${r.results.count()} rows, " +
             s"n_true=${r.nTrue}) in $secs")
+        case "cross" =>
+          val threshold = rest.lift(1).map(_.toDouble).getOrElse(0.3)
+          val batchSize = rest.lift(2).map(_.toInt).getOrElse(500)
+          val e = emb
+          val tb = System.nanoTime()
+          val idx = ops.SimilarityOps.lshIndexEntries(
+            e.filter(pmod(col("vec_id"), lit(2)) === 0)).localCheckpoint()
+          val nIdx = idx.count()
+          val buildS = (System.nanoTime() - tb) / 1e9
+          // a fixed-size batch: the first batchSize odd vec_ids — the
+          // same batch rows whatever the corpus size, so the probe wall
+          // isolates the INDEX-side term
+          val batch = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+            .filter(col("vec_id") < 2L * batchSize)
+          val tp = System.nanoTime()
+          val nPairs = ops.SimilarityOps.nearDupPairsLshCrossIndexed(
+            idx, batch, threshold).count()
+          val probeS = (System.nanoTime() - tp) / 1e9
+          println(f"[recall-probe] cross at $dir (threshold=$threshold, " +
+            f"batch<=$batchSize): index build+materialize $buildS%.2f s " +
+            f"($nIdx entries), probe $probeS%.2f s ($nPairs pairs) " +
+            s"in $secs total")
         case "minhash" =>
           val threshold = rest.lift(1).map(_.toDouble).getOrElse(
             queries.PipelineQueries.MinhashRecallJaccard)

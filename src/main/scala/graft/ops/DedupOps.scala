@@ -176,7 +176,13 @@ object DedupOps {
       nTrue: Long,
       calibBands: Int,
       calibRecallMicro: Long,
-      achievedRecallMicro: Long)
+      achievedRecallMicro: Long) {
+    /** `pairs` is returned STILL CACHED (its recall was measured from
+      * the cached blocks) — call this once done with the surface, or
+      * repeated operator calls in one session accumulate blocks.
+      */
+    def release(): Unit = { pairs.unpersist(); () }
+  }
 
   /** RECALL-TARGETING MinHash candidate generation — the band-axis twin
     * of [[SimilarityOps.nearDupPairsLshAtRecall]]. MinHash-LSH's two
@@ -291,9 +297,11 @@ object DedupOps {
             s"$threshold on this corpus: measured calibration recall " +
             s"${r1 / 1e6} at $calibBands bands predicts " +
             s"${(1000000L - RecallMath.missSchedule(m1, kmax).last) / 1e6} " +
-            s"at $maxBands (1-(1-x)^b geometry says b ≈ $needB bands) — " +
-            "raise maxBands, lower the threshold, or verify candidates " +
-            "with the exact shingle join (ngramJaccardSets) instead")
+            s"at ${kmax * calibBands} bands (the solver's real ceiling — " +
+            s"multiples of calibBands; 1-(1-x)^b geometry says b ≈ $needB " +
+            "bands) — raise maxBands, lower the threshold, or verify " +
+            "candidates with the exact shingle join (ngramJaccardSets) " +
+            "instead")
       case Some(1) =>
         truth.unpersist(); sh.unpersist()
         MinhashAtRecall(pairs1, calibBands, targetMicro, nTrue,

@@ -1,5 +1,8 @@
 package graft.ops
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.DataFrame
+
 /** Driver-side memo of TRAINED model artifacts — k-means centroid
   * matrices, PQ codebooks, DSIR log-ratio models — keyed by (input
   * path, hyperparameters).
@@ -47,6 +50,48 @@ object ModelCache {
   /** Entry count — observability for specs. */
   def size: Int = cache.size()
 
-  /** Drop everything (tests that mutate their input between runs). */
+  /** Whether `key` is currently memoized — observability for specs. */
+  def contains(key: String): Boolean = cache.containsKey(key)
+
+  /** Drop everything (tests that mutate their input between runs, and
+    * the bench's evict knob — driver memos are part of the cache
+    * volume the knob bounds, not an exemption from it).
+    */
   def clear(): Unit = cache.clear()
+
+  /** Drop every entry whose key starts with `prefix`. */
+  def evictPrefix(prefix: String): Unit =
+    cache.keySet().removeIf(_.startsWith(prefix))
+
+  /** Drop every [[sessionCached]] entry owned by `applicationId` — the
+    * listener path, public so specs can drive the eviction directly
+    * (stopping a second local SparkContext inside a shared-session test
+    * JVM is not possible).
+    */
+  def evictSession(applicationId: String): Unit =
+    evictPrefix(s"__session|$applicationId|")
+
+  /** SESSION-SCOPED memo of materialized DataFrame artifacts (the
+    * localCheckpoint'd kNN edge/arc sets, the cross-probe LSH index):
+    * unlike the model artifacts above — plain driver values valid in
+    * any session — a checkpointed DataFrame is BOUND to its
+    * SparkContext, so these entries key by the context's
+    * `applicationId` (stable and never reused within a JVM, where an
+    * identity hash can be recycled after GC) and are EVICTED when the
+    * context stops, so a later session is never handed a frame backed
+    * by a stopped context and multi-session JVMs do not grow without
+    * bound (r12 advice).
+    */
+  def sessionCached(s: org.apache.spark.sql.SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    cached(s"__session|$appId|__listener") {
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            e: SparkListenerApplicationEnd): Unit = evictSession(appId)
+      })
+      java.lang.Boolean.TRUE
+    }
+    cached(s"__session|$appId|$key")(build)
+  }
 }

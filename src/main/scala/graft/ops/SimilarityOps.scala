@@ -419,12 +419,29 @@ object SimilarityOps {
     */
   val LshAutoMaxTables = 32
 
+  /** Hard ceiling of the hyperplane POOL — the widest signature stage
+    * any call can request. [[LshAutoMaxTables]] (32) stays the DEFAULT
+    * ceiling of the auto-L family (the cost the frontier cards price
+    * and the oracles replay); this bound exists so a caller whose
+    * recall target the 32-table geometry cannot reach (the ×10 auto-L
+    * raise names L ≈ 146) can OPT INTO a wider stage — cost is linear
+    * in L and table t's bits are bit-identical at every width, so a
+    * 64-table run's min_t < 32 slice IS the 32-table run (r12 verdict
+    * item 4: the operator diagnosed a fix the engine could not
+    * execute; now it can, up to this pool).
+    */
+  val LshWideMaxTables = 64
+
   /** Independent plane sets for the auto-sized tables, deterministic
     * from [[LshSeed]] (distinct stream from the fixed 6-bit tables).
+    * Sized to the [[LshWideMaxTables]] pool; `Seq.fill` draws
+    * sequentially, so the first [[LshAutoMaxTables]] tables are
+    * bit-identical to the pool's pre-widening values — every committed
+    * oracle hash is unchanged.
     */
   lazy val autoTableHyperplanes: Seq[Seq[Array[Double]]] = {
     val rnd = new scala.util.Random(LshSeed + 2)
-    Seq.fill(LshAutoMaxTables)(Seq.fill(LshAutoMaxBits)(
+    Seq.fill(LshWideMaxTables)(Seq.fill(LshAutoMaxBits)(
       Array.fill(LshDim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
   }
 
@@ -458,8 +475,8 @@ object SimilarityOps {
     */
   def lshAutoSignatureStage(corpus: DataFrame,
       tables: Int = LshTables): DataFrame = {
-    require(tables >= 1 && tables <= LshAutoMaxTables,
-      s"tables must be in [1, $LshAutoMaxTables], got $tables")
+    require(tables >= 1 && tables <= LshWideMaxTables,
+      s"tables must be in [1, $LshWideMaxTables], got $tables")
     val cnt = corpus.agg(count(lit(1)).as("__n"))
     (0 until tables).foldLeft(corpus.crossJoin(broadcast(cnt))) { (d, t) =>
       d.withColumn(s"__ds$t", array(autoTableHyperplanes(t).map(p =>
@@ -560,21 +577,73 @@ object SimilarityOps {
       targetBucket: Int = LshAutoTargetBucket,
       tables: Int = LshTables,
       maxBucket: Int = DedupOps.DefaultMaxBucket,
+      probes: Int = LshAutoProbes): DataFrame =
+    nearDupPairsLshCrossIndexed(
+      lshIndexEntries(existing, targetBucket, tables, probes), batch,
+      threshold, tables, maxBucket, probes)
+
+  /** The FROZEN cross-probe index as a self-describing ARTIFACT: the
+    * existing corpus's per-(vector, table) bucket entries — home plus
+    * `probes` flipped-bit probe rows — with the adaptive prefix width
+    * (derived from the existing count ALONE) carried as an explicit
+    * `bits` column. Build ONCE per index generation, persist (the
+    * entries are a TABLE: ~(1+probes)·tables rows of (id, embedding,
+    * nrm, t, sig, pk, bits) per vector), and hand every daily batch to
+    * [[nearDupPairsLshCrossIndexed]] — a probe then touches only this
+    * artifact, never the raw existing embeddings (r12 verdict item 1:
+    * an artifact read repeatedly is a table, not a plan; the inline
+    * form re-scanned the full existing corpus per batch, measured 3.2×
+    * for ×10 index size at fixed batch size).
+    *
+    * Returns (vec_id, embedding, nrm, t, sig, pk, bits).
+    */
+  def lshIndexEntries(existing: DataFrame,
+      targetBucket: Int = LshAutoTargetBucket,
+      tables: Int = LshTables,
+      probes: Int = LshAutoProbes): DataFrame =
+    lshBucketEntries(lshAutoSignatureStage(
+      existing.select(col("vec_id"), col("embedding"), col("nrm")), tables),
+      targetBucket, tables, probes)
+      .withColumn("bits", length(col("sig")).cast("int"))
+
+  /** [[nearDupPairsLshCross]] against a PREBUILT index artifact (from
+    * [[lshIndexEntries]], typically persisted and re-read): the batch
+    * signs itself at the index's frozen width (a 1-row broadcast of
+    * the artifact's `bits` column — no scan of, or reference to, the
+    * existing corpus's raw embeddings anywhere in the probe plan), and
+    * both sides ride the ONE shared bucket-collect shuffle. The
+    * `tables`/`probes` arguments must match the index build's — the
+    * artifact carries entries only for the tables it was built with
+    * (a narrower probe reads a subset; a wider one finds empty
+    * tables), and the probe-pair exclusion assumes both sides' pk
+    * marking. Same output contract as [[nearDupPairsLshCross]]:
+    * (existing_id, batch_id, cos_sim), cos ≥ threshold, exact-cosine
+    * verified.
+    */
+  def nearDupPairsLshCrossIndexed(index: DataFrame, batch: DataFrame,
+      threshold: Double,
+      tables: Int = LshTables,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
       probes: Int = LshAutoProbes): DataFrame = {
-    // the index's geometry: width from the EXISTING corpus only,
-    // injected into BOTH signature stages
-    val cnt = existing.agg(count(lit(1)).as("__n"))
-    def stage(corpus: DataFrame): DataFrame =
-      (0 until tables).foldLeft(
-        corpus.select(col("vec_id"), col("embedding"), col("nrm"))
-          .crossJoin(broadcast(cnt))) { (d, t) =>
-        d.withColumn(s"__ds$t", array(autoTableHyperplanes(t).map(p =>
-          dot(col("embedding"), typedlit(p.toSeq))): _*))
-      }
-    val ent = lshBucketEntries(stage(existing), targetBucket, tables, probes)
+    Seq("vec_id", "embedding", "nrm", "t", "sig", "pk", "bits").foreach(c =>
+      require(index.columns.contains(c),
+        s"index frame has no '$c' column — build it with lshIndexEntries"))
+    // the frozen geometry: the batch signs at the INDEX's width (all
+    // entries carry the same bits value; max() is a 1-row reduction
+    // that stays plan-side and broadcasts into the batch stage)
+    val bitsRow = broadcast(index.agg(max(col("bits")).as("__bits")))
+    val batchDots = (0 until tables).foldLeft(
+      batch.select(col("vec_id"), col("embedding"), col("nrm"))
+        .crossJoin(bitsRow)) { (d, t) =>
+      d.withColumn(s"__ds$t", array(autoTableHyperplanes(t).map(p =>
+        dot(col("embedding"), typedlit(p.toSeq))): _*))
+    }
+    val ent = index
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("t"), col("sig"), col("pk"))
       .withColumn("side", lit(0))
       .unionAll(
-        lshBucketEntries(stage(batch), targetBucket, tables, probes)
+        lshBucketEntriesAtWidth(batchDots, tables, probes)
           .withColumn("side", lit(1)))
     val members = ent
       .groupBy("t", "sig")
@@ -621,8 +690,26 @@ object SimilarityOps {
     */
   private def lshBucketEntries(sigs: DataFrame, targetBucket: Int,
       tables: Int, probes: Int): DataFrame = {
-    require(tables >= 1 && tables <= LshAutoMaxTables,
-      s"tables must be in [1, $LshAutoMaxTables], got $tables")
+    require(sigs.columns.contains("__n"),
+      "sigs frame has no __n count column — build it with " +
+        "lshAutoSignatureStage (or supply the width directly via " +
+        "lshBucketEntriesAtWidth)")
+    lshBucketEntriesAtWidth(sigs
+      .withColumn("__bits", least(greatest(length(bin(
+        expr(s"(__n + ${targetBucket - 1}) div $targetBucket") - 1)),
+        lit(1)), lit(LshAutoMaxBits))), tables, probes)
+  }
+
+  /** [[lshBucketEntries]] below the width computation: expects the
+    * prefix width ALREADY present as an int `__bits` column (the
+    * adaptive form derives it from the corpus count; the cross-corpus
+    * probe injects the FROZEN index's width instead — a batch reads
+    * the index's geometry, it does not reshape it).
+    */
+  private def lshBucketEntriesAtWidth(sigs: DataFrame,
+      tables: Int, probes: Int): DataFrame = {
+    require(tables >= 1 && tables <= LshWideMaxTables,
+      s"tables must be in [1, $LshWideMaxTables], got $tables")
     require(probes >= 0 && probes <= LshAutoMaxBits,
       s"probes must be in [0, $LshAutoMaxBits], got $probes")
     // fail by name (not an unresolved-__dsN AnalysisException deep in
@@ -633,9 +720,6 @@ object SimilarityOps {
         s"lshAutoSignatureStage with fewer than $tables tables — " +
         "rebuild the signature stage with tables >= the pair pass's")
     var df = sigs
-      .withColumn("__bits", least(greatest(length(bin(
-        expr(s"(__n + ${targetBucket - 1}) div $targetBucket") - 1)),
-        lit(1)), lit(LshAutoMaxBits)))
     (0 until tables).foreach { t =>
       df = df.withColumn(s"__sig$t",
         array_join(transform(slice(col(s"__ds$t"), lit(1), col("__bits")),
@@ -723,7 +807,15 @@ object SimilarityOps {
       nTrue: Long,
       calibTables: Int,
       calibRecallMicro: Long,
-      achievedRecallMicro: Long)
+      achievedRecallMicro: Long) {
+    /** `pairs` is returned STILL CACHED (the operator measured its
+      * recall from the cached blocks and consuming it uncached would
+      * re-run the pair pass) — call this once done with the surface,
+      * or repeated operator calls in one session accumulate blocks
+      * (the growth class the bench's evict knob bounds).
+      */
+    def release(): Unit = { pairs.unpersist(); () }
+  }
 
   /** RECALL-TARGETING LSH near-dup pairs — the operator that closes the
     * loop the r11 frontier cards opened: fixed-absolute-threshold LSH
@@ -779,15 +871,20 @@ object SimilarityOps {
         s"generator, not LSH), got $targetRecall")
     require(calibQueries >= 1, s"calibQueries must be >= 1, got $calibQueries")
     require(calibTables >= 1 && calibTables <= maxTables &&
-        maxTables <= LshAutoMaxTables,
+        maxTables <= LshWideMaxTables,
       s"need 1 <= calibTables ($calibTables) <= maxTables ($maxTables) " +
-        s"<= $LshAutoMaxTables")
+        s"<= $LshWideMaxTables (maxTables > $LshAutoMaxTables opts into " +
+        "the wide hyperplane pool — cost is linear in L)")
     // a caller-shared signature stage (built at >= maxTables width, e.g.
     // one cached 32-table frame serving the whole session's LSH family)
     // replaces BOTH per-pass builds: table t's bits are bit-identical at
-    // every signature width, so slicing a wider frame is the same run
+    // every signature width, so slicing a wider frame is the same run.
+    // A shared frame NARROWER than a pass's t (a 32-table cache under a
+    // wide-ceiling escalation) falls back to a fresh build instead of
+    // failing the pass the solver just proved necessary.
     def sigStage(t: Int): DataFrame =
-      sigs.getOrElse(lshAutoSignatureStage(corpus, t))
+      sigs.filter(_.columns.contains(s"__ds${t - 1}"))
+        .getOrElse(lshAutoSignatureStage(corpus, t))
     val targetMicro = math.ceil(targetRecall * 1000000.0).toLong
 
     // the stripe's exact ≥-threshold truth: one corpus scan vs the
@@ -839,8 +936,10 @@ object SimilarityOps {
             s"$threshold on this corpus: measured calibration recall " +
             s"${r1 / 1e6} at $calibTables tables predicts " +
             s"${(1000000L - RecallMath.missSchedule(m1, kmax).last) / 1e6} " +
-            s"at $maxTables (1-(1-x)^L geometry says L ≈ $needL tables) " +
-            "— raise maxTables, lower the threshold, or consume the " +
+            s"at ${kmax * calibTables} (the solver's real ceiling — " +
+            s"multiples of calibTables; 1-(1-x)^L geometry says L ≈ " +
+            s"$needL tables) — raise maxTables (up to $LshWideMaxTables " +
+            "via the wide pool), lower the threshold, or consume the " +
             "top-k surface (topKPerVector / knnGraph) instead")
       case Some(1) =>
         truth.unpersist()
@@ -946,9 +1045,10 @@ object SimilarityOps {
       val fix = ks.find(kk => 1000000L - missAt(kk - 1) >= minMicro)
         .map(kk => s"rebuild with tables = ${kk * tables} (the " +
           s"1-(1-x)^L frontier geometry's fix for this reading)")
-        .getOrElse(s"NO table count <= $LshAutoMaxTables reaches the " +
-          "contract at this threshold — lower minHeadRecall, lower the " +
-          "threshold, or use an exact generator")
+        .getOrElse(s"NO table count <= ${(LshAutoMaxTables / tables) * tables}" +
+          " (the solver's ceiling in multiples of the current table " +
+          "count) reaches the contract at this threshold — lower " +
+          "minHeadRecall, lower the threshold, or use an exact generator")
       throw new IllegalArgumentException(
         s"knnGraphAtHeadRecall: measured head recall ${rMicro / 1e6} " +
           s"(top-$k, $tables tables, stripe vec_id < $calibQueries) is " +
@@ -987,6 +1087,32 @@ object SimilarityOps {
       .select(least(col("q"), col("o")).as("vec_a"),
         greatest(col("q"), col("o")).as("vec_b"), col("cos_sim"))
       .distinct()
+  }
+
+  /** Per-BATCH-vector top-k cap over a CROSS-corpus pair surface
+    * ([[nearDupPairsLshCross]] output): keep each batch vector's `k`
+    * strongest existing-side partners (cosine desc, existing-id
+    * tiebreak), so the probe's output is ≤ |batch|·k rows at ANY index
+    * size — the [[topKPerVector]] contract restated for the
+    * incremental shape, where the uncapped dump grows with the true
+    * cross-dup density (a data property: a batch vector landing in a
+    * dense region of the index emits every ≥-threshold partner). The
+    * cap is one-sided by design: the INDEX side needs no cap because
+    * each of its members can only be emitted against batch vectors,
+    * and the batch is the bounded side of the daily-increment shape.
+    *
+    * The rank filter compiles to WindowGroupLimit (per-partition top-k
+    * pruning before any full partner list materializes). Returns
+    * (existing_id, batch_id, cos_sim).
+    */
+  def topKPerBatchVector(crossPairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy("batch_id")
+      .orderBy(col("cos_sim").desc, col("existing_id"))
+    crossPairs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("existing_id"), col("batch_id"), col("cos_sim"))
   }
 
   /** Lloyd's k-means coarse-quantizer training — the step that turns
@@ -1167,7 +1293,8 @@ object SimilarityOps {
 
   /** [[ivfTopKAtRecall]]'s result: the served top-k at the solved
     * nprobe plus the ENTIRE measured recall frontier the decision was
-    * made from (index p−1 → recall at nprobe = p, floor-micro).
+    * made from (index p−1 → recall at nprobe = p, floor-micro, measured
+    * on the calibration stripe).
     */
   final case class IvfAtRecall(
       results: DataFrame,
@@ -1175,7 +1302,16 @@ object SimilarityOps {
       targetMicro: Long,
       nTrue: Long,
       maxProbe: Int,
-      recallAtMicro: IndexedSeq[Long])
+      recallAtMicro: IndexedSeq[Long],
+      pinned: Seq[DataFrame] = Nil) {
+    /** `results` slices a candidate frame the operator CACHED (the
+      * frontier was measured from those blocks; recomputing them to
+      * serve would re-run the scan) — call this once the results are
+      * consumed, or repeated operator calls in one session accumulate
+      * cached blocks (the growth class the bench's evict knob bounds).
+      */
+    def release(): Unit = { pinned.foreach(_.unpersist()); () }
+  }
 
   /** RECALL-TARGETING IVF top-k — the third leg of the enforcement
     * family after [[nearDupPairsLshAtRecall]] (hyperplane-table axis)
@@ -1188,46 +1324,57 @@ object SimilarityOps {
     * true top-k pairs whose tag < p — the min_t trick with an exact
     * rank instead of a min). The operator:
     *
-    *   1. TRUTH: brute-force top-`k` of the query set (one corpus scan
-    *      against the broadcast queries — the queries are the bounded
-    *      calibration stripe AND the serving set here).
+    *   1. TRUTH: brute-force top-`k` of the CALIBRATION STRIPE — the
+    *      queries with `vec_id < calibQueries` (one corpus scan against
+    *      the broadcast stripe; stripe size is FIXED, so the exact
+    *      truth costs O(|corpus|·calibQueries) at any query-batch size
+    *      — the same stripe contract as the LSH/MinHash twins, r12
+    *      verdict item 3: the previous full-query-set truth was
+    *      O(|corpus|·|Q|), the cost the index exists to avoid).
     *   2. SCAN ONCE at `maxProbe`, tag candidates with the probe rank,
-    *      pull the ≤ `maxProbe`-row rank histogram of the truth hits.
-    *   3. SOLVE: the smallest p whose MEASURED floor-micro recall meets
-    *      the target; the served result is the already-scanned
-    *      candidate slice (tag < p) — no rebuild pass exists on this
-    *      axis. Unreachable at `maxProbe` raises BY NAME with the
-    *      measured frontier top and the guaranteed closer (recall is
-    *      1.0 by construction at nprobe = the cell count).
+    *      pull the ≤ `maxProbe`-row rank histogram of the STRIPE's
+    *      truth hits.
+    *   3. SOLVE: the smallest p whose MEASURED floor-micro stripe
+    *      recall meets the target; ALL queries are served from the
+    *      already-scanned candidate slice (tag < p) — no rebuild pass
+    *      exists on this axis. Unreachable at `maxProbe` raises BY
+    *      NAME with the measured frontier top and the guaranteed
+    *      closer (recall is 1.0 by construction at nprobe = the cell
+    *      count).
     *
     * A true top-k member that is scanned is always returned: its exact
     * cosine ranks it within any scanned superset at least as high as in
     * the full corpus. So scanned-at-p recall IS retrieved-at-p recall.
     *
-    * Scale shape: two corpus scans total (truth + candidates), both
-    * against broadcast query relations; the driver pulls one histogram
-    * of at most `maxProbe` rows. Serving a LARGER query set at the
-    * solved p is [[ivfTopKMultiProbe]] with nprobe = the solved value.
+    * Scale shape: two corpus scans total (stripe truth + candidates),
+    * both against broadcast query relations; the driver pulls one
+    * histogram of at most `maxProbe` rows. The candidate scan serves
+    * the FULL query batch at `maxProbe` width — a cost the caller
+    * bounds with `maxProbe`, not a hidden exact pass.
     */
   def ivfTopKAtRecall(corpus: DataFrame, queries: DataFrame,
       centroids: Seq[(Long, Array[Double])], k: Int, targetRecall: Double,
-      maxProbe: Int, roundDp: Int = 6): IvfAtRecall = {
+      maxProbe: Int, roundDp: Int = 6,
+      calibQueries: Int = 64): IvfAtRecall = {
     require(targetRecall >= 0.5 && targetRecall <= 1.0,
       s"targetRecall must be in [0.5, 1.0] (1.0 IS reachable on this " +
         s"axis: probe every cell), got $targetRecall")
     require(maxProbe >= 1 && maxProbe <= centroids.size,
       s"need 1 <= maxProbe ($maxProbe) <= cell count (${centroids.size})")
+    require(calibQueries >= 1, s"calibQueries must be >= 1, got $calibQueries")
     val targetMicro = math.ceil(targetRecall * 1000000.0).toLong
 
-    val truth = bruteTopK(corpus, queries, k)
+    val truth = bruteTopK(corpus,
+      queries.filter(col("vec_id") < calibQueries), k)
       .select(col("query_id"), col("neighbor_id")).cache()
     val nTrue = truth.count()
     if (nTrue == 0) {
       truth.unpersist()
       throw new IllegalArgumentException(
-        "ivfTopKAtRecall: the query set produced NO brute-force truth " +
-          "rows — recall is undefined; pass a non-empty query set " +
-          "against a corpus with at least 2 vectors")
+        "ivfTopKAtRecall: the calibration stripe (vec_id < " +
+          s"$calibQueries) produced NO brute-force truth rows — recall " +
+          "is undefined; widen calibQueries or pass a query set that " +
+          "overlaps the stripe")
     }
     val probes = queries.select(
       col("vec_id").as("query_id"),
@@ -1270,7 +1417,8 @@ object SimilarityOps {
         val p = i + 1
         val res = topK(scanned.filter(col("pos") < p).drop("pos"), k)
         truth.unpersist()
-        IvfAtRecall(res, p, targetMicro, nTrue, maxProbe, recallAt)
+        IvfAtRecall(res, p, targetMicro, nTrue, maxProbe, recallAt,
+          pinned = Seq(scanned))
     }
   }
 

@@ -3326,9 +3326,15 @@ object PipelineOracles {
         math.ceil(PipelineQueries.LshAutoRecallTarget * 1000000.0).toLong
       val missExprs = (1 to kmax)
         .scanLeft("1000000")((e, _) => s"($e * m1) // 1000000").drop(1)
+      // the ELSE mirrors the Scala operator's UNREACHABLE raise: if a
+      // constant or corpus change pushes the decision into the
+      // unreachable regime, the oracle FAILS BY NAME alongside the
+      // engine instead of yielding a confusing NULL row (r12 advice)
       val arms = (1 to kmax)
         .map(k => s"WHEN 1000000 - ${missExprs(k - 1)} >= $tMicro THEN ${k * c}")
-        .mkString("\n    ")
+        .mkString("\n    ") +
+        "\n    ELSE error('dedup_lsh_auto_recall: UNREACHABLE target " +
+        "at the table ceiling - the engine raises by name in this regime')"
       s"""WITH $normCte,
          |${lshMinTCtes(PipelineQueries.NearDupThreshold, q)},
          |h1 AS (SELECT count(*) AS n_hit FROM truth
@@ -3373,6 +3379,18 @@ object PipelineOracles {
          |${lshCrossCtes(PipelineQueries.NearDupThreshold)}
          |SELECT existing_id, batch_id, cos_sim FROM xp""".stripMargin,
 
+    // the capped incremental surface: same cross-pair chain, then each
+    // BATCH vector keeps its k best existing partners (cos desc,
+    // existing-id tiebreak) — the ≤ |batch|·k output contract.
+    "dedup_embedding_incremental_topk" ->
+      s"""WITH $normCte,
+         |${lshCrossCtes(PipelineQueries.NearDupThreshold)}
+         |SELECT existing_id, batch_id, cos_sim FROM (
+         |  SELECT existing_id, batch_id, cos_sim,
+         |    row_number() OVER (PARTITION BY batch_id
+         |      ORDER BY cos_sim DESC, existing_id) AS rn
+         |  FROM xp) WHERE rn <= ${PipelineQueries.LshTopKPerVector}""".stripMargin,
+
     "dedup_minhash_auto_recall" -> {
       val q = PipelineQueries.MinhashQueryCount
       val c = graft.ops.DedupOps.Bands
@@ -3382,9 +3400,12 @@ object PipelineOracles {
         math.ceil(PipelineQueries.MinhashRecallTarget * 1000000.0).toLong
       val missExprs = (1 to kmax)
         .scanLeft("1000000")((e, _) => s"($e * m1) // 1000000").drop(1)
+      // ELSE error sentinel: see dedup_lsh_auto_recall above (r12 advice)
       val arms = (1 to kmax)
         .map(k => s"WHEN 1000000 - ${missExprs(k - 1)} >= $tMicro THEN ${k * c}")
-        .mkString("\n    ")
+        .mkString("\n    ") +
+        "\n    ELSE error('dedup_minhash_auto_recall: UNREACHABLE target " +
+        "at the band ceiling - the engine raises by name in this regime')"
       s"""WITH $shCte,
          |$minBandCtes,
          |mhcnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

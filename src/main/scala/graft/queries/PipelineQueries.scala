@@ -274,6 +274,52 @@ object PipelineQueries {
     SimilarityOps.lshAutoSignatureStage(
       normed(s, dir), SimilarityOps.LshAutoMaxTables).cache()
 
+  /** The FROZEN cross-probe LSH index over the existing (even vec_id)
+    * half, materialized ONCE per session per dir (localCheckpoint —
+    * an artifact read repeatedly is a table, not a plan): both
+    * incremental queries probe this frame, and a second batch in the
+    * same session pays only its own signing + the shared shuffle,
+    * never an existing-side re-scan (r12 verdict item 1 — the inline
+    * form measured 3.2× for ×10 index size at a fixed batch).
+    */
+  private def lshCrossIndex(s: SparkSession, dir: String): DataFrame =
+    ModelCache.sessionCached(s, s"$dir|lshCrossIndex") {
+      SimilarityOps.lshIndexEntries(
+        normed(s, dir).filter(pmod(col("vec_id"), lit(2)) === 0))
+        .localCheckpoint()
+    }
+
+  /** ONE batch probe of the frozen index, shared by both incremental
+    * output shapes (the uncapped dump and its per-batch-vector top-k
+    * cap — the same daily batch probed once, consumed twice), memoized
+    * like the index itself: cross-pair surfaces are id+cosine rows
+    * bounded by the batch's dup density, cheap to pin. The probe COST
+    * itself is measured by `graft.RecallProbe cross`, which times an
+    * un-memoized probe against a freshly materialized index.
+    */
+  private def lshCrossPairs(s: SparkSession, dir: String): DataFrame =
+    ModelCache.sessionCached(s, s"$dir|lshCrossPairs") {
+      SimilarityOps.nearDupPairsLshCrossIndexed(
+        lshCrossIndex(s, dir),
+        normed(s, dir).filter(pmod(col("vec_id"), lit(2)) === 1),
+        NearDupThreshold).localCheckpoint()
+    }
+
+  /** The shared default (8-table) near-dup pair surface at
+    * [[NearDupThreshold]], materialized once per session per dir:
+    * three queries consume exactly this frame (the dump, its top-k
+    * cap, and the recall card), and the r12 bench measured the card
+    * re-running the pair pass from the cached signature frame on every
+    * invocation (0.50 → 0.83 s — the round's one regression). Pair
+    * surfaces are id+cosine rows (≤ candidate volume, ∝ n·targetBucket
+    * per table), so pinning the artifact is cheap at any scale.
+    */
+  private def lshPairsNearDup(s: SparkSession, dir: String): DataFrame =
+    ModelCache.sessionCached(s, s"$dir|lshPairsNearDup") {
+      SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir),
+        NearDupThreshold).localCheckpoint()
+    }
+
   /** Shared LSH-bucket candidate pairs at the threshold-graph cut —
     * ONE materialization read by sim_dbscan / graph_bfs_hops /
     * graph_bfs_knn / graph_ppr (the r9 materialize-once pattern: the
@@ -283,6 +329,19 @@ object PipelineQueries {
   private def lshPairsTri(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.nearDupPairsLsh(normed(s, dir), TriangleCos).cache()
 
+  /** The DIRECTED top-[[BfsKnnK]] arc set over [[lshPairsTri]] — what
+    * BFS-kNN and personalized PageRank traverse (each node's k best
+    * partners as out-arcs). Same memo rationale as [[knnEdgesTri]]:
+    * two queries re-ran this window per bench pass through the plan
+    * registry; the memo hands both the one materialized frame
+    * (session-scoped: a checkpointed frame is bound to its context).
+    */
+  private def knnArcsTri(s: SparkSession, dir: String): DataFrame =
+    ModelCache.sessionCached(s, s"$dir|knnArcsTri") {
+      GraphOps.knnGraph(lshPairsTri(s, dir), "vec_a", "vec_b", "cos_sim",
+        BfsKnnK).localCheckpoint()
+    }
+
   /** The DEGREE-CAPPED undirected kNN edge set over [[lshPairsTri]] —
     * the default graph surface every scale-facing graph analytic rides
     * (BFS and PPR since r10; triangles / link-pred / label-prop /
@@ -290,23 +349,10 @@ object PipelineQueries {
     * node's top-[[BfsKnnK]] arcs, symmetrized to distinct undirected
     * edges, so |E| ≤ k·n at ANY corpus size where the raw threshold
     * graph's |E| is a data property measured growing superlinearly
-    * (5.9× pairs for 3× data at ×30 — PLANS round 11). Cached: four
-    * queries read it, and label propagation iterates over it.
+    * (5.9× pairs for 3× data at ×30 — PLANS round 11).
     */
-  /** The DIRECTED top-[[BfsKnnK]] arc set over [[lshPairsTri]] — what
-    * BFS-kNN and personalized PageRank traverse (each node's k best
-    * partners as out-arcs). Same memo rationale as [[knnEdgesTri]]:
-    * two queries re-ran this window per bench pass through the plan
-    * registry; the memo hands both the one materialized frame.
-    */
-  private def knnArcsTri(s: SparkSession, dir: String): DataFrame =
-    ModelCache.cached(s"${System.identityHashCode(s)}|$dir|knnArcsTri") {
-      GraphOps.knnGraph(lshPairsTri(s, dir), "vec_a", "vec_b", "cos_sim",
-        BfsKnnK).localCheckpoint()
-    }
-
   private def knnEdgesTri(s: SparkSession, dir: String): DataFrame =
-    ModelCache.cached(s"${System.identityHashCode(s)}|$dir|knnEdgesTri") {
+    ModelCache.sessionCached(s, s"$dir|knnEdgesTri") {
       // localCheckpoint + driver-side memo instead of .cache(): six
       // queries read this edge set and label propagation ITERATES over
       // it, and the plan-registry route proved fragile for plans this
@@ -1406,23 +1452,26 @@ object PipelineQueries {
     // the corpus, expected bucket size stays pinned) instead of the
     // fixed label cells whose in-cell pairs grow quadratically.
     // Precision is exact; recall is measured by the card below.
-    "dedup_embedding_lsh" -> ((s, dir) =>
-      SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir),
-        NearDupThreshold)),
+    "dedup_embedding_lsh" -> ((s, dir) => lshPairsNearDup(s, dir)),
 
     // cross-corpus near-dup probe — the embedding daily-increment
     // (vector twin of dedup_incremental / sim_ivf_append): the batch
-    // (odd vec_ids) probes the FROZEN index geometry of the existing
-    // corpus (even vec_ids — the prefix width derives from ITS count
-    // alone), one shared bucket-collect shuffle, cross-side pairs
+    // (odd vec_ids) probes the FROZEN index ARTIFACT of the existing
+    // corpus (even vec_ids — built ONCE per session by
+    // [[lshCrossIndex]]; the prefix width rides the artifact's bits
+    // column, so the probe plan never touches the existing side's raw
+    // embeddings), one shared bucket-collect shuffle, cross-side pairs
     // only, exact-cosine verified.
-    "dedup_embedding_incremental" -> ((s, dir) => {
-      val corpus = normed(s, dir)
-      SimilarityOps.nearDupPairsLshCross(
-        corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
-        corpus.filter(pmod(col("vec_id"), lit(2)) === 1),
-        NearDupThreshold)
-    }),
+    "dedup_embedding_incremental" -> ((s, dir) => lshCrossPairs(s, dir)),
+
+    // the OUTPUT-BOUNDED incremental surface (r12 verdict item 2): the
+    // same frozen-index probe (shared — one batch probed once, read
+    // twice), capped to each BATCH vector's k best existing-side
+    // partners — ≤ |batch|·k rows at any index size, where the
+    // uncapped dump grows with the true cross-dup density.
+    "dedup_embedding_incremental_topk" -> ((s, dir) =>
+      SimilarityOps.topKPerBatchVector(lshCrossPairs(s, dir),
+        LshTopKPerVector)),
 
     // the targetBucket knob's recall/cost frontier: for three bucket
     // sizes, total recall on the query subset AND the generator's
@@ -1473,9 +1522,7 @@ object PipelineQueries {
     // any scale, where the uncapped dump grows with the data's true
     // ≥-threshold pair density (superlinear on clumpy corpora).
     "dedup_embedding_lsh_topk" -> ((s, dir) =>
-      SimilarityOps.topKPerVector(
-        SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir),
-          NearDupThreshold),
+      SimilarityOps.topKPerVector(lshPairsNearDup(s, dir),
         LshTopKPerVector)),
 
     // the TABLES-axis recall/cost frontier: recall and pair volume at
@@ -1613,8 +1660,7 @@ object PipelineQueries {
           SimilarityOps.cosine(
             col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
         .filter(col("cos") >= NearDupThreshold)
-      val lsh = SimilarityOps.nearDupPairsLshFrom(cachedLshSigs(s, dir),
-        NearDupThreshold)
+      val lsh = lshPairsNearDup(s, dir)
       val lshBoth = lsh
         .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
         .unionAll(lsh

@@ -70,6 +70,38 @@ class IvfAtRecallSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NO brute-force truth"), e.getMessage)
   }
 
+  test("truth-side work is STRIPE-bounded; the full query set is still served") {
+    // r12 verdict item 3: the truth pass must cost O(|corpus|·stripe),
+    // not O(|corpus|·|Q|) — the cost the index exists to avoid
+    val manyQueries = corpus.filter(col("vec_id") < 200)
+    val r = SimilarityOps.ivfTopKAtRecall(
+      corpus, manyQueries, cents, k = 5, targetRecall = 0.9, maxProbe = 8,
+      calibQueries = 10)
+    assert(r.nTrue <= 10L * 5,
+      s"truth must come from the 10-query stripe alone, got ${r.nTrue} rows")
+    val served = r.results.select("query_id").distinct().count()
+    assert(served > 10,
+      s"queries OUTSIDE the stripe must still be served, got $served ids")
+    // the stripe decision serves the stripe itself identically to a
+    // stripe-only run (the frontier is measured on the same rows)
+    val striped = SimilarityOps.ivfTopKAtRecall(
+      corpus, corpus.filter(col("vec_id") < 10), cents, 5, 0.9, 8,
+      calibQueries = 10)
+    assert(striped.nprobe == r.nprobe && striped.nTrue == r.nTrue)
+    r.release(); striped.release()
+  }
+
+  test("release() unpersists the pinned candidate frame") {
+    val r = SimilarityOps.ivfTopKAtRecall(
+      corpus, queries, cents, k = 5, targetRecall = 0.9, maxProbe = 8)
+    assert(r.pinned.nonEmpty)
+    assert(r.pinned.forall(_.storageLevel.useMemory),
+      "the backing candidate frame is returned cached")
+    r.release()
+    assert(r.pinned.forall(!_.storageLevel.useMemory),
+      "release() must unpersist the backing blocks")
+  }
+
   test("out-of-range target and probe ceilings are rejected by require") {
     intercept[IllegalArgumentException] {
       SimilarityOps.ivfTopKAtRecall(corpus, queries, cents, 5, 0.4, 8)

@@ -35,4 +35,47 @@ class ModelCacheSpec extends AnyFunSuite {
     assert(v == Seq(14))
     assert(ModelCache.cached(inner) { Seq(-1) } == Seq(7))
   }
+
+  test("sessionCached keys by applicationId and evictSession drops the session's entries") {
+    val spark = graft.SparkTestSession.spark
+    val appId = spark.sparkContext.applicationId
+    val key = s"mc-spec-df-${System.identityHashCode(this)}"
+    var builds = 0
+    val d1 = ModelCache.sessionCached(spark, key) {
+      builds += 1; spark.range(3).toDF().localCheckpoint()
+    }
+    val d2 = ModelCache.sessionCached(spark, key) {
+      builds += 1; spark.range(9).toDF().localCheckpoint()
+    }
+    assert(builds == 1 && (d1 eq d2),
+      "a session-scoped artifact builds once per (appId, key)")
+    // the key embeds the STABLE applicationId, not an identity hash a
+    // GC could recycle (r12 advice)
+    assert(ModelCache.contains(s"__session|$appId|$key"))
+    assert(ModelCache.contains(s"__session|$appId|__listener"),
+      "the evict-on-stop listener registers on first use")
+    // the listener path, driven directly (a second local SparkContext
+    // cannot be stopped inside the shared-session test JVM)
+    ModelCache.evictSession(appId)
+    assert(!ModelCache.contains(s"__session|$appId|$key") &&
+      !ModelCache.contains(s"__session|$appId|__listener"),
+      "evictSession must drop every entry the session owns")
+    val d3 = ModelCache.sessionCached(spark, key) {
+      builds += 1; spark.range(5).toDF().localCheckpoint()
+    }
+    assert(builds == 2 && d3.count() == 5,
+      "after eviction the artifact rebuilds cleanly")
+    ModelCache.evictSession(appId)
+  }
+
+  test("evictPrefix drops matching keys only") {
+    val p = s"mc-spec-pfx-${System.identityHashCode(this)}"
+    ModelCache.cached(s"$p|a") { Seq(1) }
+    ModelCache.cached(s"$p|b") { Seq(2) }
+    ModelCache.cached(s"other-$p") { Seq(3) }
+    ModelCache.evictPrefix(s"$p|")
+    assert(!ModelCache.contains(s"$p|a") && !ModelCache.contains(s"$p|b"))
+    assert(ModelCache.contains(s"other-$p"),
+      "non-matching keys must survive a prefix eviction")
+  }
 }
