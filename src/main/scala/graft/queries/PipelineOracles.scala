@@ -2248,7 +2248,8 @@ object PipelineOracles {
         |FROM tm JOIN sb USING (event_type)""".stripMargin,
 
     // the kCore peel with per-round except: layer = the first round a
-    // node leaves the graph, 0 = the surviving core.
+    // node leaves the graph, 0 = the surviving core. r13: over the
+    // shared capped kNN edge chain (ke), like the rest of the family.
     "graph_onion" -> {
       val k = PipelineQueries.KCoreK
       val r = PipelineQueries.KCoreRounds
@@ -2267,10 +2268,8 @@ object PipelineOracles {
       val gones = (1 to r).map(i => s"SELECT node, layer FROM g$i")
         .mkString("\nUNION ALL\n")
       s"""WITH $normCte,
-         |e0 AS (SELECT a.vec_id AS u, b.vec_id AS v
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
+         |$knnEdgeCtes,
+         |e0 AS (SELECT a AS u, b AS v FROM ke),
          |$rounds
          |$gones
          |UNION ALL
@@ -2278,9 +2277,9 @@ object PipelineOracles {
         .stripMargin
     },
 
-    // GraphOps.kCore replayed: the cosine edge list peeled for the
-    // same fixed round count, each round unrolled as degree/keep/induce
-    // CTEs.
+    // GraphOps.kCore replayed: the capped kNN edge list (ke) peeled
+    // for the same fixed round count, each round unrolled as
+    // degree/keep/induce CTEs.
     "graph_kcore" -> {
       val k = PipelineQueries.KCoreK
       val rounds = (1 to PipelineQueries.KCoreRounds).map { i =>
@@ -2293,10 +2292,8 @@ object PipelineOracles {
       }.mkString(",\n")
       val last = s"e${PipelineQueries.KCoreRounds}"
       s"""WITH $normCte,
-         |e0 AS (SELECT a.vec_id AS u, b.vec_id AS v
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
-         |        >= ${PipelineQueries.TriangleCos}),
+         |$knnEdgeCtes,
+         |e0 AS (SELECT a AS u, b AS v FROM ke),
          |$rounds
          |SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM
          |  (SELECT u AS node FROM $last UNION ALL SELECT v FROM $last)

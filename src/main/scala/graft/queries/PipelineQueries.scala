@@ -734,9 +734,13 @@ object PipelineQueries {
     // fringe members cascade away — the cluster-core extractor beside
     // triangles' local density. Bounded synchronous rounds, each a
     // degree aggregation + two semi-joins on the shrinking edge set.
+    // r13: rides the shared degree-capped kNN edge artifact like the
+    // rest of the graph family — the exact label-cell pair pass it
+    // used to rebuild per run is quadratic in cell size (measured
+    // 16.6 s of a 17.1 s total at ×10: 10 cells × 2000 members →
+    // 20M candidates, 103× the 1× pair count).
     "graph_kcore" -> ((s, dir) =>
-      GraphOps.kCore(
-        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+      GraphOps.kCore(knnEdgesTri(s, dir),
         "vec_a", "vec_b", KCoreK, KCoreRounds)),
 
     // batched hybrid search end to end: the multi-query BM25 batch and
@@ -2939,10 +2943,10 @@ object PipelineQueries {
 
     // onion decomposition of the cosine graph: kCore's peel with the
     // removal round recorded — layer = how deep into the fringe a node
-    // sits, 0 = the surviving core.
+    // sits, 0 = the surviving core. r13: on the capped kNN edge
+    // artifact, same rationale as graph_kcore.
     "graph_onion" -> ((s, dir) =>
-      GraphOps.onionLayers(
-        SimilarityOps.nearDupPairs(normed(s, dir), TriangleCos),
+      GraphOps.onionLayers(knnEdgesTri(s, dir),
         "vec_a", "vec_b", KCoreK, KCoreRounds)),
 
     // CUSUM changepoint per user over daily event counts: where the
