@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   *     the kNN-graph head-recall contract
   *     ([[graft.ops.SimilarityOps.knnGraphAtHeadRecall]]) — arcs or the
   *     named raise with the frontier's table-count fix
-  *   mode lsh     <sfDir> [cosThreshold] [targetRecall]
+  *   mode lsh     <sfDir> [cosThreshold] [targetRecall] [maxTables]
   *     the auto-L pair generator
   *     ([[graft.ops.SimilarityOps.nearDupPairsLshAtRecall]]) — the
   *     achieved-recall card or the named UNREACHABLE raise with the
-  *     geometry's needed table count
+  *     geometry's needed table count; maxTables above 32 opts into
+  *     the wide hyperplane pool (up to 64)
   *   mode minhash <sfDir> [jaccardThreshold] [targetRecall]
   *     the band-axis twin ([[graft.ops.DedupOps.minhashPairsAtRecall]])
   *     — same card shape on the MinHash axis
@@ -75,10 +76,12 @@ object RecallProbe {
         case "lsh" =>
           val threshold = rest.lift(1).map(_.toDouble).getOrElse(0.3)
           val target = rest.lift(2).map(_.toDouble).getOrElse(0.99)
+          val maxT = rest.lift(3).map(_.toInt)
+            .getOrElse(ops.SimilarityOps.LshAutoMaxTables)
           val r = ops.SimilarityOps.nearDupPairsLshAtRecall(
-            emb, threshold, target, calibQueries = 20)
+            emb, threshold, target, calibQueries = 20, maxTables = maxT)
           println(s"[recall-probe] lsh SOLVED at $dir " +
-            s"(threshold=$threshold, target=$target): calib " +
+            s"(threshold=$threshold, target=$target, maxTables=$maxT): calib " +
             s"${r.calibRecallMicro / 1e6} @ ${r.calibTables} tables -> " +
             s"L=${r.tables}, achieved ${r.achievedRecallMicro / 1e6} " +
             s"(${r.pairs.count()} pairs, n_true=${r.nTrue}) in $secs")

@@ -76,6 +76,26 @@ class LshCrossIndexSpec extends AnyFunSuite {
     scala.reflect.io.Path(tmp).deleteRecursively()
   }
 
+  test("the artifact round-trips through parquet: a re-read index probes identically") {
+    // the production shape end to end: persist the index, read it back
+    // in a fresh frame, probe — same pairs as probing the fresh build
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-cross-roundtrip").toString
+    val existing = emb(randomRows(250, 16, 0L))
+    val batch = emb(Seq((1005L, vec(5L, 16))) ++ randomRows(60, 16, 3000L))
+    val idx = SimilarityOps.lshIndexEntries(existing)
+    idx.write.mode("overwrite").parquet(s"$tmp/index.parquet")
+    val reread = spark.read.parquet(s"$tmp/index.parquet")
+    val fresh = pairSet(
+      SimilarityOps.nearDupPairsLshCrossIndexed(idx, batch, 0.3))
+    val persisted = pairSet(
+      SimilarityOps.nearDupPairsLshCrossIndexed(reread, batch, 0.3))
+    assert(fresh == persisted,
+      s"only-fresh=${fresh -- persisted} only-persisted=${persisted -- fresh}")
+    assert(persisted.contains((5L, 1005L)))
+    scala.reflect.io.Path(tmp).deleteRecursively()
+  }
+
   test("the artifact is self-describing: the batch signs at the index's frozen width") {
     // widths differ when the existing count differs; the SAME batch
     // probed against the SAME index must land in the same buckets no
