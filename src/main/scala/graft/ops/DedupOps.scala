@@ -826,29 +826,65 @@ object DedupOps {
     * `new` — only a verified Jaccard drops a document.
     */
   def incrementalStatus(existing: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame =
+    incrementalStatusIndexed(minhashIndex(existing), batch, threshold)
+
+  /** The MinHash incremental-dedup index as persistable ARTIFACTS —
+    * the band-axis twin of [[SimilarityOps.lshIndexEntries]] (r13):
+    * everything [[incrementalStatus]] needs from the EXISTING corpus,
+    * computed once per index generation so a daily batch probe never
+    * re-scans (or even references) the existing documents' raw text.
+    * Three relations, each a plain table a cluster persists beside the
+    * corpus:
+    *   - `hashes(h)` — the distinct md5 content-hash set (exact-dup
+    *     membership probe);
+    *   - `bands(e_doc, band, h)` — the banded minhash entries
+    *     (candidate generation: batch bands ⋈ these);
+    *   - `sets(e_doc, set_e)` — per-doc distinct shingle sets (the
+    *     exact-Jaccard verify side; storing the computed feature
+    *     instead of re-deriving it from text is the posting-list /
+    *     feature-store trade — linear storage, zero per-batch
+    *     recompute).
+    */
+  final case class MinhashIndex(hashes: DataFrame, bands: DataFrame,
+      sets: DataFrame)
+
+  def minhashIndex(existing: DataFrame): MinhashIndex = {
+    val sh = shingledAll(existing)
+    MinhashIndex(
+      existing.select(md5(col("text")).as("h")).distinct(),
+      lshBands(minhashSignature(sh)).withColumnRenamed("doc_id", "e_doc"),
+      sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("set_e"))
+        .withColumnRenamed("doc_id", "e_doc"))
+  }
+
+  /** [[incrementalStatus]] against a PREBUILT [[MinhashIndex]]
+    * (typically persisted and re-read): the batch computes its own
+    * hashes/bands/sets; the existing side is read from the artifact
+    * relations alone. Same output contract as [[incrementalStatus]].
+    */
+  def incrementalStatusIndexed(index: MinhashIndex, batch: DataFrame,
       threshold: Double): DataFrame = {
     val bHash = batch.select(col("doc_id"), md5(col("text")).as("h"))
     val canon = bHash.groupBy("h").agg(min("doc_id").as("canon"))
-    val eHash = existing.select(md5(col("text")).as("h")).distinct()
-      .withColumn("in_existing", lit(true))
+    val eHash = index.hashes.withColumn("in_existing", lit(true))
 
-    // candidates: batch bands ⋈ existing bands — the incremental form of
-    // candidatePairs (cross-side collisions only; within-batch near-dups
-    // are the full pipeline's job once the batch is ingested)
+    // candidates: batch bands ⋈ the index's band entries — the
+    // incremental form of candidatePairs (cross-side collisions only;
+    // within-batch near-dups are the full pipeline's job once the
+    // batch is ingested)
     val bBands = lshBands(minhashSignature(shingledAll(batch)))
-    val eBands = lshBands(minhashSignature(shingledAll(existing)))
-      .withColumnRenamed("doc_id", "e_doc")
-    val cand = bBands.join(eBands, Seq("band", "h"))
+    val cand = bBands.join(index.bands, Seq("band", "h"))
       .select(col("doc_id"), col("e_doc")).distinct()
 
     val bSets = shingledAll(
       batch.join(cand.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("set_b"))
-    val eSets = shingledAll(
-      existing.join(cand.select(col("e_doc").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi"))
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("set_e"))
-      .withColumnRenamed("doc_id", "e_doc")
+    // the verify side reads the artifact's precomputed sets, pruned to
+    // the candidate docs (a semi-join on the artifact, not a re-shingle
+    // of the corpus — per-doc sets are identical either way)
+    val eSets = index.sets
+      .join(cand.select("e_doc").distinct(), Seq("e_doc"), "left_semi")
     val nearDup = cand
       .join(bSets, Seq("doc_id"))
       .join(eSets, Seq("e_doc"))

@@ -83,7 +83,15 @@ object ModelCache {
     * bound (r12 advice).
     */
   def sessionCached(s: org.apache.spark.sql.SparkSession, key: String)(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame =
+    sessionCachedRef(s, key)(build)
+
+  /** [[sessionCached]] for an arbitrary session-bound artifact (e.g. a
+    * case class bundling several checkpointed frames) — same key
+    * scheme, same evict-on-stop listener.
+    */
+  def sessionCachedRef[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
+      key: String)(build: => T): T = {
     val appId = s.sparkContext.applicationId
     cached(s"__session|$appId|__listener") {
       s.sparkContext.addSparkListener(new SparkListener {

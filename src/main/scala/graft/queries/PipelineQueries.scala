@@ -305,6 +305,22 @@ object PipelineQueries {
         NearDupThreshold).localCheckpoint()
     }
 
+  /** The persisted MinHash incremental-dedup index over the existing
+    * (even doc_id) half — hashes/bands/shingle-sets materialized once
+    * per session (r13: the band-axis twin of [[lshCrossIndex]]; the
+    * inline form re-shingled and re-banded the whole existing corpus
+    * on every batch probe).
+    */
+  private def minhashCrossIndex(s: SparkSession,
+      dir: String): DedupOps.MinhashIndex =
+    ModelCache.sessionCachedRef(s, s"$dir|minhashCrossIndex") {
+      val idx = DedupOps.minhashIndex(
+        table(s, dir, "documents").select("doc_id", "text")
+          .filter(pmod(col("doc_id"), lit(2)) === 0))
+      DedupOps.MinhashIndex(idx.hashes.localCheckpoint(),
+        idx.bands.localCheckpoint(), idx.sets.localCheckpoint())
+    }
+
   /** The shared default (8-table) near-dup pair surface at
     * [[NearDupThreshold]], materialized once per session per dir:
     * three queries consume exactly this frame (the dump, its top-k
@@ -1042,15 +1058,19 @@ object PipelineQueries {
     // exercised: +100000 copies of existing docs (exact_dup_existing),
     // +200000 copies of in-batch docs (exact_dup_in_batch); cross-half
     // near-dups surface via band collision + Jaccard ≥ 0.5 confirm.
+    // r13: the batch probes the persisted MinhashIndex ARTIFACT
+    // (hashes/bands/shingle-sets, materialized once per session) — the
+    // band-axis twin of the embedding index treatment: no existing-side
+    // text re-scan anywhere in the probe.
     "dedup_incremental" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "text")
-      val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
         .unionAll(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
         .unionAll(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
           .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
-      DedupOps.incrementalStatus(existing, batch, SetJoinThreshold)
+      DedupOps.incrementalStatusIndexed(
+        minhashCrossIndex(s, dir), batch, SetJoinThreshold)
     }),
 
     "dedup_simhash" -> ((s, dir) =>
