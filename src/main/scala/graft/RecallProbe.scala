@@ -106,24 +106,54 @@ object RecallProbe {
           val threshold = rest.lift(1).map(_.toDouble).getOrElse(0.3)
           val batchSize = rest.lift(2).map(_.toInt).getOrElse(500)
           val e = emb
-          val tb = System.nanoTime()
-          val idx = ops.SimilarityOps.lshIndexEntries(
-            e.filter(pmod(col("vec_id"), lit(2)) === 0)).localCheckpoint()
-          val nIdx = idx.count()
-          val buildS = (System.nanoTime() - tb) / 1e9
+          val existing = e.filter(pmod(col("vec_id"), lit(2)) === 0)
           // a fixed-size batch: the first batchSize odd vec_ids — the
           // same batch rows whatever the corpus size, so the probe wall
           // isolates the INDEX-side term
           val batch = e.filter(pmod(col("vec_id"), lit(2)) === 1)
             .filter(col("vec_id") < 2L * batchSize)
+          def dirBytes(p: String): Long = {
+            val d = new java.io.File(p)
+            if (!d.exists()) 0L
+            else d.listFiles().map(f =>
+              if (f.isDirectory) dirBytes(f.getPath) else f.length()).sum
+          }
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-cross-probe").toString
+          // FAT artifact: entries carry the full embedding
+          val tb = System.nanoTime()
+          ops.SimilarityOps.lshIndexEntries(existing)
+            .write.mode("overwrite").parquet(s"$tmp/fat.parquet")
+          val fat = spark.read.parquet(s"$tmp/fat.parquet")
+          val nIdx = fat.count()
+          val buildS = (System.nanoTime() - tb) / 1e9
           val tp = System.nanoTime()
           val nPairs = ops.SimilarityOps.nearDupPairsLshCrossIndexed(
-            idx, batch, threshold).count()
+            fat, batch, threshold).count()
           val probeS = (System.nanoTime() - tp) / 1e9
+          // SLIM artifact: id-sized entries + single-copy vector table
+          val ts = System.nanoTime()
+          ops.SimilarityOps.lshIndexEntriesSlim(existing)
+            .write.mode("overwrite").parquet(s"$tmp/slim.parquet")
+          ops.SimilarityOps.lshIndexVectors(existing)
+            .write.mode("overwrite").parquet(s"$tmp/vectors.parquet")
+          val slim = spark.read.parquet(s"$tmp/slim.parquet")
+          val vecs = spark.read.parquet(s"$tmp/vectors.parquet")
+          val buildSlimS = (System.nanoTime() - ts) / 1e9
+          val tq = System.nanoTime()
+          val nPairsSlim = ops.SimilarityOps.nearDupPairsLshCrossSlim(
+            slim, vecs, batch, threshold).count()
+          val probeSlimS = (System.nanoTime() - tq) / 1e9
+          val fatB = dirBytes(s"$tmp/fat.parquet")
+          val slimB = dirBytes(s"$tmp/slim.parquet") +
+            dirBytes(s"$tmp/vectors.parquet")
+          scala.reflect.io.Path(tmp).deleteRecursively()
           println(f"[recall-probe] cross at $dir (threshold=$threshold, " +
-            f"batch<=$batchSize): index build+materialize $buildS%.2f s " +
-            f"($nIdx entries), probe $probeS%.2f s ($nPairs pairs) " +
-            s"in $secs total")
+            f"batch<=$batchSize): FAT build+persist $buildS%.2f s " +
+            f"($nIdx entries, $fatB bytes), probe $probeS%.2f s " +
+            f"($nPairs pairs); SLIM build+persist $buildSlimS%.2f s " +
+            f"($slimB bytes = ${fatB.toDouble / slimB}%.1fx smaller), " +
+            f"probe $probeSlimS%.2f s ($nPairsSlim pairs) in $secs total")
         case "minhash" =>
           val threshold = rest.lift(1).map(_.toDouble).getOrElse(
             queries.PipelineQueries.MinhashRecallJaccard)

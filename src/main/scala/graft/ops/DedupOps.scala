@@ -826,8 +826,26 @@ object DedupOps {
     * `new` — only a verified Jaccard drops a document.
     */
   def incrementalStatus(existing: DataFrame, batch: DataFrame,
-      threshold: Double): DataFrame =
-    incrementalStatusIndexed(minhashIndex(existing), batch, threshold)
+      threshold: Double): DataFrame = {
+    val sh = shingledAll(existing)
+    // the inline verify side shingles ONLY candidate existing docs: the
+    // semi-join applies to the raw documents BEFORE the shingle explode
+    // and collect_set — Catalyst cannot push a semi-join below an
+    // explode+aggregate, so routing this wrapper through minhashIndex's
+    // corpus-wide `sets` plan did strictly more aggregation work on
+    // large corpora with few candidates (r13 advice; the
+    // persisted-artifact path is unaffected — its sets are already
+    // materialized, pruning them is a read-side semi-join)
+    incrementalStatusCore(
+      existing.select(md5(col("text")).as("h")).distinct(),
+      lshBands(minhashSignature(sh)).withColumnRenamed("doc_id", "e_doc"),
+      eDocs => shingledAll(
+        existing.join(eDocs.withColumnRenamed("e_doc", "doc_id"),
+          Seq("doc_id"), "left_semi"))
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("set_e"))
+        .withColumnRenamed("doc_id", "e_doc"),
+      batch, threshold)
+  }
 
   /** The MinHash incremental-dedup index as persistable ARTIFACTS —
     * the band-axis twin of [[SimilarityOps.lshIndexEntries]] (r13):
@@ -864,27 +882,41 @@ object DedupOps {
     * relations alone. Same output contract as [[incrementalStatus]].
     */
   def incrementalStatusIndexed(index: MinhashIndex, batch: DataFrame,
+      threshold: Double): DataFrame =
+    incrementalStatusCore(index.hashes, index.bands,
+      // the verify side reads the artifact's precomputed sets, pruned
+      // to the candidate docs (a semi-join on the artifact, not a
+      // re-shingle of the corpus — per-doc sets are identical either
+      // way)
+      eDocs => index.sets.join(eDocs, Seq("e_doc"), "left_semi"),
+      batch, threshold)
+
+  /** The shared probe plan under both incremental forms: the existing
+    * side enters ONLY through its hash set, its band entries, and a
+    * `setsFor` hook mapping the distinct candidate `e_doc`s to their
+    * (e_doc, set_e) shingle-set rows — so the inline wrapper can prune
+    * BEFORE shingling while the artifact path prunes its materialized
+    * sets (r13 advice).
+    */
+  private def incrementalStatusCore(eHashes: DataFrame, eBands: DataFrame,
+      setsFor: DataFrame => DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
     val bHash = batch.select(col("doc_id"), md5(col("text")).as("h"))
     val canon = bHash.groupBy("h").agg(min("doc_id").as("canon"))
-    val eHash = index.hashes.withColumn("in_existing", lit(true))
+    val eHash = eHashes.withColumn("in_existing", lit(true))
 
     // candidates: batch bands ⋈ the index's band entries — the
     // incremental form of candidatePairs (cross-side collisions only;
     // within-batch near-dups are the full pipeline's job once the
     // batch is ingested)
     val bBands = lshBands(minhashSignature(shingledAll(batch)))
-    val cand = bBands.join(index.bands, Seq("band", "h"))
+    val cand = bBands.join(eBands, Seq("band", "h"))
       .select(col("doc_id"), col("e_doc")).distinct()
 
     val bSets = shingledAll(
       batch.join(cand.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("set_b"))
-    // the verify side reads the artifact's precomputed sets, pruned to
-    // the candidate docs (a semi-join on the artifact, not a re-shingle
-    // of the corpus — per-doc sets are identical either way)
-    val eSets = index.sets
-      .join(cand.select("e_doc").distinct(), Seq("e_doc"), "left_semi")
+    val eSets = setsFor(cand.select("e_doc").distinct())
     val nearDup = cand
       .join(bSets, Seq("doc_id"))
       .join(eSets, Seq("e_doc"))

@@ -30,6 +30,18 @@ object ModelCache {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** applicationIds whose evict-on-stop listener is already registered.
+    * Deliberately OUTSIDE `cache`: the registration is a fact about the
+    * SparkContext's listener bus, not an evictable artifact — when the
+    * bench's evict knob calls [[clear]], the listener stays on the bus,
+    * so tracking it under an evictable key would re-register a duplicate
+    * listener on every post-evict [[sessionCached]] call (r13 advice: a
+    * slow listener leak over a long evicting bench run). One short
+    * string per application ever started in the JVM — bounded.
+    */
+  private val listenerRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The artifact under `key`, training it with `train` on first use.
     * `train` may run Spark actions (all trainers here do) — which is
     * why this is NOT computeIfAbsent: holding a hash-bin lock across a
@@ -93,13 +105,19 @@ object ModelCache {
   def sessionCachedRef[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
       key: String)(build: => T): T = {
     val appId = s.sparkContext.applicationId
-    cached(s"__session|$appId|__listener") {
+    if (listenerRegistered.add(appId)) {
       s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(
             e: SparkListenerApplicationEnd): Unit = evictSession(appId)
       })
-      java.lang.Boolean.TRUE
     }
     cached(s"__session|$appId|$key")(build)
   }
+
+  /** Whether `applicationId`'s evict-on-stop listener is registered —
+    * observability for specs (the registration must survive [[clear]],
+    * which is exactly what keeping it outside `cache` guarantees).
+    */
+  def listenerRegisteredFor(applicationId: String): Boolean =
+    listenerRegistered.contains(applicationId)
 }

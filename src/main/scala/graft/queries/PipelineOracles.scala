@@ -371,8 +371,8 @@ object PipelineOracles {
     * prefix property) — `truth(query_id, other_id)` and `ntr(n)`.
     * Shared by the tables-frontier card and the auto-L recall card.
     */
-  private def lshMinTCtes(thr: Double, q: Int): String = {
-    val maxT = graft.ops.SimilarityOps.LshAutoMaxTables
+  private def lshMinTCtes(thr: Double, q: Int,
+      maxT: Int = graft.ops.SimilarityOps.LshAutoMaxTables): String = {
     val tgt = graft.ops.SimilarityOps.LshAutoTargetBucket
     val probes = graft.ops.SimilarityOps.LshAutoProbes
     val branches = (0 until maxT)

@@ -281,12 +281,20 @@ object PipelineQueries {
     * same session pays only its own signing + the shared shuffle,
     * never an existing-side re-scan (r12 verdict item 1 — the inline
     * form measured 3.2× for ×10 index size at a fixed batch).
+    *
+    * r14: the SLIM artifact pair — id-sized bucket entries plus a
+    * single-copy vector side table — instead of the fat entries that
+    * carried (1+probes)·tables ≈ 24 embedding copies per vector (r13
+    * verdict item 1: the persisted index was a ~24× write
+    * amplification of the corpus).
     */
-  private def lshCrossIndex(s: SparkSession, dir: String): DataFrame =
-    ModelCache.sessionCached(s, s"$dir|lshCrossIndex") {
-      SimilarityOps.lshIndexEntries(
-        normed(s, dir).filter(pmod(col("vec_id"), lit(2)) === 0))
-        .localCheckpoint()
+  private def lshCrossIndex(s: SparkSession,
+      dir: String): SimilarityOps.LshSlimIndex =
+    ModelCache.sessionCachedRef(s, s"$dir|lshCrossIndexSlim") {
+      val existing = normed(s, dir).filter(pmod(col("vec_id"), lit(2)) === 0)
+      SimilarityOps.LshSlimIndex(
+        SimilarityOps.lshIndexEntriesSlim(existing).localCheckpoint(),
+        SimilarityOps.lshIndexVectors(existing).localCheckpoint())
     }
 
   /** ONE batch probe of the frozen index, shared by both incremental
@@ -299,8 +307,9 @@ object PipelineQueries {
     */
   private def lshCrossPairs(s: SparkSession, dir: String): DataFrame =
     ModelCache.sessionCached(s, s"$dir|lshCrossPairs") {
-      SimilarityOps.nearDupPairsLshCrossIndexed(
-        lshCrossIndex(s, dir),
+      val idx = lshCrossIndex(s, dir)
+      SimilarityOps.nearDupPairsLshCrossSlim(
+        idx.entries, idx.vectors,
         normed(s, dir).filter(pmod(col("vec_id"), lit(2)) === 1),
         NearDupThreshold).localCheckpoint()
     }
@@ -1193,6 +1202,10 @@ object PipelineQueries {
         base, base.filter(col("vec_id") < IvfQueryCount),
         cachedCentroids(s, dir), IvfK, IvfAutoRecallTarget, KmeansK)
       val nRes = r.results.count()
+      // counts are collected — drop the operator-cached scan now (r13
+      // advice: without this, repeated bench passes accumulate one
+      // pinned frame per invocation unless the evict knob is set)
+      r.release()
       Seq((r.targetMicro, r.nTrue, r.maxProbe.toLong, r.nprobe.toLong,
         r.recallAtMicro(r.nprobe - 1), nRes))
         .toDF("target_micro", "n_true", "max_probe", "n_probe",
@@ -1601,6 +1614,9 @@ object PipelineQueries {
         normed(s, dir), NearDupThreshold, LshAutoRecallTarget,
         LshQueryCount, sigs = Some(cachedLshSigs(s, dir)))
       val nPairs = r.pairs.count()
+      // counts are collected — drop the operator-cached pairs (r13
+      // advice: one pinned frame per invocation otherwise)
+      r.release()
       Seq((r.targetMicro, r.nTrue, r.calibTables.toLong,
         r.calibRecallMicro, r.tables.toLong, r.achievedRecallMicro, nPairs))
         .toDF("target_micro", "n_true", "calib_tables",
@@ -1620,6 +1636,9 @@ object PipelineQueries {
         MinhashRecallTarget, MinhashQueryCount,
         maxBands = MinhashMaxBands)
       val nPairs = r.pairs.count()
+      // counts are collected — drop the operator-cached pairs (r13
+      // advice: one pinned frame per invocation otherwise)
+      r.release()
       Seq((r.targetMicro, r.nTrue, r.calibBands.toLong,
         r.calibRecallMicro, r.bands.toLong, r.achievedRecallMicro, nPairs))
         .toDF("target_micro", "n_true", "calib_bands",

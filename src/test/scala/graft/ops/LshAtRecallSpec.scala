@@ -130,6 +130,42 @@ class LshAtRecallSpec extends AnyFunSuite {
     r.release()
   }
 
+  test("the routed operator: a wide-pool-solvable target takes the SOLVED arm") {
+    // same geometry as the wide-pool test: 0.999 at threshold 0.2 needs
+    // 32 < L <= 64 — the routed form must solve it, not fall back
+    SimilarityOps.nearDupPairsLshAtRecallOrTopK(
+      randomEmb(2000, 32), 0.2, targetRecall = 0.999, k = 5,
+      minHeadRecall = 0.2, calibQueries = 30) match {
+      case SimilarityOps.LshRouteSolved(r) =>
+        assert(r.tables > SimilarityOps.LshAutoMaxTables &&
+          r.tables <= SimilarityOps.LshWideMaxTables, r.toString)
+        r.release()
+      case SimilarityOps.LshRouteTopK(_, why) =>
+        fail(s"a solvable target must not route to top-k: $why")
+    }
+  }
+
+  test("the routed operator: a target past even the 64-table pool routes to the top-k surface") {
+    // threshold 0.0 on structureless data: measured calibration recall
+    // 0.584779 at 8 tables — the floor-micro schedule bottoms out at
+    // miss 883 at 64 tables, so a 0.9999 target (tolerance 100) is
+    // unreachable even at the full wide pool (the >64 dead end the
+    // r12 either/or left open; r13 verdict item 3) — instead of raising,
+    // the routed form returns the head-recall-contracted arc surface,
+    // with the unreachable diagnosis carried for audit
+    SimilarityOps.nearDupPairsLshAtRecallOrTopK(
+      randomEmb(2000, 32), 0.0, targetRecall = 0.9999, k = 5,
+      minHeadRecall = 0.2, calibQueries = 30) match {
+      case SimilarityOps.LshRouteSolved(r) =>
+        fail(s"this geometry must be unreachable even at 64 tables: $r")
+      case SimilarityOps.LshRouteTopK(arcs, why) =>
+        assert(why.contains("UNREACHABLE"), why)
+        assert(why.contains(s"${SimilarityOps.LshWideMaxTables}-table"),
+          s"the diagnosis must name the WIDE ceiling it tried: $why")
+        assert(arcs.count() > 0, "the fallback arc surface must be real")
+    }
+  }
+
   test("the wide pool's first 32 tables are bit-identical to the default pool") {
     // prefix stability is what keeps every committed oracle hash valid:
     // Seq.fill draws sequentially, so widening the pool only APPENDS

@@ -139,4 +139,80 @@ class LshCrossIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("lshIndexEntries"), e.getMessage)
   }
+
+  test("an EMPTY index artifact fails BY NAME, not a silent 0-pair probe") {
+    // a mis-pathed parquet read yields an empty frame with the right
+    // schema; the probe must raise instead of signing the batch with a
+    // null width and returning nothing (r13 advice)
+    val existing = emb(randomRows(50, 16, 0L))
+    val batch = emb(randomRows(5, 16, 100L))
+    val emptyFat = SimilarityOps.lshIndexEntries(existing).limit(0)
+    val eFat = intercept[IllegalArgumentException] {
+      SimilarityOps.nearDupPairsLshCrossIndexed(emptyFat, batch, 0.5)
+    }
+    assert(eFat.getMessage.contains("EMPTY") &&
+      eFat.getMessage.contains("lshIndexEntries"), eFat.getMessage)
+    val emptySlim = SimilarityOps.lshIndexEntriesSlim(existing).limit(0)
+    val eSlim = intercept[IllegalArgumentException] {
+      SimilarityOps.nearDupPairsLshCrossSlim(emptySlim,
+        SimilarityOps.lshIndexVectors(existing), batch, 0.5)
+    }
+    assert(eSlim.getMessage.contains("EMPTY"), eSlim.getMessage)
+  }
+
+  test("the SLIM artifact probe returns exactly the fat probe's pairs") {
+    val existing = emb(randomRows(300, 32, 0L))
+    val batch = emb(Seq((1003L, vec(3L, 32)), (1007L, vec(7L, 32))) ++
+      randomRows(80, 32, 2000L))
+    val fat = pairSet(SimilarityOps.nearDupPairsLshCrossIndexed(
+      SimilarityOps.lshIndexEntries(existing), batch, 0.3))
+    val slim = pairSet(SimilarityOps.nearDupPairsLshCrossSlim(
+      SimilarityOps.lshIndexEntriesSlim(existing),
+      SimilarityOps.lshIndexVectors(existing), batch, 0.3))
+    assert(fat == slim,
+      s"only-fat=${fat -- slim} only-slim=${slim -- fat}")
+    assert(slim.contains((3L, 1003L)) && slim.contains((7L, 1007L)))
+    // and the cos_sim VALUES match the fat form's rounded maxima
+    val fatV = SimilarityOps.nearDupPairsLshCrossIndexed(
+      SimilarityOps.lshIndexEntries(existing), batch, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    SimilarityOps.nearDupPairsLshCrossSlim(
+      SimilarityOps.lshIndexEntriesSlim(existing),
+      SimilarityOps.lshIndexVectors(existing), batch, 0.3)
+      .collect().foreach(r =>
+        assert(fatV((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
+  }
+
+  test("the slim artifact stores each vector ONCE and probes from the persisted pair alone") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-cross-slim").toString
+    val existingPath = s"$tmp/existing.parquet"
+    emb(randomRows(200, 16, 0L)).write.mode("overwrite")
+      .parquet(existingPath)
+    val src = spark.read.parquet(existingPath)
+    SimilarityOps.lshIndexEntriesSlim(src).write
+      .mode("overwrite").parquet(s"$tmp/entries.parquet")
+    SimilarityOps.lshIndexVectors(src).write
+      .mode("overwrite").parquet(s"$tmp/vectors.parquet")
+    val entries = spark.read.parquet(s"$tmp/entries.parquet")
+    val vectors = spark.read.parquet(s"$tmp/vectors.parquet")
+    // entries carry NO vector payload; vectors carry each vector once
+    assert(entries.columns.toSet == Set("vec_id", "t", "sig", "pk", "bits"))
+    assert(vectors.count() == 200,
+      "the vector side table is single-copy: one row per existing vector")
+    assert(entries.count() > vectors.count(),
+      "entries fan out (1+probes)·tables per vector — the payload " +
+        "they no longer carry is the artifact-bytes win")
+    val probe = SimilarityOps.nearDupPairsLshCrossSlim(
+      entries, vectors, emb(randomRows(40, 16, 5000L)), 0.3)
+    val plan = probe.queryExecution.optimizedPlan.toString
+    assert(!plan.contains(existingPath),
+      s"the slim probe plan re-scans the existing corpus:\n$plan")
+    // equivalence against the inline probe on the same inputs
+    val inline = pairSet(SimilarityOps.nearDupPairsLshCross(
+      src, emb(randomRows(40, 16, 5000L)), 0.3))
+    assert(pairSet(probe) == inline)
+    scala.reflect.io.Path(tmp).deleteRecursively()
+  }
 }
