@@ -3361,6 +3361,56 @@ object PipelineOracles {
          |    AS BIGINT) AS n_pairs""".stripMargin
     },
 
+    // the wide-pool escalation replayed (r13 verdict item 3): the SAME
+    // decision chain as dedup_lsh_auto_recall but with the min_t pair
+    // table materialized at the FULL 64-table wide pool and CASE arms
+    // up to its ceiling — at sf0.1 the data drives the pick past the
+    // 32-table default (L=48), which the min_t < L slice then prices
+    // and measures exactly like any other L.
+    "dedup_lsh_auto_recall_wide" -> {
+      val q = PipelineQueries.LshQueryCount
+      val c = graft.ops.SimilarityOps.LshTables
+      val kmax = graft.ops.SimilarityOps.LshWideMaxTables / c
+      val tMicro =
+        math.ceil(PipelineQueries.LshWideRecallTarget * 1000000.0).toLong
+      val missExprs = (1 to kmax)
+        .scanLeft("1000000")((e, _) => s"($e * m1) // 1000000").drop(1)
+      // ELSE error sentinel: see dedup_lsh_auto_recall below (r12 advice)
+      val arms = (1 to kmax)
+        .map(k => s"WHEN 1000000 - ${missExprs(k - 1)} >= $tMicro THEN ${k * c}")
+        .mkString("\n    ") +
+        "\n    ELSE error('dedup_lsh_auto_recall_wide: UNREACHABLE target " +
+        "at the wide-pool ceiling - the engine raises by name in this regime')"
+      s"""WITH $normCte,
+         |${lshMinTCtes(PipelineQueries.LshWideThreshold, q,
+            graft.ops.SimilarityOps.LshWideMaxTables)},
+         |h1 AS (SELECT count(*) AS n_hit FROM truth
+         |  JOIN (SELECT query_id, other_id FROM (
+         |      SELECT vec_a AS query_id, vec_b AS other_id FROM lpmt WHERE min_t < $c
+         |      UNION ALL SELECT vec_b, vec_a FROM lpmt WHERE min_t < $c)
+         |    WHERE query_id < $q) b USING (query_id, other_id)),
+         |dec AS (SELECT 1000000
+         |    - (SELECT n_hit FROM h1) * 1000000 // (SELECT n FROM ntr) AS m1),
+         |pick AS (SELECT 1000000 - m1 AS r1, CASE
+         |    $arms END AS l FROM dec),
+         |ach AS (SELECT count(*) AS n_hit FROM truth
+         |  JOIN (SELECT query_id, other_id FROM (
+         |      SELECT vec_a AS query_id, vec_b AS other_id FROM lpmt
+         |        WHERE min_t < (SELECT l FROM pick)
+         |      UNION ALL SELECT vec_b, vec_a FROM lpmt
+         |        WHERE min_t < (SELECT l FROM pick))
+         |    WHERE query_id < $q) b USING (query_id, other_id))
+         |SELECT CAST($tMicro AS BIGINT) AS target_micro,
+         |  (SELECT n FROM ntr) AS n_true,
+         |  CAST($c AS BIGINT) AS calib_tables,
+         |  CAST((SELECT r1 FROM pick) AS BIGINT) AS calib_recall_micro,
+         |  CAST((SELECT l FROM pick) AS BIGINT) AS n_tables,
+         |  CAST((SELECT n_hit FROM ach) * 1000000 // (SELECT n FROM ntr)
+         |    AS BIGINT) AS achieved_recall_micro,
+         |  CAST((SELECT count(*) FROM lpmt WHERE min_t < (SELECT l FROM pick))
+         |    AS BIGINT) AS n_pairs""".stripMargin
+    },
+
     // the band-axis twin's decision replayed: exact stripe Jaccard truth
     // (shingle join), calibration recall from the min_b < calibBands
     // slice, the SAME floor-micro CASE escalation, achieved recall and

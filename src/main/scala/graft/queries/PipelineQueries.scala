@@ -80,6 +80,16 @@ object PipelineQueries {
     * oracle exercises the SOLVE→BUILD escalation path, not just the
     * calibration-suffices short-circuit. */
   val LshAutoRecallTarget = 0.99
+
+  /** The wide-pool escalation card's regime: a lower threshold grows
+    * the truth set toward the near-orthogonal pairs sign-LSH is worst
+    * at, so at the bench SF (sf0.1: measured calibration recall
+    * 0.724886 at 8 tables) the 0.999 target is UNREACHABLE at the
+    * 32-table default ceiling and the solver escalates into the wide
+    * pool (L=48) — the decision `dedup_lsh_auto_recall_wide` replays.
+    */
+  val LshWideThreshold = 0.2
+  val LshWideRecallTarget = 0.999
   /** MinHash at-recall twin: the Jaccard truth threshold, recall
     * target, calibration stripe, and band ceiling its oracle row runs
     * at. Unlike the hyperplane twin, a band key is exact minhash
@@ -1616,6 +1626,32 @@ object PipelineQueries {
       val nPairs = r.pairs.count()
       // counts are collected — drop the operator-cached pairs (r13
       // advice: one pinned frame per invocation otherwise)
+      r.release()
+      Seq((r.targetMicro, r.nTrue, r.calibTables.toLong,
+        r.calibRecallMicro, r.tables.toLong, r.achievedRecallMicro, nPairs))
+        .toDF("target_micro", "n_true", "calib_tables",
+          "calib_recall_micro", "n_tables", "achieved_recall_micro",
+          "n_pairs")
+    }),
+
+    // the WIDE-POOL escalation card (r13 verdict item 3): the same
+    // auto-L decision with the 64-table pool as the ceiling, at a
+    // threshold/target pair whose geometry at the bench SF genuinely
+    // needs it — at sf0.1 the measured calibration recall (0.724886 at
+    // 8 tables) makes 0.999 UNREACHABLE at the 32-table default and
+    // the solver escalates to L=48, a decision only the wide pool can
+    // execute; the smaller SFs solve below the default ceiling and
+    // replay the same arithmetic. The cached 32-table signature stage
+    // serves the calibration pass; a wide solve pays a fresh build at
+    // the solved L (the honest cost of escalation — prefix stability
+    // makes it the same pairs a persisted 64-wide stage would give).
+    "dedup_lsh_auto_recall_wide" -> ((s, dir) => {
+      import s.implicits._
+      val r = SimilarityOps.nearDupPairsLshAtRecall(
+        normed(s, dir), LshWideThreshold, LshWideRecallTarget,
+        LshQueryCount, maxTables = SimilarityOps.LshWideMaxTables,
+        sigs = Some(cachedLshSigs(s, dir)))
+      val nPairs = r.pairs.count()
       r.release()
       Seq((r.targetMicro, r.nTrue, r.calibTables.toLong,
         r.calibRecallMicro, r.tables.toLong, r.achievedRecallMicro, nPairs))
