@@ -1757,11 +1757,15 @@ object PipelineQueries {
     }),
 
     // blocked fuzzy matching: Levenshtein ≤ 4 over 24-char prefixes,
-    // pairs expanded only within (lang, 8-char-prefix) blocks — the
+    // candidates from PassJoin SEGMENT blocking inside (lang,
+    // 8-char-prefix) blocks (r14: the in-block quadratic held 911k
+    // candidate pairs for 12.7k true pairs at ×10 — the segment
+    // pigeonhole removes the 71× waste while provably emitting the
+    // SAME pairs; the oracle stays the full in-block join). The
     // order-sensitive record-linkage pass the shingle family can't
     // express. Early-exit threshold DP on the Spark side.
     "dedup_editdist" -> ((s, dir) =>
-      DedupOps.editDistancePairs(
+      DedupOps.editDistancePairsSegmented(
         table(s, dir, "documents"),
         strCol = substring(col("text"), 1, 24),
         blockCol = concat_ws("|", col("lang"), substring(col("text"), 1, 8)),

@@ -429,6 +429,66 @@ class TextDedupSpec extends AnyFunSuite {
       ej.getMessage.contains("b1"), ej.getMessage)
   }
 
+  test("editDistancePairsSegmented: exactly the blocked form's pairs (PassJoin pigeonhole)") {
+    import spark.implicits._
+    // a randomized corpus deliberately covering the filter's hard
+    // cases: dense near-dup clumps (edits scattered across segment
+    // boundaries), insert/delete pairs (segment positions SHIFT),
+    // mixed lengths, strings at/below the k+1 partition minimum (the
+    // short pool), and cross short-long pairs near the length gap
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val alpha = "abcdef"
+    def randStr(seed: Long, len: Int): String =
+      (0 until len).map(i =>
+        alpha(Math.floorMod(mix(seed * 131 + i), alpha.length))).mkString
+    def edit(s: String, seed: Long): String = {
+      val ops = 1 + Math.floorMod(mix(seed), 4L).toInt
+      (0 until ops).foldLeft(s) { (t, j) =>
+        if (t.isEmpty) t
+        else {
+          val p = Math.floorMod(mix(seed * 31 + j), t.length.toLong).toInt
+          Math.floorMod(mix(seed * 37 + j), 3L) match {
+            case 0 => t.updated(p, alpha(Math.floorMod(
+              mix(seed * 41 + j), alpha.length.toLong).toInt)) // sub
+            case 1 => t.take(p) + t.drop(p + 1)                // delete
+            case _ => t.take(p) + "z" + t.drop(p)              // insert
+          }
+        }
+      }
+    }
+    val rows = (0 until 60).flatMap { c =>
+      val baseStr = randStr(c, 12 + Math.floorMod(mix(c), 14L).toInt)
+      val blk = s"b${c % 4}"
+      (0 until 4).map(v =>
+        (c * 10L + v, if (v == 0) baseStr else edit(baseStr, c * 7L + v), blk))
+    } ++ Seq( // explicit short-pool and boundary cases
+      (9001L, "ab", "b0"), (9002L, "abz", "b0"), (9003L, "ba", "b0"),
+      (9004L, "abcd", "b0"), (9005L, "abcdefgh", "b0"),
+      (9006L, "", "b1"), (9007L, "zzzz", "b1"))
+    val df = rows.toDF("doc_id", "s", "blk")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val blocked = asMap(
+      DedupOps.editDistancePairs(df, col("s"), col("blk"), maxDist = 4))
+    val segmented = asMap(DedupOps.editDistancePairsSegmented(
+      df, col("s"), col("blk"), maxDist = 4))
+    assert(blocked.nonEmpty, "the corpus must actually produce pairs")
+    assert(segmented == blocked,
+      s"only-blocked=${blocked.keySet -- segmented.keySet} " +
+        s"only-segmented=${segmented.keySet -- blocked.keySet}")
+    // a degenerate segment bucket raises by name
+    val e = intercept[Exception] {
+      DedupOps.editDistancePairsSegmented(df, col("s"), col("blk"), 4,
+        maxPerBlock = 2).collect()
+    }
+    assert(e.getMessage.contains("editDistancePairs"), e.getMessage)
+  }
+
   test("splitLeakage: threshold gate, cross-split filter, scan-side labels") {
     import spark.implicits._
     // find two ids per split via the same splitOf rule the operator uses
