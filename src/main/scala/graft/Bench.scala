@@ -157,6 +157,27 @@ object Bench {
       if (ts.exists(_ < 0)) name -> (-1.0, -1.0)
       else name -> (ts.min, ts.max)
     }
+    // SPARK_GRAFT_BENCH_MEMOBYTES=1: report the bytes pinned by the
+    // session's cached/checkpointed artifacts (the kNN edge/arc sets,
+    // the cross-probe index, the pair-surface memos) before and after
+    // a full evict — the measured answer to "do the session memos stay
+    // artifact-sized?" (r13 verdict item 5). The after-evict read polls
+    // briefly: checkpointed blocks are reclaimed by the ContextCleaner
+    // once the memo reference drops, which is asynchronous.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_MEMOBYTES")) {
+      def storage(tag: String): Unit = {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        System.err.println(s"[bench] memo-bytes $tag: " +
+          s"rdds=${infos.length} mem=${infos.map(_.memSize).sum} " +
+          s"disk=${infos.map(_.diskSize).sum} " +
+          s"memoEntries=${graft.ops.ModelCache.size}")
+      }
+      storage("before-evict")
+      spark.catalog.clearCache()
+      graft.ops.ModelCache.clear()
+      (0 until 10).foreach { _ => System.gc(); Thread.sleep(500) }
+      storage("after-evict")
+    }
     val qs = sidecarJson(results)
     System.err.println(s"[bench] per-query: $qs")
     try {

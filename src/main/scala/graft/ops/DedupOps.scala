@@ -434,29 +434,52 @@ object DedupOps {
     def stExpr(lCol: String, i: Int) = s"(($i * $lCol) div $k1 + 1)"
     def wExpr(lCol: String, i: Int) =
       s"((${i + 1} * $lCol) div $k1 - ($i * $lCol) div $k1)"
-    val idxEntries = (0 until k1).map { i =>
-      longDocs.select(col("__blk"), col("__len").as("__l"), lit(i).as("__i"),
-        expr(s"substring(__s, ${stExpr("__len", i)}, ${wExpr("__len", i)})")
-          .as("__seg"),
+    // both entry generators are ONE computed-array explode per scan —
+    // a k+1-way union of per-segment frames measured ~1.2 s of pure
+    // stage-scheduling overhead at sf0.1 for the same rows
+    val idxSegArr = (0 until k1).map(i =>
+      s"named_struct('__i', $i, '__seg', " +
+        s"substring(__s, ${stExpr("__len", i)}, ${wExpr("__len", i)}))")
+      .mkString("array(", ", ", ")")
+    val idxEntries = longDocs
+      .select(col("__blk"), col("__len").as("__l"),
+        explode(expr(idxSegArr)).as("__e"),
         col("doc_id"), col("__len"), col("__s"))
-    }.reduce(_ unionAll _).withColumn("__side", lit(0))
+      .select(col("__blk"), col("__l"), col("__e.__i").as("__i"),
+        col("__e.__seg").as("__seg"), col("doc_id"), col("__len"),
+        col("__s"))
+      .withColumn("__side", lit(0))
     // candidate indexed lengths actually PRESENT per block — a small
     // distinct dim, broadcast so the probe enumerates only real ls
     val idxLens = longDocs.select(col("__blk"), col("__len").as("__l"))
       .distinct()
-    val probeEntries = (0 until k1).map { i =>
-      longDocs
-        .join(broadcast(idxLens), Seq("__blk"))
-        .filter(col("__l").between(col("__len") - maxDist, col("__len")))
-        .withColumn("__st", expr(stExpr("__l", i)))
-        .withColumn("__w", expr(wExpr("__l", i)))
-        .withColumn("__p", explode(sequence(
-          greatest(col("__st") - maxDist, lit(1)),
-          least(col("__st") + maxDist, col("__len") - col("__w") + 1))))
-        .select(col("__blk"), col("__l"), lit(i).as("__i"),
-          expr("substring(__s, __p, __w)").as("__seg"),
-          col("doc_id"), col("__len"), col("__s"))
-    }.reduce(_ unionAll _).withColumn("__side", lit(1))
+    // probe shift bounds (exactness-preserving necessary conditions on
+    // the untouched segment's displacement s = p − st, with Δ = L − l):
+    // edits before the segment ≥ |s| and after ≥ |Δ − s|, so
+    // |s| + |Δ−s| ≤ k; and taking the FIRST untouched segment i, every
+    // earlier segment holds ≥1 edit, so edits after ≤ k − i giving
+    // |Δ − s| ≤ k − i (the PassJoin position filter) — at Δ=0 the last
+    // segment probes exactly ONE position where the naive ±k probes 9
+    val probeSegArr = (0 until k1).map { i =>
+      val st = stExpr("__l", i)
+      val w = wExpr("__l", i)
+      val lo = s"greatest($st + greatest(-(($maxDist - __d) div 2), " +
+        s"__d - ${maxDist - i}), 1)"
+      val hi = s"least($st + least((__d + $maxDist) div 2, " +
+        s"__d + ${maxDist - i}), __len - $w + 1)"
+      s"transform(sequence($lo, $hi), " +
+        s"p -> named_struct('__i', $i, '__seg', substring(__s, p, $w)))"
+    }.mkString("flatten(array(", ", ", "))")
+    val probeEntries = longDocs
+      .join(broadcast(idxLens), Seq("__blk"))
+      .filter(col("__l").between(col("__len") - maxDist, col("__len")))
+      .withColumn("__d", col("__len") - col("__l"))
+      .select(col("__blk"), col("__l"), explode(expr(probeSegArr)).as("__e"),
+        col("doc_id"), col("__len"), col("__s"))
+      .select(col("__blk"), col("__l"), col("__e.__i").as("__i"),
+        col("__e.__seg").as("__seg"), col("doc_id"), col("__len"),
+        col("__s"))
+      .withColumn("__side", lit(1))
     val members = idxEntries.unionAll(probeEntries)
       .groupBy("__blk", "__l", "__i", "__seg")
       .agg(sort_array(collect_list(struct(col("__side"), col("doc_id"),

@@ -1760,14 +1760,20 @@ object PipelineQueries {
     // candidates from PassJoin SEGMENT blocking inside (lang,
     // 8-char-prefix) blocks (r14: the in-block quadratic held 911k
     // candidate pairs for 12.7k true pairs at ×10 — the segment
-    // pigeonhole removes the 71× waste while provably emitting the
-    // SAME pairs; the oracle stays the full in-block join). The
-    // order-sensitive record-linkage pass the shingle family can't
-    // express. Early-exit threshold DP on the Spark side.
+    // pigeonhole removes the waste while provably emitting the SAME
+    // pairs; the oracle stays the full in-block join). The operator
+    // segments the 16-char SUFFIX: two same-block strings share their
+    // first min(8, len) chars EXACTLY (the block key carries them), and
+    // Levenshtein is invariant under stripping a shared prefix
+    // (lev(cx, cy) = lev(x, y), applied per shared char) — so suffix
+    // distance IS the 24-char distance, and the segments live in the
+    // discriminative region instead of colliding every in-block pair
+    // on the shared prefix. The order-sensitive record-linkage pass
+    // the shingle family can't express; early-exit threshold DP.
     "dedup_editdist" -> ((s, dir) =>
       DedupOps.editDistancePairsSegmented(
         table(s, dir, "documents"),
-        strCol = substring(col("text"), 1, 24),
+        strCol = substring(col("text"), 9, 16),
         blockCol = concat_ws("|", col("lang"), substring(col("text"), 1, 8)),
         maxDist = 4)),
 

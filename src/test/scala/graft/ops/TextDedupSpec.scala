@@ -487,6 +487,23 @@ class TextDedupSpec extends AnyFunSuite {
         maxPerBlock = 2).collect()
     }
     assert(e.getMessage.contains("editDistancePairs"), e.getMessage)
+
+    // the dedup_editdist usage: when the block key CARRIES the strings'
+    // shared prefix (every in-block pair agrees on its first 8 chars),
+    // Levenshtein on the SUFFIXES equals Levenshtein on the full
+    // strings (lev(cx, cy) = lev(x, y) per shared char), so segmenting
+    // the suffix gives identical (pairs, dist) to the blocked full-
+    // string form while the segments stay out of the shared region
+    val pfx = rows.map { case (id, s0, blk) =>
+      (id, randStr(blk.hashCode.toLong, 8) + s0, blk)
+    }.toDF("doc_id", "s", "blk")
+    val blockedFull = asMap(DedupOps.editDistancePairs(
+      pfx, col("s"), col("blk"), maxDist = 4))
+    val segmentedSfx = asMap(DedupOps.editDistancePairsSegmented(
+      pfx, expr("substring(s, 9, 1000000)"), col("blk"), maxDist = 4))
+    assert(segmentedSfx == blockedFull,
+      s"only-full=${blockedFull.keySet -- segmentedSfx.keySet} " +
+        s"only-sfx=${segmentedSfx.keySet -- blockedFull.keySet}")
   }
 
   test("splitLeakage: threshold gate, cross-split filter, scan-side labels") {
