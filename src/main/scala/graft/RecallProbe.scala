@@ -27,12 +27,15 @@ import org.apache.spark.sql.functions._
   *     the measured frontier and the solved nprobe, or the named raise
   *     with the guaranteed closer
   *   mode cross   <sfDir> [cosThreshold] [batchSize]
-  *     the frozen-index probe economics
-  *     ([[graft.ops.SimilarityOps.lshIndexEntries]] +
-  *     [[graft.ops.SimilarityOps.nearDupPairsLshCrossIndexed]]): build
-  *     + materialize the even-half index ONCE, then time a fixed-size
-  *     batch probe against it — run at two sf dirs to see the probe
-  *     wall stay ~flat while the index grows 10×
+  *     the frozen-index probe economics, FAT vs SLIM (r14): build +
+  *     persist both artifact forms of the even-half index
+  *     ([[graft.ops.SimilarityOps.lshIndexEntries]] and
+  *     [[graft.ops.SimilarityOps.lshIndexEntriesSlim]] +
+  *     [[graft.ops.SimilarityOps.lshIndexVectors]]), report their
+  *     on-disk bytes, then time a fixed-size batch probe against each
+  *     — run at two sf dirs to see the probe walls stay ~flat while
+  *     the index grows 10×, and the slim artifact stay ~corpus-sized
+  *     where the fat one multiplies every vector (1+probes)·tables×
   *
   * A bare first argument that looks like a path keeps the original
   * knn-probe calling convention. The round-12 PLANS demonstrations:
