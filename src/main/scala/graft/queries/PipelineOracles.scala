@@ -3221,6 +3221,29 @@ object PipelineOracles {
          |WHERE CAST(round(jaro_winkler_similarity(a.s, b.s) * 1e6, 0) AS BIGINT)
          |      >= ${PipelineQueries.JaroMinMicro}""".stripMargin,
 
+    // the capped jaro surface: the same blocked pair chain, then a
+    // pair survives iff it ranks within EITHER endpoint's k best
+    // partners (jw desc, partner-id tiebreak), normalized undirected.
+    "dedup_jaro_topk" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    lang || '|' || substr(text, 1, 8) AS blk,
+         |    substr(text, 1, 24) AS s
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(round(jaro_winkler_similarity(a.s, b.s) * 1e6, 0) AS BIGINT)
+         |    AS jw_micro
+         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE CAST(round(jaro_winkler_similarity(a.s, b.s) * 1e6, 0) AS BIGINT)
+         |      >= ${PipelineQueries.JaroMinMicro}),
+         |arcs AS (SELECT doc_a AS q, doc_b AS o, jw_micro FROM p
+         |  UNION ALL SELECT doc_b, doc_a, jw_micro FROM p),
+         |r AS (SELECT q, o, jw_micro,
+         |    row_number() OVER (PARTITION BY q ORDER BY jw_micro DESC, o)
+         |      AS rn FROM arcs)
+         |SELECT DISTINCT least(q, o) AS doc_a, greatest(q, o) AS doc_b,
+         |  jw_micro
+         |FROM r WHERE rn <= ${PipelineQueries.JaroTopKPerDoc}""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH $normCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

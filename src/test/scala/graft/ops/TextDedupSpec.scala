@@ -429,6 +429,38 @@ class TextDedupSpec extends AnyFunSuite {
       ej.getMessage.contains("b1"), ej.getMessage)
   }
 
+  test("topKPerDoc bounds a pair surface to each doc's k best partners") {
+    import spark.implicits._
+    // a 6-doc clump where everything matches everything (15 pairs):
+    // the cap keeps a pair iff it ranks in either endpoint's top-k
+    val clump = (0 until 6).map(i =>
+      (i.toLong, "alpha beta " + ("x" * i), "b1"))
+      .toDF("doc_id", "s", "blk")
+    val pairs = DedupOps.jaroPairs(clump, col("s"), col("blk"), 500000L)
+    assert(pairs.count() == 15, "the clump must be all-pairs")
+    val capped = DedupOps.topKPerDoc(pairs, "jw_micro", 2)
+    assert(capped.count() < 15 && capped.count() > 0)
+    // every doc keeps at most... a pair can survive via EITHER side,
+    // so the bound is arcs: each doc contributes <= k arcs
+    assert(capped.count() <= 6 * 2)
+    // the strongest partner of every doc always survives (rank 1)
+    val best = pairs
+      .select(col("doc_a").as("q"), col("doc_b").as("o"), col("jw_micro"))
+      .unionAll(pairs.select(col("doc_b"), col("doc_a"), col("jw_micro")))
+      .orderBy(col("q"), col("jw_micro").desc, col("o"))
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        val r = rs.head
+        (math.min(q, r.getLong(1)), math.max(q, r.getLong(1)))
+      }.toSet
+    val kept = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(best.subsetOf(kept),
+      s"missing strongest arcs: ${best -- kept}")
+    intercept[IllegalArgumentException] {
+      DedupOps.topKPerDoc(pairs, "jw_micro", 0)
+    }
+  }
+
   test("editDistancePairsSegmented: exactly the blocked form's pairs (PassJoin pigeonhole)") {
     import spark.implicits._
     // a randomized corpus deliberately covering the filter's hard
