@@ -904,4 +904,56 @@ class StreamingBatchEquivalenceSpec extends AnyFunSuite {
         e.getMessage)
     } finally q.stop()
   }
+
+  test("StreamingIndexProbe chunked ≡ dedup_embedding_incremental (frozen geometry, oracle-checked)") {
+    import spark.implicits._
+    import graft.ops.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+
+    // the oracle-checked batch surface: the odd half probed ONCE
+    // against the even half's frozen index
+    val batchPairs = graft.SparkEntry
+      .queries("dedup_embedding_incremental")(spark, SfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchPairs.nonEmpty, "the batch surface must have pairs")
+
+    val emb = SimilarityOps.withNorm(
+      graft.etl.Ingest.table(spark, SfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+    val existing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val index = SimilarityOps.LshSlimIndex(
+      SimilarityOps.lshIndexEntriesSlim(existing).localCheckpoint(),
+      SimilarityOps.lshIndexVectors(existing).localCheckpoint())
+    val odd = graft.etl.Ingest.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(pmod(col("vec_id"), lit(2)) === 1)
+      .collect()
+      // testdata embeddings are array<float>; widen exactly (float →
+      // double is value-preserving, so the stream's cosines are
+      // bit-identical to the batch plan's)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+
+    // the stream arrives in chunks; the frozen geometry makes the
+    // per-chunk probes independent (bucket placement depends only on
+    // the vector and the artifact's width; cross-side pairs only), so
+    // the union over chunks must equal the one-shot probe EXACTLY
+    val input = MemoryStream[(Long, Array[Double])]
+    val acc = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = StreamingIndexProbe.probeEachBatch(
+      input.toDF().toDF("vec_id", "embedding"), index,
+      graft.queries.PipelineQueries.NearDupThreshold) {
+      (pairs, _) =>
+        acc ++= pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+    }.start()
+    try {
+      chunks(odd).foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    assert(acc.toSet == batchPairs,
+      s"only-stream=${acc.toSet -- batchPairs} " +
+        s"only-batch=${batchPairs -- acc.toSet}")
+  }
 }
