@@ -3434,6 +3434,44 @@ object PipelineOracles {
          |    AS BIGINT) AS n_pairs""".stripMargin
     },
 
+    // the routed decision's SOLVED arm replayed: the wide chain's pick
+    // plus the picked slice's pair count — route is constant 'solved'
+    // at the oracle SFs (verified L = 16/16/48), and a regime flip
+    // into the unreachable arm fails BY NAME via the sentinel instead
+    // of silently diverging from the engine's live topk fallback
+    // (which only the non-oracle ×10 run exercises).
+    "dedup_lsh_recall_routed" -> {
+      val q = PipelineQueries.LshQueryCount
+      val c = graft.ops.SimilarityOps.LshTables
+      val kmax = graft.ops.SimilarityOps.LshWideMaxTables / c
+      val tMicro =
+        math.ceil(PipelineQueries.LshWideRecallTarget * 1000000.0).toLong
+      val missExprs = (1 to kmax)
+        .scanLeft("1000000")((e, _) => s"($e * m1) // 1000000").drop(1)
+      val arms = (1 to kmax)
+        .map(k => s"WHEN 1000000 - ${missExprs(k - 1)} >= $tMicro THEN ${k * c}")
+        .mkString("\n    ") +
+        "\n    ELSE error('dedup_lsh_recall_routed: the oracle SFs must " +
+        "take the SOLVED arm - the engine routes to the topk surface in " +
+        "this regime, which only the non-oracle scale run exercises')"
+      s"""WITH $normCte,
+         |${lshMinTCtes(PipelineQueries.LshWideThreshold, q,
+            graft.ops.SimilarityOps.LshWideMaxTables)},
+         |h1 AS (SELECT count(*) AS n_hit FROM truth
+         |  JOIN (SELECT query_id, other_id FROM (
+         |      SELECT vec_a AS query_id, vec_b AS other_id FROM lpmt WHERE min_t < $c
+         |      UNION ALL SELECT vec_b, vec_a FROM lpmt WHERE min_t < $c)
+         |    WHERE query_id < $q) b USING (query_id, other_id)),
+         |dec AS (SELECT 1000000
+         |    - (SELECT n_hit FROM h1) * 1000000 // (SELECT n FROM ntr) AS m1),
+         |pick AS (SELECT CASE
+         |    $arms END AS l FROM dec)
+         |SELECT 'solved' AS route,
+         |  CAST((SELECT l FROM pick) AS BIGINT) AS n_tables,
+         |  CAST((SELECT count(*) FROM lpmt WHERE min_t < (SELECT l FROM pick))
+         |    AS BIGINT) AS n_rows""".stripMargin
+    },
+
     // the band-axis twin's decision replayed: exact stripe Jaccard truth
     // (shingle join), calibration recall from the min_b < calibBands
     // slice, the SAME floor-micro CASE escalation, achieved recall and

@@ -90,6 +90,12 @@ object PipelineQueries {
     */
   val LshWideThreshold = 0.2
   val LshWideRecallTarget = 0.999
+
+  /** Head-recall contract of `dedup_lsh_recall_routed`'s fallback arm —
+    * the minimum the top-k surface must demonstrate on the calibration
+    * stripe when the absolute-recall target proves unreachable.
+    */
+  val RoutedMinHeadRecall = 0.25
   /** MinHash at-recall twin: the Jaccard truth threshold, recall
     * target, calibration stripe, and band ceiling its oracle row runs
     * at. Unlike the hyperplane twin, a band key is exact minhash
@@ -1695,6 +1701,34 @@ object PipelineQueries {
       Seq(row).toDF("target_micro", "n_true", "calib_tables",
         "calib_recall_micro", "n_tables", "achieved_recall_micro",
         "n_pairs")
+    }),
+
+    // the ROUTED recall decision end-to-end (r14): same regime as the
+    // wide card, but through nearDupPairsLshAtRecallOrTopK — at the
+    // oracle SFs the target solves inside the wide pool (the SOLVED
+    // arm, decision replayed in DuckDB like the wide card, with the
+    // error sentinel guarding a regime flip); at ×10, where both
+    // auto-recall cards raise UNREACHABLE by design, this card takes
+    // the documented second arm LIVE — the head-recall-contracted
+    // top-k arc surface — so the family's scale row is a measured
+    // number, not a dash: the production posture is "solve or degrade
+    // to the bounded consumer surface", never dead-end.
+    "dedup_lsh_recall_routed" -> ((s, dir) => {
+      import s.implicits._
+      val row = ModelCache.sessionCachedRef(s, s"$dir|lshRecallRoutedCard") {
+        SimilarityOps.nearDupPairsLshAtRecallOrTopK(
+          normed(s, dir), LshWideThreshold, LshWideRecallTarget,
+          LshTopKPerVector, RoutedMinHeadRecall, LshQueryCount,
+          sigs = Some(cachedLshSigs(s, dir))) match {
+          case SimilarityOps.LshRouteSolved(r) =>
+            val n = r.pairs.count()
+            r.release()
+            ("solved", r.tables.toLong, n)
+          case SimilarityOps.LshRouteTopK(arcs, _) =>
+            ("topk_head_recall", -1L, arcs.count())
+        }
+      }
+      Seq(row).toDF("route", "n_tables", "n_rows")
     }),
 
     // the band-axis twin: recall-targeting MinHash candidate generation.
