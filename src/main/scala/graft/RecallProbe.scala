@@ -117,8 +117,11 @@ object RecallProbe {
             .filter(col("vec_id") < 2L * batchSize)
           def dirBytes(p: String): Long = {
             val d = new java.io.File(p)
-            if (!d.exists()) 0L
-            else d.listFiles().map(f =>
+            // listFiles() returns null (not empty) on IO/permission
+            // errors — report 0 instead of NPE-ing the probe's summary
+            val fs = if (d.exists()) d.listFiles() else null
+            if (fs == null) 0L
+            else fs.map(f =>
               if (f.isDirectory) dirBytes(f.getPath) else f.length()).sum
           }
           val tmp = java.nio.file.Files
@@ -151,11 +154,16 @@ object RecallProbe {
           val slimB = dirBytes(s"$tmp/slim.parquet") +
             dirBytes(s"$tmp/vectors.parquet")
           scala.reflect.io.Path(tmp).deleteRecursively()
+          // a 0-byte slim write (a failed/empty persist) must not
+          // Infinity-format the ratio — name it instead
+          val ratio =
+            if (slimB > 0) f"${fatB.toDouble / slimB}%.1fx smaller"
+            else "ratio n/a: slim artifact is 0 bytes"
           println(f"[recall-probe] cross at $dir (threshold=$threshold, " +
             f"batch<=$batchSize): FAT build+persist $buildS%.2f s " +
             f"($nIdx entries, $fatB bytes), probe $probeS%.2f s " +
             f"($nPairs pairs); SLIM build+persist $buildSlimS%.2f s " +
-            f"($slimB bytes = ${fatB.toDouble / slimB}%.1fx smaller), " +
+            f"($slimB bytes = $ratio), " +
             f"probe $probeSlimS%.2f s ($nPairsSlim pairs) in $secs total")
         case "minhash" =>
           val threshold = rest.lift(1).map(_.toDouble).getOrElse(

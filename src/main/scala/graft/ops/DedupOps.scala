@@ -480,11 +480,20 @@ object DedupOps {
         col("__e.__seg").as("__seg"), col("doc_id"), col("__len"),
         col("__s"))
       .withColumn("__side", lit(1))
+    // the ceiling counts DISTINCT docs per segment bucket (r15, advice):
+    // entry rows duplicate a doc up to ~(k+1)(2k+1) times (index
+    // partition + probe positions), so an entry-count ceiling would
+    // raise on dense clumps the blocked form's per-block DOC-count
+    // guard admits — the two arms must share guard semantics to be
+    // interchangeable. Computed from the already-collected list, so the
+    // distinct count costs no planner expand.
     val members = idxEntries.unionAll(probeEntries)
       .groupBy("__blk", "__l", "__i", "__seg")
       .agg(sort_array(collect_list(struct(col("__side"), col("doc_id"),
-        col("__len"), col("__s")))).as("ms0"), count(lit(1)).as("__n"))
-      .select(SessionOps.hotKeyGuarded(col("ms0"), col("__n"),
+        col("__len"), col("__s")))).as("ms0"))
+      .select(SessionOps.hotKeyGuarded(col("ms0"),
+        size(array_distinct(transform(col("ms0"),
+          m => m.getField("doc_id")))).cast("long"),
         concat(col("__blk"), lit("/"), col("__l").cast("string"), lit("/"),
           col("__i").cast("string"), lit("/"), col("__seg")),
         maxPerBlock, "editDistancePairsSegmented").as("ms"))
@@ -518,6 +527,56 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
     segPairs.unionAll(shortPairs)
   }
+
+  /** The regime boundary for [[editDistancePairsAuto]], in IN-BLOCK
+    * CANDIDATE PAIRS (Σ over blocks of n·(n−1)/2): below it the plain
+    * blocked quadratic wins; above it the PassJoin segment filter does.
+    * Calibrated from the r14 measurements on the bench corpus — blocked
+    * 0.34 s at 91k pairs / 3.11 s at 911k (≈3.4 µs per candidate's
+    * early-exit DP), segmented 1.28 s / 2.09 s (≈1.1 s of fixed
+    * multi-stage probe overhead + ≈1.0 µs marginal) — the two linear
+    * models cross near 480k candidates; 400k keeps the selector inside
+    * the blocked arm's cheap region with margin for slower hosts.
+    */
+  val EditDistSegmentMinPairs: Long = 400L * 1000L
+
+  /** Σ over blocks of n·(n−1)/2 — the in-block candidate-pair volume
+    * that prices the blocked quadratic. ONE column-pruned scan + one
+    * count aggregation; the single driver-pulled long is the routing
+    * statistic (the hot-key guard counts the same per-block n at
+    * expansion time — this is its cost-model twin, measured BEFORE
+    * choosing a plan).
+    */
+  def inBlockPairCount(docs: DataFrame, blockCol: Column): Long =
+    docs.select(blockCol.as("__blk"))
+      .groupBy("__blk").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0))
+        .cast("long"))
+      .collect()(0).getLong(0)
+
+  /** Cost-routed edit-distance pairs (r15, the r14 `weak` mark): the
+    * blocked quadratic ([[editDistancePairs]]) and the PassJoin
+    * segment filter ([[editDistancePairsSegmented]]) emit IDENTICAL
+    * pairs (the pigeonhole guarantee, property-pinned in
+    * EditDistRegimeSpec) but price differently — the segmented plan's
+    * ~6-stage probe machinery is a fixed overhead the small-corpus
+    * regime never amortizes (measured 3.8× the blocked form at sf0.1),
+    * while past [[EditDistSegmentMinPairs]] candidates the blocked
+    * expansion's per-pair DP dominates. Route on the measured in-block
+    * candidate volume: one cheap aggregate, then the asymptotically
+    * right plan at EVERY scale instead of the right plan at one.
+    */
+  def editDistancePairsAuto(
+      docs: DataFrame,
+      strCol: Column,
+      blockCol: Column,
+      maxDist: Int,
+      maxPerBlock: Long = SessionOps.DefaultMaxQuadraticPerKey,
+      segmentMinPairs: Long = EditDistSegmentMinPairs): DataFrame =
+    if (inBlockPairCount(docs, blockCol) > segmentMinPairs)
+      editDistancePairsSegmented(docs, strCol, blockCol, maxDist, maxPerBlock)
+    else
+      editDistancePairs(docs, strCol, blockCol, maxDist, maxPerBlock)
 
   /** Blocked Jaro-Winkler pairs — the name/title fuzzy-linkage metric
     * next to [[editDistancePairs]]' Levenshtein: transposition-tolerant,

@@ -753,6 +753,28 @@ object SimilarityOps {
       batch: DataFrame, threshold: Double,
       tables: Int = LshTables,
       maxBucket: Int = DedupOps.DefaultMaxBucket,
+      probes: Int = LshAutoProbes): DataFrame =
+    nearDupPairsLshCrossSlimAt(entries, vectors, batch, threshold,
+      slimIndexBits(entries), tables, maxBucket, probes)
+
+  /** The slim index artifact's frozen prefix width, as the one driver
+    * pull a probe needs — public (r15, advice) so a REPEATED prober
+    * (the streaming twin's per-micro-batch plan) reads it ONCE up
+    * front and hands it to [[nearDupPairsLshCrossSlimAt]], keeping the
+    * per-batch plan purely lazy instead of re-running a limit(1) Spark
+    * job per micro-batch for a width frozen for the stream's lifetime.
+    */
+  def slimIndexBits(entries: DataFrame): Int = frozenIndexBits(entries)
+
+  /** [[nearDupPairsLshCrossSlim]] with the artifact's frozen width
+    * supplied by the caller (from [[slimIndexBits]]) — zero driver
+    * work, fully lazy plan construction.
+    */
+  def nearDupPairsLshCrossSlimAt(entries: DataFrame, vectors: DataFrame,
+      batch: DataFrame, threshold: Double,
+      bits: Int,
+      tables: Int = LshTables,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
       probes: Int = LshAutoProbes): DataFrame = {
     Seq("vec_id", "t", "sig", "pk", "bits").foreach(c =>
       require(entries.columns.contains(c),
@@ -762,7 +784,6 @@ object SimilarityOps {
       require(vectors.columns.contains(c),
         s"vectors frame has no '$c' column — build it with " +
           "lshIndexVectors"))
-    val bits = frozenIndexBits(entries)
     val batchN = batch.select(col("vec_id"), col("embedding"), col("nrm"))
     val batchDots = (0 until tables).foldLeft(
       batchN.withColumn("__bits", lit(bits))) { (d, t) =>
@@ -974,7 +995,14 @@ object SimilarityOps {
   sealed trait LshRecallRoute
   final case class LshRouteSolved(solved: LshAtRecall)
     extends LshRecallRoute
-  final case class LshRouteTopK(arcs: DataFrame, unreachable: String)
+  /** The fallback arm carries a `release` handle for the internal pair
+    * cache (r15, advice): the arc build leaves the candidate pair
+    * surface cached for the consumers' reads — call release() once the
+    * arcs are consumed, exactly like [[LshAtRecall.release]] on the
+    * solved arm.
+    */
+  final case class LshRouteTopK(arcs: DataFrame, unreachable: String,
+      release: () => Unit)
     extends LshRecallRoute
 
   /** [[nearDupPairsLshAtRecall]] WITH the second arm of the r12
@@ -1006,9 +1034,10 @@ object SimilarityOps {
       probes = probes, sigs = sigs))
     catch {
       case e: LshRecallUnreachable =>
-        LshRouteTopK(knnGraphAtHeadRecall(corpus, threshold, k,
-          minHeadRecall, calibQueries, targetBucket,
-          maxBucket = maxBucket, probes = probes), e.getMessage)
+        val (arcs, release) = knnGraphAtHeadRecallReleasable(corpus,
+          threshold, k, minHeadRecall, calibQueries, targetBucket,
+          maxBucket = maxBucket, probes = probes)
+        LshRouteTopK(arcs, e.getMessage, release)
     }
 
   /** RECALL-TARGETING LSH near-dup pairs — the operator that closes the
@@ -1184,7 +1213,26 @@ object SimilarityOps {
       targetBucket: Int = LshAutoTargetBucket,
       tables: Int = LshTables,
       maxBucket: Int = DedupOps.DefaultMaxBucket,
-      probes: Int = LshAutoProbes): DataFrame = {
+      probes: Int = LshAutoProbes): DataFrame =
+    knnGraphAtHeadRecallReleasable(corpus, threshold, k, minHeadRecall,
+      calibQueries, targetBucket, tables, maxBucket, probes)._1
+
+  /** [[knnGraphAtHeadRecall]] plus a release handle for the internal
+    * candidate-pair cache (r15, advice): on the success path the arcs'
+    * plan reads the cached pairs, so the cache must outlive the build —
+    * but a consumer that has COUNTED/materialized the arcs should
+    * release it rather than leave the surface pinned for the session
+    * (the routed card hit this live at ×10). Contract-failure paths
+    * still unpersist internally before raising.
+    */
+  def knnGraphAtHeadRecallReleasable(corpus: DataFrame, threshold: Double,
+      k: Int,
+      minHeadRecall: Double,
+      calibQueries: Int = 64,
+      targetBucket: Int = LshAutoTargetBucket,
+      tables: Int = LshTables,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      probes: Int = LshAutoProbes): (DataFrame, () => Unit) = {
     require(minHeadRecall > 0 && minHeadRecall <= 0.999999,
       s"minHeadRecall must be in (0, 0.999999], got $minHeadRecall")
     require(k >= 1, s"k must be >= 1, got $k")
@@ -1249,7 +1297,8 @@ object SimilarityOps {
           s"BELOW the $minHeadRecall contract — the kNN graph would be " +
           s"missing its strongest edges; $fix")
     }
-    GraphOps.knnGraph(pairs, "vec_a", "vec_b", "cos_sim", k)
+    (GraphOps.knnGraph(pairs, "vec_a", "vec_b", "cos_sim", k),
+      () => { pairs.unpersist(); () })
   }
 
   /** Per-vector top-k cap over a near-dup pair surface: keep a pair iff
@@ -2499,7 +2548,18 @@ object SimilarityOps {
     * lesson does not apply to the post-aggregation table).
     */
   def sparseCosinePairs(docs: DataFrame, shingleK: Int, maxDf: Long,
-      minCosMicro: Long): DataFrame = {
+      minCosMicro: Long): DataFrame =
+    sparseCosinePairsHandle(docs, shingleK, maxDf, minCosMicro)._1
+
+  /** [[sparseCosinePairs]] plus a release handle for the internal
+    * pruned-weight cache (r15): a consumer that MATERIALIZES the pair
+    * surface (the session memo feeding the dump + its top-k twin) no
+    * longer needs the weight table pinned afterwards — release it after
+    * the checkpoint instead of accumulating blocks for the session (the
+    * knnGraphAtHeadRecall lesson, applied to the sparse family).
+    */
+  def sparseCosinePairsHandle(docs: DataFrame, shingleK: Int, maxDf: Long,
+      minCosMicro: Long): (DataFrame, () => Unit) = {
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val grams = docs.select(col("doc_id"),
       explode(TextOps.shingles(TextOps.tokens(col("text")), shingleK))
@@ -2528,7 +2588,7 @@ object SimilarityOps {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"))
-    dots
+    val pairs = dots
       .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("na2")),
         Seq("doc_a"))
       .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("nb2")),
@@ -2538,5 +2598,6 @@ object SimilarityOps {
           (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
           * 1e6, 0).cast("long").as("cos_micro"))
       .filter(col("cos_micro") >= minCosMicro)
+    (pairs, () => { w.unpersist(); () })
   }
 }

@@ -67,10 +67,23 @@ object TextOps {
     * alphanumerics to spaces, runs of spaces collapsed, trimmed. Two
     * documents differing only in case/punctuation/whitespace canonicalize
     * identically, so exact-dedup machinery over md5(canonical) catches
-    * them — the standard first pass before MinHash. Pure codegen regexp
-    * chain, scan-side.
+    * them — the standard first pass before MinHash. Computed by the
+    * native single-pass [[graft.expressions.CanonicalText]] expression
+    * (r15: the two-regex chain was the suite's heaviest per-row scalar;
+    * the byte scan is exactly equivalent — property-pinned against
+    * [[canonicalizeRegex]] — and stays in whole-stage codegen).
     */
-  def canonicalize(text: Column): Column =
+  def canonicalize(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.CanonicalText(ColumnBridge.expression(text)))
+  }
+
+  /** The reference two-regex form of [[canonicalize]] — kept as the
+    * equivalence oracle the native expression is property-tested
+    * against (and the form the DuckDB oracle replays verbatim).
+    */
+  private[graft] def canonicalizeRegex(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "),
       " +", " "))

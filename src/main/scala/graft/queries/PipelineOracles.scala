@@ -3195,9 +3195,12 @@ object PipelineOracles {
     // blocked Levenshtein replay: same (lang, prefix) blocking, plain
     // levenshtein ≤ maxDist (the engine side's threshold DP is an
     // early-exit of the same metric)
+    // blk is the length-prefixed injective encoding of (lang, prefix8)
+    // — see the engine-side note on the suffix-stripping invariant.
     "dedup_editdist" ->
       """WITH d AS (SELECT doc_id,
-        |    lang || '|' || substr(text, 1, 8) AS blk,
+        |    lpad(CAST(length(lang) AS VARCHAR), 2, '0') || lang
+        |      || substr(text, 1, 8) AS blk,
         |    substr(text, 1, 24) AS s
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -5775,6 +5778,49 @@ object PipelineOracles {
          |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
          |    * 1e6, 0) AS BIGINT) >= ${PipelineQueries.SparseMinCosMicro}"""
       .stripMargin,
+
+    // the capped sparse-cosine surface: the same tf/df/weight/dot
+    // chain, then a pair survives iff it ranks within EITHER endpoint's
+    // k best partners (cosine desc, partner-id tiebreak), normalized
+    // undirected — the dedup_jaro_topk replay on the sparse axis.
+    "sim_sparse_topk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+         |  FROM t WHERE len(toks) >= 3),
+         |tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+         |df AS (SELECT gram, count(*) AS df FROM tf GROUP BY 1
+         |  HAVING count(*) <= ${PipelineQueries.SparseMaxDf}),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |w AS (SELECT * FROM (SELECT tf.doc_id, tf.gram,
+         |    CAST(round(tf.tf * ln(n_docs / CAST(df.df AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS w
+         |  FROM tf JOIN df USING (gram) CROSS JOIN nd) WHERE w <> 0),
+         |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    sum(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b,
+         |  CAST(round(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |    * 1e6, 0) AS BIGINT) AS cos_micro
+         |FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
+         |JOIN nrm nb ON dots.doc_b = nb.doc_id
+         |WHERE CAST(round(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |    * 1e6, 0) AS BIGINT) >= ${PipelineQueries.SparseMinCosMicro}),
+         |arcs AS (SELECT doc_a AS q, doc_b AS o, cos_micro FROM p
+         |  UNION ALL SELECT doc_b, doc_a, cos_micro FROM p),
+         |r AS (SELECT q, o, cos_micro,
+         |    row_number() OVER (PARTITION BY q ORDER BY cos_micro DESC, o)
+         |      AS rn FROM arcs)
+         |SELECT DISTINCT least(q, o) AS doc_a, greatest(q, o) AS doc_b,
+         |  cos_micro
+         |FROM r WHERE rn <= ${PipelineQueries.SparseTopKPerDoc}"""
+        .stripMargin,
 
     // the shared LF CTEs rolled to per-pair sufficient statistics in
     // one aggregation, κ from exact integers via identical double

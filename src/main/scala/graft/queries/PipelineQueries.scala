@@ -193,6 +193,12 @@ object PipelineQueries {
   val SparseShingleK = 3
   val SparseMaxDf = 20L
   val SparseMinCosMicro = 200000L
+
+  /** Per-doc cap of the output-bounded sparse-cosine surface
+    * (`sim_sparse_topk`) — mirrors [[JaroTopKPerDoc]] on the
+    * text-similarity axis.
+    */
+  val SparseTopKPerDoc = 8
   /** Jaro-Winkler fuzzy-linkage pair cut (micro units). */
   val JaroMinMicro = 850000L
 
@@ -379,6 +385,24 @@ object PipelineQueries {
         strCol = substring(col("text"), 1, 24),
         blockCol = concat_ws("|", col("lang"), substring(col("text"), 1, 8)),
         minMicro = JaroMinMicro).localCheckpoint()
+    }
+
+  /** The shared sparse TF-IDF cosine pair surface at
+    * [[SparseMinCosMicro]], materialized once per session per dir
+    * (r15): the dump (`sim_sparse_cosine`) and its per-doc top-k cap
+    * (`sim_sparse_topk`) read exactly this frame — the jaro-twin
+    * pattern. The operator's internal pruned-weight cache is released
+    * after the checkpoint (the frame is an id+score artifact; the
+    * weight table would otherwise stay pinned for the session).
+    */
+  private def sparsePairsShared(s: SparkSession, dir: String): DataFrame =
+    ModelCache.sessionCached(s, s"$dir|sparseCosinePairs") {
+      val (pairs, release) = SimilarityOps.sparseCosinePairsHandle(
+        table(s, dir, "documents"),
+        SparseShingleK, SparseMaxDf, SparseMinCosMicro)
+      val ck = pairs.localCheckpoint()
+      release()
+      ck
     }
 
   /** Shared LSH-bucket candidate pairs at the threshold-graph cut —
@@ -1724,8 +1748,13 @@ object PipelineQueries {
             val n = r.pairs.count()
             r.release()
             ("solved", r.tables.toLong, n)
-          case SimilarityOps.LshRouteTopK(arcs, _) =>
-            ("topk_head_recall", -1L, arcs.count())
+          case SimilarityOps.LshRouteTopK(arcs, _, release) =>
+            // count, then release the arm's internal pair cache (r15,
+            // advice) — the card memoizes the scalars, so nothing reads
+            // the frame again this session
+            val n = arcs.count()
+            release()
+            ("topk_head_recall", -1L, n)
         }
       }
       Seq(row).toDF("route", "n_tables", "n_rows")
@@ -1832,24 +1861,31 @@ object PipelineQueries {
     }),
 
     // blocked fuzzy matching: Levenshtein ≤ 4 over 24-char prefixes,
-    // candidates from PassJoin SEGMENT blocking inside (lang,
-    // 8-char-prefix) blocks (r14: the in-block quadratic held 911k
-    // candidate pairs for 12.7k true pairs at ×10 — the segment
-    // pigeonhole removes the waste while provably emitting the SAME
-    // pairs; the oracle stays the full in-block join). The operator
-    // segments the 16-char SUFFIX: two same-block strings share their
-    // first min(8, len) chars EXACTLY (the block key carries them), and
-    // Levenshtein is invariant under stripping a shared prefix
-    // (lev(cx, cy) = lev(x, y), applied per shared char) — so suffix
-    // distance IS the 24-char distance, and the segments live in the
-    // discriminative region instead of colliding every in-block pair
-    // on the shared prefix. The order-sensitive record-linkage pass
-    // the shingle family can't express; early-exit threshold DP.
+    // COST-ROUTED (r15, the r14 weak mark) between the plain in-block
+    // quadratic and PassJoin SEGMENT blocking on the measured in-block
+    // candidate volume: at sf0.1 (~91k candidates) the blocked DP wins
+    // (the segmented probe's fixed ~6-stage overhead measured 3.8×);
+    // at ×10 (911k candidates for 12.7k true pairs) the segment
+    // pigeonhole removes the 71× waste — both arms provably emit the
+    // SAME pairs, so the selector changes cost only (the oracle stays
+    // the full in-block join). The segmented arm segments the 16-char
+    // SUFFIX: two same-block strings share their first min(8, len)
+    // chars EXACTLY, and Levenshtein is invariant under stripping a
+    // shared prefix — so suffix distance IS the 24-char distance. The
+    // block key is LENGTH-PREFIXED (r15, advice): an injective encoding
+    // of (lang, prefix8), so "same block ⟹ shared prefix verbatim" is
+    // structural — a lang containing the old '|' separator can no
+    // longer collide two different prefixes into one block and silently
+    // break the suffix-stripping invariant. The order-sensitive
+    // record-linkage pass the shingle family can't express; early-exit
+    // threshold DP on both arms.
     "dedup_editdist" -> ((s, dir) =>
-      DedupOps.editDistancePairsSegmented(
+      DedupOps.editDistancePairsAuto(
         table(s, dir, "documents"),
         strCol = substring(col("text"), 9, 16),
-        blockCol = concat_ws("|", col("lang"), substring(col("text"), 1, 8)),
+        blockCol = concat(
+          lpad(length(col("lang")).cast("string"), 2, "0"),
+          col("lang"), substring(col("text"), 1, 8)),
         maxDist = 4)),
 
     // blocked Jaro-Winkler fuzzy linkage — the normalized,
@@ -3249,9 +3285,23 @@ object PipelineQueries {
     // shingles (posting lists ≤ maxDf ⇒ per-shingle pair expansion
     // ≤ maxDf² — bounded regardless of corpus size; the all-pairs join
     // never exists). Decimal-exact dots/norms, micro-integer cosine.
-    "sim_sparse_cosine" -> ((s, dir) =>
-      SimilarityOps.sparseCosinePairs(table(s, dir, "documents"),
-        SparseShingleK, SparseMaxDf, SparseMinCosMicro)),
+    // The pair surface is session-memoized (r15): the dump and its
+    // top-k twin read exactly this frame. SCALE NOTE: this dump's
+    // volume is |vocab|·maxDf²-bounded but |vocab| grows with the
+    // corpus — at 100× consume `sim_sparse_topk` instead.
+    "sim_sparse_cosine" -> ((s, dir) => sparsePairsShared(s, dir)),
+
+    // the OUTPUT-BOUNDED sparse-cosine surface (r15, r14 verdict item
+    // 2): the same posting-list pair chain, capped to each doc's k
+    // best partners — ≤ n·k rows at any scale, where the uncapped dump
+    // was the suite's largest non-instrument ×10 row (5.90 s / 3.54×:
+    // join volume is |vocab|·maxDf² and |vocab| grows ~linearly with
+    // the corpus). The bounded CONSUMER surface for the text-similarity
+    // family, exactly as dedup_jaro_topk is to dedup_jaro and
+    // dedup_embedding_lsh_topk to dedup_embedding_lsh.
+    "sim_sparse_topk" -> ((s, dir) =>
+      DedupOps.topKPerDoc(sparsePairsShared(s, dir), "cos_micro",
+        SparseTopKPerDoc)),
 
     // pairwise Cohen's κ between the weak-supervision labeling
     // functions — the LF diagnostic (κ≈1 = redundant heuristic, κ≈0 =

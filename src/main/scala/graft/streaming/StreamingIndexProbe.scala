@@ -44,14 +44,21 @@ object StreamingIndexProbe {
     * surface (existing_id, batch_id, cos_sim) to `emit`. The caller
     * starts the returned writer (choosing trigger/checkpoint), keeping
     * this module a pure plan factory like the other streaming twins.
+    *
+    * The artifact's frozen prefix width is read ONCE here, before the
+    * writer exists (r15, advice): it is frozen for the stream's
+    * lifetime, so each micro-batch's probe plan is built fully lazily
+    * instead of re-running a driver limit(1) job per batch.
     */
   def probeEachBatch(newVectors: DataFrame,
       index: SimilarityOps.LshSlimIndex, threshold: Double)(
-      emit: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val bits = SimilarityOps.slimIndexBits(index.entries)
     newVectors.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
-      emit(SimilarityOps.nearDupPairsLshCrossSlim(
+      emit(SimilarityOps.nearDupPairsLshCrossSlimAt(
         index.entries, index.vectors,
         SimilarityOps.withNorm(b.select("vec_id", "embedding")),
-        threshold), batchId)
+        threshold, bits), batchId)
     }
+  }
 }

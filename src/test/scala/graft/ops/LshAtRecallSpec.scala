@@ -140,7 +140,7 @@ class LshAtRecallSpec extends AnyFunSuite {
         assert(r.tables > SimilarityOps.LshAutoMaxTables &&
           r.tables <= SimilarityOps.LshWideMaxTables, r.toString)
         r.release()
-      case SimilarityOps.LshRouteTopK(_, why) =>
+      case SimilarityOps.LshRouteTopK(_, why, _) =>
         fail(s"a solvable target must not route to top-k: $why")
     }
   }
@@ -158,11 +158,12 @@ class LshAtRecallSpec extends AnyFunSuite {
       minHeadRecall = 0.2, calibQueries = 30) match {
       case SimilarityOps.LshRouteSolved(r) =>
         fail(s"this geometry must be unreachable even at 64 tables: $r")
-      case SimilarityOps.LshRouteTopK(arcs, why) =>
+      case SimilarityOps.LshRouteTopK(arcs, why, release) =>
         assert(why.contains("UNREACHABLE"), why)
         assert(why.contains(s"${SimilarityOps.LshWideMaxTables}-table"),
           s"the diagnosis must name the WIDE ceiling it tried: $why")
         assert(arcs.count() > 0, "the fallback arc surface must be real")
+        release()
     }
   }
 

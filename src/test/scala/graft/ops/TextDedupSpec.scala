@@ -538,6 +538,104 @@ class TextDedupSpec extends AnyFunSuite {
         s"only-sfx=${segmentedSfx.keySet -- blockedFull.keySet}")
   }
 
+  test("editDistancePairsAuto: both arms emit identical pairs and the " +
+      "selector routes on the measured in-block candidate volume") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "b1"), (2L, "alpha betg", "b1"),
+      (3L, "alpha XXXX", "b1"), (4L, "alpha beta", "b2"),
+      (5L, "beta alpha", "b1"), (6L, "gamma delta", "b2")
+    ).toDF("doc_id", "s", "blk")
+    // the routing statistic: Σ n·(n−1)/2 over blocks — b1 has 4 docs
+    // (6 pairs), b2 has 2 (1 pair)
+    assert(DedupOps.inBlockPairCount(docs, col("blk")) == 7L)
+    assert(DedupOps.inBlockPairCount(
+      docs.filter(lit(false)), col("blk")) == 0L)
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val blocked = asMap(
+      DedupOps.editDistancePairs(docs, col("s"), col("blk"), maxDist = 4))
+    // force each arm via the threshold and pin WHICH arm ran by plan
+    // shape: only the segmented plan unions its short pool
+    def hasUnion(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.nonEmpty
+    val viaBlocked = DedupOps.editDistancePairsAuto(docs, col("s"),
+      col("blk"), 4, segmentMinPairs = Long.MaxValue)
+    val viaSegmented = DedupOps.editDistancePairsAuto(docs, col("s"),
+      col("blk"), 4, segmentMinPairs = 0L)
+    assert(!hasUnion(viaBlocked), "below the threshold: the blocked arm")
+    assert(hasUnion(viaSegmented), "above the threshold: the segmented arm")
+    assert(asMap(viaBlocked) == blocked && asMap(viaSegmented) == blocked,
+      "the selector must never change the emitted pairs")
+    // the default threshold routes this 7-candidate corpus to the
+    // blocked arm (the sf0.1 regime writ small)
+    assert(!hasUnion(DedupOps.editDistancePairsAuto(
+      docs, col("s"), col("blk"), 4)))
+  }
+
+  test("segmented guard counts DISTINCT docs per bucket, matching the " +
+      "blocked form's per-block semantics") {
+    import spark.implicits._
+    // a dense clump of m identical strings: every segment bucket holds
+    // all m docs but MANY more entry rows (index partition + probe
+    // positions per doc) — an entry-count ceiling would raise where the
+    // blocked form's doc-count guard admits the clump (r15 advice)
+    val m = 6
+    val clump = (0 until m).map(i => (i.toLong, "abcdefghijkl", "b1"))
+      .toDF("doc_id", "s", "blk")
+    val blocked = DedupOps.editDistancePairs(
+      clump, col("s"), col("blk"), 4, maxPerBlock = m.toLong)
+    val segmented = DedupOps.editDistancePairsSegmented(
+      clump, col("s"), col("blk"), 4, maxPerBlock = m.toLong)
+    assert(blocked.count() == m.toLong * (m - 1) / 2)
+    assert(segmented.count() == blocked.count(),
+      "the same ceiling must admit the same corpus on both arms")
+    // one doc past the ceiling raises on BOTH arms
+    val over = (0 to m).map(i => (i.toLong, "abcdefghijkl", "b1"))
+      .toDF("doc_id", "s", "blk")
+    intercept[Exception] { DedupOps.editDistancePairs(
+      over, col("s"), col("blk"), 4, maxPerBlock = m.toLong).collect() }
+    intercept[Exception] { DedupOps.editDistancePairsSegmented(
+      over, col("s"), col("blk"), 4, maxPerBlock = m.toLong).collect() }
+  }
+
+  test("native canonical_text is exactly the two-regex chain on randomized inputs") {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // alphabet deliberately covering the hard cases: case folding,
+    // digits, several whitespace flavors, punctuation runs, multi-byte
+    // codepoints (each byte must fold into ONE collapsed space), and
+    // the Kelvin sign K (U+212A) which LOWERCASES INTO ASCII 'k'
+    val alpha: IndexedSeq[String] =
+      ("abcXYZ089" + " \t\n").map(_.toString) ++
+        Seq("!", "--", "..", "é", "日", "K", "𝔊", "  ", "", "_")
+    val rows = (0 until 400).map { i =>
+      val len = Math.floorMod(mix(i), 40L).toInt
+      (i.toLong, (0 until len).map(j =>
+        alpha(Math.floorMod(mix(i * 1009L + j), alpha.length.toLong).toInt))
+        .mkString)
+    } ++ Seq((9001L, ""), (9002L, "   "), (9003L, "a"), (9004L, "A1!b2"))
+    val df = rows.toDF("id", "t")
+    val bad = df.select(col("id"),
+      TextOps.canonicalize(col("t")).as("native"),
+      TextOps.canonicalizeRegex(col("t")).as("regex"))
+      .filter(col("native") =!= col("regex") ||
+        col("native").isNull =!= col("regex").isNull)
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+    // null passes through on both forms
+    val n = Seq((1L, null: String)).toDF("id", "t")
+      .select(TextOps.canonicalize(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("splitLeakage: threshold gate, cross-split filter, scan-side labels") {
     import spark.implicits._
     // find two ids per split via the same splitOf rule the operator uses
