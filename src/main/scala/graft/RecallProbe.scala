@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   *
   *   mode knn     <sfDir> [threshold] [k] [minHeadRecall]
   *     the kNN-graph head-recall contract
-  *     ([[graft.ops.SimilarityOps.knnGraphAtHeadRecall]]) — arcs or the
-  *     named raise with the frontier's table-count fix
+  *     ([[graft.ops.SimilarityOps.knnGraphAtHeadRecall]]) — arcs (a
+  *     below-contract default reading auto-ESCALATES to the frontier-
+  *     solved table count and re-measures, r15) or the named raise
+  *     when even the solved count cannot reach the contract
   *   mode lsh     <sfDir> [cosThreshold] [targetRecall] [maxTables]
   *     the auto-L pair generator
   *     ([[graft.ops.SimilarityOps.nearDupPairsLshAtRecall]]) — the

@@ -1188,13 +1188,18 @@ object SimilarityOps {
     * stripe vector's true top-`k` ≥-threshold partners (exact cosine,
     * one corpus scan against the broadcast stripe), the fraction the
     * bucketed generator surfaced, pooled over the stripe in floor-micro
-    * integers. If the reading is below `minHeadRecall`, the build FAILS
-    * BY NAME instead of silently handing downstream analytics (BFS,
-    * PPR, triangles, communities) a graph missing its strongest edges —
-    * and the message carries the fix: the table count L the validated
-    * 1−(1−x)^L frontier geometry says would lift the head recall over
-    * the contract (pass it as `tables`), or the named fact that no
-    * L ≤ [[LshAutoMaxTables]] can.
+    * integers. If the reading is below `minHeadRecall`, the operator
+    * APPLIES the frontier fix itself (r15 — found by the ×100 probe,
+    * where the 8-table reading was 0.156 against a 0.25 contract and
+    * the raise named "rebuild with tables = 16" without doing it):
+    * solve the smallest L the validated 1−(1−x)^L geometry predicts
+    * clears the contract, rebuild the pair surface at that L, and
+    * re-measure — the auto-L escalation `nearDupPairsLshAtRecall`
+    * already does on the absolute-recall axis. Only a contract past
+    * even the [[LshAutoMaxTables]] ceiling's prediction, or a
+    * re-measured reading the prediction overestimated, still FAILS BY
+    * NAME instead of silently handing downstream analytics (BFS, PPR,
+    * triangles, communities) a graph missing its strongest edges.
     *
     * Ranking-head recall is the right contract for a kNN-graph build:
     * absolute-threshold recall decays with corpus size by LSH geometry
@@ -1266,39 +1271,70 @@ object SimilarityOps {
           "recall contract cannot be checked; widen calibQueries or " +
           "lower the threshold")
     }
-    val both = pairs
-      .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
-      .unionAll(pairs
-        .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
-      .filter(col("query_id") < calibQueries)
-    val rMicro =
+    def headRecallMicroOf(p: DataFrame): Long = {
+      val both = p
+        .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
+        .unionAll(p
+          .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
+        .filter(col("query_id") < calibQueries)
       topk.join(both, Seq("query_id", "other_id"), "left_semi").count() *
         1000000L / nTrue
-    topk.unpersist()
-    if (rMicro < minMicro) {
+    }
+    val rMicro = headRecallMicroOf(pairs)
+    if (rMicro >= minMicro) {
+      topk.unpersist()
+      (GraphOps.knnGraph(pairs, "vec_a", "vec_b", "cos_sim", k),
+        () => { pairs.unpersist(); () })
+    } else {
       pairs.unpersist()
-      // the frontier fix: head miss shrinks ∝ (1−x)^L like threshold
-      // miss — solve the smallest multiple of `tables` whose predicted
-      // head recall clears the contract (same integer chain as
-      // nearDupPairsLshAtRecall), or name the ceiling as insufficient
+      // the frontier fix, APPLIED (r15 — the ×100 probe found the
+      // operator NAMING "rebuild with tables = 16" instead of doing
+      // it): head miss shrinks ∝ (1−x)^L like threshold miss — solve
+      // the smallest multiple of `tables` whose predicted head recall
+      // clears the contract (same integer chain as
+      // nearDupPairsLshAtRecall), REBUILD at the solved count, and
+      // re-MEASURE on the same stripe — the contract passes or raises
+      // on measurement, never on prediction. Only a target past even
+      // the solver's ceiling (or a reading the geometry's prediction
+      // overestimated) still raises by name.
       val m1 = 1000000L - rMicro
       val ks = (1 to LshAutoMaxTables / tables).toList
       val missAt = ks.scanLeft(1000000L)((m, _) => m * m1 / 1000000L).drop(1)
-      val fix = ks.find(kk => 1000000L - missAt(kk - 1) >= minMicro)
-        .map(kk => s"rebuild with tables = ${kk * tables} (the " +
-          s"1-(1-x)^L frontier geometry's fix for this reading)")
-        .getOrElse(s"NO table count <= ${(LshAutoMaxTables / tables) * tables}" +
-          " (the solver's ceiling in multiples of the current table " +
-          "count) reaches the contract at this threshold — lower " +
-          "minHeadRecall, lower the threshold, or use an exact generator")
-      throw new IllegalArgumentException(
-        s"knnGraphAtHeadRecall: measured head recall ${rMicro / 1e6} " +
-          s"(top-$k, $tables tables, stripe vec_id < $calibQueries) is " +
-          s"BELOW the $minHeadRecall contract — the kNN graph would be " +
-          s"missing its strongest edges; $fix")
+      ks.find(kk => kk > 1 && 1000000L - missAt(kk - 1) >= minMicro) match {
+        case None =>
+          topk.unpersist()
+          throw new IllegalArgumentException(
+            s"knnGraphAtHeadRecall: measured head recall ${rMicro / 1e6} " +
+              s"(top-$k, $tables tables, stripe vec_id < $calibQueries) " +
+              s"is BELOW the $minHeadRecall contract — the kNN graph " +
+              "would be missing its strongest edges; NO table count <= " +
+              s"${(LshAutoMaxTables / tables) * tables} (the solver's " +
+              "ceiling in multiples of the current table count) reaches " +
+              "the contract at this threshold — lower minHeadRecall, " +
+              "lower the threshold, or use an exact generator")
+        case Some(kk) =>
+          val l = kk * tables
+          val pairs2 = nearDupPairsLsh(corpus, threshold, targetBucket, l,
+            maxBucket, probes).cache()
+          val r2 = headRecallMicroOf(pairs2)
+          topk.unpersist()
+          if (r2 >= minMicro)
+            (GraphOps.knnGraph(pairs2, "vec_a", "vec_b", "cos_sim", k),
+              () => { pairs2.unpersist(); () })
+          else {
+            pairs2.unpersist()
+            throw new IllegalArgumentException(
+              s"knnGraphAtHeadRecall: measured head recall " +
+                s"${rMicro / 1e6} at $tables tables (top-$k, stripe " +
+                s"vec_id < $calibQueries) was BELOW the $minHeadRecall " +
+                s"contract; ESCALATED to the solved $l tables and " +
+                s"re-measured ${r2 / 1e6} — still below (the 1-(1-x)^L " +
+                "prediction overestimated this geometry) — lower " +
+                "minHeadRecall, lower the threshold, or use an exact " +
+                "generator")
+          }
+      }
     }
-    (GraphOps.knnGraph(pairs, "vec_a", "vec_b", "cos_sim", k),
-      () => { pairs.unpersist(); () })
   }
 
   /** Per-vector top-k cap over a near-dup pair surface: keep a pair iff

@@ -51,17 +51,68 @@ class KnnGraphContractSpec extends AnyFunSuite {
     assert(arcs.count() > 0)
   }
 
-  test("bad head-recall reading fails BY NAME with the frontier fix") {
+  test("an unreachable head-recall contract fails BY NAME after the solve") {
     // structureless corpus at a low threshold: the true top-k sits at
-    // near-orthogonal cosines the default 8-table generator misses
+    // near-orthogonal cosines — a PERFECT-recall contract (0.999999,
+    // the allowed maximum) is past what the 1-(1-x)^L geometry
+    // predicts for ANY L <= the 32-table ceiling, so the operator
+    // raises (r15: feasible fixes are now APPLIED, not named — a 0.999
+    // contract on this geometry now escalates and SUCCEEDS; only the
+    // infeasible or prediction-overestimated regime raises)
     val e = intercept[IllegalArgumentException] {
       SimilarityOps.knnGraphAtHeadRecall(
         randomEmb(2000, 32), threshold = 0.0, k = 8,
-        minHeadRecall = 0.999, calibQueries = 30)
+        minHeadRecall = 0.999999, calibQueries = 30)
     }
     assert(e.getMessage.contains("BELOW"), e.getMessage)
-    assert(e.getMessage.contains("rebuild with tables") ||
-      e.getMessage.contains("NO table count"), e.getMessage)
+    assert(e.getMessage.contains("NO table count") ||
+      e.getMessage.contains("ESCALATED"), e.getMessage)
+  }
+
+  test("a feasible contract above the default reading ESCALATES instead of raising") {
+    // measure the default 8-table head recall on the same corpus the
+    // operator will see, with the operator's own truth/recall shape
+    val corpus = randomEmb(2000, 32)
+    val (threshold, k, calibQ) = (0.0, 8, 30)
+    import org.apache.spark.sql.expressions.Window
+    val qs = corpus.filter(col("vec_id") < calibQ)
+    val truthAll = corpus
+      .join(org.apache.spark.sql.functions.broadcast(
+        qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("nrm").as("qn"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("other_id"),
+        SimilarityOps.cosine(
+          col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val topk = truthAll
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("other_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "other_id")
+    val nTrue = topk.count()
+    val pairs8 = SimilarityOps.nearDupPairsLsh(corpus, threshold)
+    val both = pairs8
+      .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
+      .unionAll(pairs8
+        .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
+      .filter(col("query_id") < calibQ)
+    val r1 = topk.join(both, Seq("query_id", "other_id"), "left_semi")
+      .count().toDouble / nTrue
+    assert(r1 > 0.05 && r1 < 0.97, s"geometry drifted: r1=$r1")
+    // a contract just above the 8-table reading: pre-r15 this raised
+    // ("rebuild with tables = 16"); now the operator rebuilds at the
+    // solved L, re-measures, and returns the arcs
+    val (arcs, release) = SimilarityOps.knnGraphAtHeadRecallReleasable(
+      corpus, threshold, k, minHeadRecall = r1 + 0.02,
+      calibQueries = calibQ)
+    val perSrc = arcs.groupBy("src")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+      .agg(org.apache.spark.sql.functions.max("d")).head().getLong(0)
+    assert(perSrc <= k && arcs.count() > 0)
+    release()
   }
 
   test("a truthless stripe raises BY NAME, not a silent pass") {
