@@ -204,14 +204,22 @@ object SketchOps {
     *   - est_inter: ρ·est_union div k (inclusion via the Jaccard
     *     route, the paper's unbiased composition).
     *
-    * Everything after the per-set distinct is k-bounded: the synopses
-    * are ≤ k rows each, every join below broadcasts. The per-set
-    * distinct is the one corpus-sized shuffle — at 100 TB the bounded
-    * alternative is the [[graft.expressions.KmvDistinct]]
-    * TypedImperativeAggregate (a8), whose buffer carries only k digests
-    * per partition; this composable form exists because the set
-    * ALGEBRA needs the synopsis rows themselves, and it reuses the
-    * exact distinct the companion exact columns need anyway.
+    * ONE derivation end-to-end (r15): digest-keyed membership flags in
+    * one corpus shuffle, each digest exploded into its synopsis
+    * categories (a / b / union), ONE ranked window, then a single
+    * k-bounded aggregation to the result row — max(rank) IS each
+    * category's exact distinct count (so exact_inter falls out by
+    * inclusion–exclusion from |A∪B|), the k-th smallest digest is
+    * max(d) under rank ≤ k, and the ≤k-element k-min digest LISTS
+    * feed ρ via array intersection. The old plan re-derived the
+    * corpus-sized distinct in SEVEN branches (estA/estB/estU/rho/
+    * exA/exB/exI) and crossJoined the scalars — a fixed multi-job
+    * floor, the a19 lesson on the sketch axis. At 100 TB the bounded
+    * alternative remains the [[graft.expressions.KmvDistinct]]
+    * TypedImperativeAggregate (a8), whose buffer carries only k
+    * digests per partition; this composable form exists because the
+    * set ALGEBRA needs the synopsis rows themselves, and the exact
+    * companion columns need the full distinct anyway.
     *
     * Both inputs must have a single column `v`; groups with fewer than
     * k distinct values are the caller's contract to avoid (they are
@@ -222,46 +230,57 @@ object SketchOps {
     val tagged = a.select(lit("a").as("s"), col("v"))
       .unionAll(b.select(lit("b").as("s"), col("v")))
       .filter(col("v").isNotNull)
-    val dig = tagged.select(col("s"), md5(col("v").cast("string")).as("d")).distinct()
-    val w = Window.partitionBy("s").orderBy("d")
-    val kmin = dig
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= k)
-    // per-set k-th smallest → cardinality estimates
-    val perSet = kmin.groupBy("s")
-      .agg(max("d").as("u"), count(lit(1)).as("nk"))
-      .withColumn("u32", conv(substring(col("u"), 1, 8), 16, 10).cast("long"))
-      .withColumn("est", expr(s"${(k - 1).toLong * 4294967296L} div u32"))
-    val estA = perSet.filter(col("s") === "a").select(col("est").as("est_a"))
-    val estB = perSet.filter(col("s") === "b").select(col("est").as("est_b"))
-    // the union synopsis: k smallest DISTINCT digests across both lists
-    val uw = Window.orderBy("d")
-    val unionK = kmin.select("d").distinct()
-      .withColumn("r", row_number().over(uw))
-      .filter(col("r") <= k)
-    val estU = unionK
-      .agg(max("d").as("u"))
-      .withColumn("u32", conv(substring(col("u"), 1, 8), 16, 10).cast("long"))
-      .select(expr(s"${(k - 1).toLong * 4294967296L} div u32").as("est_union"))
-    // rho: union-synopsis members present in BOTH per-set synopses
-    val rho = unionK
-      .join(kmin.filter(col("s") === "a").select("d"), Seq("d"), "left_semi")
-      .join(kmin.filter(col("s") === "b").select("d"), Seq("d"), "left_semi")
-      .agg(count(lit(1)).as("rho"))
-    // exact companions from the same distinct-digest table
-    val exA = dig.filter(col("s") === "a").agg(count(lit(1)).as("exact_a"))
-    val exB = dig.filter(col("s") === "b").agg(count(lit(1)).as("exact_b"))
-    val exI = dig.filter(col("s") === "a").select("d")
-      .join(dig.filter(col("s") === "b").select("d"), Seq("d"), "left_semi")
-      .agg(count(lit(1)).as("exact_inter"))
-    estA.crossJoin(estB).crossJoin(estU).crossJoin(rho)
-      .crossJoin(exA).crossJoin(exB).crossJoin(exI)
+    val flags = tagged
+      .select(md5(col("v").cast("string")).as("d"), col("s"))
+      .groupBy("d")
+      .agg(max(when(col("s") === "a", 1).otherwise(0)).as("in_a"),
+        max(when(col("s") === "b", 1).otherwise(0)).as("in_b"))
+    // each distinct digest lands in its member categories plus the
+    // union category — the three synopses rank in one window pass
+    val cats = flags.select(col("d"), explode(array(
+      when(col("in_a") === 1, "a"),
+      when(col("in_b") === 1, "b"),
+      lit("u"))).as("cat"))
+      .filter(col("cat").isNotNull)
+    val w = Window.partitionBy("cat").orderBy("d")
+    val ranked = cats.withColumn("r", row_number().over(w))
+    // bounded: each k-min list collects only rows with rank ≤ k —
+    // ≤ k digests per category (collect_list skips the non-matching
+    // rows' nulls), independent of corpus size or key skew.
+    def kminList(cat: String) = sort_array(collect_list(
+      when(col("cat") === cat && col("r") <= k, col("d"))))
+    def kthDigest(cat: String) = max(
+      when(col("cat") === cat && col("r") <= k, col("d")))
+    def exactOf(cat: String) = max(when(col("cat") === cat, col("r")))
+      .cast("long")
+    val one = ranked.agg(
+      exactOf("a").as("exact_a"), exactOf("b").as("exact_b"),
+      exactOf("u").as("exact_union"),
+      kthDigest("a").as("ua"), kthDigest("b").as("ub"),
+      kthDigest("u").as("uu"),
+      kminList("a").as("ka"), kminList("b").as("kb"),
+      kminList("u").as("ku"))
+      // empty input → the no-groupBy agg's single all-null row → zero
+      // rows, matching the old empty-branch crossJoin behavior
+      .filter(col("exact_a").isNotNull && col("exact_b").isNotNull)
+    val c = (k - 1).toLong * 4294967296L
+    one
+      .withColumn("u32a", conv(substring(col("ua"), 1, 8), 16, 10).cast("long"))
+      .withColumn("u32b", conv(substring(col("ub"), 1, 8), 16, 10).cast("long"))
+      .withColumn("u32u", conv(substring(col("uu"), 1, 8), 16, 10).cast("long"))
+      .withColumn("est_a", expr(s"$c div u32a"))
+      .withColumn("est_b", expr(s"$c div u32b"))
+      .withColumn("est_union", expr(s"$c div u32u"))
+      .withColumn("rho", size(array_intersect(
+        array_intersect(col("ku"), col("ka")), col("kb"))).cast("long"))
+      .withColumn("exact_inter",
+        col("exact_a") + col("exact_b") - col("exact_union"))
       .select(
         lit(k.toLong).as("k"),
         col("est_a"), col("exact_a"),
         col("est_b"), col("exact_b"),
         col("est_union"),
-        (col("exact_a") + col("exact_b") - col("exact_inter")).as("exact_union"),
+        col("exact_union"),
         col("rho"),
         expr(s"rho * 1000000 div $k").as("est_jaccard_ppm"),
         expr("exact_inter * 1000000 div (exact_a + exact_b - exact_inter)")

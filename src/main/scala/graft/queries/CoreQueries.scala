@@ -1350,7 +1350,10 @@ object CoreQueries {
     // ONE pass (per-row multiplicity = hash-derived Poisson(1) draw,
     // integer-threshold inverse CDF), replicate means in exact decimal
     // moments, CI = the 2.5%/97.5% order statistics. The at-scale
-    // bootstrap — no per-replicate shuffles or sampling coordination.
+    // bootstrap — no per-replicate shuffles or sampling coordination;
+    // one JOB end-to-end (r15): the global mean and the CI order
+    // statistics ride the replicate aggregation itself instead of
+    // re-deriving the pipeline in three plan branches.
     "a19_bootstrap_ci" -> ((s, dir) =>
       graft.ops.ExperimentOps.bootstrapCi(
         table(s, dir, "events"), "event_id", "value")),

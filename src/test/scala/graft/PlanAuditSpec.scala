@@ -421,15 +421,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
-  test("sim_sparse_cosine: downstream reads only the cached weight table, no cartesian") {
+  test("sim_sparse_cosine: the dump serves the checkpointed shared surface") {
     val p = plan("sim_sparse_cosine")
-    // norms + BOTH sides of the posting-list self-join read the cached
-    // weight table (InMemoryTableScan); the corpus scans all sit inside
-    // its one-time build (tf + the df rollup's replan + the count dim —
-    // static copies AQE exchange-reuse collapses at runtime)
-    assert(p.contains("InMemoryTableScan"))
-    assert(countOf(p, "documents\\.parquet\\]") <= 3,
+    // r15: the dump and sim_sparse_topk read the session-memoized,
+    // localCheckpoint'd pair surface — the serving plan is a bare
+    // artifact scan (zero corpus reads, zero joins); the tf/df/weight
+    // chain runs once inside the memo's build (its shape is pinned by
+    // SparseCosineSpec's operator-level tests)
+    assert(p.contains("Scan ExistingRDD"),
       p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "documents\\.parquet\\]") == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sim_sparse_topk: rank cap rides the shared surface, no recompute") {
+    val p = plan("sim_sparse_topk")
+    // same checkpointed artifact + one window rank filter — the arc
+    // expansion and rank never touch the corpus
+    assert(p.contains("Scan ExistingRDD"),
+      p.linesIterator.take(25).mkString("\n"))
+    assert(countOf(p, "documents\\.parquet\\]") == 0)
     assert(!p.contains("CartesianProduct"))
   }
 

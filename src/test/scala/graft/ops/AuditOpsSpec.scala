@@ -203,6 +203,11 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r1.getLong(0) == 3000L && r1.getLong(2) == 64L)
   }
 
+  test("bootstrapCi: empty input yields zero rows, not a null row") {
+    val df = Seq.empty[(Long, Double)].toDF("id", "value")
+    assert(ExperimentOps.bootstrapCi(df, "id", "value").count() == 0L)
+  }
+
   test("abLift: moments and Welch t replay the exact formula") {
     // arms decided by md5(user); compute expected from the same split
     import java.security.MessageDigest
