@@ -16,6 +16,20 @@ package graft.ops
   */
 object MediaCodec {
 
+  /** ImageIO's default ImageInputStream is DISK-cached: every decode
+    * writes a temp file under java.io.tmpdir, so a 32-thread decode
+    * stage turns into temp-file churn that scales with host IO
+    * pressure, not CPU (measured r15: the two ImageIO rows were the
+    * only mm_* rows to move, 0.85 → 7.3 s at ×10 in a slow-IO window,
+    * degrading pass-over-pass as the churn accumulated while the CPU
+    * calib held steady). The inputs here are in-memory byte arrays —
+    * a disk cache buys nothing — so switch the JVM to the memory-cached
+    * stream once, before any decode. Executor-side too: the flag is
+    * per-JVM, and every decode call references this lazy val first.
+    */
+  private lazy val imageIoMemoryCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   // -- little-endian primitives --------------------------------------------
 
   private def wrLe16(out: Array[Byte], off: Int, v: Int): Unit = {
@@ -161,6 +175,7 @@ object MediaCodec {
       }
       y += 1
     }
+    imageIoMemoryCache
     val baos = new java.io.ByteArrayOutputStream()
     val ok = javax.imageio.ImageIO.write(img, format, baos)
     require(ok, s"encodeImageIo: no JDK writer for format '$format'")
@@ -186,6 +201,7 @@ object MediaCodec {
     * luma swap touches only this line).
     */
   def aHash(bytes: Array[Byte]): (Int, Int, Long) = {
+    imageIoMemoryCache
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "aHash: not a decodable image bitstream")
     val w = img.getWidth
@@ -210,6 +226,7 @@ object MediaCodec {
   }
 
   def decodeImageIo(bytes: Array[Byte]): ImageStats = {
+    imageIoMemoryCache
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "decodeImageIo: not a decodable image bitstream")
     val w = img.getWidth
