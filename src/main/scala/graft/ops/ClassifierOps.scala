@@ -170,8 +170,16 @@ object ClassifierOps {
         .cast("long")).as("tsum"))
     // scoring pass 2: per-doc token totals × every candidate class,
     // LEFT-joined to the term sums so a doc sharing no vocabulary with
-    // a class still gets its smoothed-floor score
-    val nd = tf0.groupBy("doc_id", "lang_true").agg(sum("tf").as("n_d"))
+    // a class still gets its smoothed-floor score. n_d = Σ tf is just
+    // the doc's token count — size(tokens) on the scan (r15), not a
+    // third derivation of the explode+groupBy chain (tf0 is a def: its
+    // other two uses are the cached model fill and the term sums; this
+    // one was a full re-tokenize per action). The size(...) > 0 filter
+    // reproduces explode's drop of token-less docs exactly.
+    val nd = docs
+      .select(col("doc_id"), col(labelCol).as("lang_true"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_d"))
+      .filter(col("n_d") > 0)
     val langs = c.select("cl").distinct()
     val scored = nd
       .crossJoin(broadcast(langs))
