@@ -50,7 +50,8 @@ import org.apache.spark.sql.functions._
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val (mode, rest) =
-      if (args.nonEmpty && Set("knn", "lsh", "minhash", "ivf", "cross")(args.head))
+      if (args.nonEmpty && Set("knn", "lsh", "minhash", "ivf", "cross",
+        "escbench")(args.head))
         (args.head, args.tail)
       else ("knn", args)
     val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
@@ -167,6 +168,44 @@ object RecallProbe {
             f"($nPairs pairs); SLIM build+persist $buildSlimS%.2f s " +
             f"($slimB bytes = $ratio), " +
             f"probe $probeSlimS%.2f s ($nPairsSlim pairs) in $secs total")
+        case "escbench" =>
+          // r16 (verdict item 3): price the incremental escalation —
+          // the old head-recall escalation rebuilt the pair surface
+          // from scratch at the solved L (re-paying the first-tables
+          // work; 515 s at the ×100 probe); the new one probes only
+          // the NEW tables and unions. A = the first build (common to
+          // both), B = from-scratch rebuild at 2L (the OLD escalation's
+          // extra work), C = range-probe + union (the NEW escalation's
+          // extra work). Identity B ≡ C is spec-pinned
+          // (NativeFoldEquivalenceSpec); this mode prices it.
+          val threshold = rest.lift(1).map(_.toDouble).getOrElse(0.25)
+          val l0 = rest.lift(2).map(_.toInt).getOrElse(8)
+          val e = emb.cache()
+          e.count() // both arms read the same materialized corpus
+          def timed[T](f: => T): (T, Double) = {
+            val t = System.nanoTime(); val r = f
+            (r, (System.nanoTime() - t) / 1e9)
+          }
+          val (p1, aS) = timed {
+            val p = ops.SimilarityOps.nearDupPairsLsh(
+              e, threshold, tables = l0).cache()
+            p.count(); p
+          }
+          val (nB, bS) = timed {
+            ops.SimilarityOps.nearDupPairsLsh(
+              e, threshold, tables = 2 * l0).count()
+          }
+          val (nC, cS) = timed {
+            p1.unionAll(ops.SimilarityOps.nearDupPairsLshTableRange(
+              e, threshold, fromTable = l0, tables = 2 * l0))
+              .groupBy("vec_a", "vec_b")
+              .agg(max(col("cos_sim")).as("cos_sim"))
+              .count()
+          }
+          println(f"[recall-probe] escbench at $dir (threshold=" +
+            f"$threshold, L=$l0%d -> ${2 * l0}%d): first build $aS%.2f s; " +
+            f"OLD from-scratch rebuild $bS%.2f s ($nB pairs); NEW " +
+            f"incremental union $cS%.2f s ($nC pairs) in $secs total")
         case "minhash" =>
           val threshold = rest.lift(1).map(_.toDouble).getOrElse(
             queries.PipelineQueries.MinhashRecallJaccard)

@@ -572,11 +572,26 @@ object DedupOps {
       blockCol: Column,
       maxDist: Int,
       maxPerBlock: Long = SessionOps.DefaultMaxQuadraticPerKey,
-      segmentMinPairs: Long = EditDistSegmentMinPairs): DataFrame =
-    if (inBlockPairCount(docs, blockCol) > segmentMinPairs)
+      segmentMinPairs: Long = EditDistSegmentMinPairs,
+      volumeCacheKey: Option[String] = None): DataFrame = {
+    // r16 (verdict item 4): the routing statistic is session-memoized
+    // per caller-supplied key (the ModelCache card pattern every other
+    // calibration statistic uses) — it is deterministic in the input
+    // table, so re-measuring it on every invocation was one wasted
+    // column-pruned scan per call (a whole extra corpus scan at the
+    // north star). Callers without a stable input identity (key=None)
+    // keep the measured-per-call behavior.
+    val volume = volumeCacheKey match {
+      case Some(key) => ModelCache.cached(s"$key|inBlockPairCount") {
+        java.lang.Long.valueOf(inBlockPairCount(docs, blockCol))
+      }.longValue()
+      case None => inBlockPairCount(docs, blockCol)
+    }
+    if (volume > segmentMinPairs)
       editDistancePairsSegmented(docs, strCol, blockCol, maxDist, maxPerBlock)
     else
       editDistancePairs(docs, strCol, blockCol, maxDist, maxPerBlock)
+  }
 
   /** Blocked Jaro-Winkler pairs — the name/title fuzzy-linkage metric
     * next to [[editDistancePairs]]' Levenshtein: transposition-tolerant,

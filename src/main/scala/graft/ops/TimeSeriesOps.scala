@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Time-series densification: filling the silent gaps an event log
   * doesn't record. Downstream models (rate charts, anomaly baselines,
@@ -77,6 +78,37 @@ object TimeSeriesOps {
     * Returns (key, seq, ema_micro) for every input row.
     */
   def emaSmooth(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      valCol: String,
+      maxEventsPerKey: Long = SessionOps.DefaultMaxEventsPerKey
+  ): DataFrame = {
+    // r16: the fold runs in the native [[graft.expressions.EmaFold]] —
+    // the Column `aggregate` form (kept below as [[emaSmoothHof]], the
+    // property-test reference) re-copied its accumulated output array
+    // every step (O(m²) boxed allocations per key) and evaluated
+    // interpreted; the native loop is the same arithmetic in one pass.
+    val sorted = sort_array(collect_list(
+      struct(col(tsCol).as("t"), col(seqCol).as("q"), col(valCol).as("v"))))
+    events
+      .groupBy(col(keyCol))
+      .agg(sorted.as("evs"), count(lit(1)).as("n"))
+      .select(col(keyCol),
+        SessionOps.hotKeyGuarded(
+          ColumnBridge.column(graft.expressions.EmaFold(
+            ColumnBridge.expression(col("evs")))),
+          col("n"), col(keyCol), maxEventsPerKey, "emaSmooth").as("z"))
+      .select(col(keyCol), explode(col("z")).as("p"))
+      .select(col(keyCol), col("p.q").as(seqCol), col("p.m").as("ema_micro"))
+  }
+
+  /** The original Column-`aggregate` form of [[emaSmooth]] — kept as
+    * the equivalence reference the native fold is property-tested
+    * against (the canonicalizeRegex pattern).
+    */
+  private[graft] def emaSmoothHof(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
@@ -196,6 +228,40 @@ object TimeSeriesOps {
     * Returns (key, seq, level_micro, trend_micro, seasonal_micro).
     */
   def holtWintersSmooth(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      valCol: String,
+      period: Int = 7,
+      maxEventsPerKey: Long = SessionOps.DefaultMaxEventsPerKey
+  ): DataFrame = {
+    require(period >= 2, "holtWintersSmooth needs period >= 2")
+    // r16: native fold ([[graft.expressions.HoltWintersFold]]) — same
+    // arithmetic as the Column `aggregate` form kept below as
+    // [[holtWintersSmoothHof]], the property-test reference; the HOF
+    // fold's per-step array concat was O(m²) interpreted allocation.
+    val sorted = sort_array(collect_list(
+      struct(col(tsCol).as("t"), col(seqCol).as("q"), col(valCol).as("v"))))
+    events
+      .groupBy(col(keyCol))
+      .agg(sorted.as("evs"), count(lit(1)).as("n"))
+      .select(col(keyCol),
+        SessionOps.hotKeyGuarded(
+          ColumnBridge.column(graft.expressions.HoltWintersFold(
+            ColumnBridge.expression(col("evs")), period)),
+          col("n"), col(keyCol), maxEventsPerKey, "holtWintersSmooth")
+          .as("z"))
+      .select(col(keyCol), explode(col("z")).as("p"))
+      .select(col(keyCol), col("p.q").as(seqCol),
+        col("p.l").as("level_micro"), col("p.b").as("trend_micro"),
+        col("p.s").as("seasonal_micro"))
+  }
+
+  /** The original Column-`aggregate` form of [[holtWintersSmooth]] —
+    * kept as the equivalence reference for the native fold's spec.
+    */
+  private[graft] def holtWintersSmoothHof(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
@@ -505,6 +571,34 @@ object TimeSeriesOps {
       valCol: String,
       maxEventsPerKey: Long = SessionOps.DefaultMaxEventsPerKey
   ): DataFrame = {
+    // r16: native fold ([[graft.expressions.HoltFold]]) — same
+    // arithmetic as the Column form kept below as [[holtSmoothHof]].
+    val sorted = sort_array(collect_list(
+      struct(col(tsCol).as("t"), col(seqCol).as("q"), col(valCol).as("v"))))
+    events
+      .groupBy(col(keyCol))
+      .agg(sorted.as("evs"), count(lit(1)).as("n"))
+      .select(col(keyCol),
+        SessionOps.hotKeyGuarded(
+          ColumnBridge.column(graft.expressions.HoltFold(
+            ColumnBridge.expression(col("evs")))),
+          col("n"), col(keyCol), maxEventsPerKey, "holtSmooth").as("z"))
+      .select(col(keyCol), explode(col("z")).as("p"))
+      .select(col(keyCol), col("p.q").as(seqCol),
+        col("p.l").as("level_micro"), col("p.b").as("trend_micro"))
+  }
+
+  /** The original Column-`aggregate` form of [[holtSmooth]] — kept as
+    * the equivalence reference for the native fold's spec.
+    */
+  private[graft] def holtSmoothHof(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      valCol: String,
+      maxEventsPerKey: Long = SessionOps.DefaultMaxEventsPerKey
+  ): DataFrame = {
     val sorted = sort_array(collect_list(
       struct(col(tsCol).as("t"), col(seqCol).as("q"), col(valCol).as("v"))))
     val acc0 = struct(
@@ -573,6 +667,42 @@ object TimeSeriesOps {
     * Returns (key, n_pts, n_pairs, slope_micro).
     */
   def theilSen(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      maxEventsPerKey: Long = DefaultMaxPointsQuadratic): DataFrame = {
+    // r16: the quadratic pair expansion + sort + median pick run in the
+    // native [[graft.expressions.TheilSenStats]] expression — the HOF
+    // chain (kept below as [[theilSenHof]], the property-test
+    // reference) evaluated interpreted and `slice`-copied an O(m)
+    // struct suffix per anchor, making this the suite's slowest row
+    // (~1 µs/slope of allocation at sf0.1, vs arithmetic's ~ns).
+    val pts = sort_array(collect_list(struct(
+      col(tsCol).cast("long").as("t"), col(valCol).cast("double").as("v"))))
+    val arr = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(pts.as("pts"), count(lit(1)).as("__n"))
+    arr
+      .select(col(keyCol), size(col("pts")).cast("long").as("n_pts"),
+        SessionOps.hotKeyGuarded(
+          ColumnBridge.column(graft.expressions.TheilSenStats(
+            ColumnBridge.expression(col("pts")))),
+          col("__n"), col(keyCol), maxEventsPerKey, "theilSen").as("st"))
+      .filter(col("st.n_pairs") > 0)
+      .select(col(keyCol), col("n_pts"),
+        col("st.n_pairs").as("n_pairs"),
+        round(col("st.median") * lit(1000000.0))
+          .cast("long").as("slope_micro"))
+  }
+
+  /** The original higher-order-function form of [[theilSen]] — kept as
+    * the equivalence reference the native expression is property-tested
+    * against (the canonicalizeRegex pattern).
+    */
+  private[graft] def theilSenHof(
       events: DataFrame,
       keyCol: String,
       tsCol: String,

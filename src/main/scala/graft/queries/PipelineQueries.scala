@@ -1599,25 +1599,60 @@ object PipelineQueries {
           SimilarityOps.cosine(
             col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
         .filter(col("cos") >= NearDupThreshold)
-      LshFrontierTargets.map { t =>
-        val lsh = SimilarityOps.nearDupPairsLshFrom(sigs, NearDupThreshold,
+      // r16 single-pass restructure: the old form unionAll'd one branch
+      // per target, each re-evaluating the truth subtree and carrying
+      // its own join+agg+crossJoin (3× truth, 6 broadcasts, a 390 KB
+      // plan). Now the three targets' pair sets union ONCE with a
+      // target tag, per-(query, other) hit flags aggregate per target,
+      // the truth joins a single broadcast, and one row explodes into
+      // the same three — values unchanged (same counts, same rounded
+      // ratio), plan ~3× smaller, truth evaluated once (guide §2.4).
+      val tagged = LshFrontierTargets.map { t =>
+        SimilarityOps.nearDupPairsLshFrom(sigs, NearDupThreshold,
           targetBucket = t)
-        val both = lsh
-          .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
-          .unionAll(lsh
-            .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
-          .filter(col("query_id") < LshQueryCount)
-        truth
-          .join(broadcast(both.withColumn("hit", lit(1L))),
-            Seq("query_id", "other_id"), "left")
-          .agg(count(lit(1)).as("n_true"),
-            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-          .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_pairs"))))
-          .select(lit(t.toLong).as("target_bucket"), col("n_true"),
-            col("n_hit"),
-            round(col("n_hit") / col("n_true").cast("double"), 6)
-              .as("recall"), col("n_pairs"))
+          .select(lit(t).as("tgt"), col("vec_a"), col("vec_b"))
       }.reduce(_ unionAll _)
+      // per-(query, other) found-flags aggregate over the (small)
+      // query-stripe slice of the directed pairs and broadcast-join the
+      // truth ONCE; per-target pair volumes are conditional sums in one
+      // pure-pipeline aggregation over the tagged union. (A fully-fused
+      // single-union form — everything through one (q, o) groupBy — was
+      // tried and measured SLOWER: it funnels every directed row and
+      // the truth through a wide shuffle, where this form's second
+      // evaluation of the tagged union is a cheap pipeline; see
+      // OPTIMIZATION_r16.md.)
+      val flags = tagged
+        .select(col("tgt"), col("vec_a").as("query_id"),
+          col("vec_b").as("other_id"))
+        .unionAll(tagged.select(col("tgt"), col("vec_b").as("query_id"),
+          col("vec_a").as("other_id")))
+        .filter(col("query_id") < LshQueryCount)
+        .groupBy("query_id", "other_id")
+        .agg(
+          max(when(col("tgt") === LshFrontierTargets.head, 1L).otherwise(0L))
+            .as(s"__f${LshFrontierTargets.head}"),
+          LshFrontierTargets.tail.map(t =>
+            max(when(col("tgt") === t, 1L).otherwise(0L)).as(s"__f$t")): _*)
+      val hits = truth
+        .join(broadcast(flags), Seq("query_id", "other_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          LshFrontierTargets.map(t =>
+            sum(coalesce(col(s"__f$t"), lit(0L))).as(s"__h$t")): _*)
+      val volumes = tagged.agg(
+        coalesce(sum(when(col("tgt") === LshFrontierTargets.head, 1L)
+          .otherwise(0L)), lit(0L)).as(s"__p${LshFrontierTargets.head}"),
+        LshFrontierTargets.tail.map(t =>
+          coalesce(sum(when(col("tgt") === t, 1L).otherwise(0L)), lit(0L))
+            .as(s"__p$t")): _*)
+      hits.crossJoin(broadcast(volumes))
+        .select(explode(array(LshFrontierTargets.map(t => struct(
+          lit(t.toLong).as("target_bucket"), col("n_true"),
+          col(s"__h$t").as("n_hit"),
+          round(col(s"__h$t") / col("n_true").cast("double"), 6)
+            .as("recall"),
+          col(s"__p$t").as("n_pairs"))): _*)).as("r"))
+        .select(col("r.target_bucket"), col("r.n_true"), col("r.n_hit"),
+          col("r.recall"), col("r.n_pairs"))
     }),
 
     // the OUTPUT-BOUNDED near-dup surface: the same LSH candidate
@@ -1650,23 +1685,40 @@ object PipelineQueries {
           SimilarityOps.cosine(
             col("embedding"), col("qe"), col("nrm"), col("qn")).as("cos"))
         .filter(col("cos") >= NearDupThreshold)
-      LshTablesFrontier.map { l =>
-        val lsh = pairs.filter(col("min_t") < l)
-        val both = lsh
-          .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"))
-          .unionAll(lsh
-            .select(col("vec_b").as("query_id"), col("vec_a").as("other_id")))
-          .filter(col("query_id") < LshQueryCount)
-        truth
-          .join(broadcast(both.withColumn("hit", lit(1L))),
-            Seq("query_id", "other_id"), "left")
-          .agg(count(lit(1)).as("n_true"),
-            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-          .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_pairs"))))
-          .select(lit(l.toLong).as("n_tables"), col("n_true"), col("n_hit"),
-            round(col("n_hit") / col("n_true").cast("double"), 6)
-              .as("recall"), col("n_pairs"))
-      }.reduce(_ unionAll _)
+      // r16 single-pass restructure (the dedup_lsh_frontier pattern):
+      // min_t < L selects an L-table run, so per-L hits and volumes are
+      // CONDITIONAL SUMS; pair rows (both directions) and truth rows
+      // ride ONE union into one (query, other) grouping and one 1-row
+      // aggregation — the old per-L branches re-evaluated the truth
+      // subtree 3× and shipped 6 broadcasts; values are unchanged.
+      val unioned = pairs
+        .select(col("vec_a").as("query_id"), col("vec_b").as("other_id"),
+          col("min_t"), lit(0L).as("is_truth"))
+        .unionAll(pairs.select(col("vec_b").as("query_id"),
+          col("vec_a").as("other_id"), col("min_t"),
+          lit(0L).as("is_truth")))
+        .unionAll(truth.select(col("query_id"), col("other_id"),
+          lit(null).cast("int").as("min_t"), lit(1L).as("is_truth")))
+      val grouped = unioned
+        .groupBy("query_id", "other_id")
+        .agg(max(col("is_truth")).as("__tf"), min(col("min_t")).as("__mt"),
+          count(col("min_t")).as("__nd"))
+      val one = grouped.agg(
+        sum(col("__tf")).as("n_true"),
+        LshTablesFrontier.flatMap(l => Seq(
+          sum(when(col("__tf") === 1L && col("__mt") < l, 1L).otherwise(0L))
+            .as(s"__h$l"),
+          sum(when(col("__mt") < l, col("__nd")).otherwise(0L))
+            .as(s"__cc$l"))): _*)
+      one
+        .select(explode(array(LshTablesFrontier.map(l => struct(
+          lit(l.toLong).as("n_tables"), col("n_true"),
+          col(s"__h$l").as("n_hit"),
+          round(col(s"__h$l") / col("n_true").cast("double"), 6)
+            .as("recall"),
+          expr(s"__cc$l div 2").as("n_pairs"))): _*)).as("r"))
+        .select(col("r.n_tables"), col("r.n_true"), col("r.n_hit"),
+          col("r.recall"), col("r.n_pairs"))
     }),
 
     // the RECALL-TARGETING auto-L operator's card (r11 verdict item 1):
@@ -1879,6 +1931,10 @@ object PipelineQueries {
     // break the suffix-stripping invariant. The order-sensitive
     // record-linkage pass the shingle family can't express; early-exit
     // threshold DP on both arms.
+    // r16: the routing statistic (in-block candidate volume) is
+    // session-memoized per dir — one statistics scan per session, not
+    // one per invocation (verdict item 4); the routing decision and the
+    // pair output are unchanged (the memoized long IS the measurement).
     "dedup_editdist" -> ((s, dir) =>
       DedupOps.editDistancePairsAuto(
         table(s, dir, "documents"),
@@ -1886,7 +1942,8 @@ object PipelineQueries {
         blockCol = concat(
           lpad(length(col("lang")).cast("string"), 2, "0"),
           col("lang"), substring(col("text"), 1, 8)),
-        maxDist = 4)),
+        maxDist = 4,
+        volumeCacheKey = Some(s"$dir|editdist"))),
 
     // blocked Jaro-Winkler fuzzy linkage — the normalized,
     // transposition-tolerant metric next to dedup_editdist, computed by
