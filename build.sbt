@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: local[32] benches showed multi-second one-sided GC
   // spikes at 8g (the host has 128 GiB; leave headroom for the oracle)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // measurement-only escape hatch (r16: the setjoin in-suite-inflation
+  // root-cause pass needed GC logs): space-separated extra JVM flags,
+  // e.g. SPARK_GRAFT_JAVA_OPTS="-Xlog:gc". Unset (the driver's path)
+  // this adds nothing.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+    .map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

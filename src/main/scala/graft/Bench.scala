@@ -77,6 +77,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r16: the generated-class cache (static default 100 entries) is
+      // far too small for a 331-query suite — every pass was evicting
+      // every query's codegen classes, so each timed pass re-Janino-
+      // compiled AND re-JITed from cold (root-caused via event logs on
+      // dedup_setjoin_exact, the r15 "in-suite inflation" watch item:
+      // pass walls fell monotonically 5.3/2.7/2.8 in isolation and the
+      // ×10 18-query window measured 34.4 → 22.0 s with the cache
+      // sized). Sized to the workload's distinct codegen units, not to
+      // this machine — the same thrash hits any driver/executor running
+      // a many-query workload; cost is metaspace, ~KB per class. Env-
+      // overridable like every scale-dependent setting.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run — an iteration aid;

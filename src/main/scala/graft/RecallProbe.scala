@@ -61,6 +61,10 @@ object RecallProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sized generated-class cache (r16, see Bench.scala) — identical
+      // results, steady-state JIT across a many-query run
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def emb = ops.SimilarityOps.withNorm(

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Deduplication operators for LLM training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard verification — all shuffle-
@@ -1220,7 +1221,12 @@ object DedupOps {
         col("hashed_sh").as("h_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(p.perdoc.select(col("doc_id").as("doc_b"),
         col("hashed_sh").as("h_b"), col("n").as("n_b")), Seq("doc_b"))
-      .filter(size(array_intersect(col("h_a"), col("h_b"))) >=
+      // r16: native merge-scan overlap over the (pre-sorted) hashed
+      // arrays — identical count to size(array_intersect(h_a, h_b)),
+      // property-pinned; zero per-pair allocation
+      .filter(ColumnBridge.column(graft.expressions.SortedLongOverlap(
+        ColumnBridge.expression(col("h_a")),
+        ColumnBridge.expression(col("h_b")))) >=
         ceil(lit(threshold / (1 + threshold)) *
           (col("n_a") + col("n_b")) - lit(eps)))
       .select("doc_a", "doc_b")
@@ -1271,9 +1277,14 @@ object DedupOps {
       .select(col("doc_id"),
         transform(col("ss"), e => e.getField("shingle")).as("sorted_sh"),
         size(col("ss")).as("n"))
-      // hashed twin of sorted_sh for the stage-1 long-array intersect;
-      // computed once here so the cache serves both verify stages
-      .withColumn("hashed_sh", transform(col("sorted_sh"), s => xxhash64(s)))
+      // hashed twin of sorted_sh for the stage-1 overlap count; r16:
+      // SORTED (once per doc, inside the cache) so the per-pair count
+      // is a native merge scan ([[graft.expressions.SortedLongOverlap]])
+      // instead of array_intersect's per-pair hash set — the join's
+      // measured dominant cost. Order never mattered to its only
+      // consumer (set intersection); the count is unchanged.
+      .withColumn("hashed_sh",
+        array_sort(transform(col("sorted_sh"), s => xxhash64(s))))
       .cache()
     // prefix length |A| − ⌈t·|A|⌉ + 1; rk is the 1-based canonical rank.
     // The tiny epsilon inside each ceil guards double rounding: when the
@@ -1300,11 +1311,34 @@ object DedupOps {
     // and passes — so the pair survives the union over occurrences.
     // Subsumes the length filter (the bound is ≤ min(n_a, n_b)).
     // Measured: 409k → far fewer verify candidates at sf0.1, t=0.5.
+    // r16: the in-bucket positional-bound expansion runs in the native
+    // [[graft.expressions.PrefixCandidatePairs]] — the HOF form (kept
+    // as [[setJoinExpandHof]], the property-test reference) was the
+    // same interpreted slice-copy shape as the LSH bucket expansion
     val expanded = prefix
       .groupBy("shingle")
       .agg(sort_array(collect_set(struct(col("doc_id"), col("rk"), col("n"))))
         .as("es"))
       .filter(size(col("es")) > 1)
+      .select(explode(ColumnBridge.column(
+        graft.expressions.PrefixCandidatePairs(
+          ColumnBridge.expression(col("es")), threshold, eps))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val cand = expanded
+      .distinct()
+      .cache()
+    SetJoinParts(sh, perdoc, prefix, expanded, cand)
+  }
+
+  /** The original higher-order-function form of the prefix candidate
+    * expansion — the equivalence reference for
+    * [[graft.expressions.PrefixCandidatePairs]]'s spec: same bucket
+    * entry frame (shingle, es) in, same (doc_a, doc_b) rows out.
+    */
+  private[graft] def setJoinExpandHof(buckets: DataFrame,
+      threshold: Double): DataFrame = {
+    val eps = 1e-9
+    buckets
       .select(explode(flatten(transform(col("es"), (a, i) =>
         filter(
           transform(slice(col("es"), i + 2, size(col("es"))), b =>
@@ -1316,10 +1350,19 @@ object DedupOps {
                   (a.getField("n") + b.getField("n")) - lit(eps))).as("ok"))),
           p => p.getField("ok"))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-    val cand = expanded
-      .distinct()
-      .cache()
-    SetJoinParts(sh, perdoc, prefix, expanded, cand)
+  }
+
+  /** The prefix bucket entry frame (shingle, es) — the spec entry point
+    * letting the native and HOF expansions read identical buckets.
+    */
+  private[graft] def setJoinBuckets(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val p = setJoinParts(docs, threshold)
+    p.prefix
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("rk"), col("n"))))
+        .as("es"))
+      .filter(size(col("es")) > 1)
   }
 
   /** Pre-distinct expansion volume — how many (pair, shared-prefix-

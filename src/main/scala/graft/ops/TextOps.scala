@@ -57,6 +57,18 @@ object TextOps {
       greatest(size(toks) - (width - 1), lit(1)) + (stride - 1), lit(stride))
 
   def chunks(toks: Column, width: Int, stride: Int): Column = {
+    // r16: native single-pass [[graft.expressions.WordChunks]] — the
+    // HOF form below is kept as the equivalence reference.
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.WordChunks(
+      ColumnBridge.expression(toks), width, stride))
+  }
+
+  /** The original higher-order-function form of [[chunks]] — the
+    * equivalence reference for the native expression's spec.
+    */
+  private[graft] def chunksHof(toks: Column, width: Int, stride: Int): Column = {
     require(width > 0 && stride > 0, "width and stride must be positive")
     transform(chunkStarts(toks, width, stride), start =>
       struct(start.as("chunk_start"),
@@ -182,10 +194,24 @@ object TextOps {
   val ShingleK = 3
 
   /** k-word shingles joined by a space; empty array when the doc is
-    * shorter than k (Spark `sequence(1, n)` with n<1 would count DOWN —
-    * guard required).
+    * shorter than k. r16: computed by the native single-pass
+    * [[graft.expressions.WordShingles]] (the HOF form below evaluated
+    * interpreted and allocated a sliced k-array + join buffer per
+    * shingle on every corpus pass of ~10 consumers); byte-identical
+    * output, property-pinned against [[shinglesHof]].
     */
-  def shingles(toks: Column, k: Int = ShingleK): Column =
+  def shingles(toks: Column, k: Int = ShingleK): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.WordShingles(ColumnBridge.expression(toks), k))
+  }
+
+  /** The original higher-order-function form of [[shingles]] — kept as
+    * the equivalence reference for the native expression's spec (the
+    * canonicalizeRegex pattern). Guard note: Spark `sequence(1, n)`
+    * with n<1 would count DOWN, hence the size(toks) < k branch.
+    */
+  private[graft] def shinglesHof(toks: Column, k: Int = ShingleK): Column =
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (k - 1)),

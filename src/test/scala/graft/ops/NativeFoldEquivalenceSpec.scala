@@ -162,6 +162,85 @@ class NativeFoldEquivalenceSpec extends AnyFunSuite {
     assert(native.count() > 0, "degenerate test corpus: no cross pairs")
   }
 
+  test("shingles: native == HOF, k in 1..4, incl. short/empty/unicode docs") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq("a", "bb", "ccc", "Ünïcodé", "字", "x1", "", "zz")
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(9) // 0..8 tokens — includes below-k docs
+      (i.toLong, (0 until n).map(_ => words(rnd.nextInt(words.length))))
+    }.toDF("doc_id", "toks")
+    (1 to 4).foreach { k =>
+      val nat = docs.select(col("doc_id"),
+        TextOps.shingles(col("toks"), k).as("g"))
+      val hof = docs.select(col("doc_id"),
+        TextOps.shinglesHof(col("toks"), k).as("g"))
+      assert(collectSorted(nat) == collectSorted(hof), s"k=$k")
+    }
+  }
+
+  test("chunks: native == HOF across width/stride, incl. short docs") {
+    val rnd = new scala.util.Random(17)
+    val words = Seq("a", "bb", "ccc", "Ünïcodé", "字", "x1", "zz")
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(14) // 0..13 tokens
+      (i.toLong, (0 until n).map(_ => words(rnd.nextInt(words.length))))
+    }.toDF("doc_id", "toks")
+    Seq((4, 2), (4, 4), (3, 1), (6, 5), (1, 1)).foreach { case (w, st) =>
+      val nat = docs.select(col("doc_id"),
+        TextOps.chunks(col("toks"), w, st).as("c"))
+      val hof = docs.select(col("doc_id"),
+        TextOps.chunksHof(col("toks"), w, st).as("c"))
+      assert(collectSorted(nat) == collectSorted(hof), s"width=$w stride=$st")
+    }
+  }
+
+  test("sortedLongOverlap: native merge scan == size(array_intersect)") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new scala.util.Random(23)
+    // duplicate-carrying sorted arrays — array_intersect dedups, the
+    // merge scan must too
+    val rows = (0 until 200).map { i =>
+      def arr() = (0 until rnd.nextInt(20))
+        .map(_ => rnd.nextInt(12).toLong).sorted
+      (i.toLong, arr(), arr())
+    }.toDF("id", "a", "b")
+    val nat = rows.select(col("id"), ColumnBridge.column(
+      graft.expressions.SortedLongOverlap(
+        ColumnBridge.expression(col("a")),
+        ColumnBridge.expression(col("b")))).as("o"))
+    val ref = rows.select(col("id"),
+      size(array_intersect(col("a"), col("b"))).as("o"))
+    assert(collectSorted(nat) == collectSorted(ref))
+  }
+
+  test("setjoin: native prefix expansion == HOF; operator output unchanged") {
+    val rnd = new scala.util.Random(29)
+    val words = ('a' to 'p').map(_.toString)
+    // clumps: 20 base docs, each repeated 4× with the LAST token
+    // mutated on some copies — real ≥ 0.5-jaccard pairs exist
+    val docs = (0 until 80).map { i =>
+      val clumpRnd = new scala.util.Random(i / 4)
+      val base = (0 until 10 + clumpRnd.nextInt(4))
+        .map(_ => words(clumpRnd.nextInt(words.length)))
+      val mutated =
+        if (i % 4 < 2) base
+        else base.init :+ words(rnd.nextInt(words.length))
+      (i.toLong, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    val buckets = DedupOps.setJoinBuckets(docs, 0.5)
+    val nat = buckets
+      .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.PrefixCandidatePairs(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("es")),
+          0.5, 1e-9))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val hof = DedupOps.setJoinExpandHof(buckets, 0.5)
+    assert(collectSorted(nat) == collectSorted(hof))
+    // end-to-end: the full operator still returns a non-trivial result
+    // (the oracle pins exact values; this pins non-degeneracy)
+    assert(DedupOps.similarityJoinExact(docs, 0.5).count() > 0)
+  }
+
   test("table-range union == from-scratch rebuild (escalation identity)") {
     val corpus = SimilarityOps.withNorm(randomCorpus(11, 80, 16))
     val full = SimilarityOps.nearDupPairsLsh(corpus, 0.2,
