@@ -51,7 +51,7 @@ object RecallProbe {
   def main(args: Array[String]): Unit = {
     val (mode, rest) =
       if (args.nonEmpty && Set("knn", "lsh", "minhash", "ivf", "cross",
-        "escbench")(args.head))
+        "escbench", "setjoin")(args.head))
         (args.head, args.tail)
       else ("knn", args)
     val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
@@ -172,6 +172,23 @@ object RecallProbe {
             f"($nPairs pairs); SLIM build+persist $buildSlimS%.2f s " +
             f"($slimB bytes = $ratio), " +
             f"probe $probeSlimS%.2f s ($nPairsSlim pairs) in $secs total")
+        case "setjoin" =>
+          // phase-count probe for the exact set-similarity join (r17:
+          // prices the indexing-prefix candidate tightening): shingle
+          // rows, per-doc sets, prefix rows, pre-distinct expansion
+          // volume, verify candidates, and the final output count.
+          val threshold = rest.lift(1).map(_.toDouble).getOrElse(0.5)
+          val docs = etl.Ingest.table(spark, dir, "documents")
+            .select(col("doc_id"), col("text"))
+          ops.DedupOps.probeSetJoinCounts(docs, threshold).foreach {
+            case (name, n, s) =>
+              println(f"[recall-probe] setjoin $name: $n ($s%.2f s)")
+          }
+          println(s"[recall-probe] setjoin pre_distinct: " +
+            s"${ops.DedupOps.probeSetJoinPreDistinct(docs, threshold)}")
+          println(s"[recall-probe] setjoin output_pairs: " +
+            s"${ops.DedupOps.similarityJoinExact(docs, threshold).count()} " +
+            s"in $secs")
         case "escbench" =>
           // r16 (verdict item 3): price the incremental escalation —
           // the old head-recall escalation rebuilt the pair surface

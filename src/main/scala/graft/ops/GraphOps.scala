@@ -109,9 +109,13 @@ object GraphOps {
             lit(damping) * (coalesce(col("s"), zero).cast("double") +
               col("dm").cast("double") / col("n_nodes")), 6).as("rank"))
         // contribs AND the dangling mass both read each iterate: the
-        // eager checkpoint stops the 2-way reference from doubling
-        // evaluation per iteration (2^iters)
-        .localCheckpoint(true)
+        // checkpoint stops the 2-way reference from doubling evaluation
+        // per iteration (2^iters). r17: LAZY — materializes (and
+        // truncates lineage) when the final action first computes it,
+        // saving one driver job barrier per iteration; both consumers
+        // then read the materialized blocks exactly as with the eager
+        // form (measured at sf0.1 and ×10, OPTIMIZATION_r17.md)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -197,9 +201,10 @@ object GraphOps {
             lit(damping) * coalesce(col("s"), zero).cast("double"),
             6).as("rank"))
         // each iterate feeds BOTH the next contribution join and the
-        // next dangling mass — without the eager checkpoint the 2-way
-        // reference doubles evaluation per iteration (2^iters)
-        .localCheckpoint(true)
+        // next dangling mass — without the checkpoint the 2-way
+        // reference doubles evaluation per iteration (2^iters).
+        // r17: LAZY, same rationale as [[pagerankDirected]]'s loop
+        .localCheckpoint(false)
     }
     nodes.join(ranks, Seq("node"))
       .select(col("node"), col("is_seed"), col("rank"))

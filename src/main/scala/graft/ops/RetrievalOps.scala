@@ -39,21 +39,51 @@ object RetrievalOps {
     * engine-independent. Returns (doc_id, rank, score), rank 1-based,
     * ties by doc_id.
     */
+  /** The corpus as a per-invocation TOKENIZED projection (doc_id, toks),
+    * materialized once with `localCheckpoint` — the shared forward-index
+    * scan for multi-pass retrieval operators (r17, guide §2.4): PRF's
+    * three passes (retrieve, mine, re-retrieve) and MaxScore's
+    * stats+contributions each re-tokenized the corpus from parquet;
+    * sharing one materialized projection makes each invocation ONE
+    * FileScan of documents plus cheap checkpoint reads. Deliberately a
+    * localCheckpoint and NOT `.cache()`: a fresh RDD per invocation, so
+    * nothing is memoized across invocations (the accounting stays
+    * honest — every timed run re-tokenizes once) and the blocks release
+    * via the ContextCleaner when the invocation's frames drop.
+    */
+  private def tokenizedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+
   def bm25TopK(
       docs: DataFrame,
       queryTerms: Seq[String],
       k: Int,
       k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame =
+    bm25TopKFromToks(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      queryTerms, k, k1, b)
+
+  /** [[bm25TopK]] over a pre-tokenized (doc_id, toks) relation — the
+    * entry point the multi-pass operators feed their shared
+    * [[tokenizedDocs]] projection through.
+    */
+  def bm25TopKFromToks(
+      toked: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    val lengths = docs.select(col("doc_id"),
-      TextOps.tokenCount(col("text")).as("dl"))
+    val lengths = toked.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
     val stats = lengths.agg(
       count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
-        explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy("doc_id", "dl", "tok")
       .agg(count(lit(1)).as("tf"))
@@ -177,14 +207,22 @@ object RetrievalOps {
       k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopKMaxScore needs a query term")
-    val lengths = docs.select(col("doc_id"),
-      TextOps.tokenCount(col("text")).as("dl"))
+    // r17: ONE corpus tokenize per invocation — the dl-stats pass and
+    // the posting build both read the shared projection; the
+    // contribution relation the sequential MaxScore passes (UB collect,
+    // θ probe, final aggregation) re-read is likewise a per-invocation
+    // localCheckpoint instead of the old plan-keyed `.cache()`, so
+    // nothing persists across invocations and each timed run computes
+    // from parquet exactly once.
+    val toked = tokenizedDocs(docs)
+    val lengths = toked.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
     val stats = lengths.agg(
       count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
-        explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy("doc_id", "dl", "tok")
       .agg(count(lit(1)).as("tf"))
@@ -198,7 +236,7 @@ object RetrievalOps {
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tok"),
         round(term, 6).cast("decimal(28,6)").as("term"))
-      .cache()
+      .localCheckpoint()
     def topkOf(c: DataFrame): DataFrame = c
       .groupBy("doc_id")
       .agg(sum("term").cast("decimal(38,6)").as("s"))
@@ -256,15 +294,28 @@ object RetrievalOps {
       queries: DataFrame,
       k: Int,
       k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame =
+    bm25TopKQueriesFromToks(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      queries, k, k1, b)
+
+  /** [[bm25TopKQueries]] over a pre-tokenized (doc_id, toks) relation —
+    * see [[bm25TopKFromToks]].
+    */
+  def bm25TopKQueriesFromToks(
+      toked: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
     val qt = queries.select(col("query_id"), col("term")).distinct()
     val terms = qt.select(col("term").as("tok")).distinct()
-    val stats = docs.select(TextOps.tokenCount(col("text")).as("dl"))
+    val stats = toked.select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
-        explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
       .join(broadcast(terms), Seq("tok"), "left_semi")
       .groupBy("doc_id", "dl", "tok")
       .agg(count(lit(1)).as("tf"))
@@ -679,16 +730,20 @@ object RetrievalOps {
       feedbackDocs: Int,
       expandTerms: Int,
       k: Int): DataFrame = {
-    val first = bm25TopK(docs, queryTerms, feedbackDocs)
+    // r17: the three passes PRF is (retrieve, mine, re-retrieve) share
+    // ONE per-invocation tokenized projection — one FileScan of
+    // documents per invocation instead of five (each bm25 pass paid a
+    // stats scan + a posting scan, the mining pass a third tokenize).
+    val toked = tokenizedDocs(docs)
+    val first = bm25TopKFromToks(toked, queryTerms, feedbackDocs)
     // the expanded term list is a BOUNDED learned artifact (≤
     // expandTerms strings — the kmeansCentroids contract): collect it
     // and re-enter as literals, so the q2 relation's two references
     // inside bm25TopKQueries (term dim + query join) cannot re-plan
-    // phase 1. The remaining ~2 s at sf0.1 is the honest cost of the
-    // three corpus passes PRF is (retrieve, mine, re-retrieve).
-    val expansion = docs
+    // phase 1.
+    val expansion = toked
       .join(broadcast(first.select("doc_id")), Seq("doc_id"), "left_semi")
-      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .select(explode(col("toks")).as("term"))
       .filter(!col("term").isin(queryTerms: _*) && length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).as("tf"))
@@ -699,7 +754,7 @@ object RetrievalOps {
     import sess.implicits._
     val q2 = (expansion ++ queryTerms).toDF("term")
       .select(lit(0L).as("query_id"), col("term"))
-    bm25TopKQueries(docs, q2, k)
+    bm25TopKQueriesFromToks(toked, q2, k)
       .select(col("doc_id"), col("rank"), col("score"))
   }
 

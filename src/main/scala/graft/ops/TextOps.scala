@@ -401,13 +401,26 @@ object TextOps {
       (col("c").cast("double") - lit(discount)) / col("cv").cast("double") +
         lit(discount) * col("n1v").cast("double") / col("cv").cast("double") *
           (col("n1w").cast("double") / col("n1all").cast("double"))
+    // r17: the model the scoring join reads is the FULLY-FOLDED
+    // per-(v,w) log-probability table, cached as one artifact — ln P is
+    // a function of (v,w) alone, the same double for every doc, so
+    // folding it into the cached model changes nothing downstream while
+    // a warm invocation drops from four model-side jobs + broadcasts
+    // (pc hit, lm, rm, tt re-aggregated per call) to ONE broadcast of
+    // this table: the scoring plan is explode → per-doc tf aggregate →
+    // one broadcast join → per-doc sum. Still vocab²-bounded (same row
+    // count as pc).
+    val model = pc
+      .join(lm, Seq("v"))
+      .join(rm, Seq("w"))
+      .crossJoin(tt)
+      .select(col("v"), col("w"), log(p).as("lnp"))
+      .cache()
     tf
-      .join(pc, Seq("v", "w"))
-      .join(broadcast(lm), Seq("v"))
-      .join(broadcast(rm), Seq("w"))
-      .crossJoin(broadcast(tt))
+      .join(broadcast(model), Seq("v", "w"))
       .select(col("doc_id"), col("tf"),
-        round(col("tf") * log(p) * lit(1000000.0)).cast("long").as("term_u"))
+        round(col("tf") * col("lnp") * lit(1000000.0)).cast("long")
+          .as("term_u"))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_bigrams"),
         sum("term_u").as("kn_sum_micro"))

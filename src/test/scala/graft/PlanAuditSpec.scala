@@ -684,11 +684,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // pass 1 scores the seed query, pass 2 rescans with the expanded
     // term list; the feedback mining is semi-join-bounded and every
     // join (term semi-joins, avgdl dim, expansion terms) is broadcast;
-    // per-doc top-k rides WindowGroupLimit
+    // per-doc top-k rides WindowGroupLimit. r17: all passes read the
+    // per-invocation tokenized localCheckpoint projection — documents
+    // is FileScanned exactly once (at the checkpoint build, outside
+    // this final plan), so the returned plan carries ONLY checkpoint
+    // scans, zero parquet scans.
     val p = plan("ret_prf_expand")
     assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
-    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 3,
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 0,
       p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("Scan ExistingRDD"),
+      "expected the shared tokenized checkpoint projection in the plan")
     assert(p.contains("WindowGroupLimit"))
   }
 

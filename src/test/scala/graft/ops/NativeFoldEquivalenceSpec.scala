@@ -124,6 +124,43 @@ class NativeFoldEquivalenceSpec extends AnyFunSuite {
     assert(native.count() > 0, "degenerate test corpus: no pairs at all")
   }
 
+  test("lshPairsCore: zero-norm NaN-cosine pairs survive identically " +
+    "(the edge an ANSI-divide restructure would break)") {
+    // r17 regression pin from the measured-and-rejected SLIM collect
+    // (OPTIMIZATION_r17.md): any restructure that moves the cosine out
+    // of the in-bucket native into a Column-level divide hits ANSI
+    // DIVIDE_BY_ZERO on zero-norm vectors, where the native's Java
+    // division yields NaN — which then SURVIVES the nan-safe >=
+    // threshold. This pins the operator's NaN surface against the
+    // in-bucket native reference on a corpus containing a zero vector.
+    val base = randomCorpus(31, 70, 16)
+    val corpus = SimilarityOps.withNorm(
+      base.unionAll(Seq((70L, Seq.fill(16)(0.0))).toDF("vec_id", "embedding")))
+    val sigs = SimilarityOps.lshAutoSignatureStage(corpus, tables = 4)
+    val members = SimilarityOps.lshBucketMembers(
+      sigs, targetBucket = 8, tables = 4,
+      maxBucket = DedupOps.DefaultMaxBucket, probes = 2)
+    // reference = the r16 in-bucket fused native (LshBucketPairs) over
+    // the FAT member frame — the HOF column chain would itself raise
+    // under ANSI on the zero divisor; the in-bucket native's Java
+    // division is the semantics the operator always had
+    val ref = members
+      .select(col("t"), explode(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.LshBucketPairs(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("ms")),
+            0.2, cross = false))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.cos").as("cos"))
+      .groupBy("vec_a", "vec_b")
+      .agg(round(max(col("cos")), 6).as("cos_sim"))
+    val native = SimilarityOps.nearDupPairsLshFrom(
+      sigs, 0.2, targetBucket = 8, tables = 4, probes = 2)
+    assert(collectSorted(native) == collectSorted(ref))
+    assert(native.filter(isnan(col("cos_sim"))).count() > 0,
+      "zero-norm vector produced no NaN pair — edge case not exercised")
+  }
+
   test("lsh cross mode: native bucket expansion == HOF chain") {
     val all = SimilarityOps.withNorm(randomCorpus(7, 60, 16))
     val existing = all.filter(col("vec_id") % 2 === 0)
@@ -239,6 +276,46 @@ class NativeFoldEquivalenceSpec extends AnyFunSuite {
     // end-to-end: the full operator still returns a non-trivial result
     // (the oracle pins exact values; this pins non-degeneracy)
     assert(DedupOps.similarityJoinExact(docs, 0.5).count() > 0)
+  }
+
+  test("setjoin: operator == brute-force jaccard join " +
+    "(no false negatives, ground truth)") {
+    // r17: ground-truth pin added while evaluating candidate-volume
+    // tightenings (the PPJoin indexing-prefix filter measured ZERO
+    // candidate reduction — it is provably subsumed by the positional
+    // bound, see OPTIMIZATION_r17.md — and was not kept). Any future
+    // candidate pruning must keep this exact equality on clumped
+    // corpora at two thresholds.
+    Seq(0.5, 0.7).foreach { t =>
+      val rnd = new scala.util.Random(41)
+      val words = ('a' to 'r').map(_.toString)
+      val docs = (0 until 90).map { i =>
+        val clumpRnd = new scala.util.Random(i / 3)
+        val base = (0 until 8 + clumpRnd.nextInt(7))
+          .map(_ => words(clumpRnd.nextInt(words.length)))
+        val mutated =
+          if (i % 3 == 0) base
+          else base.init :+ words(rnd.nextInt(words.length))
+        (i.toLong, mutated.mkString(" "))
+      }.toDF("doc_id", "text")
+      // ground truth: every doc pair's exact jaccard over distinct
+      // 3-shingles, no candidate pruning anywhere
+      val sets = docs.select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
+          .as("sh"))
+      val brute = sets.as("x").join(sets.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          size(array_intersect(col("x.sh"), col("y.sh"))).as("nc"),
+          size(col("x.sh")).as("na"), size(col("y.sh")).as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("nc") / (col("na") + col("nb") - col("nc"))
+            .cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= t)
+      val op = DedupOps.similarityJoinExact(docs, t)
+      assert(collectSorted(op) == collectSorted(brute), s"t=$t")
+      assert(op.count() > 0, s"degenerate corpus at t=$t")
+    }
   }
 
   test("table-range union == from-scratch rebuild (escalation identity)") {
