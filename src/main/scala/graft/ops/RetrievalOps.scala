@@ -669,6 +669,17 @@ object RetrievalOps {
       .select(size(col("ctoks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    // r17: tf (the query-term-filtered per-chunk posting aggregate —
+    // tiny, term-bounded) is consumed twice (the df pass and the
+    // scoring pass); as a plain val each reference re-expanded the
+    // whole chunk+tokenize subtree from parquet, so the operator paid
+    // THREE corpus chunk passes (stats, tf→df, tf→score). A
+    // per-invocation localCheckpoint of tf collapses the two tf
+    // references into one pass: 3 corpus scans → 2, materializing only
+    // the small filtered aggregate (checkpointing the corpus-sized
+    // chunk relation itself was measured 1.5× WORSE at ×100 — chunk
+    // overlap expands the corpus, so that materialization costs more
+    // than the scan it saves; probe numbers in OPTIMIZATION_r17.md).
     val tf = chunked
       .select(col("doc_id"), col("cs"),
         size(col("ctoks")).cast("long").as("dl"),
@@ -676,6 +687,7 @@ object RetrievalOps {
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy("doc_id", "cs", "dl", "tok")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val idf = log(
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)

@@ -698,6 +698,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("ret_passage_topk: tf checkpoint shared — stats is the only corpus scan") {
+    // r17: tf (the query-term-filtered per-chunk posting aggregate) is
+    // consumed by both the df pass and the scoring pass; as a plain val
+    // each reference re-expanded the whole chunk+tokenize subtree, so
+    // the operator paid THREE corpus chunk passes. With tf
+    // localCheckpoint'd the returned plan carries exactly ONE parquet
+    // scan (the stats pass — its global chunk count/avgdl need all
+    // chunks and cannot derive from the filtered tf) plus checkpoint
+    // scans; best-passage still prunes through WindowGroupLimit and no
+    // join degrades to SMJ. (Checkpointing the corpus-sized chunk
+    // relation itself was measured 1.5× worse at ×100 and rejected.)
+    val p = plan("ret_passage_topk")
+    assert(countOf(p, "\\(\\d+\\) Scan parquet") == 1,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("Scan ExistingRDD"),
+      "expected the shared tf checkpoint in the plan")
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("dedup_winnow_pairs: fingerprint-bounded in-row expansion, zero joins") {
     // the candidate generator groups by fp (df cap filters boilerplate
     // BEFORE the expansion) and explodes pairs in-row — the pair count
