@@ -2063,21 +2063,82 @@ object SimilarityOps {
         col("best").getField("d").as("d2"))
   }
 
+  /** Max per-label cell occupancy — the routing statistic for
+    * [[nearDupPairs]]'s two arms (ONE column-pruned scan + one tiny
+    * aggregation; the hot-key guard checks the same per-cell n at
+    * expansion time — this is its cost-model twin, measured BEFORE
+    * choosing a plan, the [[DedupOps.inBlockPairCount]] pattern).
+    */
+  def maxLabelCell(corpus: DataFrame): Long =
+    corpus.select(col("label"))
+      .groupBy("label").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max(col("__n")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+
+  /** The distributed arm of [[nearDupPairs]] for corpora whose label
+    * cells exceed the collect ceiling: the IDENTICAL pair surface via a
+    * null-safe label-keyed self-join (vec_a < vec_b orients pairs
+    * exactly like the collect arm's sort_array order — vec_id leads the
+    * member struct and is unique). The corpus is scanned twice and the
+    * in-cell quadratic runs as join-task work spread across the
+    * cluster instead of inside one collected row — no single task ever
+    * holds a cell, so cells past [[DedupOps.DefaultMaxBucket]] compute
+    * instead of raising. The per-pair math is the same
+    * `cosine(ea,eb,na,nb)` expression, so the emitted rows hash-replay
+    * bit-for-bit against the collect arm (property-pinned in
+    * NearDupRegimeSpec).
+    */
+  private def nearDupPairsJoined(
+      corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("label").as("__la"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = corpus.select(col("label").as("__lb"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("__la") <=> col("__lb"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-dup pairs within a bucket: same-label pairs
     * above a cosine threshold. Bucketed self-join — quadratic only within
     * cells.
+    *
+    * r17 (the ×100 probe's finding): label blocking is FIXED-cardinality
+    * (see the auto-sized-LSH header above) — cell occupancy grows ∝ n,
+    * so at ×100 the collect arm's hot-cell guard fired by name and the
+    * operator could not run at all. Cost-routed now (the
+    * [[DedupOps.editDistancePairsAuto]] regime pattern): the measured
+    * max cell size picks the collect arm (one scan + one shuffle,
+    * optimal while cells fit) or the join arm ([[nearDupPairsJoined]],
+    * scan-twice but cell-size-unbounded) — identical pairs either way,
+    * so the choice is pure cost. The statistic is session-memoized per
+    * caller-supplied key (the editdist `volumeCacheKey` pattern — a
+    * routing long, never a result); callers without a stable input
+    * identity keep measured-per-call.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      cellStatCacheKey: Option[String] = None): DataFrame = {
+    val maxCell = cellStatCacheKey match {
+      case Some(key) => ModelCache.cached(s"$key|nearDupMaxCell") {
+        java.lang.Long.valueOf(maxLabelCell(corpus))
+      }.longValue()
+      case None => maxLabelCell(corpus)
+    }
+    if (maxCell > maxBucket) return nearDupPairsJoined(corpus, threshold)
     // Same single-branch shape as DedupOps.candidatePairs: ONE corpus
     // scan + one shuffle on the cell key, pairs expanded from collected
     // in-cell member lists (a self-join plans the corpus scan twice —
     // measured, and AQE did not reuse the exchanges). Cell size bounds
     // both the collected list and the quadratic expansion — enforced by
-    // the same hot-bucket ceiling as candidatePairs (a degenerate cell
-    // fails by name instead of OOMing its task; measured in the 10×
-    // scale run, where verbatim embedding copies densified one cell
-    // 100×).
+    // the same hot-bucket ceiling as candidatePairs (kept: the guard
+    // now only backstops a cell that grows between the routing read and
+    // expansion).
     val members = corpus
       .groupBy("label")
       .agg(sort_array(collect_list(

@@ -1548,7 +1548,8 @@ object PipelineQueries {
     }),
 
     "dedup_embedding" -> ((s, dir) =>
-      SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)),
+      SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold,
+        cellStatCacheKey = Some(s"$dir|neardup"))),
 
     // the SCALE-PATH twin of dedup_embedding: candidates from
     // auto-sized LSH signature-prefix buckets (bucket count grows with
@@ -2892,7 +2893,8 @@ object PipelineQueries {
       // bounded) are each read twice downstream — cache both so the
       // embeddings corpus is scanned once and the documents corpus once
       // (8 planned scans collapse to 2)
-      val pairs = SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold)
+      val pairs = SimilarityOps.nearDupPairs(normed(s, dir), NearDupThreshold,
+        cellStatCacheKey = Some(s"$dir|neardup"))
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
           col("cos_sim"))
         .cache()

@@ -253,11 +253,12 @@ class SimilaritySessionSpec extends AnyFunSuite {
     val pairs = SimilarityOps.nearDupPairs(c, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L))) // 3-4 same label but cos<0.9
-    // a degenerate cell above the ceiling fails by name, not by OOM
-    val e = intercept[Exception] {
-      SimilarityOps.nearDupPairs(c, 0.9, maxBucket = 1).collect()
-    }
-    assert(e.getMessage.contains("nearDupPairs cell"), e.getMessage)
+    // r17: a cell above the collect ceiling no longer raises — the
+    // selector routes it to the join arm, which emits the same pairs
+    // (arm equality pinned in NearDupRegimeSpec)
+    val routed = SimilarityOps.nearDupPairs(c, 0.9, maxBucket = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == pairs)
   }
 
   test("nearDupPairsLsh: exact dups always collide; precision is exact; guard raises") {
