@@ -344,8 +344,8 @@ object ProfileOps {
         val part = coalesce(col(k).cast("string"), lit("\u0000"))
         concat(length(part).cast("string"), lit(":"), part)
       }: _*)
-    val h = conv(substring(md5(concat(lit(salt + ":"), keyStr)), 1, 4),
-      16, 10).cast("long")
+    val h = graft.expressions.Md5PrefixLong.draw(
+      concat(lit(salt + ":"), keyStr), 4)
     val u = (h.cast("double") * 2 + 1) / lit(131072.0)
     val cen = u - lit(0.5)
     val noise = lit(-1.0 / epsilon) * signum(cen) *
@@ -461,6 +461,28 @@ object ProfileOps {
   def corrCard(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrCard needs at least two columns")
     def v(c: String) = round(col(c).cast("double"), 6).cast("decimal(18,6)")
+    // one native moment pass over exact micro-longs (128-bit MACs)
+    // instead of 2k + k(k−1)/2 wide-decimal sums — the BigDecimal
+    // accumulator path was the whole cost of the query; values are
+    // bit-identical (CorrMomentsSpec pins agg == composed decimal sums,
+    // corrCardComposed below is the kept reference form)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val mm = ColumnBridge.column(
+      graft.expressions.CorrMomentsAgg(
+        cols.map(c => ColumnBridge.expression(v(c))), cols)
+        .toAggregateExpression())
+    val m = df.agg(mm.as("mm")).select(col("mm.*"))
+    corrPairsFromMoments(m, cols)
+  }
+
+  /** The pre-r17 composable moment pass — decimal products summed by
+    * Spark's `sum` — kept as the equivalence reference for
+    * [[graft.expressions.CorrMomentsAgg]] (CorrMomentsSpec pins the
+    * two bit-equal).
+    */
+  def corrCardComposed(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrCard needs at least two columns")
+    def v(c: String) = round(col(c).cast("double"), 6).cast("decimal(18,6)")
     val momentAggs =
       count(lit(1)).as("n") +:
         cols.flatMap(c => Seq(
@@ -470,6 +492,13 @@ object ProfileOps {
           sum(v(a) * v(b)).as(s"sxy_${a}_$b")
         }
     val m = df.agg(momentAggs.head, momentAggs.tail: _*)
+    corrPairsFromMoments(m, cols)
+  }
+
+  /** Shared Pearson tail: the fixed-order double arithmetic over the
+    * exact moment row (whichever pass produced it).
+    */
+  private def corrPairsFromMoments(m: DataFrame, cols: Seq[String]): DataFrame = {
     val dn = col("n").cast("double")
     def d(name: String) = col(name).cast("double")
     val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
@@ -622,7 +651,7 @@ object ProfileOps {
       groupCol: String,
       reprCols: Seq[String]): DataFrame = {
     val rowRepr = concat_ws("|", reprCols.map(col): _*)
-    val h = conv(substring(md5(rowRepr), 1, 12), 16, 10).cast("long")
+    val h = graft.expressions.Md5PrefixLong.draw(rowRepr, 12)
     df.groupBy(groupCol)
       .agg(count(lit(1)).as("n_rows"),
         sum(h.cast("decimal(38,0)")).as("s"))

@@ -590,9 +590,8 @@ object RetrievalOps {
       val na = acc.getField("na")
       val nb = acc.getField("nb")
       val picked = transform(out, e => e.getField("d"))
-      val coin = conv(substring(md5(concat(
-        col("query_id").cast("string"), lit(":"), i.cast("string"))),
-        1, 1), 16, 10).cast("long") % 2
+      val coin = graft.expressions.Md5PrefixLong.draw(concat(
+        col("query_id").cast("string"), lit(":"), i.cast("string")), 1) % 2
       val aTurn = na < nb || (na === nb && coin === 0)
       val ca = filter(col("la"), d => !array_contains(picked, d))
       val cb = filter(col("lb"), d => !array_contains(picked, d))

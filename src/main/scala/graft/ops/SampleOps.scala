@@ -24,7 +24,7 @@ object SampleOps {
 
   /** Uniform draw in [0, HashSpace) from the row key. */
   def hashDraw(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    graft.expressions.Md5PrefixLong.draw(key.cast("string"), 4)
 
   /** Deterministic 3-way split label for a key: the [[hashDraw]] draw
     * against cumulative fraction thresholds. A pure scan-side expression

@@ -31,8 +31,8 @@ object SketchOps {
     * key as a uniform 32-bit draw, reduced mod the width.
     */
   def cmsBucket(key: Column, r: Int, width: Int = CmsWidth): Column =
-    conv(substring(md5(concat(lit(s"$r:"), key.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % width
+    graft.expressions.Md5PrefixLong.draw(
+      concat(lit(s"$r:"), key.cast("string")), 8) % width
 
   /** Build the sketch: one scan-side explode onto the d rows, one
     * aggregation shuffle. Output (r, b, c) — at most d×w rows total.
@@ -132,7 +132,7 @@ object SketchOps {
     * SampleOps.hashDraw md5 convention, 8 hex chars wide.
     */
   def hllDraw(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    graft.expressions.Md5PrefixLong.draw(key.cast("string"), 8)
 
   /** Register index: the draw's top HllP bits. */
   def hllIdx(h: Column): Column = shiftright(h, HllW)

@@ -18,10 +18,13 @@ object TextOps {
 
   /** Feature-hashing bucket for a token: first 4 hex digits of md5, mod
     * `dim` — exact integer math any engine can replay (the DuckDB oracle
-    * uses the same digits), unlike Spark's Murmur3 `hash()`.
+    * uses the same digits), unlike Spark's Murmur3 `hash()`. Served by
+    * the native [[graft.expressions.Md5PrefixLong]] (bit-identical to
+    * the composed conv∘substring∘md5 form, which paid a hex-string
+    * round trip per token).
     */
   def hashBucket(tok: Column, dim: Int): Column =
-    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % dim
+    graft.expressions.Md5PrefixLong.draw(tok, 4) % dim
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
@@ -257,8 +260,7 @@ object TextOps {
       .select(col("doc_id"),
         posexplode(shingles(col("toks"), k)).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
-        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long")
-          .as("h"))
+        graft.expressions.Md5PrefixLong.draw(col("gram"), 12).as("h"))
       .select(col("doc_id"),
         min(struct(col("h"), (-col("p")).as("np"))).over(frame).as("sel"),
         count(lit(1)).over(frame).as("cnt"))
@@ -318,8 +320,9 @@ object TextOps {
   def spanCorrupt(docId: Column, toks: Column, spanLen: Int,
       pct: Int): Column = {
     def masked(s: Column): Column =
-      (conv(substring(md5(concat(docId.cast("string"), lit(":"),
-        s.cast("string"))), 1, 4), 16, 10).cast("long") % 100) < pct
+      (graft.expressions.Md5PrefixLong.draw(
+        concat(docId.cast("string"), lit(":"), s.cast("string")), 4)
+        % 100) < pct
     def sentinel(k: Column): Column =
       concat(lit("<extra_id_"), k.cast("string"), lit(">"))
     def spanToks(s: Column): Column =
