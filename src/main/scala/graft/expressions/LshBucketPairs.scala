@@ -164,3 +164,118 @@ object LshBucketPairs {
     new GenericArrayData(buf.toArray)
   }
 }
+
+/** The label-cell variant of [[LshBucketPairs]] — same fused
+  * expand+cosine+threshold loop over a sorted member array, WITHOUT the
+  * LSH probe rule (label cells have no probe keys): every (i, j > i)
+  * pair whose cosine clears `threshold` (nan-safe `>=`, exactly the
+  * composed chain's filter) as (vec_a, vec_b, cos) structs.
+  *
+  * Replaces the interpreted `transform(slice(...))` expansion in
+  * `SimilarityOps.nearDupPairs`'s collect arm, which materialized a
+  * struct carrying BOTH 64-double embeddings per candidate pair before
+  * the cosine ran — at ×100 cell occupancy (the honest in-cell
+  * quadratic) that allocation is the wall. Values are bit-identical:
+  * same left-to-right double dot ([[VectorDotProduct]] order), same
+  * division by the precomputed norm product, same pair orientation
+  * from the same sorted array (CellCosinePairsSpec pins native ==
+  * composed on random cells, including the zero-norm NaN edge).
+  *
+  * Input: array<struct<vec_id: bigint, embedding: array<float|double>,
+  * nrm: double>>. Returns array<struct<vec_a, vec_b, cos>>.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(ms) - threshold-surviving cosine pairs of a sorted cell member array.")
+case class CellCosinePairs(child: Expression, threshold: Double)
+    extends UnaryExpression {
+
+  private def fields: Option[Array[StructField]] = child.dataType match {
+    case ArrayType(StructType(fs), _) => Some(fs)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = fields match {
+    case Some(fs) if fs.length == 3 &&
+        fs(0).dataType == LongType && fs(2).dataType == DoubleType &&
+        (fs(1).dataType match {
+          case ArrayType(FloatType | DoubleType, _) => true
+          case _ => false
+        }) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cell_cosine_pairs requires array<struct<bigint, array<float|double>, " +
+        s"double>>, got ${child.dataType.simpleString}")
+  }
+
+  private lazy val elemFloat: Boolean =
+    fields.exists(fs => fs(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+
+  override def dataType: DataType = LshBucketPairs.OutType
+  override def prettyName: String = "cell_cosine_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CellCosinePairs.pairs(input.asInstanceOf[ArrayData], threshold, elemFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.CellCosinePairs.pairs(" +
+        s"$c, $threshold, $elemFloat);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CellCosinePairs = copy(child = newChild)
+}
+
+object CellCosinePairs {
+
+  def pairs(ms: ArrayData, threshold: Double, elemFloat: Boolean): ArrayData = {
+    val m = ms.numElements()
+    val ids = new Array[Long](m)
+    val embs = new Array[ArrayData](m)
+    val nrms = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val r = ms.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      embs(i) = r.getArray(1)
+      nrms(i) = r.getDouble(2)
+      i += 1
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var a = 0
+    while (a < m) {
+      var b = a + 1
+      while (b < m) {
+        val ea = embs(a)
+        val eb = embs(b)
+        val n = math.min(ea.numElements(), eb.numElements())
+        var d = 0.0
+        var j = 0
+        if (elemFloat) {
+          while (j < n) {
+            d += ea.getFloat(j).toDouble * eb.getFloat(j).toDouble
+            j += 1
+          }
+        } else {
+          while (j < n) {
+            d += ea.getDouble(j) * eb.getDouble(j)
+            j += 1
+          }
+        }
+        val den = nrms(a) * nrms(b)
+        // the composed chain divides via Spark's ANSI `/`, which raises
+        // on a zero divisor (zero-norm member) — replicate it exactly;
+        // CellCosinePairsSpec pins both forms raising together
+        if (den == 0.0)
+          throw org.apache.spark.sql.graft.ColumnBridge.divideByZeroError()
+        val cos = d / den
+        if (cos >= threshold || java.lang.Double.isNaN(cos))
+          buf += new GenericInternalRow(Array[Any](ids(a), ids(b), cos))
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+}

@@ -159,10 +159,9 @@ object DedupOps {
         col("ids"), size(col("ids")).cast("long"),
         concat(col("band").cast("string"), lit(":"), col("h").cast("string")),
         maxBucket.toLong, "candidatePairs bucket").as("ids"))
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(explode(
+        graft.expressions.ArrayUnorderedPairs.of(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
   /** [[minhashPairsAtRecall]]'s result: the candidate-pair surface plus
@@ -356,13 +355,10 @@ object DedupOps {
         maxPerBlock, "editDistancePairs").as("ms"))
       .filter(size(col("ms")) > 1)
     members
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
-          struct(a.getField("doc_id").as("doc_a"),
-            b.getField("doc_id").as("doc_b"),
-            a.getField("__s").as("sa"), b.getField("__s").as("sb")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"),
-        levenshtein(col("p.sa"), col("p.sb"), maxDist).as("dist"))
+      .select(explode(
+        graft.expressions.ArrayUnorderedPairs.of(col("ms"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        levenshtein(col("p.a.__s"), col("p.b.__s"), maxDist).as("dist"))
       // threshold form returns -1 past maxDist — exclude it with the
       // same predicate shape the oracle's plain levenshtein uses
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
@@ -625,13 +621,10 @@ object DedupOps {
         maxPerBlock, "jaroPairs").as("ms"))
       .filter(size(col("ms")) > 1)
     members
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
-          struct(a.getField("doc_id").as("doc_a"),
-            b.getField("doc_id").as("doc_b"),
-            a.getField("__s").as("sa"), b.getField("__s").as("sb")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"),
-        jw(col("p.sa"), col("p.sb")).as("jw_micro"))
+      .select(explode(
+        graft.expressions.ArrayUnorderedPairs.of(col("ms"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        jw(col("p.a.__s"), col("p.b.__s")).as("jw_micro"))
       .filter(col("jw_micro") >= minMicro)
   }
 
@@ -687,10 +680,9 @@ object DedupOps {
       .groupBy("fp")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) between (2, maxDf))
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
-          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(explode(
+        graft.expressions.ArrayUnorderedPairs.of(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
@@ -725,8 +717,7 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(TextOps.shingles(col("toks"), k)).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
-        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long")
-          .as("h"))
+        graft.expressions.Md5PrefixLong.draw(col("gram"), 12).as("h"))
       .select(col("doc_id"), col("p"), col("h"),
         coalesce(
           sum(when(pmod(col("h"), lit(divisor)) === 0, 1L).otherwise(0L))
@@ -1466,12 +1457,10 @@ object DedupOps {
       .groupBy("blk", "key")
       .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(flatten(transform(col("members"), (a, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))), b =>
-          struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
-            a.getField("simhash").as("sim_a"), b.getField("simhash").as("sim_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"),
-        expr("bit_hamming(p.sim_a, p.sim_b)").as("hamming"))
+      .select(explode(
+        graft.expressions.ArrayUnorderedPairs.of(col("members"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        expr("bit_hamming(p.a.simhash, p.b.simhash)").as("hamming"))
       .distinct()
       // between, not <=: bit_hamming returns -1 on length mismatch, which
       // must reject the pair rather than count as "0 bits apart"

@@ -2147,6 +2147,28 @@ object SimilarityOps {
       .select(graft.ops.SessionOps.hotKeyGuarded(
         col("ms"), size(col("ms")).cast("long"), col("label").cast("string"),
         maxBucket.toLong, "nearDupPairs cell").as("ms"))
+    // r17: fused native expand+cosine+threshold ([[CellCosinePairs]],
+    // the LshBucketPairs pattern without the probe rule) — the HOF
+    // form below ([[cellPairsHof]]) materialized a struct carrying both
+    // 64-double embeddings per CANDIDATE pair before the cosine ran;
+    // at ×100 cell occupancy that allocation was the wall. Survivors
+    // only reach the explode; values bit-identical (CellCosinePairsSpec).
+    members
+      .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.CellCosinePairs(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("ms")),
+          threshold))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        round(col("p.cos"), 6).as("cos_sim"))
+  }
+
+  /** The pre-r17 interpreted expansion of [[nearDupPairs]]'s collect
+    * arm — kept as the equivalence reference for
+    * [[graft.expressions.CellCosinePairs]] (CellCosinePairsSpec pins
+    * the two identical, including the zero-norm NaN-cosine edge).
+    */
+  private[graft] def cellPairsHof(members: DataFrame,
+      threshold: Double): DataFrame =
     members
       .select(explode(flatten(transform(col("ms"), (a, i) =>
         transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
@@ -2157,7 +2179,6 @@ object SimilarityOps {
         cosine(col("p.ea"), col("p.eb"), col("p.na"), col("p.nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
-  }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): cluster the

@@ -2098,8 +2098,8 @@ object PipelineQueries {
       graft.ops.PrefixOps.globalRowNumber(
         table(s, dir, "documents").select(
           col("doc_id"),
-          conv(substring(md5(concat(lit("42:"), col("doc_id").cast("string"))), 1, 8),
-            16, 10).cast("long").as("h")),
+          graft.expressions.Md5PrefixLong.draw(
+            concat(lit("42:"), col("doc_id").cast("string")), 8).as("h")),
         binCol = "h", tieCols = Seq("doc_id"), outCol = "pos")
         .select("doc_id", "pos")),
 
@@ -2834,10 +2834,9 @@ object PipelineQueries {
       gs.groupBy("gram")
         .agg(sort_array(collect_set(col("source"))).as("ss"))
         .filter(size(col("ss")) > 1)
-        .select(explode(flatten(transform(col("ss"), (a, i) =>
-          transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
-            struct(a.as("sa"), b.as("sb")))))).as("p"))
-        .select(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+        .select(explode(
+          graft.expressions.ArrayUnorderedPairs.of(col("ss"))).as("p"))
+        .select(col("p.a").as("source_a"), col("p.b").as("source_b"))
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_shared_grams"))
     }),
@@ -3431,8 +3430,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           col("tercile").cast("long").as("tercile"),
           (col("tercile").cast("long") * lit(4294967296L) +
-            conv(substring(md5(concat(lit("42:"),
-              col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+            graft.expressions.Md5PrefixLong.draw(concat(lit("42:"),
+              col("doc_id").cast("string")), 8))
             .as("ck"))
         .cache()
       PrefixOps.globalRowNumber(keyed, "ck", Seq("doc_id"), "pos")

@@ -22,4 +22,12 @@ object ColumnBridge {
 
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Spark's own ANSI divide-by-zero error (`QueryExecutionErrors` is
+    * `private[sql]`) — for native expressions replicating the ANSI `/`
+    * a composed chain they replace would have evaluated.
+    */
+  def divideByZeroError(): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(
+      org.apache.spark.sql.catalyst.trees.Origin().context)
 }
